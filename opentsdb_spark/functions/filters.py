@@ -1,0 +1,105 @@
+"""Tag-value filter registry — Column builders.
+
+Reproduces the reference filter vocabulary
+(reference src/query/filter/TagVFilter.java:56-70 registry;
+TagVLiteralOrFilter.java:32-165, TagVWildcardFilter.java:31,
+TagVRegexFilter.java:26-104, TagVNotKeyFilter.java:8-68,
+TagVNotLiteralOrFilter.java:29-184) as native Spark Column predicates, so
+they push down / fold inside Catalyst instead of running as post-scan Java
+callbacks like the reference does.
+
+A filter is a callable (tags_col, tagk, filter_str) -> Column(boolean).
+New filter types register via :func:`register_filter` — the Spark analog of
+the reference's plugin loading (TagVFilter.java:355-380).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FilterBuilder = Callable[[Column, str, str], Column]
+
+FILTERS: dict[str, FilterBuilder] = {}
+
+
+def register_filter(name: str) -> Callable[[FilterBuilder], FilterBuilder]:
+    def deco(fn: FilterBuilder) -> FilterBuilder:
+        FILTERS[name] = fn
+        return fn
+
+    return deco
+
+
+def _tagv(tags: Column, tagk: str) -> Column:
+    return tags.getItem(tagk)
+
+
+def _split_literals(filter_str: str) -> list[str]:
+    # pipe-separated literal list (reference TagVLiteralOrFilter.java:43-60)
+    return [s for s in filter_str.split("|") if s != ""]
+
+
+@register_filter("literal_or")
+def literal_or(tags: Column, tagk: str, filter_str: str) -> Column:
+    return _tagv(tags, tagk).isin(_split_literals(filter_str))
+
+
+@register_filter("iliteral_or")
+def iliteral_or(tags: Column, tagk: str, filter_str: str) -> Column:
+    lits = [s.lower() for s in _split_literals(filter_str)]
+    return F.lower(_tagv(tags, tagk)).isin(lits)
+
+
+@register_filter("not_literal_or")
+def not_literal_or(tags: Column, tagk: str, filter_str: str) -> Column:
+    # series must HAVE the tag and its value not be in the list
+    # (reference TagVNotLiteralOrFilter.java:29-60)
+    v = _tagv(tags, tagk)
+    return v.isNotNull() & ~v.isin(_split_literals(filter_str))
+
+
+@register_filter("not_iliteral_or")
+def not_iliteral_or(tags: Column, tagk: str, filter_str: str) -> Column:
+    v = _tagv(tags, tagk)
+    lits = [s.lower() for s in _split_literals(filter_str)]
+    return v.isNotNull() & ~F.lower(v).isin(lits)
+
+
+def _glob_to_like(pattern: str) -> str:
+    # '*' is the only wildcard char (reference TagVWildcardFilter.java:55-70);
+    # escape SQL LIKE specials, then map * -> %
+    esc = pattern.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+    return esc.replace("*", "%")
+
+
+@register_filter("wildcard")
+def wildcard(tags: Column, tagk: str, filter_str: str) -> Column:
+    return _tagv(tags, tagk).like(_glob_to_like(filter_str))
+
+
+@register_filter("iwildcard")
+def iwildcard(tags: Column, tagk: str, filter_str: str) -> Column:
+    return F.lower(_tagv(tags, tagk)).like(_glob_to_like(filter_str.lower()))
+
+
+@register_filter("regexp")
+def regexp(tags: Column, tagk: str, filter_str: str) -> Column:
+    return _tagv(tags, tagk).rlike(filter_str)
+
+
+@register_filter("not_key")
+def not_key(tags: Column, tagk: str, filter_str: str) -> Column:
+    # series must NOT contain the tag key at all (TagVNotKeyFilter.java:8-68)
+    return ~F.map_contains_key(tags, tagk)
+
+
+def build_tag_filter(tags: Column, ftype: str, tagk: str, filter_str: str) -> Column:
+    """Look up + build one filter predicate Column."""
+    try:
+        builder = FILTERS[ftype]
+    except KeyError:
+        raise ValueError(f"unknown tag filter type: {ftype!r} (have {sorted(FILTERS)})") from None
+    return builder(tags, tagk, filter_str)

@@ -1,0 +1,119 @@
+"""Cross-series group-by aggregation with interpolation.
+
+The reference aggregates k series at each timestamp of the UNION of all the
+group's timestamps; a series missing a timestamp contributes an interpolated
+value per the aggregator's method (reference
+src/core/AggregationIterator.java:27-119 and :690-800,
+src/core/Aggregators.java:38-44):
+
+  lerp  y0 + (x-x0)(y1-y0)/(x1-x0) between neighbors
+  zim   0
+  max   +Double.MAX  (so min() ignores the series)
+  min   -Double.MAX  (so max() ignores the series)
+  prev  y0 (step interpolation)
+
+Substitution applies only STRICTLY INSIDE a series' own [first_ts, last_ts]
+(the reference iterator stops contributing once a span is exhausted and
+hasn't started before its first point) — outside, the series contributes
+nothing (null here; Spark aggregates ignore nulls). When the values are
+rates, LERP degrades to previous-value ("No LERP for the rate",
+AggregationIterator.java:744-752).
+
+Spark shape (set-based, no k-way merge loop):
+  1. grid  = distinct (group, ts)  x  distinct (group, series)   [1 shuffle]
+  2. left-join actual points                                     [1 shuffle]
+  3. per-series window -> prev/next neighbor values              [1 shuffle,
+     same key as 2 — Catalyst reuses the partitioning]
+  4. substitute per interp method, groupBy(group, ts).agg        [1 shuffle]
+
+Fast path: if the caller knows every series already shares the same bucket
+grid (downsample with a fill policy), set aligned=True and this collapses
+to a single groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from opentsdb_spark.functions.aggregators import AggSpec, get_aggregator
+from opentsdb_spark.sources.points import series_id_col
+
+_DBL_MAX = 1.7976931348623157e308
+
+
+def cross_series_aggregate(
+    points: DataFrame,
+    aggregator: str | AggSpec,
+    group_tagks: tuple[str, ...] = (),
+    aligned: bool = False,
+    rate_mode: bool = False,
+) -> DataFrame:
+    """Aggregate series at aligned timestamps within each group.
+
+    Input: point frame (metric, ts, value, tags).
+    Groups: metric + the given tag keys (reference: filters with
+    group_by=true, src/core/TsdbQuery.java:675-689; no keys -> all series of
+    the metric collapse into one group).
+    Output: (metric, <tagk cols...>, ts, value).
+    """
+    agg = get_aggregator(aggregator) if isinstance(aggregator, str) else aggregator
+    gcols = [F.col("tags").getItem(k).alias(f"tag_{k}") for k in group_tagks]
+    gnames = ["metric", *[f"tag_{k}" for k in group_tagks]]
+
+    df = points.select(
+        "metric", *gcols, "ts", "value", series_id_col("metric", "tags").alias("__sid")
+    )
+
+    interp = "prev" if (rate_mode and agg.interp == "lerp") else agg.interp
+
+    if not aligned:
+        df = _interpolate_to_union_grid(df, gnames, interp)
+
+    out = (
+        df.groupBy(*gnames, "ts")
+        .agg(agg.builder(F.col("value"), F.unix_millis("ts")).alias("value"))
+        .withColumnsRenamed({f"tag_{k}": k for k in group_tagks})
+    )
+    return out
+
+
+def _interpolate_to_union_grid(df: DataFrame, gnames: list[str], interp: str) -> DataFrame:
+    """Expand each group's series onto the union of the group's timestamps,
+    substituting interior-missing values per the interpolation method."""
+    grid_ts = df.select(*gnames, "ts").distinct()
+    series = df.select(*gnames, "__sid").distinct()
+    grid = grid_ts.join(series, on=gnames)  # group-local cross product
+
+    joined = grid.join(
+        df.select(*gnames, "__sid", "ts", "value"), on=[*gnames, "__sid", "ts"], how="left"
+    )
+
+    w = Window.partitionBy("__sid").orderBy("ts")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    ts_ms = F.unix_millis("ts").cast("double")
+    prev_v = F.last("value", ignorenulls=True).over(w_prev)
+    prev_t = F.last(F.when(F.col("value").isNotNull(), ts_ms), ignorenulls=True).over(w_prev)
+    next_v = F.first("value", ignorenulls=True).over(w_next)
+    next_t = F.first(F.when(F.col("value").isNotNull(), ts_ms), ignorenulls=True).over(w_next)
+
+    interior = prev_v.isNotNull() & next_v.isNotNull()
+    if interp == "lerp":
+        sub = prev_v + (ts_ms - prev_t) * (next_v - prev_v) / (next_t - prev_t)
+    elif interp == "zim":
+        sub = F.lit(0.0)
+    elif interp == "max":
+        sub = F.lit(_DBL_MAX)
+    elif interp == "min":
+        sub = F.lit(-_DBL_MAX)
+    elif interp == "prev":
+        sub = prev_v
+    else:  # pragma: no cover
+        raise ValueError(f"unknown interpolation: {interp}")
+
+    value = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        F.when(interior, sub)
+    )
+    return joined.withColumn("value", value)

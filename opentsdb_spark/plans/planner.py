@@ -1,0 +1,109 @@
+"""TSQuery -> DataFrame compiler.
+
+Mirrors the reference query lifecycle (SURVEY.md §3.1; reference
+src/tsd/QueryRpc.java:88-115 -> src/core/TSQuery.java:47-109 ->
+src/core/TsdbQuery.java:496-689) as a declarative plan build:
+
+  time-range filter -> metric filter -> tag predicates -> [downsample]
+  -> [rate] -> cross-series aggregate
+
+Pipeline order per series is downsample first, then rate, then aggregate
+(reference src/core/AggregationIterator.java:270-276).
+
+Everything is native Column expressions, so Catalyst pushes the time+metric
++tag predicates into the Parquet scan (the Spark analog of the reference's
+row-key regex + fuzzy filters, src/core/TsdbQuery.java:860-898).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opentsdb_spark.functions.filters import build_tag_filter
+from opentsdb_spark.model import SubQuery, TSQuery
+from opentsdb_spark.operators.downsample import downsample
+from opentsdb_spark.operators.groupby import cross_series_aggregate
+from opentsdb_spark.operators.rate import rate
+from opentsdb_spark.sources.points import series_id_col
+from opentsdb_spark.timeparse import parse_datetime_ms
+
+
+@dataclass
+class CompiledSubQuery:
+    df: DataFrame
+    group_tagks: tuple[str, ...]
+    aggregator: str
+
+
+def _tag_predicates(q: SubQuery) -> Column | None:
+    pred: Column | None = None
+    tags = F.col("tags")
+    for f in q.filters:
+        c = build_tag_filter(tags, f.type, f.tagk, f.filter)
+        pred = c if pred is None else (pred & c)
+    if q.explicit_tags:
+        # tag-key set must EQUAL the queried keys (reference
+        # src/core/TSSubQuery.java:88-92, src/query/QueryUtil.java:83-141)
+        keys = sorted({f.tagk for f in q.filters if f.type != "not_key"})
+        c = F.size("tags") == len(keys)
+        for k in keys:
+            c = c & F.map_contains_key(F.col("tags"), k)
+        pred = c if pred is None else (pred & c)
+    return pred
+
+
+def compile_subquery(
+    points: DataFrame,
+    q: SubQuery,
+    start_ms: int,
+    end_ms: int,
+    timezone: str = "UTC",
+) -> CompiledSubQuery:
+    """Compile one m= sub-query against a point frame."""
+    df = points.where(
+        (F.unix_millis("ts") >= start_ms) & (F.unix_millis("ts") <= end_ms)
+    ).where(F.col("metric") == q.metric)
+
+    if q.tsuids:
+        # TSUID-direct query (reference src/core/TsdbQuery.java:552-571)
+        df = df.where(series_id_col("metric", "tags").isin(list(q.tsuids)))
+
+    pred = _tag_predicates(q)
+    if pred is not None:
+        df = df.where(pred)
+
+    aligned = False
+    if q.downsample is not None:
+        df = downsample(df, q.downsample, start_ms, end_ms, series_cols=("metric", "tags"))
+        aligned = q.downsample.fill != "none"
+
+    rate_mode = q.rate is not None
+    if rate_mode:
+        df = rate(df, q.rate, series_cols=("metric", "tags"))
+
+    group_tagks = tuple(f.tagk for f in q.filters if f.group_by)
+
+    if q.aggregator == "none":
+        # raw per-series passthrough (reference src/core/Aggregators.java:434-461)
+        out = df.select(
+            "metric",
+            series_id_col("metric", "tags").alias("series_id"),
+            "ts",
+            "value",
+        )
+        return CompiledSubQuery(out, group_tagks, q.aggregator)
+
+    out = cross_series_aggregate(
+        df, q.aggregator, group_tagks, aligned=aligned, rate_mode=rate_mode
+    )
+    return CompiledSubQuery(out, group_tagks, q.aggregator)
+
+
+def compile_query(points: DataFrame, tsq: TSQuery, now_ms: int | None = None) -> list[CompiledSubQuery]:
+    """Compile all sub-queries of a TSQuery."""
+    start_ms = parse_datetime_ms(tsq.start, tsq.timezone, now_ms)
+    end_ms = parse_datetime_ms(tsq.end, tsq.timezone, now_ms)
+    return [compile_subquery(points, q, start_ms, end_ms, tsq.timezone) for q in tsq.queries]

@@ -1,0 +1,56 @@
+"""OpenTSDB JSON response serialization.
+
+Reproduces the /api/query response shape (reference
+src/tsd/HttpJsonSerializer.java:743-866): one object per result series:
+
+    {"metric": ..., "tags": {groupKey: value, ...},
+     "aggregateTags": [tagk aggregated away, ...],
+     "dps": {"<epoch_sec>": value, ...}}   # chronological key order (:771)
+
+This is the API boundary — the one place results are collected to the
+driver (post-aggregation output is small by construction).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from opentsdb_spark.plans.planner import CompiledSubQuery
+
+
+def serialize_subquery(result: CompiledSubQuery, ms_resolution: bool = False) -> list[dict[str, Any]]:
+    df = result.df
+    gk = list(result.group_tagks)
+    if result.aggregator == "none":
+        key_cols = ["series_id"]
+    else:
+        key_cols = ["metric", *gk]
+    rows = (
+        df.withColumn("__t", F.unix_millis("ts"))
+        .select(*key_cols, "metric", "__t", "value")
+        .orderBy(*key_cols, "__t")
+        .collect()
+    )
+    # aggregateTags: tag keys that existed on input series but were not
+    # grouped on; without a series index we report none for grouped output —
+    # the metadata module can enrich this (reference keeps them from scans).
+    out: list[dict[str, Any]] = []
+    cur_key: tuple | None = None
+    cur: dict[str, Any] | None = None
+    for r in rows:
+        key = tuple(r[c] for c in key_cols)
+        if key != cur_key:
+            cur = {
+                "metric": r["metric"],
+                "tags": {k: r[k] for k in gk if r[k] is not None} if gk else {},
+                "aggregateTags": [],
+                "dps": {},
+            }
+            out.append(cur)
+            cur_key = key
+        t = r["__t"] if ms_resolution else r["__t"] // 1000
+        assert cur is not None
+        cur["dps"][str(t)] = r["value"]
+    return out

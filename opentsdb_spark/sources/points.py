@@ -1,0 +1,160 @@
+"""Point-model sources.
+
+The engine's canonical frame (SURVEY.md §1.4) replaces the reference's HBase
+row format (reference src/core/RowKey.java:83-105 — salt + uid row keys +
+packed qualifiers) with a columnar DataFrame:
+
+    metric  string                 (was: 3-byte metric UID)
+    ts      timestamp              (was: base_time + qualifier offset)
+    value   double                 (was: int/float flag-packed cells)
+    value_long  long, nullable     (integer-path fidelity, reference
+                                    src/core/Aggregators.java:237-258)
+    tags    map<string,string>     (was: tagk/tagv UID pairs in row key)
+
+No UID dictionary is needed: Parquet dictionary-encodes strings and Spark
+prunes/pushes down on them. Series identity (the reference's TSUID,
+src/core/TSDB.java:1416-1417) is a derived deterministic string.
+
+Persisted layout for scale: partition by event date (partition pruning for
+time ranges = the reference's row-key time filtering), optionally bucketed
+by metric to co-locate series for repeated group-bys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+POINT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("value_long", T.LongType(), True),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+    ]
+)
+
+
+def series_id_col(metric: Column | str = "metric", tags: Column | str = "tags") -> Column:
+    """Canonical series identity = metric + sorted tag pairs.
+
+    Mirrors the TSUID concept (reference src/core/TSDB.java:1416-1417: metric
+    uid + sorted (tagk,tagv) uids) as a readable string, e.g.
+    ``sys.cpu.user{host=web01,dc=lga}`` with keys sorted.
+    """
+    metric = F.col(metric) if isinstance(metric, str) else metric
+    tags = F.col(tags) if isinstance(tags, str) else tags
+    kv = F.array_sort(
+        F.transform(F.map_entries(tags), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+    )
+    return F.concat(metric, F.lit("{"), F.array_join(kv, ","), F.lit("}"))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table (TESTDATA.md).
+
+    The events table stores ts as INT64 TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long we convert
+    to a microsecond timestamp (same truncation DuckDB applies). Both confs
+    are set at runtime because the caller (e.g. the verify driver) may hand
+    us a session built without them — they are session-level SQL confs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division — double division would lose ns precision at 1e18
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def events_to_points(events: DataFrame) -> DataFrame:
+    """Map the driver's ``events`` table into the point model.
+
+    Contract (kept in lock-step with the DuckDB oracle SQL in
+    __spark_entry__.py):
+      metric = event_type
+      ts     = ts
+      value  = value
+      tags   = { user: cast(user_id as string),
+                 k:    first integer in props JSON,
+                 big:  'yes' only when value > 100 }   -- conditional key so
+                 not_key / explicit_tags filters have something to bite on
+                 (reference src/query/filter/TagVNotKeyFilter.java:8-68).
+    """
+    tags = F.map_filter(
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("k"), F.regexp_extract(F.col("props"), "[0-9]+", 0),
+            F.lit("big"), F.when(F.col("value") > 100.0, F.lit("yes")),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    return events.select(
+        F.col("event_type").alias("metric"),
+        F.col("ts").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(None).cast("long").alias("value_long"),
+        tags.alias("tags"),
+    )
+
+
+def load_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table as the engine's raw point feed."""
+    return events_to_points(load_table(spark, sf_dir, "events"))
+
+
+def parse_put_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse telnet ``put`` line protocol into points — UDF-free.
+
+    Format (reference src/tsd/PutDataPointRpc.java:742-775):
+        put <metric> <epoch[s|ms]> <value> <tagk=tagv> [<tagk=tagv> ...]
+
+    Works on any DataFrame with a single string column (socket/text/Kafka
+    value). Malformed lines are dropped (the reference responds with an
+    error per line; a sink for rejects can be split off with the inverse
+    filter).
+    """
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    n = F.size(toks)
+    ts_raw = toks[2].cast("double")
+    ts_ms = F.when(ts_raw >= 1e12, ts_raw).otherwise(ts_raw * 1000.0)
+    tag_pairs = F.slice(toks, 4, F.size(toks) - F.lit(3))
+    tags = F.map_from_entries(
+        F.transform(
+            tag_pairs,
+            lambda p: F.struct(
+                F.split(p, "=")[0].alias("key"), F.split(p, "=")[1].alias("value")
+            ),
+        )
+    )
+    parsed = (
+        lines.where((n >= 5) & (toks[0] == "put"))
+        .select(
+            toks[1].alias("metric"),
+            F.timestamp_millis(ts_ms.cast("long")).alias("ts"),
+            toks[3].cast("double").alias("value"),
+            F.when(toks[3].rlike(r"^-?\d+$"), toks[3].cast("long")).alias("value_long"),
+            tags.alias("tags"),
+        )
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+    )
+    return parsed
+
+
+def write_points(df: DataFrame, path: str, partition_hours: bool = False) -> None:
+    """Persist points partitioned by date (and optionally hour).
+
+    The date partition column reproduces the reference's coarse time
+    filtering (1-hour row spans, src/core/Const.java:94-95) as Spark/Hive
+    partition pruning; metric stays a data column (dictionary-encoded, min/
+    max pruned) to avoid small-file explosion at high metric cardinality.
+    """
+    out = df.withColumn("dt", F.to_date("ts"))
+    cols = ["dt"]
+    if partition_hours:
+        out = out.withColumn("hr", F.hour("ts"))
+        cols.append("hr")
+    out.write.mode("overwrite").partitionBy(*cols).parquet(path)

@@ -1,0 +1,164 @@
+"""End-to-end slice tests (SURVEY.md §7.1)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_spark.model import DownsampleSpec, RateOptions, SubQuery, TagFilter, TSQuery
+from opentsdb_spark.operators.downsample import downsample
+from opentsdb_spark.operators.groupby import cross_series_aggregate
+from opentsdb_spark.operators.rate import rate
+from opentsdb_spark.plans.planner import compile_query
+from opentsdb_spark.serializer import serialize_subquery
+from opentsdb_spark.timeparse import parse_datetime_ms, parse_downsample_interval, parse_duration_ms
+from tests.conftest import EPOCH
+
+
+def test_timeparse():
+    assert parse_duration_ms("5m") == 300_000
+    assert parse_datetime_ms("1h-ago", now_ms=10_000_000_000_000) == 10_000_000_000_000 - 3_600_000
+    assert parse_datetime_ms("now", now_ms=42) == 42
+    assert parse_datetime_ms(1356998400) == 1356998400 * 1000
+    assert parse_datetime_ms("1356998400500") == 1356998400500
+    assert parse_datetime_ms("2013/01/01-00:00:00") == 1356998400 * 1000
+    assert parse_datetime_ms("2013/01/01", tz="America/New_York") == 1356998400 * 1000 + 5 * 3600 * 1000
+    assert parse_downsample_interval("10m") == (600_000, False, "m", 10)
+    assert parse_downsample_interval("1dc") == (86_400_000, True, "d", 1)
+    assert parse_downsample_interval("0all") == (0, False, None, 0)
+
+
+def test_filters(fixture_points):
+    tags = F.col("tags")
+    from opentsdb_spark.functions.filters import build_tag_filter
+
+    n = fixture_points.where(build_tag_filter(tags, "literal_or", "host", "web01")).count()
+    assert n == 300
+    n = fixture_points.where(build_tag_filter(tags, "iliteral_or", "host", "WEB01|WEB02")).count()
+    assert n == 600
+    n = fixture_points.where(build_tag_filter(tags, "not_literal_or", "host", "web01")).count()
+    assert n == 300
+    n = fixture_points.where(build_tag_filter(tags, "wildcard", "host", "web*")).count()
+    assert n == 600
+    n = fixture_points.where(build_tag_filter(tags, "regexp", "host", "web0[2-9]")).count()
+    assert n == 300
+    n = fixture_points.where(build_tag_filter(tags, "not_key", "missing", "")).count()
+    assert n == 600
+    n = fixture_points.where(build_tag_filter(tags, "not_key", "host", "")).count()
+    assert n == 0
+
+
+def test_downsample_10m_sum(fixture_points):
+    spec = DownsampleSpec(interval_ms=600_000, aggregator="sum")
+    out = downsample(fixture_points, spec).where(F.col("tags")["host"] == "web01")
+    rows = {r["ts"].timestamp(): r["value"] for r in out.collect()}
+    # web01: values 1..300 at EPOCH+30*(i+1); bucket EPOCH..EPOCH+600 holds
+    # i+1 for 30*(i+1) in [0,600) -> values 1..19 -> sum 190
+    assert rows[EPOCH] == sum(range(1, 20))
+    assert rows[EPOCH + 600] == sum(range(20, 40))
+
+
+def test_downsample_fill_zero(spark):
+    rows = [("m", (EPOCH + 0) * 1000, 1.0, {"h": "a"}), ("m", (EPOCH + 120) * 1000, 3.0, {"h": "a"})]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double, tags map<string,string>")
+    df = df.select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+    spec = DownsampleSpec(interval_ms=60_000, aggregator="sum", fill="zero")
+    out = downsample(df, spec, start_ms=EPOCH * 1000, end_ms=(EPOCH + 240) * 1000)
+    vals = {r["ts"].timestamp(): r["value"] for r in out.collect()}
+    assert vals == {EPOCH: 1.0, EPOCH + 60: 0.0, EPOCH + 120: 3.0, EPOCH + 180: 0.0}
+
+
+def test_downsample_0all(fixture_points):
+    spec = DownsampleSpec(interval_ms=0, aggregator="max", run_all=True)
+    out = downsample(fixture_points, spec, start_ms=EPOCH * 1000, end_ms=(EPOCH + 10**6) * 1000)
+    vals = {r["tags"]["host"]: r["value"] for r in out.collect()}
+    assert vals == {"web01": 300.0, "web02": 300.0}
+
+
+def test_rate(spark):
+    # 30s spacing, +30 per step -> rate 1.0/s; counter rollover case
+    rows = [("m", (EPOCH + 30 * i) * 1000, float(30 * i), {"h": "a"}) for i in range(5)]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double, tags map<string,string>")
+    df = df.select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+    out = rate(df).orderBy("ts").collect()
+    assert len(out) == 4
+    assert all(abs(r["value"] - 1.0) < 1e-12 for r in out)
+
+    # counter reset: 10, 20, 5 with counter_max=256 -> diff = 256-20+5 = 241
+    rows = [("m", EPOCH * 1000, 10.0, {"h": "a"}), ("m", (EPOCH + 10) * 1000, 20.0, {"h": "a"}),
+            ("m", (EPOCH + 20) * 1000, 5.0, {"h": "a"})]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double, tags map<string,string>")
+    df = df.select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+    out = rate(df, RateOptions(counter=True, counter_max=256)).orderBy("ts").collect()
+    assert [round(r["value"], 6) for r in out] == [1.0, 24.1]
+    out = rate(df, RateOptions(counter=True, counter_max=256, drop_resets=True)).collect()
+    assert len(out) == 1
+    out = rate(df, RateOptions(counter=True, counter_max=256, reset_value=10)).orderBy("ts").collect()
+    assert [round(r["value"], 6) for r in out] == [1.0, 0.0]
+
+
+def test_cross_series_sum_aligned(fixture_points):
+    out = cross_series_aggregate(fixture_points, "sum", ())
+    vals = [r["value"] for r in out.collect()]
+    assert all(v == 301.0 for v in vals)  # i+1 + 301-(i+1)
+    assert len(vals) == 300
+
+
+def test_cross_series_lerp(offset_points):
+    # series a at t=0,30,..: 10,20..; series b at t=15,45,..: 5,10..
+    # At t=30 (a=20 present), b is interior-missing: lerp(5@15, 10@45 -> 7.5)
+    out = cross_series_aggregate(offset_points, "sum", ())
+    vals = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
+    assert vals[30] == 20.0 + 7.5
+    # At t=0 b hasn't started -> only a contributes
+    assert vals[0] == 10.0
+    # At t=15 a interior: lerp(10@0, 20@30 -> 15) + b 5 = 20
+    assert vals[15] == 15.0 + 5.0
+
+
+def test_cross_series_zimsum(offset_points):
+    out = cross_series_aggregate(offset_points, "zimsum", ())
+    vals = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
+    assert vals[30] == 20.0  # b missing -> 0
+    assert vals[15] == 5.0  # a missing -> 0
+
+
+def test_planner_end_to_end(fixture_points):
+    tsq = TSQuery(
+        start=EPOCH,
+        end=EPOCH + 100000,
+        queries=(
+            SubQuery(
+                metric="sys.cpu.user",
+                aggregator="sum",
+                downsample=DownsampleSpec(interval_ms=600_000, aggregator="avg"),
+                filters=(TagFilter("wildcard", "host", "web*", group_by=True),),
+            ),
+        ),
+    )
+    [res] = compile_query(fixture_points, tsq)
+    assert res.group_tagks == ("host",)
+    rows = serialize_subquery(res)
+    assert len(rows) == 2
+    by_host = {r["tags"]["host"]: r for r in rows}
+    assert by_host["web01"]["metric"] == "sys.cpu.user"
+    # first 10m bucket avg over web01 = mean(1..19) = 10
+    assert by_host["web01"]["dps"][str(EPOCH)] == pytest.approx(10.0)
+    assert by_host["web02"]["dps"][str(EPOCH)] == pytest.approx(sum(range(282, 301)) / 19)
+
+
+def test_planner_explicit_tags(fixture_points):
+    tsq = TSQuery(
+        start=EPOCH, end=EPOCH + 100000,
+        queries=(SubQuery(metric="sys.cpu.user", aggregator="sum", explicit_tags=True,
+                          filters=(TagFilter("literal_or", "host", "web01"),)),),
+    )
+    [res] = compile_query(fixture_points, tsq)
+    assert res.df.count() == 0  # series have {host,dc}, not exactly {host}
+
+
+def test_rate_mode_prev_interp(offset_points):
+    # after rate, cross-series LERP degrades to PREV (AggregationIterator.java:744-752)
+    out = cross_series_aggregate(offset_points, "sum", (), rate_mode=True)
+    vals = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
+    assert vals[30] == 20.0 + 5.0  # b uses prev value 5 (not lerp 7.5)

@@ -1,0 +1,114 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every catalog query on Spark AND its DuckDB oracle SQL at a given sf,
+then compares row count, schema (column names), and an order-insensitive
+value multiset (doubles rounded as produced). Usage:
+
+    python tools/check_oracle.py [sf_dir] [name_substring]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        # collapse -0.0 / 0.0 and FP noise surviving the query-side rounding
+        return round(v + 0.0, 4)
+    if hasattr(v, "timestamp"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 4)
+    except ImportError:
+        pass
+    return v
+
+
+def row_key(row, cols_sorted, colpos):
+    return tuple(norm(row[colpos[c]]) for c in cols_sorted)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    from opentsdb_spark.catalog import CATALOG
+    from opentsdb_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = []
+    for name, qd in CATALOG.items():
+        if only and only not in name:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qd.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error {e}")
+            continue
+        if qd.sql is None:
+            print(f"ok    {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(qd.sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL  {name}: oracle error {e}")
+            continue
+        if sorted(scols) != sorted(ocols):
+            failures.append((name, f"SCHEMA {sorted(scols)} vs {sorted(ocols)}"))
+            print(f"FAIL  {name}: schema {sorted(scols)} vs {sorted(ocols)}")
+            continue
+        if len(srows) != len(orows):
+            failures.append((name, f"ROWS {len(srows)} vs {len(orows)}"))
+            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
+            continue
+        cs = sorted(scols)
+        spos = {c: scols.index(c) for c in cs}
+        opos = {c: ocols.index(c) for c in cs}
+        smul = Counter(row_key(r, cs, spos) for r in srows)
+        omul = Counter(row_key(r, cs, opos) for r in orows)
+        if smul != omul:
+            diff_s = list((smul - omul).items())[:3]
+            diff_o = list((omul - smul).items())[:3]
+            failures.append((name, f"VALUES spark-only={diff_s} oracle-only={diff_o}"))
+            print(f"FAIL  {name}: values differ; spark-only={diff_s} oracle-only={diff_o}")
+            continue
+        print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures / {len([n for n in CATALOG if not only or only in n])} queries")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
