@@ -471,3 +471,383 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     [r] = compile_query(load_points(spark, sf_dir), tsq)
     return r.df.select("metric", "user", _ts_sec(), _vr(F.col("value")))
+
+
+# ======================================================= gexp layer =========
+# Shared base frame: per-user 1h zero-filled bucket sums (the engine path is
+# sum:1h-sum-zero:metric{user=literal_or(...), group_by}); the SQL CTE
+# mirrors it (per-series zeros collapse under sum, so the grid is per-user).
+
+_USERS = ("1", "2", "3")
+_USERS_SQL = "('1','2','3')"
+
+
+def _base_sql_ctes(cte_id: str, metric: str) -> str:
+    return f"""{cte_id}_ub AS (
+          SELECT {U} AS user, {H_SEC} AS b, sum(value) AS s
+          FROM events WHERE event_type = '{metric}' AND {U} IN {_USERS_SQL}
+          GROUP BY 1, 2),
+        {cte_id}_grid AS (
+          SELECT u.user, gs.b FROM (SELECT DISTINCT user FROM {cte_id}_ub) u
+          CROSS JOIN (SELECT unnest(generate_series({START_SEC}, {END_SEC - 3600}, 3600)) AS b) gs),
+        {cte_id} AS (
+          SELECT g.user, g.b, coalesce(ub.s, 0.0) AS v
+          FROM {cte_id}_grid g
+          LEFT JOIN {cte_id}_ub ub ON g.user = ub.user AND g.b = ub.b)"""
+
+
+def _base_frame(spark, sf_dir, metric: str):
+    """[user, ts, value] zero-filled 1h grid for users 1-3 (unrounded, for
+    composition by the gexp/exp layers)."""
+    tsq = TSQuery(
+        start=START_SEC, end=END_SEC,
+        queries=(SubQuery(
+            metric=metric, aggregator="sum",
+            downsample=DownsampleSpec(3_600_000, "sum", fill="zero"),
+            filters=(TagFilter("literal_or", "user", "|".join(_USERS), group_by=True),),
+        ),),
+    )
+    [r] = compile_query(_pts(spark, sf_dir), tsq)
+    return r.df.select("user", "ts", "value")
+
+
+from opentsdb_spark.operators import expressions as _gexp  # noqa: E402
+from opentsdb_spark.operators.topk import highest_current as _hc, highest_max as _hm  # noqa: E402
+
+
+@register(
+    "gexp_absolute_scale",
+    f"""WITH {_base_sql_ctes('p', 'purchase')}
+        SELECT user, CAST(b AS BIGINT) AS ts_sec, {RND.format('abs(v * -1.0)')} AS value_r
+        FROM p""",
+)
+def gexp_absolute_scale(spark, sf_dir):
+    df = _gexp.absolute(_gexp.scale(_base_frame(spark, sf_dir, "purchase"), -1.0))
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "gexp_alias",
+    f"""WITH {_base_sql_ctes('p', 'view')}
+        SELECT user, 'cpu.' || user || '.total' AS alias, CAST(b AS BIGINT) AS ts_sec,
+               {RND.format('v')} AS value_r
+        FROM p""",
+)
+def gexp_alias(spark, sf_dir):
+    df = _gexp.alias_series(_base_frame(spark, sf_dir, "view"), "cpu.@user.total")
+    return df.select("user", "alias", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "gexp_timeshift_1h",
+    f"""WITH {_base_sql_ctes('p', 'click')}
+        SELECT user, CAST(b + 3600 AS BIGINT) AS ts_sec, {RND.format('v')} AS value_r
+        FROM p""",
+)
+def gexp_timeshift_1h(spark, sf_dir):
+    df = _gexp.time_shift(_base_frame(spark, sf_dir, "click"), 3_600_000)
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "gexp_firstdiff",
+    f"""WITH {_base_sql_ctes('p', 'click')}
+        SELECT user, CAST(b AS BIGINT) AS ts_sec,
+               {RND.format('v - lag(v) OVER (PARTITION BY user ORDER BY b)')} AS value_r
+        FROM p QUALIFY lag(v) OVER (PARTITION BY user ORDER BY b) IS NOT NULL""",
+)
+def gexp_firstdiff(spark, sf_dir):
+    df = _gexp.first_diff(_base_frame(spark, sf_dir, "click"), ("user",))
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "gexp_movavg_3pt",
+    f"""WITH {_base_sql_ctes('p', 'error')}
+        SELECT user, CAST(b AS BIGINT) AS ts_sec,
+               {RND.format('avg(v) OVER (PARTITION BY user ORDER BY b ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)')} AS value_r
+        FROM p""",
+)
+def gexp_movavg_3pt(spark, sf_dir):
+    df = _gexp.moving_average(_base_frame(spark, sf_dir, "error"), ("user",), count=3)
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "gexp_movavg_2h_time",
+    f"""WITH {_base_sql_ctes('p', 'signup')}
+        SELECT user, CAST(b AS BIGINT) AS ts_sec,
+               {RND.format('avg(v) OVER (PARTITION BY user ORDER BY b RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)')} AS value_r
+        FROM p""",
+)
+def gexp_movavg_2h_time(spark, sf_dir):
+    df = _gexp.moving_average(_base_frame(spark, sf_dir, "signup"), ("user",), time_ms=7_200_000)
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+def _two_metric_sql(expr: str, extra: str = "") -> str:
+    return f"""WITH {_base_sql_ctes('pa', 'purchase')},
+        {_base_sql_ctes('pb', 'click')},
+        users AS (SELECT user FROM (SELECT DISTINCT user FROM pa UNION SELECT DISTINCT user FROM pb) u),
+        j AS (SELECT coalesce(pa.user, pb.user) AS user, coalesce(pa.b, pb.b) AS b,
+                     coalesce(pa.v, 0.0) AS a, coalesce(pb.v, 0.0) AS bb
+              FROM pa FULL OUTER JOIN pb ON pa.user = pb.user AND pa.b = pb.b)
+        SELECT user, CAST(b AS BIGINT) AS ts_sec, {RND.format(expr)} AS value_r
+        FROM j {extra}"""
+
+
+@register("gexp_sumseries", _two_metric_sql("a + bb"))
+def gexp_sumseries(spark, sf_dir):
+    df = _gexp.sum_series(
+        [_base_frame(spark, sf_dir, "purchase"), _base_frame(spark, sf_dir, "click")], ("user",)
+    )
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register("gexp_diffseries", _two_metric_sql("a - bb"))
+def gexp_diffseries(spark, sf_dir):
+    df = _gexp.diff_series(
+        [_base_frame(spark, sf_dir, "purchase"), _base_frame(spark, sf_dir, "click")], ("user",)
+    )
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register("gexp_multiplyseries", _two_metric_sql("a * bb"))
+def gexp_multiplyseries(spark, sf_dir):
+    # both inputs are full zero-filled grids, so the scalar-1 fill for a
+    # missing side never triggers — semantics match plain a*b
+    df = _gexp.multiply_series(
+        [_base_frame(spark, sf_dir, "purchase"), _base_frame(spark, sf_dir, "click")], ("user",)
+    )
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register("gexp_divideseries", _two_metric_sql("a / nullif(bb, 0.0)"))
+def gexp_divideseries(spark, sf_dir):
+    df = _gexp.divide_series(
+        [_base_frame(spark, sf_dir, "purchase"), _base_frame(spark, sf_dir, "click")], ("user",)
+    )
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "gexp_highest_max",
+    f"""WITH {_base_sql_ctes('p', 'purchase')},
+        top AS (SELECT user FROM (SELECT user, max(v) AS mx FROM p GROUP BY user)
+                QUALIFY row_number() OVER (ORDER BY mx DESC, user ASC) <= 2)
+        SELECT p.user, CAST(p.b AS BIGINT) AS ts_sec, {RND.format('p.v')} AS value_r
+        FROM p SEMI JOIN top ON p.user = top.user""",
+)
+def gexp_highest_max(spark, sf_dir):
+    df = _hm(_base_frame(spark, sf_dir, "purchase"), ("user",), 2)
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "gexp_highest_current",
+    f"""WITH {_base_sql_ctes('p', 'purchase')},
+        top AS (SELECT user FROM (SELECT user, arg_max(v, b) AS cur FROM p GROUP BY user)
+                QUALIFY row_number() OVER (ORDER BY cur DESC, user ASC) <= 2)
+        SELECT p.user, CAST(p.b AS BIGINT) AS ts_sec, {RND.format('p.v')} AS value_r
+        FROM p SEMI JOIN top ON p.user = top.user""",
+)
+def gexp_highest_current(spark, sf_dir):
+    df = _hc(_base_frame(spark, sf_dir, "purchase"), ("user",), 2)
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+# ================================================ exp (v2) query layer ======
+
+from opentsdb_spark.model import ExpExpression, ExpJoin, ExpMetric, ExpQuery, FillPolicy  # noqa: E402
+from opentsdb_spark.plans.expquery import compile_exp_query  # noqa: E402
+
+
+def _exp_metric(vid: str, metric: str, fill: str = "none") -> ExpMetric:
+    # zimsum: zero-if-missing cross-series sum — SQL-mirrorable (LERP 'sum'
+    # variants are pinned by unit tests + the rows-only lerp entries instead)
+    return ExpMetric(
+        id=vid, metric=metric, aggregator="zimsum",
+        downsample=DownsampleSpec(3_600_000, "sum"),
+        filters=(TagFilter("literal_or", "user", "|".join(_USERS), group_by=True),),
+        fill_policy=FillPolicy(fill),
+    )
+
+
+def _sparse_sql_ctes(cte_id: str, metric: str) -> str:
+    # per-user 1h bucket sums WITHOUT grid fill (downsample fill=none)
+    return f"""{cte_id} AS (
+          SELECT {U} AS user, {H_SEC} AS b, sum(value) AS v
+          FROM events WHERE event_type = '{metric}' AND {U} IN {_USERS_SQL}
+          GROUP BY 1, 2)"""
+
+
+@register(
+    "exp_intersection_arith",
+    f"""WITH {_sparse_sql_ctes('pa', 'purchase')},
+        {_sparse_sql_ctes('pb', 'click')},
+        keep AS (SELECT DISTINCT pa.user FROM (SELECT DISTINCT user FROM pa) pa
+                 JOIN (SELECT DISTINCT user FROM pb) pb USING (user)),
+        j AS (SELECT coalesce(pa.user, pb.user) AS user, coalesce(pa.b, pb.b) AS b,
+                     pa.v AS a, pb.v AS bb
+              FROM pa FULL OUTER JOIN pb ON pa.user = pb.user AND pa.b = pb.b)
+        SELECT j.user, CAST(j.b AS BIGINT) AS ts_sec,
+               {RND.format('a + bb / 2')} AS value_r
+        FROM j SEMI JOIN keep ON j.user = keep.user""",
+)
+def exp_intersection_arith(spark, sf_dir):
+    eq = ExpQuery(
+        start=START_SEC, end=END_SEC,
+        metrics=(_exp_metric("a", "purchase"), _exp_metric("b", "click")),
+        expressions=(ExpExpression(id="e", expr="a + b / 2",
+                                   join=ExpJoin("intersection"),
+                                   fill_policies={"a": FillPolicy("null"), "b": FillPolicy("null")}),),
+    )
+    res = compile_exp_query(_pts(spark, sf_dir), eq)
+    return res["e"].select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "exp_union_fill_zero",
+    f"""WITH {_sparse_sql_ctes('pa', 'purchase')},
+        {_sparse_sql_ctes('pb', 'error')},
+        j AS (SELECT coalesce(pa.user, pb.user) AS user, coalesce(pa.b, pb.b) AS b,
+                     coalesce(pa.v, 0.0) AS a, coalesce(pb.v, 0.0) AS bb
+              FROM pa FULL OUTER JOIN pb ON pa.user = pb.user AND pa.b = pb.b)
+        SELECT user, CAST(b AS BIGINT) AS ts_sec, {RND.format('a - bb')} AS value_r
+        FROM j""",
+)
+def exp_union_fill_zero(spark, sf_dir):
+    eq = ExpQuery(
+        start=START_SEC, end=END_SEC,
+        metrics=(_exp_metric("a", "purchase", fill="zero"),
+                 _exp_metric("b", "error", fill="zero")),
+        expressions=(ExpExpression(id="e", expr="a - b", join=ExpJoin("union")),),
+    )
+    res = compile_exp_query(_pts(spark, sf_dir), eq)
+    return res["e"].select("user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "exp_ternary_max",
+    f"""WITH {_sparse_sql_ctes('pa', 'view')},
+        {_sparse_sql_ctes('pb', 'click')},
+        j AS (SELECT coalesce(pa.user, pb.user) AS user, coalesce(pa.b, pb.b) AS b,
+                     coalesce(pa.v, 0.0) AS a, coalesce(pb.v, 0.0) AS bb
+              FROM pa FULL OUTER JOIN pb ON pa.user = pb.user AND pa.b = pb.b)
+        SELECT user, CAST(b AS BIGINT) AS ts_sec,
+               {RND.format('CASE WHEN a > bb THEN a ELSE bb END')} AS value_r
+        FROM j""",
+)
+def exp_ternary_max(spark, sf_dir):
+    eq = ExpQuery(
+        start=START_SEC, end=END_SEC,
+        metrics=(_exp_metric("a", "view", fill="zero"),
+                 _exp_metric("b", "click", fill="zero")),
+        expressions=(ExpExpression(id="e", expr="(a > b) ? a : b", join=ExpJoin("union")),),
+    )
+    res = compile_exp_query(_pts(spark, sf_dir), eq)
+    return res["e"].select("user", _ts_sec(), _vr(F.col("value")))
+
+
+# ============================================ aggregator completeness =======
+
+
+def _ds_agg_sql(metric: str, agg_sql: str) -> str:
+    return f"""SELECT event_type AS metric, {U} AS user, {K} AS k, {BIG} AS big,
+               {H_SEC} AS ts_sec, {RND.format(agg_sql)} AS value_r
+        FROM events WHERE event_type = '{metric}'
+        GROUP BY event_type, user_id, {K}, value > 100.0, {H_SEC}"""
+
+
+def _ds_agg_query(spark, sf_dir, metric: str, agg: str):
+    df = _pts(spark, sf_dir).where(F.col("metric") == metric)
+    out = downsample(df, DownsampleSpec(3_600_000, agg))
+    return out.select("metric", _tag("user"), _tag("k"), _tag("big"), _ts_sec(), _vr(F.col("value")))
+
+
+@register("tsdb_ds_1h_dev", _ds_agg_sql("purchase", "coalesce(stddev_samp(value), 0.0)"))
+def tsdb_ds_1h_dev(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "purchase", "dev")
+
+
+@register("tsdb_ds_1h_median", _ds_agg_sql("click", "median(value)"))
+def tsdb_ds_1h_median(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "click", "median")
+
+
+@register("tsdb_ds_1h_p95", _ds_agg_sql("view", "quantile_cont(value, 0.95)"))
+def tsdb_ds_1h_p95(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "view", "p95")
+
+
+@register("tsdb_ds_1h_squaresum", _ds_agg_sql("error", "sum(value * value)"))
+def tsdb_ds_1h_squaresum(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "error", "squareSum")
+
+
+@register("tsdb_ds_1h_mult", _ds_agg_sql("signup", "product(value)"))
+def tsdb_ds_1h_mult(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "signup", "mult")
+
+
+@register("tsdb_ds_1h_diff", _ds_agg_sql("purchase", "arg_max(value, ts) - arg_min(value, ts)"))
+def tsdb_ds_1h_diff(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "purchase", "diff")
+
+
+@register("tsdb_ds_1h_first", _ds_agg_sql("click", "arg_min(value, ts)"))
+def tsdb_ds_1h_first(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "click", "first")
+
+
+@register("tsdb_ds_1h_last", _ds_agg_sql("view", "arg_max(value, ts)"))
+def tsdb_ds_1h_last(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "view", "last")
+
+
+@register("tsdb_ds_1h_count", _ds_agg_sql("error", "CAST(count(value) AS DOUBLE)"))
+def tsdb_ds_1h_count(spark, sf_dir):
+    df = _pts(spark, sf_dir).where(F.col("metric") == "error")
+    out = downsample(df, DownsampleSpec(3_600_000, "count"))
+    return out.select("metric", _tag("user"), _tag("k"), _tag("big"), _ts_sec(),
+                      _vr(F.col("value").cast("double")))
+
+
+@register(
+    "tsdb_agg_dev_aligned_1h",
+    f"""WITH f AS (
+          SELECT {U} AS user, {K} AS k, {BIG} AS big, value, {H_SEC} AS b
+          FROM events
+          WHERE event_type = 'purchase' AND {U} IN ('1','2','3')
+        ),
+        s AS (SELECT DISTINCT user, k, big FROM f),
+        g AS (SELECT s.user, s.k, s.big, gs.b
+              FROM s CROSS JOIN (SELECT unnest(generate_series({START_SEC}, {END_SEC - 3600}, 3600)) AS b) gs),
+        p AS (SELECT user, k, big, b, avg(value) AS v FROM f GROUP BY ALL)
+        SELECT 'purchase' AS metric, g.user, CAST(g.b AS BIGINT) AS ts_sec,
+               {RND.format('coalesce(stddev_samp(coalesce(p.v, 0.0)), 0.0)')} AS value_r
+        FROM g LEFT JOIN p ON g.user = p.user AND g.k = p.k
+               AND g.big IS NOT DISTINCT FROM p.big AND g.b = p.b
+        GROUP BY g.user, g.b""",
+)
+def tsdb_agg_dev_aligned_1h(spark, sf_dir):
+    return _aligned_query(spark, sf_dir, "purchase", "avg", "dev")
+
+
+# ------- interpolation-dependent aggregations: rows-only (the LERP/PREV
+# ------- semantics are pinned by unit tests mirroring the reference's
+# ------- TestAggregationIterator; no faithful single SQL equivalent)
+
+
+@register("tsdb_agg_lerp_sum", None)
+def tsdb_agg_lerp_sum(spark, sf_dir):
+    df = _pts(spark, sf_dir).where(F.col("metric") == "purchase")
+    out = cross_series_aggregate(df, "sum", ("user",))
+    return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
+
+
+@register("tsdb_agg_pfsum", None)
+def tsdb_agg_pfsum(spark, sf_dir):
+    df = _pts(spark, sf_dir).where(F.col("metric") == "click")
+    out = cross_series_aggregate(df, "pfsum", ("user",))
+    return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))

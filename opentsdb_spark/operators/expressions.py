@@ -1,0 +1,131 @@
+"""gexp — Graphite-style expression functions (/api/query/gexp).
+
+Registry mirrors the reference's ExpressionFactory
+(src/query/expression/ExpressionFactory.java:31-60): absolute, scale,
+alias, sumSeries/sum, diffSeries/difference, multiplySeries/multiply,
+divideSeries/divide, movingAverage, highestCurrent, highestMax, timeShift,
+shift, firstDiff. Nested calls compose naturally as DataFrame
+transformations (src/query/expression/Expressions.java:105-163).
+
+Frames here are grouped query results: [*series_cols, ts, value]. The
+multi-series functions delegate to the UNION series-join engine, exactly as
+the reference does (DiffSeries.java:60-75 builds an ExpressionIterator with
+SetOperator.UNION and 'a - b - ...').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from opentsdb_spark.model import FillPolicy
+from opentsdb_spark.operators.join import evaluate_expression, series_join
+from opentsdb_spark.operators.topk import highest_current, highest_max  # noqa: F401 (re-export)
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def absolute(df: DataFrame) -> DataFrame:
+    """abs(v) per point (reference src/query/expression/Absolute.java)."""
+    return df.withColumn("value", F.abs("value"))
+
+
+def scale(df: DataFrame, factor: float) -> DataFrame:
+    """v * factor (reference src/query/expression/Scale.java)."""
+    return df.withColumn("value", F.col("value") * F.lit(float(factor)))
+
+
+def alias_series(df: DataFrame, name: str) -> DataFrame:
+    """Attach/replace an output alias column (reference Alias.java; @tag
+    substitution resolved against the series columns)."""
+    out = name
+    cols = set(df.columns)
+    parts: list = []
+    i = 0
+    while i < len(out):
+        if out[i] == "@":
+            j = i + 1
+            while j < len(out) and (out[j].isalnum() or out[j] == "_"):
+                j += 1
+            tag = out[i + 1:j]
+            parts.append(F.col(tag) if tag in cols else F.lit("@" + tag))
+            i = j
+        else:
+            j = out.find("@", i)
+            j = len(out) if j < 0 else j
+            parts.append(F.lit(out[i:j]))
+            i = j
+    return df.withColumn("alias", F.concat(*parts) if parts else F.lit(name))
+
+
+def time_shift(df: DataFrame, shift_ms: int) -> DataFrame:
+    """Shift series timestamps by +/- shift_ms (reference TimeShift.java —
+    'shifts the timestamps forward or back')."""
+    return df.withColumn("ts", F.timestamp_millis(F.unix_millis("ts") + F.lit(shift_ms)))
+
+
+def first_diff(df: DataFrame, series_cols: tuple[str, ...]) -> DataFrame:
+    """First difference v - prev(v) per series (reference
+    FirstDifference.java). The first point of each series is dropped."""
+    w = Window.partitionBy(*series_cols).orderBy("ts")
+    out = df.withColumn("value", F.col("value") - F.lag("value").over(w))
+    return out.where(F.col("value").isNotNull())
+
+
+def moving_average(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    count: int | None = None,
+    time_ms: int | None = None,
+) -> DataFrame:
+    """Trailing moving average by point count or time window (reference
+    src/query/expression/MovingAverage.java; also the internal
+    Aggregators.MovingAverage, src/core/Aggregators.java:709-808)."""
+    if (count is None) == (time_ms is None):
+        raise ValueError("specify exactly one of count / time_ms")
+    if count is not None:
+        w = Window.partitionBy(*series_cols).orderBy("ts").rowsBetween(-(count - 1), 0)
+    else:
+        w = (
+            Window.partitionBy(*series_cols)
+            .orderBy(F.unix_millis("ts"))
+            .rangeBetween(-time_ms, 0)
+        )
+    return df.withColumn("value", F.avg("value").over(w))
+
+
+def _nary(frames: list[DataFrame], series_cols: tuple[str, ...], op: str,
+          fill: FillPolicy | None) -> DataFrame:
+    """UNION-join n frames and apply 'a <op> b <op> ...'."""
+    if len(frames) < 2 or len(frames) > 26:
+        raise ValueError(f"must have 2 to 26 series sets, got {len(frames)}")
+    ids = tuple(_LETTERS[i] for i in range(len(frames)))
+    variables = dict(zip(ids, frames))
+    fills = {vid: fill for vid in ids} if fill is not None else {}
+    joined = series_join(variables, series_cols, "union", fills)
+    expr = f" {op} ".join(ids)
+    out = evaluate_expression(joined, expr, ids)
+    return out.select(*series_cols, "ts", "value")
+
+
+def sum_series(frames: list[DataFrame], series_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Point-wise sum across series sets (reference SumSeries.java)."""
+    return _nary(frames, series_cols, "+", FillPolicy("zero"))
+
+
+def diff_series(frames: list[DataFrame], series_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Point-wise difference a - b - ... (reference DiffSeries.java:53-63)."""
+    return _nary(frames, series_cols, "-", FillPolicy("zero"))
+
+
+def multiply_series(frames: list[DataFrame], series_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Point-wise product (reference MultiplySeries.java). Missing sides
+    fill 1 so a lone series passes through unscaled."""
+    return _nary(frames, series_cols, "*", FillPolicy("scalar", 1.0))
+
+
+def divide_series(frames: list[DataFrame], series_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Point-wise quotient a / b (reference DivideSeries.java). Division by
+    zero yields NULL (Spark semantics; reference emits NaN/Inf via JEXL —
+    deviation documented)."""
+    return _nary(frames, series_cols, "/", None)

@@ -1,0 +1,141 @@
+"""Series-set joins + expression evaluation (exp/v2 layer, and the engine
+under the binary gexp functions).
+
+Reference semantics:
+  * INTERSECTION join — series (flattened tag sets) present in ALL variable
+    result sets are kept (src/query/expression/IntersectionIterator.java:57-310,
+    src/query/pojo/Join.java:28-79).
+  * UNION join — every tag set is kept; a variable missing that series (or a
+    value at a timestamp) is filled per its NumericFillPolicy
+    (src/query/expression/UnionIterator.java:40-260,
+    NumericFillPolicy.java).
+  * Arithmetic over the joined variables is a JEXL script in the reference
+    (src/query/pojo/Expression.java:43-55,
+    ExpressionIterator.java:67-165); here it is ``F.expr`` over the
+    per-variable value columns — full + - * / % comparisons and ternaries.
+  * The gexp sumSeries/diffSeries/multiplySeries/divideSeries functions are
+    this same machinery with a UNION join and 'a + b [+ ...]' style scripts
+    (src/query/expression/DiffSeries.java:60-75).
+
+Spark shape: variables arrive as grouped frames (tag key cols + ts + value);
+the join spine is distinct (tags, ts) of kept series — shuffles hash on the
+same key throughout, and AQE picks broadcast sides automatically when one
+variable is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentsdb_spark.model import FillPolicy
+
+
+def _fill_col(p: FillPolicy):
+    if p.policy == "zero":
+        return F.lit(0.0)
+    if p.policy == "nan":
+        return F.lit(float("nan"))
+    if p.policy == "null":
+        return F.lit(None).cast("double")
+    if p.policy == "scalar":
+        return F.lit(float(p.value))
+    raise ValueError(f"unknown fill policy: {p.policy!r}")
+
+
+def series_join(
+    variables: dict[str, DataFrame],
+    join_tagks: tuple[str, ...],
+    operator: str = "intersection",
+    fill_policies: dict[str, FillPolicy] | None = None,
+) -> DataFrame:
+    """Join variable frames on (tag keys, ts).
+
+    Each frame must have columns [*join_tagks, 'ts', 'value']. Returns a
+    frame with [*join_tagks, 'ts', v_<id>...] — one value column per
+    variable, filled per that variable's policy where absent.
+    """
+    fills = fill_policies or {}
+    keys = list(join_tagks)
+
+    # 1. kept-series set: intersection or union of per-variable tag sets
+    tag_sets = [df.select(*keys).distinct() for df in variables.values()]
+    kept = tag_sets[0]
+    for ts_df in tag_sets[1:]:
+        if operator == "intersection":
+            kept = kept.join(ts_df, on=keys, how="inner")
+        elif operator == "union":
+            kept = kept.unionByName(ts_df)
+        else:
+            raise ValueError(f"join operator must be intersection|union, got {operator!r}")
+    kept = kept.distinct()
+
+    # 2. timestamp spine: union of (tags, ts) across variables, kept series only
+    spine = None
+    for df in variables.values():
+        part = df.select(*keys, "ts")
+        spine = part if spine is None else spine.unionByName(part)
+    spine = spine.distinct().join(kept, on=keys, how="leftsemi") if keys else spine.distinct()
+
+    # 3. left-join each variable; fill absences
+    out = spine
+    for vid, df in variables.items():
+        out = out.join(
+            df.select(*keys, "ts", F.col("value").alias(f"v_{vid}")),
+            on=[*keys, "ts"],
+            how="left",
+        )
+        pol = fills.get(vid)
+        if pol is not None:
+            out = out.withColumn(f"v_{vid}", F.coalesce(F.col(f"v_{vid}"), _fill_col(pol)))
+    return out
+
+
+def _ternary_to_if(s: str) -> str:
+    """JEXL ``cond ? a : b`` -> Spark SQL ``IF(cond, a, b)`` (right-assoc,
+    paren-aware — the reference evaluates JEXL scripts which allow ternaries,
+    src/query/pojo/Expression.java:43-55)."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "?" and depth == 0:
+            q, j, d2 = 1, i + 1, 0
+            while j < len(s):
+                c = s[j]
+                if c == "(":
+                    d2 += 1
+                elif c == ")":
+                    d2 -= 1
+                elif c == "?" and d2 == 0:
+                    q += 1
+                elif c == ":" and d2 == 0:
+                    q -= 1
+                    if q == 0:
+                        break
+                j += 1
+            cond, a, b = s[:i], s[i + 1:j], s[j + 1:]
+            return f"IF({_ternary_to_if(cond)}, {_ternary_to_if(a)}, {_ternary_to_if(b)})"
+    return s
+
+
+def evaluate_expression(joined: DataFrame, expr: str, variables: tuple[str, ...]) -> DataFrame:
+    """Evaluate an arithmetic expression string over the joined frame.
+
+    ``expr`` references variables by id (e.g. ``"a + b / 1024"``); ids are
+    rewritten to the ``v_<id>`` columns and handed to Catalyst via F.expr.
+    """
+    import re
+
+    expr = _ternary_to_if(expr)
+    rewritten = re.sub(
+        r"\b([A-Za-z_][A-Za-z0-9_]*)\b",
+        lambda m: f"v_{m.group(1)}" if m.group(1) in variables else m.group(1),
+        expr,
+    )
+    # the reference evaluates JEXL (non-ANSI: x/0 -> Inf/NaN, not an error);
+    # classic Spark SQL semantics are the closest match (x/0 -> NULL)
+    joined.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
+    return joined.withColumn("value", F.expr(rewritten).cast("double"))

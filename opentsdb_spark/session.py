@@ -30,6 +30,7 @@ def get_spark(app_name: str = "opentsdb-spark", cpus: int | None = None) -> Spar
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")  # JEXL-like expression semantics
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

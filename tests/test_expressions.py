@@ -1,0 +1,137 @@
+"""gexp / exp-v2 / topk layer tests (SURVEY.md §2.6-2.8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_spark.model import (
+    DownsampleSpec, ExpExpression, ExpJoin, ExpMetric, ExpQuery, FillPolicy, SubQuery, TagFilter,
+    TSQuery,
+)
+from opentsdb_spark.operators import expressions as gexp
+from opentsdb_spark.operators.join import evaluate_expression, series_join
+from opentsdb_spark.operators.topk import highest_current, highest_max
+from opentsdb_spark.plans.expquery import compile_exp_query
+from opentsdb_spark.plans.planner import compile_query
+from tests.conftest import EPOCH
+
+
+def _grouped(spark, rows):
+    """rows: (host, ts_sec_offset, value) -> grouped frame [host, ts, value]."""
+    df = spark.createDataFrame(
+        [(h, (EPOCH + t) * 1000, float(v)) for h, t, v in rows],
+        "host string, ts_ms long, value double",
+    )
+    return df.select("host", F.timestamp_millis("ts_ms").alias("ts"), "value")
+
+
+def test_absolute_scale_alias(spark):
+    df = _grouped(spark, [("a", 0, -5), ("a", 30, 3)])
+    out = gexp.absolute(df).orderBy("ts").collect()
+    assert [r["value"] for r in out] == [5.0, 3.0]
+    out = gexp.scale(df, -2.0).orderBy("ts").collect()
+    assert [r["value"] for r in out] == [10.0, -6.0]
+    out = gexp.alias_series(df, "cpu.@host.pct").select("alias").first()
+    assert out["alias"] == "cpu.a.pct"
+
+
+def test_time_shift_first_diff(spark):
+    df = _grouped(spark, [("a", 0, 1), ("a", 30, 4), ("a", 60, 9)])
+    out = gexp.time_shift(df, 3_600_000).orderBy("ts").collect()
+    assert int(out[0]["ts"].timestamp()) == EPOCH + 3600
+    out = gexp.first_diff(df, ("host",)).orderBy("ts").collect()
+    assert [r["value"] for r in out] == [3.0, 5.0]
+
+
+def test_moving_average(spark):
+    df = _grouped(spark, [("a", 30 * i, 10 * (i + 1)) for i in range(5)])
+    out = gexp.moving_average(df, ("host",), count=3).orderBy("ts").collect()
+    assert [r["value"] for r in out] == [10.0, 15.0, 20.0, 30.0, 40.0]
+    out = gexp.moving_average(df, ("host",), time_ms=60_000).orderBy("ts").collect()
+    # 60s trailing window = current + 2 previous points (30s spacing)
+    assert [r["value"] for r in out] == [10.0, 15.0, 20.0, 30.0, 40.0]
+    with pytest.raises(ValueError):
+        gexp.moving_average(df, ("host",))
+
+
+def test_sum_diff_series(spark):
+    a = _grouped(spark, [("x", 0, 10), ("x", 30, 20)])
+    b = _grouped(spark, [("x", 0, 1), ("x", 60, 3)])
+    out = gexp.sum_series([a, b], ("host",))
+    vals = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
+    assert vals == {0: 11.0, 30: 20.0, 60: 3.0}
+    out = gexp.diff_series([a, b], ("host",))
+    vals = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
+    assert vals == {0: 9.0, 30: 20.0, 60: -3.0}
+
+
+def test_multiply_divide_series(spark):
+    a = _grouped(spark, [("x", 0, 10), ("x", 30, 20)])
+    b = _grouped(spark, [("x", 0, 2), ("x", 30, 0)])
+    out = gexp.multiply_series([a, b], ("host",))
+    vals = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
+    assert vals == {0: 20.0, 30: 0.0}
+    out = gexp.divide_series([a, b], ("host",))
+    vals = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
+    assert vals[0] == 5.0
+    assert vals[30] is None or vals[30] != vals[30]  # div-by-zero -> null/NaN
+
+
+def test_series_join_intersection_union(spark):
+    a = _grouped(spark, [("x", 0, 1), ("y", 0, 2)])
+    b = _grouped(spark, [("x", 0, 10)])
+    j = series_join({"a": a, "b": b}, ("host",), "intersection")
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["host"] == "x"
+    j = series_join(
+        {"a": a, "b": b}, ("host",), "union",
+        {"a": FillPolicy("zero"), "b": FillPolicy("scalar", -1.0)},
+    )
+    rows = {r["host"]: (r["v_a"], r["v_b"]) for r in j.collect()}
+    assert rows == {"x": (1.0, 10.0), "y": (2.0, -1.0)}
+
+
+def test_evaluate_expression(spark):
+    a = _grouped(spark, [("x", 0, 8)])
+    b = _grouped(spark, [("x", 0, 2)])
+    j = series_join({"a": a, "b": b}, ("host",), "intersection")
+    out = evaluate_expression(j, "a + b / 2", ("a", "b")).collect()
+    assert out[0]["value"] == 9.0
+    out = evaluate_expression(j, "(a > 5) ? a * 2 : b", ("a", "b")).collect()
+    assert out[0]["value"] == 16.0  # ternary via expr CASE? -- Spark supports `IF`/CASE
+
+
+def test_topk(spark):
+    rows = []
+    for h, peak in [("a", 100), ("b", 50), ("c", 75)]:
+        rows += [(h, 0, 1), (h, 30, peak), (h, 60, 2 if h != "b" else 99)]
+    df = _grouped(spark, rows)
+    out = highest_max(df, ("host",), 2)  # maxes: a=100, b=99, c=75
+    assert set(r["host"] for r in out.collect()) == {"a", "b"}
+    out = highest_current(df, ("host",), 1)  # most-recent: a=2, b=99, c=2
+    assert set(r["host"] for r in out.collect()) == {"b"}
+
+
+def test_exp_query_end_to_end(fixture_points):
+    eq = ExpQuery(
+        start=EPOCH, end=EPOCH + 100_000,
+        metrics=(
+            ExpMetric(id="a", metric="sys.cpu.user", aggregator="sum",
+                      downsample=DownsampleSpec(600_000, "avg"),
+                      filters=(TagFilter("literal_or", "host", "web01", group_by=True),)),
+            ExpMetric(id="b", metric="sys.cpu.user", aggregator="sum",
+                      downsample=DownsampleSpec(600_000, "avg"),
+                      filters=(TagFilter("literal_or", "host", "web02", group_by=True),)),
+        ),
+        expressions=(
+            ExpExpression(id="e", expr="a + b", join=ExpJoin("union"),
+                          fill_policies={"a": FillPolicy("zero"), "b": FillPolicy("zero")}),
+        ),
+    )
+    res = compile_exp_query(fixture_points, eq)
+    # join key = common group tagks = host; web01/web02 don't intersect, so
+    # union keeps both and fills the other side with zero
+    rows = res["e"].orderBy("host", "ts").collect()
+    hosts = set(r["host"] for r in rows)
+    assert hosts == {"web01", "web02"}
+    first_web01 = [r for r in rows if r["host"] == "web01"][0]
+    assert first_web01["value"] == pytest.approx(10.0)  # mean(1..19) + 0
