@@ -851,3 +851,162 @@ def tsdb_agg_pfsum(spark, sf_dir):
     df = _pts(spark, sf_dir).where(F.col("metric") == "click")
     out = cross_series_aggregate(df, "pfsum", ("user",))
     return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
+
+
+# ===================================== rollups / histograms / annotations ===
+
+from opentsdb_spark.operators.annotations import annotations_in_range  # noqa: E402
+from opentsdb_spark.operators.histogram import (  # noqa: E402
+    histogram_percentile, merge_histograms, synthesize_histograms,
+)
+from opentsdb_spark.plans.rollup import (  # noqa: E402
+    RollupConfig, RollupTable, generate_rollup, routed_downsample, split_rollup_query,
+)
+
+H2_SEC = "CAST(epoch_ms(ts) // 7200000 * 7200 AS BIGINT)"
+
+
+@register(
+    "rollup_avg_rewrite_2h",
+    f"""SELECT event_type AS metric, {U} AS user, {K} AS k, {BIG} AS big,
+               {H2_SEC} AS ts_sec, {RND.format('avg(value)')} AS value_r
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY event_type, user_id, {K}, value > 100.0, {H2_SEC}""",
+)
+def rollup_avg_rewrite_2h(spark, sf_dir):
+    """2h-avg answered FROM a 1h rollup table via the sum/count rewrite
+    (reference src/core/Downsampler.java:163-221) — numerically identical to
+    raw avg because avg = Σsums/Σcounts."""
+    pts = _pts(spark, sf_dir).where(F.col("metric") == "purchase")
+    rt = RollupTable(3_600_000, "1h", generate_rollup(pts, 3_600_000, "1h"))
+    cfg = RollupConfig([rt])
+    out = routed_downsample(pts, cfg, DownsampleSpec(7_200_000, "avg"), "ROLLUP_NOFALLBACK")
+    return out.select("metric", _tag("user"), _tag("k"), _tag("big"), _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "rollup_count_1d",
+    f"""SELECT event_type AS metric, {U} AS user, {K} AS k, {BIG} AS big,
+               CAST(epoch_ms(ts) // 86400000 * 86400 AS BIGINT) AS ts_sec,
+               {RND.format('CAST(count(value) AS DOUBLE)')} AS value_r
+        FROM events WHERE event_type = 'click'
+        GROUP BY event_type, user_id, {K}, value > 100.0, epoch_ms(ts) // 86400000""",
+)
+def rollup_count_1d(spark, sf_dir):
+    """1d-count from 1h rollups = sum of hourly counts."""
+    pts = _pts(spark, sf_dir).where(F.col("metric") == "click")
+    rt = RollupTable(3_600_000, "1h", generate_rollup(pts, 3_600_000, "1h"))
+    cfg = RollupConfig([rt])
+    out = routed_downsample(pts, cfg, DownsampleSpec(86_400_000, "count"), "ROLLUP_NOFALLBACK")
+    return out.select("metric", _tag("user"), _tag("k"), _tag("big"), _ts_sec(),
+                      _vr(F.col("value").cast("double")))
+
+
+@register(
+    "rollup_split_seam",
+    f"""SELECT event_type AS metric, {U} AS user, {K} AS k, {BIG} AS big,
+               {H_SEC} AS ts_sec, {RND.format('sum(value)')} AS value_r
+        FROM events WHERE event_type = 'view'
+        GROUP BY event_type, user_id, {K}, value > 100.0, {H_SEC}""",
+)
+def rollup_split_seam(spark, sf_dir):
+    """Split query: buckets before Jan 15 from the rollup table, after from
+    raw (reference SplitRollupQuery) — union equals the full raw answer."""
+    pts = _pts(spark, sf_dir).where(F.col("metric") == "view")
+    rt = RollupTable(3_600_000, "1h", generate_rollup(pts, 3_600_000, "1h"))
+    cutoff_ms = 1705276800000  # 2024-01-15T00:00:00Z, 1h-aligned
+    out = split_rollup_query(pts, rt, DownsampleSpec(3_600_000, "sum"), cutoff_ms)
+    return out.select("metric", _tag("user"), _tag("k"), _tag("big"), _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "hist_p95_daily",
+    f"""WITH c AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 * 86400 AS BIGINT) AS b,
+                 floor(value / 50.0) * 50.0 AS lo, count(*) AS cnt
+          FROM events WHERE event_type = 'view'
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT b, lo, cnt,
+                 sum(cnt) OVER (PARTITION BY b ORDER BY lo) AS running,
+                 sum(cnt) OVER (PARTITION BY b) AS total
+          FROM c)
+        SELECT b AS ts_sec, {RND.format('min(lo) + 25.0')} AS value_r
+        FROM cum WHERE running * 100.0 / total >= 95.0
+        GROUP BY b""",
+)
+def hist_p95_daily(spark, sf_dir):
+    """Histogram pipeline: synthesize per-user daily histograms (width-50
+    value buckets), bucket-wise SUM merge across users, midpoint p95
+    (reference src/core/SimpleHistogram.java:133-164)."""
+    pts = _pts(spark, sf_dir).where(F.col("metric") == "view").withColumn("user", _tag("user"))
+    hists = synthesize_histograms(pts, 50.0, ("metric", "user"), 86_400_000)
+    merged = merge_histograms(hists, ("metric", "ts"))
+    out = histogram_percentile(merged, ("metric", "ts"), 95.0)
+    return out.select(_ts_sec(), _vr(F.col("value"))).drop("metric")
+
+
+@register(
+    "annotations_overlap",
+    f"""SELECT {SID} AS tsuid, {TS_MS} AS start_ms,
+               CAST({TS_MS} + 3600000 AS BIGINT) AS end_ms, 'high-error' AS description
+        FROM events
+        WHERE event_type = 'error' AND value > 190.0
+          AND {TS_MS} <= {START_MS + 14 * 86400000}
+          AND {TS_MS} + 3600000 >= {START_MS + 7 * 86400000}""",
+)
+def annotations_overlap(spark, sf_dir):
+    """Annotation range query (/api/annotation): notes overlapping Jan 8-15,
+    built from high-error events."""
+    from opentsdb_spark.sources.points import series_id_col
+
+    anns = (
+        _pts(spark, sf_dir)
+        .where((F.col("metric") == "error") & (F.col("value") > 190.0))
+        .select(
+            series_id_col().alias("tsuid"),
+            F.col("ts").alias("start_time"),
+            F.timestamp_millis(F.unix_millis("ts") + 3_600_000).alias("end_time"),
+            F.lit("high-error").alias("description"),
+        )
+    )
+    out = annotations_in_range(
+        anns, START_MS + 7 * 86_400_000, START_MS + 14 * 86_400_000,
+        tsuids=(), include_global=False,
+    )
+    return out.select(
+        "tsuid",
+        F.unix_millis("start_time").alias("start_ms"),
+        F.unix_millis("end_time").alias("end_ms"),
+        "description",
+    )
+
+
+@register(
+    "ingest_put_roundtrip",
+    f"""SELECT event_type AS metric, CAST(epoch_ms(ts) // 1000 * 1000 AS BIGINT) AS ts_ms,
+               {RND.format('value')} AS value_r, {U} AS user, {K} AS k
+        FROM events WHERE event_type = 'signup'""",
+)
+def ingest_put_roundtrip(spark, sf_dir):
+    """Telnet put-line parser roundtrip: format events as put lines, parse
+    them back through the ingest parser (src/tsd/PutDataPointRpc.java:742-775
+    analog), emit the parsed points."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    lines = ev.select(
+        F.format_string(
+            "put %s %d %.2f user=%s k=%s",
+            F.col("event_type"),
+            F.expr("unix_millis(ts) div 1000"),
+            F.col("value"),
+            F.col("user_id").cast("string"),
+            F.regexp_extract("props", "[0-9]+", 0),
+        ).alias("value")
+    )
+    from opentsdb_spark.sources.points import parse_put_lines
+
+    pts = parse_put_lines(lines)
+    return pts.select(
+        "metric", _ts_ms(), _vr(F.col("value")),
+        F.col("tags")["user"].alias("user"), F.col("tags")["k"].alias("k"),
+    )

@@ -1,0 +1,188 @@
+"""Rollup / pre-aggregate tables: generation, routing, query rewrite, split.
+
+Reference semantics:
+  * rollup points = pre-aggregated numeric points tagged with the producing
+    aggregator + interval (src/rollup/RollUpDataPoint.java,
+    src/rollup/RollupUtils.java:107-167)
+  * a downsample query is rewritten to read the pre-aggregated table when an
+    interval matches (transformDownSamplerToRollupQuery,
+    src/core/TsdbQuery.java:197-215,542-545), with usage modes
+    ROLLUP_RAW / ROLLUP_NOFALLBACK / ROLLUP_FALLBACK / ROLLUP_FALLBACK_RAW
+    (src/core/TsdbQuery.java:197-215)
+  * aggregate-over-rollup rewrites: avg = SUM/COUNT, count = sum of counts
+    (src/core/Downsampler.java:163-221)
+  * split queries: old data answered from the rollup table, data newer than
+    a cutoff from raw (src/core/TsdbQuery.java:819-847,
+    src/core/SplitRollupQuery.java)
+
+Spark shape: the rollup table is Parquet partitioned like the raw table;
+routing is a Python-level planner rule (SURVEY.md §7.3 — a Catalyst rule is
+unnecessary). Reading N× fewer pre-aggregated rows is the entire win at
+100 TB: a 1h rollup of second-resolution data is ~3600× smaller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opentsdb_spark.model import DownsampleSpec
+from opentsdb_spark.operators.downsample import bucket_col
+
+ROLLUP_AGGS = ("sum", "count", "min", "max")
+
+
+def generate_rollup(points: DataFrame, interval_ms: int, interval_label: str) -> DataFrame:
+    """Batch rollup generation: one pass computing sum/count/min/max per
+    (series, bucket), unpivoted to the rollup row shape (FIXTURES.md §2:
+    metric, ts, value, tags, interval, aggregator)."""
+    return (
+        points.withColumn("__b", bucket_col(F.col("ts"), interval_ms))
+        .groupBy("metric", "tags", "__b")
+        .agg(
+            F.sum("value").alias("sum"),
+            F.count("value").cast("double").alias("count"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .select(
+            "metric",
+            F.col("__b").alias("ts"),
+            "tags",
+            F.expr(
+                "stack(4, 'sum', sum, 'count', count, 'min', min, 'max', max)"
+                " AS (aggregator, value)"
+            ),
+        )
+        .withColumn("interval", F.lit(interval_label))
+    )
+
+
+@dataclass
+class RollupTable:
+    interval_ms: int
+    interval_label: str
+    df: DataFrame  # rollup rows: metric, ts, tags, aggregator, value, interval
+
+
+@dataclass
+class RollupConfig:
+    tables: list[RollupTable] = field(default_factory=list)
+
+    def best_match(self, interval_ms: int) -> RollupTable | None:
+        """Largest rollup interval that evenly divides the query interval
+        (the reference picks the matching RollupInterval;
+        src/core/TsdbQuery.java:542-548)."""
+        candidates = [t for t in self.tables if interval_ms and interval_ms % t.interval_ms == 0]
+        return max(candidates, key=lambda t: t.interval_ms) if candidates else None
+
+
+# aggregator -> (rollup agg to read, final combine expr over the value col)
+_REWRITE = {
+    "sum": ("sum", "sum"),
+    "zimsum": ("sum", "sum"),
+    "min": ("min", "min"),
+    "mimmin": ("min", "min"),
+    "max": ("max", "max"),
+    "mimmax": ("max", "max"),
+    "count": ("count", "sum"),  # count of raw points = sum of rollup counts
+}
+
+
+def rollup_downsample(
+    rollup: RollupTable,
+    spec: DownsampleSpec,
+    series_cols: tuple[str, ...] = ("metric", "tags"),
+) -> DataFrame:
+    """Answer a downsample query from a rollup table.
+
+    avg is rewritten to sum/count (reference src/core/Downsampler.java:163-221);
+    sum/min/max/count re-aggregate their own rollup stream. Unsupported
+    aggregators (dev, percentiles, ...) must fall back to raw — enforced by
+    raising so the planner routes per its ROLLUP_USAGE mode."""
+    if spec.calendar or spec.run_all:
+        raise ValueError("rollup path supports fixed intervals only")
+    b = bucket_col(F.col("ts"), spec.interval_ms)
+    df = rollup.df
+    if spec.aggregator == "avg":
+        pv = (
+            df.where(F.col("aggregator").isin("sum", "count"))
+            .groupBy(*series_cols, b.alias("__b"))
+            .pivot("aggregator", ["sum", "count"])
+            .agg(F.sum("value"))
+        )
+        out = pv.select(
+            *series_cols,
+            F.col("__b").alias("ts"),
+            (F.col("sum") / F.col("count")).alias("value"),
+        )
+        return out
+    try:
+        read_agg, combine = _REWRITE[spec.aggregator]
+    except KeyError:
+        raise ValueError(
+            f"aggregator {spec.aggregator!r} cannot be answered from rollups"
+        ) from None
+    combine_fn = {"sum": F.sum, "min": F.min, "max": F.max}[combine]
+    return (
+        df.where(F.col("aggregator") == read_agg)
+        .groupBy(*series_cols, b.alias("__b"))
+        .agg(combine_fn("value").alias("value"))
+        .withColumnRenamed("__b", "ts")
+    )
+
+
+def routed_downsample(
+    raw_points: DataFrame,
+    config: RollupConfig | None,
+    spec: DownsampleSpec,
+    usage: str = "ROLLUP_NOFALLBACK",
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+    series_cols: tuple[str, ...] = ("metric", "tags"),
+) -> DataFrame:
+    """Planner rule: choose rollup vs raw per the query's ROLLUP_USAGE
+    (reference src/core/TsdbQuery.java:197-215)."""
+    from opentsdb_spark.operators.downsample import downsample
+
+    def _raw() -> DataFrame:
+        return downsample(raw_points, spec, start_ms, end_ms, series_cols)
+
+    if usage == "ROLLUP_RAW" or config is None:
+        return _raw()
+    table = config.best_match(spec.interval_ms)
+    if table is None:
+        if usage in ("ROLLUP_FALLBACK", "ROLLUP_FALLBACK_RAW"):
+            return _raw()
+        raise ValueError(f"no rollup table matches interval {spec.interval_ms}ms")
+    try:
+        return rollup_downsample(table, spec, series_cols)
+    except ValueError:
+        if usage in ("ROLLUP_FALLBACK", "ROLLUP_FALLBACK_RAW"):
+            return _raw()
+        raise
+
+
+def split_rollup_query(
+    raw_points: DataFrame,
+    rollup: RollupTable,
+    spec: DownsampleSpec,
+    cutoff_ms: int,
+    series_cols: tuple[str, ...] = ("metric", "tags"),
+) -> DataFrame:
+    """Old data from the rollup table + recent data from raw, unioned at a
+    cutoff (reference src/core/TsdbQuery.java:819-847, SplitRollupQuery.java).
+    The cutoff must be bucket-aligned so no bucket straddles the seam."""
+    from opentsdb_spark.operators.downsample import downsample
+
+    if cutoff_ms % spec.interval_ms != 0:
+        raise ValueError("cutoff must be aligned to the downsample interval")
+    old = rollup_downsample(rollup, spec, series_cols).where(
+        F.unix_millis("ts") < cutoff_ms
+    )
+    recent = downsample(
+        raw_points.where(F.unix_millis("ts") >= cutoff_ms), spec, series_cols=series_cols
+    )
+    return old.unionByName(recent)

@@ -121,7 +121,7 @@ def parse_put_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     n = F.size(toks)
     ts_raw = toks[2].cast("double")
     ts_ms = F.when(ts_raw >= 1e12, ts_raw).otherwise(ts_raw * 1000.0)
-    tag_pairs = F.slice(toks, 4, F.size(toks) - F.lit(3))
+    tag_pairs = F.slice(toks, 5, F.size(toks) - F.lit(4))  # slice() is 1-indexed
     tags = F.map_from_entries(
         F.transform(
             tag_pairs,
@@ -132,6 +132,7 @@ def parse_put_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     )
     parsed = (
         lines.where((n >= 5) & (toks[0] == "put"))
+        .where(F.forall(tag_pairs, lambda p: p.contains("=")))
         .select(
             toks[1].alias("metric"),
             F.timestamp_millis(ts_ms.cast("long")).alias("ts"),

@@ -1,0 +1,174 @@
+"""Rollup routing, histogram ops, annotations, streaming ingest tests."""
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_spark.model import DownsampleSpec
+from opentsdb_spark.operators.annotations import ANNOTATION_SCHEMA, annotations_in_range
+from opentsdb_spark.operators.histogram import (
+    histogram_percentile, merge_histograms, synthesize_histograms,
+)
+from opentsdb_spark.plans.rollup import (
+    RollupConfig, RollupTable, generate_rollup, routed_downsample, split_rollup_query,
+)
+from opentsdb_spark.sources.points import parse_put_lines
+from tests.conftest import EPOCH
+
+
+def _mk_points(spark, rows):
+    df = spark.createDataFrame(
+        [(m, (EPOCH + t) * 1000, float(v), {"h": h}) for m, t, v, h in rows],
+        "metric string, ts_ms long, value double, tags map<string,string>",
+    )
+    return df.select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+
+
+def test_rollup_generate_and_route(spark):
+    # 4 points in hour 0, 2 in hour 1 for one series
+    pts = _mk_points(spark, [("m", 60 * i, 10.0 * (i + 1), "a") for i in range(6)])
+    rt = generate_rollup(pts, 3_600_000, "1h")
+    rows = {(r["aggregator"], int(r["ts"].timestamp()) - EPOCH): r["value"] for r in rt.collect()}
+    # hour 0 has minutes 0..59 -> points i=0..59? spacing 60s -> i=0..59 in hour0: here i 0..5*60s... i*60 sec, so i=0..59 -> first 6 points all within hour 0
+    assert rows[("sum", 0)] == sum(10.0 * (i + 1) for i in range(6))
+    assert rows[("count", 0)] == 6.0
+    assert rows[("min", 0)] == 10.0 and rows[("max", 0)] == 60.0
+
+    cfg = RollupConfig([RollupTable(3_600_000, "1h", rt)])
+    # avg over 1h answered from rollups: sum/count
+    out = routed_downsample(pts, cfg, DownsampleSpec(3_600_000, "avg"))
+    assert out.collect()[0]["value"] == pytest.approx(35.0)
+    # dev can't be answered from rollups: NOFALLBACK raises, FALLBACK works
+    with pytest.raises(ValueError):
+        routed_downsample(pts, cfg, DownsampleSpec(3_600_000, "dev"), "ROLLUP_NOFALLBACK")
+    out = routed_downsample(pts, cfg, DownsampleSpec(3_600_000, "dev"), "ROLLUP_FALLBACK")
+    assert out.count() == 1
+    # ROLLUP_RAW ignores the table
+    out = routed_downsample(pts, cfg, DownsampleSpec(3_600_000, "sum"), "ROLLUP_RAW")
+    assert out.collect()[0]["value"] == 210.0
+
+
+def test_rollup_split(spark):
+    pts = _mk_points(spark, [("m", 3600 * i, 1.0, "a") for i in range(4)])
+    rt = generate_rollup(pts, 3_600_000, "1h")
+    cutoff = (EPOCH + 2 * 3600) * 1000
+    out = split_rollup_query(pts, RollupTable(3_600_000, "1h", rt),
+                             DownsampleSpec(3_600_000, "sum"), cutoff)
+    assert out.count() == 4  # 2 buckets from rollup + 2 from raw
+    with pytest.raises(ValueError):
+        split_rollup_query(pts, RollupTable(3_600_000, "1h", rt),
+                           DownsampleSpec(3_600_000, "sum"), cutoff + 7)
+
+
+def test_histogram_pipeline(spark):
+    # values 0..99 at one timestamp across 2 hosts -> width-10 buckets
+    pts = _mk_points(spark, [("m", 0, v, "a" if v % 2 else "b") for v in range(100)])
+    hists = synthesize_histograms(pts, 10.0, ("metric", "tags"), 3_600_000)
+    assert hists.count() == 2
+    merged = merge_histograms(hists, ("metric", "ts"))
+    rows = {r["lower"]: r["count"] for r in merged.collect()}
+    assert rows[0.0] == 10 and rows[90.0] == 10
+    # p50 over 100 uniform values in width-10 buckets: cum hits 50% in bucket
+    # [40,50) -> midpoint 45
+    p = histogram_percentile(merged, ("metric", "ts"), 50.0).collect()
+    assert p[0]["value"] == pytest.approx(45.0)
+    p = histogram_percentile(merged, ("metric", "ts"), 99.0).collect()
+    assert p[0]["value"] == pytest.approx(95.0)
+    with pytest.raises(ValueError):
+        histogram_percentile(merged, ("metric", "ts"), 0.5)
+
+
+def test_annotations(spark):
+    rows = [
+        (None, (EPOCH + 100) * 1000, (EPOCH + 200) * 1000, "global1"),
+        ("m{h=a}", (EPOCH + 150) * 1000, None, "series1"),
+        (None, (EPOCH + 5000) * 1000, (EPOCH + 6000) * 1000, "out-of-range"),
+    ]
+    df = spark.createDataFrame(
+        [(t, s, e, d) for t, s, e, d in rows],
+        "tsuid string, start_ms long, end_ms long, description string",
+    ).select(
+        "tsuid",
+        F.timestamp_millis("start_ms").alias("start_time"),
+        F.timestamp_millis("end_ms").alias("end_time"),
+        "description",
+    )
+    out = annotations_in_range(df, EPOCH * 1000, (EPOCH + 300) * 1000,
+                               tsuids=("m{h=a}",), include_global=True)
+    descs = sorted(r["description"] for r in out.collect())
+    assert descs == ["global1", "series1"]
+
+
+def test_put_line_parsing(spark):
+    lines = spark.createDataFrame(
+        [
+            ("put sys.cpu.user 1356998400 42.5 host=web01 dc=lga",),
+            ("put sys.cpu.user 1356998400500 7 host=web02",),
+            ("garbage line",),
+            ("put missing.tags 1356998400 1.0",),
+        ],
+        "value string",
+    )
+    out = parse_put_lines(lines).collect()
+    assert len(out) == 2
+    by_host = {r["tags"]["host"]: r for r in out}
+    assert by_host["web01"]["value"] == 42.5
+    assert by_host["web01"]["tags"] == {"host": "web01", "dc": "lga"}
+    assert by_host["web02"]["value_long"] == 7
+    assert int(by_host["web02"]["ts"].timestamp() * 1000) == 1356998400500
+
+
+def test_streaming_ingest_end_to_end(spark):
+    from opentsdb_spark.streaming.ingest import read_put_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "batch1.txt"), "w") as f:
+            for i in range(10):
+                f.write(f"put m.cpu {EPOCH + i} {i}.0 host=web01\n")
+        stream = read_put_stream(spark, path=src)
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ingest_test")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT count(*) c FROM ingest_test").collect()[0]["c"]
+            assert got == 10
+        finally:
+            q.stop()
+
+
+def test_rollup_stream(spark):
+    from opentsdb_spark.streaming.ingest import rollup_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "b.txt"), "w") as f:
+            for i in range(4):
+                f.write(f"put m.cpu {EPOCH + 60 * i} {10 * (i + 1)}.0 host=web01\n")
+        from opentsdb_spark.streaming.ingest import read_put_stream
+
+        stream = rollup_stream(read_put_stream(spark, path=src), "1 hour", "2 hours")
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("rollup_test")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # append mode only emits closed windows; with a static file the
+            # watermark never advances past the open window -> 0 rows is
+            # expected until more data arrives. Just assert the query runs.
+            assert q.exception() is None
+        finally:
+            q.stop()
