@@ -1010,3 +1010,218 @@ def ingest_put_roundtrip(spark, sf_dir):
         "metric", _ts_ms(), _vr(F.col("value")),
         F.col("tags")["user"].alias("user"), F.col("tags")["k"].alias("k"),
     )
+
+
+# ===================================== training-data pipeline operators =====
+
+from opentsdb_spark.pipeline.dedup import (  # noqa: E402
+    embedding_dup_pairs, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+)
+from opentsdb_spark.pipeline.multimodal import docs_as_media, extract_features  # noqa: E402
+from opentsdb_spark.pipeline.similarity import (  # noqa: E402
+    brute_force_topk, embedding_stats, lsh_topk,
+)
+from opentsdb_spark.pipeline.text import (  # noqa: E402
+    detect_language, fingerprint_docs, quality_scores, token_counts,
+)
+
+_WORDS = "list_transform(string_split_regex(lower(text), '\\s+'), w -> w)"
+_STOP_SQL = "['the','a','of','and','is','to','in']"
+
+
+@register(
+    "dedup_exact",
+    """SELECT min(doc_id) AS doc_id, text, count(*) AS dup_count
+       FROM documents GROUP BY text""",
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH g AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0)),
+                   i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')
+                 )) AS grams
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {RND.format('''CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) END''')} AS jaccard_r
+        FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1.0
+                   ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) END >= 0.2""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.2, block_cols=("lang",))
+    return out.select("id_a", "id_b", _vr(F.col("jaccard")).alias("jaccard_r")).withColumnRenamed("value_r", "jaccard_r")
+
+
+_NW = r"len(string_split_regex(text, '\s+'))"
+_MWL = RND.format(r"length(regexp_replace(text, '\s+', '', 'g')) / " + _NW)
+_SWR = RND.format(
+    f"CAST(len(list_filter({_WORDS}, w -> list_contains({_STOP_SQL}, w))) AS DOUBLE) / " + _NW
+)
+_DSR = RND.format(f"CAST(len(list_distinct({_WORDS})) AS DOUBLE) / " + _NW)
+
+
+@register(
+    "text_quality",
+    f"""SELECT doc_id,
+               length(text) AS chars,
+               {_NW} AS n_words,
+               {_MWL} AS mean_word_len_r,
+               {_SWR} AS stopword_ratio_r,
+               {_DSR} AS distinct_ratio_r
+        FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_scores(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").alias("chars"),
+        "n_words",
+        _vr(F.col("mean_word_len")).alias("mean_word_len_r"),
+        _vr(F.col("stopword_ratio")).alias("stopword_ratio_r"),
+        _vr(F.col("distinct_ratio")).alias("distinct_ratio_r"),
+    )
+
+
+_LANG_SQL = {
+    "de": "['der','die','das','und','ist']",
+    "en": "['the','a','of','and','is']",
+    "es": "['el','la','de','y','es']",
+    "fr": "['le','la','de','et','est']",
+}
+_SCORES_SQL = ", ".join(
+    f"len(list_filter({_WORDS}, w -> list_contains({_LANG_SQL[lang]}, w))) AS score_{lang}"
+    for lang in sorted(_LANG_SQL)
+)
+
+
+@register(
+    "text_langid",
+    f"""WITH s AS (SELECT doc_id, {_SCORES_SQL} FROM documents)
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                    WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                    WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM s""",
+)
+def text_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = detect_language(docs)
+    return out.select("doc_id", "score_de", "score_en", "score_es", "score_fr", "predicted_lang")
+
+
+@register(
+    "text_tokens",
+    r"""SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_pieces
+        FROM documents""",
+)
+def text_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_counts(docs)
+    return out.select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                      F.col("bpe_pieces").cast("long").alias("bpe_pieces"))
+
+
+@register(
+    "embed_stats",
+    f"""SELECT label,
+               {RND.format('avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))')} AS mean_norm_r,
+               count(*) AS n
+        FROM embeddings GROUP BY label""",
+)
+def embed_stats(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_stats(emb)
+    return out.select("label", _vr(F.col("mean_norm")).alias("mean_norm_r"), "n")
+
+
+@register(
+    "ann_bruteforce_top5",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine
+          FROM embeddings e CROSS JOIN q)
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+               {RND.format('cosine')} AS cosine_r
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5""",
+)
+def ann_bruteforce_top5(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+                      _vr(F.col("cosine")).alias("cosine_r"))
+
+
+@register(
+    "multimodal_bytes",
+    """SELECT doc_id AS media_id, 'image' AS kind,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       FROM documents""",
+)
+def multimodal_bytes(spark, sf_dir):
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, decoder="fake")
+    return feats.select("media_id", "kind", "n_bytes")
+
+
+# --------- rows-only pipeline entries (hash-based candidates: the engine's
+# --------- xxhash64 has no DuckDB equivalent; semantics pinned by unit tests)
+
+
+@register("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.35)
+
+
+@register("dedup_simhash", None)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=10)
+
+
+@register("dedup_embedding_cosine", None)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.3, sign_bits=6)
+
+
+@register("ann_lsh_top5", None)
+def ann_lsh_top5(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(emb, q, k=5, sign_bits=4)
+
+
+@register("text_fingerprint", None)
+def text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = fingerprint_docs(docs, k=5, num_mins=4)
+    return out.select("doc_id", F.col("fingerprint").cast("array<string>").alias("fingerprint"),
+                      "distinct_grams")
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, decoder="fake")

