@@ -24,6 +24,15 @@ HEADLINE = [
     "tsdb_rate",
     "tsdb_filter_not_literal_or",
     "tsdb_last",
+    "gexp_sumseries",
+    "exp_intersection_arith",
+    "rollup_avg_rewrite_2h",
+    "hist_p95_daily",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_bruteforce_top5",
+    "text_quality",
 ]
 
 

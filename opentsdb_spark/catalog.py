@@ -1042,25 +1042,28 @@ def dedup_exact(spark, sf_dir):
 @register(
     "dedup_ngram_jaccard",
     f"""WITH g AS (
-          SELECT doc_id, lang,
+          SELECT doc_id,
                  list_distinct(list_transform(
-                   generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0)),
-                   i -> array_to_string(string_split_regex(text, '\\s+')[i:i+2], ' ')
+                   generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0)),
+                   i -> array_to_string(string_split_regex(text, '\\s+')[i:i+4], ' ')
                  )) AS grams
-          FROM documents)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               {RND.format('''CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1.0
-                    ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                         / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) END''')} AS jaccard_r
-        FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 1.0
-                   ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) END >= 0.2""",
+          FROM documents),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        keep AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 50),
+        ee AS (SELECT e.doc_id, e.gram FROM e SEMI JOIN keep ON e.gram = keep.gram),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM ee a JOIN ee b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        j AS (SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                       / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jac
+              FROM cand c JOIN g ga ON c.id_a = ga.doc_id JOIN g gb ON c.id_b = gb.doc_id)
+        SELECT id_a, id_b, {RND.format('jac')} AS jaccard_r
+        FROM j WHERE jac >= 0.1""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, n=3, threshold=0.2, block_cols=("lang",))
-    return out.select("id_a", "id_b", _vr(F.col("jaccard")).alias("jaccard_r")).withColumnRenamed("value_r", "jaccard_r")
+    out = ngram_jaccard_pairs(docs, n=5, threshold=0.1, max_df=50)
+    return out.select("id_a", "id_b", _vr(F.col("jaccard")).alias("jaccard_r"))
 
 
 _NW = r"len(string_split_regex(text, '\s+'))"

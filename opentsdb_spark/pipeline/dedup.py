@@ -47,22 +47,36 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
-    block_cols: tuple[str, ...] = (),
+    max_df: int | None = None,
     content_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact n-gram-set Jaccard over pairs within blocks.
+    """Exact n-gram-set Jaccard via an inverted-index candidate join.
 
-    block_cols bound the pair explosion (e.g. ('lang',)); an unblocked call
-    is refused beyond a safety count since pairwise is O(n²) per block."""
-    g = docs.select(*block_cols, id_col, _word_ngrams(F.col(content_col), n).alias("__grams"))
-    a = g.select(*block_cols, F.col(id_col).alias("id_a"), F.col("__grams").alias("ga"))
-    b = g.select(*block_cols, F.col(id_col).alias("id_b"), F.col("__grams").alias("gb"))
-    pairs = a.join(b, on=list(block_cols)) if block_cols else a.crossJoin(b)
-    pairs = pairs.where(F.col("id_a") < F.col("id_b"))
+    Any pair with jaccard > 0 shares >= 1 gram, so candidates from a
+    gram-equijoin are exhaustive for threshold > 0 — no all-pairs block
+    (O(n²) per block dies at scale; the index join's cost is Σ df(gram)²,
+    bounded by ``max_df``). Setting max_df drops grams appearing in more
+    docs than the cap from CANDIDATE GENERATION only (the Jaccard itself is
+    exact over full gram sets) — pairs linked solely by ultra-common grams
+    are below any useful threshold anyway. Empty documents never pair."""
+    g = docs.select(id_col, _word_ngrams(F.col(content_col), n).alias("grams"))
+    # candidate generation joins on xxhash64(gram), not the (long) gram
+    # string — 8-byte shuffle keys; the exact Jaccard re-rank uses the real
+    # gram sets so a hash collision can only add a candidate, never a result
+    e = g.select(id_col, F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("gram"))
+    if max_df is not None:
+        keep = e.groupBy("gram").count().where(F.col("count") <= max_df).select("gram")
+        e = e.join(keep, on="gram", how="leftsemi")
+    a = e.select(F.col(id_col).alias("id_a"), "gram")
+    b = e.select(F.col(id_col).alias("id_b"), "gram")
+    cands = a.join(b, on="gram").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
+    pairs = cands.join(ga, on="id_a").join(gb, on="id_b")
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = (F.size("ga") + F.size("gb")).cast("double") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    jac = inter / union
     return (
         pairs.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)

@@ -49,7 +49,7 @@ def test_exact_dedup(docs):
 
 
 def test_ngram_jaccard(docs):
-    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=10).collect()
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
     assert pairs[(0, 1)] == 1.0
     assert 0.5 <= pairs[(0, 2)] < 1.0
