@@ -89,14 +89,24 @@ def minhash_signature(docs: DataFrame, content_col: str = "text", id_col: str = 
     """MinHash signatures: word-shingle sets hashed by num_hashes seeded
     xxhash64 'permutations'; signature[i] = min hash under seed i.
 
-    Shape: explode shingles once, then num_hashes vectorized min()
-    aggregates in a single groupBy — each codegen'd hash runs once per
-    (shingle, seed). (A nested transform-over-transform formulation
-    recomputes the tokenizer per element and is ~20× slower.)"""
+    Shape: explode shingles once, hash each shingle ONCE (xxhash64), then
+    derive the i-th 'permutation' as h XOR c_i (fixed splitmix64-style odd
+    constants) — 64 vectorized min() aggregates in a single groupBy. This
+    is ~64× fewer string hashes than hashing per (shingle, seed), and XOR
+    avoids multiply-overflow errors under ANSI sessions. (A nested
+    transform-over-transform formulation recomputes the tokenizer per
+    element and is ~20× slower again.)"""
+
+    def _c(i: int) -> int:  # deterministic pseudo-random odd 64-bit constants
+        x = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 64)
+        return x - (1 << 64) if x >= (1 << 63) else x
+
     grams = _word_ngrams(F.col(content_col), shingle_n)
-    exploded = docs.select(id_col, F.explode(grams).alias("__g"))
+    exploded = docs.select(
+        id_col, F.explode(F.transform(grams, lambda s: F.xxhash64(s))).alias("__h")
+    )
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("__g")))).alias(f"m{i}")
+        F.min(F.col("__h").bitwiseXOR(F.lit(_c(i)))).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     sums = exploded.groupBy(id_col).agg(*mins)
