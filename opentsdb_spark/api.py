@@ -1,0 +1,211 @@
+"""HTTP API surface — endpoint handlers mirroring the reference's RPC table.
+
+The reference registers these in src/tsd/RpcManager.java:272-366; here each
+endpoint is a plain function (dict in -> JSON-able out) over a point frame,
+so any HTTP front-end (or a notebook) can mount them. No server is started
+by this module — the engine is the product, the transport is pluggable.
+
+Implemented endpoints:
+  /api/query          handle_query        (GET m= params or POST body)
+  /api/query/gexp     handle_gexp
+  /api/query/exp      handle_exp
+  /api/query/last     handle_last
+  /api/suggest        handle_suggest
+  /api/search/lookup  handle_lookup
+  /api/annotation     handle_annotation_query
+  /api/aggregators    handle_aggregators
+  /api/version        handle_version
+  /api/config         handle_config
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+import opentsdb_spark
+from opentsdb_spark.functions.aggregators import AGGREGATORS
+from opentsdb_spark.model import (
+    DownsampleSpec, ExpExpression, ExpJoin, ExpMetric, ExpQuery, FillPolicy, RateOptions,
+    SubQuery, TagFilter, TSQuery,
+)
+from opentsdb_spark.operators.metadata import SUGGEST_MAX, last_points, lookup, suggest
+from opentsdb_spark.parse import parse_gexp, parse_query
+from opentsdb_spark.plans.planner import compile_query
+from opentsdb_spark.serializer import serialize_subquery
+from opentsdb_spark.timeparse import parse_datetime_ms, parse_duration_ms
+
+
+def _tsquery_from_body(body: dict) -> TSQuery:
+    """POST /api/query body (reference HttpJsonSerializer.parseQueryV1)."""
+    subs = []
+    for q in body.get("queries", []):
+        filters = tuple(
+            TagFilter(f["type"], f["tagk"], f.get("filter", ""), bool(f.get("groupBy")))
+            for f in q.get("filters", [])
+        ) + tuple(
+            # legacy "tags" map shorthand
+            TagFilter("iwildcard" if "*" in v else "literal_or", k, v, True)
+            for k, v in q.get("tags", {}).items()
+        )
+        ds = None
+        if q.get("downsample"):
+            from opentsdb_spark.parse import _parse_downsample
+
+            ds = _parse_downsample(q["downsample"], body.get("timezone", "UTC"))
+        rate = None
+        if q.get("rate"):
+            ro = q.get("rateOptions", {})
+            rate = RateOptions(
+                counter=bool(ro.get("counter")),
+                counter_max=int(ro.get("counterMax", (1 << 63) - 1)),
+                reset_value=int(ro.get("resetValue", 0)),
+                drop_resets=bool(ro.get("dropResets")),
+            )
+        subs.append(
+            SubQuery(
+                metric=q["metric"], aggregator=q.get("aggregator", "sum"),
+                downsample=ds, rate=rate, filters=filters,
+                explicit_tags=bool(q.get("explicitTags")),
+                tsuids=tuple(q.get("tsuids", [])),
+            )
+        )
+    return TSQuery(
+        start=body["start"], end=body.get("end"),
+        queries=tuple(subs), timezone=body.get("timezone", "UTC"),
+        ms_resolution=bool(body.get("msResolution")),
+    )
+
+
+def handle_query(points: DataFrame, request: dict) -> list[dict[str, Any]]:
+    """GET (params with m=) or POST (queries body) /api/query."""
+    tsq = _tsquery_from_body(request) if "queries" in request else parse_query(request)
+    out: list[dict[str, Any]] = []
+    for res in compile_query(points, tsq):
+        out.extend(serialize_subquery(res, tsq.ms_resolution))
+    return out
+
+
+def handle_gexp(points: DataFrame, request: dict) -> list[dict[str, Any]]:
+    """GET /api/query/gexp?exp=func(...)&start=...&end=..."""
+    now = request.get("_now_ms")
+    start = parse_datetime_ms(request["start"], now_ms=now)
+    end = parse_datetime_ms(request.get("end"), now_ms=now)
+    df = parse_gexp(request["exp"], points, start, end, request.get("timezone", "UTC"))
+    gcols = [c for c in df.columns if c not in ("ts", "value", "alias")]
+    rows = df.orderBy(*gcols, "ts").collect()
+    out: list[dict[str, Any]] = []
+    cur_key, cur = None, None
+    for r in rows:
+        key = tuple(r[c] for c in gcols)
+        if key != cur_key:
+            cur = {"metric": request["exp"], "tags": {c: r[c] for c in gcols},
+                   "aggregateTags": [], "dps": {}}
+            out.append(cur)
+            cur_key = key
+        cur["dps"][str(int(r["ts"].timestamp()))] = r["value"]
+    return out
+
+
+def handle_exp(points: DataFrame, body: dict) -> dict[str, list[dict]]:
+    """POST /api/query/exp (pojo Query shape, src/query/pojo/Query.java)."""
+    from opentsdb_spark.plans.expquery import compile_exp_query
+
+    t = body["time"]
+    ds = None
+    if t.get("downsampler"):
+        from opentsdb_spark.parse import _parse_downsample
+
+        d = t["downsampler"]
+        ds = _parse_downsample(f"{d['interval']}-{d['aggregator']}", "UTC")
+    metrics = []
+    for m in body.get("metrics", []):
+        filters = tuple(
+            TagFilter(f["type"], f["tagk"], f.get("filter", ""), bool(f.get("groupBy")))
+            for fs in body.get("filters", []) if fs["id"] == m.get("filter")
+            for f in fs.get("tags", [])
+        )
+        fp = m.get("fillPolicy", {})
+        metrics.append(ExpMetric(
+            id=m["id"], metric=m["metric"],
+            aggregator=m.get("aggregator", t.get("aggregator", "sum")),
+            downsample=ds, filters=filters,
+            fill_policy=FillPolicy(fp.get("policy", "zero"), float(fp.get("value", 0.0))),
+        ))
+    exprs = tuple(
+        ExpExpression(
+            id=e["id"], expr=e["expr"],
+            join=ExpJoin(e.get("join", {}).get("operator", "intersection")),
+        )
+        for e in body.get("expressions", [])
+    )
+    eq = ExpQuery(start=t["start"], end=t.get("end"), metrics=tuple(metrics),
+                  expressions=exprs, outputs=tuple(o["id"] for o in body.get("outputs", [])))
+    results = compile_exp_query(points, eq)
+    out = {}
+    for eid, df in results.items():
+        gcols = [c for c in df.columns if c not in ("ts", "value")]
+        out[eid] = [r.asDict() for r in df.orderBy(*gcols, "ts").collect()]
+    return out
+
+
+def handle_last(points: DataFrame, request: dict) -> list[dict[str, Any]]:
+    back_scan = request.get("back_scan")
+    back_ms = parse_duration_ms(f"{back_scan}h") if back_scan else None
+    df = last_points(points, request.get("metric"), back_ms, request.get("_now_ms"))
+    return [r.asDict() for r in df.collect()]
+
+
+def handle_suggest(points: DataFrame, request: dict) -> list[str]:
+    df = suggest(points, request.get("type", "metrics"), request.get("q", ""),
+                 int(request.get("max", SUGGEST_MAX)))
+    return [r["name"] for r in df.collect()]
+
+
+def handle_lookup(points: DataFrame, request: dict) -> list[dict[str, Any]]:
+    tags = {t["key"]: t.get("value") for t in request.get("tags", [])}
+    df = lookup(points, request.get("metric"), tags)
+    return [
+        {"series_id": r["series_id"], "metric": r["metric"], "tags": dict(r["tags"])}
+        for r in df.collect()
+    ]
+
+
+def handle_annotation_query(annotations: DataFrame, request: dict) -> list[dict[str, Any]]:
+    from opentsdb_spark.operators.annotations import annotations_in_range
+
+    df = annotations_in_range(
+        annotations,
+        parse_datetime_ms(request["start_time"]),
+        parse_datetime_ms(request.get("end_time")),
+        tsuids=tuple(request.get("tsuids", ())),
+        include_global=bool(request.get("global", True)),
+    )
+    return [r.asDict() for r in df.collect()]
+
+
+def handle_aggregators(*_a) -> list[str]:
+    return sorted(AGGREGATORS)
+
+
+def handle_version(*_a) -> dict[str, str]:
+    return {"version": opentsdb_spark.__version__, "engine": "opentsdb-spark"}
+
+
+def handle_config(spark, *_a) -> dict[str, str]:
+    return {k: v for k, v in spark.sparkContext.getConf().getAll()}
+
+
+ENDPOINTS = {
+    "/api/query": handle_query,
+    "/api/query/gexp": handle_gexp,
+    "/api/query/exp": handle_exp,
+    "/api/query/last": handle_last,
+    "/api/suggest": handle_suggest,
+    "/api/search/lookup": handle_lookup,
+    "/api/annotation": handle_annotation_query,
+    "/api/aggregators": handle_aggregators,
+    "/api/version": handle_version,
+    "/api/config": handle_config,
+}

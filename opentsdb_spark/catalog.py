@@ -1228,3 +1228,34 @@ def text_fingerprint(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     media = docs_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media, decoder="fake")
+
+
+# ============================================= query-string parser path =====
+
+from opentsdb_spark.parse import parse_gexp, parse_m_subquery  # noqa: E402
+from opentsdb_spark.plans.planner import compile_subquery  # noqa: E402
+
+
+@register("tsdb_m_parser", _aligned_sql("purchase", "sum", "sum"))
+def tsdb_m_parser(spark, sf_dir):
+    """The full GET-string path: m= spec -> parser -> planner -> frame
+    (reference src/tsd/QueryRpc.java:630-682)."""
+    sub = parse_m_subquery("sum:1h-sum-zero:purchase{user=literal_or(1|2|3)}")
+    res = compile_subquery(_pts(spark, sf_dir), sub, START_MS, END_MS)
+    return res.df.select("metric", "user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "gexp_parser_scale",
+    f"""WITH {_base_sql_ctes('p', 'click')}
+        SELECT user, CAST(b AS BIGINT) AS ts_sec, {RND.format('v * 2.0')} AS value_r
+        FROM p""",
+)
+def gexp_parser_scale(spark, sf_dir):
+    """gexp string path: parse + evaluate scale() over an m= leaf
+    (reference src/parser.jj:48-70, ExpressionFactory)."""
+    df = parse_gexp(
+        "scale(zimsum:1h-sum-zero:click{user=literal_or(1|2|3)},2)",
+        _pts(spark, sf_dir), START_MS, END_MS,
+    )
+    return df.select("user", _ts_sec(), _vr(F.col("value")))

@@ -1,0 +1,298 @@
+"""OpenTSDB query-string parsers: the ``m=`` sub-query syntax and the gexp
+function-call expression syntax.
+
+References:
+  * m= grammar:  src/tsd/QueryRpc.java:630-682 (parseQuery / parseMTypeSubQuery)
+      m=<aggregator>:[interval-agg[-fill]:][rate[{counter[,max[,reset]]}]:]
+        <metric>[{grouping filters}][{non-grouping filters}]
+  * tag filter shorthand: TagVFilter.Builder parsing — ``*`` -> wildcard,
+    ``a|b`` -> literal_or, ``literal_or(a|b)`` etc. function forms
+    (src/query/filter/TagVFilter.java:232-312 getFilter)
+  * gexp grammar: src/parser.jj:48-70 + Expressions.parse
+    (src/query/expression/Expressions.java:43-163) — nested calls
+    ``func(expr[,param...])`` whose leaves are m=-style sub-queries.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from opentsdb_spark.model import DownsampleSpec, RateOptions, SubQuery, TagFilter, TSQuery
+from opentsdb_spark.timeparse import parse_downsample_interval, parse_duration_ms
+
+_FILTER_FN = re.compile(r"^(\w+)\((.*)\)$")
+_FILTER_TYPES = {
+    "literal_or", "iliteral_or", "not_literal_or", "not_iliteral_or",
+    "wildcard", "iwildcard", "regexp", "not_key",
+}
+
+
+def _parse_tag_filter(tagk: str, spec: str, group_by: bool) -> TagFilter:
+    """Shorthand: '*' -> wildcard, 'a|b'/'a' -> literal_or (case-insensitive
+    variants when the value is wrapped in a function form)."""
+    m = _FILTER_FN.match(spec)
+    if m and m.group(1) in _FILTER_TYPES:
+        return TagFilter(m.group(1), tagk, m.group(2), group_by)
+    if "*" in spec:
+        return TagFilter("iwildcard", tagk, spec, group_by)
+    return TagFilter("literal_or", tagk, spec, group_by)
+
+
+def _parse_filter_block(block: str, group_by: bool) -> list[TagFilter]:
+    out = []
+    if not block:
+        return out
+    # split on commas not inside parentheses
+    parts, depth, cur = [], 0, []
+    for ch in block:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for p in parts:
+        if "=" not in p:
+            raise ValueError(f"bad tag filter {p!r}")
+        k, v = p.split("=", 1)
+        out.append(_parse_tag_filter(k.strip(), v.strip(), group_by))
+    return out
+
+
+def _parse_rate(token: str) -> RateOptions:
+    """'rate' or 'rate{counter[,max[,reset[,dropResets]]]}'
+    (reference src/tsd/QueryRpc.java parseRateOptions)."""
+    if token == "rate":
+        return RateOptions()
+    m = re.match(r"^rate\{(.*)\}$", token)
+    if not m:
+        raise ValueError(f"bad rate spec {token!r}")
+    parts = [p.strip() for p in m.group(1).split(",") if p.strip() != ""]
+    counter = bool(parts) and parts[0].startswith("counter")
+    drop = bool(parts) and parts[0] == "dropcounter"
+    cmax = int(parts[1]) if len(parts) > 1 and parts[1] else (1 << 63) - 1
+    reset = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+    return RateOptions(counter=counter or drop, counter_max=cmax,
+                       reset_value=reset, drop_resets=drop)
+
+
+def _parse_downsample(token: str, timezone: str) -> DownsampleSpec:
+    parts = token.split("-")
+    if len(parts) < 2:
+        raise ValueError(f"bad downsample spec {token!r}")
+    interval_ms, calendar, unit, n = parse_downsample_interval(parts[0])
+    agg = parts[1]
+    fill = parts[2] if len(parts) > 2 else "none"
+    fill_scalar = 0.0
+    if fill not in ("none", "zero", "nan", "null") :
+        fill_scalar = float(fill)
+        fill = "scalar"
+    return DownsampleSpec(
+        interval_ms=interval_ms, aggregator=agg, fill=fill, fill_scalar=fill_scalar,
+        calendar=calendar, calendar_unit=unit, calendar_n=n, timezone=timezone,
+        run_all=(interval_ms == 0),
+    )
+
+
+def parse_m_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
+    """Parse one ``m=`` sub-query string into the query model."""
+    # peel metric{...}{...} off the tail: find metric start = after last ':'
+    # that is not inside braces
+    depth = 0
+    last_colon = -1
+    for i, ch in enumerate(spec):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        elif ch == ":" and depth == 0:
+            last_colon = i
+    if last_colon < 0:
+        raise ValueError(f"m= spec needs '<aggregator>:<metric>', got {spec!r}")
+    head, metric_part = spec[: last_colon], spec[last_colon + 1:]
+    tokens = []
+    if head:
+        # split head on ':' outside braces
+        depth, cur = 0, []
+        for ch in head:
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+            if ch == ":" and depth == 0:
+                tokens.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            tokens.append("".join(cur))
+    if not tokens:
+        raise ValueError(f"m= spec needs an aggregator: {spec!r}")
+    aggregator = tokens[0]
+    downsample = None
+    rate = None
+    explicit_tags = False
+    for tok in tokens[1:]:
+        if tok.startswith("rate"):
+            rate = _parse_rate(tok)
+        elif tok == "explicit_tags":
+            explicit_tags = True
+        else:
+            downsample = _parse_downsample(tok, timezone)
+
+    m = re.match(r"^([^{}]+)(\{[^{}]*\})?(\{[^{}]*\})?$", metric_part.strip())
+    if not m:
+        raise ValueError(f"bad metric part {metric_part!r}")
+    metric = m.group(1)
+    filters: list[TagFilter] = []
+    if m.group(2):
+        filters += _parse_filter_block(m.group(2)[1:-1], group_by=True)
+    if m.group(3):
+        filters += _parse_filter_block(m.group(3)[1:-1], group_by=False)
+    return SubQuery(
+        metric=metric, aggregator=aggregator, downsample=downsample, rate=rate,
+        filters=tuple(filters), explicit_tags=explicit_tags,
+    )
+
+
+def parse_query(params: dict) -> TSQuery:
+    """Parse GET-style params {start, end, m: [specs], timezone} into a
+    TSQuery (the /api/query GET path, src/tsd/QueryRpc.java:630-682)."""
+    tz = params.get("timezone", "UTC")
+    ms = [params["m"]] if isinstance(params.get("m"), str) else list(params.get("m", []))
+    return TSQuery(
+        start=params["start"],
+        end=params.get("end"),
+        queries=tuple(parse_m_subquery(s, tz) for s in ms),
+        timezone=tz,
+        ms_resolution=bool(params.get("ms")),
+    )
+
+
+# ------------------------------------------------------------------ gexp ----
+
+
+def _split_args(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "({":
+            depth += 1
+        elif ch in ")}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+_GEXP_FN = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\((.*)\)$", re.S)
+
+
+def parse_gexp(
+    expr: str,
+    points: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    timezone: str = "UTC",
+) -> DataFrame:
+    """Parse + evaluate a gexp expression string against a point frame.
+
+    Leaves are m=-style sub-query specs; function names mirror the
+    reference's ExpressionFactory (src/query/expression/ExpressionFactory.
+    java:31-60). Returns a grouped frame [*group tagks, ts, value]."""
+    from opentsdb_spark.operators import expressions as gx
+    from opentsdb_spark.plans.planner import compile_subquery
+
+    def _eval(e: str) -> tuple[DataFrame, tuple[str, ...]]:
+        e = e.strip()
+        m = _GEXP_FN.match(e)
+        if not m or (m.group(1) not in _GEXP_DISPATCH):
+            sub = parse_m_subquery(e, timezone)
+            res = compile_subquery(points, sub, start_ms, end_ms, timezone)
+            cols = tuple(res.group_tagks)
+            return res.df.select(*cols, "ts", "value"), cols
+        name, argstr = m.group(1), m.group(2)
+        args = _split_args(argstr)
+        return _GEXP_DISPATCH[name](args, _eval)
+
+    df, _cols = _eval(expr)
+    return df
+
+
+def _unary(fn):
+    def h(args, ev):
+        df, cols = ev(args[0])
+        return fn(df, args[1:]), cols
+
+    return h
+
+
+def _nary_frames(fn):
+    def h(args, ev):
+        frames, cols = [], None
+        for a in args:
+            df, c = ev(a)
+            cols = c if cols is None else cols
+            if c != cols:
+                raise ValueError("gexp series functions need matching group keys")
+            frames.append(df.select(*cols, "ts", "value"))
+        return fn(frames, cols), cols
+
+    return h
+
+
+def _series_param_fn(fn_name):
+    def h(args, ev):
+        from opentsdb_spark.operators import expressions as gx
+
+        df, cols = ev(args[0])
+        param = args[1].strip().strip("'\"")
+        if fn_name == "movingAverage":
+            if re.fullmatch(r"\d+", param):
+                return gx.moving_average(df, cols, count=int(param)), cols
+            return gx.moving_average(df, cols, time_ms=parse_duration_ms(param)), cols
+        if fn_name in ("timeShift", "shift"):
+            return gx.time_shift(df, parse_duration_ms(param)), cols
+        if fn_name in ("highestMax", "highestCurrent"):
+            from opentsdb_spark.operators.topk import highest_current, highest_max
+
+            k = int(param)
+            f = highest_max if fn_name == "highestMax" else highest_current
+            return f(df, cols, k), cols
+        if fn_name == "scale":
+            return gx.scale(df, float(param)), cols
+        if fn_name == "alias":
+            return gx.alias_series(df, param), cols
+        raise ValueError(fn_name)
+
+    return h
+
+
+def _build_dispatch():
+    from opentsdb_spark.operators import expressions as gx
+
+    d = {}
+    d["absolute"] = _unary(lambda df, _p: gx.absolute(df))
+    d["firstDiff"] = lambda args, ev: (lambda t: (gx.first_diff(t[0], t[1]), t[1]))(ev(args[0]))
+    for name in ("scale", "alias", "movingAverage", "timeShift", "shift",
+                 "highestMax", "highestCurrent"):
+        d[name] = _series_param_fn(name)
+    d["sumSeries"] = d["sum"] = _nary_frames(gx.sum_series)
+    d["difference"] = d["diffSeries"] = _nary_frames(gx.diff_series)
+    d["multiply"] = d["multiplySeries"] = _nary_frames(gx.multiply_series)
+    d["divide"] = d["divideSeries"] = _nary_frames(gx.divide_series)
+    return d
+
+
+_GEXP_DISPATCH = _build_dispatch()

@@ -159,3 +159,35 @@ def write_points(df: DataFrame, path: str, partition_hours: bool = False) -> Non
         out = out.withColumn("hr", F.hour("ts"))
         cols.append("hr")
     out.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def parse_import_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse text bulk-import lines: same fields as ``put`` WITHOUT the
+    leading 'put' token (reference src/tools/TextImporter.java):
+        <metric> <epoch[s|ms]> <value> <tagk=tagv> [...]
+    """
+    prefixed = lines.select(F.concat(F.lit("put "), F.col(col)).alias(col))
+    return parse_put_lines(prefixed, col)
+
+
+def import_text(spark: SparkSession, path: str) -> DataFrame:
+    """Bulk import whitespace-separated data files (TextImporter analog)."""
+    return parse_import_lines(spark.read.text(path))
+
+
+def dump_series(points: DataFrame, import_format: bool = True) -> DataFrame:
+    """Render points as text lines (reference src/tools/DumpSeries.java —
+    '--import' emits lines TextImporter can re-ingest)."""
+    kv = F.array_sort(
+        F.transform(F.map_entries("tags"), lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+    )
+    line = F.concat_ws(
+        " ",
+        F.col("metric"),
+        F.unix_millis("ts").cast("string"),
+        F.coalesce(F.col("value_long").cast("string"), F.col("value").cast("string")),
+        F.array_join(kv, " "),
+    )
+    if not import_format:
+        line = F.concat(F.lit("put "), line)
+    return points.select(line.alias("line"))

@@ -1,0 +1,119 @@
+"""m= parser, gexp parser, API handlers, import/dump, limits tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_spark import api
+from opentsdb_spark.model import RateOptions
+from opentsdb_spark.parse import parse_gexp, parse_m_subquery, parse_query
+from opentsdb_spark.plans.limits import QueryLimitExceeded, enforce_data_point_limit
+from opentsdb_spark.sources.points import dump_series, parse_import_lines
+from tests.conftest import EPOCH
+
+
+def test_parse_m_subquery_full():
+    q = parse_m_subquery(
+        "sum:10m-avg-zero:rate{counter,1000,10}:sys.cpu.user{host=*,dc=literal_or(lga|phx)}{k=regexp(x.*)}"
+    )
+    assert q.aggregator == "sum"
+    assert q.metric == "sys.cpu.user"
+    assert q.downsample.interval_ms == 600_000
+    assert q.downsample.aggregator == "avg"
+    assert q.downsample.fill == "zero"
+    assert q.rate == RateOptions(counter=True, counter_max=1000, reset_value=10)
+    f = {x.tagk: x for x in q.filters}
+    assert f["host"].type == "iwildcard" and f["host"].group_by
+    assert f["dc"].type == "literal_or" and f["dc"].filter == "lga|phx"
+    assert f["k"].type == "regexp" and not f["k"].group_by
+
+
+def test_parse_m_subquery_minimal():
+    q = parse_m_subquery("avg:sys.cpu.user")
+    assert q.aggregator == "avg" and q.metric == "sys.cpu.user"
+    assert q.downsample is None and q.rate is None and q.filters == ()
+    q = parse_m_subquery("max:0all-sum:m1")
+    assert q.downsample.run_all
+    q = parse_m_subquery("sum:1dc-max:m1")
+    assert q.downsample.calendar and q.downsample.calendar_unit == "d"
+    q = parse_m_subquery("sum:explicit_tags:m1{host=web01}")
+    assert q.explicit_tags
+
+
+def test_parse_query_get():
+    tsq = parse_query({"start": "1h-ago", "m": ["sum:m1", "avg:m2{h=*}"]})
+    assert len(tsq.queries) == 2
+    assert tsq.queries[1].filters[0].type == "iwildcard"
+
+
+def test_handle_query_get(fixture_points):
+    out = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 100_000,
+         "m": "sum:10m-avg:sys.cpu.user{host=*}"},
+    )
+    assert len(out) == 2
+    by_host = {r["tags"]["host"]: r for r in out}
+    assert by_host["web01"]["dps"][str(EPOCH)] == pytest.approx(10.0)
+
+
+def test_handle_query_post(fixture_points):
+    out = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 100_000,
+         "queries": [{"metric": "sys.cpu.user", "aggregator": "max",
+                      "filters": [{"type": "literal_or", "tagk": "host",
+                                   "filter": "web02", "groupBy": True}]}]},
+    )
+    assert len(out) == 1 and out[0]["tags"] == {"host": "web02"}
+
+
+def test_handle_gexp(fixture_points):
+    out = api.handle_gexp(
+        fixture_points,
+        {"exp": "scale(sum:10m-avg:sys.cpu.user{host=*},2)",
+         "start": EPOCH, "end": EPOCH + 100_000},
+    )
+    assert len(out) == 2
+    by_host = {r["tags"]["host"]: r for r in out}
+    assert by_host["web01"]["dps"][str(EPOCH)] == pytest.approx(20.0)
+
+
+def test_parse_gexp_nested(fixture_points):
+    df = parse_gexp(
+        "sumSeries(sum:10m-avg:sys.cpu.user{host=literal_or(web01)},"
+        "sum:10m-avg:sys.cpu.user{host=literal_or(web02)})",
+        fixture_points, EPOCH * 1000, (EPOCH + 100_000) * 1000,
+    )
+    # {host=...} filters are grouping, so the union join keys on host:
+    # each host keeps its own series, the other side zero-fills
+    rows = {(r["host"], int(r["ts"].timestamp())): r["value"] for r in df.collect()}
+    assert rows[("web01", EPOCH)] == pytest.approx(10.0)
+    assert rows[("web02", EPOCH)] == pytest.approx(sum(range(282, 301)) / 19)
+
+
+def test_handle_metadata(fixture_points):
+    assert "sum" in api.handle_aggregators()
+    assert api.handle_version()["engine"] == "opentsdb-spark"
+    out = api.handle_suggest(fixture_points, {"type": "metrics", "q": "sys"})
+    assert out == ["sys.cpu.user"]
+    out = api.handle_lookup(fixture_points, {"metric": "sys.cpu.user",
+                                             "tags": [{"key": "host", "value": "web01"}]})
+    assert len(out) == 1 and out[0]["tags"]["host"] == "web01"
+    out = api.handle_last(fixture_points, {"metric": "sys.cpu.user"})
+    assert len(out) == 2
+
+
+def test_import_dump_roundtrip(spark, fixture_points):
+    lines = dump_series(fixture_points.limit(10))
+    reparsed = parse_import_lines(lines, "line")
+    assert reparsed.count() == 10
+    orig = {(r["metric"], r["ts"], r["value"]) for r in fixture_points.limit(10).collect()}
+    got = {(r["metric"], r["ts"], r["value"]) for r in reparsed.collect()}
+    assert got == orig
+
+
+def test_limits(fixture_points):
+    assert enforce_data_point_limit(fixture_points, 0) is fixture_points
+    enforce_data_point_limit(fixture_points, 10_000)
+    with pytest.raises(QueryLimitExceeded):
+        enforce_data_point_limit(fixture_points, 10)
