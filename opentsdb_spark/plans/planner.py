@@ -36,6 +36,10 @@ class CompiledSubQuery:
     df: DataFrame
     group_tagks: tuple[str, ...]
     aggregator: str
+    # filtered pre-aggregation points (lazy plan) — lets the serializer
+    # derive aggregateTags (tag keys aggregated away), mirroring
+    # HttpJsonSerializer.java:771-816
+    source_df: DataFrame | None = None
 
 
 def _tag_predicates(q: SubQuery) -> Column | None:
@@ -74,6 +78,7 @@ def compile_subquery(
     pred = _tag_predicates(q)
     if pred is not None:
         df = df.where(pred)
+    source_df = df
 
     aligned = False
     if q.downsample is not None:
@@ -94,12 +99,12 @@ def compile_subquery(
             "ts",
             "value",
         )
-        return CompiledSubQuery(out, group_tagks, q.aggregator)
+        return CompiledSubQuery(out, group_tagks, q.aggregator, source_df)
 
     out = cross_series_aggregate(
         df, q.aggregator, group_tagks, aligned=aligned, rate_mode=rate_mode
     )
-    return CompiledSubQuery(out, group_tagks, q.aggregator)
+    return CompiledSubQuery(out, group_tagks, q.aggregator, source_df)
 
 
 def compile_query(points: DataFrame, tsq: TSQuery, now_ms: int | None = None) -> list[CompiledSubQuery]:

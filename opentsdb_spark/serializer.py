@@ -33,9 +33,17 @@ def serialize_subquery(result: CompiledSubQuery, ms_resolution: bool = False) ->
         .orderBy(*key_cols, "__t")
         .collect()
     )
-    # aggregateTags: tag keys that existed on input series but were not
-    # grouped on; without a series index we report none for grouped output —
-    # the metadata module can enrich this (reference keeps them from scans).
+    # aggregateTags: tag keys present on the scanned series but aggregated
+    # away (not grouped on) — reference HttpJsonSerializer.java:771-816
+    agg_tags: list[str] = []
+    if result.aggregator != "none" and result.source_df is not None:
+        keys = [
+            r["k"]
+            for r in result.source_df.select(
+                F.explode(F.map_keys("tags")).alias("k")
+            ).distinct().collect()
+        ]
+        agg_tags = sorted(set(keys) - set(gk))
     out: list[dict[str, Any]] = []
     cur_key: tuple | None = None
     cur: dict[str, Any] | None = None
@@ -45,7 +53,7 @@ def serialize_subquery(result: CompiledSubQuery, ms_resolution: bool = False) ->
             cur = {
                 "metric": r["metric"],
                 "tags": {k: r[k] for k in gk if r[k] is not None} if gk else {},
-                "aggregateTags": [],
+                "aggregateTags": agg_tags,
                 "dps": {},
             }
             out.append(cur)

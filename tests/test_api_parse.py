@@ -117,3 +117,13 @@ def test_limits(fixture_points):
     enforce_data_point_limit(fixture_points, 10_000)
     with pytest.raises(QueryLimitExceeded):
         enforce_data_point_limit(fixture_points, 10)
+
+
+def test_aggregate_tags(fixture_points):
+    out = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 100_000,
+         "m": "sum:10m-avg:sys.cpu.user{host=*}"},
+    )
+    # dc exists on the series but is not a group key -> aggregated away
+    assert out[0]["aggregateTags"] == ["dc"]

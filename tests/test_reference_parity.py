@@ -1,0 +1,151 @@
+"""Tests pinned to the reference's own unit-test vectors.
+
+Fixtures transcribed from:
+  /root/reference/test/core/TestDownsampler.java:40-105
+  /root/reference/test/core/TestRateSpan.java:30-66
+(only the data values and expected outputs — the harness is ours).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_spark.model import DownsampleSpec, RateOptions
+from opentsdb_spark.operators.downsample import calendar_bucket_col, downsample
+from opentsdb_spark.operators.groupby import cross_series_aggregate
+from opentsdb_spark.operators.rate import rate
+
+BASE = 1356998400000  # 2013-01-01T00:00:00Z in ms
+
+# TestDownsampler.java DATA_POINTS (ts_ms, value)
+DS_POINTS = [
+    (BASE, 40.0),
+    (BASE + 2000000, 50.0),
+    (BASE + 3600000, 40.0),
+    (BASE + 3605000, 50.0),
+    (BASE + 7200000, 40.0),
+    (BASE + 9200000, 50.0),
+]
+
+
+def _one_series(spark, pts):
+    df = spark.createDataFrame(
+        [("m", t, v, {"h": "a"}) for t, v in pts],
+        "metric string, ts_ms long, value double, tags map<string,string>",
+    )
+    return df.select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+
+
+def test_downsampler_1000s_avg(spark):
+    """TestDownsampler.testDownsampler:82-105 exact buckets + values."""
+    out = downsample(_one_series(spark, DS_POINTS), DownsampleSpec(1_000_000, "avg"))
+    rows = sorted((int(r["ts"].timestamp() * 1000), r["value"]) for r in out.collect())
+    assert rows == [
+        (BASE - 400000, 40.0),
+        (BASE + 1600000, 50.0),
+        (BASE + 3600000, 45.0),
+        (BASE + 6600000, 40.0),
+        (BASE + 8600000, 50.0),
+    ]
+
+
+def test_rate_first_vs_zero(spark):
+    """TestRateSpan.java:40-48 RATE_DATA_POINTS — the first rate is computed
+    against a synthetic (0,0) point (RateSpan.java:108-114)."""
+    out = rate(_one_series(spark, DS_POINTS), first_vs_zero=True).orderBy("ts").collect()
+    got = [r["value"] for r in out]
+    expected = [
+        40.0 / 1356998400,
+        10.0 / 2000.0,
+        -10.0 / (1357002000 - 1356998400 - 2000),
+        10.0 / 5.0,
+        -10.0 / (1357005600 - 1357002005),
+        10.0 / 2000.0,
+    ]
+    assert got == pytest.approx(expected, rel=1e-12)
+
+
+def test_rate_counter_max_70(spark):
+    """TestRateSpan.java RATES_FOR_COUNTER — counter rollover at max=70."""
+    out = rate(
+        _one_series(spark, DS_POINTS),
+        RateOptions(counter=True, counter_max=70),
+        first_vs_zero=True,
+    ).orderBy("ts").collect()
+    got = [r["value"] for r in out]
+    expected = [
+        40.0 / 1356998400,
+        10.0 / 2000.0,
+        (40.0 + 20) / 1600.0,
+        10.0 / 5.0,
+        (40.0 + 20) / 3595,
+        10.0 / 2000.0,
+    ]
+    assert got == pytest.approx(expected, rel=1e-12)
+
+
+def test_rate_drop_resets(spark):
+    out = rate(
+        _one_series(spark, DS_POINTS),
+        RateOptions(counter=True, counter_max=70, drop_resets=True),
+        first_vs_zero=True,
+    ).orderBy("ts").collect()
+    got = [r["value"] for r in out]
+    assert got == pytest.approx(
+        [40.0 / 1356998400, 10.0 / 2000.0, 10.0 / 5.0, 10.0 / 2000.0], rel=1e-12
+    )
+
+
+def test_mim_sentinels_ignore_missing(spark):
+    """mimmin/mimmax must ignore series that are missing at a timestamp
+    (Aggregators.java:95-103 MAX/MIN sentinel interpolation)."""
+    rows = [
+        ("m", BASE, 10.0, {"h": "a"}),
+        ("m", BASE + 60000, 30.0, {"h": "a"}),
+        ("m", BASE + 30000, 5.0, {"h": "b"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double, tags map<string,string>"
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+    out = cross_series_aggregate(df, "mimmin", ())
+    vals = {int(r["ts"].timestamp() * 1000) - BASE: r["value"] for r in out.collect()}
+    # at +30000: a is interior-missing -> +MAX sentinel, so min = b's 5
+    assert vals == {0: 10.0, 30000: 5.0, 60000: 30.0}
+    out = cross_series_aggregate(df, "mimmax", ())
+    vals = {int(r["ts"].timestamp() * 1000) - BASE: r["value"] for r in out.collect()}
+    # at +30000: a -> -MAX sentinel, max = 5; at 0/60000 b is exterior -> only a
+    assert vals == {0: 10.0, 30000: 5.0, 60000: 30.0}
+
+
+def test_calendar_day_est(spark):
+    """Calendar '1dc' in a -05:00 zone: 04:00Z belongs to the PREVIOUS
+    local day, whose bucket starts at 05:00Z of that day
+    (DownsamplingSpecification.java:135-147 + Downsampler timezone
+    handling)."""
+    rows = [
+        ("m", BASE + 4 * 3600_000, 1.0, {"h": "a"}),   # 2013-01-01T04:00Z = Dec 31 23:00 EST
+        ("m", BASE + 6 * 3600_000, 2.0, {"h": "a"}),   # 2013-01-01T06:00Z = Jan 1 01:00 EST
+    ]
+    df = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double, tags map<string,string>"
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+    spec = DownsampleSpec(86_400_000, "sum", calendar=True, calendar_unit="d",
+                          timezone="America/New_York")
+    out = downsample(df, spec)
+    buckets = sorted((int(r["ts"].timestamp() * 1000), r["value"]) for r in out.collect())
+    dec31_est_start = BASE - 24 * 3600_000 + 5 * 3600_000  # 2012-12-31T05:00Z
+    jan1_est_start = BASE + 5 * 3600_000
+    assert buckets == [(dec31_est_start, 1.0), (jan1_est_start, 2.0)]
+
+
+def test_calendar_week_and_month(spark):
+    rows = [("m", BASE + 10 * 86_400_000, 1.0, {"h": "a"})]  # 2013-01-11 (Fri)
+    df = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double, tags map<string,string>"
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+    out = downsample(df, DownsampleSpec(30 * 86_400_000, "sum", calendar=True, calendar_unit="n"))
+    [r] = out.collect()
+    assert int(r["ts"].timestamp() * 1000) == BASE  # month bucket -> Jan 1
+    out = downsample(df, DownsampleSpec(7 * 86_400_000, "sum", calendar=True, calendar_unit="w"))
+    [r] = out.collect()
+    # Spark date_trunc('week') -> Monday 2013-01-07
+    assert int(r["ts"].timestamp() * 1000) == BASE + 6 * 86_400_000
