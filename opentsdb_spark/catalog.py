@@ -1259,3 +1259,43 @@ def gexp_parser_scale(spark, sf_dir):
         _pts(spark, sf_dir), START_MS, END_MS,
     )
     return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+# ========================================================= tree / uid =======
+
+from opentsdb_spark.operators.tree import TreeRule, build_tree, tree_branches  # noqa: E402
+from opentsdb_spark.operators.uid import uid_listing  # noqa: E402
+
+
+@register(
+    "tree_branches",
+    f"""WITH s AS (SELECT DISTINCT event_type, {U} AS user, {K} AS k, {BIG} AS big FROM events),
+        d1 AS (SELECT event_type AS branch_path, 1 AS depth, count(*) AS leaf_count
+               FROM s GROUP BY event_type),
+        d2 AS (SELECT event_type || '/' || user AS branch_path, 2 AS depth, count(*) AS leaf_count
+               FROM s GROUP BY event_type, user)
+        SELECT branch_path, CAST(depth AS INT) AS depth, leaf_count
+        FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)""",
+)
+def tree_branches_q(spark, sf_dir):
+    """/api/tree: METRIC + TAGK(user) rules over the series set
+    (reference src/tree/TreeBuilder.java)."""
+    leaves = build_tree(_pts(spark, sf_dir), (TreeRule("METRIC"), TreeRule("TAGK", "user")))
+    return tree_branches(leaves)
+
+
+@register(
+    "uid_metrics_listing",
+    """SELECT event_type AS name, count(*) AS points,
+              CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms,
+              CAST(max(epoch_ms(ts)) AS BIGINT) AS last_ms
+       FROM events GROUP BY event_type""",
+)
+def uid_metrics_listing(spark, sf_dir):
+    """/api/uid dictionary view (UIDMeta analog)."""
+    out = uid_listing(_pts(spark, sf_dir), "metrics")
+    return out.select(
+        "name", "points",
+        F.unix_millis("first_seen").alias("first_ms"),
+        F.unix_millis("last_seen").alias("last_ms"),
+    )

@@ -127,3 +127,36 @@ def test_aggregate_tags(fixture_points):
     )
     # dc exists on the series but is not a group key -> aggregated away
     assert out[0]["aggregateTags"] == ["dc"]
+
+
+def test_tree(fixture_points):
+    from opentsdb_spark.operators.tree import TreeRule, build_tree, tree_branches
+
+    leaves = build_tree(
+        fixture_points,
+        (TreeRule("METRIC", separator="."), TreeRule("TAGK", "host")),
+    )
+    rows = {tuple(r["path"]): r["depth"] for r in leaves.collect()}
+    assert ("sys", "cpu", "user", "web01") in rows
+    assert rows[("sys", "cpu", "user", "web02")] == 4
+    branches = tree_branches(leaves)
+    b = {r["branch_path"]: r["leaf_count"] for r in branches.collect()}
+    assert b["sys"] == 2 and b["sys/cpu/user"] == 2
+    assert b["sys/cpu/user/web01"] == 1
+
+
+def test_uid_ops(fixture_points):
+    from opentsdb_spark.operators.uid import (
+        rename_metric, rename_tagk, rename_tagv, uid_listing,
+    )
+
+    out = {r["name"]: r["points"] for r in uid_listing(fixture_points, "metrics").collect()}
+    assert out == {"sys.cpu.user": 600}
+    out = {r["name"] for r in uid_listing(fixture_points, "tagk").collect()}
+    assert out == {"host", "dc"}
+    df = rename_metric(fixture_points, "sys.cpu.user", "cpu.u")
+    assert df.where(F.col("metric") == "cpu.u").count() == 600
+    df = rename_tagk(fixture_points, "host", "server")
+    assert df.where(F.map_contains_key("tags", "server")).count() == 600
+    df = rename_tagv(fixture_points, "host", "web01", "w1")
+    assert df.where(F.col("tags")["host"] == "w1").count() == 300
