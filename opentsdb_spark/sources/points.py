@@ -145,19 +145,28 @@ def parse_put_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     return parsed
 
 
-def write_points(df: DataFrame, path: str, partition_hours: bool = False) -> None:
+def write_points(
+    df: DataFrame, path: str, partition_hours: bool = False, salt_buckets: int = 0
+) -> None:
     """Persist points partitioned by date (and optionally hour).
 
     The date partition column reproduces the reference's coarse time
     filtering (1-hour row spans, src/core/Const.java:94-95) as Spark/Hive
     partition pruning; metric stays a data column (dictionary-encoded, min/
     max pruned) to avoid small-file explosion at high metric cardinality.
+
+    salt_buckets > 0 repartitions by hash(series) % N before the write —
+    the reference's salting (src/core/Const.java:122-147: spread one hot
+    metric over N buckets) re-expressed as write parallelism: without it a
+    single hot metric lands in one task's file per date partition.
     """
     out = df.withColumn("dt", F.to_date("ts"))
     cols = ["dt"]
     if partition_hours:
         out = out.withColumn("hr", F.hour("ts"))
         cols.append("hr")
+    if salt_buckets > 0:
+        out = out.repartition(salt_buckets, F.pmod(F.xxhash64(series_id_col()), F.lit(salt_buckets)))
     out.write.mode("overwrite").partitionBy(*cols).parquet(path)
 
 

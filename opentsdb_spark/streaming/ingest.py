@@ -149,3 +149,73 @@ def rollup_stream(
         .withColumn("interval", F.lit(label))
     )
     return out
+
+
+# /api/rollup JSON body (reference src/tsd/RollupDataPointRpc.java — an
+# IncomingDataPoint plus interval + aggregator)
+ROLLUP_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("interval", T.StringType()),
+        T.StructField("aggregator", T.StringType()),
+    ]
+)
+
+# /api/histogram JSON body (reference src/tsd/HistogramDataPointRpc.java +
+# SimpleHistogram codec: buckets keyed "lower,upper")
+HISTOGRAM_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("buckets", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("underflow", T.LongType()),
+        T.StructField("overflow", T.LongType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def _ts_ms_col(c):
+    return F.when(c >= 1_000_000_000_000, c).otherwise(c * 1000)
+
+
+def parse_rollup_json(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse /api/rollup JSON lines into rollup rows (FIXTURES.md §2 shape:
+    metric, ts, tags, aggregator, value, interval)."""
+    p = lines.select(F.from_json(F.col(col), ROLLUP_JSON_SCHEMA).alias("p")).select("p.*")
+    return p.where(F.col("metric").isNotNull()).select(
+        "metric",
+        F.timestamp_millis(_ts_ms_col(F.col("timestamp"))).alias("ts"),
+        "tags",
+        F.lower("aggregator").alias("aggregator"),
+        F.col("value").cast("double").alias("value"),
+        "interval",
+    ).where(F.col("value").isNotNull())
+
+
+def parse_histogram_json(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse /api/histogram JSON lines into the histogram frame
+    (operators.histogram.HISTOGRAM_SCHEMA): bucket map keys 'lower,upper'
+    become typed structs."""
+    p = lines.select(F.from_json(F.col(col), HISTOGRAM_JSON_SCHEMA).alias("p")).select("p.*")
+    buckets = F.array_sort(
+        F.transform(
+            F.map_entries("buckets"),
+            lambda e: F.struct(
+                F.split(e["key"], ",")[0].cast("float").alias("lower"),
+                F.split(e["key"], ",")[1].cast("float").alias("upper"),
+                e["value"].alias("count"),
+            ),
+        )
+    )
+    return p.where(F.col("metric").isNotNull()).select(
+        "metric",
+        F.timestamp_millis(_ts_ms_col(F.col("timestamp"))).alias("ts"),
+        buckets.alias("buckets"),
+        F.coalesce("underflow", F.lit(0)).alias("underflow"),
+        F.coalesce("overflow", F.lit(0)).alias("overflow"),
+        "tags",
+    )

@@ -172,3 +172,48 @@ def test_rollup_stream(spark):
             assert q.exception() is None
         finally:
             q.stop()
+
+
+def test_rollup_json_parse(spark):
+    from opentsdb_spark.streaming.ingest import parse_rollup_json
+
+    lines = spark.createDataFrame(
+        [('{"metric":"m","timestamp":1356998400,"value":"42.5","tags":{"h":"a"},'
+          '"interval":"1h","aggregator":"SUM"}',), ("not json",)],
+        "value string",
+    )
+    out = parse_rollup_json(lines).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["aggregator"] == "sum" and r["value"] == 42.5 and r["interval"] == "1h"
+    assert int(r["ts"].timestamp()) == 1356998400
+
+
+def test_histogram_json_parse(spark):
+    from opentsdb_spark.operators.histogram import histogram_percentile, merge_histograms
+    from opentsdb_spark.streaming.ingest import parse_histogram_json
+
+    lines = spark.createDataFrame(
+        [('{"metric":"msg.end2end.latency","timestamp":1356998400,'
+          '"buckets":{"0,10":40,"10,20":60},"underflow":0,"overflow":0,'
+          '"tags":{"host":"web01"}}',)],
+        "value string",
+    )
+    hists = parse_histogram_json(lines)
+    [r] = hists.collect()
+    assert [(b["lower"], b["upper"], b["count"]) for b in r["buckets"]] == [
+        (0.0, 10.0, 40), (10.0, 20.0, 60)]
+    merged = merge_histograms(hists, ("metric", "ts"))
+    p = histogram_percentile(merged, ("metric", "ts"), 50.0).collect()
+    assert p[0]["value"] == 15.0  # cum 40% < 50 -> bucket [10,20) midpoint
+
+
+def test_write_points_salted(spark, tmp_path):
+    from opentsdb_spark.sources.points import write_points
+
+    pts = _mk_points(spark, [("hot.metric", i, 1.0, f"h{i%3}") for i in range(100)])
+    p = str(tmp_path / "salted")
+    write_points(pts, p, salt_buckets=4)
+    back = spark.read.parquet(p)
+    assert back.count() == 100
+    assert "dt" in back.columns
