@@ -1025,6 +1025,14 @@ from opentsdb_spark.pipeline.text import (  # noqa: E402
     detect_language, fingerprint_docs, quality_scores, token_counts,
 )
 
+def _docs(spark, sf_dir):
+    """documents table spread across cores — the single small parquet file
+    otherwise yields a 1-partition plan that serializes all per-doc work."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 _WORDS = "list_transform(string_split_regex(lower(text), '\\s+'), w -> w)"
 _STOP_SQL = "['the','a','of','and','is','to','in']"
 
@@ -1035,7 +1043,7 @@ _STOP_SQL = "['the','a','of','and','is','to','in']"
        FROM documents GROUP BY text""",
 )
 def dedup_exact(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_dedup(docs)
 
 
@@ -1061,7 +1069,7 @@ def dedup_exact(spark, sf_dir):
         FROM j WHERE jac >= 0.1""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = ngram_jaccard_pairs(docs, n=5, threshold=0.1, max_df=50)
     return out.select("id_a", "id_b", _vr(F.col("jaccard")).alias("jaccard_r"))
 
@@ -1085,7 +1093,7 @@ _DSR = RND.format(f"CAST(len(list_distinct({_WORDS})) AS DOUBLE) / " + _NW)
         FROM documents""",
 )
 def text_quality(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = quality_scores(docs)
     return out.select(
         "doc_id",
@@ -1120,7 +1128,7 @@ _SCORES_SQL = ", ".join(
         FROM s""",
 )
 def text_langid(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = detect_language(docs)
     return out.select("doc_id", "score_de", "score_en", "score_es", "score_fr", "predicted_lang")
 
@@ -1133,7 +1141,7 @@ def text_langid(spark, sf_dir):
         FROM documents""",
 )
 def text_tokens(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = token_counts(docs)
     return out.select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
                       F.col("bpe_pieces").cast("long").alias("bpe_pieces"))
@@ -1182,7 +1190,7 @@ def ann_bruteforce_top5(spark, sf_dir):
        FROM documents""",
 )
 def multimodal_bytes(spark, sf_dir):
-    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    media = docs_as_media(_docs(spark, sf_dir))
     feats = extract_features(media, decoder="fake")
     return feats.select("media_id", "kind", "n_bytes")
 
@@ -1193,13 +1201,13 @@ def multimodal_bytes(spark, sf_dir):
 
 @register("dedup_minhash_lsh", None)
 def dedup_minhash_lsh(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.35)
 
 
 @register("dedup_simhash", None)
 def dedup_simhash(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash_pairs(docs, max_hamming=10)
 
 
@@ -1218,7 +1226,7 @@ def ann_lsh_top5(spark, sf_dir):
 
 @register("text_fingerprint", None)
 def text_fingerprint(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = fingerprint_docs(docs, k=5, num_mins=4)
     return out.select("doc_id", F.col("fingerprint").cast("array<string>").alias("fingerprint"),
                       "distinct_grams")
@@ -1226,7 +1234,7 @@ def text_fingerprint(spark, sf_dir):
 
 @register("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
-    media = docs_as_media(load_table(spark, sf_dir, "documents"))
+    media = docs_as_media(_docs(spark, sf_dir))
     return extract_features(media, decoder="fake")
 
 

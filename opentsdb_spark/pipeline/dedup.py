@@ -43,6 +43,21 @@ def _word_ngrams(col, n: int):
     )
 
 
+def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, grams) with the tokenizer materialized as its own projection —
+    inlining split() into the transform lambda makes codegen re-split the
+    text once per n-gram (O(len²) per doc); staging it as a bound column
+    attribute evaluates it once per row."""
+    words = docs.select(id_col, F.split(F.col(content_col), r"\s+").alias("__w"))
+    if n == 1:
+        return words.select(id_col, F.array_distinct("__w").alias("grams"))
+    idx = F.sequence(F.lit(0), F.size("__w") - n)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice("__w", i + 1, n), " "))
+    )
+    return words.select(id_col, grams.alias("grams"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -60,7 +75,7 @@ def ngram_jaccard_pairs(
     docs than the cap from CANDIDATE GENERATION only (the Jaccard itself is
     exact over full gram sets) — pairs linked solely by ultra-common grams
     are below any useful threshold anyway. Empty documents never pair."""
-    g = docs.select(id_col, _word_ngrams(F.col(content_col), n).alias("grams"))
+    g = _gram_frame(docs, content_col, id_col, n)
     # candidate generation joins on xxhash64(gram), not the (long) gram
     # string — 8-byte shuffle keys; the exact Jaccard re-rank uses the real
     # gram sets so a hash collision can only add a candidate, never a result
@@ -101,9 +116,9 @@ def minhash_signature(docs: DataFrame, content_col: str = "text", id_col: str = 
         x = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 64)
         return x - (1 << 64) if x >= (1 << 63) else x
 
-    grams = _word_ngrams(F.col(content_col), shingle_n)
-    exploded = docs.select(
-        id_col, F.explode(F.transform(grams, lambda s: F.xxhash64(s))).alias("__h")
+    g = _gram_frame(docs, content_col, id_col, shingle_n)
+    exploded = g.select(
+        id_col, F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("__h")
     )
     mins = [
         F.min(F.col("__h").bitwiseXOR(F.lit(_c(i)))).alias(f"m{i}")
