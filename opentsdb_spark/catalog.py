@@ -1307,3 +1307,55 @@ def uid_metrics_listing(spark, sf_dir):
         F.unix_millis("first_seen").alias("first_ms"),
         F.unix_millis("last_seen").alias("last_ms"),
     )
+
+
+def _aligned_sql_expr(metric: str, per_series_agg: str, cross_expr: str) -> str:
+    return f"""WITH f AS (
+          SELECT {U} AS user, {K} AS k, {BIG} AS big, value, {H_SEC} AS b
+          FROM events
+          WHERE event_type = '{metric}' AND {U} IN ('1','2','3')
+        ),
+        s AS (SELECT DISTINCT user, k, big FROM f),
+        g AS (SELECT s.user, s.k, s.big, gs.b
+              FROM s CROSS JOIN (SELECT unnest(generate_series({START_SEC}, {END_SEC - 3600}, 3600)) AS b) gs),
+        p AS (SELECT user, k, big, b, {per_series_agg}(value) AS v FROM f GROUP BY ALL)
+        SELECT '{metric}' AS metric, g.user, CAST(g.b AS BIGINT) AS ts_sec,
+               {RND.format(cross_expr)} AS value_r
+        FROM g LEFT JOIN p ON g.user = p.user AND g.k = p.k
+               AND g.big IS NOT DISTINCT FROM p.big AND g.b = p.b
+        GROUP BY g.user, g.b"""
+
+
+@register(
+    "tsdb_agg_median_aligned_1h",
+    _aligned_sql_expr("click", "avg", "median(coalesce(p.v, 0.0))"),
+)
+def tsdb_agg_median_aligned_1h(spark, sf_dir):
+    return _aligned_query(spark, sf_dir, "click", "avg", "median")
+
+
+@register(
+    "tsdb_agg_p95_aligned_1h",
+    _aligned_sql_expr("view", "avg", "quantile_cont(coalesce(p.v, 0.0), 0.95)"),
+)
+def tsdb_agg_p95_aligned_1h(spark, sf_dir):
+    return _aligned_query(spark, sf_dir, "view", "avg", "p95")
+
+
+@register(
+    "tsdb_agg_mult_aligned_1h",
+    _aligned_sql_expr("signup", "max", "product(coalesce(p.v, 1.0))"),
+)
+def tsdb_agg_mult_aligned_1h(spark, sf_dir):
+    """mult across series; empty grid slots fill 1.0 (scalar fill) so the
+    product ignores missing series-buckets."""
+    tsq = TSQuery(
+        start=START_SEC, end=END_SEC,
+        queries=(SubQuery(
+            metric="signup", aggregator="mult",
+            downsample=DownsampleSpec(3_600_000, "max", fill="scalar", fill_scalar=1.0),
+            filters=(TagFilter("literal_or", "user", "1|2|3", group_by=True),),
+        ),),
+    )
+    [r] = compile_query(_pts(spark, sf_dir), tsq)
+    return r.df.select("metric", "user", _ts_sec(), _vr(F.col("value")))

@@ -219,3 +219,18 @@ def parse_histogram_json(lines: DataFrame, col: str = "value") -> DataFrame:
         F.coalesce("overflow", F.lit(0)).alias("overflow"),
         "tags",
     )
+
+
+def compact_points(spark: SparkSession, path: str, out_path: str,
+                   target_partitions: int | None = None) -> None:
+    """Maintenance compaction: rewrite the append-only point table with
+    last-write-wins dedup and coalesced files — the batch analog of the
+    reference's CompactionQueue (src/core/CompactionQueue.java:40-80, which
+    rewrites a row's many cells into one) plus small-file OPTIMIZE."""
+    df = spark.read.parquet(path)
+    cols = [c for c in df.columns if c not in ("dt", "hr")]
+    deduped = dedup_last_write_wins(df.select(*cols))
+    out = deduped.withColumn("dt", F.to_date("ts"))
+    if target_partitions:
+        out = out.coalesce(target_partitions)
+    out.write.mode("overwrite").partitionBy("dt").parquet(out_path)

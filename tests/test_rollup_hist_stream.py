@@ -217,3 +217,18 @@ def test_write_points_salted(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 100
     assert "dt" in back.columns
+
+
+def test_compact_points(spark, tmp_path):
+    from opentsdb_spark.streaming.ingest import compact_points
+    from opentsdb_spark.sources.points import write_points
+
+    pts = _mk_points(spark, [("m", i, float(i), "a") for i in range(50)])
+    dup = pts.union(pts.withColumn("value", F.col("value") + 1000))  # duplicates
+    src = str(tmp_path / "raw"); dst = str(tmp_path / "compacted")
+    dup2 = dup.withColumn("value_long", F.lit(None).cast("long"))
+    write_points(dup2, src)
+    compact_points(spark, src, dst, target_partitions=2)
+    back = spark.read.parquet(dst)
+    assert back.count() == 50  # LWW dedup kept one point per (series, ts)
+    assert back.agg(F.min("value")).collect()[0][0] == 1000.0  # max-value tiebreak
