@@ -200,12 +200,17 @@ def simhash(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") 
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
     content_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates collide on one of four 16-bit
-    bands (pigeonhole: hamming<=3 guarantees a matching band), verified by
-    exact Hamming distance via bit_count(xor)."""
+    bands, verified by exact Hamming distance via bit_count(xor).
+
+    Exhaustive for max_hamming <= 3 (pigeonhole over 4 bands); beyond that
+    recall < 1 by construction. ``max_bucket`` drops band buckets holding
+    more docs than the cap — a hot bucket (near-identical corpus slice)
+    would otherwise cost |bucket|² at candidate generation."""
     sh = simhash(docs, content_col, id_col)
     banded = sh.select(
         id_col, "simhash",
@@ -221,6 +226,13 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bh")
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy("band", "bh").count()
+            .where(F.col("count") <= max_bucket)
+            .select("band", "bh")
+        )
+        banded = banded.join(keep, on=["band", "bh"], how="leftsemi")
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "band", "bh")
     cands = (

@@ -1,0 +1,80 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's TSD computes rate-of-change on the fly while serving a
+query (src/core/RateSpan.java) — in a continuous pipeline that becomes a
+stateful stream: to emit a rate for each arriving point you must remember
+the previous (timestamp, value) PER SERIES across micro-batches. That is
+exactly GroupState; everything else in this engine is stateless DataFrame
+ops, so this module is deliberately the only custom-state code.
+
+State size is O(#live series) × 16 bytes — bounded, no watermark needed
+(matching the reference: a series' last point never expires while the TSD
+runs; pass a GroupStateTimeout if series churn matters).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("rate", T.DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_ts_ms", T.LongType()), T.StructField("last_value", T.DoubleType())]
+)
+
+
+def _rate_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (series_id,) = key
+    if state.exists:
+        last_ts, last_v = state.get
+    else:
+        last_ts, last_v = None, None
+    out_rows: list[tuple[Any, ...]] = []
+    for pdf in batches:
+        pdf = pdf.sort_values("ts_ms")
+        for ts_ms, v in zip(pdf["ts_ms"], pdf["value"]):
+            if last_ts is not None and ts_ms > last_ts:
+                rate = (v - last_v) / ((ts_ms - last_ts) / 1000.0)
+                out_rows.append((series_id, pd.Timestamp(ts_ms, unit="ms"), rate))
+            last_ts, last_v = int(ts_ms), float(v)
+    if last_ts is not None:
+        state.update((last_ts, last_v))
+    yield pd.DataFrame(out_rows, columns=["series_id", "ts", "rate"])
+
+
+def streaming_rate(points: DataFrame) -> DataFrame:
+    """Continuous per-series rate over a point stream.
+
+    Input: streaming point frame (metric, ts, value, tags). Output stream:
+    (series_id, ts, rate) — one row per input point after the series' first
+    (the first has no predecessor; the reference's synthetic-zero quirk is
+    NOT reproduced here, matching our batch default)."""
+    from opentsdb_spark.sources.points import series_id_col
+
+    keyed = points.select(
+        series_id_col().alias("series_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value"),
+    )
+    return keyed.groupBy("series_id").applyInPandasWithState(
+        _rate_fn,
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -232,3 +232,36 @@ def test_compact_points(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 50  # LWW dedup kept one point per (series, ts)
     assert back.agg(F.min("value")).collect()[0][0] == 1000.0  # max-value tiebreak
+
+
+def test_streaming_stateful_rate(spark):
+    from opentsdb_spark.streaming.ingest import read_put_stream
+    from opentsdb_spark.streaming.stateful import streaming_rate
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "b1.txt"), "w") as f:
+            for i in range(5):
+                f.write(f"put m.cpu {EPOCH + 30 * i} {30.0 * i} host=web01\n")
+        stream = streaming_rate(read_put_stream(spark, path=src))
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("srate")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM srate ORDER BY ts").collect()
+            assert len(rows) == 4
+            assert all(abs(r["rate"] - 1.0) < 1e-9 for r in rows)
+            # second batch: state carries the last point across micro-batches
+            with open(os.path.join(src, "b2.txt"), "w") as f:
+                f.write(f"put m.cpu {EPOCH + 150} 180.0 host=web01\n")
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM srate ORDER BY ts").collect()
+            assert len(rows) == 5
+            assert abs(rows[-1]["rate"] - 2.0) < 1e-9  # (180-120)/30s
+        finally:
+            q.stop()
