@@ -209,3 +209,19 @@ ENDPOINTS = {
     "/api/version": handle_version,
     "/api/config": handle_config,
 }
+
+
+def handle_stats(spark, *_a) -> dict[str, Any]:
+    """/api/stats — engine counters (the reference reports TSD counters;
+    here: Spark executor/job metrics relevant to query serving)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    return {
+        "active_jobs": len(tracker.getActiveJobsIds()),
+        "default_parallelism": sc.defaultParallelism,
+        "executor_count": len([e for e in sc._jsc.sc().statusTracker().getExecutorInfos()]),
+        "applicationId": sc.applicationId,
+    }
+
+
+ENDPOINTS["/api/stats"] = handle_stats

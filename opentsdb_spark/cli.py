@@ -1,0 +1,132 @@
+"""Command-line interface — the reference's ``tsdb`` tool family.
+
+Reference: the shell wrapper dispatches to CliQuery / TextImporter /
+DumpSeries / UidManager (src/tools/*.java). Subcommands:
+
+    python -m opentsdb_spark.cli query   --start ... [--end ...] m_spec...
+    python -m opentsdb_spark.cli gexp    --start ... [--end ...] expression
+    python -m opentsdb_spark.cli import  FILE...
+    python -m opentsdb_spark.cli dump    --metric NAME [--out DIR]
+    python -m opentsdb_spark.cli suggest --type metrics|tagk|tagv [--q PREFIX]
+    python -m opentsdb_spark.cli uid     --kind metrics|tagk|tagv
+
+Points come from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.001)
+events, or --points-dir for a write_points-produced parquet layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark_and_points(args):
+    from opentsdb_spark.session import get_spark
+    from opentsdb_spark.sources.points import load_points
+
+    spark = get_spark("opentsdb-spark-cli")
+    if args.points_dir:
+        points = spark.read.parquet(args.points_dir)
+    else:
+        sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+        points = load_points(spark, sf_dir)
+    return spark, points
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="opentsdb-spark", description=__doc__)
+    ap.add_argument("--sf-dir", default=None, help="driver testdata dir (events as points)")
+    ap.add_argument("--points-dir", default=None, help="parquet point-table dir")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run m= sub-queries, print OpenTSDB JSON")
+    q.add_argument("--start", required=True)
+    q.add_argument("--end", default=None)
+    q.add_argument("--ascii", action="store_true", help="ASCII table instead of JSON")
+    q.add_argument("m", nargs="+", help="m= specs, e.g. 'sum:1h-avg:purchase{user=*}'")
+
+    g = sub.add_parser("gexp", help="run a gexp expression")
+    g.add_argument("--start", required=True)
+    g.add_argument("--end", default=None)
+    g.add_argument("exp")
+
+    imp = sub.add_parser("import", help="bulk-import text files (TextImporter format)")
+    imp.add_argument("--out", required=True, help="output parquet dir")
+    imp.add_argument("files", nargs="+")
+
+    d = sub.add_parser("dump", help="dump series as import-format text")
+    d.add_argument("--metric", default=None)
+    d.add_argument("--out", default=None, help="write lines here (else stdout, first 50)")
+
+    s = sub.add_parser("suggest", help="name autocomplete")
+    s.add_argument("--type", default="metrics", choices=["metrics", "tagk", "tagv"])
+    s.add_argument("--q", default="")
+
+    u = sub.add_parser("uid", help="uid registry listing")
+    u.add_argument("--kind", default="metrics", choices=["metrics", "tagk", "tagv"])
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "query":
+        from opentsdb_spark import api
+
+        spark, points = _spark_and_points(args)
+        req = {"start": args.start, "m": args.m}
+        if args.end:
+            req["end"] = args.end
+        out = api.handle_query(points, req)
+        if args.ascii:
+            from opentsdb_spark.serializer import ascii_table
+
+            print(ascii_table(out))
+        else:
+            print(json.dumps(out, indent=2))
+    elif args.cmd == "gexp":
+        from opentsdb_spark import api
+
+        spark, points = _spark_and_points(args)
+        req = {"exp": args.exp, "start": args.start}
+        if args.end:
+            req["end"] = args.end
+        print(json.dumps(api.handle_gexp(points, req), indent=2))
+    elif args.cmd == "import":
+        from opentsdb_spark.session import get_spark
+        from opentsdb_spark.sources.points import import_text, write_points
+
+        spark = get_spark("opentsdb-spark-cli")
+        df = import_text(spark, args.files[0] if len(args.files) == 1 else args.files)
+        write_points(df, args.out)
+        print(f"imported {spark.read.parquet(args.out).count()} points -> {args.out}")
+    elif args.cmd == "dump":
+        from pyspark.sql import functions as F
+
+        from opentsdb_spark.sources.points import dump_series
+
+        spark, points = _spark_and_points(args)
+        if args.metric:
+            points = points.where(F.col("metric") == args.metric)
+        lines = dump_series(points)
+        if args.out:
+            lines.write.mode("overwrite").text(args.out)
+            print(f"dumped -> {args.out}")
+        else:
+            for r in lines.limit(50).collect():
+                print(r["line"])
+    elif args.cmd == "suggest":
+        from opentsdb_spark import api
+
+        spark, points = _spark_and_points(args)
+        print(json.dumps(api.handle_suggest(points, {"type": args.type, "q": args.q})))
+    elif args.cmd == "uid":
+        from opentsdb_spark.operators.uid import uid_listing
+
+        spark, points = _spark_and_points(args)
+        for r in uid_listing(points, args.kind).orderBy("name").collect():
+            print(f"{r['name']}\t{r['points']}\t{r['first_seen']}\t{r['last_seen']}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,3 +62,23 @@ def serialize_subquery(result: CompiledSubQuery, ms_resolution: bool = False) ->
         assert cur is not None
         cur["dps"][str(t)] = r["value"]
     return out
+
+
+def ascii_table(results: list[dict[str, Any]], max_rows: int = 40) -> str:
+    """Render query results as an ASCII table (the reference's 'ascii'
+    serializer / CliQuery text output, src/tsd/GraphHandler.java:394-410)."""
+    lines = []
+    for series in results:
+        tags = ",".join(f"{k}={v}" for k, v in sorted(series["tags"].items()))
+        header = f"{series['metric']}{{{tags}}}"
+        if series.get("aggregateTags"):
+            header += f"  (aggregated: {','.join(series['aggregateTags'])})"
+        lines.append(header)
+        lines.append("-" * len(header))
+        for i, (ts, v) in enumerate(series["dps"].items()):
+            if i >= max_rows:
+                lines.append(f"... {len(series['dps']) - max_rows} more")
+                break
+            lines.append(f"{ts}  {v}")
+        lines.append("")
+    return "\n".join(lines)

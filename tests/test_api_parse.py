@@ -160,3 +160,30 @@ def test_uid_ops(fixture_points):
     assert df.where(F.map_contains_key("tags", "server")).count() == 600
     df = rename_tagv(fixture_points, "host", "web01", "w1")
     assert df.where(F.col("tags")["host"] == "w1").count() == 300
+
+
+def test_cli_in_process(spark, tmp_path, capsys):
+    from opentsdb_spark import cli
+
+    rc = cli.main(["--sf-dir", "/root/testdata/sf0.001", "query",
+                   "--start", "2024/01/01", "--end", "2024/02/01", "--ascii",
+                   "sum:1d-sum:purchase{user=literal_or(1)}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "purchase{user=1}" in out and "aggregated: k" in out
+    rc = cli.main(["--sf-dir", "/root/testdata/sf0.001", "suggest", "--type", "metrics"])
+    assert rc == 0
+    assert "purchase" in capsys.readouterr().out
+
+
+def test_handle_stats(spark):
+    out = api.handle_stats(spark)
+    assert out["default_parallelism"] >= 1 and "applicationId" in out
+
+
+def test_ascii_table():
+    from opentsdb_spark.serializer import ascii_table
+
+    txt = ascii_table([{"metric": "m", "tags": {"h": "a"}, "aggregateTags": ["k"],
+                        "dps": {"100": 1.5}}])
+    assert "m{h=a}" in txt and "100  1.5" in txt and "aggregated: k" in txt
