@@ -951,7 +951,7 @@ def hist_p95_daily(spark, sf_dir):
     f"""SELECT {SID} AS tsuid, {TS_MS} AS start_ms,
                CAST({TS_MS} + 3600000 AS BIGINT) AS end_ms, 'high-error' AS description
         FROM events
-        WHERE event_type = 'error' AND value > 190.0
+        WHERE event_type = 'error' AND value > 170.0
           AND {TS_MS} <= {START_MS + 14 * 86400000}
           AND {TS_MS} + 3600000 >= {START_MS + 7 * 86400000}""",
 )
@@ -962,7 +962,7 @@ def annotations_overlap(spark, sf_dir):
 
     anns = (
         _pts(spark, sf_dir)
-        .where((F.col("metric") == "error") & (F.col("value") > 190.0))
+        .where((F.col("metric") == "error") & (F.col("value") > 170.0))
         .select(
             series_id_col().alias("tsuid"),
             F.col("ts").alias("start_time"),
@@ -1359,3 +1359,63 @@ def tsdb_agg_mult_aligned_1h(spark, sf_dir):
     )
     [r] = compile_query(_pts(spark, sf_dir), tsq)
     return r.df.select("metric", "user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "tsdb_filter_iliteral_or",
+    f"""SELECT event_type AS metric, {SID} AS series_id, {TS_MS} AS ts_ms,
+               {RND.format('value')} AS value_r
+        FROM events
+        WHERE event_type = 'view' AND lower({K}) IN ('10','20','30')""",
+)
+def tsdb_filter_iliteral_or(spark, sf_dir):
+    tsq = TSQuery(
+        start=START_SEC, end=END_SEC,
+        queries=(SubQuery(metric="view", aggregator="none",
+                          filters=(TagFilter("iliteral_or", "k", "10|20|30"),)),),
+    )
+    [r] = compile_query(_pts(spark, sf_dir), tsq)
+    return r.df.select("metric", "series_id", _ts_ms(), _vr(F.col("value")))
+
+
+@register(
+    "tsdb_filter_not_iliteral_or",
+    f"""SELECT event_type AS metric, {SID} AS series_id, {TS_MS} AS ts_ms,
+               {RND.format('value')} AS value_r
+        FROM events
+        WHERE event_type = 'signup' AND lower({U}) NOT IN ('1','2','3','4')""",
+)
+def tsdb_filter_not_iliteral_or(spark, sf_dir):
+    tsq = TSQuery(
+        start=START_SEC, end=END_SEC,
+        queries=(SubQuery(metric="signup", aggregator="none",
+                          filters=(TagFilter("not_iliteral_or", "user", "1|2|3|4"),)),),
+    )
+    [r] = compile_query(_pts(spark, sf_dir), tsq)
+    return r.df.select("metric", "series_id", _ts_ms(), _vr(F.col("value")))
+
+
+@register(
+    "tsdb_rate_drop_resets",
+    f"""WITH d AS (
+          SELECT {SID} AS series_id, epoch_ms(ts) AS t, max(value) AS v
+          FROM events WHERE event_type = 'view'
+          GROUP BY {SID}, epoch_ms(ts)
+        ),
+        r AS (
+          SELECT series_id, t, v - lag(v) OVER w AS dv,
+                 (t - lag(t) OVER w) / 1000.0 AS dt
+          FROM d WINDOW w AS (PARTITION BY series_id ORDER BY t)
+        )
+        SELECT 'view' AS metric, series_id, CAST(t AS BIGINT) AS ts_ms,
+               {RND.format('dv / dt')} AS value_r
+        FROM r WHERE dv IS NOT NULL AND dv >= 0""",
+)
+def tsdb_rate_drop_resets(spark, sf_dir):
+    """Counter rate with dropResets: negative deltas are dropped entirely
+    (reference src/core/RateSpan.java:149-156)."""
+    df = _dedup(_pts(spark, sf_dir).where(F.col("metric") == "view"))
+    out = rate(df, RateOptions(counter=True, counter_max=10_000, drop_resets=True))
+    from opentsdb_spark.sources.points import series_id_col
+
+    return out.select("metric", series_id_col().alias("series_id"), _ts_ms(), _vr(F.col("value")))
