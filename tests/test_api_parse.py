@@ -206,3 +206,15 @@ def test_handle_exp(fixture_points):
     rows = {(r["host"], int(r["ts"].timestamp())): r["value"] for r in out["e"]}
     # a + b = 2x the 10m avg per host
     assert rows[("web01", EPOCH)] == pytest.approx(20.0)
+
+
+def test_handle_query_multi_m(fixture_points):
+    out = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 100_000,
+         "m": ["sum:10m-avg:sys.cpu.user{host=*}", "max:0all-max:sys.cpu.user"]},
+    )
+    # 2 series from the first sub-query + 1 collapsed series from the second
+    assert len(out) == 3
+    glob = [r for r in out if not r["tags"]][0]
+    assert glob["dps"][str(EPOCH)] == 300.0
