@@ -48,6 +48,7 @@ def cross_series_aggregate(
     group_tagks: tuple[str, ...] = (),
     aligned: bool = False,
     rate_mode: bool = False,
+    strategy: str = "pack",
 ) -> DataFrame:
     """Aggregate series at aligned timestamps within each group.
 
@@ -56,6 +57,15 @@ def cross_series_aggregate(
     group_by=true, src/core/TsdbQuery.java:675-689; no keys -> all series of
     the metric collapse into one group).
     Output: (metric, <tagk cols...>, ts, value).
+
+    strategy (when not aligned):
+      'pack'  one input scan; packs each series' points into arrays —
+              memory O(timestamps per group), the right choice whenever the
+              input was downsampled first (the reference's own practice —
+              its in-heap SpanGroup equally materializes the group)
+      'join'  unbounded grid join (3 derivations of the input sub-plan, more
+              shuffles) — choose for raw-resolution groups whose timestamp
+              count exceeds executor memory
     """
     agg = get_aggregator(aggregator) if isinstance(aggregator, str) else aggregator
     gcols = [F.col("tags").getItem(k).alias(f"tag_{k}") for k in group_tagks]
@@ -68,7 +78,12 @@ def cross_series_aggregate(
     interp = "prev" if (rate_mode and agg.interp == "lerp") else agg.interp
 
     if not aligned:
-        df = _interpolate_to_union_grid(df, gnames, interp)
+        if strategy == "pack":
+            df = _interpolate_to_union_grid(df, gnames, interp)
+        elif strategy == "join":
+            df = _interpolate_via_grid_join(df, gnames, interp)
+        else:
+            raise ValueError(f"strategy must be pack|join, got {strategy!r}")
 
     out = (
         df.groupBy(*gnames, "ts")
@@ -110,7 +125,26 @@ def _interpolate_to_union_grid(df: DataFrame, gnames: list[str], interp: str) ->
     pos = F.array_position(F.transform("pts", lambda p: p["t"]), F.col("ts"))
     value = F.when(pos > 0, F.element_at("pts", pos.cast("int"))["v"])
     joined = grid.withColumn("value", value).select(*gnames, "__sid", "ts", "value")
+    return _substitute_missing(joined, interp)
 
+
+def _interpolate_via_grid_join(df: DataFrame, gnames: list[str], interp: str) -> DataFrame:
+    """Unbounded-memory variant: distinct-ts x distinct-series grid left-
+    joined back onto the points. Re-executes the upstream sub-plan three
+    times but never materializes a group in memory — for raw-resolution
+    groups too large to pack."""
+    grid_ts = df.select(*gnames, "ts").distinct()
+    series = df.select(*gnames, "__sid").distinct()
+    grid = grid_ts.join(series, on=gnames)  # group-local cross product
+    joined = grid.join(
+        df.select(*gnames, "__sid", "ts", "value"), on=[*gnames, "__sid", "ts"], how="left"
+    )
+    return _substitute_missing(joined, interp)
+
+
+def _substitute_missing(joined: DataFrame, interp: str) -> DataFrame:
+    """Per-series neighbor windows + interpolation substitution for
+    interior-missing grid slots (AggregationIterator.java:690-800)."""
     w = Window.partitionBy("__sid").orderBy("ts")
     w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_next = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)

@@ -160,20 +160,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "signature", "bb.band", "bb.bh")
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sa"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sb"), "band", "bh")
+    # dedup candidates on bare id pairs (8B keys), then re-join the
+    # signatures — dragging the 64-long signature arrays through the
+    # distinct shuffle costs ~64x the row width for nothing
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     cands = (
         a.join(b, on=["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sb"))
+    pairs = cands.join(sa, on="id_a").join(sb, on="id_b")
     est = (
         F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
         / F.lit(float(num_hashes))
     )
     return (
-        cands.withColumn("est_jaccard", est)
+        pairs.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

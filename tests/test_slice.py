@@ -162,3 +162,15 @@ def test_rate_mode_prev_interp(offset_points):
     out = cross_series_aggregate(offset_points, "sum", (), rate_mode=True)
     vals = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
     assert vals[30] == 20.0 + 5.0  # b uses prev value 5 (not lerp 7.5)
+
+
+def test_cross_series_strategies_agree(offset_points):
+    """pack and join interpolation strategies must produce identical output."""
+    for agg in ["sum", "zimsum", "pfsum", "mimmin"]:
+        a = cross_series_aggregate(offset_points, agg, (), strategy="pack")
+        b = cross_series_aggregate(offset_points, agg, (), strategy="join")
+        ra = sorted((int(r["ts"].timestamp()), r["value"]) for r in a.collect())
+        rb = sorted((int(r["ts"].timestamp()), r["value"]) for r in b.collect())
+        assert ra == rb, agg
+    with pytest.raises(ValueError):
+        cross_series_aggregate(offset_points, "sum", (), strategy="bogus")
