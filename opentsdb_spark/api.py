@@ -225,3 +225,13 @@ def handle_stats(spark, *_a) -> dict[str, Any]:
 
 
 ENDPOINTS["/api/stats"] = handle_stats
+
+
+def handle_dropcaches(spark, *_a) -> dict[str, str]:
+    """/api/dropcaches — clears Spark's SQL plan/data caches (the reference
+    drops its UID LRU caches; we have no UID caches by design)."""
+    spark.catalog.clearCache()
+    return {"status": "200", "message": "caches dropped"}
+
+
+ENDPOINTS["/api/dropcaches"] = handle_dropcaches

@@ -63,9 +63,22 @@ def downsample(
             raise ValueError("'0all' downsample requires query start")
         bucket = F.timestamp_millis(F.lit(start_ms))
     elif spec.calendar:
-        if spec.calendar_n != 1:
-            raise NotImplementedError("calendar downsample supports N=1 (e.g. '1dc')")
-        bucket = calendar_bucket_col(F.col("ts"), spec.calendar_unit or "d", spec.timezone)
+        if spec.calendar_n == 1:
+            bucket = calendar_bucket_col(F.col("ts"), spec.calendar_unit or "d", spec.timezone)
+        elif spec.calendar_unit in ("m", "h"):
+            # N-multiple sub-day calendar buckets ('15mc', '6hc'): floor the
+            # LOCAL wall-clock epoch to N*unit, shift back to UTC — aligned
+            # to local midnight like the reference's Calendar stepping
+            # (DownsamplingSpecification.java:135-147)
+            unit_ms = 60_000 if spec.calendar_unit == "m" else 3_600_000
+            step = spec.calendar_n * unit_ms
+            local_ms = F.unix_millis(F.from_utc_timestamp(F.col("ts"), spec.timezone))
+            floored = F.timestamp_millis(local_ms - local_ms % F.lit(step))
+            bucket = F.to_utc_timestamp(floored, spec.timezone)
+        else:
+            raise NotImplementedError(
+                "calendar downsample supports N=1 for d/w/n/y and any N for m/h"
+            )
     else:
         bucket = bucket_col(F.col("ts"), spec.interval_ms)
 

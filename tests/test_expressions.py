@@ -135,3 +135,24 @@ def test_exp_query_end_to_end(fixture_points):
     assert hosts == {"web01", "web02"}
     first_web01 = [r for r in rows if r["host"] == "web01"][0]
     assert first_web01["value"] == pytest.approx(10.0)  # mean(1..19) + 0
+
+
+def test_exp_query_dag_chaining(fixture_points):
+    """An expression may reference a previous expression's result
+    (the reference's jgrapht DAG of ExpressionIterators)."""
+    eq = ExpQuery(
+        start=EPOCH, end=EPOCH + 100_000,
+        metrics=(
+            ExpMetric(id="a", metric="sys.cpu.user", aggregator="zimsum",
+                      downsample=DownsampleSpec(600_000, "avg"),
+                      filters=(TagFilter("literal_or", "host", "web01", group_by=True),)),
+        ),
+        expressions=(
+            ExpExpression(id="double", expr="a * 2", join=ExpJoin("union"),
+                          fill_policies={"a": FillPolicy("zero")}),
+            ExpExpression(id="quad", expr="double * 2", join=ExpJoin("union")),
+        ),
+    )
+    res = compile_exp_query(fixture_points, eq)
+    rows = {int(r["ts"].timestamp()): r["value"] for r in res["quad"].collect()}
+    assert rows[EPOCH] == pytest.approx(40.0)  # mean(1..19)=10 -> x4

@@ -149,3 +149,19 @@ def test_calendar_week_and_month(spark):
     [r] = out.collect()
     # Spark date_trunc('week') -> Monday 2013-01-07
     assert int(r["ts"].timestamp() * 1000) == BASE + 6 * 86_400_000
+
+
+def test_calendar_multi_hour(spark):
+    """'6hc' in a -05:00 zone: buckets anchor at local midnight (05:00Z)."""
+    rows = [("m", BASE + h * 3600_000, 1.0, {"h": "a"}) for h in (5, 7, 12)]
+    df = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double, tags map<string,string>"
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+    spec = DownsampleSpec(6 * 3600_000, "sum", calendar=True, calendar_unit="h",
+                          calendar_n=6, timezone="America/New_York")
+    out = downsample(df, spec)
+    buckets = sorted((int(r["ts"].timestamp() * 1000), r["value"]) for r in out.collect())
+    # local midnight = BASE+5h (00:00 EST); 05Z,07Z -> [23:00 prev local 6h?]:
+    # local hours 0,2 -> bucket [00:00,06:00) local = BASE+5h UTC; 12Z = 07:00
+    # local -> bucket [06:00,12:00) local = BASE+11h UTC
+    assert buckets == [(BASE + 5 * 3600_000, 2.0), (BASE + 11 * 3600_000, 1.0)]

@@ -265,3 +265,35 @@ def test_streaming_stateful_rate(spark):
             assert abs(rows[-1]["rate"] - 2.0) < 1e-9  # (180-120)/30s
         finally:
             q.stop()
+
+
+def test_rollup_stream_emits_closed_windows(spark):
+    """Append-mode rollup rows appear once the watermark passes the window
+    (second batch far in the future closes the first hour)."""
+    from opentsdb_spark.streaming.ingest import read_put_stream, rollup_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "b1.txt"), "w") as f:
+            for i in range(4):
+                f.write(f"put m.cpu {EPOCH + 60 * i} {10 * (i + 1)}.0 host=web01\n")
+        stream = rollup_stream(read_put_stream(spark, path=src), "1 hour", "0 seconds")
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("rollup_close")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            with open(os.path.join(src, "b2.txt"), "w") as f:
+                f.write(f"put m.cpu {EPOCH + 7200} 1.0 host=web01\n")  # advances watermark
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT aggregator, value FROM rollup_close ORDER BY aggregator"
+            ).collect()
+            got = {r["aggregator"]: r["value"] for r in rows}
+            assert got == {"sum": 100.0, "count": 4.0, "min": 10.0, "max": 40.0}
+        finally:
+            q.stop()
