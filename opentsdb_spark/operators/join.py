@@ -136,6 +136,6 @@ def evaluate_expression(joined: DataFrame, expr: str, variables: tuple[str, ...]
         expr,
     )
     # the reference evaluates JEXL (non-ANSI: x/0 -> Inf/NaN, not an error);
-    # classic Spark SQL semantics are the closest match (x/0 -> NULL)
-    joined.sparkSession.conf.set("spark.sql.ansi.enabled", "false")
+    # classic Spark SQL semantics are the closest match (x/0 -> NULL). The
+    # conf is owned by session.py / sources.load_table — no mutation here.
     return joined.withColumn("value", F.expr(rewritten).cast("double"))

@@ -74,7 +74,12 @@ def _parse_rate(token: str) -> RateOptions:
     m = re.match(r"^rate\{(.*)\}$", token)
     if not m:
         raise ValueError(f"bad rate spec {token!r}")
-    parts = [p.strip() for p in m.group(1).split(",") if p.strip() != ""]
+    # positions are significant: empty slots mean "default" (reference
+    # QueryRpc.parseRateOptions:775-783 checks parts[i].length() > 0), so
+    # 'rate{counter,,1000}' = counter, max=Long.MAX_VALUE, reset=1000
+    parts = [p.strip() for p in m.group(1).split(",")]
+    if parts == [""]:
+        parts = []
     counter = bool(parts) and parts[0].startswith("counter")
     drop = bool(parts) and parts[0] == "dropcounter"
     cmax = int(parts[1]) if len(parts) > 1 and parts[1] else (1 << 63) - 1

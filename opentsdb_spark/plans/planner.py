@@ -42,6 +42,39 @@ class CompiledSubQuery:
     source_df: DataFrame | None = None
 
 
+def time_range_predicate(points: DataFrame, start_ms: int, end_ms: int) -> Column:
+    """Parquet-pushable time-range predicate.
+
+    The raw ``ts`` column is compared against timestamp LITERALS — never
+    wrapped in a function — so Catalyst pushes ``ts >= X AND ts <= Y`` into
+    the scan (row-group min/max pruning; the Spark analog of the reference's
+    row-key start/stop scan bounds, src/core/TsdbQuery.java:795-830).
+
+    When the frame carries the ``write_points`` layout columns (``dt`` date
+    partition, optional ``hr`` hour partition) the same range is re-expressed
+    over them too, which Spark turns into partition pruning — whole date/hour
+    directories are skipped, mirroring the reference's coarse 1-hour row-span
+    filtering (src/core/Const.java:94-95).
+    """
+    pred = F.col("ts").between(
+        F.timestamp_millis(F.lit(start_ms)), F.timestamp_millis(F.lit(end_ms))
+    )
+    cols = set(points.columns)
+    if "dt" in cols:
+        start_d = F.to_date(F.timestamp_millis(F.lit(start_ms)))
+        end_d = F.to_date(F.timestamp_millis(F.lit(end_ms)))
+        pred = pred & F.col("dt").between(start_d, end_d)
+        if "hr" in cols:
+            # hour pruning: exact when the range is within one UTC day,
+            # conservative (hour-of-day envelope) otherwise
+            one_day = (end_ms // 86_400_000) == (start_ms // 86_400_000)
+            if one_day:
+                start_h = (start_ms // 3_600_000) % 24
+                end_h = (end_ms // 3_600_000) % 24
+                pred = pred & F.col("hr").between(F.lit(start_h), F.lit(end_h))
+    return pred
+
+
 def _tag_predicates(q: SubQuery) -> Column | None:
     pred: Column | None = None
     tags = F.col("tags")
@@ -67,9 +100,10 @@ def compile_subquery(
     timezone: str = "UTC",
 ) -> CompiledSubQuery:
     """Compile one m= sub-query against a point frame."""
-    df = points.where(
-        (F.unix_millis("ts") >= start_ms) & (F.unix_millis("ts") <= end_ms)
-    ).where(F.col("metric") == q.metric)
+    df = points.where(time_range_predicate(points, start_ms, end_ms)).where(
+        F.col("metric") == q.metric
+    )
+    df = df.drop("dt", "hr")  # partition-layout columns, consumed by the filter
 
     if q.tsuids:
         # TSUID-direct query (reference src/core/TsdbQuery.java:552-571)

@@ -63,6 +63,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # JEXL-like expression semantics (x/0 -> NULL, not an ANSI error) for any
+    # externally-built session; session.py sets the same at build time. This
+    # is the ONE sanctioned runtime-conf site besides session.py.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — double division would lose ns precision at 1e18
@@ -168,6 +172,15 @@ def write_points(
     if salt_buckets > 0:
         out = out.repartition(salt_buckets, F.pmod(F.xxhash64(series_id_col()), F.lit(salt_buckets)))
     out.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def read_points(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ``write_points`` layout back, KEEPING the ``dt``/``hr``
+    partition columns so the planner's ``time_range_predicate`` can emit
+    partition-pruning predicates over them (whole date/hour directories are
+    skipped before any file is opened). The planner drops them after the
+    filter so downstream operators see the pure point schema."""
+    return spark.read.parquet(path)
 
 
 def parse_import_lines(lines: DataFrame, col: str = "value") -> DataFrame:

@@ -27,6 +27,19 @@ def test_parse_m_subquery_full():
     assert f["k"].type == "regexp" and not f["k"].group_by
 
 
+def test_parse_rate_empty_positional_slots():
+    # empty slots are positional defaults (reference QueryRpc.
+    # parseRateOptions:775-783): 'rate{counter,,1000}' keeps max=Long.MAX
+    q = parse_m_subquery("sum:rate{counter,,1000}:m1")
+    assert q.rate == RateOptions(
+        counter=True, counter_max=(1 << 63) - 1, reset_value=1000
+    )
+    q = parse_m_subquery("sum:rate{}:m1")
+    assert q.rate == RateOptions()
+    q = parse_m_subquery("sum:rate{dropcounter}:m1")
+    assert q.rate.drop_resets and q.rate.counter
+
+
 def test_parse_m_subquery_minimal():
     q = parse_m_subquery("avg:sys.cpu.user")
     assert q.aggregator == "avg" and q.metric == "sys.cpu.user"

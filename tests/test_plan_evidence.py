@@ -1,0 +1,104 @@
+"""Plan-shape evidence tests: pushed filters, partition pruning, no
+single-partition windows. These assert the SCALE posture, not just answers
+(SURVEY.md §7 — every operator must keep its physical plan honest at 100 TB).
+"""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from opentsdb_spark.model import SubQuery, TSQuery  # noqa: E402
+from opentsdb_spark.plans.planner import compile_query, compile_subquery  # noqa: E402
+from opentsdb_spark.sources.points import read_points, write_points  # noqa: E402
+
+from .conftest import EPOCH  # noqa: E402
+
+
+def _plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _mk_days(spark, days=5, per_day=48):
+    rows = []
+    for d in range(days):
+        for i in range(per_day):
+            ts = (EPOCH + d * 86400 + i * 1800) * 1000
+            rows.append(("sys.cpu.user", ts, float(d * 1000 + i), {"host": f"web{i % 3}"}))
+    df = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double, tags map<string,string>"
+    )
+    return df.select(
+        "metric",
+        F.timestamp_millis("ts_ms").alias("ts"),
+        "value",
+        F.lit(None).cast("long").alias("value_long"),
+        "tags",
+    )
+
+
+def test_time_range_pushed_and_partition_pruned(spark, tmp_path):
+    """The single biggest 100-TB lever: the ts range must reach the Parquet
+    scan (row-group pruning) AND the dt partition column (directory pruning).
+    Reference analog: row-key start/stop scan bounds, TsdbQuery.java:795-830."""
+    path = str(tmp_path / "pts")
+    write_points(_mk_days(spark), path)
+    pts = read_points(spark, path)
+
+    # query day 2 only
+    start_ms = (EPOCH + 2 * 86400) * 1000
+    end_ms = (EPOCH + 3 * 86400) * 1000 - 1
+    tsq = TSQuery(
+        start=start_ms // 1000,
+        end=end_ms // 1000,
+        queries=(SubQuery(metric="sys.cpu.user", aggregator="none"),),
+    )
+    [r] = compile_query(pts, tsq)
+    plan = _plan(r.df)
+
+    # pushed row-group range on ts (not just IsNotNull)
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(ts" in ln for ln in pushed), pushed
+    assert any("LessThanOrEqual(ts" in ln for ln in pushed), pushed
+    # partition pruning on dt
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and any("dt" in ln for ln in part), part
+
+    rows = r.df.collect()
+    assert len(rows) == 48  # exactly one day's points survived
+    assert all(start_ms <= row["ts"].timestamp() * 1000 <= end_ms for row in rows)
+    assert "dt" not in r.df.columns  # layout columns dropped post-filter
+
+
+def test_hour_partition_pruning_same_day(spark, tmp_path):
+    path = str(tmp_path / "pts_hr")
+    write_points(_mk_days(spark, days=2), path, partition_hours=True)
+    pts = read_points(spark, path)
+
+    start_ms = (EPOCH + 6 * 3600) * 1000
+    end_ms = (EPOCH + 8 * 3600) * 1000 - 1
+    r = compile_subquery(
+        pts, SubQuery(metric="sys.cpu.user", aggregator="none"), start_ms, end_ms
+    )
+    plan = _plan(r.df)
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and any("hr" in ln for ln in part), part
+    assert r.df.count() == 4  # 2 hours x 2 points/hour
+
+
+def test_topk_no_global_single_partition_window(spark):
+    """highestMax must compile to TakeOrderedAndProject (distributed top-n),
+    never an unpartitioned Window (single-partition sort)."""
+    from opentsdb_spark.operators.topk import highest_max
+
+    pts = _mk_days(spark, days=1).withColumn("host", F.col("tags")["host"])
+    out = highest_max(pts, ("host",), 2)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan.split("TakeOrderedAndProject")[0]
