@@ -32,6 +32,7 @@ from opentsdb_spark.model import (
 )
 from opentsdb_spark.operators.metadata import SUGGEST_MAX, last_points, lookup, suggest
 from opentsdb_spark.parse import parse_gexp, parse_query
+from opentsdb_spark.plans.limits import enforce_data_point_limit, request_limit
 from opentsdb_spark.plans.planner import compile_query
 from opentsdb_spark.serializer import serialize_subquery
 from opentsdb_spark.timeparse import parse_datetime_ms, parse_duration_ms
@@ -82,8 +83,9 @@ def handle_query(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     """GET (params with m=) or POST (queries body) /api/query."""
     tsq = _tsquery_from_body(request) if "queries" in request else parse_query(request)
     out: list[dict[str, Any]] = []
+    limit = request_limit(request)
     for res in compile_query(points, tsq):
-        out.extend(serialize_subquery(res, tsq.ms_resolution))
+        out.extend(serialize_subquery(res, tsq.ms_resolution, limit))
     return out
 
 
@@ -94,6 +96,7 @@ def handle_gexp(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     end = parse_datetime_ms(request.get("end"), now_ms=now)
     df = parse_gexp(request["exp"], points, start, end, request.get("timezone", "UTC"))
     gcols = [c for c in df.columns if c not in ("ts", "value", "alias")]
+    enforce_data_point_limit(df, request_limit(request))
     rows = df.orderBy(*gcols, "ts").collect()
     out: list[dict[str, Any]] = []
     cur_key, cur = None, None
@@ -144,8 +147,10 @@ def handle_exp(points: DataFrame, body: dict) -> dict[str, list[dict]]:
                   expressions=exprs, outputs=tuple(o["id"] for o in body.get("outputs", [])))
     results = compile_exp_query(points, eq)
     out = {}
+    limit = request_limit(body)
     for eid, df in results.items():
         gcols = [c for c in df.columns if c not in ("ts", "value")]
+        enforce_data_point_limit(df, limit)
         out[eid] = [r.asDict() for r in df.orderBy(*gcols, "ts").collect()]
     return out
 
@@ -154,6 +159,7 @@ def handle_last(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     back_scan = request.get("back_scan")
     back_ms = parse_duration_ms(f"{back_scan}h") if back_scan else None
     df = last_points(points, request.get("metric"), back_ms, request.get("_now_ms"))
+    enforce_data_point_limit(df, request_limit(request))
     return [r.asDict() for r in df.collect()]
 
 
@@ -166,6 +172,7 @@ def handle_suggest(points: DataFrame, request: dict) -> list[str]:
 def handle_lookup(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     tags = {t["key"]: t.get("value") for t in request.get("tags", [])}
     df = lookup(points, request.get("metric"), tags)
+    enforce_data_point_limit(df, request_limit(request))
     return [
         {"series_id": r["series_id"], "metric": r["metric"], "tags": dict(r["tags"])}
         for r in df.collect()
@@ -182,6 +189,7 @@ def handle_annotation_query(annotations: DataFrame, request: dict) -> list[dict[
         tsuids=tuple(request.get("tsuids", ())),
         include_global=bool(request.get("global", True)),
     )
+    enforce_data_point_limit(df, request_limit(request))
     return [r.asDict() for r in df.collect()]
 
 

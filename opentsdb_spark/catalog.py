@@ -268,6 +268,82 @@ def tsdb_ds_1d_calendar_sum(spark, sf_dir):
 
 
 @register(
+    "tsdb_ds_2d_calendar_sum_tz",
+    # 2dc in America/New_York: buckets anchored at Jan 1 of each point's
+    # LOCAL year, stepped 2 days (DateTime.previousInterval year-reset
+    # semantics). January 2024 is entirely EST, so local = ts - 5h exactly.
+    f"""WITH l AS (
+          SELECT event_type AS metric, {U} AS user, value,
+                 ts - INTERVAL 5 HOUR AS lt
+          FROM events WHERE event_type = 'view'
+        ),
+        b AS (
+          SELECT metric, user, value,
+                 date_trunc('year', lt)
+                   + to_days(CAST((dayofyear(lt) - 1) // 2 * 2 AS INT)) AS lb
+          FROM l
+        )
+        SELECT metric, user,
+               CAST(epoch_ms(lb + INTERVAL 5 HOUR) // 1000 AS BIGINT) AS ts_sec,
+               {RND.format('sum(value)')} AS value_r
+        FROM b GROUP BY metric, user, lb""",
+)
+def tsdb_ds_2d_calendar_sum_tz(spark, sf_dir):
+    df = _pts(spark, sf_dir).where(F.col("metric") == "view")
+    spec = DownsampleSpec(
+        2 * 86_400_000, "sum", calendar=True, calendar_unit="d", calendar_n=2,
+        timezone="America/New_York",
+    )
+    per_series = downsample(df, spec)
+    out = (
+        per_series.select("metric", _tag("user"), "ts", "value")
+        .groupBy("metric", "user", "ts")
+        .agg(F.sum("value").alias("value"))
+    )
+    return out.select("metric", "user", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
+    "tsdb_ds_1d_calendar_max_zero_tz",
+    # 1dc-max-zero in America/New_York: calendar-day grid over the whole
+    # query range per series (FillingDownsampler.java:25-120), local days
+    # 2023-12-31 .. 2024-01-31 (32 buckets), zero-filled empties.
+    f"""WITH f AS (
+          SELECT {U} AS user, {K} AS k, {BIG} AS big, value,
+                 CAST(epoch_ms(date_trunc('day', ts - INTERVAL 5 HOUR)) // 1000
+                      + 18000 AS BIGINT) AS b
+          FROM events WHERE event_type = 'signup' AND {U} IN ('1','2','3')
+        ),
+        s AS (SELECT DISTINCT user, k, big FROM f),
+        g AS (SELECT s.user, s.k, s.big,
+                     CAST(epoch_ms(gs.d) // 1000 + 18000 AS BIGINT) AS b
+              FROM s CROSS JOIN (
+                SELECT unnest(generate_series(TIMESTAMP '2023-12-31',
+                       TIMESTAMP '2024-01-31', INTERVAL 1 DAY)) AS d) gs),
+        p AS (SELECT user, k, big, b, max(value) AS v FROM f GROUP BY ALL)
+        SELECT 'signup' AS metric, g.user, g.k, g.big, g.b AS ts_sec,
+               {RND.format('coalesce(p.v, 0.0)')} AS value_r
+        FROM g LEFT JOIN p ON g.user = p.user AND g.k = p.k
+               AND g.big IS NOT DISTINCT FROM p.big AND g.b = p.b""",
+)
+def tsdb_ds_1d_calendar_max_zero_tz(spark, sf_dir):
+    tags = F.col("tags")
+    df = (
+        _pts(spark, sf_dir)
+        .where(F.col("metric") == "signup")
+        .where(tags["user"].isin("1", "2", "3"))
+    )
+    spec = DownsampleSpec(
+        86_400_000, "max", fill="zero", calendar=True, calendar_unit="d",
+        timezone="America/New_York",
+    )
+    out = downsample(df, spec, start_ms=START_MS, end_ms=END_MS)
+    return out.select(
+        "metric", _tag("user"), _tag("k"), _tag("big"), _ts_sec(), _vr(F.col("value"))
+    )
+
+
+@register(
     "tsdb_ds_1h_max_fill_zero",
     f"""WITH f AS (
           SELECT {U} AS user, {K} AS k, {BIG} AS big, value, {H_SEC} AS b
@@ -834,19 +910,63 @@ def tsdb_agg_dev_aligned_1h(spark, sf_dir):
     return _aligned_query(spark, sf_dir, "purchase", "avg", "dev")
 
 
-# ------- interpolation-dependent aggregations: rows-only (the LERP/PREV
-# ------- semantics are pinned by unit tests mirroring the reference's
-# ------- TestAggregationIterator; no faithful single SQL equivalent)
+# ------- interpolation-dependent aggregations. The oracle SQL re-derives the
+# ------- reference's AggregationIterator semantics (union-of-group-timestamps
+# ------- grid; substitution only STRICTLY inside each series' own span) with
+# ------- DuckDB window functions: prev/next non-null neighbor per series at
+# ------- µs ordering, arithmetic on ms-truncated doubles exactly like
+# ------- _substitute_missing (operators/groupby.py).
 
 
-@register("tsdb_agg_lerp_sum", None)
+def _interp_sql(metric: str, fill_expr: str) -> str:
+    """Grid + neighbor-window oracle for cross_series_aggregate(sum-like).
+
+    fill_expr references pv/pt/nv/nt/tm (prev/next value & ms-time, own ms-
+    time); applied only when the slot is interior (pv AND nv non-null)."""
+    return f"""
+        WITH p AS (
+          SELECT event_type AS metric, {U} AS user, {SID} AS sid,
+                 epoch_us(ts) AS tu, CAST(epoch_ms(ts) AS DOUBLE) AS tm, value AS v
+          FROM events WHERE event_type = '{metric}'
+        ),
+        grid AS (
+          SELECT g.metric, g.user, s.sid, g.tu, g.tm
+          FROM (SELECT DISTINCT metric, user, tu, tm FROM p) g
+          JOIN (SELECT DISTINCT metric, user, sid FROM p) s
+            ON g.metric = s.metric AND g.user = s.user
+        ),
+        w AS (
+          SELECT grid.metric, grid.user, grid.tu, grid.tm, p.v,
+            last_value(p.v IGNORE NULLS) OVER wp AS pv,
+            last_value(CASE WHEN p.v IS NOT NULL THEN grid.tm END IGNORE NULLS)
+                OVER wp AS pt,
+            first_value(p.v IGNORE NULLS) OVER wn AS nv,
+            first_value(CASE WHEN p.v IS NOT NULL THEN grid.tm END IGNORE NULLS)
+                OVER wn AS nt
+          FROM grid LEFT JOIN p ON grid.sid = p.sid AND grid.tu = p.tu
+          WINDOW wp AS (PARTITION BY grid.sid ORDER BY grid.tu
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY grid.sid ORDER BY grid.tu
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT metric, user, CAST(tu // 1000 AS BIGINT) AS ts_ms,
+               {RND.format(f'''sum(CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL THEN {fill_expr}
+                END)''')} AS value_r
+        FROM w GROUP BY metric, user, tu"""
+
+
+@register(
+    "tsdb_agg_lerp_sum",
+    _interp_sql("purchase", "pv + (tm - pt) * (nv - pv) / (nt - pt)"),
+)
 def tsdb_agg_lerp_sum(spark, sf_dir):
     df = _pts(spark, sf_dir).where(F.col("metric") == "purchase")
     out = cross_series_aggregate(df, "sum", ("user",))
     return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
 
 
-@register("tsdb_agg_pfsum", None)
+@register("tsdb_agg_pfsum", _interp_sql("click", "pv"))
 def tsdb_agg_pfsum(spark, sf_dir):
     df = _pts(spark, sf_dir).where(F.col("metric") == "click")
     out = cross_series_aggregate(df, "pfsum", ("user",))
@@ -1214,14 +1334,23 @@ def dedup_simhash(spark, sf_dir):
 @register("dedup_embedding_cosine", None)
 def dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=0.3, sign_bits=6)
+    return embedding_dup_pairs(emb, threshold=0.3, tables=8, bits=8)
 
 
 @register("ann_lsh_top5", None)
 def ann_lsh_top5(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(emb, q, k=5, sign_bits=4)
+    return lsh_topk(emb, q, k=5, tables=10, bits=6)
+
+
+@register("ann_ivf_top5", None)
+def ann_ivf_top5(spark, sf_dir):
+    from opentsdb_spark.pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=12)
 
 
 @register("text_fingerprint", None)

@@ -25,6 +25,12 @@ from opentsdb_spark.functions.aggregators import get_aggregator
 from opentsdb_spark.model import DownsampleSpec
 
 _CAL_TRUNC = {"m": "minute", "h": "hour", "d": "day", "w": "week", "n": "month", "y": "year"}
+_UNIT_MS = {"m": 60_000, "h": 3_600_000, "d": 86_400_000, "w": 7 * 86_400_000}
+# dense grid step per calendar unit (local wall-clock space)
+_UNIT_STEP = {
+    "m": "INTERVAL 1 MINUTE", "h": "INTERVAL 1 HOUR", "d": "INTERVAL 1 DAY",
+    "w": "INTERVAL 1 WEEK", "n": "INTERVAL 1 MONTH", "y": "INTERVAL 1 YEAR",
+}
 
 
 def bucket_col(ts_col, interval_ms: int):
@@ -33,13 +39,60 @@ def bucket_col(ts_col, interval_ms: int):
     return F.timestamp_millis(ms - ms % F.lit(interval_ms))
 
 
-def calendar_bucket_col(ts_col, unit: str, timezone: str):
+def _local_calendar_bucket(local, unit: str, n: int):
+    """Bucket start for a LOCAL wall-clock timestamp (``local`` carries the
+    zone's wall-clock labeled as UTC — from_utc_timestamp's convention, so
+    all arithmetic here is DST-free wall-clock math, matching Calendar's
+    keep-the-wall-clock field stepping).
+
+    N-multiple semantics mirror DateTime.previousInterval
+    (reference src/utils/DateTime.java:450-612):
+      m/h  floor to N units (epoch-anchored == hour/day-anchored for the
+           divisor cases the reference distinguishes)
+      d    anchored at Jan 1 of the timestamp's own LOCAL year, stepped N
+           days (buckets restart each year, exactly like Calendar stepping
+           from the year top)
+      w    N<=2: start of the timestamp's own week (the reference's
+           2%interval==0 branch collapses 2wc to the current week);
+           N>2: year-top week anchor, stepped 7N days
+      n    Jan-anchored N-month groups within the year
+      y    any N collapses to the timestamp's own year start (the reference
+           anchors at the timestamp's year, so stepping never moves)
+    Week starts are ISO Monday (date_trunc semantics); the reference uses
+    the JVM locale's firstDayOfWeek — ISO is pinned here for determinism.
+    """
+    if n == 1 and unit in _CAL_TRUNC:
+        return F.date_trunc(_CAL_TRUNC[unit], local)
+    lms = F.unix_millis(local)
+    if unit in ("m", "h"):
+        step = n * _UNIT_MS[unit]
+        return F.timestamp_millis(lms - lms % F.lit(step))
+    if unit == "d":
+        anchor = F.unix_millis(F.date_trunc("year", local))
+        delta = lms - anchor
+        step = n * _UNIT_MS["d"]
+        return F.timestamp_millis(anchor + delta - delta % F.lit(step))
+    if unit == "w":
+        if n <= 2:
+            return F.date_trunc("week", local)
+        anchor = F.unix_millis(F.date_trunc("week", F.date_trunc("year", local)))
+        delta = lms - anchor
+        step = n * _UNIT_MS["w"]
+        return F.timestamp_millis(anchor + delta - delta % F.lit(step))
+    if unit == "n":
+        m0 = (F.floor((F.month(local) - 1) / F.lit(n)) * n + 1).cast("int")
+        return F.make_date(F.year(local), m0, F.lit(1)).cast("timestamp")
+    if unit == "y":
+        return F.date_trunc("year", local)
+    raise ValueError(f"unknown calendar unit {unit!r}")
+
+
+def calendar_bucket_col(ts_col, unit: str, timezone: str, n: int = 1):
     """Calendar-aligned bucket start in ``timezone`` (reference
-    DownsamplingSpecification.java:135-147): shift into the zone, truncate,
-    shift back — all JVM-side datetime expressions."""
-    trunc = _CAL_TRUNC[unit]
+    DownsamplingSpecification.java:135-147): shift into the zone, bucket in
+    wall-clock space, shift back — all JVM-side datetime expressions."""
     local = F.from_utc_timestamp(ts_col, timezone)
-    return F.to_utc_timestamp(F.date_trunc(trunc, local), timezone)
+    return F.to_utc_timestamp(_local_calendar_bucket(local, unit, n), timezone)
 
 
 def downsample(
@@ -63,22 +116,9 @@ def downsample(
             raise ValueError("'0all' downsample requires query start")
         bucket = F.timestamp_millis(F.lit(start_ms))
     elif spec.calendar:
-        if spec.calendar_n == 1:
-            bucket = calendar_bucket_col(F.col("ts"), spec.calendar_unit or "d", spec.timezone)
-        elif spec.calendar_unit in ("m", "h"):
-            # N-multiple sub-day calendar buckets ('15mc', '6hc'): floor the
-            # LOCAL wall-clock epoch to N*unit, shift back to UTC — aligned
-            # to local midnight like the reference's Calendar stepping
-            # (DownsamplingSpecification.java:135-147)
-            unit_ms = 60_000 if spec.calendar_unit == "m" else 3_600_000
-            step = spec.calendar_n * unit_ms
-            local_ms = F.unix_millis(F.from_utc_timestamp(F.col("ts"), spec.timezone))
-            floored = F.timestamp_millis(local_ms - local_ms % F.lit(step))
-            bucket = F.to_utc_timestamp(floored, spec.timezone)
-        else:
-            raise NotImplementedError(
-                "calendar downsample supports N=1 for d/w/n/y and any N for m/h"
-            )
+        bucket = calendar_bucket_col(
+            F.col("ts"), spec.calendar_unit or "d", spec.timezone, spec.calendar_n
+        )
     else:
         bucket = bucket_col(F.col("ts"), spec.interval_ms)
 
@@ -106,11 +146,6 @@ def _fill_grid(
     range, not just interior gaps)."""
     if start_ms is None or end_ms is None:
         raise ValueError("fill policies require query start/end")
-    if spec.calendar:
-        raise NotImplementedError("fill grid for calendar intervals not yet supported")
-    iv = spec.interval_ms
-    first = start_ms - start_ms % iv
-    last = (end_ms - 1) - ((end_ms - 1) % iv)
     fill_val = {
         "zero": F.lit(0.0),
         "nan": F.lit(float("nan")),
@@ -132,16 +167,41 @@ def _fill_grid(
         series = buckets.select(*series_cols).distinct()
         join_keys = [*series_cols, "ts"]
 
-    grid = series.withColumn(
-        "ts",
-        F.explode(
+    if spec.calendar:
+        # Calendar grid: dense base-unit boundaries over [start, end) in
+        # LOCAL wall-clock space, mapped through the N-multiple bucket
+        # function, deduped — handles year-anchored buckets that RESET at
+        # year boundaries (uniform stepping from the first bucket would
+        # drift across years). Grid size is bounded by range/unit; it is a
+        # single array expression evaluated per series row, never a shuffle.
+        unit = spec.calendar_unit or "d"
+        tz = spec.timezone
+        lo = F.from_utc_timestamp(F.timestamp_millis(F.lit(start_ms)), tz)
+        hi = F.from_utc_timestamp(F.timestamp_millis(F.lit(end_ms - 1)), tz)
+        dense = F.sequence(
+            _local_calendar_bucket(lo, unit, 1), hi, F.expr(_UNIT_STEP[unit])
+        )
+        buckets_arr = F.array_distinct(
+            F.transform(
+                dense,
+                lambda t: F.to_utc_timestamp(
+                    _local_calendar_bucket(t, unit, spec.calendar_n), tz
+                ),
+            )
+        )
+        ts_source = F.explode(buckets_arr)
+    else:
+        iv = spec.interval_ms
+        first = start_ms - start_ms % iv
+        last = (end_ms - 1) - ((end_ms - 1) % iv)
+        ts_source = F.explode(
             F.sequence(
                 F.timestamp_millis(F.lit(first)),
                 F.timestamp_millis(F.lit(last)),
                 F.expr(f"INTERVAL {iv} MILLISECONDS"),
             )
-        ),
-    )
+        )
+    grid = series.withColumn("ts", ts_source)
     cols = ["value"] if "tags" not in series_cols else ["__sid", "ts", "value"]
     if "tags" in series_cols:
         grid = grid.join(buckets.select(*cols), on=join_keys, how="left").drop("__sid")

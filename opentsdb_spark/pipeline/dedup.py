@@ -22,13 +22,20 @@ from pyspark.sql import functions as F
 def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per distinct content value.
 
-    The groupBy key is the raw content column — Spark hash-partitions on it,
-    so this is the canonical map-side-combinable exact dedup. (Use
-    sha2(content) as the key when content values are huge, to shrink
-    shuffle rows.)"""
+    The groupBy key is sha2(content) — a 32-byte shuffle key regardless of
+    document size, so at corpus scale the shuffle carries hashes + one
+    representative content per distinct key (map-side combined), never every
+    document body as a key. SHA-256 collisions are cryptographically
+    negligible, and identical contents always collide, so the grouping is
+    exact."""
+    key = F.sha2(F.col(content_col).cast("binary"), 256)
     return (
-        docs.groupBy(content_col)
-        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        docs.groupBy(key.alias("__k"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.first(content_col).alias(content_col),
+            F.count("*").alias("dup_count"),
+        )
         .select(id_col, content_col, "dup_count")
     )
 
@@ -256,32 +263,46 @@ def simhash_pairs(
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    sign_bits: int = 8,
+    tables: int = 8,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Embedding near-duplicates: cosine >= threshold, candidates bucketed
-    by the sign pattern of the first ``sign_bits`` dimensions (a degenerate
-    random-hyperplane LSH with axis-aligned planes — high-cosine pairs agree
-    on most coordinate signs, so near-dups almost surely share the bucket)."""
+    """Embedding near-duplicates: cosine >= threshold, candidates from K
+    independent random-hyperplane LSH tables (pipeline.similarity.
+    hyperplane_buckets) — a pair is a candidate if its sign patterns agree
+    in ANY table. For cosine 0.95 pairs the per-plane agreement is
+    1 - theta/pi ≈ 0.90, so 8 tables x 8 bits gives ~0.99 recall; exact
+    cosine re-rank inside buckets keeps precision at 1.
+
+    Shape: corpus explodes ``tables`` (table, bucket) rows per vector (8B
+    keys), candidates dedup on bare id pairs, vectors re-join only for the
+    surviving pairs — the heavy arrays never ride the candidate shuffle."""
+    from opentsdb_spark.pipeline.similarity import hyperplane_buckets
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    bucket = F.aggregate(
-        F.sequence(F.lit(0), F.lit(sign_bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc * 2 + F.when(F.element_at(v, i + 1) >= 0, 1).otherwise(0),
+    vecs = embeddings.select(F.col(id_col), v.alias("v"), norm.alias("n"))
+    banded = embeddings.select(
+        F.col(id_col),
+        F.explode(hyperplane_buckets(F.col(vec_col), tables, bits, dim, seed)).alias("tb"),
+    ).select(id_col, "tb.table", "tb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cands = (
+        a.join(b, on=["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    base = embeddings.select(
-        F.col(id_col), v.alias("v"), norm.alias("n"), bucket.alias("bucket")
-    )
-    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                    F.col("n").alias("na"), "bucket")
-    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                    F.col("n").alias("nb"), "bucket")
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    pairs = cands.join(va, on="id_a").join(vb, on="id_b")
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
     return (
-        a.join(b, on="bucket").where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        pairs.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

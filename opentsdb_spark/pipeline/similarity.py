@@ -59,7 +59,8 @@ def brute_force_topk(
 
 
 def sign_bucket(vec_col, sign_bits: int = 8):
-    """Axis-aligned sign-pattern bucket id over the first n dims."""
+    """Axis-aligned sign-pattern bucket id over the first n dims (kept as the
+    degenerate single-table LSH; prefer hyperplane_buckets for real recall)."""
     v = _as_double(vec_col)
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(sign_bits - 1)),
@@ -68,28 +69,174 @@ def sign_bucket(vec_col, sign_bits: int = 8):
     )
 
 
+def _plane_coeffs(table: int, bit: int, dim: int, seed: int) -> list[float]:
+    """Deterministic Gaussian hyperplane — same (seed, table, bit) always
+    yields the same plane, so corpus and query sides bucket identically and
+    plans are reproducible across sessions (no RNG state on executors; the
+    planes are plan-time literals broadcast inside the expression tree)."""
+    import random
+
+    rng = random.Random((seed * 1_000_003 + table) * 1_000_003 + bit)
+    return [rng.gauss(0.0, 1.0) for _ in range(dim)]
+
+
+def hyperplane_bucket(vec_col, table: int, bits: int, dim: int, seed: int = 42):
+    """Random-hyperplane (SimHash-style) bucket id for one LSH table: bit j
+    is the sign of <v, p_tj> for a fixed Gaussian plane p_tj. P[bit agrees]
+    = 1 - theta/pi for angle theta, so K independent tables catch what any
+    single sign pattern misses."""
+    v = _as_double(vec_col)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        plane = F.array(*[F.lit(c) for c in _plane_coeffs(table, j, dim, seed)])
+        d = _dot(v, plane)
+        acc = acc * 2 + F.when(d >= 0, 1).otherwise(0)
+    return acc
+
+
+def hyperplane_buckets(vec_col, tables: int, bits: int, dim: int, seed: int = 42):
+    """Array of (table, bucket) structs — explode for multi-table candidate
+    generation; a pair is a candidate if it collides in ANY table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                hyperplane_bucket(vec_col, t, bits, dim, seed).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    sign_bits: int = 8,
+    tables: int = 10,
+    bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Bucketed ANN: candidates share the query's sign bucket; exact cosine
-    re-rank inside the bucket. Recall < 1 by construction (documented);
-    raise sign_bits for tighter buckets, lower for higher recall."""
-    corpus = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("cv"),
-        sign_bucket(F.col(vec_col), sign_bits).alias("bucket"),
-    ).withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"),
-        sign_bucket(F.col(vec_col), sign_bits).alias("bucket"),
-    ).withColumn("qn", _norm(F.col("qv")))
-    scored = corpus.join(F.broadcast(q), on="bucket").withColumn(
+    """Multi-table hyperplane-LSH ANN: a corpus vector is a candidate for a
+    query if they collide in ANY of ``tables`` independent sign-hash tables;
+    candidates are exactly cosine-scored and top-k ranked.
+
+    Recall tuning: P[candidate] = 1 - (1 - p^bits)^tables with
+    p = 1 - theta/pi. The defaults (10 tables x 6 bits) give ~0.95 for
+    cosine 0.8 neighbors; the recall test pins >= 0.9 against
+    brute_force_topk on the driver fixture. At corpus scale the corpus side
+    explodes ``tables`` rows per vector (8B bucket keys); the query side
+    stays broadcast."""
+    corpus = (
+        embeddings.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("cv"),
+            F.explode(hyperplane_buckets(F.col(vec_col), tables, bits, dim, seed)).alias("tb"),
+        )
+        .select(id_col, "cv", "tb.table", "tb.bucket")
+        .withColumn("cn", _norm(F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"),
+            F.explode(hyperplane_buckets(F.col(vec_col), tables, bits, dim, seed)).alias("tb"),
+        )
+        .select(query_id_col, "qv", "tb.table", "tb.bucket")
+        .withColumn("qn", _norm(F.col("qv")))
+    )
+    # candidate = collision in any table; dedup (query, id) before scoring so
+    # multi-table collisions are scored once
+    cands = (
+        corpus.join(F.broadcast(q.select(query_id_col, "table", "bucket")),
+                    on=["table", "bucket"])
+        .select(query_id_col, id_col, "cv", "cn")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    qv = q.select(query_id_col, "qv", "qn").dropDuplicates([query_id_col])
+    scored = cands.join(F.broadcast(qv), on=query_id_col).withColumn(
         "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    train_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells + multi-probe.
+
+    Train: k-means on a BOUNDED driver-side sample (train_size rows — at
+    100 TB you train on a sample regardless; the full corpus never leaves
+    executors). Assign: one broadcast join corpus x centroids, argmax dot
+    via max_by — a single shuffle-free map stage plus one groupBy(id).
+    Search: each query probes its ``n_probe`` nearest cells; candidates =
+    union of those cells, exact cosine re-rank. Scanned fraction ~=
+    n_probe/n_centroids, recall rises with n_probe — the standard IVF
+    dial (Jegou et al., PAMI 2011)."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in embeddings.select(_as_double(F.col(vec_col))).limit(train_size).collect()]
+    )
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)].copy()
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = (sn @ cn.T).argmax(1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    spark = embeddings.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
+            "cell int, cvec array<double>",
+        )
+    )
+
+    def _cos_to_cell(vcol):
+        return _dot(vcol, F.col("cvec")) / (_norm(vcol) * _norm(F.col("cvec")))
+
+    corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    assigned = (
+        corpus.join(cdf)
+        .groupBy(id_col)
+        .agg(F.max_by("cell", _cos_to_cell(F.col("cv"))).alias("cell"),
+             F.first("cv").alias("cv"))
+        .withColumn("cn", _norm(F.col("cv")))
+    )
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("qcos"))
+    probes = (
+        q.join(cdf)
+        .withColumn("qcos", _cos_to_cell(F.col("qv")))
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select(query_id_col, "cell")
+    )
+    qv = q.withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .join(F.broadcast(qv), on=query_id_col)
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -17,22 +17,26 @@ from typing import Any
 
 from pyspark.sql import functions as F
 
+from opentsdb_spark.plans.limits import enforce_data_point_limit
 from opentsdb_spark.plans.planner import CompiledSubQuery
 
 
-def serialize_subquery(result: CompiledSubQuery, ms_resolution: bool = False) -> list[dict[str, Any]]:
+def serialize_subquery(
+    result: CompiledSubQuery, ms_resolution: bool = False, max_data_points: int = 0
+) -> list[dict[str, Any]]:
     df = result.df
     gk = list(result.group_tagks)
     if result.aggregator == "none":
         key_cols = ["series_id"]
     else:
         key_cols = ["metric", *gk]
-    rows = (
-        df.withColumn("__t", F.unix_millis("ts"))
-        .select(*key_cols, "metric", "__t", "value")
-        .orderBy(*key_cols, "__t")
-        .collect()
+    out_df = df.withColumn("__t", F.unix_millis("ts")).select(
+        *key_cols, "metric", "__t", "value"
     )
+    # fail fast BEFORE materializing (reference TsdbQuery.java:527-536 aborts
+    # over-limit queries instead of OOMing the serving layer)
+    enforce_data_point_limit(out_df, max_data_points)
+    rows = out_df.orderBy(*key_cols, "__t").collect()
     # aggregateTags: tag keys present on the scanned series but aggregated
     # away (not grouped on) — reference HttpJsonSerializer.java:771-816
     agg_tags: list[str] = []

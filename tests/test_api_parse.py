@@ -69,6 +69,28 @@ def test_handle_query_get(fixture_points):
     assert by_host["web01"]["dps"][str(EPOCH)] == pytest.approx(10.0)
 
 
+def test_handle_query_data_point_limit(fixture_points):
+    # over-limit queries abort BEFORE collecting (reference tsd.query.limits
+    # data-point ceiling, TsdbQuery.java:527-536), per-request override key
+    from opentsdb_spark.plans.limits import QueryLimitExceeded
+
+    req = {"start": EPOCH, "end": EPOCH + 9000 * 1000,
+           "m": "none:sys.cpu.user", "max_data_points": 10}
+    with pytest.raises(QueryLimitExceeded):
+        api.handle_query(fixture_points, req)
+    req["max_data_points"] = 100_000  # raise the ceiling -> passes
+    assert api.handle_query(fixture_points, req)
+    # process-wide default ceiling path
+    from opentsdb_spark.plans import limits
+
+    limits.configure(10)
+    try:
+        with pytest.raises(QueryLimitExceeded):
+            api.handle_query(fixture_points, {k: req[k] for k in ("start", "end", "m")})
+    finally:
+        limits.configure(0)
+
+
 def test_handle_query_post(fixture_points):
     out = api.handle_query(
         fixture_points,

@@ -174,3 +174,64 @@ def test_cross_series_strategies_agree(offset_points):
         assert ra == rb, agg
     with pytest.raises(ValueError):
         cross_series_aggregate(offset_points, "sum", (), strategy="bogus")
+
+
+def test_calendar_bucket_n_multiples(spark):
+    """N>1 calendar buckets mirror DateTime.previousInterval
+    (reference src/utils/DateTime.java:450-612): year-anchored d steps that
+    RESET each year, 2wc collapsing to the current week, Jan-anchored month
+    groups, and Nyc == 1yc."""
+    from opentsdb_spark.operators.downsample import calendar_bucket_col
+
+    iso = [
+        "2023-12-31 10:00:00",  # day 365 of 2023
+        "2024-01-01 00:30:00",
+        "2024-01-02 23:59:59",
+        "2024-01-03 05:00:00",
+        "2024-05-20 12:00:00",
+        "2024-12-31 12:00:00",  # day 366 of leap 2024
+    ]
+    df = spark.createDataFrame([(s,) for s in iso], "s string").select(
+        F.to_timestamp("s").alias("ts")
+    )
+
+    def buckets(unit, n, tz="UTC"):
+        out = df.select(calendar_bucket_col(F.col("ts"), unit, tz, n).alias("b"))
+        return [str(r["b"]) for r in out.collect()]
+
+    # 2dc: 2023 anchor Jan1'23 -> day365 starts a bucket; 2024 restarts
+    assert buckets("d", 2) == [
+        "2023-12-31 00:00:00", "2024-01-01 00:00:00", "2024-01-01 00:00:00",
+        "2024-01-03 00:00:00", "2024-05-20 00:00:00", "2024-12-30 00:00:00",
+    ]
+    # 2wc collapses to the point's own (ISO Monday) week
+    assert buckets("w", 2) == buckets("w", 1)
+    # 3nc: Jan-anchored quarters
+    assert [b[:10] for b in buckets("n", 3)] == [
+        "2023-10-01", "2024-01-01", "2024-01-01",
+        "2024-01-01", "2024-04-01", "2024-10-01",
+    ]
+    # Nyc == 1yc for any N (reference anchors at the point's own year)
+    assert buckets("y", 5) == buckets("y", 1)
+
+
+def test_calendar_fill_grid_with_n(spark):
+    """1dc and 2dc fill grids span the whole query range per series."""
+    rows = [("m", "2024-01-03 10:00:00", 5.0, {"h": "a"})]
+    pts = spark.createDataFrame(rows, "metric string, s string, value double, tags map<string,string>") \
+        .select("metric", F.to_timestamp("s").alias("ts"), "value",
+                F.lit(None).cast("long").alias("value_long"), "tags")
+    start = 1704067200000  # 2024-01-01 UTC
+    end = start + 6 * 86_400_000  # 2024-01-07
+    spec = DownsampleSpec(86_400_000, "sum", fill="zero", calendar=True,
+                          calendar_unit="d", timezone="UTC")
+    out = downsample(pts, spec, start_ms=start, end_ms=end).collect()
+    got = {str(r["ts"])[:10]: r["value"] for r in out}
+    assert len(out) == 6 and got["2024-01-03"] == 5.0
+    assert sum(v == 0.0 for v in got.values()) == 5
+
+    spec2 = DownsampleSpec(2 * 86_400_000, "sum", fill="zero", calendar=True,
+                           calendar_unit="d", calendar_n=2, timezone="UTC")
+    out2 = downsample(pts, spec2, start_ms=start, end_ms=end).collect()
+    got2 = sorted(str(r["ts"])[:10] for r in out2)
+    assert got2 == ["2024-01-01", "2024-01-03", "2024-01-05"]
