@@ -26,6 +26,84 @@ ANNOTATION_SCHEMA = T.StructType(
 )
 
 
+def _key_pred(tsuid: str | None, start_ms: int):
+    """Annotation identity = (tsuid, start_time); tsuid null = global
+    (reference src/meta/Annotation.java:60-74 row-key construction)."""
+    t = F.col("tsuid").eqNullSafe(F.lit(tsuid))
+    return t & (F.unix_millis("start_time") == start_ms)
+
+
+def upsert_annotation(
+    annotations: DataFrame,
+    tsuid: str | None,
+    start_ms: int,
+    end_ms: int | None = None,
+    description: str | None = None,
+    notes: str | None = None,
+    custom: dict[str, str] | None = None,
+    replace: bool = False,
+) -> DataFrame:
+    """Create or update one annotation (reference AnnotationRpc.java POST/
+    PUT handling: PUT replaces the whole record, POST merges provided fields
+    onto the stored ones via syncToStorage overwrite=false).
+
+    Pure frame rewrite: the non-key rows pass through untouched; the (at
+    most one) old row left-joins onto the new values for field coalescing.
+    Annotation frames are metadata-sized — this is not a data-path op."""
+    spark = annotations.sparkSession
+    new = spark.createDataFrame(
+        [(tsuid, start_ms, end_ms, description, notes, custom)],
+        "tsuid string, __start_ms long, __end_ms long, description string, "
+        "notes string, custom map<string,string>",
+    ).select(
+        "tsuid",
+        F.timestamp_millis("__start_ms").alias("start_time"),
+        F.timestamp_millis("__end_ms").alias("end_time"),
+        "description", "notes", "custom",
+    )
+    rest = annotations.where(~_key_pred(tsuid, start_ms))
+    if replace:
+        return rest.unionByName(new)
+    old = annotations.where(_key_pred(tsuid, start_ms)).select(
+        *[F.col(c).alias(f"o_{c}") for c in annotations.columns]
+    )
+    merged = new.join(old, F.lit(True), "left").select(
+        "tsuid", "start_time",
+        F.coalesce("end_time", "o_end_time").alias("end_time"),
+        F.coalesce("description", "o_description").alias("description"),
+        F.coalesce("notes", "o_notes").alias("notes"),
+        F.coalesce("custom", "o_custom").alias("custom"),
+    )
+    return rest.unionByName(merged)
+
+
+def delete_annotation(annotations: DataFrame, tsuid: str | None, start_ms: int) -> DataFrame:
+    """DELETE /api/annotation (reference AnnotationRpc.java:141-156)."""
+    return annotations.where(~_key_pred(tsuid, start_ms))
+
+
+def bulk_delete_annotations(
+    annotations: DataFrame,
+    start_ms: int,
+    end_ms: int,
+    tsuids: tuple[str, ...] = (),
+    global_: bool = False,
+) -> DataFrame:
+    """Bulk delete by time range x (tsuids | global) — reference
+    AnnotationRpc bulk endpoint / Annotation.deleteRange
+    (src/meta/Annotation.java:260-319: deletes annotations whose START
+    falls inside the range)."""
+    in_range = (F.unix_millis("start_time") >= start_ms) & (
+        F.unix_millis("start_time") <= end_ms
+    )
+    target = F.lit(False)
+    if tsuids:
+        target = target | F.col("tsuid").isin(list(tsuids))
+    if global_:
+        target = target | F.col("tsuid").isNull()
+    return annotations.where(~(in_range & target))
+
+
 def annotations_in_range(
     annotations: DataFrame,
     start_ms: int,

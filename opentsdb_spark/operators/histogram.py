@@ -45,6 +45,78 @@ HISTOGRAM_SCHEMA = T.StructType(
 )
 
 
+# ---- codec registry (reference src/core/HistogramCodecManager.java:40-120:
+# ---- maps a codec id byte to a decoder turning raw payloads into bucket
+# ---- maps). Here a codec is a function raw-bytes-column -> buckets-array
+# ---- column expression; ingest picks the codec by the point's codec id.
+HistogramCodec = "Callable[[Column], Column]"
+HISTOGRAM_CODECS: dict[int, object] = {}
+
+
+def register_histogram_codec(codec_id: int):
+    def deco(fn):
+        HISTOGRAM_CODECS[codec_id] = fn
+        return fn
+
+    return deco
+
+
+def get_histogram_codec(codec_id: int):
+    try:
+        return HISTOGRAM_CODECS[codec_id]
+    except KeyError:
+        raise ValueError(f"no histogram codec registered for id {codec_id}") from None
+
+
+@register_histogram_codec(0)
+def simple_histogram_json_codec(raw):
+    """Codec 0 = SimpleHistogram JSON ({'b': {'lo,hi': n, ...}, 'u': n,
+    'o': n}, reference SimpleHistogramDecoder) parsed natively."""
+    j = raw.cast("string")
+    m = F.from_json(j, "b map<string,bigint>, u bigint, o bigint")
+    buckets = F.array_sort(
+        F.transform(
+            F.map_entries(m["b"]),
+            lambda e: F.struct(
+                F.split(e["key"], ",")[0].cast("float").alias("lower"),
+                F.split(e["key"], ",")[1].cast("float").alias("upper"),
+                e["value"].alias("count"),
+            ),
+        )
+    )
+    return F.struct(
+        buckets.alias("buckets"),
+        F.coalesce(m["u"], F.lit(0)).cast("long").alias("underflow"),
+        F.coalesce(m["o"], F.lit(0)).cast("long").alias("overflow"),
+    )
+
+
+def decode_histogram_points(raw_points: DataFrame, codec_id_col: str = "codec_id",
+                            raw_col: str = "raw") -> DataFrame:
+    """Route raw histogram payloads through their registered codec (the
+    HistogramCodecManager dispatch): one pass per registered codec id,
+    unioned — each codec is a native expression, so this stays codegen."""
+    parts = []
+    for cid, codec in sorted(HISTOGRAM_CODECS.items()):
+        part = raw_points.where(F.col(codec_id_col) == cid).withColumn(
+            "__h", codec(F.col(raw_col))
+        )
+        parts.append(
+            part.select(
+                *[c for c in raw_points.columns if c not in (codec_id_col, raw_col)],
+                F.col("__h.buckets").alias("buckets"),
+                F.col("__h.underflow").alias("underflow"),
+                F.col("__h.overflow").alias("overflow"),
+            )
+        )
+    if not parts:
+        raise ValueError("no histogram codecs registered")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def synthesize_histograms(
     points: DataFrame,
     bucket_width: float,

@@ -96,3 +96,44 @@ def last_points(points: DataFrame, metric: str | None = None, back_scan_ms: int 
             F.max(F.unix_millis("ts")).alias("ts_ms"),
         )
     )
+
+
+# ---- search plugin surface (reference src/search/SearchPlugin.java:40-160:
+# ---- implementations receive index/delete callbacks for TSMeta / UIDMeta /
+# ---- annotations and serve executeQuery). The Spark analog: plugins get
+# ---- DATAFRAMES, not single objects — an index event is a frame of rows to
+# ---- (re)index; executeQuery receives the query dict and the point frame.
+SEARCH_PLUGINS: list[object] = []
+
+
+class SearchPlugin:
+    """Subclass and override what you index; register with
+    register_search_plugin(). All hooks receive DataFrames so a plugin can
+    ship them to an external indexer partition-parallel (foreachPartition),
+    never through the driver."""
+
+    def index_tsmeta(self, frame: DataFrame) -> None:  # pragma: no cover
+        pass
+
+    def index_uidmeta(self, frame: DataFrame) -> None:  # pragma: no cover
+        pass
+
+    def index_annotation(self, frame: DataFrame) -> None:  # pragma: no cover
+        pass
+
+    def delete_tsmeta(self, tsuids: list[str]) -> None:  # pragma: no cover
+        pass
+
+    def execute_query(self, points: DataFrame, query: dict):  # pragma: no cover
+        raise NotImplementedError
+
+
+def register_search_plugin(plugin: "SearchPlugin") -> None:
+    SEARCH_PLUGINS.append(plugin)
+
+
+def notify_search_plugins(event: str, payload) -> None:
+    """Fan an index/delete event out to every registered plugin (the
+    reference calls the plugin after each meta write, TSDB.java:1100-1160)."""
+    for p in SEARCH_PLUGINS:
+        getattr(p, event)(payload)

@@ -24,22 +24,46 @@ from opentsdb_spark.sources.points import series_id_col
 
 @dataclass(frozen=True)
 class TreeRule:
-    """One rule (reference src/tree/TreeRule.java types METRIC / TAGK;
-    'separator' splits the extracted value into multiple path levels —
-    e.g. metric 'sys.cpu.user' with separator '.' -> 3 levels)."""
+    """One rule (reference src/tree/TreeRule.java). Types mirror the
+    reference's enum (TreeRule.java:45-55): METRIC, TAGK, and the _CUSTOM
+    variants reading a custom-map value; ``regex`` extracts group
+    ``regex_group_idx`` from the source value (TreeRule.java:60-75 +
+    TreeBuilder.parseRegexRule), ``separator`` splits into multiple path
+    levels, ``display_format`` rewrites the level text with {value}
+    substitution (TreeRule.java display_format handling)."""
 
-    type: str  # 'METRIC' | 'TAGK'
-    field: str = ""  # tag key for TAGK
+    type: str  # 'METRIC' | 'TAGK' | 'METRIC_CUSTOM' | 'TAGK_CUSTOM' | 'TAGV_CUSTOM'
+    field: str = ""  # tag key for TAGK*, custom-map key for *_CUSTOM
     separator: str | None = None
+    regex: str | None = None
+    regex_group_idx: int = 1
+    display_format: str | None = None
+
+
+def _rule_source(rule: TreeRule):
+    if rule.type == "METRIC":
+        return F.col("metric")
+    if rule.type == "TAGK":
+        return F.col("tags").getItem(rule.field)
+    if rule.type in ("METRIC_CUSTOM", "TAGK_CUSTOM", "TAGV_CUSTOM"):
+        # custom maps live on UIDMeta in the reference; here the optional
+        # ``custom`` map column carries them (null when absent)
+        return F.col("custom").getItem(rule.field)
+    raise ValueError(f"unknown tree rule type {rule.type!r}")
 
 
 def _rule_levels(rule: TreeRule):
-    if rule.type == "METRIC":
-        src = F.col("metric")
-    elif rule.type == "TAGK":
-        src = F.col("tags").getItem(rule.field)
-    else:
-        raise ValueError(f"unknown tree rule type {rule.type!r}")
+    src = _rule_source(rule)
+    if rule.regex:
+        # empty extraction = no match = rule skipped (TreeBuilder.java
+        # processRegexRule: null/absent group -> not matched)
+        src = F.nullif(F.regexp_extract(src, rule.regex, rule.regex_group_idx), F.lit(""))
+    if rule.display_format:
+        # '{value}' substitution; null (no-match) sources stay null
+        src = F.when(
+            src.isNotNull(),
+            F.replace(F.lit(rule.display_format), F.lit("{value}"), src),
+        )
     if rule.separator:
         import re
 
@@ -47,26 +71,43 @@ def _rule_levels(rule: TreeRule):
     return F.array(src)
 
 
-def build_tree(points: DataFrame, rules: tuple[TreeRule, ...]) -> DataFrame:
-    """Run every distinct series through the rules.
+def build_tree(
+    points: DataFrame, rules: tuple[TreeRule, ...], strict_match: bool = False
+) -> DataFrame:
+    """Run every distinct series through the ORDERED rule list.
 
     Returns leaves: (series_id, path array<string>, depth). Series for which
-    a rule extracts nothing (missing tag) drop that level (reference
-    TreeBuilder skips no-match rules)."""
+    a rule extracts nothing (missing tag / regex miss) drop that level
+    (reference TreeBuilder skips no-match rules); with ``strict_match`` the
+    whole series is excluded instead (Tree.java strict_match flag)."""
+    cols = points.columns
     series = (
         points.withColumn("series_id", series_id_col())
         .groupBy("series_id")
-        .agg(F.first("metric").alias("metric"), F.first("tags").alias("tags"))
+        .agg(F.first("metric").alias("metric"), F.first("tags").alias("tags"),
+             *([F.first("custom").alias("custom")] if "custom" in cols else []))
     )
+    if "custom" not in cols:
+        series = series.withColumn(
+            "custom", F.lit(None).cast("map<string,string>")
+        )
     path = None
+    matched_all = F.lit(True)
     for rule in rules:
-        lv = F.filter(_rule_levels(rule), lambda x: x.isNotNull() & (x != ""))
+        raw = _rule_levels(rule)
+        lv = F.filter(raw, lambda x: x.isNotNull() & (x != ""))
+        lv = F.coalesce(lv, F.array())  # null source -> no levels
+        matched_all = matched_all & (F.size(lv) > 0)
         path = lv if path is None else F.concat(path, lv)
     if path is None:
         raise ValueError("tree needs at least one rule")
-    return series.select(
-        "series_id", path.alias("path"), F.size(path).alias("depth")
+    out = series.select(
+        "series_id", path.alias("path"), F.size(path).alias("depth"),
+        matched_all.alias("__all"),
     )
+    if strict_match:
+        out = out.where(F.col("__all"))
+    return out.drop("__all")
 
 
 def tree_branches(leaves: DataFrame) -> DataFrame:
@@ -89,3 +130,31 @@ def tree_branches(leaves: DataFrame) -> DataFrame:
             "leaf_count",
         )
     )
+
+
+def tree_branch(leaves: DataFrame, path: tuple[str, ...]) -> dict:
+    """Navigate to ONE branch (reference TreeRpc 'branch' endpoint /
+    src/tree/Branch.java): returns its direct child branches and the leaves
+    sitting exactly at this depth+1.
+
+    Driver-side result is bounded by the branch's fan-out, not the corpus."""
+    d = len(path)
+    at = leaves
+    for i, seg in enumerate(path):
+        at = at.where(F.element_at("path", i + 1) == seg)
+    children = (
+        at.where(F.col("depth") > d + 1)
+        .select(F.element_at("path", d + 1).alias("branch"))
+        .groupBy("branch").agg(F.count("*").alias("leaf_count"))
+        .orderBy("branch")
+    )
+    leaf_rows = (
+        at.where(F.col("depth") == d + 1)
+        .select("series_id", F.element_at("path", d + 1).alias("leaf"))
+        .orderBy("leaf", "series_id")
+    )
+    return {
+        "path": list(path),
+        "branches": [r.asDict() for r in children.collect()],
+        "leaves": [r.asDict() for r in leaf_rows.collect()],
+    }

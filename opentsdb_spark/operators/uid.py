@@ -36,6 +36,102 @@ def uid_listing(points: DataFrame, kind: str) -> DataFrame:
     )
 
 
+UIDMETA_SCHEMA = (
+    "kind string, name string, description string, notes string, "
+    "display_name string, custom map<string,string>"
+)
+TSMETA_SCHEMA = (
+    "tsuid string, description string, notes string, units string, "
+    "data_type string, retention int, max double, min double, "
+    "custom map<string,string>"
+)
+
+
+def uidmeta_upsert(
+    meta: DataFrame | None,
+    kind: str,
+    name: str,
+    description: str | None = None,
+    notes: str | None = None,
+    display_name: str | None = None,
+    custom: dict[str, str] | None = None,
+    spark=None,
+) -> DataFrame:
+    """UIDMeta create/update keyed by (kind, name) — the editable fields of
+    src/meta/UIDMeta.java:60-120 served by /api/uid/uidmeta
+    (src/tsd/UniqueIdRpc.java:223-285). Provided fields overwrite, missing
+    ones keep the stored value (syncToStorage overwrite=false). Pass
+    meta=None to start an empty registry."""
+    if kind not in ("metrics", "tagk", "tagv"):
+        raise ValueError("kind must be metrics|tagk|tagv")
+    spark = spark or (meta.sparkSession if meta is not None else None)
+    new = spark.createDataFrame(
+        [(kind, name, description, notes, display_name, custom)], UIDMETA_SCHEMA
+    )
+    if meta is None:
+        return new
+    key = (F.col("kind") == kind) & (F.col("name") == name)
+    old = meta.where(key).select(*[F.col(c).alias(f"o_{c}") for c in meta.columns])
+    merged = new.join(old, F.lit(True), "left").select(
+        "kind", "name",
+        *[F.coalesce(c, f"o_{c}").alias(c)
+          for c in ("description", "notes", "display_name", "custom")],
+    )
+    return meta.where(~key).unionByName(merged)
+
+
+def uidmeta_delete(meta: DataFrame, kind: str, name: str) -> DataFrame:
+    return meta.where(~((F.col("kind") == kind) & (F.col("name") == name)))
+
+
+def tsmeta_frame(points: DataFrame) -> DataFrame:
+    """Derived per-series TSMeta skeleton (reference src/meta/TSMeta.java
+    counters maintained on write): tsuid, created (first point),
+    last_received, total_dps. One groupBy over the point feed."""
+    from opentsdb_spark.sources.points import series_id_col
+
+    return (
+        points.withColumn("tsuid", series_id_col())
+        .groupBy("tsuid")
+        .agg(
+            F.min("ts").alias("created"),
+            F.max("ts").alias("last_received"),
+            F.count("*").alias("total_dps"),
+        )
+    )
+
+
+def tsmeta_upsert(
+    meta: DataFrame | None,
+    tsuid: str,
+    spark=None,
+    **fields,
+) -> DataFrame:
+    """TSMeta editable-field upsert keyed by tsuid (/api/uid/tsmeta,
+    src/tsd/UniqueIdRpc.java:287-380; editable fields TSMeta.java:120-175).
+    Join against ``tsmeta_frame(points)`` for the derived counters."""
+    cols = ("description", "notes", "units", "data_type", "retention", "max",
+            "min", "custom")
+    bad = set(fields) - set(cols)
+    if bad:
+        raise ValueError(f"unknown TSMeta fields: {sorted(bad)}")
+    row = (tsuid, *[fields.get(c) for c in cols])
+    spark = spark or (meta.sparkSession if meta is not None else None)
+    new = spark.createDataFrame([row], TSMETA_SCHEMA)
+    if meta is None:
+        return new
+    key = F.col("tsuid") == tsuid
+    old = meta.where(key).select(*[F.col(c).alias(f"o_{c}") for c in meta.columns])
+    merged = new.join(old, F.lit(True), "left").select(
+        "tsuid", *[F.coalesce(c, f"o_{c}").alias(c) for c in cols]
+    )
+    return meta.where(~key).unionByName(merged)
+
+
+def tsmeta_delete(meta: DataFrame, tsuid: str) -> DataFrame:
+    return meta.where(F.col("tsuid") != tsuid)
+
+
 def rename_metric(points: DataFrame, old: str, new: str) -> DataFrame:
     """UID rename analog for metrics (reference UniqueIdRpc rename)."""
     return points.withColumn(

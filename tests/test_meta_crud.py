@@ -1,0 +1,198 @@
+"""Write-path CRUD tests: annotations, UIDMeta/TSMeta, tree rules.
+
+Fixtures mirror the reference's TestAnnotation (test/meta/TestAnnotation.java
+note/description edits, global vs tsuid) and TestTreeRule / TestTreeBuilder
+(regex extraction, ordered rules, strict match).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_spark.operators.annotations import (
+    annotations_in_range, bulk_delete_annotations, delete_annotation,
+    upsert_annotation,
+)
+from opentsdb_spark.operators.tree import TreeRule, build_tree, tree_branch, tree_branches
+from opentsdb_spark.operators.uid import (
+    tsmeta_delete, tsmeta_frame, tsmeta_upsert, uidmeta_delete, uidmeta_upsert,
+)
+from tests.conftest import EPOCH
+
+MS = EPOCH * 1000
+
+
+@pytest.fixture()
+def ann(spark):
+    from opentsdb_spark.operators.annotations import ANNOTATION_SCHEMA
+
+    rows = [
+        ("sys.cpu.user{host=web01}", MS, MS + 60_000, "maintenance", None, None),
+        (None, MS + 5_000, None, "global note", None, None),
+    ]
+    df = spark.createDataFrame(
+        [(t, s, e, d, n, c) for t, s, e, d, n, c in rows],
+        "tsuid string, s long, e long, description string, notes string, "
+        "custom map<string,string>",
+    ).select(
+        "tsuid", F.timestamp_millis("s").alias("start_time"),
+        F.timestamp_millis("e").alias("end_time"), "description", "notes", "custom",
+    )
+    assert df.schema.fieldNames() == ANNOTATION_SCHEMA.fieldNames()
+    return df
+
+
+def test_annotation_create_merge_replace(ann):
+    # create a new annotation
+    out = upsert_annotation(ann, "m{h=a}", MS + 10_000, description="new")
+    assert out.count() == 3
+    # POST-style merge: only provided fields overwrite
+    out2 = upsert_annotation(out, "sys.cpu.user{host=web01}", MS, notes="added note")
+    row = out2.where(F.col("tsuid") == "sys.cpu.user{host=web01}").collect()[0]
+    assert row["description"] == "maintenance" and row["notes"] == "added note"
+    assert row["end_time"] is not None
+    # PUT-style replace: unspecified fields reset
+    out3 = upsert_annotation(
+        out2, "sys.cpu.user{host=web01}", MS, description="replaced", replace=True
+    )
+    row = out3.where(F.col("tsuid") == "sys.cpu.user{host=web01}").collect()[0]
+    assert row["description"] == "replaced" and row["notes"] is None
+    assert out3.count() == 3
+
+
+def test_annotation_delete_and_bulk(ann):
+    assert delete_annotation(ann, None, MS + 5_000).count() == 1
+    # bulk: global-only in range
+    kept = bulk_delete_annotations(ann, MS, MS + 10_000, global_=True)
+    assert [r["tsuid"] for r in kept.collect()] == ["sys.cpu.user{host=web01}"]
+    # bulk: tsuid list, range misses -> no-op
+    assert bulk_delete_annotations(
+        ann, MS + 100_000, MS + 200_000, tsuids=("sys.cpu.user{host=web01}",)
+    ).count() == 2
+    # query path still sees what remains (tsuid-scoped; globals were deleted)
+    got = annotations_in_range(
+        kept, MS, MS + 120_000, tsuids=("sys.cpu.user{host=web01}",)
+    )
+    assert got.count() == 1
+
+
+def test_uidmeta_upsert_delete(spark):
+    m = uidmeta_upsert(None, "metrics", "sys.cpu.user",
+                       description="cpu", spark=spark)
+    m = uidmeta_upsert(m, "tagk", "host", description="hostname")
+    m = uidmeta_upsert(m, "metrics", "sys.cpu.user", notes="hot path")
+    rows = {(r["kind"], r["name"]): r for r in m.collect()}
+    assert len(rows) == 2
+    r = rows[("metrics", "sys.cpu.user")]
+    assert r["description"] == "cpu" and r["notes"] == "hot path"  # merged
+    assert uidmeta_delete(m, "tagk", "host").count() == 1
+    with pytest.raises(ValueError):
+        uidmeta_upsert(None, "bogus", "x", spark=spark)
+
+
+def test_tsmeta_frame_and_upsert(fixture_points, spark):
+    derived = tsmeta_frame(fixture_points)
+    assert derived.count() == 2  # web01 + web02 series
+    r = derived.orderBy("tsuid").collect()[0]
+    assert r["total_dps"] == 300 and r["created"] < r["last_received"]
+
+    m = tsmeta_upsert(None, r["tsuid"], spark=spark,
+                      description="test series", retention=30)
+    m = tsmeta_upsert(m, r["tsuid"], units="pct")
+    row = m.collect()[0]
+    assert row["description"] == "test series" and row["units"] == "pct"
+    assert row["retention"] == 30
+    assert tsmeta_delete(m, r["tsuid"]).count() == 0
+    with pytest.raises(ValueError):
+        tsmeta_upsert(None, "x", spark=spark, bogus_field=1)
+
+
+def test_tree_regex_rule_and_strict(fixture_points):
+    # regex rule: extract the middle token of sys.cpu.user
+    rules = (
+        TreeRule("METRIC", regex=r"^(\w+)\.(\w+)\.", regex_group_idx=2),
+        TreeRule("TAGK", field="dc"),
+        TreeRule("TAGK", field="host"),
+    )
+    leaves = build_tree(fixture_points, rules)
+    got = {tuple(r["path"]) for r in leaves.collect()}
+    assert got == {("cpu", "lga", "web01"), ("cpu", "phx", "web02")}
+
+    # a regex that never matches drops the level; strict_match drops the series
+    rules_miss = (TreeRule("METRIC", regex=r"^(zzz)"), TreeRule("TAGK", field="host"))
+    assert build_tree(fixture_points, rules_miss).collect()[0]["depth"] == 1
+    assert build_tree(fixture_points, rules_miss, strict_match=True).count() == 0
+
+
+def test_tree_display_format_and_branch(fixture_points):
+    rules = (
+        TreeRule("METRIC", separator="."),
+        TreeRule("TAGK", field="host", display_format="host-{value}"),
+    )
+    leaves = build_tree(fixture_points, rules)
+    got = sorted(tuple(r["path"]) for r in leaves.collect())
+    assert got == [
+        ("sys", "cpu", "user", "host-web01"),
+        ("sys", "cpu", "user", "host-web02"),
+    ]
+    branches = {r["branch_path"]: r["leaf_count"] for r in tree_branches(leaves).collect()}
+    assert branches["sys/cpu"] == 2
+
+    b = tree_branch(leaves, ("sys", "cpu", "user"))
+    assert [x["leaf"] for x in b["leaves"]] == ["host-web01", "host-web02"]
+    assert b["branches"] == []
+    root = tree_branch(leaves, ())
+    assert root["branches"] == [{"branch": "sys", "leaf_count": 2}]
+
+
+def test_histogram_codec_registry(spark):
+    from opentsdb_spark.operators.histogram import (
+        decode_histogram_points, get_histogram_codec, register_histogram_codec,
+    )
+
+    raw = spark.createDataFrame(
+        [("lat", MS, 0, '{"b": {"0,10": 4, "10,20": 6}, "u": 1, "o": 2}', {"h": "a"})],
+        "metric string, ts_ms long, codec_id int, raw string, tags map<string,string>",
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "codec_id", "raw", "tags")
+    out = decode_histogram_points(raw).collect()[0]
+    assert [(b["lower"], b["upper"], b["count"]) for b in out["buckets"]] == [
+        (0.0, 10.0, 4), (10.0, 20.0, 6)]
+    assert out["underflow"] == 1 and out["overflow"] == 2
+
+    with pytest.raises(ValueError):
+        get_histogram_codec(99)
+
+    @register_histogram_codec(7)
+    def _noop(raw_col):  # a second codec id routes separately
+        from opentsdb_spark.operators.histogram import simple_histogram_json_codec
+        return simple_histogram_json_codec(raw_col)
+
+    try:
+        assert get_histogram_codec(7) is _noop
+        assert decode_histogram_points(raw).count() == 1  # codec 7 matched 0 rows
+    finally:
+        from opentsdb_spark.operators.histogram import HISTOGRAM_CODECS
+        del HISTOGRAM_CODECS[7]
+
+
+def test_search_plugin_surface(fixture_points, spark):
+    from opentsdb_spark.operators.metadata import (
+        SEARCH_PLUGINS, SearchPlugin, notify_search_plugins, register_search_plugin,
+    )
+
+    events = []
+
+    class Recorder(SearchPlugin):
+        def index_tsmeta(self, frame):
+            events.append(("tsmeta", frame.count()))
+
+        def execute_query(self, points, query):
+            return points.where(F.col("metric") == query["metric"]).count()
+
+    p = Recorder()
+    register_search_plugin(p)
+    try:
+        notify_search_plugins("index_tsmeta", tsmeta_frame(fixture_points))
+        assert events == [("tsmeta", 2)]
+        assert p.execute_query(fixture_points, {"metric": "sys.cpu.user"}) == 600
+    finally:
+        SEARCH_PLUGINS.remove(p)
