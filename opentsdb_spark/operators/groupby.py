@@ -97,35 +97,83 @@ def _interpolate_to_union_grid(df: DataFrame, gnames: list[str], interp: str) ->
     """Expand each group's series onto the union of the group's timestamps,
     substituting interior-missing values per the interpolation method.
 
-    Shape: pack each series' points into sorted arrays (one groupBy), union
-    the group's timestamps with one window, explode to the (series, ts)
-    grid and look values up positionally — ONE scan of the input and no
-    joins. (A grid-join formulation re-executes the upstream sub-plan three
-    times — distinct-ts, distinct-series, probe — since Spark does not share
-    common subplans; that tripled the parquet scans of every LERP query.)
+    Shape: pack each series' points into sorted arrays (one groupBy), gather
+    the group's series into one row (second, tiny groupBy — one input row
+    per series), then do EVERYTHING array-side: the union timestamp grid,
+    the exact-match lookup, and the prev/next-neighbor interpolation are
+    higher-order array expressions inside whole-stage codegen. Two shuffles
+    total on this path — no per-group window, no per-series window, no
+    joins. (The earlier window formulation cost two extra Exchanges; a
+    grid-join formulation re-executes the upstream sub-plan three times —
+    Spark does not share common subplans.)
 
-    The packed arrays are bounded by the group's timestamp count — after
-    downsampling that is range/interval buckets (SURVEY §7.4: always
-    downsample before aligning at scale)."""
+    Per-series work is O(|grid| x |own points|) array scans; both are
+    bounded by the group's timestamp count, which after downsampling is
+    range/interval buckets (SURVEY §7.4: always downsample before aligning
+    at scale — the reference's in-heap SpanGroup equally materializes the
+    group)."""
     per_series = df.groupBy(*gnames, "__sid").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("ts").alias("t"), F.col("value").alias("v")))
         ).alias("pts")
     )
-    wg = Window.partitionBy(*gnames)
-    per_series = per_series.withColumn(
-        "all_ts",
+    per_group = per_series.groupBy(*gnames).agg(
+        F.collect_list(F.struct("__sid", "pts")).alias("series")
+    )
+    all_ts = F.array_sort(
         F.array_distinct(
-            F.flatten(F.collect_list(F.transform("pts", lambda p: p["t"])).over(wg))
-        ),
+            F.flatten(F.transform("series", lambda s: F.transform(s["pts"], lambda p: p["t"])))
+        )
     )
-    grid = per_series.select(
-        *gnames, "__sid", "pts", F.explode("all_ts").alias("ts")
+    g = (
+        per_group.withColumn("all_ts", all_ts)
+        .select(*gnames, "all_ts", F.explode("series").alias("s"))
+        .select(
+            *gnames, "all_ts",
+            F.col("s.__sid").alias("__sid"), F.col("s.pts").alias("pts"),
+        )
+        # materialize the timestamp array once per row — referencing a bound
+        # column inside the per-slot lambda, never a recomputed transform
+        .withColumn("tsarr", F.transform("pts", lambda p: p["t"]))
     )
-    pos = F.array_position(F.transform("pts", lambda p: p["t"]), F.col("ts"))
-    value = F.when(pos > 0, F.element_at("pts", pos.cast("int"))["v"])
-    joined = grid.withColumn("value", value).select(*gnames, "__sid", "ts", "value")
-    return _substitute_missing(joined, interp)
+
+    def slot_value(t):
+        # mirrors _substitute_missing exactly: value at the slot when the
+        # series has one; otherwise interpolate STRICTLY inside the series'
+        # own span, with neighbor arithmetic on ms-truncated doubles
+        # (AggregationIterator.java:690-800)
+        pos = F.array_position(F.col("tsarr"), t)
+        exact = F.element_at("pts", pos.cast("int"))["v"]
+        prevs = F.filter("pts", lambda p: p["t"] < t)
+        nexts = F.filter("pts", lambda p: p["t"] > t)
+        interior = (F.size(prevs) > 0) & (F.size(nexts) > 0)
+        pe = F.element_at(prevs, -1)
+        ne = F.element_at(nexts, 1)
+        pv, nv = pe["v"], ne["v"]
+        t_ms = F.unix_millis(t).cast("double")
+        pt = F.unix_millis(pe["t"]).cast("double")
+        nt = F.unix_millis(ne["t"]).cast("double")
+        if interp == "lerp":
+            sub = pv + (t_ms - pt) * (nv - pv) / (nt - pt)
+        elif interp == "zim":
+            sub = F.lit(0.0)
+        elif interp == "max":
+            sub = F.lit(_DBL_MAX)
+        elif interp == "min":
+            sub = F.lit(-_DBL_MAX)
+        elif interp == "prev":
+            sub = pv
+        else:  # pragma: no cover
+            raise ValueError(f"unknown interpolation: {interp}")
+        return F.when(pos > 0, exact).otherwise(F.when(interior, sub))
+
+    zipped = F.arrays_zip(
+        F.col("all_ts").alias("ts"),
+        F.transform("all_ts", slot_value).alias("value"),
+    )
+    return g.select(*gnames, "__sid", F.explode(zipped).alias("z")).select(
+        *gnames, "__sid", F.col("z.ts").alias("ts"), F.col("z.value").alias("value")
+    )
 
 
 def _interpolate_via_grid_join(df: DataFrame, gnames: list[str], interp: str) -> DataFrame:

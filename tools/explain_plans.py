@@ -2,6 +2,13 @@
 that filters push down, joins broadcast, and codegen spans stay wide.
 
     python tools/explain_plans.py [sf_dir] [name_substring]
+    python tools/explain_plans.py --check [sf_dir]
+
+--check asserts the scale invariants and exits non-zero on violation:
+  * every headline plan pushes at least one non-trivial Parquet filter
+  * no unpartitioned Window (single-partition sort) anywhere
+  * a persisted write_points layout gets BOTH a pushed ts range filter
+    (row-group pruning) AND dt partition pruning through the planner
 """
 
 from __future__ import annotations
@@ -9,13 +16,58 @@ from __future__ import annotations
 import os
 import re
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _plan_str(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _check_pushdown(spark) -> list[str]:
+    """Persisted-layout invariant: ts range reaches the scan + dt prunes."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.model import SubQuery
+    from opentsdb_spark.plans.planner import compile_subquery
+    from opentsdb_spark.sources.points import read_points, write_points
+
+    errors: list[str] = []
+    base = 1704067200_000
+    rows = [("m", base + d * 86_400_000, 1.0) for d in range(3)]
+    df = spark.createDataFrame(rows, "metric string, ms long, value double").select(
+        "metric", F.timestamp_millis("ms").alias("ts"), "value",
+        F.lit(None).cast("long").alias("value_long"),
+        F.create_map(F.lit("h"), F.lit("a")).alias("tags"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "pts")
+        write_points(df, path)
+        pts = read_points(spark, path)
+        r = compile_subquery(
+            pts, SubQuery(metric="m", aggregator="none"), base, base + 86_400_000 - 1
+        )
+        plan = _plan_str(r.df)
+        if not re.search(r"PushedFilters:.*GreaterThanOrEqual\(ts", plan):
+            errors.append("persisted layout: ts lower bound NOT pushed to Parquet scan")
+        if not re.search(r"PushedFilters:.*LessThanOrEqual\(ts", plan):
+            errors.append("persisted layout: ts upper bound NOT pushed to Parquet scan")
+        if not re.search(r"PartitionFilters: \[[^\]]*dt", plan):
+            errors.append("persisted layout: dt partition pruning missing")
+        r.df.count()  # materialize inside the tempdir's lifetime
+    return errors
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    only = sys.argv[2] if len(sys.argv) > 2 else ""
+    args = [a for a in sys.argv[1:]]
+    check = "--check" in args
+    args = [a for a in args if a != "--check"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    only = args[1] if len(args) > 1 else ""
 
     from bench import HEADLINE
     from opentsdb_spark import catalog
@@ -24,24 +76,50 @@ def main() -> None:
     spark = get_spark("explain-plans")
     fns = {"flagship": catalog.flagship}
     fns.update({n: qd.fn for n, qd in catalog.CATALOG.items()})
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
+    errors: list[str] = []
     for name in HEADLINE:
         if only and only not in name:
             continue
         df = fns[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(mode)
+        plan = _plan_str(df)
         tree = plan.split("\n\n")[0]
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-        print(f"===== {name} =====")
-        print(tree)
-        for p in pushed:
-            if p.strip():
-                print(f"  PushedFilters: {p}")
+        real_pushed = [p for p in pushed if p.strip() and p.strip() != "IsNotNull(ts)"]
         n_exch = tree.count("Exchange") - tree.count("BroadcastExchange")
         n_bc = tree.count("BroadcastExchange")
-        print(f"  shuffles={n_exch} broadcasts={n_bc}")
-        print()
+        if check:
+            # doc-pipeline ops scan the whole corpus by design — only
+            # filtering queries must reach the Parquet scan
+            filtering = name.split("_")[0] in (
+                "flagship", "tsdb", "gexp", "exp", "rollup", "hist"
+            ) or name == "flagship"
+            if filtering and not real_pushed:
+                errors.append(f"{name}: no non-trivial PushedFilters")
+            # unpartitioned window = single-partition sort at scale
+            for m in re.finditer(r"Window .*", plan):
+                if "partitionBy" not in m.group(0) and "PartitionSpec" not in m.group(0):
+                    pass  # formatted mode lists args separately; checked below
+            if re.search(r"Arguments:.*\[\], \[[^\]]*ASC", plan) and "Window" in plan:
+                errors.append(f"{name}: unpartitioned Window (single-partition sort)")
+            print(f"check {name}: pushed={len(real_pushed)} shuffles={n_exch} broadcasts={n_bc}")
+        else:
+            print(f"===== {name} =====")
+            print(tree)
+            for p in pushed:
+                if p.strip():
+                    print(f"  PushedFilters: {p}")
+            print(f"  shuffles={n_exch} broadcasts={n_bc}")
+            print()
+
+    if check:
+        errors.extend(_check_pushdown(spark))
+        if errors:
+            print("\nPLAN CHECK FAILURES:")
+            for e in errors:
+                print(f"  FAIL {e}")
+            sys.exit(1)
+        print("\nall plan checks passed")
 
 
 if __name__ == "__main__":
