@@ -89,6 +89,28 @@ def handle_query(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     return out
 
 
+# analog of tsd.http.query.allow_delete (reference QueryRpc.java:96-99:
+# DELETE /api/query is rejected unless explicitly enabled)
+ALLOW_DELETE = False
+
+
+def handle_query_delete(points: DataFrame, request: dict) -> tuple[list[dict[str, Any]], DataFrame]:
+    """DELETE /api/query — returns (query results, retained point frame).
+
+    The reference deletes matched cells while serving the query result
+    (QueryRpc.java:148-152); here the caller persists the retained frame
+    (e.g. sources.points.write_points) to make the delete durable."""
+    if not ALLOW_DELETE:
+        raise PermissionError(
+            "Deleting data is not enabled (tsd.http.query.allow_delete=false)"
+        )
+    from opentsdb_spark.plans.planner import delete_matching_points
+
+    tsq = _tsquery_from_body(request) if "queries" in request else parse_query(request)
+    results = handle_query(points, request)
+    return results, delete_matching_points(points, tsq)
+
+
 def handle_gexp(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     """GET /api/query/gexp?exp=func(...)&start=...&end=..."""
     now = request.get("_now_ms")

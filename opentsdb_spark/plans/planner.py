@@ -146,3 +146,30 @@ def compile_query(points: DataFrame, tsq: TSQuery, now_ms: int | None = None) ->
     start_ms = parse_datetime_ms(tsq.start, tsq.timezone, now_ms)
     end_ms = parse_datetime_ms(tsq.end, tsq.timezone, now_ms)
     return [compile_subquery(points, q, start_ms, end_ms, tsq.timezone) for q in tsq.queries]
+
+
+def delete_matching_points(points: DataFrame, tsq: TSQuery, now_ms: int | None = None) -> DataFrame:
+    """DELETE /api/query: remove every point matched by any sub-query
+    (time range x metric x tag predicates) and return the RETAINED frame.
+
+    The reference flags the scan to delete matched cells in place
+    (src/tsd/QueryRpc.java:148-152 -> src/core/TsdbQuery.java setDelete);
+    on an immutable lake the delete is this anti-filter re-written with
+    ``sources.points.write_points`` — partition pruning bounds the rewrite
+    to the touched date partitions."""
+    start_ms = parse_datetime_ms(tsq.start, tsq.timezone, now_ms)
+    end_ms = parse_datetime_ms(tsq.end, tsq.timezone, now_ms)
+    matched = None
+    for q in tsq.queries:
+        m = time_range_predicate(points, start_ms, end_ms) & (
+            F.col("metric") == q.metric
+        )
+        if q.tsuids:
+            m = m & series_id_col("metric", "tags").isin(list(q.tsuids))
+        pred = _tag_predicates(q)
+        if pred is not None:
+            m = m & pred
+        matched = m if matched is None else (matched | m)
+    if matched is None:
+        return points
+    return points.where(~matched)

@@ -253,3 +253,27 @@ def test_handle_query_multi_m(fixture_points):
     assert len(out) == 3
     glob = [r for r in out if not r["tags"]][0]
     assert glob["dps"][str(EPOCH)] == 300.0
+
+
+def test_handle_query_delete(fixture_points):
+    # disabled by default, mirroring tsd.http.query.allow_delete=false
+    req = {"start": EPOCH, "end": EPOCH + 3000,
+           "m": "sum:sys.cpu.user{host=literal_or(web01)}"}
+    with pytest.raises(PermissionError):
+        api.handle_query_delete(fixture_points, req)
+    api.ALLOW_DELETE = True
+    try:
+        results, retained = api.handle_query_delete(fixture_points, req)
+        assert results  # query results still served, like the reference
+        # 100 buckets of 30s in (EPOCH, EPOCH+3000]: ts starts at EPOCH+30
+        n_deleted = fixture_points.count() - retained.count()
+        assert n_deleted == 100  # only web01's points in range
+        from pyspark.sql import functions as F
+
+        still = retained.where(
+            (F.col("tags")["host"] == "web01")
+            & (F.unix_millis("ts") <= (EPOCH + 3000) * 1000)
+        )
+        assert still.count() == 0
+    finally:
+        api.ALLOW_DELETE = False
