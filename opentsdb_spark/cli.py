@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> int:
     u = sub.add_parser("uid", help="uid registry listing")
     u.add_argument("--kind", default="metrics", choices=["metrics", "tagk", "tagv"])
 
+    f = sub.add_parser("fsck", help="data-integrity scan (duplicates/NaN/null/future)")
+    f.add_argument("--fix", action="store_true", help="write a repaired table")
+    f.add_argument("--out", default=None, help="output dir for --fix")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "query":
@@ -125,6 +129,21 @@ def main(argv: list[str] | None = None) -> int:
         spark, points = _spark_and_points(args)
         for r in uid_listing(points, args.kind).orderBy("name").collect():
             print(f"{r['name']}\t{r['points']}\t{r['first_seen']}\t{r['last_seen']}")
+    elif args.cmd == "fsck":
+        import time
+
+        from opentsdb_spark.sources.points import fsck_fix, fsck_points, write_points
+
+        spark, points = _spark_and_points(args)
+        now_ms = int(time.time() * 1000)
+        for r in fsck_points(points, now_ms).collect():
+            print(f"{r['issue']}\t{r['count']}")
+        if args.fix:
+            if not args.out:
+                print("--fix requires --out", file=sys.stderr)
+                return 2
+            write_points(fsck_fix(points, now_ms), args.out)
+            print(f"repaired table -> {args.out}")
     return 0
 
 

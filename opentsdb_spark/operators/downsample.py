@@ -54,7 +54,11 @@ def _local_calendar_bucket(local, unit: str, n: int):
            from the year top)
       w    N<=2: start of the timestamp's own week (the reference's
            2%interval==0 branch collapses 2wc to the current week);
-           N>2: year-top week anchor, stepped 7N days
+           N>2: anchored at the week containing Jan 1 of the timestamp's
+           WEEK-year (the year its week's Sunday falls in), stepped 7N
+           days — week-year anchoring keeps bucketing idempotent across
+           the year boundary (a label in late December re-buckets to
+           itself, not to the previous year's sequence)
       n    Jan-anchored N-month groups within the year
       y    any N collapses to the timestamp's own year start (the reference
            anchors at the timestamp's year, so stepping never moves)
@@ -75,7 +79,13 @@ def _local_calendar_bucket(local, unit: str, n: int):
     if unit == "w":
         if n <= 2:
             return F.date_trunc("week", local)
-        anchor = F.unix_millis(F.date_trunc("week", F.date_trunc("year", local)))
+        # week-year = the year this week's Sunday falls in; anchor at the
+        # week containing that year's Jan 1 so labels re-bucket to themselves
+        week = F.date_trunc("week", local)
+        weekyear = F.year(F.date_add(week.cast("date"), 6))
+        anchor = F.unix_millis(
+            F.date_trunc("week", F.make_date(weekyear, F.lit(1), F.lit(1)).cast("timestamp"))
+        )
         delta = lms - anchor
         step = n * _UNIT_MS["w"]
         return F.timestamp_millis(anchor + delta - delta % F.lit(step))

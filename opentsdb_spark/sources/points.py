@@ -197,6 +197,58 @@ def import_text(spark: SparkSession, path: str) -> DataFrame:
     return parse_import_lines(spark.read.text(path))
 
 
+def fsck_points(points: DataFrame, now_ms: int | None = None) -> DataFrame:
+    """Data-integrity scan (reference src/tools/Fsck.java checks re-expressed
+    set-wise): duplicate (series, ts) cells, non-finite values, null values,
+    future timestamps. Returns (issue, count) — one aggregation pass plus a
+    dup groupBy; at 100 TB both are plain shuffles on 8-byte keys."""
+    sid = F.xxhash64(series_id_col(), F.col("ts").cast("string"))
+    dups = (
+        points.groupBy(sid.alias("__k"))
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("n"))
+        .select(F.lit("duplicate_points").alias("issue"), F.col("n").cast("long").alias("count"))
+    )
+    future = (
+        F.unix_millis("ts") > F.lit(now_ms + 3_600_000) if now_ms is not None else F.lit(False)
+    )
+    flags = points.select(
+        F.isnan(F.coalesce(F.col("value"), F.lit(0.0))).cast("long").alias("nan_value"),
+        (F.col("value").isNull() & F.col("value_long").isNull()).cast("long").alias("null_value"),
+        future.cast("long").alias("future_timestamp"),
+    )
+    others = flags.agg(
+        F.sum("nan_value").alias("nan_value"),
+        F.sum("null_value").alias("null_value"),
+        F.sum("future_timestamp").alias("future_timestamp"),
+    )
+    melted = others.selectExpr(
+        "stack(3, 'nan_value', nan_value, 'null_value', null_value, "
+        "'future_timestamp', future_timestamp) AS (issue, count)"
+    )
+    return dups.unionByName(melted)
+
+
+def fsck_fix(points: DataFrame, now_ms: int | None = None) -> DataFrame:
+    """Repair pass (fsck --fix-all analog): drop null/NaN values and future
+    points, resolve duplicate (series, ts) cells keeping the max value (the
+    engine's LWW compaction tiebreak, streaming.ingest.compact_points)."""
+    out = points.where(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    if now_ms is not None:
+        out = out.where(F.unix_millis("ts") <= now_ms + 3_600_000)
+    return (
+        out.groupBy("metric", "tags", "ts")
+        .agg(
+            F.max("value").alias("value"),
+            F.max("value_long").alias("value_long"),
+        )
+        .select("metric", "ts", "value", "value_long", "tags")
+    )
+
+
 def dump_series(points: DataFrame, import_format: bool = True) -> DataFrame:
     """Render points as text lines (reference src/tools/DumpSeries.java —
     '--import' emits lines TextImporter can re-ingest)."""

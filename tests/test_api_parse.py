@@ -277,3 +277,27 @@ def test_handle_query_delete(fixture_points):
         assert still.count() == 0
     finally:
         api.ALLOW_DELETE = False
+
+
+def test_fsck(spark, fixture_points):
+    from opentsdb_spark.sources.points import fsck_fix, fsck_points
+
+    pts = fixture_points.withColumn("value_long", F.lit(None).cast("long"))
+    dup = pts.union(pts.limit(5))  # 5 duplicate cells
+    bad = dup.union(
+        spark.createDataFrame(
+            [("m", (EPOCH + 999_999_999) * 1000, float("nan"), None, {"h": "x"})],
+            "metric string, ms long, value double, value_long long, "
+            "tags map<string,string>",
+        ).select("metric", F.timestamp_millis("ms").alias("ts"),
+                 "value", "value_long", "tags")
+    )
+    now_ms = EPOCH * 1000 + 10_000_000
+    rep = {r["issue"]: r["count"] for r in fsck_points(bad, now_ms).collect()}
+    assert rep["duplicate_points"] == 5
+    assert rep["nan_value"] == 1
+    assert rep["future_timestamp"] == 1
+    fixed = fsck_fix(bad, now_ms)
+    assert fixed.count() == 600  # dups resolved, NaN/future row dropped
+    assert {r["issue"]: r["count"] for r in fsck_points(fixed, now_ms).collect()} == {
+        "duplicate_points": 0, "nan_value": 0, "null_value": 0, "future_timestamp": 0}

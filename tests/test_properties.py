@@ -89,3 +89,61 @@ def test_mimmax_is_max(spark, pts):
         expected[t] = max(expected.get(t, -math.inf), v)
     for t in expected:
         assert got[t] == pytest.approx(expected[t], rel=1e-9, abs=1e-6)
+
+
+ts_strategy = st.integers(min_value=0, max_value=4 * 366 * 86_400)  # 2013-2016 (leap incl.)
+
+
+@_slow
+@given(offs=st.lists(ts_strategy, min_size=1, max_size=40, unique=True),
+       unit_n=st.sampled_from([("d", 2), ("d", 7), ("w", 3), ("n", 3), ("n", 5),
+                               ("h", 6), ("m", 15), ("y", 2)]),
+       tz=st.sampled_from(["UTC", "America/New_York", "Asia/Tokyo"]))
+def test_calendar_bucket_laws(spark, offs, unit_n, tz):
+    """previousInterval laws for any N-multiple, unit, timezone:
+    idempotent (bucket(bucket(t)) == bucket(t)), at-or-before (bucket <= t),
+    and local-boundary-aligned (bucket starts at local midnight / hour /
+    minute / month / year start per unit)."""
+    from opentsdb_spark.operators.downsample import calendar_bucket_col
+
+    unit, n = unit_n
+    df = spark.createDataFrame([((EPOCH + o) * 1000,) for o in offs], "ms long") \
+        .select(F.timestamp_millis("ms").alias("ts"))
+    b = calendar_bucket_col(F.col("ts"), unit, tz, n)
+    out = df.select(
+        "ts", b.alias("b"),
+        calendar_bucket_col(b, unit, tz, n).alias("bb"),
+        F.from_utc_timestamp(b, tz).alias("lb"),
+    ).collect()
+    for r in out:
+        assert r["bb"] == r["b"], f"not idempotent: {r}"
+        assert r["b"] <= r["ts"], f"bucket after point: {r}"
+        lb = r["lb"]
+        assert lb.second == 0 and lb.microsecond == 0
+        if unit in ("h", "d", "w", "n", "y"):
+            assert lb.minute == 0
+        if unit in ("d", "w", "n", "y"):
+            assert lb.hour == 0
+        if unit in ("n", "y"):
+            assert lb.day == 1
+        if unit == "w":
+            assert lb.weekday() == 0  # ISO Monday (pinned deviation)
+        if unit == "y":
+            assert lb.month == 1
+
+
+@_slow
+@given(pts=points_strategy)
+def test_interpolation_strategies_agree_property(spark, pts):
+    """pack (array-side) and join (grid-join) interpolation must agree on
+    random inputs for every interpolation class."""
+    df = _df(spark, pts).withColumn("value_long", F.lit(None).cast("long"))
+    for agg in ("sum", "zimsum", "pfsum"):
+        a = cross_series_aggregate(df, agg, (), strategy="pack")
+        b = cross_series_aggregate(df, agg, (), strategy="join")
+        ra = sorted((r["ts"], r["value"]) for r in a.collect())
+        rb = sorted((r["ts"], r["value"]) for r in b.collect())
+        assert len(ra) == len(rb)
+        for (ta, va), (tb, vb) in zip(ra, rb):
+            assert ta == tb
+            assert va == pytest.approx(vb, rel=1e-9, abs=1e-9), agg
