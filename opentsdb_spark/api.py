@@ -70,6 +70,8 @@ def _tsquery_from_body(body: dict) -> TSQuery:
                 downsample=ds, rate=rate, filters=filters,
                 explicit_tags=bool(q.get("explicitTags")),
                 tsuids=tuple(q.get("tsuids", [])),
+                percentiles=tuple(sorted(float(p) for p in q.get("percentiles", []))),
+                show_histogram_buckets=bool(q.get("showHistogramBuckets")),
             )
         )
     return TSQuery(
@@ -79,12 +81,17 @@ def _tsquery_from_body(body: dict) -> TSQuery:
     )
 
 
-def handle_query(points: DataFrame, request: dict) -> list[dict[str, Any]]:
-    """GET (params with m=) or POST (queries body) /api/query."""
+def handle_query(
+    points: DataFrame, request: dict, histograms: DataFrame | None = None
+) -> list[dict[str, Any]]:
+    """GET (params with m=) or POST (queries body) /api/query.
+
+    ``histograms`` is the histogram frame (HISTOGRAM_SCHEMA) consulted when
+    a sub-query carries percentiles / show-histogram-buckets."""
     tsq = _tsquery_from_body(request) if "queries" in request else parse_query(request)
     out: list[dict[str, Any]] = []
     limit = request_limit(request)
-    for res in compile_query(points, tsq):
+    for res in compile_query(points, tsq, histograms=histograms):
         out.extend(serialize_subquery(res, tsq.ms_resolution, limit))
     return out
 

@@ -1067,6 +1067,45 @@ def hist_p95_daily(spark, sf_dir):
 
 
 @register(
+    "hist_query_pct_daily",
+    f"""WITH c AS (
+          SELECT CAST(epoch_ms(ts) // 86400000 * 86400 AS BIGINT) AS b,
+                 floor(value / 50.0) * 50.0 AS lo, count(*) AS cnt
+          FROM events WHERE event_type = 'view'
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT b, lo, cnt,
+                 sum(cnt) OVER (PARTITION BY b ORDER BY lo) AS running,
+                 sum(cnt) OVER (PARTITION BY b) AS total
+          FROM c),
+        pcts AS (SELECT unnest([50.0, 95.0]) AS p)
+        SELECT 'view_pct_' || CAST(p AS VARCHAR) AS metric, b AS ts_sec,
+               {RND.format('min(lo) + 25.0')} AS value_r
+        FROM cum, pcts WHERE running * 100.0 / total >= p
+        GROUP BY p, b""",
+)
+def hist_query_pct_daily(spark, sf_dir):
+    """/api/query histogram percentile path (m= 'sum:1d-sum:percentiles[50,95]:view'):
+    synthesized 6h per-user histograms re-bucketed to 1d by the downsample,
+    bucket-wise SUM merge, p50+p95 midpoints emitted as metrics
+    'view_pct_50.0'/'view_pct_95.0' (reference src/core/TsdbQuery.java:
+    1169-1230 routing; src/core/HistogramDataPointsToDataPointsAdaptor.
+    java:43-52 naming; src/core/SimpleHistogram.java:133-164 midpoint)."""
+    from opentsdb_spark.parse import parse_m_subquery
+    from opentsdb_spark.plans.planner import compile_histogram_subquery
+
+    pts = _pts(spark, sf_dir).where(F.col("metric") == "view").withColumn("user", _tag("user"))
+    hists = (
+        synthesize_histograms(pts, 50.0, ("metric", "user"), 6 * 3_600_000)
+        .withColumn("tags", F.create_map(F.lit("user"), F.col("user")))
+        .drop("user")
+    )
+    sub = parse_m_subquery("sum:1d-sum:percentiles[50,95]:view")
+    res = compile_histogram_subquery(hists, sub, START_MS, END_MS)
+    return res.df.select("metric", _ts_sec(), _vr(F.col("value")))
+
+
+@register(
     "annotations_overlap",
     f"""SELECT {SID} AS tsuid, {TS_MS} AS start_ms,
                CAST({TS_MS} + 3600000 AS BIGINT) AS end_ms, 'high-error' AS description
@@ -1578,7 +1617,7 @@ _PRIORITY = [
     # exp/v2 expressions (§2.8b)
     "exp_intersection_arith", "exp_union_fill_zero",
     # rollups / histograms / ingest (§2.1/2.9, §4)
-    "rollup_avg_rewrite_2h", "rollup_split_seam", "hist_p95_daily",
+    "rollup_avg_rewrite_2h", "rollup_split_seam", "hist_query_pct_daily",
     "ingest_put_roundtrip",
     # m= parser end-to-end
     "tsdb_m_parser",

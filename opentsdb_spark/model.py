@@ -79,6 +79,14 @@ class SubQuery:
     tsuids: tuple[str, ...] = ()
     # rollup routing hint (reference src/core/TsdbQuery.java:197-215)
     rollup_usage: str = "ROLLUP_NOFALLBACK"
+    # histogram percentile query: non-empty routes the sub-query to the
+    # histogram table (reference src/core/TSSubQuery.java:94-95,414-423,
+    # src/core/TsdbQuery.java:807 isHistogramQuery); kept sorted like
+    # setPercentiles does
+    percentiles: tuple[float, ...] = ()
+    # emit one series per histogram bucket, metric suffixed _bucket_lo_hi
+    # (reference src/core/HistogramBucketDataPointsAdaptor.java:180-191)
+    show_histogram_buckets: bool = False
 
 
 @dataclass(frozen=True)

@@ -106,6 +106,15 @@ def _parse_downsample(token: str, timezone: str) -> DownsampleSpec:
     )
 
 
+def _parse_percentiles(token: str) -> tuple[float, ...]:
+    """'percentiles[95,99.9]' -> sorted floats (reference
+    src/tsd/QueryRpc.java:894-909 parsePercentiles + TSSubQuery sort)."""
+    lo, hi = token.find("["), token.find("]")
+    if lo == -1 or hi == -1:
+        raise ValueError(f"malformed percentile query parameter: {token!r}")
+    return tuple(sorted(float(p.strip()) for p in token[lo + 1: hi].split(",")))
+
+
 def parse_m_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
     """Parse one ``m=`` sub-query string into the query model."""
     # peel metric{...}{...} off the tail: find metric start = after last ':'
@@ -144,11 +153,21 @@ def parse_m_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
     downsample = None
     rate = None
     explicit_tags = False
+    percentiles: tuple[float, ...] = ()
+    show_buckets = False
+    rollup_usage = "ROLLUP_NOFALLBACK"
+    # token dispatch mirrors reference src/tsd/QueryRpc.java:655-675
     for tok in tokens[1:]:
         if tok.startswith("rate"):
             rate = _parse_rate(tok)
         elif tok == "explicit_tags":
             explicit_tags = True
+        elif tok.lower().startswith("percentiles"):
+            percentiles = _parse_percentiles(tok)
+        elif tok.lower().startswith("show-histogram-buckets"):
+            show_buckets = True
+        elif tok.lower().startswith("rollup_"):
+            rollup_usage = tok.upper()
         else:
             downsample = _parse_downsample(tok, timezone)
 
@@ -164,6 +183,8 @@ def parse_m_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
     return SubQuery(
         metric=metric, aggregator=aggregator, downsample=downsample, rate=rate,
         filters=tuple(filters), explicit_tags=explicit_tags,
+        percentiles=percentiles, show_histogram_buckets=show_buckets,
+        rollup_usage=rollup_usage,
     )
 
 

@@ -141,11 +141,115 @@ def compile_subquery(
     return CompiledSubQuery(out, group_tagks, q.aggregator, source_df)
 
 
-def compile_query(points: DataFrame, tsq: TSQuery, now_ms: int | None = None) -> list[CompiledSubQuery]:
-    """Compile all sub-queries of a TSQuery."""
+def compile_histogram_subquery(
+    hists: DataFrame,
+    q: SubQuery,
+    start_ms: int,
+    end_ms: int,
+    timezone: str = "UTC",
+) -> CompiledSubQuery:
+    """Histogram percentile / bucket sub-query over a histogram frame
+    (operators.histogram.HISTOGRAM_SCHEMA).
+
+    Mirrors the reference's histogram read path: routing when percentiles
+    are requested (src/core/TsdbQuery.java:807,1169-1230), bucket-wise SUM
+    as the only cross-histogram aggregation (src/core/
+    HistogramAggregationIterator.java), midpoint percentile
+    (src/core/SimpleHistogram.java:133-164 — underflow/overflow are NOT
+    part of the cumulative walk), output naming ``<metric>_pct_<p>``
+    (src/core/HistogramDataPointsToDataPointsAdaptor.java:43-52) and
+    ``<metric>_bucket_<lo>_<hi>`` (src/core/
+    HistogramBucketDataPointsAdaptor.java:180-191).
+
+    Spark shape: filter -> [re-bucket ts] -> explode buckets -> one groupBy
+    (the merge shuffle) -> percentile windows; one output row per group
+    bucket per requested percentile. Downsampling histograms is sum-merge
+    only (src/core/HistogramDownsampler.java), so re-stamping ``ts`` to the
+    downsample bucket before the single merge shuffle covers it — no second
+    aggregation pass.
+    """
+    from opentsdb_spark.operators.downsample import bucket_col, calendar_bucket_col
+    from opentsdb_spark.operators.histogram import histogram_percentile, merge_histograms
+
+    if not q.percentiles and not q.show_histogram_buckets:
+        raise ValueError("histogram sub-query needs percentiles or show-histogram-buckets")
+    df = hists.where(time_range_predicate(hists, start_ms, end_ms)).where(
+        F.col("metric") == q.metric
+    )
+    df = df.drop("dt", "hr")
+    pred = _tag_predicates(q)
+    if pred is not None:
+        df = df.where(pred)
+    group_tagks = tuple(f.tagk for f in q.filters if f.group_by)
+
+    if q.downsample is not None:
+        d = q.downsample
+        if d.aggregator not in ("sum", "zimsum"):
+            raise ValueError("histograms downsample with SUM merge only")
+        b = (
+            calendar_bucket_col(F.col("ts"), d.calendar_unit or "d", d.timezone, d.calendar_n)
+            if d.calendar
+            else bucket_col(F.col("ts"), d.interval_ms)
+        )
+        df = df.withColumn("ts", b)
+
+    df = df.select(
+        "metric", *[F.col("tags")[k].alias(k) for k in group_tagks], "ts", "buckets"
+    )
+    gcols = ("metric", *group_tagks, "ts")
+    merged = merge_histograms(df, gcols)
+
+    outs: list[DataFrame] = []
+    for p in q.percentiles:
+        # Float.toString formatting: 95 -> "95.0"
+        suffix = f"_pct_{float(p)}"
+        pct = histogram_percentile(merged, gcols, float(p))
+        outs.append(
+            pct.withColumn("metric", F.concat(F.col("metric"), F.lit(suffix)))
+        )
+    if q.show_histogram_buckets:
+        outs.append(
+            merged.withColumn(
+                "metric",
+                F.concat(
+                    F.col("metric"), F.lit("_bucket_"),
+                    F.col("lower").cast("string"), F.lit("_"),
+                    F.col("upper").cast("string"),
+                ),
+            ).select(*gcols, F.col("count").cast("double").alias("value"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o.select(*out.columns))
+    out = out.select("metric", *group_tagks, "ts", "value")
+    return CompiledSubQuery(out, group_tagks, q.aggregator, source_df=None)
+
+
+def compile_query(
+    points: DataFrame,
+    tsq: TSQuery,
+    now_ms: int | None = None,
+    histograms: DataFrame | None = None,
+) -> list[CompiledSubQuery]:
+    """Compile all sub-queries of a TSQuery. Sub-queries requesting
+    percentiles/buckets route to the histogram frame (reference
+    src/core/TsdbQuery.java:807 isHistogramQuery)."""
     start_ms = parse_datetime_ms(tsq.start, tsq.timezone, now_ms)
     end_ms = parse_datetime_ms(tsq.end, tsq.timezone, now_ms)
-    return [compile_subquery(points, q, start_ms, end_ms, tsq.timezone) for q in tsq.queries]
+    out = []
+    for q in tsq.queries:
+        if q.percentiles or q.show_histogram_buckets:
+            if histograms is None:
+                raise ValueError(
+                    f"sub-query on {q.metric!r} requests histogram percentiles "
+                    "but no histogram frame was provided"
+                )
+            out.append(
+                compile_histogram_subquery(histograms, q, start_ms, end_ms, tsq.timezone)
+            )
+        else:
+            out.append(compile_subquery(points, q, start_ms, end_ms, tsq.timezone))
+    return out
 
 
 def delete_matching_points(points: DataFrame, tsq: TSQuery, now_ms: int | None = None) -> DataFrame:

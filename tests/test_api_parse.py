@@ -301,3 +301,48 @@ def test_fsck(spark, fixture_points):
     assert fixed.count() == 600  # dups resolved, NaN/future row dropped
     assert {r["issue"]: r["count"] for r in fsck_points(fixed, now_ms).collect()} == {
         "duplicate_points": 0, "nan_value": 0, "null_value": 0, "future_timestamp": 0}
+
+
+def test_parse_percentiles_and_rollup_tokens():
+    q = parse_m_subquery("sum:1d-sum:percentiles[99,50,95.5]:latency{host=*}")
+    assert q.percentiles == (50.0, 95.5, 99.0)  # sorted, like setPercentiles
+    assert q.downsample.interval_ms == 86_400_000
+    q = parse_m_subquery("sum:show-histogram-buckets:latency")
+    assert q.show_histogram_buckets and q.percentiles == ()
+    q = parse_m_subquery("sum:rollup_raw:m1")
+    assert q.rollup_usage == "ROLLUP_RAW"
+    with pytest.raises(ValueError):
+        parse_m_subquery("sum:percentiles(95):m1")
+
+
+def test_handle_query_histogram_percentiles(spark, fixture_points):
+    from opentsdb_spark.operators.histogram import synthesize_histograms
+
+    pts = fixture_points.withColumn("host", F.col("tags")["host"])
+    hists = (
+        synthesize_histograms(pts, 100.0, ("metric", "host"), 3_600_000)
+        .withColumn("tags", F.create_map(F.lit("host"), F.col("host")))
+        .drop("host")
+    )
+    req = {
+        "start": EPOCH, "end": EPOCH + 10_000,
+        # 1d-sum re-buckets the hourly histograms into one daily merge
+        "m": "sum:1d-sum:percentiles[50,99]:sys.cpu.user",
+    }
+    out = api.handle_query(fixture_points, req, histograms=hists)
+    names = {s["metric"] for s in out}
+    assert names == {"sys.cpu.user_pct_50.0", "sys.cpu.user_pct_99.0"}
+    # values 1..300 uniform in width-100 buckets: p50 -> [100,200) midpoint,
+    # p99 -> [200,300) midpoint
+    by = {s["metric"]: s for s in out}
+    assert set(by["sys.cpu.user_pct_50.0"]["dps"].values()) == {150.0}
+    assert set(by["sys.cpu.user_pct_99.0"]["dps"].values()) == {250.0}
+    # bucket series: one per (lower,upper), value = merged count
+    req["m"] = "sum:show-histogram-buckets:sys.cpu.user{host=literal_or(web01)}"
+    out = api.handle_query(fixture_points, req, histograms=hists)
+    assert all(s["metric"].startswith("sys.cpu.user_bucket_") for s in out)
+    total = sum(v for s in out for v in s["dps"].values())
+    assert total == 300.0  # every web01 point counted once
+    # no histogram frame -> explicit error
+    with pytest.raises(ValueError, match="histogram"):
+        api.handle_query(fixture_points, {"start": EPOCH, "m": "sum:percentiles[95]:x"})
