@@ -34,7 +34,7 @@ from opentsdb_spark.operators.metadata import SUGGEST_MAX, last_points, lookup, 
 from opentsdb_spark.parse import parse_gexp, parse_query
 from opentsdb_spark.plans.limits import enforce_data_point_limit, request_limit
 from opentsdb_spark.plans.planner import compile_query
-from opentsdb_spark.serializer import serialize_subquery
+from opentsdb_spark.serializer import serialize_subquery, subquery_echo
 from opentsdb_spark.timeparse import parse_datetime_ms, parse_duration_ms
 
 
@@ -78,6 +78,10 @@ def _tsquery_from_body(body: dict) -> TSQuery:
         start=body["start"], end=body.get("end"),
         queries=tuple(subs), timezone=body.get("timezone", "UTC"),
         ms_resolution=bool(body.get("msResolution")),
+        show_tsuids=bool(body.get("showTSUIDs")),
+        show_query=bool(body.get("showQuery")),
+        show_stats=bool(body.get("showStats")),
+        show_summary=bool(body.get("showSummary")),
     )
 
 
@@ -88,11 +92,47 @@ def handle_query(
 
     ``histograms`` is the histogram frame (HISTOGRAM_SCHEMA) consulted when
     a sub-query carries percentiles / show-histogram-buckets."""
+    import time
+
+    t0 = time.monotonic()
     tsq = _tsquery_from_body(request) if "queries" in request else parse_query(request)
     out: list[dict[str, Any]] = []
     limit = request_limit(request)
-    for res in compile_query(points, tsq, histograms=histograms):
-        out.extend(serialize_subquery(res, tsq.ms_resolution, limit))
+    compiled = compile_query(points, tsq, histograms=histograms)
+    sub_stats: list[dict[str, Any]] = []
+    for q, res in zip(tsq.queries, compiled):
+        echo = subquery_echo(q) if tsq.show_query else None
+        ts0 = time.monotonic()
+        series = serialize_subquery(
+            res, tsq.ms_resolution, limit,
+            show_tsuids=tsq.show_tsuids, query_echo=echo,
+            # per-query stats are attached after serialization timing is known
+            stats=None,
+        )
+        elapsed_ms = (time.monotonic() - ts0) * 1000.0
+        emitted = sum(len(s["dps"]) for s in series)
+        st = {
+            # the engine-side measurable analogs of the reference's QueryStats
+            # (src/tsd/HttpJsonSerializer.java:888-901): per-query wall time
+            # covers plan execution + collect + serialization in Spark
+            "queryScanAndSerializationTime": elapsed_ms,
+            "emittedDPs": emitted,
+            "seriesCount": len(series),
+        }
+        if tsq.show_stats:
+            for s in series:
+                s["stats"] = st
+        sub_stats.append(st)
+        out.extend(series)
+    if tsq.show_summary:
+        out.append({
+            "statsSummary": {
+                "totalTime": (time.monotonic() - t0) * 1000.0,
+                "emittedDPs": sum(s["emittedDPs"] for s in sub_stats),
+                "queryCount": len(sub_stats),
+                "queries": sub_stats,
+            }
+        })
     return out
 
 

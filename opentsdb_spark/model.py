@@ -101,6 +101,12 @@ class TSQuery:
     queries: tuple[SubQuery, ...] = ()
     timezone: str = "UTC"
     ms_resolution: bool = False
+    # output options (reference src/core/TSQuery.java:71-94, parsed from
+    # query-string params in src/tsd/QueryRpc.java:542-568)
+    show_tsuids: bool = False
+    show_query: bool = False
+    show_stats: bool = False
+    show_summary: bool = False
 
 
 # ---------------------------------------------------------------- exp (v2) --

@@ -199,6 +199,11 @@ def parse_query(params: dict) -> TSQuery:
         queries=tuple(parse_m_subquery(s, tz) for s in ms),
         timezone=tz,
         ms_resolution=bool(params.get("ms")),
+        # presence-style flags (reference src/tsd/QueryRpc.java:542-568)
+        show_tsuids=bool(params.get("show_tsuids")),
+        show_query=bool(params.get("show_query")),
+        show_stats=bool(params.get("show_stats")),
+        show_summary=bool(params.get("show_summary")),
     )
 
 

@@ -22,8 +22,17 @@ from opentsdb_spark.plans.planner import CompiledSubQuery
 
 
 def serialize_subquery(
-    result: CompiledSubQuery, ms_resolution: bool = False, max_data_points: int = 0
+    result: CompiledSubQuery,
+    ms_resolution: bool = False,
+    max_data_points: int = 0,
+    show_tsuids: bool = False,
+    query_echo: dict[str, Any] | None = None,
+    stats: dict[str, Any] | None = None,
 ) -> list[dict[str, Any]]:
+    """``show_tsuids`` adds the sorted TSUID list per output series
+    (HttpJsonSerializer.java:766-776); ``query_echo`` is attached as the
+    ``query`` field when show_query is set (:763-765); ``stats`` is attached
+    as the ``stats`` field when show_stats is set (:888-901)."""
     df = result.df
     gk = list(result.group_tagks)
     if result.aggregator == "none":
@@ -48,6 +57,23 @@ def serialize_subquery(
             ).distinct().collect()
         ]
         agg_tags = sorted(set(keys) - set(gk))
+    # per-output-series TSUID lists: distinct source series ids grouped by
+    # the output key — one extra small aggregate, only when requested
+    tsuid_map: dict[tuple, list[str]] = {}
+    if show_tsuids and result.aggregator != "none" and result.source_df is not None:
+        from opentsdb_spark.sources.points import series_id_col
+
+        sid_rows = (
+            result.source_df.select(
+                "metric",
+                *[F.col("tags")[k].alias(k) for k in gk],
+                series_id_col("metric", "tags").alias("__sid"),
+            )
+            .distinct()
+            .collect()
+        )
+        for r in sid_rows:
+            tsuid_map.setdefault(tuple(r[c] for c in key_cols), []).append(r["__sid"])
     out: list[dict[str, Any]] = []
     cur_key: tuple | None = None
     cur: dict[str, Any] | None = None
@@ -60,12 +86,43 @@ def serialize_subquery(
                 "aggregateTags": agg_tags,
                 "dps": {},
             }
+            if query_echo is not None:
+                cur["query"] = query_echo
+            if show_tsuids:
+                cur["tsuids"] = (
+                    [r["series_id"]]
+                    if result.aggregator == "none"
+                    else sorted(tsuid_map.get(key, []))
+                )
+            if stats is not None:
+                cur["stats"] = stats
             out.append(cur)
             cur_key = key
         t = r["__t"] if ms_resolution else r["__t"] // 1000
         assert cur is not None
         cur["dps"][str(t)] = r["value"]
     return out
+
+
+def subquery_echo(q) -> dict[str, Any]:
+    """Echo a SubQuery in the reference's TSSubQuery JSON field naming
+    (Jackson output of src/core/TSSubQuery.java getters)."""
+    return {
+        "aggregator": q.aggregator,
+        "metric": q.metric,
+        "tsuids": list(q.tsuids) or None,
+        "downsample": None if q.downsample is None else (
+            f"{q.downsample.interval_ms}ms-{q.downsample.aggregator}"
+            if not q.downsample.calendar
+            else f"{q.downsample.calendar_n}{q.downsample.calendar_unit}c-{q.downsample.aggregator}"
+        ),
+        "rate": q.rate is not None,
+        "explicitTags": q.explicit_tags,
+        "filters": [
+            {"tagk": f.tagk, "filter": f.filter, "type": f.type, "groupBy": f.group_by}
+            for f in q.filters
+        ],
+    }
 
 
 def ascii_table(results: list[dict[str, Any]], max_rows: int = 40) -> str:

@@ -346,3 +346,42 @@ def test_handle_query_histogram_percentiles(spark, fixture_points):
     # no histogram frame -> explicit error
     with pytest.raises(ValueError, match="histogram"):
         api.handle_query(fixture_points, {"start": EPOCH, "m": "sum:percentiles[95]:x"})
+
+
+def test_query_output_options(fixture_points):
+    req = {
+        "start": EPOCH, "end": EPOCH + 10_000,
+        "m": "sum:sys.cpu.user{host=*}",
+        "show_tsuids": "true", "show_query": "true",
+        "show_stats": "true", "show_summary": "true",
+    }
+    out = api.handle_query(fixture_points, req)
+    summary = out[-1]
+    assert set(summary) == {"statsSummary"}
+    assert summary["statsSummary"]["queryCount"] == 1
+    assert summary["statsSummary"]["emittedDPs"] == sum(
+        len(s["dps"]) for s in out[:-1]
+    ) > 0
+    series = out[:-1]
+    assert {s["tags"]["host"] for s in series} == {"web01", "web02"}
+    for s in series:
+        # each grouped output series carries exactly its own source tsuid
+        assert len(s["tsuids"]) == 1 and s["tags"]["host"] in s["tsuids"][0]
+        assert s["query"]["metric"] == "sys.cpu.user"
+        assert s["query"]["filters"][0]["type"] == "iwildcard"
+        assert s["stats"]["emittedDPs"] > 0
+    # flags off -> none of the extra fields appear
+    plain = api.handle_query(
+        fixture_points, {"start": EPOCH, "end": EPOCH + 10_000, "m": "sum:sys.cpu.user"}
+    )
+    assert all(
+        set(s) == {"metric", "tags", "aggregateTags", "dps"} for s in plain
+    )
+    # aggregated (no group-by): one series, both tsuids listed sorted
+    agg = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 10_000, "m": "sum:sys.cpu.user",
+         "show_tsuids": "1"},
+    )
+    assert len(agg) == 1 and len(agg[0]["tsuids"]) == 2
+    assert agg[0]["tsuids"] == sorted(agg[0]["tsuids"])
