@@ -1233,6 +1233,55 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", _vr(F.col("jaccard")).alias("jaccard_r"))
 
 
+# shared gram/pair CTE prefix (identical to dedup_ngram_jaccard's oracle)
+_JACCARD_PAIRS_CTE = """g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0)),
+                   i -> array_to_string(string_split_regex(text, '\\s+')[i:i+4], ' ')
+                 )) AS grams
+          FROM documents),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        keep AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 50),
+        ee AS (SELECT e.doc_id, e.gram FROM e SEMI JOIN keep ON e.gram = keep.gram),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM ee a JOIN ee b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        j AS (SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                       / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jac
+              FROM cand c JOIN g ga ON c.id_a = ga.doc_id JOIN g gb ON c.id_b = gb.doc_id)"""
+
+
+@register(
+    "dedup_cluster_cc",
+    f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+        cc AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u)
+        SELECT d.doc_id,
+               coalesce(cc.component, d.doc_id) AS component,
+               coalesce(cc.component, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""",
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Near-dup clustering: jaccard>=0.5 pairs -> connected components via
+    alternating large-star/small-star (Kiveris et al. SoCC'14), canonical =
+    component min id. The oracle computes the same components with a
+    DuckDB recursive transitive-closure CTE — feasible at sf, which is the
+    point: the Spark path stays O(log^2 n) rounds of degree-bounded
+    shuffles while the SQL mirror is quadratic in component size."""
+    from opentsdb_spark.pipeline.cluster import dedup_assign_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_df=50)
+    return dedup_assign_clusters(docs, pairs)
+
+
 _NW = r"len(string_split_regex(text, '\s+'))"
 _MWL = RND.format(r"length(regexp_replace(text, '\s+', '', 'g')) / " + _NW)
 _SWR = RND.format(
@@ -1622,14 +1671,14 @@ _PRIORITY = [
     # m= parser end-to-end
     "tsdb_m_parser",
     # LLM-pipeline: dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine",
     # LLM-pipeline: text / similarity / multimodal
     "text_quality", "text_langid", "text_tokens", "text_fingerprint",
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "multimodal_bytes", "multimodal_features",
 ]
-assert len(_PRIORITY) == 50  # one driver-gate slot per §2 family representative
+assert len(_PRIORITY) == 51  # one driver-gate slot per §2 family representative
 
 
 def _reorder_catalog() -> None:

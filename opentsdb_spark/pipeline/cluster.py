@@ -1,0 +1,100 @@
+"""Connected-component clustering for near-duplicate groups.
+
+The pair-generating dedup operators (pipeline.dedup: ngram_jaccard_pairs,
+minhash_lsh_pairs, simhash_pairs, embedding near-dup) emit EDGES of a
+similarity graph; an actual dedup decision needs the graph's connected
+components plus one canonical document per component (keep the canonical,
+drop the rest). Transitively: A~B and B~C puts A and C in one component
+even when A and C were never compared.
+
+At 100 TB the similarity graph has billions of edges and cannot live on the
+driver, so components are computed with the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", ACM SoCC'14 — public literature): converges in O(log^2 n)
+rounds, each round two groupBy shuffles keyed on node id whose reducer
+state is bounded by node degree, not component size. No driver-side graph
+state; the only driver traffic is one (count, checksum) scalar per round
+for the convergence test. ``localCheckpoint`` truncates the plan lineage
+each round — without it the iterated plan doubles per round and Catalyst
+re-optimization dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Component label (= min node id in the component) for every node that
+    appears in ``pairs``. Returns (id, component); singleton nodes absent
+    from ``pairs`` are the caller's left-join concern.
+
+    Alternating rounds:
+      large-star  every neighbor v > u links to min(N(u) ∪ {u}) — after
+                  this all edges point from high id to low id
+      small-star  u and its (all smaller) neighbors link to their min
+    Fixpoint (edge set unchanged) is a forest of stars: every node points
+    straight at its component root.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    edges = e.union(e.select("v", "u")).distinct().localCheckpoint()
+    prev: tuple | None = None
+    for _ in range(max_iter):
+        # large-star over the bidirectional edge set
+        nb = edges.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        nb = nb.withColumn("m", F.least("u", F.array_min("nbrs")))
+        high_to_low = (
+            nb.select("u", "m", F.explode("nbrs").alias("v"))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over high->low edges (every neighbor is < u here)
+        nb2 = high_to_low.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+        nb2 = nb2.withColumn("m", F.array_min("nbrs"))
+        stars = (
+            nb2.select("m", F.explode(F.array_union("nbrs", F.array("u"))).alias("v"))
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig_row = stars.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev:
+            edges = stars
+            break
+        prev = sig
+        edges = stars.union(stars.select("v", "u")).distinct().localCheckpoint()
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        labels.select(F.col("component").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+    )
+    return labels.unionByName(roots).distinct()
+
+
+def dedup_assign_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    src: str = "id_a", dst: str = "id_b",
+) -> DataFrame:
+    """Full-corpus cluster assignment: every document labeled with its
+    near-dup component and an ``is_canonical`` keep/drop flag (canonical =
+    the component's min id — deterministic, join-free tie-break). Documents
+    untouched by any pair are their own singleton component."""
+    cc = connected_components(pairs, src, dst).withColumnRenamed("id", id_col)
+    out = docs.select(id_col).join(cc, on=id_col, how="left")
+    out = out.withColumn("component", F.coalesce("component", F.col(id_col)))
+    return out.select(
+        id_col, "component", (F.col("component") == F.col(id_col)).alias("is_canonical")
+    )

@@ -219,3 +219,66 @@ def test_multimodal(docs):
         extract_features(media, "real")
     with pytest.raises(NotImplementedError):
         resize_images(media, 100, 100)
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id in component
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(m) for r, m in comp.items() for x in m}
+
+
+def test_connected_components_vs_union_find(spark):
+    from opentsdb_spark.pipeline.cluster import connected_components
+
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _uf_components(n, edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        touched = {x for e in edges for x in e}
+        assert got.keys() == touched
+        for x in touched:
+            assert got[x] == expected[x], (trial, x)
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from opentsdb_spark.pipeline.cluster import (
+        connected_components, dedup_assign_clusters,
+    )
+
+    # a 6-node path (worst case for label propagation), a triangle, a singleton
+    edges = [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert all(got[x] == 0 for x in range(6))
+    assert all(got[x] == 10 for x in (10, 11, 12))
+    docs = spark.createDataFrame([(i,) for i in [*range(6), 10, 11, 12, 99]],
+                                 "doc_id long")
+    out = {r["doc_id"]: r for r in dedup_assign_clusters(docs, df).collect()}
+    assert out[99]["component"] == 99 and out[99]["is_canonical"]
+    assert sum(r["is_canonical"] for r in out.values()) == 3  # 0, 10, 99
+    kept = {r["doc_id"] for r in out.values() if r["is_canonical"]}
+    assert kept == {0, 10, 99}
