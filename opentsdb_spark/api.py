@@ -262,6 +262,27 @@ def handle_annotation_query(annotations: DataFrame, request: dict) -> list[dict[
     return [r.asDict() for r in df.collect()]
 
 
+def handle_uid_assign(
+    registry: DataFrame | None, request: dict, spark=None
+) -> tuple[dict[str, Any], DataFrame]:
+    """/api/uid/assign (GET comma-lists or POST arrays, reference
+    src/tsd/UniqueIdRpc.java:107-160). Returns (response JSON, updated
+    registry frame) — the caller persists the registry."""
+    from opentsdb_spark.operators.uid import uid_assign
+
+    requests: dict[str, list[str]] = {}
+    for kind in ("metric", "tagk", "tagv"):
+        v = request.get(kind)
+        if isinstance(v, str):
+            v = [s for s in v.split(",") if s]
+        if v:
+            requests[kind] = list(v)
+    return uid_assign(registry, requests, spark=spark)
+
+
+ENDPOINTS_UID = {"/api/uid/assign": handle_uid_assign}
+
+
 def handle_aggregators(*_a) -> list[str]:
     return sorted(AGGREGATORS)
 

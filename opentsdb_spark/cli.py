@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--fix", action="store_true", help="write a repaired table")
     f.add_argument("--out", default=None, help="output dir for --fix")
 
+    mk = sub.add_parser(
+        "mkmetric", help="assign UIDs to metric names (reference tsdb mkmetric)"
+    )
+    mk.add_argument("--registry", default=None, help="registry parquet dir (read+write)")
+    mk.add_argument("--kind", default="metric", choices=["metric", "tagk", "tagv"])
+    mk.add_argument("names", nargs="+")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "query":
@@ -144,6 +151,24 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             write_points(fsck_fix(points, now_ms), args.out)
             print(f"repaired table -> {args.out}")
+    elif args.cmd == "mkmetric":
+        from opentsdb_spark import api
+        from opentsdb_spark.session import get_spark
+
+        spark = get_spark("opentsdb-spark-cli")
+        registry = None
+        if args.registry and os.path.isdir(args.registry):
+            registry = spark.read.parquet(args.registry)
+        resp, registry = api.handle_uid_assign(
+            registry, {args.kind: args.names}, spark=spark
+        )
+        print(json.dumps(resp, indent=2))
+        if args.registry:
+            # registry frame may read from the same path — materialize first
+            rows = registry.collect()
+            spark.createDataFrame(
+                rows, "kind string, name string, uid string"
+            ).write.mode("overwrite").parquet(args.registry)
     return 0
 
 

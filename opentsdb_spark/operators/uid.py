@@ -36,6 +36,96 @@ def uid_listing(points: DataFrame, kind: str) -> DataFrame:
     )
 
 
+UID_REGISTRY_SCHEMA = "kind string, name string, uid string"
+UID_WIDTH_BYTES = 3  # reference default width (src/uid/UniqueId.java)
+
+
+def _candidate_uid(kind: str, name: str, salt: int) -> str:
+    """Deterministic UID candidate: sha256(kind:name:salt) truncated to the
+    3-byte space, rendered like UniqueId.uidToString (6 hex chars)."""
+    import hashlib
+
+    h = hashlib.sha256(f"{kind}:{name}:{salt}".encode()).digest()
+    return h[:UID_WIDTH_BYTES].hex()
+
+
+def uid_assign(
+    registry: DataFrame | None,
+    requests: dict[str, list[str]],
+    spark=None,
+) -> tuple[dict[str, dict[str, str]], DataFrame]:
+    """/api/uid/assign (reference src/tsd/UniqueIdRpc.java:107-160
+    handleAssign): assign UIDs to new metric/tagk/tagv names; names already
+    registered land in the ``<kind>_errors`` map with the reference's
+    'Name already exists with UID: x' message.
+
+    Deviation (documented): the reference allocates UIDs from a central
+    atomic counter (src/uid/UniqueId.java allocateUid) — the one piece of
+    state a 1000-executor writer fleet cannot share cheaply. Here the UID is
+    a deterministic hash of (kind, name) probed against the registry
+    snapshot on collision, so any executor can compute it without
+    coordination; collisions in the 2^24 space are resolved by salting.
+    Assignment is metadata-path (a handful of names per request), so the
+    registry lookups collect small semi-joined subsets, never the data.
+    """
+    kinds = {"metric", "tagk", "tagv"}
+    requests = {k: v for k, v in requests.items() if v}
+    if not requests:
+        raise ValueError("Missing values to assign UIDs")
+    bad = set(requests) - kinds
+    if bad:
+        raise ValueError(f"unknown UID kinds: {sorted(bad)}")
+    spark = spark or (registry.sparkSession if registry is not None else None)
+    if registry is None:
+        registry = spark.createDataFrame([], UID_REGISTRY_SCHEMA)
+
+    wanted = [(k, n) for k, names in requests.items() for n in names]
+    key_pred = None
+    for k, n in wanted:
+        c = (F.col("kind") == k) & (F.col("name") == n)
+        key_pred = c if key_pred is None else (key_pred | c)
+    existing = {
+        (r["kind"], r["name"]): r["uid"]
+        for r in registry.where(key_pred).collect()
+    }
+    # uids already taken per kind, restricted to the candidate probe space
+    probe_budget = 16
+    cand_uids = {
+        _candidate_uid(k, n, s) for k, n in wanted for s in range(probe_budget)
+    }
+    taken: dict[str, set] = {}
+    for r in registry.where(F.col("uid").isin(list(cand_uids))).collect():
+        taken.setdefault(r["kind"], set()).add(r["uid"])
+
+    response: dict[str, dict[str, str]] = {}
+    new_rows: list[tuple[str, str, str]] = []
+    for kind, names in requests.items():
+        results: dict[str, str] = {}
+        errors: dict[str, str] = {}
+        for name in names:
+            if (kind, name) in existing:
+                errors[name] = f"Name already exists with UID: {existing[(kind, name)]}"
+                continue
+            for salt in range(probe_budget):
+                uid = _candidate_uid(kind, name, salt)
+                if uid not in taken.setdefault(kind, set()):
+                    taken[kind].add(uid)
+                    results[name] = uid
+                    new_rows.append((kind, name, uid))
+                    existing[(kind, name)] = uid
+                    break
+            else:  # pragma: no cover — 16 straight 24-bit collisions
+                errors[name] = "UID space exhausted for probe budget"
+        response[kind] = dict(sorted(results.items()))
+        if errors:
+            response[f"{kind}_errors"] = dict(sorted(errors.items()))
+    if new_rows:
+        registry = registry.unionByName(
+            spark.createDataFrame(new_rows, UID_REGISTRY_SCHEMA)
+        )
+    return response, registry
+
+
 UIDMETA_SCHEMA = (
     "kind string, name string, description string, notes string, "
     "display_name string, custom map<string,string>"

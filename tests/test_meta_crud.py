@@ -196,3 +196,37 @@ def test_search_plugin_surface(fixture_points, spark):
         assert p.execute_query(fixture_points, {"metric": "sys.cpu.user"}) == 600
     finally:
         SEARCH_PLUGINS.remove(p)
+
+
+def test_uid_assign(spark):
+    from opentsdb_spark.operators.uid import uid_assign
+
+    resp, reg = uid_assign(None, {"metric": ["sys.cpu.user", "sys.cpu.sys"],
+                                  "tagk": ["host"]}, spark=spark)
+    assert set(resp["metric"]) == {"sys.cpu.user", "sys.cpu.sys"}
+    assert all(len(u) == 6 and int(u, 16) >= 0 for u in resp["metric"].values())
+    assert "metric_errors" not in resp
+    # deterministic: same name -> same uid in a fresh registry
+    resp2, _ = uid_assign(None, {"metric": ["sys.cpu.user"]}, spark=spark)
+    assert resp2["metric"]["sys.cpu.user"] == resp["metric"]["sys.cpu.user"]
+    # re-assigning an existing name errors with the stored uid in the message
+    resp3, reg = uid_assign(reg, {"metric": ["sys.cpu.user", "new.metric"]})
+    assert "new.metric" in resp3["metric"]
+    msg = resp3["metric_errors"]["sys.cpu.user"]
+    assert resp["metric"]["sys.cpu.user"] in msg and "already exists" in msg
+    # same NAME under a different kind is independent
+    resp4, reg = uid_assign(reg, {"tagv": ["sys.cpu.user"]})
+    assert "sys.cpu.user" in resp4["tagv"]
+    assert reg.count() == 5
+    with pytest.raises(ValueError):
+        uid_assign(reg, {})
+
+
+def test_uid_assign_api_get_style(spark):
+    from opentsdb_spark import api
+
+    resp, reg = api.handle_uid_assign(
+        None, {"metric": "m1,m2", "tagk": "host"}, spark=spark
+    )
+    assert set(resp["metric"]) == {"m1", "m2"} and "host" in resp["tagk"]
+    assert reg.count() == 3
