@@ -82,16 +82,23 @@ def _tsquery_from_body(body: dict) -> TSQuery:
         show_query=bool(body.get("showQuery")),
         show_stats=bool(body.get("showStats")),
         show_summary=bool(body.get("showSummary")),
+        no_annotations=bool(body.get("noAnnotations")),
+        with_global_annotations=bool(body.get("globalAnnotations")),
     )
 
 
 def handle_query(
-    points: DataFrame, request: dict, histograms: DataFrame | None = None
+    points: DataFrame,
+    request: dict,
+    histograms: DataFrame | None = None,
+    annotations: DataFrame | None = None,
 ) -> list[dict[str, Any]]:
     """GET (params with m=) or POST (queries body) /api/query.
 
     ``histograms`` is the histogram frame (HISTOGRAM_SCHEMA) consulted when
-    a sub-query carries percentiles / show-histogram-buckets."""
+    a sub-query carries percentiles / show-histogram-buckets;
+    ``annotations`` is the annotation frame merged onto the output unless
+    no_annotations is set (reference HttpJsonSerializer.java:778-811)."""
     import time
 
     t0 = time.monotonic()
@@ -99,6 +106,37 @@ def handle_query(
     out: list[dict[str, Any]] = []
     limit = request_limit(request)
     compiled = compile_query(points, tsq, histograms=histograms)
+    ann_map: dict[str, list[dict[str, Any]]] | None = None
+    globals_list: list[dict[str, Any]] | None = None
+    if annotations is not None and not tsq.no_annotations:
+        from opentsdb_spark.operators.annotations import annotations_in_range
+
+        start_ms = parse_datetime_ms(tsq.start, tsq.timezone, request.get("_now_ms"))
+        end_ms = parse_datetime_ms(tsq.end, tsq.timezone, request.get("_now_ms"))
+        ann_map = {}
+        globals_list = [] if tsq.with_global_annotations else None
+        # empty tsuids + include_global=False applies no identity predicate:
+        # every overlapping note comes back; global rows (tsuid null) are
+        # routed below and dropped unless with_global_annotations
+        rows = annotations_in_range(
+            annotations, start_ms, end_ms, tsuids=(), include_global=False
+        ).collect()
+        for r in rows:
+            note = {
+                "tsuid": r["tsuid"],
+                "startTime": int(r["start_time"].timestamp()),
+                "endTime": int(r["end_time"].timestamp()) if r["end_time"] else 0,
+                "description": r["description"],
+                "notes": r["notes"],
+                "custom": dict(r["custom"]) if r["custom"] else None,
+            }
+            if r["tsuid"] is None:
+                if globals_list is not None:
+                    globals_list.append(note)
+            else:
+                ann_map.setdefault(r["tsuid"], []).append(note)
+        if globals_list is not None:
+            globals_list.sort(key=lambda n: n["startTime"])
     sub_stats: list[dict[str, Any]] = []
     for q, res in zip(tsq.queries, compiled):
         echo = subquery_echo(q) if tsq.show_query else None
@@ -108,6 +146,7 @@ def handle_query(
             show_tsuids=tsq.show_tsuids, query_echo=echo,
             # per-query stats are attached after serialization timing is known
             stats=None,
+            annotations_map=ann_map, global_annotations=globals_list,
         )
         elapsed_ms = (time.monotonic() - ts0) * 1000.0
         emitted = sum(len(s["dps"]) for s in series)
@@ -124,6 +163,11 @@ def handle_query(
                 s["stats"] = st
         sub_stats.append(st)
         out.extend(series)
+    if request.get("arrays"):
+        # as_arrays output: dps as [[ts, value], ...] (reference
+        # HttpJsonSerializer.java:820-846, ?arrays=true)
+        for s in out:
+            s["dps"] = [[int(k), v] for k, v in s["dps"].items()]
     if tsq.show_summary:
         out.append({
             "statsSummary": {

@@ -107,6 +107,10 @@ class TSQuery:
     show_query: bool = False
     show_stats: bool = False
     show_summary: bool = False
+    # annotation controls (reference TSQuery no_annotations /
+    # with_global_annotations, QueryRpc.java:542-548)
+    no_annotations: bool = False
+    with_global_annotations: bool = False
 
 
 # ---------------------------------------------------------------- exp (v2) --

@@ -204,6 +204,8 @@ def parse_query(params: dict) -> TSQuery:
         show_query=bool(params.get("show_query")),
         show_stats=bool(params.get("show_stats")),
         show_summary=bool(params.get("show_summary")),
+        no_annotations=bool(params.get("no_annotations")),
+        with_global_annotations=bool(params.get("global_annotations")),
     )
 
 

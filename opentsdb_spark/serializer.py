@@ -28,11 +28,16 @@ def serialize_subquery(
     show_tsuids: bool = False,
     query_echo: dict[str, Any] | None = None,
     stats: dict[str, Any] | None = None,
+    annotations_map: dict[str, list[dict[str, Any]]] | None = None,
+    global_annotations: list[dict[str, Any]] | None = None,
 ) -> list[dict[str, Any]]:
     """``show_tsuids`` adds the sorted TSUID list per output series
     (HttpJsonSerializer.java:766-776); ``query_echo`` is attached as the
     ``query`` field when show_query is set (:763-765); ``stats`` is attached
-    as the ``stats`` field when show_stats is set (:888-901)."""
+    as the ``stats`` field when show_stats is set (:888-901);
+    ``annotations_map`` (tsuid -> notes) attaches the notes of each output
+    series' source TSUIDs, and ``global_annotations`` is repeated per
+    series — both matching HttpJsonSerializer.java:778-811."""
     df = result.df
     gk = list(result.group_tagks)
     if result.aggregator == "none":
@@ -60,7 +65,8 @@ def serialize_subquery(
     # per-output-series TSUID lists: distinct source series ids grouped by
     # the output key — one extra small aggregate, only when requested
     tsuid_map: dict[tuple, list[str]] = {}
-    if show_tsuids and result.aggregator != "none" and result.source_df is not None:
+    need_tsuids = show_tsuids or annotations_map
+    if need_tsuids and result.aggregator != "none" and result.source_df is not None:
         from opentsdb_spark.sources.points import series_id_col
 
         sid_rows = (
@@ -88,12 +94,18 @@ def serialize_subquery(
             }
             if query_echo is not None:
                 cur["query"] = query_echo
+            series_tsuids = (
+                [r["series_id"]]
+                if result.aggregator == "none"
+                else sorted(tsuid_map.get(key, []))
+            )
             if show_tsuids:
-                cur["tsuids"] = (
-                    [r["series_id"]]
-                    if result.aggregator == "none"
-                    else sorted(tsuid_map.get(key, []))
-                )
+                cur["tsuids"] = series_tsuids
+            if annotations_map is not None:
+                notes = [n for t in series_tsuids for n in annotations_map.get(t, [])]
+                cur["annotations"] = sorted(notes, key=lambda n: n["startTime"])
+            if global_annotations is not None:
+                cur["globalAnnotations"] = global_annotations
             if stats is not None:
                 cur["stats"] = stats
             out.append(cur)

@@ -385,3 +385,46 @@ def test_query_output_options(fixture_points):
     )
     assert len(agg) == 1 and len(agg[0]["tsuids"]) == 2
     assert agg[0]["tsuids"] == sorted(agg[0]["tsuids"])
+
+
+def test_query_annotations_merged(spark, fixture_points):
+    from opentsdb_spark.operators.annotations import ANNOTATION_SCHEMA
+    from opentsdb_spark.sources.points import series_id_col
+
+    web01 = fixture_points.where(F.col("tags")["host"] == "web01").select(
+        series_id_col().alias("sid")
+    ).first()["sid"]
+    rows = [
+        (web01, (EPOCH + 60) * 1000, None, "deploy", None, None),
+        (web01, (EPOCH + 999_999) * 1000, None, "out of range", None, None),
+        (None, (EPOCH + 90) * 1000, (EPOCH + 95) * 1000, "global maint", None, None),
+    ]
+    anns = spark.createDataFrame(
+        [(t, *r) for t, *r in rows], "tsuid string, s long, e long, "
+        "description string, notes string, custom map<string,string>"
+    ).select(
+        "tsuid", F.timestamp_millis("s").alias("start_time"),
+        F.timestamp_millis("e").alias("end_time"), "description", "notes", "custom",
+    )
+    req = {"start": EPOCH, "end": EPOCH + 10_000,
+           "m": "sum:sys.cpu.user{host=*}", "global_annotations": "1"}
+    out = api.handle_query(fixture_points, req, annotations=anns)
+    by_host = {s["tags"]["host"]: s for s in out}
+    assert [a["description"] for a in by_host["web01"]["annotations"]] == ["deploy"]
+    assert by_host["web01"]["annotations"][0]["startTime"] == EPOCH + 60
+    assert by_host["web02"]["annotations"] == []
+    for s in out:
+        assert [g["description"] for g in s["globalAnnotations"]] == ["global maint"]
+    # no_annotations suppresses everything
+    req["no_annotations"] = "1"
+    out = api.handle_query(fixture_points, req, annotations=anns)
+    assert all("annotations" not in s for s in out)
+    # arrays output option
+    out = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 10_000, "m": "sum:sys.cpu.user",
+         "arrays": "true"},
+    )
+    dps = out[0]["dps"]
+    assert isinstance(dps, list) and dps == sorted(dps)
+    assert all(len(p) == 2 and isinstance(p[0], int) for p in dps)
