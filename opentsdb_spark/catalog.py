@@ -1455,6 +1455,130 @@ def multimodal_features(spark, sf_dir):
     return extract_features(media, decoder="fake")
 
 
+@register(
+    "text_pii_scrub",
+    f"""WITH t AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id ||
+                 '@example.com or 10.0.' || (doc_id % 256) || '.7 ssn 123-45-' ||
+                 (1000 + doc_id % 9000) AS text
+          FROM documents),
+        s1 AS (SELECT doc_id,
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t
+               FROM t),
+        s2 AS (SELECT doc_id, n_email,
+                 len(regexp_extract_all(t, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) AS n_ssn,
+                 regexp_replace(t, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '<SSN>', 'g') AS t
+               FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_ssn,
+                 len(regexp_extract_all(t, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS n_ipv4,
+                 regexp_replace(t, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g') AS t
+               FROM s2)
+        SELECT doc_id, n_email, n_ssn, n_ipv4, md5(t) AS scrub_md5
+        FROM s3""",
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction exercised on synthesized addresses (the corpus text
+    itself is clean): email -> SSN -> IPv4 scrub chain with per-category
+    counts; the oracle re-runs the same RE2-safe chain in DuckDB and
+    compares an md5 of the scrubbed text."""
+    from opentsdb_spark.pipeline.text import pii_scrub
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-"), (1000 + F.col("doc_id") % 9000).cast("string"),
+        ),
+    )
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrub_md5"),
+    )
+
+
+_UPR = RND.format("length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(length(text), 1)")
+_DGR = RND.format("length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1)")
+_SYR = RND.format(
+    "length(regexp_replace(text, '[A-Za-z0-9" + "\\s]', '', 'g')) / greatest(length(text), 1)"
+)
+
+
+@register(
+    "text_boilerplate",
+    f"""SELECT doc_id,
+               {_UPR} AS upper_ratio_r,
+               {_DGR} AS digit_ratio_r,
+               {_SYR} AS symbol_ratio_r,
+               len(regexp_extract_all(lower(text), 'copyright|all rights reserved|terms of service|click here|subscribe now')) > 0 AS has_boilerplate
+        FROM documents""",
+)
+def text_boilerplate(spark, sf_dir):
+    from opentsdb_spark.pipeline.text import boilerplate_flags
+
+    out = boilerplate_flags(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        _vr(F.col("upper_ratio")).alias("upper_ratio_r"),
+        _vr(F.col("digit_ratio")).alias("digit_ratio_r"),
+        _vr(F.col("symbol_ratio")).alias("symbol_ratio_r"),
+        "has_boilerplate",
+    )
+
+
+# Knuth multiplicative bucket — pure 64-bit-safe integer arithmetic, so the
+# SQL mirror is bit-identical (pipeline/sampling.py knuth_hash_bucket)
+_KNUTH = "(({id} % 100003) * 2654435761 % 1000003) % 10000"
+
+
+@register(
+    "sample_hash_split",
+    f"""SELECT doc_id,
+               CASE WHEN {_KNUTH.format(id='doc_id')} < 9000 THEN 'train'
+                    WHEN {_KNUTH.format(id='doc_id')} < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""",
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split by id-hash bucket ranges —
+    reproducible across runs/partitionings, pure narrow map (no shuffle)."""
+    from opentsdb_spark.pipeline.sampling import hash_split, knuth_hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    out = hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+        bucket=knuth_hash_bucket(F.col("doc_id")),
+    )
+    return out.select("doc_id", "split")
+
+
+@register(
+    "sample_stratified",
+    f"""SELECT vec_id, label
+        FROM (SELECT vec_id, label, {_KNUTH.format(id='vec_id')} AS b FROM embeddings)
+        WHERE b < CASE label WHEN 0 THEN 10000 WHEN 1 THEN 5000
+                             WHEN 2 THEN 2500 ELSE 0 END""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum subsample (label 0 kept fully, 1 at 50%,
+    2 at 25%, rest dropped) — row-exact reproducible, predicate-pushable
+    narrow filter, unlike DataFrame.sampleBy."""
+    from opentsdb_spark.pipeline.sampling import knuth_hash_bucket, stratified_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = stratified_sample(
+        emb, {0: 1.0, 1: 0.5, 2: 0.25}, strata_col="label", id_col="vec_id",
+        bucket=knuth_hash_bucket(F.col("vec_id")),
+    )
+    return out.select("vec_id", "label")
+
+
 # ============================================= query-string parser path =====
 
 from opentsdb_spark.parse import parse_gexp, parse_m_subquery  # noqa: E402

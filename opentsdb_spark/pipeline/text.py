@@ -87,6 +87,57 @@ def token_counts(docs: DataFrame, content_col: str = "text",
     )
 
 
+# scrub order matters: SSN before phone (an SSN also matches the loose
+# phone shape), email before IP (addresses share digit/dot runs). Patterns
+# stay in the RE2-compatible subset (explicit classes, no backreferences)
+# so the same strings behave identically under Java regex and RE2 engines.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, content_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact common PII shapes and count removals per category.
+
+    Sequential regexp_replace chain — each category is counted on the text
+    AFTER the previous categories were redacted, so overlapping shapes are
+    never double-counted. Pure codegen expressions; at corpus scale this is
+    a narrow map over the scan."""
+    cur = F.col(content_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return docs.select(id_col, *counts, cur.alias("scrubbed"))
+
+
+BOILERPLATE_MARKERS = r"(?i)copyright|all rights reserved|terms of service|click here|subscribe now"
+
+
+def boilerplate_flags(docs: DataFrame, content_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Boilerplate / junk signals: character-class ratios and marker-phrase
+    hits — the cheap pre-filter a corpus pass runs before any model-based
+    quality scoring."""
+    text = F.col(content_col)
+    n = F.length(text).cast("double")
+
+    def ratio(cls: str):
+        return F.length(F.regexp_replace(text, cls, "")) / F.greatest(n, F.lit(1.0))
+
+    return docs.select(
+        id_col,
+        ratio("[^A-Z]").alias("upper_ratio"),
+        ratio("[^0-9]").alias("digit_ratio"),
+        ratio(r"[A-Za-z0-9\s]").alias("symbol_ratio"),
+        (F.regexp_count(text, F.lit(BOILERPLATE_MARKERS)) > 0).alias("has_boilerplate"),
+    )
+
+
 def fingerprint_docs(docs: DataFrame, k: int = 5, num_mins: int = 4,
                      content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Rolling k-gram fingerprint: hash every word k-gram (the set-based

@@ -282,3 +282,57 @@ def test_connected_components_chain_and_clusters(spark):
     assert sum(r["is_canonical"] for r in out.values()) == 3  # 0, 10, 99
     kept = {r["doc_id"] for r in out.values() if r["is_canonical"]}
     assert kept == {0, 10, 99}
+
+
+def test_pii_scrub(spark):
+    from opentsdb_spark.pipeline.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(0, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1, ssn 123-45-6789, "
+             "call +1 (555) 123-4567 now")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r["n_email"] == 2 and r["n_ipv4"] == 1 and r["n_ssn"] == 1
+    assert r["n_phone"] == 1
+    s = r["scrubbed"]
+    assert "<EMAIL>" in s and "<IP>" in s and "<SSN>" in s and "<PHONE>" in s
+    assert "a@b.com" not in s and "6789" not in s and "555" not in s
+
+
+def test_boilerplate_flags(spark):
+    from opentsdb_spark.pipeline.text import boilerplate_flags
+
+    df = spark.createDataFrame(
+        [(0, "ALL CAPS SHOUTING!!! Copyright 2024. subscribe NOW"),
+         (1, "a calm lowercase sentence")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in boilerplate_flags(df).collect()}
+    assert out[0]["has_boilerplate"] and not out[1]["has_boilerplate"]
+    assert out[0]["upper_ratio"] > 0.3 > out[1]["upper_ratio"]
+    assert out[0]["digit_ratio"] > 0 == out[1]["digit_ratio"]
+    assert out[0]["symbol_ratio"] > 0 == out[1]["symbol_ratio"]
+
+
+def test_hash_split_and_stratified(spark):
+    from opentsdb_spark.pipeline.sampling import hash_split, stratified_sample
+
+    df = spark.createDataFrame([(i, i % 4) for i in range(2000)],
+                               "doc_id long, label int")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts["train"] + counts.get("val", 0) + counts.get("test", 0) == 2000
+    assert 1500 < counts["train"] < 1700  # ~80% within hash tolerance
+    # deterministic: identical on re-run
+    again = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0
+    # different seed moves documents
+    moved = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    assert out.exceptAll(moved).count() > 0
+    with pytest.raises(ValueError):
+        hash_split(df, {"train": 0.5})
+    # stratified: label 0 kept fully, label 1 ~half, labels 2/3 dropped
+    samp = stratified_sample(df, {0: 1.0, 1: 0.5}, strata_col="label")
+    by = {r["label"]: r["count"] for r in samp.groupBy("label").count().collect()}
+    assert by[0] == 500 and 200 < by[1] < 300 and 2 not in by and 3 not in by
