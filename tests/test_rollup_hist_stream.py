@@ -297,3 +297,45 @@ def test_rollup_stream_emits_closed_windows(spark):
             assert got == {"sum": 100.0, "count": 4.0, "min": 10.0, "max": 40.0}
         finally:
             q.stop()
+
+
+def test_streaming_doc_dedup_and_gate(spark):
+    import json as _json
+
+    from opentsdb_spark.streaming.docs import (
+        streaming_exact_dedup, streaming_quality_gate,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "docs")
+        os.makedirs(src)
+        rows = [
+            {"doc_id": 0, "t": EPOCH, "text": "the quick brown fox jumps over it"},
+            {"doc_id": 1, "t": EPOCH + 1, "text": "the quick brown fox jumps over it"},
+            {"doc_id": 2, "t": EPOCH + 2, "text": "another document with enough words"},
+            {"doc_id": 3, "t": EPOCH + 3, "text": "too short"},
+            {"doc_id": 4, "t": EPOCH + 4, "text": "Copyright 2024 all rights reserved junk page footer"},
+            {"doc_id": 5, "t": EPOCH + 5, "text": "!!! ??? ### $$$ %%% ^^^ &&& *** ((("},
+        ]
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, t long, text string")
+            .json(src)
+            .select("doc_id", F.timestamp_seconds("t").alias("ts"), "text")
+        )
+        gated = streaming_quality_gate(stream)
+        deduped = streaming_exact_dedup(gated)
+        q = (
+            deduped.writeStream.format("memory").queryName("doc_dedup")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM doc_dedup").collect()}
+        finally:
+            q.stop()
+        # 1 is an exact dup of 0; 3 too short; 4 boilerplate; 5 symbol soup
+        assert got == {0, 2}
