@@ -79,6 +79,9 @@ class SubQuery:
     tsuids: tuple[str, ...] = ()
     # rollup routing hint (reference src/core/TsdbQuery.java:197-215)
     rollup_usage: str = "ROLLUP_NOFALLBACK"
+    # prefer the pre-aggregated (grouped) table when one is routed
+    # (reference src/tsd/QueryRpc.java:664-665 setPreAggregate)
+    pre_aggregate: bool = False
     # histogram percentile query: non-empty routes the sub-query to the
     # histogram table (reference src/core/TSSubQuery.java:94-95,414-423,
     # src/core/TsdbQuery.java:807 isHistogramQuery); kept sorted like

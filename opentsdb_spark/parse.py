@@ -155,6 +155,7 @@ def parse_m_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
     explicit_tags = False
     percentiles: tuple[float, ...] = ()
     show_buckets = False
+    pre_agg = False
     rollup_usage = "ROLLUP_NOFALLBACK"
     # token dispatch mirrors reference src/tsd/QueryRpc.java:655-675
     for tok in tokens[1:]:
@@ -166,6 +167,8 @@ def parse_m_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
             percentiles = _parse_percentiles(tok)
         elif tok.lower().startswith("show-histogram-buckets"):
             show_buckets = True
+        elif tok.lower() == "pre-agg":
+            pre_agg = True
         elif tok.lower().startswith("rollup_"):
             rollup_usage = tok.upper()
         else:
@@ -184,7 +187,7 @@ def parse_m_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
         metric=metric, aggregator=aggregator, downsample=downsample, rate=rate,
         filters=tuple(filters), explicit_tags=explicit_tags,
         percentiles=percentiles, show_histogram_buckets=show_buckets,
-        rollup_usage=rollup_usage,
+        pre_aggregate=pre_agg, rollup_usage=rollup_usage,
     )
 
 

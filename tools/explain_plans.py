@@ -112,6 +112,35 @@ def main() -> None:
             print(f"  shuffles={n_exch} broadcasts={n_bc}")
             print()
 
+    if check and not only:
+        # narrow-map invariant: deterministic sampling/scrub/split/gate ops
+        # must be shuffle-free over the raw table scan (the catalog wraps
+        # them in _docs(), whose small-file repartition exists only to
+        # parallelize the sf test data — at corpus scale the input arrives
+        # already split across thousands of files)
+        from pyspark.sql import functions as F
+
+        from opentsdb_spark.pipeline.sampling import hash_split, stratified_sample
+        from opentsdb_spark.pipeline.text import boilerplate_flags, pii_scrub
+        from opentsdb_spark.sources.points import load_table
+
+        raw_docs = load_table(spark, sf_dir, "documents")
+        raw_emb = load_table(spark, sf_dir, "embeddings")
+        narrow_ops = {
+            "hash_split": hash_split(raw_docs, {"train": 0.9, "val": 0.1}),
+            "stratified_sample": stratified_sample(
+                raw_emb, {0: 0.5}, strata_col="label", id_col="vec_id"
+            ),
+            "pii_scrub": pii_scrub(raw_docs),
+            "boilerplate_flags": boilerplate_flags(raw_docs),
+        }
+        for name, df in narrow_ops.items():
+            tree = _plan_str(df).split("\n\n")[0]
+            n = tree.count("Exchange") - tree.count("BroadcastExchange")
+            print(f"check {name}: shuffles={n} (narrow-map op)")
+            if n > 0:
+                errors.append(f"{name}: {n} shuffles in a narrow-map operator")
+
     if check:
         errors.extend(_check_pushdown(spark))
         if errors:
