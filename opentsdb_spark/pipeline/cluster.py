@@ -73,7 +73,9 @@ def connected_components(
             edges = stars
             break
         prev = sig
-        edges = stars.union(stars.select("v", "u")).distinct().localCheckpoint()
+        # derived lazily off the checkpointed stars — one fewer
+        # materialization per round; lineage stays one hop deep
+        edges = stars.union(stars.select("v", "u")).distinct()
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     labels = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
