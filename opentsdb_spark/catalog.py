@@ -846,7 +846,10 @@ def tsdb_ds_1h_dev(spark, sf_dir):
     return _ds_agg_query(spark, sf_dir, "purchase", "dev")
 
 
-@register("tsdb_ds_1h_median", _ds_agg_sql("click", "median(value)"))
+# upper median: element at index n/2 of the sorted list (1-based [n/2+1]),
+# exactly reference Aggregators.java:397-431
+@register("tsdb_ds_1h_median",
+          _ds_agg_sql("click", "list_sort(list(value))[len(list(value)) // 2 + 1]"))
 def tsdb_ds_1h_median(spark, sf_dir):
     return _ds_agg_query(spark, sf_dir, "click", "median")
 
@@ -1669,7 +1672,8 @@ def _aligned_sql_expr(metric: str, per_series_agg: str, cross_expr: str) -> str:
 
 @register(
     "tsdb_agg_median_aligned_1h",
-    _aligned_sql_expr("click", "avg", "median(coalesce(p.v, 0.0))"),
+    _aligned_sql_expr("click", "avg",
+                      "list_sort(list(coalesce(p.v, 0.0)))[len(list(coalesce(p.v, 0.0))) // 2 + 1]"),
 )
 def tsdb_agg_median_aligned_1h(spark, sf_dir):
     return _aligned_query(spark, sf_dir, "click", "avg", "median")

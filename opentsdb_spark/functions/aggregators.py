@@ -74,7 +74,16 @@ _reg("sum", lambda v, t: F.sum(v), "lerp")
 _reg("min", lambda v, t: F.min(v), "lerp")
 _reg("max", lambda v, t: F.max(v), "lerp")
 _reg("avg", lambda v, t: F.avg(v), "lerp")
-_reg("median", lambda v, t: F.median(v), "lerp")  # note: ref = upper median (:397-431)
+def _upper_median(v: Column, _ts: Column) -> Column:
+    # EXACT reference semantics (:397-431): sort, take element size/2
+    # (0-indexed) — the UPPER median for even counts, not the interpolated
+    # midpoint. Element selection also hash-matches across engines where an
+    # interpolated average of two doubles might not.
+    arr = F.array_sort(F.collect_list(v))
+    return F.get(arr, (F.size(arr) / 2).cast("int")).cast("double")
+
+
+_reg("median", _upper_median, "lerp")  # upper median (:397-431)
 _reg("none", lambda v, t: F.first(v), "zim")  # raw passthrough; planner special-cases
 _reg("mult", _product, "lerp")
 _reg("dev", lambda v, t: F.coalesce(F.stddev_samp(v), F.lit(0.0)), "lerp")  # σ n−1 (:489-571); 1 pt -> 0

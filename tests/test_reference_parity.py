@@ -165,3 +165,20 @@ def test_calendar_multi_hour(spark):
     # local hours 0,2 -> bucket [00:00,06:00) local = BASE+5h UTC; 12Z = 07:00
     # local -> bucket [06:00,12:00) local = BASE+11h UTC
     assert buckets == [(BASE + 5 * 3600_000, 2.0), (BASE + 11 * 3600_000, 1.0)]
+
+
+def test_upper_median_matches_reference(spark):
+    """Aggregators.java:397-431 Median: sorted.get(size/2) — UPPER median
+    for even counts, never interpolated."""
+    from opentsdb_spark.functions.aggregators import get_aggregator
+    from pyspark.sql import functions as F
+
+    agg = get_aggregator("median")
+    for vals, want in [([1.0, 2.0, 3.0, 4.0], 3.0),  # even -> upper
+                       ([5.0, 1.0, 9.0], 5.0),
+                       ([2.0], 2.0),
+                       ([4.0, 4.0, 1.0, 8.0], 4.0)]:
+        df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)],
+                                   "value double, t long")
+        got = df.agg(agg.builder(F.col("value"), F.col("t")).alias("m")).collect()[0]["m"]
+        assert got == want, (vals, got, want)
