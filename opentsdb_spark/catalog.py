@@ -854,7 +854,7 @@ def tsdb_ds_1h_median(spark, sf_dir):
     return _ds_agg_query(spark, sf_dir, "click", "median")
 
 
-@register("tsdb_ds_1h_p95", _ds_agg_sql("view", "quantile_cont(value, 0.95)"))
+@register("tsdb_ds_1h_p95", _ds_agg_sql("view", "CASE WHEN (0.95 * (len(list_sort(list(value))) + 1)) < 1 THEN list_sort(list(value))[1] WHEN (0.95 * (len(list_sort(list(value))) + 1)) >= len(list_sort(list(value))) THEN list_sort(list(value))[len(list_sort(list(value)))] ELSE list_sort(list(value))[CAST(floor((0.95 * (len(list_sort(list(value))) + 1))) AS INT)] + ((0.95 * (len(list_sort(list(value))) + 1)) - floor((0.95 * (len(list_sort(list(value))) + 1)))) * (list_sort(list(value))[CAST(floor((0.95 * (len(list_sort(list(value))) + 1))) AS INT)+1] - list_sort(list(value))[CAST(floor((0.95 * (len(list_sort(list(value))) + 1))) AS INT)]) END"))
 def tsdb_ds_1h_p95(spark, sf_dir):
     return _ds_agg_query(spark, sf_dir, "view", "p95")
 
@@ -1681,7 +1681,7 @@ def tsdb_agg_median_aligned_1h(spark, sf_dir):
 
 @register(
     "tsdb_agg_p95_aligned_1h",
-    _aligned_sql_expr("view", "avg", "quantile_cont(coalesce(p.v, 0.0), 0.95)"),
+    _aligned_sql_expr("view", "avg", "CASE WHEN (0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1)) < 1 THEN list_sort(list(coalesce(p.v, 0.0)))[1] WHEN (0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1)) >= len(list_sort(list(coalesce(p.v, 0.0)))) THEN list_sort(list(coalesce(p.v, 0.0)))[len(list_sort(list(coalesce(p.v, 0.0))))] ELSE list_sort(list(coalesce(p.v, 0.0)))[CAST(floor((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1))) AS INT)] + ((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1)) - floor((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1)))) * (list_sort(list(coalesce(p.v, 0.0)))[CAST(floor((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1))) AS INT)+1] - list_sort(list(coalesce(p.v, 0.0)))[CAST(floor((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1))) AS INT)]) END"),
 )
 def tsdb_agg_p95_aligned_1h(spark, sf_dir):
     return _aligned_query(spark, sf_dir, "view", "avg", "p95")

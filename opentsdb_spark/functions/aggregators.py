@@ -62,11 +62,50 @@ def _product(v: Column, _ts: Column) -> Column:
 
 
 def _percentile(q: float) -> Builder:
+    """commons-math DEFAULT estimation (the reference's plain pNN family,
+    src/core/Aggregators.java:905-948 via new Percentile(p)): pos = q*(n+1),
+    clamped, linear interpolation between the two neighbors. This is NOT
+    R-7 — Spark's built-in percentile() (R-7) differs on small groups."""
+    def b(v: Column, _ts: Column) -> Column:
+        arr = F.array_sort(F.collect_list(v))
+        n = F.size(arr)
+        pos = F.lit(q) * (n + 1).cast("double")
+        fpos = F.floor(pos)
+        d = pos - fpos
+        i = fpos.cast("int")
+        interp = F.get(arr, i - 1) + d * (F.get(arr, i) - F.get(arr, i - 1))
+        return (
+            F.when(pos < 1.0, F.get(arr, 0))
+            .when(pos >= n.cast("double"), F.get(arr, n - 1))
+            .otherwise(interp)
+            .cast("double")
+        )
+
+    return b
+
+
+def _percentile_r7(q: float) -> Builder:
+    # Spark's exact percentile IS Hyndman-Fan R-7 (pos = (n-1)q + 1,
+    # linear) — matches commons-math EstimationType.R_7 bit-for-bit
     return lambda v, _ts: F.percentile(v, F.lit(q))
 
 
-def _percentile_approx(q: float) -> Builder:
-    return lambda v, _ts: F.percentile_approx(v, F.lit(q))
+def _percentile_r3(q: float) -> Builder:
+    """commons-math EstimationType.R_3: pos = rint(n*q) (half-to-even),
+    0 when q <= 1/(2n); exact element selection, no interpolation."""
+    def b(v: Column, _ts: Column) -> Column:
+        arr = F.array_sort(F.collect_list(v))
+        n = F.size(arr)
+        nd = n.cast("double")
+        pos = F.when(F.lit(q) <= 0.5 / nd, F.lit(0.0)).otherwise(F.rint(nd * F.lit(q)))
+        return (
+            F.when(pos < 1.0, F.get(arr, 0))
+            .when(pos >= nd, F.get(arr, n - 1))
+            .otherwise(F.get(arr, pos.cast("int") - 1))
+            .cast("double")
+        )
+
+    return b
 
 
 # --- the core set (reference src/core/Aggregators.java:175-203) -------------
@@ -100,5 +139,5 @@ _reg("last", lambda v, t: F.max_by(v, t), "lerp", downsample_only=True)  # (:832
 # --- percentile family (:124-173) -------------------------------------------
 for _q, _name in [(0.5, "p50"), (0.75, "p75"), (0.9, "p90"), (0.95, "p95"), (0.99, "p99"), (0.999, "p999")]:
     _reg(_name, _percentile(_q), "lerp")
-    _reg(f"ep{_name[1:]}r7", _percentile(_q), "lerp")
-    _reg(f"ep{_name[1:]}r3", _percentile_approx(_q), "lerp")
+    _reg(f"ep{_name[1:]}r7", _percentile_r7(_q), "lerp")
+    _reg(f"ep{_name[1:]}r3", _percentile_r3(_q), "lerp")

@@ -182,3 +182,60 @@ def test_upper_median_matches_reference(spark):
                                    "value double, t long")
         got = df.agg(agg.builder(F.col("value"), F.col("t")).alias("m")).collect()[0]["m"]
         assert got == want, (vals, got, want)
+
+
+def test_percentile_estimators_match_commons_math(spark):
+    """pNN = commons-math DEFAULT (pos=q(n+1)), ep*r7 = R-7, ep*r3 = R-3
+    (pos=rint(nq), half-even) — reference Aggregators.java:124-173,905-948."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.functions.aggregators import get_aggregator
+
+    def legacy(xs, q):
+        a, n = sorted(xs), len(xs)
+        pos = q * (n + 1)
+        if pos < 1:
+            return a[0]
+        if pos >= n:
+            return a[-1]
+        f = math.floor(pos)
+        return a[f - 1] + (pos - f) * (a[f] - a[f - 1])
+
+    def r7(xs, q):
+        a, n = sorted(xs), len(xs)
+        pos = (n - 1) * q + 1
+        f = math.floor(pos)
+        if f >= n:
+            return a[-1]
+        return a[f - 1] + (pos - f) * (a[f] - a[f - 1])
+
+    def r3(xs, q):
+        a, n = sorted(xs), len(xs)
+        if q <= 0.5 / n:
+            return a[0]
+        # round-half-even like FastMath.rint
+        pos = round(n * q)
+        if pos < 1:
+            return a[0]
+        if pos >= n:
+            return a[-1]
+        return a[pos - 1]
+
+    import random
+
+    rng = random.Random(11)
+    cases = [[1.0, 2.0], [3.0, 1.0, 2.0], list(map(float, range(1, 1001)))]
+    cases += [[rng.uniform(0, 100) for _ in range(rng.randrange(1, 25))] for _ in range(5)]
+    for xs in cases:
+        df = spark.createDataFrame([(v, i) for i, v in enumerate(xs)],
+                                   "value double, t long")
+        for name, ref, q in [("p95", legacy, 0.95), ("p50", legacy, 0.5),
+                             ("ep95r7", r7, 0.95), ("ep50r7", r7, 0.5),
+                             ("ep95r3", r3, 0.95), ("ep50r3", r3, 0.5)]:
+            agg = get_aggregator(name)
+            got = df.agg(agg.builder(F.col("value"), F.col("t")).alias("x")
+                         ).collect()[0]["x"]
+            want = ref(xs, q)
+            assert got == pytest.approx(want, rel=1e-12), (name, len(xs), got, want)
