@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from opentsdb_spark.model import DownsampleSpec, RateOptions, SubQuery, TagFilter, TSQuery
 from opentsdb_spark.operators.downsample import calendar_bucket_col, downsample
 from opentsdb_spark.operators.groupby import cross_series_aggregate
+from opentsdb_spark.operators.join import ieee_div_sql as _ieee_div_sql
 from opentsdb_spark.operators.metadata import last_points, suggest
 from opentsdb_spark.operators.rate import rate
 from opentsdb_spark.plans.planner import compile_query
@@ -53,6 +54,13 @@ M10_SEC = "CAST(epoch_ms(ts) // 600000 * 600 AS BIGINT)"
 # This formula is pure IEEE mul/add/floor/div — bit-identical in both
 # engines; the +1e-7 bias shifts the boundary off exact-decimal rationals.
 RND = "floor(({}) * 10000 + 0.5000001) / 10000"
+# Non-finite-safe variant: Spark's floor() casts to BIGINT, turning Inf into
+# Long.MAX and NaN into 0, while DuckDB's floor keeps the double — queries
+# whose values can be Inf/NaN (IEEE division) must pass them through raw.
+RND_NF = (
+    "CASE WHEN isnan({0}) OR abs({0}) = CAST('Infinity' AS DOUBLE) THEN ({0}) "
+    "ELSE floor(({0}) * 10000 + 0.5000001) / 10000 END"
+)
 
 
 @dataclass(frozen=True)
@@ -82,6 +90,14 @@ def _vr(c) -> F.Column:
     return (
         F.floor(c * F.lit(10000.0) + F.lit(0.5000001)) / F.lit(10000.0)
     ).cast("double").alias("value_r")
+
+
+def _vr_nf(c) -> F.Column:
+    # must mirror RND_NF exactly (Inf/NaN pass through unrounded)
+    rounded = (F.floor(c * F.lit(10000.0) + F.lit(0.5000001)) / F.lit(10000.0)).cast("double")
+    return (
+        F.when(F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), c).otherwise(rounded)
+    ).alias("value_r")
 
 
 def _tag(name: str):
@@ -661,15 +677,16 @@ def gexp_movavg_2h_time(spark, sf_dir):
     return df.select("user", _ts_sec(), _vr(F.col("value")))
 
 
-def _two_metric_sql(expr: str, extra: str = "") -> str:
+def _two_metric_sql(expr: str, extra: str = "", rnd: str = RND) -> str:
     return f"""WITH {_base_sql_ctes('pa', 'purchase')},
         {_base_sql_ctes('pb', 'click')},
         users AS (SELECT user FROM (SELECT DISTINCT user FROM pa UNION SELECT DISTINCT user FROM pb) u),
         j AS (SELECT coalesce(pa.user, pb.user) AS user, coalesce(pa.b, pb.b) AS b,
                      coalesce(pa.v, 0.0) AS a, coalesce(pb.v, 0.0) AS bb
-              FROM pa FULL OUTER JOIN pb ON pa.user = pb.user AND pa.b = pb.b)
-        SELECT user, CAST(b AS BIGINT) AS ts_sec, {RND.format(expr)} AS value_r
-        FROM j {extra}"""
+              FROM pa FULL OUTER JOIN pb ON pa.user = pb.user AND pa.b = pb.b),
+        e AS (SELECT user, b, {expr} AS value FROM j)
+        SELECT user, CAST(b AS BIGINT) AS ts_sec, {rnd.format('value')} AS value_r
+        FROM e {extra}"""
 
 
 @register("gexp_sumseries", _two_metric_sql("a + bb"))
@@ -698,12 +715,14 @@ def gexp_multiplyseries(spark, sf_dir):
     return df.select("user", _ts_sec(), _vr(F.col("value")))
 
 
-@register("gexp_divideseries", _two_metric_sql("a / nullif(bb, 0.0)"))
+@register("gexp_divideseries", _two_metric_sql(_ieee_div_sql("a", "bb"), rnd=RND_NF))
 def gexp_divideseries(spark, sf_dir):
+    # zero denominators (zero-filled grid points) follow JEXL double
+    # semantics on BOTH engines: x/0 -> +-Inf, 0/0 -> NaN
     df = _gexp.divide_series(
         [_base_frame(spark, sf_dir, "purchase"), _base_frame(spark, sf_dir, "click")], ("user",)
     )
-    return df.select("user", _ts_sec(), _vr(F.col("value")))
+    return df.select("user", _ts_sec(), _vr_nf(F.col("value")))
 
 
 @register(

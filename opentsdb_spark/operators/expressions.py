@@ -125,7 +125,9 @@ def multiply_series(frames: list[DataFrame], series_cols: tuple[str, ...] = ()) 
 
 
 def divide_series(frames: list[DataFrame], series_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Point-wise quotient a / b (reference DivideSeries.java). Division by
-    zero yields NULL (Spark semantics; reference emits NaN/Inf via JEXL —
-    deviation documented)."""
-    return _nary(frames, series_cols, "/", None)
+    """Point-wise quotient a / b (reference DivideSeries.java). Missing sides
+    fill 0 like every gexp variable (TimeSyncedIterator.java:74 hardcodes
+    FillPolicy.ZERO), and division by zero follows JEXL's Java-double
+    semantics: x/0 -> +-Infinity, 0/0 -> NaN (ExpressionIterator.java:346
+    executes the script on doubles)."""
+    return _nary(frames, series_cols, "/", FillPolicy("zero"))

@@ -121,11 +121,175 @@ def _ternary_to_if(s: str) -> str:
     return s
 
 
+# --- IEEE-754 division rewrite ----------------------------------------------
+# The reference evaluates expressions with JEXL 2.1.1, whose floating-point
+# path is plain Java double arithmetic (JexlArithmetic.divide/mod): x/0 yields
+# +-Infinity, 0/0 and x%0 yield NaN. Spark SQL (ANSI off) and DuckDB both
+# return NULL instead, so every binary `/` and `%` is rewritten into an
+# explicit CASE that reproduces the Java semantics. The CASE text is plain
+# ANSI SQL on purpose — catalog oracles embed the identical shape so both
+# engines compute the same non-finite values. (Known edge: a -0.0 denominator
+# produces +Inf here, -Inf in Java — Spark compares -0.0 = 0.0 as true and
+# offers no sign-of-zero test; fill policies only ever produce +0.0.)
+
+_TOKEN_RE = __import__("re").compile(
+    r"\s*(\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?"
+    r"|[A-Za-z_][A-Za-z0-9_]*"
+    r"|\|\||&&|==|!=|>=|<=|[-+*/%(),<>!])"
+)
+
+
+def ieee_div_sql(x: str, y: str) -> str:
+    """The shared Spark/DuckDB CASE for JEXL-style x / y (NULLs propagate)."""
+    return (
+        f"(CASE WHEN ({y}) = 0.0 AND (isnan({x}) OR ({x}) = 0.0) THEN CAST('NaN' AS DOUBLE)"
+        f" WHEN ({y}) = 0.0 AND ({x}) > 0.0 THEN CAST('Infinity' AS DOUBLE)"
+        f" WHEN ({y}) = 0.0 AND ({x}) < 0.0 THEN CAST('-Infinity' AS DOUBLE)"
+        f" ELSE ({x}) / ({y}) END)"
+    )
+
+
+def ieee_mod_sql(x: str, y: str) -> str:
+    """JEXL-style x % y: any x (finite or NaN) mod 0 is NaN, NULLs propagate."""
+    return (
+        f"(CASE WHEN ({y}) = 0.0 AND ({x}) IS NOT NULL THEN CAST('NaN' AS DOUBLE)"
+        f" ELSE ({x}) % ({y}) END)"
+    )
+
+
+class _ExprParser:
+    """Recursive-descent re-emitter for the JEXL-ish expression grammar
+    (post ternary->IF rewrite): || && == != < <= > >= + - * / % unary-!/-
+    parens and ident(...) calls. Everything is emitted verbatim except
+    binary / and %, which become the IEEE CASE forms."""
+
+    def __init__(self, s: str):
+        self.toks = []
+        pos = 0
+        while pos < len(s):
+            m = _TOKEN_RE.match(s, pos)
+            if not m:
+                if s[pos:].strip():
+                    raise ValueError(f"untokenizable expression at {s[pos:]!r}")
+                break
+            self.toks.append(m.group(1))
+            pos = m.end()
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def eat(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> str:
+        out = self.or_()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return out
+
+    def or_(self) -> str:
+        left = self.and_()
+        while self.peek() == "||":
+            self.eat()
+            left = f"({left} OR {self.and_()})"
+        return left
+
+    def and_(self) -> str:
+        left = self.eq()
+        while self.peek() == "&&":
+            self.eat()
+            left = f"({left} AND {self.eq()})"
+        return left
+
+    def eq(self) -> str:
+        left = self.cmp()
+        while self.peek() in ("==", "!="):
+            op = "=" if self.eat() == "==" else "!="
+            left = f"({left} {op} {self.cmp()})"
+        return left
+
+    def cmp(self) -> str:
+        left = self.add()
+        while self.peek() in ("<", "<=", ">", ">="):
+            op = self.eat()
+            left = f"({left} {op} {self.add()})"
+        return left
+
+    def add(self) -> str:
+        left = self.mul()
+        while self.peek() in ("+", "-"):
+            op = self.eat()
+            left = f"({left} {op} {self.mul()})"
+        return left
+
+    def mul(self) -> str:
+        left = self.unary()
+        while self.peek() in ("*", "/", "%"):
+            op = self.eat()
+            right = self.unary()
+            if op == "/":
+                left = ieee_div_sql(left, right)
+            elif op == "%":
+                left = ieee_mod_sql(left, right)
+            else:
+                left = f"({left} * {right})"
+        return left
+
+    def unary(self) -> str:
+        if self.peek() == "-":
+            self.eat()
+            return f"(- {self.unary()})"
+        if self.peek() == "!":
+            self.eat()
+            return f"(NOT {self.unary()})"
+        return self.primary()
+
+    def primary(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of expression")
+        if t == "(":
+            self.eat()
+            inner = self.or_()
+            if self.eat() != ")":
+                raise ValueError("expected )")
+            return f"({inner})"
+        self.eat()
+        if t[0].isalpha() or t[0] == "_":
+            if self.peek() == "(":  # function call, e.g. IF(c, a, b)
+                self.eat()
+                args = []
+                if self.peek() != ")":
+                    args.append(self.or_())
+                    while self.peek() == ",":
+                        self.eat()
+                        args.append(self.or_())
+                if self.eat() != ")":
+                    raise ValueError("expected ) after args")
+                return f"{t}({', '.join(args)})"
+            return t
+        return t  # number
+
+
+def rewrite_ieee_arithmetic(expr: str) -> str:
+    """Rewrite / and % to the JEXL double semantics; on any parse surprise
+    fall back to the untouched expression (NULL-on-zero Spark semantics)."""
+    try:
+        return _ExprParser(expr).parse()
+    except ValueError:
+        return expr
+
+
 def evaluate_expression(joined: DataFrame, expr: str, variables: tuple[str, ...]) -> DataFrame:
     """Evaluate an arithmetic expression string over the joined frame.
 
     ``expr`` references variables by id (e.g. ``"a + b / 1024"``); ids are
-    rewritten to the ``v_<id>`` columns and handed to Catalyst via F.expr.
+    rewritten to the ``v_<id>`` columns, division/modulo take JEXL's IEEE
+    double semantics (see rewrite_ieee_arithmetic), and the result is handed
+    to Catalyst via F.expr — whole-stage codegen, no Python in the loop.
     """
     import re
 
@@ -135,7 +299,5 @@ def evaluate_expression(joined: DataFrame, expr: str, variables: tuple[str, ...]
         lambda m: f"v_{m.group(1)}" if m.group(1) in variables else m.group(1),
         expr,
     )
-    # the reference evaluates JEXL (non-ANSI: x/0 -> Inf/NaN, not an error);
-    # classic Spark SQL semantics are the closest match (x/0 -> NULL). The
-    # conf is owned by session.py / sources.load_table — no mutation here.
+    rewritten = rewrite_ieee_arithmetic(rewritten)
     return joined.withColumn("value", F.expr(rewritten).cast("double"))

@@ -73,7 +73,57 @@ def test_multiply_divide_series(spark):
     out = gexp.divide_series([a, b], ("host",))
     vals = {int(r["ts"].timestamp()) - EPOCH: r["value"] for r in out.collect()}
     assert vals[0] == 5.0
-    assert vals[30] is None or vals[30] != vals[30]  # div-by-zero -> null/NaN
+    assert vals[30] == float("inf")  # JEXL double semantics: 20/0 -> +Inf
+
+
+def test_ieee_division_matches_jexl(spark):
+    """x/0 -> +-Inf, 0/0 -> NaN, x%0 -> NaN — JEXL 2.1.1 evaluates on Java
+    doubles (ExpressionIterator.java:346), unlike Spark/DuckDB NULL-on-zero."""
+    import math
+
+    df = spark.createDataFrame(
+        [(8.0, 2.0), (1.0, 0.0), (-3.0, 0.0), (0.0, 0.0), (float("nan"), 0.0), (None, 0.0), (7.0, None)],
+        "a double, b double",
+    ).withColumnRenamed("a", "v_a").withColumnRenamed("b", "v_b")
+    out = evaluate_expression(df, "a / b", ("a", "b")).select("v_a", "value").collect()
+    got = {(None if r["v_a"] is None else ("nan" if r["v_a"] != r["v_a"] else r["v_a"])): r["value"] for r in out}
+    assert got[8.0] == 4.0
+    assert got[1.0] == float("inf")
+    assert got[-3.0] == float("-inf")
+    assert math.isnan(got[0.0])
+    assert math.isnan(got["nan"])
+    assert got[None] is None  # NULL operand propagates (missing w/o fill)
+    assert got[7.0] is None
+
+    out = evaluate_expression(df, "a % b", ("a", "b")).select("v_a", "value").collect()
+    got = {(None if r["v_a"] is None else ("nan" if r["v_a"] != r["v_a"] else r["v_a"])): r["value"] for r in out}
+    assert got[8.0] == 0.0
+    assert math.isnan(got[1.0]) and math.isnan(got[0.0]) and math.isnan(got["nan"])
+    assert got[None] is None and got[7.0] is None
+
+
+def test_ieee_rewrite_preserves_grammar(spark):
+    """The rewriter must not change results where no zero-division occurs:
+    precedence, ternaries, unary ops, nested parens."""
+    from opentsdb_spark.operators.join import _ternary_to_if, rewrite_ieee_arithmetic
+
+    df = spark.createDataFrame([(9.0, 2.0, 4.0)], "x double, y double, z double")
+    cases = [
+        ("x + y * z", 17.0),
+        ("(x + y) * z", 44.0),
+        ("x - y - z", 3.0),
+        ("x / y / z", 1.125),
+        ("-x + z", -5.0),
+        ("x % z % 3", 1.0),
+        ("x > y ? x / z : z", 2.25),
+        ("x > y && z > y ? 1 : 0", 1.0),
+        ("x < y || !(z > y) ? 0 : 2", 2.0),
+        ("x / (y - 2) + 5", float("inf")),
+    ]
+    for expr, want in cases:
+        sql = rewrite_ieee_arithmetic(_ternary_to_if(expr))
+        got = df.selectExpr(f"{sql} AS v").collect()[0]["v"]
+        assert got == want, (expr, sql, got, want)
 
 
 def test_series_join_intersection_union(spark):
