@@ -5,4 +5,5 @@ from opentsdb_spark.sources.points import (  # noqa: F401
     parse_put_lines,
     series_id_col,
     write_points,
+    write_points_bucketed,
 )

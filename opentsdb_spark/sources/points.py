@@ -183,6 +183,48 @@ def read_points(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_points_bucketed(
+    df: DataFrame, name: str, path: str, buckets: int = 64
+) -> None:
+    """Persist points as a BUCKETED catalog table: dt partitions for time
+    pruning + hash buckets on the series id, files sorted by (series, ts).
+
+    This is the layout the reference gets for free from HBase row-key order
+    (salt + metric_uid + base_time + tags, src/core/RowKey.java:83-105: one
+    series' cells are contiguous and time-sorted). On Spark the equivalent is
+    bucketBy(series)+sortBy: every per-series operator — downsample +
+    aggregate, last-point, rate — satisfies its ClusteredDistribution
+    straight off the scan, so the whole query runs with ZERO exchanges
+    (hash-partitioning on `series` covers any grouping key set that contains
+    `series`). At 100 TB that removes the full-corpus shuffle from every
+    repeated dashboard query; only cross-series phases (grouping by a tag
+    subset) still shuffle, and they shuffle post-aggregation volumes.
+
+    Bucket metadata lives in the session catalog (production: Hive
+    metastore); re-attaching a bare path in a fresh session still reads
+    correctly, just without the no-shuffle guarantee.
+    """
+    out = (
+        df.withColumn("series", series_id_col())
+        .withColumn("dt", F.to_date("ts"))
+    )
+    (
+        out.write.mode("overwrite")
+        .partitionBy("dt")
+        .bucketBy(buckets, "series")
+        .sortBy("series", "ts")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+
+
+def read_points_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Scan a ``write_points_bucketed`` table. Keeps `series` and `dt` — the
+    planner prunes on dt and per-series operators group on `series` without
+    a shuffle (the scan output is already hash-clustered on it)."""
+    return spark.table(name)
+
+
 def parse_import_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     """Parse text bulk-import lines: same fields as ``put`` WITHOUT the
     leading 'put' token (reference src/tools/TextImporter.java):

@@ -92,6 +92,48 @@ def test_hour_partition_pruning_same_day(spark, tmp_path):
     assert r.df.count() == 4  # 2 hours x 2 points/hour
 
 
+def test_bucketed_layout_zero_shuffle_per_series_agg(spark, tmp_path):
+    """write_points_bucketed = the HBase row-key order analog (RowKey.java:
+    83-105: one series' cells contiguous + time-sorted). A per-series
+    downsample-aggregate over the bucketed table must run with ZERO
+    exchanges: the scan itself satisfies the ClusteredDistribution because
+    hash-bucketing on `series` covers any grouping set containing it."""
+    from opentsdb_spark.sources.points import (
+        read_points_bucketed,
+        write_points_bucketed,
+    )
+
+    raw = _mk_days(spark, days=3)
+    write_points_bucketed(raw, "pts_bucketed_test", str(tmp_path / "bkt"), buckets=8)
+    try:
+        pts = read_points_bucketed(spark, "pts_bucketed_test")
+
+        hourly = pts.groupBy(
+            "series", F.window("ts", "1 hour").start.alias("bucket")
+        ).agg(F.sum("value").alias("value"))
+        plan = _plan(hourly)
+        assert "Exchange" not in plan, plan[:3000]
+
+        # same numbers as the shuffled plan over the raw frame
+        from opentsdb_spark.sources.points import series_id_col
+
+        want = {
+            (r["series"], r["bucket"]): r["value"]
+            for r in raw.withColumn("series", series_id_col())
+            .groupBy("series", F.window("ts", "1 hour").start.alias("bucket"))
+            .agg(F.sum("value").alias("value"))
+            .collect()
+        }
+        got = {(r["series"], r["bucket"]): r["value"] for r in hourly.collect()}
+        assert got == want
+
+        # last-point per series (tsdb_last analog): also exchange-free
+        last = pts.groupBy("series").agg(F.max_by("value", "ts").alias("value"))
+        assert "Exchange" not in _plan(last)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pts_bucketed_test")
+
+
 def test_topk_no_global_single_partition_window(spark):
     """highestMax must compile to TakeOrderedAndProject (distributed top-n),
     never an unpartitioned Window (single-partition sort)."""
