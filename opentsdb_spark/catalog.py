@@ -873,9 +873,57 @@ def tsdb_ds_1h_median(spark, sf_dir):
     return _ds_agg_query(spark, sf_dir, "click", "median")
 
 
-@register("tsdb_ds_1h_p95", _ds_agg_sql("view", "CASE WHEN (0.95 * (len(list_sort(list(value))) + 1)) < 1 THEN list_sort(list(value))[1] WHEN (0.95 * (len(list_sort(list(value))) + 1)) >= len(list_sort(list(value))) THEN list_sort(list(value))[len(list_sort(list(value)))] ELSE list_sort(list(value))[CAST(floor((0.95 * (len(list_sort(list(value))) + 1))) AS INT)] + ((0.95 * (len(list_sort(list(value))) + 1)) - floor((0.95 * (len(list_sort(list(value))) + 1)))) * (list_sort(list(value))[CAST(floor((0.95 * (len(list_sort(list(value))) + 1))) AS INT)+1] - list_sort(list(value))[CAST(floor((0.95 * (len(list_sort(list(value))) + 1))) AS INT)]) END"))
+# DuckDB mirrors of the three commons-math estimators in
+# functions/aggregators.py (reference Aggregators.java:124-173,905-948).
+# 1-based list selection over a = list_sort(list(<v>)), n = len(a).
+def _duck_pctl_legacy(q: float, v: str = "value") -> str:
+    """DEFAULT estimation: pos = q*(n+1), clamped, linear interpolation."""
+    a, n = f"list_sort(list({v}))", f"len(list({v}))"
+    pos = f"({q} * ({n} + 1))"
+    f = f"CAST(floor({pos}) AS INT)"
+    return (
+        f"CASE WHEN {pos} < 1 THEN {a}[1]"
+        f" WHEN {pos} >= {n} THEN {a}[{n}]"
+        f" ELSE {a}[{f}] + ({pos} - floor({pos})) * ({a}[{f}+1] - {a}[{f}]) END"
+    )
+
+
+def _duck_pctl_r7(q: float, v: str = "value") -> str:
+    """R-7 (Hyndman-Fan): pos = (n-1)q + 1, linear interpolation."""
+    a, n = f"list_sort(list({v}))", f"len(list({v}))"
+    pos = f"(({n} - 1) * {q} + 1)"
+    f = f"CAST(floor({pos}) AS INT)"
+    return (
+        f"CASE WHEN {f} >= {n} THEN {a}[{n}]"
+        f" ELSE {a}[{f}] + ({pos} - floor({pos})) * ({a}[{f}+1] - {a}[{f}]) END"
+    )
+
+
+def _duck_pctl_r3(q: float, v: str = "value") -> str:
+    """R-3: pos = rint(n*q) half-to-even, exact element, 0 when q <= 1/(2n)."""
+    a, n = f"list_sort(list({v}))", f"len(list({v}))"
+    pos = f"round_even({n} * {q}, 0)"
+    return (
+        f"CASE WHEN {q} <= 0.5 / {n} THEN {a}[1]"
+        f" WHEN {pos} < 1 THEN {a}[1]"
+        f" WHEN {pos} >= {n} THEN {a}[{n}]"
+        f" ELSE {a}[CAST({pos} AS INT)] END"
+    )
+
+
+@register("tsdb_ds_1h_p95", _ds_agg_sql("view", _duck_pctl_legacy(0.95)))
 def tsdb_ds_1h_p95(spark, sf_dir):
     return _ds_agg_query(spark, sf_dir, "view", "p95")
+
+
+@register("tsdb_ds_1h_ep90r7", _ds_agg_sql("signup", _duck_pctl_r7(0.9)))
+def tsdb_ds_1h_ep90r7(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "signup", "ep90r7")
+
+
+@register("tsdb_ds_1h_ep99r3", _ds_agg_sql("purchase", _duck_pctl_r3(0.99)))
+def tsdb_ds_1h_ep99r3(spark, sf_dir):
+    return _ds_agg_query(spark, sf_dir, "purchase", "ep99r3")
 
 
 @register("tsdb_ds_1h_squaresum", _ds_agg_sql("error", "sum(value * value)"))
@@ -1203,7 +1251,7 @@ from opentsdb_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk, embedding_stats, lsh_topk,
 )
 from opentsdb_spark.pipeline.text import (  # noqa: E402
-    detect_language, fingerprint_docs, quality_scores, token_counts,
+    detect_language, fingerprint_docs, quality_scores, repetition_signals, token_counts,
 )
 
 def _docs(spark, sf_dir):
@@ -1375,6 +1423,54 @@ def text_tokens(spark, sf_dir):
     out = token_counts(docs)
     return out.select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
                       F.col("bpe_pieces").cast("long").alias("bpe_pieces"))
+
+
+_REP_SQL = r"""WITH base AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS ls,
+             string_split_regex(lower(text), '\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, ls,
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg,
+             list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+      FROM base
+    )
+    SELECT doc_id,
+      {r0} AS dup_line_frac_r,
+      {r1} AS dup_line_char_frac_r,
+      {r2} AS top_bigram_frac_r,
+      {r3} AS dup_trigram_frac_r
+    FROM g""".format(
+    r0=RND.format(
+        "CASE WHEN len(ls) > 0 THEN (len(ls) - len(list_distinct(ls))) / len(ls) ELSE 0.0 END"
+    ),
+    r1=RND.format(
+        "CASE WHEN length(array_to_string(ls, '')) > 0 THEN "
+        "(length(array_to_string(ls, '')) - length(array_to_string(list_distinct(ls), '')))"
+        " / length(array_to_string(ls, '')) ELSE 0.0 END"
+    ),
+    r2=RND.format(
+        "CASE WHEN len(bg) > 0 THEN "
+        "len(list_filter(bg, x -> x = list_aggregate(bg, 'mode'))) / len(bg) ELSE 0.0 END"
+    ),
+    r3=RND.format(
+        "CASE WHEN len(tg) > 0 THEN (len(tg) - len(list_distinct(tg))) / len(tg) ELSE 0.0 END"
+    ),
+)
+
+
+@register("text_repetition", _REP_SQL)
+def text_repetition(spark, sf_dir):
+    # Gopher-style repetition gates (pipeline.text.repetition_signals)
+    docs = _docs(spark, sf_dir)
+    out = repetition_signals(docs)
+
+    def r(c):
+        return (F.floor(F.col(c) * 10000.0 + F.lit(0.5000001)) / 10000.0).cast("double").alias(f"{c}_r")
+
+    return out.select("doc_id", r("dup_line_frac"), r("dup_line_char_frac"),
+                      r("top_bigram_frac"), r("dup_trigram_frac"))
 
 
 @register(
@@ -1700,7 +1796,7 @@ def tsdb_agg_median_aligned_1h(spark, sf_dir):
 
 @register(
     "tsdb_agg_p95_aligned_1h",
-    _aligned_sql_expr("view", "avg", "CASE WHEN (0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1)) < 1 THEN list_sort(list(coalesce(p.v, 0.0)))[1] WHEN (0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1)) >= len(list_sort(list(coalesce(p.v, 0.0)))) THEN list_sort(list(coalesce(p.v, 0.0)))[len(list_sort(list(coalesce(p.v, 0.0))))] ELSE list_sort(list(coalesce(p.v, 0.0)))[CAST(floor((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1))) AS INT)] + ((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1)) - floor((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1)))) * (list_sort(list(coalesce(p.v, 0.0)))[CAST(floor((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1))) AS INT)+1] - list_sort(list(coalesce(p.v, 0.0)))[CAST(floor((0.95 * (len(list_sort(list(coalesce(p.v, 0.0)))) + 1))) AS INT)]) END"),
+    _aligned_sql_expr("view", "avg", _duck_pctl_legacy(0.95, "coalesce(p.v, 0.0)")),
 )
 def tsdb_agg_p95_aligned_1h(spark, sf_dir):
     return _aligned_query(spark, sf_dir, "view", "avg", "p95")

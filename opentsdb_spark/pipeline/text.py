@@ -138,6 +138,70 @@ def boilerplate_flags(docs: DataFrame, content_col: str = "text",
     )
 
 
+def _max_run_count(arr):
+    """Highest multiplicity of any element in the array: sort, then fold a
+    (prev, run, best) state over it — O(n log n), no explode/shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+
+def _word_ngrams(words, n: int):
+    """Word n-gram array; empty (not a descending-sequence artifact) when the
+    document has fewer than n words."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(docs: DataFrame, content_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    documents dominated by repeated lines / n-grams are low-quality almost
+    surely. Per-document fractions:
+
+      dup_line_frac       repeated-line occurrences / total lines
+      dup_line_char_frac  characters in repeated-line occurrences / all line chars
+      top_bigram_frac     occurrences of the most frequent word bigram / all bigrams
+      dup_trigram_frac    repeated-trigram occurrences / total trigrams
+
+    All array expressions over the scan (split/sort/fold) — a narrow map at
+    corpus scale; nothing explodes into a shuffle."""
+    text = F.col(content_col)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    d_lines = F.array_distinct(lines)
+    chars_all = F.length(F.array_join(lines, ""))
+    chars_d = F.length(F.array_join(d_lines, ""))
+
+    words = _words(text)
+    bigrams = _word_ngrams(words, 2)
+    trigrams = _word_ngrams(words, 3)
+
+    def frac(num, den):
+        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+
+    return docs.select(
+        id_col,
+        frac(n_lines - F.size(d_lines), n_lines).alias("dup_line_frac"),
+        frac(chars_all - chars_d, chars_all).alias("dup_line_char_frac"),
+        frac(_max_run_count(bigrams), F.size(bigrams)).alias("top_bigram_frac"),
+        frac(F.size(trigrams) - F.size(F.array_distinct(trigrams)), F.size(trigrams)).alias("dup_trigram_frac"),
+    )
+
+
 def fingerprint_docs(docs: DataFrame, k: int = 5, num_mins: int = 4,
                      content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Rolling k-gram fingerprint: hash every word k-gram (the set-based

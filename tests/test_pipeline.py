@@ -12,7 +12,7 @@ from opentsdb_spark.pipeline.dedup import (
 from opentsdb_spark.pipeline.multimodal import docs_as_media, extract_features, resize_images
 from opentsdb_spark.pipeline.similarity import brute_force_topk, embedding_stats, lsh_topk
 from opentsdb_spark.pipeline.text import (
-    detect_language, fingerprint_docs, quality_scores, token_counts,
+    detect_language, fingerprint_docs, quality_scores, repetition_signals, token_counts,
 )
 
 
@@ -200,6 +200,32 @@ def test_token_counts(spark):
     assert r["ws_tokens"] == 4
     # pieces: hello world , it ' s 42 ! -> 8
     assert r["bpe_pieces"] == 8
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            # 4 lines, 'spam spam' twice: 2 dup-line occurrences of 4
+            (0, "spam spam\nok line\nspam spam\nother"),
+            # 'buy now buy now buy now': bigrams [buy now, now buy, buy now,
+            # now buy, buy now] -> top 'buy now' 3/5; trigrams 4, 2 dups
+            (1, "buy now buy now buy now"),
+            (2, "all words unique here today"),
+            (3, "x"),  # 1 word: no bigrams/trigrams -> all zero
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[0]["dup_line_frac"] == pytest.approx(1 / 4)
+    # chars: all lines 9+7+9+5=30, distinct 9+7+5=21
+    assert out[0]["dup_line_char_frac"] == pytest.approx(9 / 30)
+    assert out[1]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[1]["dup_trigram_frac"] == pytest.approx(2 / 4)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == pytest.approx(1 / 4)  # all unique -> max count 1
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["dup_trigram_frac"] == 0.0
 
 
 def test_fingerprint(docs):
