@@ -548,6 +548,58 @@ def tsdb_last(spark, sf_dir):
     return out.select("series_id", "metric", _vr(F.col("value")), "ts_ms")
 
 
+@register(
+    "tsdb_tsuid_direct",
+    f"""SELECT event_type AS metric, {SID} AS series_id, {TS_MS} AS ts_ms,
+               {RND.format('value')} AS value_r
+        FROM events
+        WHERE {SID} IN ('purchase{{k=1,user=2}}', 'purchase{{k=27,user=1}}')""",
+)
+def tsdb_tsuid_direct(spark, sf_dir):
+    # TSUID-direct query (reference src/core/TsdbQuery.java:552-571: the
+    # query names exact series instead of metric+filters)
+    tsq = TSQuery(
+        start=START_SEC, end=END_SEC,
+        queries=(SubQuery(
+            metric="purchase", aggregator="none",
+            tsuids=("purchase{k=1,user=2}", "purchase{k=27,user=1}"),
+        ),),
+    )
+    [r] = compile_query(_pts(spark, sf_dir), tsq)
+    return r.df.select("metric", "series_id", _ts_ms(), _vr(F.col("value")))
+
+
+@register(
+    "tsdb_lookup_big",
+    f"""SELECT DISTINCT {SID} AS series_id, event_type AS metric
+        FROM events WHERE value > 100.0""",
+)
+def tsdb_lookup_big(spark, sf_dir):
+    # /api/search/lookup with a tag pair {big:yes} (TimeSeriesLookup.java:48-70)
+    from opentsdb_spark.operators.metadata import lookup
+
+    out = lookup(_pts(spark, sf_dir), tag_pairs={"big": "yes"})
+    return out.select("series_id", "metric")
+
+
+@register(
+    "tsdb_dump_import_lines",
+    f"""SELECT event_type || ' ' || CAST({TS_MS} AS VARCHAR) || ' ' ||
+               CAST(value AS VARCHAR) || ' ' ||
+               CASE WHEN value > 100.0 THEN 'big=yes ' ELSE '' END ||
+               'k=' || {K} || ' user=' || {U} AS line
+        FROM events WHERE event_type = 'error'""",
+)
+def tsdb_dump_import_lines(spark, sf_dir):
+    # export path (DumpSeries.java --import format); string equality between
+    # Spark's and DuckDB's double->text relies on both emitting
+    # shortest-roundtrip decimals (values here stay in plain-notation range)
+    from opentsdb_spark.sources.points import dump_series
+
+    pts = _pts(spark, sf_dir).where(F.col("metric") == "error")
+    return dump_series(pts)
+
+
 # ============================================================== flagship ====
 
 
