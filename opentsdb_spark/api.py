@@ -92,6 +92,8 @@ def handle_query(
     request: dict,
     histograms: DataFrame | None = None,
     annotations: DataFrame | None = None,
+    rollup_cfg=None,
+    agg_tag: bool = False,
 ) -> list[dict[str, Any]]:
     """GET (params with m=) or POST (queries body) /api/query.
 
@@ -105,7 +107,8 @@ def handle_query(
     tsq = _tsquery_from_body(request) if "queries" in request else parse_query(request)
     out: list[dict[str, Any]] = []
     limit = request_limit(request)
-    compiled = compile_query(points, tsq, histograms=histograms)
+    compiled = compile_query(points, tsq, histograms=histograms,
+                             rollup_cfg=rollup_cfg, agg_tag=agg_tag)
     ann_map: dict[str, list[dict[str, Any]]] | None = None
     globals_list: list[dict[str, Any]] | None = None
     if annotations is not None and not tsq.no_annotations:

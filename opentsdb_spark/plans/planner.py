@@ -92,14 +92,44 @@ def _tag_predicates(q: SubQuery) -> Column | None:
     return pred
 
 
+# the reference's rollup/pre-agg tag configuration (src/utils/Config.java:
+# 613-614): pre-aggregated (cross-series groupby) points carry
+# <AGG_TAG_KEY>=<AGGREGATOR upper>; raw points carry =RAW or no tag at all.
+AGG_TAG_KEY = "_aggregate"
+RAW_AGG_TAG_VALUE = "RAW"
+
+
+def _wants_pre_aggregate(q: SubQuery) -> bool:
+    """The query asks for the pre-aggregated (groupby) store: the m= pre-agg
+    flag, or a literal_or filter on the agg tag naming a non-RAW value
+    (reference src/core/TsdbQuery.java:624-632)."""
+    if q.pre_aggregate:
+        return True
+    return any(
+        f.type == "literal_or"
+        and f.tagk == AGG_TAG_KEY
+        and RAW_AGG_TAG_VALUE not in f.filter.split("|")
+        for f in q.filters
+    )
+
+
 def compile_subquery(
     points: DataFrame,
     q: SubQuery,
     start_ms: int,
     end_ms: int,
     timezone: str = "UTC",
+    rollup_cfg=None,
+    agg_tag: bool = False,
 ) -> CompiledSubQuery:
-    """Compile one m= sub-query against a point frame."""
+    """Compile one m= sub-query against a point frame.
+
+    rollup_cfg: optional plans.rollup.RollupConfig — downsample queries are
+    then routed raw-vs-rollup per the sub-query's ROLLUP_USAGE hint
+    (reference src/core/TsdbQuery.java:197-215, tableToBeScanned:1553-1571).
+    agg_tag: True when the frame mixes raw and pre-aggregated points tagged
+    with AGG_TAG_KEY — the scan is then routed to exactly one of the two
+    stores (the reference's temporal vs groupby tables)."""
     df = points.where(time_range_predicate(points, start_ms, end_ms)).where(
         F.col("metric") == q.metric
     )
@@ -109,6 +139,16 @@ def compile_subquery(
         # TSUID-direct query (reference src/core/TsdbQuery.java:552-571)
         df = df.where(series_id_col("metric", "tags").isin(list(q.tsuids)))
 
+    if agg_tag:
+        tag_v = F.col("tags").getItem(AGG_TAG_KEY)
+        if _wants_pre_aggregate(q):
+            # groupby store: pre-agg rows only (an explicit _aggregate filter
+            # below narrows to specific aggregators)
+            df = df.where(tag_v.isNotNull() & (tag_v != RAW_AGG_TAG_VALUE))
+        else:
+            # temporal store: raw rows only — never double-read pre-agg series
+            df = df.where(tag_v.isNull() | (tag_v == RAW_AGG_TAG_VALUE))
+
     pred = _tag_predicates(q)
     if pred is not None:
         df = df.where(pred)
@@ -116,7 +156,32 @@ def compile_subquery(
 
     aligned = False
     if q.downsample is not None:
-        df = downsample(df, q.downsample, start_ms, end_ms, series_cols=("metric", "tags"))
+        if rollup_cfg is not None and not q.downsample.calendar and not q.downsample.run_all:
+            from opentsdb_spark.plans.rollup import RollupConfig, RollupTable, routed_downsample
+
+            # the same metric/time/tag predicates bound each rollup table's
+            # scan before routing picks one
+            filtered = RollupConfig([
+                RollupTable(
+                    t.interval_ms,
+                    t.interval_label,
+                    t.df.where(time_range_predicate(t.df, start_ms, end_ms))
+                    .where(F.col("metric") == q.metric)
+                    .where(pred if pred is not None else F.lit(True)),
+                )
+                for t in rollup_cfg.tables
+            ])
+            try:
+                df = routed_downsample(
+                    df, filtered, q.downsample, q.rollup_usage, start_ms, end_ms
+                )
+            except ValueError:
+                # no matching interval / non-rewritable aggregator: the
+                # reference scans the raw data table when no valid rollup
+                # query forms (TsdbQuery.java:1553-1571 tableToBeScanned)
+                df = downsample(df, q.downsample, start_ms, end_ms, series_cols=("metric", "tags"))
+        else:
+            df = downsample(df, q.downsample, start_ms, end_ms, series_cols=("metric", "tags"))
         aligned = q.downsample.fill != "none"
 
     rate_mode = q.rate is not None
@@ -230,10 +295,13 @@ def compile_query(
     tsq: TSQuery,
     now_ms: int | None = None,
     histograms: DataFrame | None = None,
+    rollup_cfg=None,
+    agg_tag: bool = False,
 ) -> list[CompiledSubQuery]:
     """Compile all sub-queries of a TSQuery. Sub-queries requesting
     percentiles/buckets route to the histogram frame (reference
-    src/core/TsdbQuery.java:807 isHistogramQuery)."""
+    src/core/TsdbQuery.java:807 isHistogramQuery); rollup_cfg/agg_tag route
+    downsamples and pre-aggregate scans (see compile_subquery)."""
     start_ms = parse_datetime_ms(tsq.start, tsq.timezone, now_ms)
     end_ms = parse_datetime_ms(tsq.end, tsq.timezone, now_ms)
     out = []
@@ -248,7 +316,12 @@ def compile_query(
                 compile_histogram_subquery(histograms, q, start_ms, end_ms, tsq.timezone)
             )
         else:
-            out.append(compile_subquery(points, q, start_ms, end_ms, tsq.timezone))
+            out.append(
+                compile_subquery(
+                    points, q, start_ms, end_ms, tsq.timezone,
+                    rollup_cfg=rollup_cfg, agg_tag=agg_tag,
+                )
+            )
     return out
 
 

@@ -51,6 +51,65 @@ def test_rollup_generate_and_route(spark):
     assert out.collect()[0]["value"] == 210.0
 
 
+def test_planner_rollup_routing_and_usage(spark):
+    """Parsed m= rollup_/pre-agg tokens drive execution: compile_subquery
+    routes downsamples through RollupConfig per ROLLUP_USAGE and scans the
+    pre-agg vs raw store per the _aggregate tag (TsdbQuery.java:1553-1571)."""
+    from opentsdb_spark.model import SubQuery
+    from opentsdb_spark.plans.planner import compile_subquery
+
+    pts = _mk_points(spark, [("m", 60 * i, 10.0 * (i + 1), "a") for i in range(6)])
+    # poisoned rollup table: value 999 per bucket proves which store answered
+    rt = spark.createDataFrame(
+        [("m", EPOCH * 1000, 999.0, {"h": "a"}, a, "1h") for a in ("sum", "count", "min", "max")],
+        "metric string, ts_ms long, value double, tags map<string,string>, aggregator string, interval string",
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "tags", "aggregator", "value", "interval")
+    cfg = RollupConfig([RollupTable(3_600_000, "1h", rt)])
+    span = (EPOCH * 1000, (EPOCH + 7200) * 1000)
+
+    def run(q, **kw):
+        r = compile_subquery(pts, q, *span, rollup_cfg=cfg, **kw)
+        return {r2["ts"]: r2["value"] for r2 in r.df.collect()}
+
+    ds = DownsampleSpec(3_600_000, "sum")
+    # NOFALLBACK (default): answered from the rollup table
+    assert list(run(SubQuery(metric="m", aggregator="sum", downsample=ds)).values()) == [999.0]
+    # ROLLUP_RAW: forced raw scan
+    raw = run(SubQuery(metric="m", aggregator="sum", downsample=ds, rollup_usage="ROLLUP_RAW"))
+    assert list(raw.values()) == [pytest.approx(210.0)]
+    # non-rewritable aggregator: no valid rollup query -> raw data table
+    dev = run(SubQuery(metric="m", aggregator="sum", downsample=DownsampleSpec(3_600_000, "dev")))
+    assert list(dev.values())[0] != 999.0
+
+
+def test_planner_pre_aggregate_store_routing(spark):
+    from opentsdb_spark.model import SubQuery, TagFilter
+    from opentsdb_spark.plans.planner import compile_subquery
+
+    rows = [("m", 0, 1.0, "a"), ("m", 60, 2.0, "b")]
+    raw = _mk_points(spark, rows)
+    pre = spark.createDataFrame(
+        [("m", EPOCH * 1000, 100.0, {"_aggregate": "SUM"})],
+        "metric string, ts_ms long, value double, tags map<string,string>",
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+    mixed = raw.unionByName(pre)
+    span = (EPOCH * 1000, (EPOCH + 3600) * 1000)
+
+    def total(q):
+        r = compile_subquery(mixed, q, *span, agg_tag=True)
+        return sum(x["value"] for x in r.df.collect())
+
+    # plain query: raw rows only, pre-agg series invisible
+    assert total(SubQuery(metric="m", aggregator="sum")) == pytest.approx(3.0)
+    # m= pre-agg flag: groupby store only
+    assert total(SubQuery(metric="m", aggregator="sum", pre_aggregate=True)) == pytest.approx(100.0)
+    # explicit literal_or on _aggregate (non-RAW) implies pre-agg routing
+    assert total(SubQuery(
+        metric="m", aggregator="sum",
+        filters=(TagFilter("literal_or", "_aggregate", "SUM"),),
+    )) == pytest.approx(100.0)
+
+
 def test_rollup_split(spark):
     pts = _mk_points(spark, [("m", 3600 * i, 1.0, "a") for i in range(4)])
     rt = generate_rollup(pts, 3_600_000, "1h")
