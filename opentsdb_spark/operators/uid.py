@@ -49,6 +49,21 @@ def _candidate_uid(kind: str, name: str, salt: int) -> str:
     return h[:UID_WIDTH_BYTES].hex()
 
 
+# UniqueIdFilterPlugin analog (reference src/uid/UniqueIdFilterPlugin.java:
+# 89-100 allowUIDAssignment). UID assignment is a driver-side metadata path
+# (a handful of names per request), so plugins are plain callables
+# (kind, name) -> bool; False blocks the assignment into <kind>_errors.
+UID_FILTERS: list = []
+
+
+def register_uid_filter(fn) -> None:
+    UID_FILTERS.append(fn)
+
+
+def _uid_assignment_allowed(kind: str, name: str) -> bool:
+    return all(fn(kind, name) for fn in UID_FILTERS)
+
+
 def uid_assign(
     registry: DataFrame | None,
     requests: dict[str, list[str]],
@@ -105,6 +120,9 @@ def uid_assign(
         for name in names:
             if (kind, name) in existing:
                 errors[name] = f"Name already exists with UID: {existing[(kind, name)]}"
+                continue
+            if not _uid_assignment_allowed(kind, name):
+                errors[name] = "UID assignment denied by filter plugin"
                 continue
             for salt in range(probe_budget):
                 uid = _candidate_uid(kind, name, salt)

@@ -70,6 +70,27 @@ def read_json_stream(spark: SparkSession, path: str) -> DataFrame:
     ).where(F.col("value").isNotNull())
 
 
+# --- write-path point filter plugins ----------------------------------------
+# WriteableDataPointFilterPlugin analog (reference src/core/
+# WriteableDataPointFilterPlugin.java:86-117: allowDataPoint called per point
+# before storage). Spark-first shape: a plugin is a callable
+# (points DataFrame) -> boolean Column (the keep-predicate), so filtering
+# stays inside whole-stage codegen instead of a per-point callback.
+INGEST_FILTERS: list = []
+
+
+def register_ingest_filter(fn) -> None:
+    INGEST_FILTERS.append(fn)
+
+
+def apply_ingest_filters(points: DataFrame) -> DataFrame:
+    """AND every registered keep-predicate over the point frame (both batch
+    import and the streaming sink route through this)."""
+    for fn in INGEST_FILTERS:
+        points = points.where(fn(points))
+    return points
+
+
 def dedup_last_write_wins(points: DataFrame, ingest_time_col: str | None = None) -> DataFrame:
     """Resolve duplicate (series, ts) points — fix_duplicates=true semantics
     (reference src/utils/Config.java:98-99: last write wins). Without an
@@ -100,10 +121,11 @@ def write_points_stream(
     """Append the point stream to a date-partitioned Parquet table.
 
     rt_publisher: optional callable(batch_df, batch_id) invoked per
-    micro-batch — the RTPublisher plugin hook analog."""
+    micro-batch — the RTPublisher plugin hook analog. Registered ingest
+    filters (WriteableDataPointFilterPlugin analogs) gate every batch."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        out = batch.withColumn("dt", F.to_date("ts"))
+        out = apply_ingest_filters(batch).withColumn("dt", F.to_date("ts"))
         out.write.mode("append").partitionBy("dt").parquet(path)
         if rt_publisher is not None:
             rt_publisher(batch, batch_id)

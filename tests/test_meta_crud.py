@@ -222,6 +222,45 @@ def test_uid_assign(spark):
         uid_assign(reg, {})
 
 
+def test_uid_filter_plugin_blocks_assignment(spark):
+    """UniqueIdFilterPlugin analog: a registered (kind, name) -> bool gate
+    routes denied names into <kind>_errors (UniqueIdFilterPlugin.java:89-100)."""
+    from opentsdb_spark.operators import uid as uid_mod
+
+    uid_mod.register_uid_filter(lambda kind, name: not name.startswith("tmp."))
+    try:
+        resp, reg = uid_mod.uid_assign(
+            None, {"metric": ["prod.cpu", "tmp.scratch"]}, spark=spark
+        )
+        assert "prod.cpu" in resp["metric"]
+        assert resp["metric_errors"]["tmp.scratch"] == "UID assignment denied by filter plugin"
+        assert reg.count() == 1
+    finally:
+        uid_mod.UID_FILTERS.clear()
+
+
+def test_ingest_filter_plugin_gates_points(spark):
+    """WriteableDataPointFilterPlugin analog: registered Column predicates
+    gate every point written (WriteableDataPointFilterPlugin.java:86-117)."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.streaming import ingest as ing
+
+    pts = spark.createDataFrame(
+        [("keep.me", 1000, 1.0, {"h": "a"}), ("drop.me", 1000, 2.0, {"h": "a"}),
+         ("keep.me", 2000, -5.0, {"h": "a"})],
+        "metric string, ts_ms long, value double, tags map<string,string>",
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value",
+             F.lit(None).cast("long").alias("value_long"), "tags")
+    ing.register_ingest_filter(lambda df: ~F.col("metric").startswith("drop."))
+    ing.register_ingest_filter(lambda df: F.col("value") >= 0)
+    try:
+        rows = ing.apply_ingest_filters(pts).collect()
+        assert [(r["metric"], r["value"]) for r in rows] == [("keep.me", 1.0)]
+    finally:
+        ing.INGEST_FILTERS.clear()
+
+
 def test_uid_assign_api_get_style(spark):
     from opentsdb_spark import api
 
