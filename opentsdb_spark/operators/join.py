@@ -135,7 +135,7 @@ def _ternary_to_if(s: str) -> str:
 _TOKEN_RE = __import__("re").compile(
     r"\s*(\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?"
     r"|[A-Za-z_][A-Za-z0-9_]*"
-    r"|\|\||&&|==|!=|>=|<=|[-+*/%(),<>!])"
+    r"|\|\||&&|==|!=|>=|<=|[-+*/%(),<>!?:])"
 )
 
 
@@ -158,10 +158,11 @@ def ieee_mod_sql(x: str, y: str) -> str:
 
 
 class _ExprParser:
-    """Recursive-descent re-emitter for the JEXL-ish expression grammar
-    (post ternary->IF rewrite): || && == != < <= > >= + - * / % unary-!/-
+    """Recursive-descent re-emitter for the JEXL expression grammar:
+    ?: (right-assoc, lowest) || && == != < <= > >= + - * / % unary-!/-
     parens and ident(...) calls. Everything is emitted verbatim except
-    binary / and %, which become the IEEE CASE forms."""
+    binary / and % (IEEE CASE forms) and ?: (-> IF), so nested parenthesized
+    ternaries work anywhere an operand can."""
 
     def __init__(self, s: str):
         self.toks = []
@@ -185,10 +186,21 @@ class _ExprParser:
         return t
 
     def parse(self) -> str:
-        out = self.or_()
+        out = self.ternary()
         if self.peek() is not None:
             raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
         return out
+
+    def ternary(self) -> str:
+        cond = self.or_()
+        if self.peek() != "?":
+            return cond
+        self.eat()
+        t = self.ternary()
+        if self.eat() != ":":
+            raise ValueError("expected : in ternary")
+        f = self.ternary()
+        return f"IF({cond}, {t}, {f})"
 
     def or_(self) -> str:
         left = self.and_()
@@ -253,7 +265,7 @@ class _ExprParser:
             raise ValueError("unexpected end of expression")
         if t == "(":
             self.eat()
-            inner = self.or_()
+            inner = self.ternary()
             if self.eat() != ")":
                 raise ValueError("expected )")
             return f"({inner})"
@@ -263,10 +275,10 @@ class _ExprParser:
                 self.eat()
                 args = []
                 if self.peek() != ")":
-                    args.append(self.or_())
+                    args.append(self.ternary())
                     while self.peek() == ",":
                         self.eat()
-                        args.append(self.or_())
+                        args.append(self.ternary())
                 if self.eat() != ")":
                     raise ValueError("expected ) after args")
                 return f"{t}({', '.join(args)})"

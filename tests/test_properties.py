@@ -35,6 +35,112 @@ def _df(spark, pts):
     return df.select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
 
 
+# --- JEXL expression rewriter property ---------------------------------------
+# Random expression trees rendered to the query grammar must evaluate exactly
+# like Java doubles under JEXL (ExpressionIterator.java:346): IEEE division/
+# modulo (x/0 -> +-Inf, 0/0 and x%0 -> NaN, % is truncated fmod), ternaries
+# anywhere an operand can appear, NULL propagation.
+
+_vals = st.sampled_from([0.0, 1.0, -3.5, 2.0, 7.25, -1.0, 100.0])
+
+_safe_leaf = st.one_of(
+    st.sampled_from([("var", "a"), ("var", "b")]),
+    st.builds(lambda v: ("const", v), _vals),
+)
+# comparison operands avoid / and % (Spark orders NaN above all doubles,
+# Java IEEE comparisons return false — a documented engine difference we
+# keep out of conditions)
+_safe_tree = st.recursive(
+    _safe_leaf,
+    lambda ch: st.builds(lambda op, l, r: ("bin", op, l, r),
+                         st.sampled_from("+-*"), ch, ch),
+    max_leaves=4,
+)
+_tree = st.recursive(
+    _safe_leaf,
+    lambda ch: st.one_of(
+        st.builds(lambda op, l, r: ("bin", op, l, r), st.sampled_from("+-*/%"), ch, ch),
+        st.builds(lambda n: ("neg", n), ch),
+        st.builds(
+            lambda cop, c1, c2, t, f: ("tern", cop, c1, c2, t, f),
+            st.sampled_from([">", "<", ">=", "<=", "==", "!="]),
+            _safe_tree, _safe_tree, ch, ch,
+        ),
+    ),
+    max_leaves=10,
+)
+
+
+def _render(n) -> str:
+    k = n[0]
+    if k == "var":
+        return n[1]
+    if k == "const":
+        return repr(n[1])
+    if k == "neg":
+        return f"-({_render(n[1])})"
+    if k == "bin":
+        return f"({_render(n[2])} {n[1]} {_render(n[3])})"
+    _, cop, c1, c2, t, f = n
+    return f"(({_render(c1)}) {cop} ({_render(c2)}) ? ({_render(t)}) : ({_render(f)}))"
+
+
+def _eval_java(n, env):
+    k = n[0]
+    if k == "var":
+        return env[n[1]]
+    if k == "const":
+        return n[1]
+    if k == "neg":
+        v = _eval_java(n[1], env)
+        return None if v is None else -v
+    if k == "bin":
+        _, op, l, r = n
+        a, b = _eval_java(l, env), _eval_java(r, env)
+        if a is None or b is None:
+            return None
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            if b == 0.0:
+                if math.isnan(a) or a == 0.0:
+                    return math.nan
+                return math.inf if a > 0 else -math.inf
+            return a / b
+        if b == 0.0:  # %
+            return math.nan
+        return math.fmod(a, b)  # Java % truncates like Spark's Remainder
+    _, cop, c1, c2, t, f = n
+    x, y = _eval_java(c1, env), _eval_java(c2, env)
+    cond = False
+    if x is not None and y is not None:
+        cond = {">": x > y, "<": x < y, ">=": x >= y, "<=": x <= y,
+                "==": x == y, "!=": x != y}[cop]
+    return _eval_java(t if cond else f, env)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tree=_tree, a=st.one_of(st.none(), _vals), b=st.one_of(st.none(), _vals))
+def test_expression_rewriter_matches_java_semantics(spark, tree, a, b):
+    from opentsdb_spark.operators.join import evaluate_expression
+
+    df = spark.createDataFrame([(a, b)], "v_a double, v_b double")
+    expr = _render(tree)
+    got = evaluate_expression(df, expr, ("a", "b")).collect()[0]["value"]
+    want = _eval_java(tree, {"a": a, "b": b})
+    if want is None:
+        assert got is None, (expr, got)
+    elif math.isnan(want):
+        assert got is not None and math.isnan(got), (expr, got)
+    else:
+        assert got == want, (expr, got, want)
+
+
 @_slow
 @given(pts=points_strategy, interval_s=st.sampled_from([60, 600, 3600]))
 def test_downsample_sum_conserves_total(spark, pts, interval_s):
