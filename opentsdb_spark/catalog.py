@@ -1355,6 +1355,33 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", _vr(F.col("jaccard")).alias("jaccard_r"))
 
 
+@register(
+    "dedup_decontaminate",
+    r"""WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 4, 0)),
+                i -> array_to_string(w[i:i+4], ' '))) AS grams
+              FROM w),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % 25 = 0),
+        hits AS (SELECT e.doc_id, count(DISTINCT e.gram) AS shared
+                 FROM e JOIN bench USING (gram)
+                 WHERE e.doc_id % 25 <> 0 GROUP BY e.doc_id)
+        SELECT d.doc_id, CAST(coalesce(h.shared, 0) AS BIGINT) AS shared_grams,
+               coalesce(h.shared, 0) >= 1 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+)
+def dedup_decontaminate(spark, sf_dir):
+    # every 25th doc plays the held-out benchmark; the rest is the corpus
+    from opentsdb_spark.pipeline.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return decontaminate(train, bench, n=5, min_shared=1)
+
+
 # shared gram/pair CTE prefix (identical to dedup_ngram_jaccard's oracle)
 _JACCARD_PAIRS_CTE = """g AS (
           SELECT doc_id,

@@ -54,7 +54,12 @@ def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int) -> DataF
     """(id, grams) with the tokenizer materialized as its own projection —
     inlining split() into the transform lambda makes codegen re-split the
     text once per n-gram (O(len²) per doc); staging it as a bound column
-    attribute evaluates it once per row."""
+    attribute evaluates it once per row.
+
+    Documents shorter than n words have no n-gram identity and are dropped
+    (without the size guard, F.sequence(0, negative) yields a DESCENDING
+    index list and slice(_, 0, n) aborts the whole job on the first short
+    doc — guaranteed on a real corpus)."""
     words = docs.select(id_col, F.split(F.col(content_col), r"\s+").alias("__w"))
     if n == 1:
         return words.select(id_col, F.array_distinct("__w").alias("grams"))
@@ -62,7 +67,10 @@ def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int) -> DataF
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice("__w", i + 1, n), " "))
     )
-    return words.select(id_col, grams.alias("grams"))
+    return (
+        words.where(F.size("__w") >= n)
+        .select(id_col, grams.alias("grams"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -103,6 +111,55 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    ``min_shared`` distinct word n-grams with ANY benchmark document — the
+    standard pre-training hygiene pass (n-gram overlap against eval sets).
+
+    Scale shape: the benchmark gram-hash set is tiny next to the corpus, so
+    it BROADCASTS; corpus grams stream through the hash join in place (no
+    corpus shuffle, no self-join). Joining on xxhash64(gram) keeps the
+    broadcast at 8 bytes/gram; a collision can only overcount shared grams
+    for a doc, never miss contamination.
+
+    Returns (id, shared_grams, contaminated) for every input doc (docs
+    shorter than n words have no n-gram identity: shared_grams = 0).
+    """
+    bench = (
+        _gram_frame(benchmark, content_col, id_col, n)
+        .select(F.explode("grams").alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    corpus = (
+        _gram_frame(docs, content_col, id_col, n)
+        .select(id_col, F.explode("grams").alias("g"))
+        .select(id_col, F.xxhash64("g").alias("gh"))
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), on="gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gh").alias("shared_grams"))
+    )
+    shared = F.coalesce(F.col("shared_grams"), F.lit(0))
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            shared.cast("long").alias("shared_grams"),
+            (shared >= min_shared).alias("contaminated"),
+        )
     )
 
 

@@ -63,6 +63,49 @@ def test_minhash_lsh(docs):
     assert (0, 3) not in pairs and (0, 4) not in pairs
 
 
+def test_decontaminate(spark):
+    """GPT-3-style n-gram decontamination: train docs sharing >= min_shared
+    distinct n-grams with any benchmark doc are flagged."""
+    from opentsdb_spark.pipeline.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "news report the quick brown fox jumps over a fence"),  # 3 shared 4-grams
+            (1, "completely unrelated sentence about spark engines"),
+            (2, "tiny"),  # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=4, min_shared=2).collect()}
+    assert out[0]["contaminated"] and out[0]["shared_grams"] == 3
+    assert not out[1]["contaminated"] and out[1]["shared_grams"] == 0
+    assert not out[2]["contaminated"] and out[2]["shared_grams"] == 0
+    # threshold honored
+    strict = {r["doc_id"]: r["contaminated"]
+              for r in decontaminate(train, bench, n=4, min_shared=4).collect()}
+    assert not strict[0]
+
+
+def test_ngram_dedup_survives_short_docs(spark, docs):
+    """A real corpus always contains docs shorter than the shingle width;
+    they have no n-gram identity and must be dropped, not crash the job
+    (F.sequence descends when size < n and slice(_, 0, _) aborts)."""
+    short = spark.createDataFrame(
+        [(90, "tiny"), (91, "two words"), (92, "")], "doc_id long, text string"
+    )
+    mixed = docs.select("doc_id", "text").unionByName(short)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             ngram_jaccard_pairs(mixed, n=3, threshold=0.5, max_df=10).collect()}
+    assert (0, 1) in pairs
+    assert not any(90 <= a <= 92 or 90 <= b <= 92 for a, b in pairs)
+    out = minhash_lsh_pairs(mixed, num_hashes=32, bands=16, threshold=0.4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} >= {(0, 1)}
+
+
 def test_simhash(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[0] == sh[1]
