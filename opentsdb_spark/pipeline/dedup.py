@@ -40,16 +40,6 @@ def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _word_ngrams(col, n: int):
-    words = F.split(col, r"\s+")
-    if n == 1:
-        return F.array_distinct(words)
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    )
-
-
 def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int) -> DataFrame:
     """(id, grams) with the tokenizer materialized as its own projection —
     inlining split() into the transform lambda makes codegen re-split the

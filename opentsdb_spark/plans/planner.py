@@ -304,6 +304,15 @@ def compile_query(
     downsamples and pre-aggregate scans (see compile_subquery)."""
     start_ms = parse_datetime_ms(tsq.start, tsq.timezone, now_ms)
     end_ms = parse_datetime_ms(tsq.end, tsq.timezone, now_ms)
+    # reference TSQuery.validateAndSetQuery (TSQuery.java:179-186); without
+    # this an inverted range reaches F.sequence, which generates DESCENDING
+    # time grids instead of failing
+    if end_ms < start_ms:
+        raise ValueError(
+            f"End time [{end_ms}] must be greater than or equal to the start time [{start_ms}]"
+        )
+    if not tsq.queries:
+        raise ValueError("Missing queries")
     out = []
     for q in tsq.queries:
         if q.percentiles or q.show_histogram_buckets:

@@ -69,6 +69,20 @@ def test_handle_query_get(fixture_points):
     assert by_host["web01"]["dps"][str(EPOCH)] == pytest.approx(10.0)
 
 
+def test_inverted_time_range_rejected(fixture_points):
+    """end < start must fail validation (TSQuery.java:179-183), never reach
+    F.sequence — which would silently generate a DESCENDING time grid."""
+    req = {"start": EPOCH + 1000, "end": EPOCH,
+           "m": "sum:10m-avg-zero:sys.cpu.user"}
+    with pytest.raises(ValueError, match="must be greater than or equal"):
+        api.handle_query(fixture_points, req)
+    with pytest.raises(ValueError, match="Missing queries"):
+        from opentsdb_spark.model import TSQuery
+        from opentsdb_spark.plans.planner import compile_query
+
+        compile_query(fixture_points, TSQuery(start=EPOCH, end=EPOCH + 1))
+
+
 def test_handle_query_data_point_limit(fixture_points):
     # over-limit queries abort BEFORE collecting (reference tsd.query.limits
     # data-point ceiling, TsdbQuery.java:527-536), per-request override key
