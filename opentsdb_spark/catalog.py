@@ -896,6 +896,30 @@ def exp_ternary_max(spark, sf_dir):
     return res["e"].select("user", _ts_sec(), _vr(F.col("value")))
 
 
+@register(
+    "exp_divide_ieee",
+    f"""WITH {_sparse_sql_ctes('pa', 'purchase')},
+        {_sparse_sql_ctes('pb', 'click')},
+        j AS (SELECT coalesce(pa.user, pb.user) AS user, coalesce(pa.b, pb.b) AS b,
+                     coalesce(pa.v, 0.0) AS a, coalesce(pb.v, 0.0) AS bb
+              FROM pa FULL OUTER JOIN pb ON pa.user = pb.user AND pa.b = pb.b),
+        e AS (SELECT user, b, {_ieee_div_sql('a', 'bb')} AS value FROM j)
+        SELECT user, CAST(b AS BIGINT) AS ts_sec, {RND_NF.format('value')} AS value_r
+        FROM e""",
+)
+def exp_divide_ieee(spark, sf_dir):
+    # division through the exp/v2 DAG takes JEXL Java-double semantics:
+    # zero-filled denominators yield +-Inf / NaN, hash-matched via RND_NF
+    eq = ExpQuery(
+        start=START_SEC, end=END_SEC,
+        metrics=(_exp_metric("a", "purchase", fill="zero"),
+                 _exp_metric("b", "click", fill="zero")),
+        expressions=(ExpExpression(id="e", expr="a / b", join=ExpJoin("union")),),
+    )
+    res = compile_exp_query(_pts(spark, sf_dir), eq)
+    return res["e"].select("user", _ts_sec(), _vr_nf(F.col("value")))
+
+
 # ============================================ aggregator completeness =======
 
 

@@ -37,9 +37,22 @@ def _tagv(tags: Column, tagk: str) -> Column:
     return tags.getItem(tagk)
 
 
+# reference tsd.query.filter.expansion_limit (src/utils/Config.java:595):
+# caps how many literals one filter may expand to. There it protects the
+# HBase scanner regex; here a multi-thousand-value isin() is an equally bad
+# plan (a broadcast semi-join is the right tool at that size) — fail fast.
+EXPANSION_LIMIT = 4096
+
+
 def _split_literals(filter_str: str) -> list[str]:
     # pipe-separated literal list (reference TagVLiteralOrFilter.java:43-60)
-    return [s for s in filter_str.split("|") if s != ""]
+    lits = [s for s in filter_str.split("|") if s != ""]
+    if len(lits) > EXPANSION_LIMIT:
+        raise ValueError(
+            f"filter expands to {len(lits)} literals, over the expansion limit "
+            f"of {EXPANSION_LIMIT}; join against a literal DataFrame instead"
+        )
+    return lits
 
 
 @register_filter("literal_or")

@@ -37,6 +37,35 @@ POINT_SCHEMA = T.StructType(
 )
 
 
+# Max tags per point — "aggressive limit on purpose to avoid performance
+# issues" (reference src/core/Const.java:27-30, tsd.storage.max_tags default).
+MAX_NUM_TAGS = 8
+
+# Charset of Tags.validateString (reference src/core/Tags.java:549-565):
+# ASCII alnum, - _ . /, plus any Unicode letter. Java regex \p{L} ==
+# Character.isLetter for the purposes of point names.
+_VALID_NAME_RE = r"^[0-9\-_./\p{L}]+$"
+
+
+def point_validity_col(metric: Column | str = "metric", tags: Column | str = "tags") -> Column:
+    """Keep-predicate reproducing IncomingDataPoints.checkMetricAndTags
+    (reference src/core/IncomingDataPoints.java:110-128): 1..MAX_NUM_TAGS
+    tag pairs, metric and every tagk/tagv drawn from the validateString
+    charset. Stays inside whole-stage codegen — the reference throws per
+    point; here invalid points fail the predicate and are dropped (or can
+    be routed to a reject sink with the inverse filter)."""
+    metric = F.col(metric) if isinstance(metric, str) else metric
+    tags = F.col(tags) if isinstance(tags, str) else tags
+    valid = lambda c: c.rlike(_VALID_NAME_RE)  # noqa: E731
+    return (
+        (F.size(tags) >= 1)
+        & (F.size(tags) <= MAX_NUM_TAGS)
+        & valid(metric)
+        & F.forall(F.map_keys(tags), valid)
+        & F.forall(F.map_values(tags), valid)
+    )
+
+
 def series_id_col(metric: Column | str = "metric", tags: Column | str = "tags") -> Column:
     """Canonical series identity = metric + sorted tag pairs.
 
@@ -125,7 +154,10 @@ def parse_put_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     n = F.size(toks)
     ts_raw = toks[2].cast("double")
     ts_ms = F.when(ts_raw >= 1e12, ts_raw).otherwise(ts_raw * 1000.0)
-    tag_pairs = F.slice(toks, 5, F.size(toks) - F.lit(4))  # slice() is 1-indexed
+    # slice() is 1-indexed; clamp length >= 0 — Catalyst may reorder later
+    # filters (e.g. the validity predicate) ahead of the token-count guard,
+    # evaluating this expression on short lines
+    tag_pairs = F.slice(toks, 5, F.greatest(F.size(toks) - F.lit(4), F.lit(0)))
     tags = F.map_from_entries(
         F.transform(
             tag_pairs,
@@ -145,6 +177,7 @@ def parse_put_lines(lines: DataFrame, col: str = "value") -> DataFrame:
             tags.alias("tags"),
         )
         .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .where(point_validity_col())
     )
     return parsed
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from opentsdb_spark.sources.points import parse_put_lines
+from opentsdb_spark.sources.points import parse_put_lines, point_validity_col
 
 # /api/put JSON body schema (reference src/tsd/PutDataPointRpc.java — the
 # IncomingDataPoint fields: metric, timestamp, value, tags)
@@ -67,7 +67,7 @@ def read_json_stream(spark: SparkSession, path: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.when(F.col("value").rlike(r"^-?\d+$"), F.col("value").cast("long")).alias("value_long"),
         "tags",
-    ).where(F.col("value").isNotNull())
+    ).where(F.col("value").isNotNull()).where(point_validity_col())
 
 
 # --- write-path point filter plugins ----------------------------------------

@@ -180,6 +180,36 @@ def test_put_line_parsing(spark):
     assert int(by_host["web02"]["ts"].timestamp() * 1000) == 1356998400500
 
 
+def test_put_line_validity_limits(spark):
+    # IncomingDataPoints.checkMetricAndTags (reference
+    # src/core/IncomingDataPoints.java:110-128): >8 tags rejected, illegal
+    # characters in metric/tagk/tagv rejected, Unicode letters allowed.
+    nine_tags = " ".join(f"k{i}=v{i}" for i in range(9))
+    eight_tags = " ".join(f"k{i}=v{i}" for i in range(8))
+    lines = spark.createDataFrame(
+        [
+            (f"put m.ok 1356998400 1.0 {eight_tags}",),
+            (f"put m.toomany 1356998400 1.0 {nine_tags}",),
+            ("put bad!metric 1356998400 1.0 host=web01",),
+            ("put m.badtag 1356998400 1.0 h*st=web01",),
+            ("put m.badval 1356998400 1.0 host=web:01",),
+            ("put métrica.日本 1356998400 2.0 höst=wèb01",),
+        ],
+        "value string",
+    )
+    out = parse_put_lines(lines).collect()
+    metrics = sorted(r["metric"] for r in out)
+    assert metrics == ["m.ok", "métrica.日本"]
+
+
+def test_literal_expansion_limit():
+    from opentsdb_spark.functions.filters import EXPANSION_LIMIT, _split_literals
+
+    assert _split_literals("|".join(f"v{i}" for i in range(10))) == [f"v{i}" for i in range(10)]
+    with pytest.raises(ValueError, match="expansion limit"):
+        _split_literals("|".join(f"v{i}" for i in range(EXPANSION_LIMIT + 1)))
+
+
 def test_streaming_ingest_end_to_end(spark):
     from opentsdb_spark.streaming.ingest import read_put_stream
 
