@@ -1640,17 +1640,92 @@ def dedup_simhash(spark, sf_dir):
     return simhash_pairs(docs, max_hamming=10)
 
 
-@register("dedup_embedding_cosine", None)
+# ---- exact hyperplane-LSH oracles ------------------------------------------
+# The LSH plane coefficients are plan-time literals (similarity._plane_coeffs,
+# seeded), so the whole pipeline — bucket signs, candidate sets, cosines — is
+# re-computable in DuckDB. Cross-engine bit-identity requires (a) explicit
+# left-associated element sums (list_dot_product uses a different summation
+# order — measured 239/500 ULP mismatches) and (b) CAST('…' AS DOUBLE) plane
+# literals (a bare decimal literal is DECIMAL(17,16) and DECIMAL*DOUBLE
+# rounds differently — measured 1-ULP dot drift flipping rounded values).
+
+
+def _vecdot_sql(a: str, b: str, dim: int = 64) -> str:
+    return "(0.0 " + " ".join(f"+ {a}[{i + 1}]*{b}[{i + 1}]" for i in range(dim)) + ")"
+
+
+def _vecnorm_sql(v: str, dim: int = 64) -> str:
+    return f"sqrt({_vecdot_sql(v, v, dim)})"
+
+
+def _plane_dot_sql(v: str, table: int, bit: int, dim: int = 64, seed: int = 42) -> str:
+    from opentsdb_spark.pipeline.similarity import _plane_coeffs
+
+    coeffs = _plane_coeffs(table, bit, dim, seed)
+    return (
+        "(0.0 "
+        + " ".join(f"+ {v}[{i + 1}]*CAST('{c!r}' AS DOUBLE)" for i, c in enumerate(coeffs))
+        + ")"
+    )
+
+
+def _bucket_sql(v: str, table: int, bits: int, dim: int = 64, seed: int = 42) -> str:
+    # mirrors similarity.hyperplane_bucket: bit j (MSB-first) = sign of <v, p_tj>
+    terms = [
+        f"CASE WHEN {_plane_dot_sql(v, table, j, dim, seed)} >= 0"
+        f" THEN {1 << (bits - 1 - j)} ELSE 0 END"
+        for j in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _embedding_cosine_oracle(threshold: float, tables: int, bits: int) -> str:
+    buckets = ",\n".join(f"{_bucket_sql('v', t, bits)} AS b{t}" for t in range(tables))
+    any_collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(tables))
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_vecnorm_sql('v')} AS n, {buckets} FROM e),
+        cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                        {_vecdot_sql('a.v', 'b.v')} / (a.n * b.n) AS cosine
+                 FROM b a JOIN b b ON a.vec_id < b.vec_id AND ({any_collide}))
+        SELECT id_a, id_b, {RND.format('cosine')} AS cosine_r
+        FROM cand WHERE cosine >= {threshold!r}"""
+
+
+@register("dedup_embedding_cosine", _embedding_cosine_oracle(0.3, tables=8, bits=8))
 def dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=0.3, tables=8, bits=8)
+    out = embedding_dup_pairs(emb, threshold=0.3, tables=8, bits=8)
+    return out.select("id_a", "id_b", _vr(F.col("cosine")).alias("cosine_r"))
 
 
-@register("ann_lsh_top5", None)
+def _lsh_topk_oracle(k: int, tables: int, bits: int) -> str:
+    buckets = ",\n".join(f"{_bucket_sql('v', t, bits)} AS b{t}" for t in range(tables))
+    any_collide = " OR ".join(f"e.b{t} = q.b{t}" for t in range(tables))
+    return f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {_vecnorm_sql('v')} AS n, {buckets} FROM emb),
+        q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, {', '.join(f'b{t}' for t in range(tables))}
+              FROM b WHERE vec_id < 3),
+        cand AS (SELECT DISTINCT q.query_id, e.vec_id
+                 FROM b e JOIN q ON {any_collide}),
+        scored AS (SELECT c.query_id, c.vec_id,
+                          {_vecdot_sql('q.qv', 'e.v')} / (q.qn * e.n) AS cosine
+                   FROM cand c
+                   JOIN q ON q.query_id = c.query_id
+                   JOIN b e ON e.vec_id = c.vec_id)
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+               {RND.format('cosine')} AS cosine_r
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= {k}"""
+
+
+@register("ann_lsh_top5", _lsh_topk_oracle(5, tables=10, bits=6))
 def ann_lsh_top5(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(emb, q, k=5, tables=10, bits=6)
+    out = lsh_topk(emb, q, k=5, tables=10, bits=6)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+                      _vr(F.col("cosine")).alias("cosine_r"))
 
 
 @register("ann_ivf_top5", None)
