@@ -1320,7 +1320,8 @@ def ingest_put_roundtrip(spark, sf_dir):
 # ===================================== training-data pipeline operators =====
 
 from opentsdb_spark.pipeline.dedup import (  # noqa: E402
-    embedding_dup_pairs, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+    embedding_dup_pairs, exact_dedup, md5_hash64, minhash_lsh_pairs, minhash_xor_constant,
+    ngram_jaccard_pairs, simhash_pairs,
 )
 from opentsdb_spark.pipeline.multimodal import docs_as_media, extract_features  # noqa: E402
 from opentsdb_spark.pipeline.similarity import (  # noqa: E402
@@ -1638,6 +1639,90 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return simhash_pairs(docs, max_hamming=10)
+
+
+# ---- md5-keyed checked variants of the hash pipelines ----------------------
+# The production MinHash/SimHash default to xxhash64 (no DuckDB equivalent →
+# rows-only above); these variants swap in md5_hash64 — CAST('0x0' ||
+# substring(md5(s),1,15) AS BIGINT) is engine-neutral — so the ENTIRE
+# pipeline (shingling, XOR permutations, banding, candidate join,
+# verification) gets a hash-checked oracle.
+
+_MD5H = "CAST('0x0' || substring(md5({}), 1, 15) AS BIGINT)"
+
+
+def _minhash_md5_oracle(num_hashes: int, bands: int, shingle_n: int, threshold: float) -> str:
+    r = num_hashes // bands
+    n1 = shingle_n - 1
+    mins = ", ".join(
+        f"min(xor(h, ({minhash_xor_constant(i)})::BIGINT))" for i in range(num_hashes)
+    )
+    band_str = (
+        f"array_to_string(list_transform(s.sig[b*{r}+1:b*{r}+{r}],"
+        " x -> CAST(x AS VARCHAR)), ',')"
+    )
+    return f"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - {n1}, 0)),
+                i -> array_to_string(w[i:i+{n1}], ' '))) AS grams
+              FROM w WHERE len(w) >= {shingle_n}),
+        e AS (SELECT doc_id, {_MD5H.format('gram')} AS h
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g)),
+        sig AS (SELECT doc_id, [{mins}] AS sig FROM e GROUP BY doc_id),
+        band AS (SELECT s.doc_id, t.b, {_MD5H.format(band_str)} AS bh
+                 FROM sig s CROSS JOIN generate_series(0, {bands - 1}) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                        AND a.doc_id < b.doc_id),
+        est AS (SELECT c.id_a, c.id_b,
+                       CAST(len(list_filter(generate_series(1, {num_hashes}),
+                                            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                         / {float(num_hashes)!r} AS est
+                FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                            JOIN sig sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, {RND.format('est')} AS est_jaccard_r
+        FROM est WHERE est >= {threshold!r}"""
+
+
+@register("dedup_minhash_md5", _minhash_md5_oracle(64, 16, 3, 0.35))
+def dedup_minhash_md5(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.35,
+                            hash_fn=md5_hash64)
+    return out.select("id_a", "id_b", _vr(F.col("est_jaccard")).alias("est_jaccard_r"))
+
+
+def _simhash_md5_oracle(max_hamming: int) -> str:
+    # md5_hash64 is 60-bit, so token-hash bits 60..63 are always 0: their
+    # sign sums are strictly negative and simhash bits 60..63 never set —
+    # the reconstruction loop stops at bit 59 (also avoids 1<<63 overflow)
+    bsums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(60)
+    )
+    rebuild = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END"
+                         for b in range(60))
+    return f"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tw
+                    FROM documents),
+        th AS (SELECT doc_id, {_MD5H.format('tw')} AS h FROM tok),
+        bsum AS (SELECT doc_id, {bsums} FROM th GROUP BY doc_id),
+        sh AS (SELECT doc_id, ({rebuild}) AS sh FROM bsum),
+        band AS (SELECT doc_id, sh, t.b, (sh >> (t.b * 16)) & 65535 AS bh
+                 FROM sh CROSS JOIN generate_series(0, 3) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sh AS ha, b.sh AS hb
+                 FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                        AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+
+
+@register("dedup_simhash_md5", _simhash_md5_oracle(10))
+def dedup_simhash_md5(spark, sf_dir):
+    # max_bucket left at its (never-binding at gate scale) default: the
+    # oracle mirrors the uncapped pipeline
+    docs = _docs(spark, sf_dir)
+    out = simhash_pairs(docs, max_hamming=10, hash_fn=md5_hash64)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # ---- exact hyperplane-LSH oracles ------------------------------------------

@@ -40,6 +40,16 @@ def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_i
     )
 
 
+def md5_hash64(c) -> F.Column:
+    """Cross-engine 60-bit string hash: first 15 hex chars of md5 as a
+    BIGINT. ~3× slower than xxhash64 (the production default) but exactly
+    reproducible in DuckDB (``CAST('0x0' || substring(md5(s),1,15) AS
+    BIGINT)``) — the ``*_md5`` catalog variants use it so the full
+    MinHash/SimHash pipelines get hash-checked oracles instead of rows-only
+    entries."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int) -> DataFrame:
     """(id, grams) with the tokenizer materialized as its own projection —
     inlining split() into the transform lambda makes codegen re-split the
@@ -153,8 +163,17 @@ def decontaminate(
     )
 
 
+def minhash_xor_constant(i: int) -> int:
+    """Deterministic pseudo-random odd 64-bit constant for the i-th minhash
+    'permutation' (splitmix64-style multiply-add, as a signed two's-complement
+    value) — module-level so oracle SQL builders emit the same constants."""
+    x = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 64)
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def minhash_signature(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id",
-                      num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
+                      num_hashes: int = 64, shingle_n: int = 3,
+                      hash_fn=None) -> DataFrame:
     """MinHash signatures: word-shingle sets hashed by num_hashes seeded
     xxhash64 'permutations'; signature[i] = min hash under seed i.
 
@@ -166,13 +185,11 @@ def minhash_signature(docs: DataFrame, content_col: str = "text", id_col: str = 
     transform-over-transform formulation recomputes the tokenizer per
     element and is ~20× slower again.)"""
 
-    def _c(i: int) -> int:  # deterministic pseudo-random odd 64-bit constants
-        x = (i * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) % (1 << 64)
-        return x - (1 << 64) if x >= (1 << 63) else x
-
+    _c = minhash_xor_constant
+    hash_fn = hash_fn or F.xxhash64
     g = _gram_frame(docs, content_col, id_col, shingle_n)
     exploded = g.select(
-        id_col, F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("__h")
+        id_col, F.explode(F.transform("grams", lambda s: hash_fn(s))).alias("__h")
     )
     mins = [
         F.min(F.col("__h").bitwiseXOR(F.lit(_c(i)))).alias(f"m{i}")
@@ -192,16 +209,27 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     content_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn=None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified on the signature.
 
     rows-per-band r = num_hashes/bands; two docs collide in a band iff that
     band of the signature matches exactly; candidates are then scored by
-    signature agreement (estimate of Jaccard) and filtered by threshold."""
+    signature agreement (estimate of Jaccard) and filtered by threshold.
+
+    ``hash_fn`` swaps the string hash (default xxhash64); with a non-default
+    hash the band key hashes the comma-joined band slice (a canonical string
+    any engine can form) instead of xxhash64's native array input."""
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sigs = minhash_signature(docs, content_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signature(docs, content_col, id_col, num_hashes, shingle_n, hash_fn)
+
+    def _band_hash(sl):
+        if hash_fn is None:
+            return F.xxhash64(sl)
+        return hash_fn(F.array_join(F.transform(sl, lambda x: x.cast("string")), ","))
+
     banded = sigs.select(
         id_col,
         "signature",
@@ -209,7 +237,7 @@ def minhash_lsh_pairs(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
-                    b.alias("band"), F.xxhash64(F.slice("signature", b * r + 1, r)).alias("bh")
+                    b.alias("band"), _band_hash(F.slice("signature", b * r + 1, r)).alias("bh")
                 ),
             )
         ).alias("bb"),
@@ -239,11 +267,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id",
+            hash_fn=None) -> DataFrame:
     """64-bit SimHash over words: bit b of the hash is the sign of the sum
     over tokens of (+1 if bit b of xxhash64(token) else -1)."""
+    hash_fn = hash_fn or F.xxhash64
     tok = docs.select(id_col, F.explode(F.split(F.col(content_col), r"\s+")).alias("w"))
-    tok = tok.withColumn("h", F.xxhash64("w"))
+    tok = tok.withColumn("h", hash_fn("w"))
     aggs = [
         F.sum(((F.shiftright("h", b).bitwiseAND(F.lit(1))) * 2 - 1)).alias(f"b{b}")
         for b in range(64)
@@ -263,6 +293,7 @@ def simhash_pairs(
     max_bucket: int | None = 10_000,
     content_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates collide on one of four 16-bit
     bands, verified by exact Hamming distance via bit_count(xor).
@@ -271,7 +302,7 @@ def simhash_pairs(
     recall < 1 by construction. ``max_bucket`` drops band buckets holding
     more docs than the cap — a hot bucket (near-identical corpus slice)
     would otherwise cost |bucket|² at candidate generation."""
-    sh = simhash(docs, content_col, id_col)
+    sh = simhash(docs, content_col, id_col, hash_fn)
     banded = sh.select(
         id_col, "simhash",
         F.explode(
