@@ -1822,6 +1822,35 @@ def ann_ivf_top5(spark, sf_dir):
     return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=12)
 
 
+@register(
+    "text_fingerprint_md5",
+    f"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        gh AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(0, greatest(len(w) - 5, 0)),
+                 i -> {_MD5H.format("array_to_string(w[i+1:i+5], ' ')")})) AS gh
+               FROM w)
+        SELECT doc_id,
+               array_to_string(list_transform(list_sort(gh)[1:4],
+                                              x -> CAST(x AS VARCHAR)), ',') AS fingerprint,
+               CAST(len(gh) AS BIGINT) AS distinct_grams
+        FROM gh""",
+)
+def text_fingerprint_md5(spark, sf_dir):
+    # md5-keyed checked variant of text_fingerprint (same winnowing logic,
+    # engine-neutral hash; see the *_md5 dedup variants)
+    from opentsdb_spark.pipeline.dedup import md5_hash64 as _md5h
+
+    docs = _docs(spark, sf_dir)
+    out = fingerprint_docs(docs, k=5, num_mins=4, hash_fn=_md5h)
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("fingerprint", lambda x: x.cast("string")), ",").alias(
+            "fingerprint"
+        ),
+        F.col("distinct_grams").cast("long").alias("distinct_grams"),
+    )
+
+
 @register("text_fingerprint", None)
 def text_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
@@ -2176,11 +2205,13 @@ _PRIORITY = [
     "ingest_put_roundtrip",
     # m= parser end-to-end
     "tsdb_m_parser",
-    # LLM-pipeline: dedup family
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine",
+    # LLM-pipeline: dedup family (md5 variants = hash-checked versions of the
+    # xxhash64-keyed pipelines; the xxhash64 originals follow after the
+    # priority block as rows-only entries)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_minhash_md5",
+    "dedup_simhash_md5", "dedup_embedding_cosine",
     # LLM-pipeline: text / similarity / multimodal
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint",
+    "text_quality", "text_langid", "text_tokens", "text_fingerprint_md5",
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
     "multimodal_bytes", "multimodal_features",
 ]

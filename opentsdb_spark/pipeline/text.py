@@ -203,14 +203,16 @@ def repetition_signals(docs: DataFrame, content_col: str = "text",
 
 
 def fingerprint_docs(docs: DataFrame, k: int = 5, num_mins: int = 4,
-                     content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                     content_col: str = "text", id_col: str = "doc_id",
+                     hash_fn=None) -> DataFrame:
     """Rolling k-gram fingerprint: hash every word k-gram (the set-based
     equivalent of a Rabin-Karp rolling window), keep the num_mins smallest
     hashes as the document fingerprint (winnowing-style selection)."""
+    hash_fn = hash_fn or F.xxhash64
     words = _words(F.col(content_col))
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
     gram_hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, k), " "))
+        idx, lambda i: hash_fn(F.array_join(F.slice(words, i + 1, k), " "))
     )
     fp = F.slice(F.array_sort(F.array_distinct(gram_hashes)), 1, num_mins)
     return docs.select(
