@@ -1822,6 +1822,57 @@ def ann_ivf_top5(spark, sf_dir):
     return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=12)
 
 
+def _ivf_fixed_oracle(k: int, n_centroids: int, n_probe: int) -> str:
+    from opentsdb_spark.pipeline.similarity import seeded_centroids
+
+    cents = seeded_centroids(n_centroids, 64)
+    rows = ",\n".join(
+        "(%d, [%s])" % (i, ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c))
+        for i, c in enumerate(cents)
+    )
+    cos_cell = f"{_vecdot_sql('v', 'cvec')} / ({_vecnorm_sql('v')} * {_vecnorm_sql('cvec')})"
+    qcos_cell = f"{_vecdot_sql('qv', 'cvec')} / ({_vecnorm_sql('qv')} * {_vecnorm_sql('cvec')})"
+    return f"""WITH cent(cell, cvec) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (SELECT vec_id, arg_max(cell, {cos_cell}) AS cell,
+                            any_value(v) AS cv
+                     FROM emb CROSS JOIN cent GROUP BY vec_id),
+        an AS (SELECT vec_id, cell, cv, {_vecnorm_sql('cv')} AS cn FROM assigned),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+        probes AS (SELECT query_id, cell FROM (
+                     SELECT q.query_id, cent.cell,
+                            row_number() OVER (PARTITION BY q.query_id
+                                               ORDER BY {qcos_cell} DESC) AS pr
+                     FROM q CROSS JOIN cent)
+                   WHERE pr <= {n_probe}),
+        qn AS (SELECT query_id, qv, {_vecnorm_sql('qv')} AS qn FROM q),
+        scored AS (SELECT p.query_id, a.vec_id,
+                          {_vecdot_sql('qn.qv', 'a.cv')} / (qn.qn * a.cn) AS cosine
+                   FROM an a JOIN probes p ON p.cell = a.cell
+                   JOIN qn ON qn.query_id = p.query_id)
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+               {RND.format('cosine')} AS cosine_r
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= {k}"""
+
+
+@register("ann_ivf_fixed_top5", _ivf_fixed_oracle(5, 16, 12))
+def ann_ivf_fixed_top5(spark, sf_dir):
+    # IVF quantize/probe/re-rank logic against deterministic seeded cell
+    # vectors — data-independent, so DuckDB recomputes the identical cells
+    # (the trained-kmeans path above stays rows-only: its centroids depend
+    # on the corpus sample)
+    from opentsdb_spark.pipeline.similarity import ivf_topk, seeded_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=12,
+                   centroids=seeded_centroids(16, 64))
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+                      _vr(F.col("cosine")).alias("cosine_r"))
+
+
 @register(
     "text_fingerprint_md5",
     f"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
@@ -2212,7 +2263,7 @@ _PRIORITY = [
     "dedup_simhash_md5", "dedup_embedding_cosine",
     # LLM-pipeline: text / similarity / multimodal
     "text_quality", "text_langid", "text_tokens", "text_fingerprint_md5",
-    "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_top5",
+    "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_fixed_top5",
     "multimodal_bytes", "multimodal_features",
 ]
 assert len(_PRIORITY) == 51  # one driver-gate slot per §2 family representative

@@ -80,6 +80,14 @@ def _plane_coeffs(table: int, bit: int, dim: int, seed: int) -> list[float]:
     return [rng.gauss(0.0, 1.0) for _ in range(dim)]
 
 
+def seeded_centroids(n: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Data-independent Gaussian cell vectors for ivf_topk(centroids=...) —
+    deterministic from (seed, i), generated off the same stream as the LSH
+    planes (table index offset keeps them disjoint). Directions are uniform
+    on the sphere, which is what cosine quantization cares about."""
+    return [_plane_coeffs(1_000_000 + i, 0, dim, seed) for i in range(n)]
+
+
 def hyperplane_bucket(vec_col, table: int, bits: int, dim: int, seed: int = 42):
     """Random-hyperplane (SimHash-style) bucket id for one LSH table: bit j
     is the sign of <v, p_tj> for a fixed Gaussian plane p_tj. P[bit agrees]
@@ -178,6 +186,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells + multi-probe.
 
@@ -188,22 +197,29 @@ def ivf_topk(
     Search: each query probes its ``n_probe`` nearest cells; candidates =
     union of those cells, exact cosine re-rank. Scanned fraction ~=
     n_probe/n_centroids, recall rises with n_probe — the standard IVF
-    dial (Jegou et al., PAMI 2011)."""
-    import numpy as np
+    dial (Jegou et al., PAMI 2011).
 
-    sample = np.array(
-        [r[0] for r in embeddings.select(_as_double(F.col(vec_col))).limit(train_size).collect()]
-    )
-    rng = np.random.RandomState(seed)
-    cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)].copy()
-    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    for _ in range(iters):
-        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-        assign = (sn @ cn.T).argmax(1)
-        for c in range(len(cent)):
-            members = sample[assign == c]
-            if len(members):
-                cent[c] = members.mean(0)
+    ``centroids`` skips training and quantizes against the given cell
+    vectors (data-independent — lets an external oracle recompute the
+    identical partition; recall depends on how well they span the data)."""
+    if centroids is not None:
+        cent = centroids
+    else:
+        import numpy as np
+
+        sample = np.array(
+            [r[0] for r in embeddings.select(_as_double(F.col(vec_col))).limit(train_size).collect()]
+        )
+        rng = np.random.RandomState(seed)
+        cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)].copy()
+        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        for _ in range(iters):
+            cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+            assign = (sn @ cn.T).argmax(1)
+            for c in range(len(cent)):
+                members = sample[assign == c]
+                if len(members):
+                    cent[c] = members.mean(0)
     spark = embeddings.sparkSession
     cdf = F.broadcast(
         spark.createDataFrame(
