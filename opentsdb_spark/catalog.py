@@ -1910,10 +1910,37 @@ def text_fingerprint(spark, sf_dir):
                       "distinct_grams")
 
 
-@register("multimodal_features", None)
+@register(
+    "multimodal_features",
+    f"""WITH ch AS (SELECT doc_id, ord(c) AS b
+                    FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                          FROM documents)),
+        cnt AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS k
+                FROM ch GROUP BY doc_id, b),
+        tot AS (SELECT doc_id, sum(k) AS n, sum(b * k) AS bsum FROM cnt GROUP BY doc_id),
+        ent AS (SELECT c.doc_id,
+                       list_sum(list(-(c.k / t.n) * log2(c.k / t.n) ORDER BY c.b)) AS ent
+                FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+        SELECT t.doc_id AS media_id, 'image' AS kind,
+               CAST(t.n AS BIGINT) AS n_bytes,
+               {RND.format('t.bsum / t.n')} AS byte_mean_r,
+               {RND.format('e.ent')} AS byte_entropy_r
+        FROM tot t JOIN ent e ON e.doc_id = t.doc_id""",
+)
 def multimodal_features(spark, sf_dir):
+    # the 'fake' decoder is deterministic byte statistics, so it IS oracle-
+    # checkable on ASCII corpora (byte == codepoint; documents verified pure
+    # ASCII at every sf): mean is exact (integer sums), entropy terms are
+    # accumulated in ascending byte order on both sides (numpy sums
+    # sequentially under its 128-element pairwise threshold; distinct
+    # bytes/doc ≤ 25 here) and rounding absorbs libm log2 ULP skew
     media = docs_as_media(_docs(spark, sf_dir))
-    return extract_features(media, decoder="fake")
+    out = extract_features(media, decoder="fake")
+    return out.select(
+        "media_id", "kind", "n_bytes",
+        _vr(F.col("byte_mean")).alias("byte_mean_r"),
+        _vr(F.col("byte_entropy")).alias("byte_entropy_r"),
+    )
 
 
 @register(
