@@ -31,8 +31,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "ann_bruteforce_top5",
+    "ann_lsh_top5",
     "text_quality",
+    "multimodal_features",
+    "ingest_put_roundtrip",
 ]
 
 

@@ -1331,6 +1331,15 @@ from opentsdb_spark.pipeline.text import (  # noqa: E402
     detect_language, fingerprint_docs, quality_scores, repetition_signals, token_counts,
 )
 
+def _emb(spark, sf_dir):
+    """embeddings table spread across cores — same single-file 1-partition
+    problem as _docs, and the per-row work (60+ hyperplane dot folds) is
+    the heaviest per-row compute in the catalog."""
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _docs(spark, sf_dir):
     """documents table spread across cores — the single small parquet file
     otherwise yields a 1-partition plan that serializes all per-doc work."""
@@ -1585,7 +1594,7 @@ def text_repetition(spark, sf_dir):
         FROM embeddings GROUP BY label""",
 )
 def embed_stats(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     out = embedding_stats(emb)
     return out.select("label", _vr(F.col("mean_norm")).alias("mean_norm_r"), "n")
 
@@ -1606,7 +1615,7 @@ def embed_stats(spark, sf_dir):
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5""",
 )
 def ann_bruteforce_top5(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     out = brute_force_topk(emb, q, k=5)
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
@@ -1778,7 +1787,7 @@ def _embedding_cosine_oracle(threshold: float, tables: int, bits: int) -> str:
 
 @register("dedup_embedding_cosine", _embedding_cosine_oracle(0.3, tables=8, bits=8))
 def dedup_embedding_cosine(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     out = embedding_dup_pairs(emb, threshold=0.3, tables=8, bits=8)
     return out.select("id_a", "id_b", _vr(F.col("cosine")).alias("cosine_r"))
 
@@ -1806,7 +1815,7 @@ def _lsh_topk_oracle(k: int, tables: int, bits: int) -> str:
 
 @register("ann_lsh_top5", _lsh_topk_oracle(5, tables=10, bits=6))
 def ann_lsh_top5(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     out = lsh_topk(emb, q, k=5, tables=10, bits=6)
     return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
@@ -1817,7 +1826,7 @@ def ann_lsh_top5(spark, sf_dir):
 def ann_ivf_top5(spark, sf_dir):
     from opentsdb_spark.pipeline.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=12)
 
@@ -1865,7 +1874,7 @@ def ann_ivf_fixed_top5(spark, sf_dir):
     # on the corpus sample)
     from opentsdb_spark.pipeline.similarity import ivf_topk, seeded_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     out = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=12,
                    centroids=seeded_centroids(16, 64))
@@ -2059,7 +2068,7 @@ def sample_stratified(spark, sf_dir):
     narrow filter, unlike DataFrame.sampleBy."""
     from opentsdb_spark.pipeline.sampling import knuth_hash_bucket, stratified_sample
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     out = stratified_sample(
         emb, {0: 1.0, 1: 0.5, 2: 0.25}, strata_col="label", id_col="vec_id",
         bucket=knuth_hash_bucket(F.col("vec_id")),
