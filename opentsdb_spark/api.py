@@ -295,6 +295,52 @@ def handle_lookup(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     ]
 
 
+def handle_search(
+    points: DataFrame, request: dict, annotations: DataFrame | None = None
+) -> dict[str, Any]:
+    """/api/search/<type> (reference src/tsd/SearchRpc.java:60-93). A
+    registered SearchPlugin takes precedence (execute_query over the point
+    frame); otherwise the built-in search_meta serves the standard types.
+    Response mirrors formatSearchResultsV1: type/query/limit/startIndex/
+    totalResults/results."""
+    import time as _time
+
+    from opentsdb_spark.operators.metadata import SEARCH_PLUGINS, search_meta
+
+    search_type = request.get("type", "tsmeta")
+    query = request.get("query", "")
+    limit = int(request.get("limit", 25))
+    start_index = int(request.get("start_index", 0))
+    t0 = _time.time()
+    for plugin in SEARCH_PLUGINS:
+        try:
+            df = plugin.execute_query(points, request)
+            break
+        except NotImplementedError:
+            continue
+    else:
+        df = search_meta(points, search_type, query, annotations=annotations)
+    total = df.count()
+    rows = df.offset(start_index).limit(limit).collect()
+    results: list[Any]
+    if search_type == "tsuids":
+        results = [r["tsuid"] for r in rows]
+    else:
+        results = [
+            {k: (dict(v) if isinstance(v, dict) else v) for k, v in r.asDict().items()}
+            for r in rows
+        ]
+    return {
+        "type": search_type,
+        "query": query,
+        "limit": limit,
+        "startIndex": start_index,
+        "totalResults": total,
+        "results": results,
+        "time": round((_time.time() - t0) * 1000, 1),
+    }
+
+
 def handle_annotation_query(annotations: DataFrame, request: dict) -> list[dict[str, Any]]:
     from opentsdb_spark.operators.annotations import annotations_in_range
 
@@ -348,6 +394,7 @@ ENDPOINTS = {
     "/api/query/exp": handle_exp,
     "/api/query/last": handle_last,
     "/api/suggest": handle_suggest,
+    "/api/search": handle_search,
     "/api/search/lookup": handle_lookup,
     "/api/annotation": handle_annotation_query,
     "/api/aggregators": handle_aggregators,

@@ -98,6 +98,81 @@ def last_points(points: DataFrame, metric: str | None = None, back_scan_ms: int 
     )
 
 
+SEARCH_TYPES = ("tsmeta", "tsmeta_summary", "tsuids", "uidmeta", "annotation")
+
+
+def search_meta(
+    points: DataFrame,
+    search_type: str,
+    query: str = "",
+    annotations: DataFrame | None = None,
+) -> DataFrame:
+    """Built-in /api/search backend over the derived meta frames.
+
+    The reference hands every non-LOOKUP search to the SearchPlugin
+    (src/tsd/SearchRpc.java:84-93, src/search/SearchQuery.java types TSMETA /
+    TSMETA_SUMMARY / TSUIDS / UIDMETA / ANNOTATION) and errors out when none
+    is installed; here the DataFrame-native default serves the same shapes
+    directly — a registered SearchPlugin can still take over in the handler.
+    ``query`` is a case-insensitive substring match over the type's
+    searchable text (plugin engines define their own syntax; substring is
+    the engine-neutral default). Returns an UNCOLLECTED, deterministically
+    ordered frame — the handler pages with offset/limit so the plan compiles
+    to TakeOrderedAndProject, never a full driver collect."""
+    from opentsdb_spark.operators.uid import tsmeta_frame, uid_listing
+
+    q = (query or "").lower()
+
+    def _match(col):
+        return F.lower(col).contains(q) if q else F.lit(True)
+
+    if search_type == "tsuids":
+        base = tsmeta_frame(points).select("tsuid")
+        return base.where(_match(F.col("tsuid"))).orderBy("tsuid")
+    if search_type == "tsmeta":
+        base = tsmeta_frame(points)
+        return (
+            base.where(_match(F.col("tsuid")))
+            .select(
+                "tsuid",
+                F.unix_millis("created").alias("created_ms"),
+                F.unix_millis("last_received").alias("last_received_ms"),
+                "total_dps",
+            )
+            .orderBy("tsuid")
+        )
+    if search_type == "tsmeta_summary":
+        base = (
+            points.withColumn("tsuid", series_id_col())
+            .groupBy("tsuid")
+            .agg(F.first("metric").alias("metric"), F.first("tags").alias("tags"))
+        )
+        return base.where(_match(F.col("tsuid"))).orderBy("tsuid")
+    if search_type == "uidmeta":
+        parts = [
+            uid_listing(points, kind).select(
+                F.lit(ref_kind).alias("type"), "name", "points",
+                F.unix_millis("first_seen").alias("first_seen_ms"),
+                F.unix_millis("last_seen").alias("last_seen_ms"),
+            )
+            for kind, ref_kind in (("metrics", "METRIC"), ("tagk", "TAGK"), ("tagv", "TAGV"))
+        ]
+        u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+        return u.where(_match(F.col("name"))).orderBy("type", "name")
+    if search_type == "annotation":
+        if annotations is None:
+            raise ValueError("annotation search needs an annotations frame")
+        searchable = F.concat_ws(
+            " ", F.coalesce("tsuid", F.lit("")), F.coalesce("description", F.lit("")),
+            F.coalesce("notes", F.lit("")),
+        )
+        return (
+            annotations.where(_match(searchable))
+            .orderBy(F.col("start_time"), F.col("tsuid"))
+        )
+    raise ValueError(f"search type must be one of {SEARCH_TYPES}, got {search_type!r}")
+
+
 # ---- search plugin surface (reference src/search/SearchPlugin.java:40-160:
 # ---- implementations receive index/delete callbacks for TSMeta / UIDMeta /
 # ---- annotations and serve executeQuery). The Spark analog: plugins get

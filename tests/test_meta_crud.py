@@ -269,3 +269,58 @@ def test_uid_assign_api_get_style(spark):
     )
     assert set(resp["metric"]) == {"m1", "m2"} and "host" in resp["tagk"]
     assert reg.count() == 3
+
+
+# ---- /api/search/<type> (built-in backend) ---------------------------------
+
+
+def test_search_tsuids_and_tsmeta(spark, fixture_points):
+    from opentsdb_spark.api import handle_search
+
+    out = handle_search(fixture_points, {"type": "tsuids", "query": "web01"})
+    assert out["totalResults"] == 1
+    assert out["results"] == ["sys.cpu.user{dc=lga,host=web01}"]
+
+    out = handle_search(fixture_points, {"type": "tsmeta", "query": "sys.cpu"})
+    assert out["totalResults"] == 2
+    assert all(r["total_dps"] == 300 for r in out["results"])
+    assert out["results"][0]["tsuid"] < out["results"][1]["tsuid"]
+
+    # paging: limit 1, startIndex 1 -> second series only
+    out = handle_search(
+        fixture_points, {"type": "tsmeta_summary", "limit": 1, "start_index": 1}
+    )
+    assert out["totalResults"] == 2 and len(out["results"]) == 1
+    assert out["results"][0]["tags"] == {"host": "web02", "dc": "phx"}
+
+
+def test_search_uidmeta_and_annotation(spark, fixture_points, ann):
+    from opentsdb_spark.api import handle_search
+
+    out = handle_search(fixture_points, {"type": "uidmeta", "query": "web"})
+    kinds = {(r["type"], r["name"]) for r in out["results"]}
+    assert kinds == {("TAGV", "web01"), ("TAGV", "web02")}
+
+    out = handle_search(
+        fixture_points, {"type": "annotation", "query": "maintenance"}, annotations=ann
+    )
+    assert out["totalResults"] == 1
+    assert out["results"][0]["description"] == "maintenance"
+
+
+def test_search_plugin_precedence(spark, fixture_points):
+    from opentsdb_spark.api import handle_search
+    from opentsdb_spark.operators.metadata import (
+        SEARCH_PLUGINS, SearchPlugin, register_search_plugin,
+    )
+
+    class Plug(SearchPlugin):
+        def execute_query(self, points, query):
+            return points.select(F.lit("plugin").alias("who")).limit(1)
+
+    register_search_plugin(Plug())
+    try:
+        out = handle_search(fixture_points, {"type": "tsmeta"})
+        assert out["results"] == [{"who": "plugin"}]
+    finally:
+        SEARCH_PLUGINS.clear()
