@@ -6,16 +6,21 @@ so any HTTP front-end (or a notebook) can mount them. No server is started
 by this module — the engine is the product, the transport is pluggable.
 
 Implemented endpoints:
-  /api/query          handle_query        (GET m= params or POST body)
-  /api/query/gexp     handle_gexp
-  /api/query/exp      handle_exp
-  /api/query/last     handle_last
-  /api/suggest        handle_suggest
-  /api/search/lookup  handle_lookup
-  /api/annotation     handle_annotation_query
-  /api/aggregators    handle_aggregators
-  /api/version        handle_version
-  /api/config         handle_config
+  /api/query            handle_query        (GET m= params or POST body)
+  /api/query/gexp       handle_gexp
+  /api/query/exp        handle_exp
+  /api/query/last       handle_last
+  /api/suggest          handle_suggest
+  /api/search           handle_search       (tsmeta/tsuids/uidmeta/annotation)
+  /api/search/lookup    handle_lookup
+  /api/annotation       handle_annotation_query / handle_annotation_edit
+  /api/annotation/bulk  handle_annotation_bulk_delete
+  /api/put              handle_put          (+ rollup / histogram variants)
+  /api/uid/*            assign / uidmeta / tsmeta / rename
+  /api/tree             handle_tree         (stateless rule-set evaluation)
+  /api/aggregators      handle_aggregators
+  /api/version          handle_version
+  /api/config           handle_config       (+ stats, dropcaches)
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 import opentsdb_spark
 from opentsdb_spark.functions.aggregators import AGGREGATORS
@@ -355,6 +361,204 @@ def handle_annotation_query(annotations: DataFrame, request: dict) -> list[dict[
     return [r.asDict() for r in df.collect()]
 
 
+def _json_lines_frame(spark, body) -> tuple[DataFrame, int]:
+    import json as _json
+
+    dps = body if isinstance(body, list) else [body]
+    lines = spark.createDataFrame([(_json.dumps(dp),) for dp in dps], "value string")
+    return lines, len(dps)
+
+
+def handle_put(
+    spark, body, request: dict | None = None
+) -> tuple[dict[str, Any], DataFrame]:
+    """POST /api/put (reference src/tsd/PutDataPointRpc.java:300-540): body
+    is one IncomingDataPoint object or an array. Returns (response, valid
+    points frame) — the caller writes/streams the frame. Response carries
+    success/failed counts (?summary) and per-point errors (?details),
+    mirroring the reference's shapes."""
+    from opentsdb_spark.streaming.ingest import apply_ingest_filters, parse_put_json
+
+    request = request or {}
+    lines, n_total = _json_lines_frame(spark, body)
+    points = apply_ingest_filters(parse_put_json(lines))
+    n_ok = points.count()
+    resp: dict[str, Any] = {"success": n_ok, "failed": n_total - n_ok}
+    if request.get("details"):
+        import json as _json
+
+        ok_keys = {
+            (r["metric"], r["ts"], round(r["value"], 9) if r["value"] is not None else None)
+            for r in points.select("metric", F.unix_millis("ts").alias("ts"), "value").collect()
+        }
+        errors = []
+        for dp in body if isinstance(body, list) else [body]:
+            try:
+                ts = int(dp.get("timestamp"))
+                ts_ms = ts if ts >= 1_000_000_000_000 else ts * 1000
+                v = round(float(dp.get("value")), 9)
+            except (TypeError, ValueError):
+                errors.append({"error": "Unable to parse value to a number", "datapoint": dp})
+                continue
+            if (dp.get("metric"), ts_ms, v) not in ok_keys:
+                errors.append({"error": "Illegal argument: invalid metric, tags or filter reject",
+                               "datapoint": dp})
+        resp["errors"] = errors
+    return resp, points
+
+
+def handle_rollup_put(spark, body, request: dict | None = None) -> tuple[dict[str, Any], DataFrame]:
+    """POST /api/rollup (reference src/tsd/RollupDataPointRpc.java): rollup
+    points with (interval, aggregator) routing. Same response contract as
+    handle_put."""
+    from opentsdb_spark.streaming.ingest import parse_rollup_json
+
+    lines, n_total = _json_lines_frame(spark, body)
+    points = parse_rollup_json(lines)
+    n_ok = points.count()
+    return {"success": n_ok, "failed": n_total - n_ok}, points
+
+
+def handle_histogram_put(spark, body, request: dict | None = None) -> tuple[dict[str, Any], DataFrame]:
+    """POST /api/histogram (reference src/tsd/HistogramDataPointRpc.java)."""
+    from opentsdb_spark.streaming.ingest import parse_histogram_json
+
+    lines, n_total = _json_lines_frame(spark, body)
+    points = parse_histogram_json(lines)
+    n_ok = points.count()
+    return {"success": n_ok, "failed": n_total - n_ok}, points
+
+
+def _ann_body_key(body: dict) -> tuple[str | None, int]:
+    start = body.get("startTime", body.get("start_time"))
+    if start is None:
+        raise ValueError("annotation needs startTime")
+    return body.get("tsuid"), parse_datetime_ms(start)
+
+
+def handle_annotation_edit(
+    annotations: DataFrame, method: str, body: dict
+) -> tuple[dict[str, Any] | None, DataFrame]:
+    """POST/PUT/DELETE /api/annotation (reference src/tsd/AnnotationRpc.java:
+    60-156: POST merges fields, PUT replaces the record, DELETE removes it).
+    Returns (echo of the stored record or None on delete, updated frame)."""
+    from opentsdb_spark.operators.annotations import delete_annotation, upsert_annotation
+
+    tsuid, start_ms = _ann_body_key(body)
+    if method == "DELETE":
+        return None, delete_annotation(annotations, tsuid, start_ms)
+    end = body.get("endTime", body.get("end_time"))
+    out = upsert_annotation(
+        annotations, tsuid, start_ms,
+        end_ms=parse_datetime_ms(end) if end is not None else None,
+        description=body.get("description"), notes=body.get("notes"),
+        custom=body.get("custom"), replace=(method == "PUT"),
+    )
+    key = (F.col("tsuid") == tsuid) if tsuid else F.col("tsuid").isNull()
+    stored = out.where(key & (F.unix_millis("start_time") == start_ms)).collect()
+    return (stored[0].asDict() if stored else None), out
+
+
+def handle_annotation_bulk_delete(
+    annotations: DataFrame, body: dict
+) -> tuple[dict[str, Any], DataFrame]:
+    """DELETE /api/annotation/bulk (reference AnnotationRpc bulk delete):
+    time range x (tsuids | global). Echoes the request with totalDeleted."""
+    from opentsdb_spark.operators.annotations import bulk_delete_annotations
+
+    start_ms = parse_datetime_ms(body.get("startTime", body.get("start_time")))
+    end_ms = parse_datetime_ms(body.get("endTime", body.get("end_time")))
+    tsuids = tuple(body.get("tsuids", ()))
+    global_ = bool(body.get("global", False))
+    before = annotations.count()
+    out = bulk_delete_annotations(annotations, start_ms, end_ms, tsuids, global_)
+    return (
+        {"startTime": start_ms, "endTime": end_ms, "tsuids": list(tsuids),
+         "global": global_, "totalDeleted": before - out.count()},
+        out,
+    )
+
+
+def handle_uidmeta_edit(
+    meta: DataFrame | None, method: str, body: dict, spark=None
+) -> tuple[dict[str, Any] | None, DataFrame | None]:
+    """POST/DELETE /api/uid/uidmeta (reference src/tsd/UniqueIdRpc.java:
+    223-285). Keyed by (type, name); POST merges editable fields."""
+    from opentsdb_spark.operators.uid import uidmeta_delete, uidmeta_upsert
+
+    kind = {"metric": "metrics"}.get(body.get("type"), body.get("type"))
+    name = body.get("name")
+    if method == "DELETE":
+        return None, uidmeta_delete(meta, kind, name)
+    out = uidmeta_upsert(
+        meta, kind, name,
+        description=body.get("description"), notes=body.get("notes"),
+        display_name=body.get("displayName", body.get("display_name")),
+        custom=body.get("custom"), spark=spark,
+    )
+    stored = out.where((F.col("kind") == kind) & (F.col("name") == name)).collect()
+    return (stored[0].asDict() if stored else None), out
+
+
+def handle_tsmeta_edit(
+    meta: DataFrame | None, method: str, body: dict, spark=None
+) -> tuple[dict[str, Any] | None, DataFrame | None]:
+    """POST/DELETE /api/uid/tsmeta (reference UniqueIdRpc.java:287-380)."""
+    from opentsdb_spark.operators.uid import tsmeta_delete, tsmeta_upsert
+
+    tsuid = body.get("tsuid")
+    if method == "DELETE":
+        return None, tsmeta_delete(meta, tsuid)
+    fields = {k: body[k] for k in ("description", "notes", "units", "data_type",
+                                   "retention", "max", "min", "custom") if k in body}
+    out = tsmeta_upsert(meta, tsuid, spark=spark, **fields)
+    stored = out.where(F.col("tsuid") == tsuid).collect()
+    return (stored[0].asDict() if stored else None), out
+
+
+def handle_uid_rename(points: DataFrame, body: dict) -> DataFrame:
+    """POST /api/uid/rename (reference UniqueIdRpc.java:160-221): rewrites
+    the point frame under the new name (the reference rewrites the UID
+    mapping; with names inlined, the rename IS a frame rewrite)."""
+    from opentsdb_spark.operators.uid import rename_metric, rename_tagk, rename_tagv
+
+    kind, old, new = body.get("kind"), body.get("old"), body.get("name")
+    if not (kind and old and new):
+        raise ValueError("rename needs kind, old, name")
+    if kind == "metric":
+        return rename_metric(points, old, new)
+    if kind == "tagk":
+        return rename_tagk(points, old, new)
+    if kind == "tagv":
+        return rename_tagv(points, body.get("tagk"), old, new)
+    raise ValueError(f"unknown rename kind {kind!r}")
+
+
+def handle_tree(points: DataFrame, request: dict) -> Any:
+    """/api/tree + /api/tree/branch (reference src/tsd/TreeRpc.java). The
+    reference stores named trees server-side; here the rule set rides in
+    the request and branches are computed from the live series set —
+    stateless, no tree table to maintain."""
+    from opentsdb_spark.operators.tree import TreeRule, build_tree, tree_branch, tree_branches
+
+    rules = tuple(
+        TreeRule(
+            type=r["type"], field=r.get("field", ""),
+            separator=r.get("separator"), regex=r.get("regex"),
+            regex_group_idx=int(r.get("regexGroupIdx", r.get("regex_group_idx", 1))),
+            display_format=r.get("displayFormat", r.get("display_format")),
+        )
+        for r in request.get("rules", ())
+    )
+    leaves = build_tree(points, rules, strict_match=bool(request.get("strictMatch",
+                                                                     request.get("strict_match"))))
+    if "branch" in request:
+        return tree_branch(leaves, tuple(request["branch"]))
+    df = tree_branches(leaves)
+    enforce_data_point_limit(df, request_limit(request))
+    return [r.asDict() for r in df.collect()]
+
+
 def handle_uid_assign(
     registry: DataFrame | None, request: dict, spark=None
 ) -> tuple[dict[str, Any], DataFrame]:
@@ -373,7 +577,24 @@ def handle_uid_assign(
     return uid_assign(registry, requests, spark=spark)
 
 
-ENDPOINTS_UID = {"/api/uid/assign": handle_uid_assign}
+ENDPOINTS_UID = {
+    "/api/uid/assign": handle_uid_assign,
+    "/api/uid/uidmeta": handle_uidmeta_edit,
+    "/api/uid/tsmeta": handle_tsmeta_edit,
+    "/api/uid/rename": handle_uid_rename,
+}
+
+# write-path endpoints: handlers return (response, frame) — the server loop
+# owns persistence (mirrors the reference where the RPC hands points to
+# TSDB.addPoint and meta to storage)
+ENDPOINTS_WRITE = {
+    "/api/put": handle_put,
+    "/api/rollup": handle_rollup_put,
+    "/api/histogram": handle_histogram_put,
+    "/api/annotation/edit": handle_annotation_edit,
+    "/api/annotation/bulk": handle_annotation_bulk_delete,
+    "/api/tree": handle_tree,
+}
 
 
 def handle_aggregators(*_a) -> list[str]:

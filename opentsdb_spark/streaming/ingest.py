@@ -54,10 +54,13 @@ def read_put_stream(spark: SparkSession, path: str | None = None,
     return parse_put_lines(lines, "value")
 
 
-def read_json_stream(spark: SparkSession, path: str) -> DataFrame:
-    """Stream /api/put-style JSON objects (one per line) into points."""
-    lines = spark.readStream.format("text").load(path)
-    parsed = lines.select(F.from_json("value", PUT_JSON_SCHEMA).alias("p")).select("p.*")
+def parse_put_json(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse /api/put-style JSON objects (one per line/row) into points —
+    shared by the streaming source and the batch /api/put handler. Rows
+    failing JSON parse, numeric conversion, or point validity
+    (checkMetricAndTags analog) are dropped; the handler diffs counts for
+    its details response."""
+    parsed = lines.select(F.from_json(col, PUT_JSON_SCHEMA).alias("p")).select("p.*")
     ts_ms = F.when(F.col("timestamp") >= 1_000_000_000_000, F.col("timestamp")).otherwise(
         F.col("timestamp") * 1000
     )
@@ -68,6 +71,11 @@ def read_json_stream(spark: SparkSession, path: str) -> DataFrame:
         F.when(F.col("value").rlike(r"^-?\d+$"), F.col("value").cast("long")).alias("value_long"),
         "tags",
     ).where(F.col("value").isNotNull()).where(point_validity_col())
+
+
+def read_json_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Stream /api/put-style JSON objects (one per line) into points."""
+    return parse_put_json(spark.readStream.format("text").load(path))
 
 
 # --- write-path point filter plugins ----------------------------------------

@@ -324,3 +324,92 @@ def test_search_plugin_precedence(spark, fixture_points):
         assert out["results"] == [{"who": "plugin"}]
     finally:
         SEARCH_PLUGINS.clear()
+
+
+# ---- write-path endpoint adapters ------------------------------------------
+
+
+def test_handle_put_details(spark):
+    from opentsdb_spark.api import handle_put
+
+    body = [
+        {"metric": "sys.cpu.user", "timestamp": EPOCH, "value": "42.5",
+         "tags": {"host": "web01"}},
+        {"metric": "bad!name", "timestamp": EPOCH, "value": "1",
+         "tags": {"host": "web01"}},
+        {"metric": "sys.cpu.user", "timestamp": EPOCH, "value": "not-a-number",
+         "tags": {"host": "web01"}},
+        {"metric": "sys.cpu.user", "timestamp": EPOCH, "value": "2",
+         "tags": {f"k{i}": "v" for i in range(9)}},
+    ]
+    resp, points = handle_put(spark, body, {"details": True})
+    assert resp["success"] == 1 and resp["failed"] == 3
+    assert len(resp["errors"]) == 3
+    rows = points.collect()
+    assert len(rows) == 1 and rows[0]["value"] == 42.5
+
+
+def test_handle_annotation_edit_roundtrip(spark, ann):
+    from opentsdb_spark.api import handle_annotation_bulk_delete, handle_annotation_edit
+
+    stored, out = handle_annotation_edit(
+        ann, "POST",
+        {"tsuid": "sys.cpu.user{host=web01}", "startTime": MS,
+         "notes": "added-note"},
+    )
+    # POST merges: description survives, notes added
+    assert stored["description"] == "maintenance" and stored["notes"] == "added-note"
+
+    stored, out2 = handle_annotation_edit(
+        out, "PUT",
+        {"tsuid": "sys.cpu.user{host=web01}", "startTime": MS, "description": "replaced"},
+    )
+    assert stored["description"] == "replaced" and stored["notes"] is None
+
+    none, out3 = handle_annotation_edit(
+        out2, "DELETE", {"tsuid": "sys.cpu.user{host=web01}", "startTime": MS}
+    )
+    assert none is None and out3.count() == 1  # only the global one left
+
+    resp, out4 = handle_annotation_bulk_delete(
+        out2, {"startTime": MS, "endTime": MS + 10_000, "global": True}
+    )
+    assert resp["totalDeleted"] == 1
+
+
+def test_handle_uidmeta_tsmeta_rename(spark, fixture_points):
+    from opentsdb_spark.api import (
+        handle_tsmeta_edit, handle_uid_rename, handle_uidmeta_edit,
+    )
+
+    stored, meta = handle_uidmeta_edit(
+        None, "POST", {"type": "metric", "name": "sys.cpu.user",
+                       "displayName": "CPU user"}, spark=spark,
+    )
+    assert stored["display_name"] == "CPU user" and stored["kind"] == "metrics"
+    none, meta2 = handle_uidmeta_edit(meta, "DELETE",
+                                      {"type": "metric", "name": "sys.cpu.user"})
+    assert meta2.count() == 0
+
+    stored, tsm = handle_tsmeta_edit(
+        None, "POST", {"tsuid": "sys.cpu.user{host=web01}", "description": "d"},
+        spark=spark,
+    )
+    assert stored["description"] == "d"
+
+    renamed = handle_uid_rename(
+        fixture_points, {"kind": "metric", "old": "sys.cpu.user", "name": "cpu.user"}
+    )
+    assert renamed.where(F.col("metric") == "cpu.user").count() == 600
+
+
+def test_handle_tree_request(spark, fixture_points):
+    from opentsdb_spark.api import handle_tree
+
+    req = {"rules": [{"type": "TAGK", "field": "dc"},
+                     {"type": "METRIC", "separator": "."}]}
+    branches = handle_tree(fixture_points, req)
+    paths = {b["branch_path"] for b in branches}
+    assert "lga/sys/cpu/user" in paths and "phx/sys" in paths
+    leaf = handle_tree(fixture_points, {**req, "branch": ["lga", "sys", "cpu"]})
+    assert [r["leaf"] for r in leaf["leaves"]] == ["user"]
