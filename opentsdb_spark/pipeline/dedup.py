@@ -19,6 +19,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persist_small(df: DataFrame, enabled: bool) -> DataFrame:
+    """Persist a derived frame that the downstream plan references more than
+    once. Spark shares no common subplans, so without this each reference
+    re-executes the full lineage — for signature/gram frames that means
+    re-SCANNING THE CORPUS per reference (measured 4 scans in the minhash
+    candidate join). The persisted frame is orders of magnitude smaller than
+    the corpus (fixed-width signatures vs. documents); MEMORY_AND_DISK spills
+    instead of evicting to recompute. Callers that manage their own lifecycle
+    can pass persist=False and cache/checkpoint externally."""
+    if not enabled:
+        return df
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per distinct content value.
 
@@ -80,6 +96,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     content_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard via an inverted-index candidate join.
 
@@ -89,8 +106,12 @@ def ngram_jaccard_pairs(
     bounded by ``max_df``). Setting max_df drops grams appearing in more
     docs than the cap from CANDIDATE GENERATION only (the Jaccard itself is
     exact over full gram sets) — pairs linked solely by ultra-common grams
-    are below any useful threshold anyway. Empty documents never pair."""
-    g = _gram_frame(docs, content_col, id_col, n)
+    are below any useful threshold anyway. Empty documents never pair.
+
+    The gram frame feeds the inverted index (twice via the self-join) and
+    both exact-verify re-joins — persisted so tokenization runs once
+    (_persist_small)."""
+    g = _persist_small(_gram_frame(docs, content_col, id_col, n), persist)
     # candidate generation joins on xxhash64(gram), not the (long) gram
     # string — 8-byte shuffle keys; the exact Jaccard re-rank uses the real
     # gram sets so a hash collision can only add a candidate, never a result
@@ -210,6 +231,7 @@ def minhash_lsh_pairs(
     content_col: str = "text",
     id_col: str = "doc_id",
     hash_fn=None,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified on the signature.
 
@@ -219,11 +241,17 @@ def minhash_lsh_pairs(
 
     ``hash_fn`` swaps the string hash (default xxhash64); with a non-default
     hash the band key hashes the comma-joined band slice (a canonical string
-    any engine can form) instead of xxhash64's native array input."""
+    any engine can form) instead of xxhash64's native array input.
+
+    The signature frame feeds four plan references (both self-join sides,
+    both verify re-joins) — it is persisted so the corpus is scanned and
+    shingle-hashed once, not four times (see _persist_small)."""
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sigs = minhash_signature(docs, content_col, id_col, num_hashes, shingle_n, hash_fn)
+    sigs = _persist_small(
+        minhash_signature(docs, content_col, id_col, num_hashes, shingle_n, hash_fn), persist
+    )
 
     def _band_hash(sl):
         if hash_fn is None:
@@ -294,6 +322,7 @@ def simhash_pairs(
     content_col: str = "text",
     id_col: str = "doc_id",
     hash_fn=None,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates collide on one of four 16-bit
     bands, verified by exact Hamming distance via bit_count(xor).
@@ -301,8 +330,11 @@ def simhash_pairs(
     Exhaustive for max_hamming <= 3 (pigeonhole over 4 bands); beyond that
     recall < 1 by construction. ``max_bucket`` drops band buckets holding
     more docs than the cap — a hot bucket (near-identical corpus slice)
-    would otherwise cost |bucket|² at candidate generation."""
-    sh = simhash(docs, content_col, id_col, hash_fn)
+    would otherwise cost |bucket|² at candidate generation.
+
+    The 8-byte-per-doc simhash frame feeds the bucket-cap semi-join and both
+    self-join sides — persisted so tokenize+hash runs once (_persist_small)."""
+    sh = _persist_small(simhash(docs, content_col, id_col, hash_fn), persist)
     banded = sh.select(
         id_col, "simhash",
         F.explode(
