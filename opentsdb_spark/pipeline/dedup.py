@@ -390,14 +390,14 @@ def embedding_dup_pairs(
     Shape: corpus explodes ``tables`` (table, bucket) rows per vector (8B
     keys), candidates dedup on bare id pairs, vectors re-join only for the
     surviving pairs — the heavy arrays never ride the candidate shuffle."""
-    from opentsdb_spark.pipeline.similarity import hyperplane_buckets
+    from opentsdb_spark.pipeline.similarity import with_hyperplane_buckets
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     vecs = embeddings.select(F.col(id_col), v.alias("v"), norm.alias("n"))
-    banded = embeddings.select(
-        F.col(id_col),
-        F.explode(hyperplane_buckets(F.col(vec_col), tables, bits, dim, seed)).alias("tb"),
+    banded = with_hyperplane_buckets(
+        embeddings.select(F.col(id_col), F.col(vec_col)),
+        vec_col, tables, bits, dim, seed,
     ).select(id_col, "tb.table", "tb.bucket")
     a = banded.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "table", "bucket")

@@ -102,17 +102,86 @@ def hyperplane_bucket(vec_col, table: int, bits: int, dim: int, seed: int = 42):
     return acc
 
 
+def _bucket_fold(v, planes_col, tables: int, bits: int):
+    """(table, bucket) struct array from a 3-D planes array column: bucket
+    bit j (MSB-first) is the sign of <v, planes[t][j]>. Nested higher-order
+    lambdas — ONE compiled lambda body regardless of tables*bits (emitting a
+    separate fold expression per plane made Janino compile seconds of code
+    for a millisecond of math). Per-plane fold order is the same sequential
+    left fold as hyperplane_bucket — bit-compatible with the DuckDB
+    oracles."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.struct(
+            t.cast("int").alias("table"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc * 2
+                + F.when(
+                    _dot(v, F.element_at(F.element_at(planes_col, t + 1), j + 1)) >= 0,
+                    1,
+                ).otherwise(0),
+            ).alias("bucket"),
+        ),
+    )
+
+
 def hyperplane_buckets(vec_col, tables: int, bits: int, dim: int, seed: int = 42):
     """Array of (table, bucket) structs — explode for multi-table candidate
-    generation; a pair is a candidate if it collides in ANY table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                hyperplane_bucket(vec_col, t, bits, dim, seed).alias("bucket"),
+    generation; a pair is a candidate if it collides in ANY table.
+
+    Column-expression variant: the tables*bits plane coefficients ride in
+    ONE 3-D literal parsed from a single SQL string (one py4j call — F.lit
+    per coefficient cost ~7s of driver round-trips at 10x6x64). repr() is
+    shortest-roundtrip so the parsed doubles are bit-identical to F.lit
+    values; the D suffix forces DoubleType (bare decimals parse as DECIMAL
+    and would re-round). Prefer with_hyperplane_buckets for DataFrame
+    pipelines — it ships the planes as broadcast data instead of 3840
+    analyzer/codegen literal nodes."""
+    planes = F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)"
+            % ",".join(
+                "array(%s)"
+                % ",".join(
+                    repr(c) + "D" for c in _plane_coeffs(t, j, dim, seed)
+                )
+                for j in range(bits)
             )
             for t in range(tables)
-        ]
+        )
+    )
+    return _bucket_fold(_as_double(vec_col), planes, tables, bits)
+
+
+def with_hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str,
+    tables: int,
+    bits: int,
+    dim: int,
+    seed: int = 42,
+    out: str = "tb",
+) -> DataFrame:
+    """df + exploded ``out`` = (table, bucket) struct per LSH table.
+
+    The planes arrive as DATA — a single-row broadcast frame crossJoined in
+    (BroadcastNestedLoopJoin, no shuffle, partitioning preserved) — so the
+    plan carries one column reference where the literal form carries
+    tables*bits*dim constant nodes; analyzer+Janino time drops from seconds
+    to milliseconds and the values are bit-identical (createDataFrame keeps
+    exact Python float bits)."""
+    planes = [[_plane_coeffs(t, j, dim, seed) for j in range(bits)] for t in range(tables)]
+    pdf = df.sparkSession.createDataFrame(
+        [(planes,)], "__planes array<array<array<double>>>"
+    )
+    bcol = _bucket_fold(_as_double(F.col(vec_col)), F.col("__planes"), tables, bits)
+    return (
+        df.crossJoin(F.broadcast(pdf))
+        .withColumn(out, F.explode(bcol))
+        .drop("__planes")
     )
 
 
@@ -139,19 +208,19 @@ def lsh_topk(
     explodes ``tables`` rows per vector (8B bucket keys); the query side
     stays broadcast."""
     corpus = (
-        embeddings.select(
-            F.col(id_col), _as_double(F.col(vec_col)).alias("cv"),
-            F.explode(hyperplane_buckets(F.col(vec_col), tables, bits, dim, seed)).alias("tb"),
+        with_hyperplane_buckets(
+            embeddings.select(F.col(id_col), F.col(vec_col)),
+            vec_col, tables, bits, dim, seed,
         )
-        .select(id_col, "cv", "tb.table", "tb.bucket")
+        .select(id_col, _as_double(F.col(vec_col)).alias("cv"), "tb.table", "tb.bucket")
         .withColumn("cn", _norm(F.col("cv")))
     )
     q = (
-        queries.select(
-            F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"),
-            F.explode(hyperplane_buckets(F.col(vec_col), tables, bits, dim, seed)).alias("tb"),
+        with_hyperplane_buckets(
+            queries.select(F.col(query_id_col), F.col(vec_col)),
+            vec_col, tables, bits, dim, seed,
         )
-        .select(query_id_col, "qv", "tb.table", "tb.bucket")
+        .select(query_id_col, _as_double(F.col(vec_col)).alias("qv"), "tb.table", "tb.bucket")
         .withColumn("qn", _norm(F.col("qv")))
     )
     # candidate = collision in any table; dedup (query, id) before scoring so
