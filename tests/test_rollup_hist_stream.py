@@ -202,6 +202,27 @@ def test_put_line_validity_limits(spark):
     assert metrics == ["m.ok", "métrica.日本"]
 
 
+def test_put_line_malformed_tags(spark):
+    # Tags.parse rejects 3-field pairs ('a=b=c') and duplicate tag keys with
+    # a per-line error (reference src/core/Tags.java parse/parseWithMetric);
+    # here those lines drop instead of crashing the job on the map builder's
+    # duplicate-key error.
+    lines = spark.createDataFrame(
+        [
+            ("put m.ok 1356998400 1.0 a=b",),
+            ("put m.threefield 1356998400 1.0 a=b=c",),
+            ("put m.dupkey 1356998400 1.0 a=1 a=2",),
+            ("put m.emptyval 1356998400 1.0 a=",),
+            ("put m.nots notatime 1.0 a=b",),
+            ("put m.noval 1356998400 xyz a=b",),
+            ("  put m.ws 1356998400 2.0 a=b  ",),
+        ],
+        "value string",
+    )
+    out = parse_put_lines(lines).collect()
+    assert sorted(r["metric"] for r in out) == ["m.ok", "m.ws"]
+
+
 def test_literal_expansion_limit():
     from opentsdb_spark.functions.filters import EXPANSION_LIMIT, _split_literals
 
