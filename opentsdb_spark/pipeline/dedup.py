@@ -302,16 +302,16 @@ def simhash(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id",
     hash_fn = hash_fn or F.xxhash64
     tok = docs.select(id_col, F.explode(F.split(F.col(content_col), r"\s+")).alias("w"))
     tok = tok.withColumn("h", hash_fn("w"))
+    # F.expr strings, not builder chains: 64 aggs + the 64-term reassembly
+    # built call-by-call cost ~2.5s of py4j round-trips per plan; one parse
+    # call per expression brings construction to ~0.1s. '|' == '^' here —
+    # the shifted terms occupy disjoint bits.
     aggs = [
-        F.sum(((F.shiftright("h", b).bitwiseAND(F.lit(1))) * 2 - 1)).alias(f"b{b}")
+        F.expr(f"sum((shiftright(h, {b}) & 1) * 2 - 1)").alias(f"b{b}")
         for b in range(64)
     ]
     sums = tok.groupBy(id_col).agg(*aggs)
-    sh = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        sh = term if sh is None else sh.bitwiseXOR(term)
+    sh = F.expr(" | ".join(f"shiftleft(if(b{b} > 0, 1L, 0L), {b})" for b in range(64)))
     return sums.select(id_col, sh.alias("simhash"))
 
 
