@@ -84,11 +84,20 @@ def series_id_col(metric: Column | str = "metric", tags: Column | str = "tags") 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table (TESTDATA.md).
 
-    The events table stores ts as INT64 TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long we convert
-    to a microsecond timestamp (same truncation DuckDB applies). Both confs
-    are set at runtime because the caller (e.g. the verify driver) may hand
-    us a session built without them — they are session-level SQL confs.
+    Two observed physical shapes for the events ``ts`` column, both
+    normalized here to plain (session-tz) TIMESTAMP so the whole engine can
+    assume ``unix_millis(ts)`` analyzes:
+
+    * INT64 TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
+      it arrives as a bigint we convert to a microsecond timestamp (same
+      truncation DuckDB applies).
+    * timestamp[us] with no UTC flag (driver parquet under PySpark 4.x):
+      inferred as TIMESTAMP_NTZ, which ``unix_millis`` rejects. The session
+      timezone is pinned UTC, so casting NTZ -> TIMESTAMP is
+      value-preserving and matches the DuckDB oracle's reading.
+
+    Confs are (re)set at runtime because the caller (e.g. the verify driver)
+    may hand us a session built without them — they are session-level.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -100,6 +109,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — double division would lose ns precision at 1e18
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

@@ -1,0 +1,49 @@
+"""Environment guard: the driver's parquet tables must load into shapes the
+engine can use, whatever physical timestamp encoding this PySpark version
+infers.
+
+History: the round-2/3 environment stored events.ts as timestamp[us] with no
+UTC flag; PySpark 4.1 read it as TIMESTAMP_NTZ, and every downstream
+``unix_millis(ts)`` failed analysis (31/50 gate queries + the bench).
+``load_table`` now normalizes both observed shapes (bigint-nanos and NTZ) to
+plain TIMESTAMP; this test pins that contract so the next environment bump is
+a 2-second diagnosis instead of a lost round.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_spark.sources.points import load_points, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+DRIVER_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.mark.parametrize("name", DRIVER_TABLES)
+def test_driver_table_loads_without_ntz(spark, name):
+    df = load_table(spark, SF_DIR, name)
+    types = dict(df.dtypes)
+    assert "timestamp_ntz" not in types.values(), (
+        f"{name}: load_table must normalize TIMESTAMP_NTZ columns, got {types}"
+    )
+    assert df.limit(1).count() >= 0  # read actually executes
+
+
+def test_events_ts_is_timestamp_and_unix_millis_analyzes(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # the exact call that died in rounds 2-3 — must analyze and execute
+    row = ev.select(F.unix_millis("ts").alias("ms")).limit(1).collect()
+    assert row and isinstance(row[0]["ms"], int)
+
+
+def test_points_frame_ts_contract(spark):
+    pts = load_points(spark, SF_DIR)
+    assert dict(pts.dtypes)["ts"] == "timestamp"
+    pts.select(F.unix_millis("ts")).limit(1).collect()
