@@ -1323,7 +1323,10 @@ from opentsdb_spark.pipeline.dedup import (  # noqa: E402
     embedding_dup_pairs, exact_dedup, md5_hash64, minhash_lsh_pairs, minhash_xor_constant,
     ngram_jaccard_pairs, simhash_pairs,
 )
-from opentsdb_spark.pipeline.multimodal import docs_as_media, extract_features  # noqa: E402
+from opentsdb_spark.pipeline.multimodal import (  # noqa: E402
+    byte_stats, docs_as_media, docs_as_raw_images, docs_as_raw_video, extract_features,
+    resize_images, sample_frames,
+)
 from opentsdb_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk, embedding_stats, lsh_topk,
 )
@@ -1949,6 +1952,81 @@ def multimodal_features(spark, sf_dir):
         "media_id", "kind", "n_bytes",
         _vr(F.col("byte_mean")).alias("byte_mean_r"),
         _vr(F.col("byte_entropy")).alias("byte_entropy_r"),
+    )
+
+
+# Raw-codec geometry shared by the resize/frame-sample entries and their
+# oracles. The corpus is pure ASCII (byte == codepoint — verified for
+# multimodal_features above), so nearest-neighbor index math over the raw
+# gray8 buffers is exactly reproducible in SQL: resized pixel (r, c) reads
+# source byte (r*H//out_h)*W + (c*W//out_w) of the space-padded text.
+_IMG_W, _IMG_H, _OUT_W, _OUT_H = 24, 16, 8, 6
+_VID_W, _VID_H, _VID_FRAMES, _VID_FRAME_MS, _VID_EVERY_MS = 12, 8, 4, 250, 400
+
+
+@register(
+    "multimodal_resize",
+    f"""WITH grid AS (SELECT r.i AS r, c.i AS c
+                      FROM range({_OUT_H}) AS r(i) CROSS JOIN range({_OUT_W}) AS c(i)),
+        px AS (SELECT d.doc_id,
+                      ord(substr(rpad(substr(d.text, 1, {_IMG_W * _IMG_H}),
+                                      {_IMG_W * _IMG_H}, ' '),
+                          CAST((g.r * {_IMG_H}) // {_OUT_H} AS INT) * {_IMG_W}
+                            + CAST((g.c * {_IMG_W}) // {_OUT_W} AS INT) + 1, 1)) AS b
+               FROM documents d CROSS JOIN grid g)
+        SELECT doc_id AS media_id,
+               CAST(count(*) AS BIGINT) AS n_bytes,
+               {RND.format('avg(b)')} AS byte_mean_r
+        FROM px GROUP BY doc_id""",
+)
+def multimodal_resize(spark, sf_dir):
+    """Raw-codec nearest-neighbor resize, hash-checked end to end: the oracle
+    recomputes every resized pixel's source byte with the same floor-index
+    formula, so a one-pixel disagreement flips the value hash. Contract
+    mirrors reference-style media plumbing with the decode honestly stubbed
+    (pipeline/multimodal.py resize_images)."""
+    media = docs_as_raw_images(_docs(spark, sf_dir), _IMG_W, _IMG_H)
+    resized = resize_images(media, _OUT_W, _OUT_H)
+    return byte_stats(resized).select(
+        "media_id", "n_bytes", _vr(F.col("byte_mean")).alias("byte_mean_r")
+    )
+
+
+def _sampled_frames() -> list[tuple[int, int]]:
+    # same selection formula as pipeline.multimodal.sample_frames
+    dur = _VID_FRAMES * _VID_FRAME_MS
+    return [
+        (min(_VID_FRAMES - 1, t * _VID_FRAMES // dur), t)
+        for t in range(0, dur, _VID_EVERY_MS)
+    ]
+
+
+@register(
+    "multimodal_frames",
+    f"""WITH fr(fidx, ts_ms) AS (VALUES {', '.join(f'({i}, {t})' for i, t in _sampled_frames())}),
+        px AS (SELECT d.doc_id, f.fidx, f.ts_ms,
+                      ord(substr(rpad(substr(d.text, 1, {_VID_W * _VID_H * _VID_FRAMES}),
+                                      {_VID_W * _VID_H * _VID_FRAMES}, ' '),
+                          f.fidx * {_VID_W * _VID_H} + p.i + 1, 1)) AS b
+               FROM documents d CROSS JOIN fr f CROSS JOIN range({_VID_W * _VID_H}) AS p(i))
+        SELECT doc_id AS media_id,
+               CAST(fidx AS INT) AS frame_idx,
+               CAST(ts_ms AS BIGINT) AS frame_ts_ms,
+               CAST(count(*) AS BIGINT) AS n_bytes,
+               {RND.format('avg(b)')} AS byte_mean_r
+        FROM px GROUP BY doc_id, fidx, ts_ms""",
+)
+def multimodal_frames(spark, sf_dir):
+    """Raw-codec frame sampling (one frame per 400 ms of media time),
+    hash-checked: the oracle regenerates each sampled frame's byte slice from
+    the same t*nframes//duration index formula."""
+    media = docs_as_raw_video(
+        _docs(spark, sf_dir), _VID_W, _VID_H, _VID_FRAMES, _VID_FRAME_MS
+    )
+    frames = sample_frames(media, _VID_EVERY_MS)
+    return byte_stats(frames, blob_col="frame").select(
+        "media_id", "frame_idx", "frame_ts_ms", "n_bytes",
+        _vr(F.col("byte_mean")).alias("byte_mean_r"),
     )
 
 

@@ -104,13 +104,205 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     return cols.mapInPandas(_fake_features, schema=FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — stub (needs PIL). The plumbing contract: same schema
-    out, meta.width/height updated, media re-encoded."""
-    raise NotImplementedError("image resize needs PIL; not shipped in this container")
+def docs_as_raw_images(docs: DataFrame, width: int, height: int) -> DataFrame:
+    """Wrap each document's text bytes as a raw gray8 image blob of exactly
+    ``width*height`` bytes (truncate / space-pad), with meta dims set. The
+    corpus is pure ASCII (byte == codepoint), so raw-codec operators built on
+    these blobs are DuckDB-oracle-checkable end to end."""
+    n = width * height
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.rpad(F.substring("text", 1, n), n, " "), "utf-8").alias("media"),
+        F.struct(
+            F.lit("image/x-raw-gray8").alias("mime"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
 
 
-def sample_frames(media: DataFrame, every_ms: int) -> DataFrame:
-    """Video frame sampling — stub (needs ffmpeg). Contract: explodes each
-    video row into frame rows (media_id, frame_ts_ms, frame binary)."""
-    raise NotImplementedError("frame sampling needs ffmpeg; not shipped in this container")
+def docs_as_raw_video(
+    docs: DataFrame, width: int, height: int, nframes: int, frame_ms: int
+) -> DataFrame:
+    """Raw gray8 'video': ``nframes`` concatenated ``width*height`` frames
+    from the document's text bytes, ``frame_ms`` per frame."""
+    n = width * height * nframes
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.rpad(F.substring("text", 1, n), n, " "), "utf-8").alias("media"),
+        F.struct(
+            F.lit("video/x-raw-gray8").alias("mime"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(nframes * frame_ms).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _nn_resize(arr, out_w: int, out_h: int):
+    """Nearest-neighbor index-map resize of an (H, W[, C]) uint8 array —
+    output pixel (r, c) takes source pixel (r*H//out_h, c*W//out_w), the
+    floor-index convention PIL's NEAREST also uses for downscales."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows][:, cols]
+
+
+def resize_images(media: DataFrame, width: int, height: int, codec: str = "raw") -> DataFrame:
+    """Resize each image blob to ``width x height`` via Arrow-batched
+    mapInPandas; same schema out, meta.width/height updated, media
+    re-encoded.
+
+    codec='raw' is fully implemented (gray8 / interleaved rgb24 raw buffers,
+    pure-numpy nearest-neighbor). codec='real' (JPEG/PNG via PIL) needs codec
+    libraries this container does not ship — stubbed. Blobs whose length
+    doesn't match meta dims (or with null dims) pass through with media=NULL
+    so malformed rows are visible, not silently dropped.
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "encoded-image resize needs PIL, not shipped in this container; "
+            "use codec='raw' for raw gray8/rgb24 buffers"
+        )
+    if codec != "raw":
+        raise ValueError(f"unknown codec {codec!r}")
+
+    out_schema = media.schema
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_media, out_meta = [], []
+            for blob, meta in zip(pdf["media"], pdf["meta"]):
+                w = meta.get("width") if meta is not None else None
+                h = meta.get("height") if meta is not None else None
+                resized = None
+                if blob is not None and w and h and len(blob) % (w * h) == 0:
+                    c = len(blob) // (w * h)
+                    if c in (1, 3):
+                        arr = np.frombuffer(blob, np.uint8).reshape(
+                            (h, w) if c == 1 else (h, w, c)
+                        )
+                        resized = _nn_resize(arr, width, height).tobytes()
+                out_media.append(resized)
+                new_meta = dict(meta) if meta is not None else {}
+                new_meta["width"], new_meta["height"] = width, height
+                out_meta.append(new_meta)
+            pdf = pdf.copy()
+            pdf["media"], pdf["meta"] = out_media, out_meta
+            yield pdf
+
+    return media.mapInPandas(gen, schema=out_schema)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int, codec: str = "raw") -> DataFrame:
+    """Explode each video row into sampled frame rows (one per ``every_ms``
+    of media time, starting at t=0): (media_id, frame_idx, frame_ts_ms,
+    frame binary, width, height). Frame picked for sample time t is
+    ``t * nframes // duration_ms`` — the frame whose interval contains t.
+
+    codec='raw' (concatenated gray8 frames, nframes inferred from blob size)
+    is fully implemented; codec='real' (containerized video via ffmpeg) is
+    stubbed — ffmpeg is not shipped in this container.
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "encoded-video frame sampling needs ffmpeg, not shipped in this "
+            "container; use codec='raw' for concatenated raw-frame buffers"
+        )
+    if codec != "raw":
+        raise ValueError(f"unknown codec {codec!r}")
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob, meta in zip(pdf["media_id"], pdf["media"], pdf["meta"]):
+                w = meta.get("width") if meta is not None else None
+                h = meta.get("height") if meta is not None else None
+                dur = meta.get("duration_ms") if meta is not None else None
+                if blob is None or not w or not h or not dur:
+                    continue
+                fsize = w * h
+                nframes = len(blob) // fsize
+                if nframes == 0 or len(blob) % fsize:
+                    continue
+                for t in range(0, int(dur), every_ms):
+                    idx = min(nframes - 1, t * nframes // int(dur))
+                    rows.append(
+                        (int(mid), idx, t, blob[idx * fsize : (idx + 1) * fsize], w, h)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_ts_ms", "frame", "width", "height"],
+            )
+
+    return media.select("media_id", "media", "meta").mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+BYTE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+    ]
+)
+
+
+def byte_stats(frames: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Per-row byte count + mean of a binary column, keyed by media_id (and
+    frame_idx/frame_ts_ms when present — absent key columns come back NULL).
+    The numeric companion to resize/sample outputs: lets catalog queries
+    hash-check the resized/sampled bytes against a DuckDB oracle without
+    shipping binaries through the compare."""
+    have = set(frames.columns)
+    cols = ["media_id"]
+    for k in ("frame_idx", "frame_ts_ms"):
+        if k in have:
+            cols.append(k)
+    sel = frames.select(*cols, F.col(blob_col).alias("__blob"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                blob = row["__blob"]
+                arr = np.frombuffer(blob, np.uint8) if blob is not None else np.array([], np.uint8)
+                out.append(
+                    (
+                        int(row["media_id"]),
+                        int(row["frame_idx"]) if "frame_idx" in pdf.columns else None,
+                        int(row["frame_ts_ms"]) if "frame_ts_ms" in pdf.columns else None,
+                        int(arr.size),
+                        float(arr.mean()) if arr.size else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_ts_ms", "n_bytes", "byte_mean"]
+            )
+
+    return sel.mapInPandas(gen, schema=BYTE_STATS_SCHEMA)

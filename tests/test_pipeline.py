@@ -405,3 +405,52 @@ def test_hash_split_and_stratified(spark):
     samp = stratified_sample(df, {0: 1.0, 1: 0.5}, strata_col="label")
     by = {r["label"]: r["count"] for r in samp.groupBy("label").count().collect()}
     assert by[0] == 500 and 200 < by[1] < 300 and 2 not in by and 3 not in by
+
+
+def test_resize_images_raw(spark):
+    import numpy as np
+
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, resize_images
+
+    gray = bytes(range(16))  # 4x4 gradient
+    rgb = bytes(np.arange(4 * 4 * 3, dtype=np.uint8))  # 4x4x3 interleaved
+    rows = [
+        (0, "image", bytearray(gray), ("image/x-raw-gray8", 4, 4, None)),
+        (1, "image", bytearray(rgb), ("image/x-raw-rgb24", 4, 4, None)),
+        (2, "image", bytearray(b"\x00" * 7), ("image/x-raw-gray8", 4, 4, None)),  # bad len
+        (3, "image", bytearray(gray), (None, None, None, None)),  # no dims
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, 2, 2).collect()}
+    # nearest-neighbor floor indexing: rows/cols 0,2 of the 4x4 source
+    src = np.frombuffer(gray, np.uint8).reshape(4, 4)
+    assert bytes(out[0]["media"]) == src[[0, 2]][:, [0, 2]].tobytes()
+    src3 = np.frombuffer(rgb, np.uint8).reshape(4, 4, 3)
+    assert bytes(out[1]["media"]) == src3[[0, 2]][:, [0, 2]].tobytes()
+    assert out[0]["meta"]["width"] == 2 and out[0]["meta"]["height"] == 2
+    assert out[0]["meta"]["mime"] == "image/x-raw-gray8"  # preserved
+    # malformed rows visible, not dropped
+    assert out[2]["media"] is None and out[3]["media"] is None
+    # 'real' codec is honestly stubbed
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 2, 2, codec="real")
+
+
+def test_sample_frames_raw(spark):
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, sample_frames
+
+    # 3 frames of 2x2, 100ms each -> duration 300ms
+    blob = bytes([1] * 4 + [2] * 4 + [3] * 4)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(blob), ("video/x-raw-gray8", 2, 2, 300))], MEDIA_SCHEMA
+    )
+    out = sorted(sample_frames(media, 120).collect(), key=lambda r: r["frame_ts_ms"])
+    # t=0 -> frame 0, t=120 -> 120*3//300 = frame 1, t=240 -> frame 2
+    assert [(r["frame_idx"], r["frame_ts_ms"], bytes(r["frame"])[0]) for r in out] == [
+        (0, 0, 1), (1, 120, 2), (2, 240, 3)
+    ]
+    assert all(r["width"] == 2 and r["height"] == 2 for r in out)
+    # sampling interval longer than the video -> just t=0
+    assert sample_frames(media, 1000).count() == 1
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, 120, codec="real")
