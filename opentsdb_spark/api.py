@@ -7,6 +7,7 @@ by this module — the engine is the product, the transport is pluggable.
 
 Implemented endpoints:
   /api/query            handle_query        (GET m= params or POST body)
+  /q                    handle_graph        (ascii/json graph data; png=gnuplot excluded)
   /api/query/gexp       handle_gexp
   /api/query/exp        handle_exp
   /api/query/last       handle_last
@@ -40,7 +41,7 @@ from opentsdb_spark.operators.metadata import SUGGEST_MAX, last_points, lookup, 
 from opentsdb_spark.parse import parse_gexp, parse_query
 from opentsdb_spark.plans.limits import enforce_data_point_limit, request_limit
 from opentsdb_spark.plans.planner import compile_query
-from opentsdb_spark.serializer import serialize_subquery, subquery_echo
+from opentsdb_spark.serializer import graph_ascii, serialize_subquery, subquery_echo
 from opentsdb_spark.timeparse import parse_datetime_ms, parse_duration_ms
 
 
@@ -187,6 +188,70 @@ def handle_query(
             }
         })
     return out
+
+
+def handle_graph(
+    points: DataFrame,
+    request: dict,
+    histograms: DataFrame | None = None,
+    annotations: DataFrame | None = None,
+    rollup_cfg=None,
+) -> dict[str, Any]:
+    """/q — the legacy graphing endpoint (reference
+    src/tsd/GraphHandler.java:131-147, 938-1015), minus gnuplot.
+
+    Returns one of:
+      {"redirect": "/#<qs>"}          no ascii/json/png param — the reference
+                                      bounces the browser to the built-in UI
+      {"ascii": "<lines>", ...}       ?ascii — one line per data point,
+                                      ``metric epoch_sec value tagk=tagv ...``
+      {"plotted", "points", "etags", "timing"}
+                                      ?json — graph metadata, the exact key
+                                      set of GraphHandler.execute()
+                                      (GraphHandler.java:394-407); "plotted"
+                                      equals "points" because there is no
+                                      gnuplot downsampling stage here
+    ?png raises NotImplementedError: PNG rendering is gnuplot subprocess
+    territory (src/mygnuplot.sh), declared out of engine scope in SURVEY §2.1.
+    """
+    import time
+
+    t0 = time.monotonic()
+    mode = [k for k in ("ascii", "json", "png") if k in request]
+    if not mode:
+        qs = "&".join(
+            f"{k}={v}" for k, v in request.items() if not k.startswith("_")
+        )
+        return {"redirect": f"/#{qs}"}
+    if mode[0] == "png":
+        raise NotImplementedError(
+            "PNG graph rendering (gnuplot) is out of engine scope; "
+            "use ascii or json"
+        )
+    series = handle_query(
+        points, {k: v for k, v in request.items() if k not in ("ascii", "json")},
+        histograms=histograms, annotations=annotations, rollup_cfg=rollup_cfg,
+    )
+    npoints = sum(len(s["dps"]) for s in series if "dps" in s)
+    if mode[0] == "ascii":
+        return {"ascii": graph_ascii(series), "points": npoints}
+    # ?json: metadata only — etags mirrors the per-subquery aggregated-tag
+    # sets (GraphHandler.java:259-262 collects getAggregatedTags per query)
+    etags: list[list[str]] = []
+    seen = set()
+    for s in series:
+        if "metric" not in s:
+            continue
+        key = id(s.get("aggregateTags"))
+        if key not in seen:
+            seen.add(key)
+            etags.append(sorted(s.get("aggregateTags") or []))
+    return {
+        "plotted": npoints,
+        "points": npoints,
+        "etags": etags,
+        "timing": (time.monotonic() - t0) * 1000.0,
+    }
 
 
 # analog of tsd.http.query.allow_delete (reference QueryRpc.java:96-99:

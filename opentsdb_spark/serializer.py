@@ -137,6 +137,66 @@ def subquery_echo(q) -> dict[str, Any]:
     }
 
 
+def _java_double_str(v: float) -> str:
+    """Java ``Double.toString`` shape: plain decimal in [1e-3, 1e7), else
+    E-notation with one leading digit (``1.234E8``). Both sides print the
+    shortest decimal that round-trips, so inside the plain range Python's
+    repr matches; outside we rebuild Java's exponent form."""
+    a = abs(v)
+    if a == 0.0 or (1e-3 <= a < 1e7):
+        s = repr(v)
+        if "e" in s or "E" in s:  # python switches earlier for tiny values
+            return _java_e_notation(v)
+        return s if "." in s else s + ".0"
+    return _java_e_notation(v)
+
+
+def _java_e_notation(v: float) -> str:
+    mant, _, exp = f"{v:.17e}".partition("e")
+    # shortest mantissa that still round-trips, Java-style (no + on exponent)
+    exp_i = int(exp)
+    for prec in range(17):
+        cand = f"{v:.{prec}e}"
+        if float(cand) == v:
+            m, _, _ = cand.partition("e")
+            if "." not in m:
+                m += ".0"
+            return f"{m}E{exp_i}"
+    m = mant
+    return f"{m}E{exp_i}"
+
+
+def graph_ascii(results: list[dict[str, Any]]) -> str:
+    """The /q?ascii payload: ONE line per data point —
+
+        ``<metric> <epoch_sec> <value> [<tagk>=<tagv> ...]``
+
+    (reference src/tsd/GraphHandler.java:938-1015: printMetricHeader +
+    value + tag buffer). Reference semantics kept: NaN points are skipped,
+    infinite values abort the whole response (GraphHandler.java:976-983
+    throws IllegalStateException), integral values print without a decimal
+    point when the point carried a long (here: when the double is integral —
+    the engine's aggregates are double-valued), doubles print in Java
+    Double.toString form. Tags print sorted (the reference iterates a
+    HashMap — unspecified order; sorted is deterministic)."""
+    lines: list[str] = []
+    for series in results:
+        if "metric" not in series:  # statsSummary trailer etc.
+            continue
+        tagbuf = "".join(
+            f" {k}={v}" for k, v in sorted(series.get("tags", {}).items())
+        )
+        for ts, v in series["dps"].items():
+            fv = float(v)
+            if fv != fv:  # NaN
+                continue
+            if fv in (float("inf"), float("-inf")):
+                raise ValueError(f"Infinity: {fv} at ts={ts}")
+            val = str(int(fv)) if fv.is_integer() and abs(fv) < 2**63 else _java_double_str(fv)
+            lines.append(f"{series['metric']} {ts} {val}{tagbuf}")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
 def ascii_table(results: list[dict[str, Any]], max_rows: int = 40) -> str:
     """Render query results as an ASCII table (the reference's 'ascii'
     serializer / CliQuery text output, src/tsd/GraphHandler.java:394-410)."""

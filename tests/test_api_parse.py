@@ -442,3 +442,48 @@ def test_query_annotations_merged(spark, fixture_points):
     dps = out[0]["dps"]
     assert isinstance(dps, list) and dps == sorted(dps)
     assert all(len(p) == 2 and isinstance(p[0], int) for p in dps)
+
+
+def test_graph_ascii_format():
+    from opentsdb_spark.serializer import graph_ascii
+
+    out = graph_ascii([
+        {"metric": "sys.cpu", "tags": {"host": "web01", "dc": "lga"},
+         "aggregateTags": [], "dps": {"100": 4.0, "160": 1.5, "220": float("nan")}},
+    ])
+    # one line per point: metric epoch_sec value tags (sorted); integral
+    # doubles print as longs, NaN points are skipped (GraphHandler.java:979-982)
+    assert out == (
+        "sys.cpu 100 4 dc=lga host=web01\n"
+        "sys.cpu 160 1.5 dc=lga host=web01\n"
+    )
+    # infinity aborts the response (GraphHandler.java:976-978)
+    with pytest.raises(ValueError, match="Infinity"):
+        graph_ascii([{"metric": "m", "tags": {}, "dps": {"1": float("inf")}}])
+    # Java Double.toString E-notation outside [1e-3, 1e7)
+    big = graph_ascii([{"metric": "m", "tags": {}, "dps": {"1": 123450000.5}}])
+    assert big == "m 1 1.234500005E8\n"
+    tiny = graph_ascii([{"metric": "m", "tags": {}, "dps": {"1": 0.0001220703125}}])
+    assert tiny == "m 1 1.220703125E-4\n"
+
+
+def test_handle_graph(fixture_points):
+    req = {"start": EPOCH, "end": EPOCH + 100_000,
+           "m": "sum:10m-avg:sys.cpu.user{host=*}"}
+    # no output param -> redirect to the built-in UI, like GraphHandler:135-146
+    red = api.handle_graph(fixture_points, dict(req))
+    assert red["redirect"].startswith("/#start=")
+    # ascii mode: per-point lines for both grouped series
+    out = api.handle_graph(fixture_points, {**req, "ascii": "true"})
+    lines = out["ascii"].strip().split("\n")
+    assert out["points"] == len(lines) > 0
+    first = lines[0].split(" ")
+    assert first[0] == "sys.cpu.user" and first[1].isdigit() and "host=web01" in lines[0]
+    # json mode: the GraphHandler.execute() metadata key set
+    js = api.handle_graph(fixture_points, {**req, "json": "true"})
+    assert set(js) == {"plotted", "points", "etags", "timing"}
+    assert js["plotted"] == js["points"] == out["points"]
+    assert js["etags"] == [["dc"]]  # host grouped, dc aggregated away
+    # png is gnuplot territory — explicitly out of scope
+    with pytest.raises(NotImplementedError):
+        api.handle_graph(fixture_points, {**req, "png": "true"})
