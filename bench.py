@@ -51,8 +51,12 @@ def main() -> None:
     fns = {"flagship": catalog.flagship}
     fns.update({n: qd.fn for n, qd in catalog.CATALOG.items()})
 
-    # one warmup to exclude JVM/session startup from per-query numbers
+    # one warmup to exclude JVM/session startup from per-query numbers; the
+    # trivial mapInPandas also spawns the Python worker pool (reused for the
+    # whole session) so the first Arrow-UDF query isn't charged ~3s of
+    # worker-fork cost that amortizes to zero in steady state
     catalog.flagship(spark, sf_dir).count()
+    spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

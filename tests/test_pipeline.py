@@ -287,7 +287,10 @@ def test_multimodal(docs):
     with pytest.raises(NotImplementedError):
         extract_features(media, "real")
     with pytest.raises(NotImplementedError):
-        resize_images(media, 100, 100)
+        resize_images(media, 100, 100, codec="real")
+    # raw-codec resize is implemented; docs_as_media sets no dims, so blobs
+    # pass through as NULL media rather than raising
+    assert resize_images(media, 100, 100).where("media IS NOT NULL").count() == 0
 
 
 def _uf_components(n_nodes, edges):
