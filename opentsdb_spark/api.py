@@ -508,9 +508,13 @@ def handle_annotation_edit(
     60-156: POST merges fields, PUT replaces the record, DELETE removes it).
     Returns (echo of the stored record or None on delete, updated frame)."""
     from opentsdb_spark.operators.annotations import delete_annotation, upsert_annotation
+    from opentsdb_spark.operators.metadata import notify_search_plugins
 
     tsuid, start_ms = _ann_body_key(body)
     if method == "DELETE":
+        # reference TSDB.deleteAnnotation fans out to the search plugin
+        # (src/core/TSDB.java:1100-1160 analog for notes)
+        notify_search_plugins("delete_annotation", tsuid, start_ms)
         return None, delete_annotation(annotations, tsuid, start_ms)
     end = body.get("endTime", body.get("end_time"))
     out = upsert_annotation(
@@ -520,7 +524,9 @@ def handle_annotation_edit(
         custom=body.get("custom"), replace=(method == "PUT"),
     )
     key = (F.col("tsuid") == tsuid) if tsuid else F.col("tsuid").isNull()
-    stored = out.where(key & (F.unix_millis("start_time") == start_ms)).collect()
+    touched = out.where(key & (F.unix_millis("start_time") == start_ms))
+    notify_search_plugins("index_annotation", touched)
+    stored = touched.collect()
     return (stored[0].asDict() if stored else None), out
 
 
@@ -549,11 +555,13 @@ def handle_uidmeta_edit(
 ) -> tuple[dict[str, Any] | None, DataFrame | None]:
     """POST/DELETE /api/uid/uidmeta (reference src/tsd/UniqueIdRpc.java:
     223-285). Keyed by (type, name); POST merges editable fields."""
+    from opentsdb_spark.operators.metadata import notify_search_plugins
     from opentsdb_spark.operators.uid import uidmeta_delete, uidmeta_upsert
 
     kind = {"metric": "metrics"}.get(body.get("type"), body.get("type"))
     name = body.get("name")
     if method == "DELETE":
+        notify_search_plugins("delete_uidmeta", kind, name)
         return None, uidmeta_delete(meta, kind, name)
     out = uidmeta_upsert(
         meta, kind, name,
@@ -561,7 +569,9 @@ def handle_uidmeta_edit(
         display_name=body.get("displayName", body.get("display_name")),
         custom=body.get("custom"), spark=spark,
     )
-    stored = out.where((F.col("kind") == kind) & (F.col("name") == name)).collect()
+    touched = out.where((F.col("kind") == kind) & (F.col("name") == name))
+    notify_search_plugins("index_uidmeta", touched)
+    stored = touched.collect()
     return (stored[0].asDict() if stored else None), out
 
 
@@ -569,15 +579,19 @@ def handle_tsmeta_edit(
     meta: DataFrame | None, method: str, body: dict, spark=None
 ) -> tuple[dict[str, Any] | None, DataFrame | None]:
     """POST/DELETE /api/uid/tsmeta (reference UniqueIdRpc.java:287-380)."""
+    from opentsdb_spark.operators.metadata import notify_search_plugins
     from opentsdb_spark.operators.uid import tsmeta_delete, tsmeta_upsert
 
     tsuid = body.get("tsuid")
     if method == "DELETE":
+        notify_search_plugins("delete_tsmeta", [tsuid])
         return None, tsmeta_delete(meta, tsuid)
     fields = {k: body[k] for k in ("description", "notes", "units", "data_type",
                                    "retention", "max", "min", "custom") if k in body}
     out = tsmeta_upsert(meta, tsuid, spark=spark, **fields)
-    stored = out.where(F.col("tsuid") == tsuid).collect()
+    touched = out.where(F.col("tsuid") == tsuid)
+    notify_search_plugins("index_tsmeta", touched)
+    stored = touched.collect()
     return (stored[0].asDict() if stored else None), out
 
 

@@ -183,9 +183,23 @@ SEARCH_PLUGINS: list[object] = []
 
 class SearchPlugin:
     """Subclass and override what you index; register with
-    register_search_plugin(). All hooks receive DataFrames so a plugin can
-    ship them to an external indexer partition-parallel (foreachPartition),
-    never through the driver."""
+    register_search_plugin(). Hook set mirrors the reference's abstract
+    plugin (src/search/SearchPlugin.java:65-164: initialize/shutdown/version/
+    collectStats + index/delete per doc type + executeQuery). Index hooks
+    receive DataFrames so a plugin can ship them to an external indexer
+    partition-parallel (foreachPartition), never through the driver."""
+
+    def initialize(self, spark) -> None:  # pragma: no cover
+        pass
+
+    def shutdown(self) -> None:  # pragma: no cover
+        pass
+
+    def version(self) -> str:  # pragma: no cover
+        return "2.0.0"
+
+    def collect_stats(self) -> dict:  # pragma: no cover
+        return {}
 
     def index_tsmeta(self, frame: DataFrame) -> None:  # pragma: no cover
         pass
@@ -199,16 +213,107 @@ class SearchPlugin:
     def delete_tsmeta(self, tsuids: list[str]) -> None:  # pragma: no cover
         pass
 
+    def delete_uidmeta(self, kind: str, name: str) -> None:  # pragma: no cover
+        pass
+
+    def delete_annotation(self, tsuid: str | None, start_ms: int) -> None:  # pragma: no cover
+        pass
+
     def execute_query(self, points: DataFrame, query: dict):  # pragma: no cover
         raise NotImplementedError
+
+
+class FrameIndexSearchPlugin(SearchPlugin):
+    """Working index backend over DataFrames — the engine-native analog of
+    the reference's Elasticsearch plugin (SearchPlugin.java's contract:
+    maintain one document index per meta type, newest record wins, serve
+    /api/search from the index instead of the primary store).
+
+    One deduplicated frame per doc type; index_* anti-joins the incoming
+    keys out of the held frame then unions (last write wins), delete_*
+    anti-filters. Frames stay lazy — nothing is collected; at scale the held
+    frame is a lineage over the meta deltas, so a production subclass would
+    checkpoint it to a table every N updates (same role as the reference
+    plugin's bulk-flush timer)."""
+
+    _KEYS = {
+        "tsmeta": ("tsuid",),
+        "uidmeta": ("kind", "name"),
+        "annotation": ("tsuid", "start_time"),
+    }
+
+    def __init__(self) -> None:
+        self.indexes: dict[str, DataFrame] = {}
+        self.stats = {"indexed_added": 0, "deletes": 0}
+
+    def _merge(self, doc_type: str, frame: DataFrame) -> None:
+        keys = list(self._KEYS[doc_type])
+        cur = self.indexes.get(doc_type)
+        if cur is not None:
+            kept = cur.join(frame.select(*keys).distinct(), on=keys, how="left_anti")
+            frame = kept.unionByName(frame, allowMissingColumns=True)
+        self.indexes[doc_type] = frame
+        self.stats["indexed_added"] += 1
+
+    def index_tsmeta(self, frame: DataFrame) -> None:
+        self._merge("tsmeta", frame)
+
+    def index_uidmeta(self, frame: DataFrame) -> None:
+        self._merge("uidmeta", frame)
+
+    def index_annotation(self, frame: DataFrame) -> None:
+        self._merge("annotation", frame)
+
+    def delete_tsmeta(self, tsuids: list[str]) -> None:
+        if "tsmeta" in self.indexes:
+            self.indexes["tsmeta"] = self.indexes["tsmeta"].where(
+                ~F.col("tsuid").isin(list(tsuids))
+            )
+            self.stats["deletes"] += 1
+
+    def delete_uidmeta(self, kind: str, name: str) -> None:
+        if "uidmeta" in self.indexes:
+            self.indexes["uidmeta"] = self.indexes["uidmeta"].where(
+                ~((F.col("kind") == kind) & (F.col("name") == name))
+            )
+            self.stats["deletes"] += 1
+
+    def delete_annotation(self, tsuid: str | None, start_ms: int) -> None:
+        if "annotation" in self.indexes:
+            key = (F.col("tsuid") == tsuid) if tsuid is not None else F.col("tsuid").isNull()
+            self.indexes["annotation"] = self.indexes["annotation"].where(
+                ~(key & (F.unix_millis("start_time") == start_ms))
+            )
+            self.stats["deletes"] += 1
+
+    def collect_stats(self) -> dict:
+        return dict(self.stats)
+
+    def execute_query(self, points: DataFrame, query: dict):
+        """Serve /api/search for an indexed type; defer to the built-in
+        backend (NotImplementedError -> handler fallback) otherwise."""
+        doc_type = query.get("type", "tsmeta")
+        if doc_type not in self.indexes:
+            raise NotImplementedError
+        df = self.indexes[doc_type]
+        q = query.get("query", "")
+        if q:
+            # match-all-fields substring semantics over string columns,
+            # the plugin-side analog of search_meta's filter
+            str_cols = [c for c, t in df.dtypes if t == "string"]
+            pred = F.lit(False)
+            for c in str_cols:
+                pred = pred | F.col(c).contains(q)
+            df = df.where(pred)
+        return df
 
 
 def register_search_plugin(plugin: "SearchPlugin") -> None:
     SEARCH_PLUGINS.append(plugin)
 
 
-def notify_search_plugins(event: str, payload) -> None:
+def notify_search_plugins(event: str, *payload) -> None:
     """Fan an index/delete event out to every registered plugin (the
     reference calls the plugin after each meta write, TSDB.java:1100-1160)."""
     for p in SEARCH_PLUGINS:
-        getattr(p, event)(payload)
+        getattr(p, event)(*payload)

@@ -413,3 +413,60 @@ def test_handle_tree_request(spark, fixture_points):
     assert "lga/sys/cpu/user" in paths and "phx/sys" in paths
     leaf = handle_tree(fixture_points, {**req, "branch": ["lga", "sys", "cpu"]})
     assert [r["leaf"] for r in leaf["leaves"]] == ["user"]
+
+
+def test_frame_index_search_plugin(spark, fixture_points):
+    """Live indexing through the plugin hooks: meta writes via the API
+    handlers must fan out to registered plugins (reference TSDB.java calls
+    indexTSMeta/indexAnnotation/... after each meta write), and /api/search
+    must serve from the plugin's index when it covers the type."""
+    from opentsdb_spark import api
+    from opentsdb_spark.operators.metadata import (
+        SEARCH_PLUGINS, FrameIndexSearchPlugin, register_search_plugin,
+    )
+
+    plugin = FrameIndexSearchPlugin()
+    register_search_plugin(plugin)
+    try:
+        # uidmeta create -> indexed
+        _, meta = api.handle_uidmeta_edit(
+            None, "POST", {"type": "metric", "name": "sys.cpu.user",
+                           "description": "cpu time"}, spark=spark)
+        idx = plugin.indexes["uidmeta"].collect()
+        assert [(r["kind"], r["name"]) for r in idx] == [("metrics", "sys.cpu.user")]
+        # second edit replaces, not duplicates (newest wins)
+        api.handle_uidmeta_edit(meta, "POST",
+                                {"type": "metric", "name": "sys.cpu.user",
+                                 "notes": "edited"}, spark=spark)
+        idx = plugin.indexes["uidmeta"].collect()
+        assert len(idx) == 1 and idx[0]["notes"] == "edited"
+        # search served from the plugin index (substring over string fields)
+        res = api.handle_search(fixture_points, {"type": "uidmeta", "query": "cpu"})
+        assert res["totalResults"] == 1 and res["results"][0]["name"] == "sys.cpu.user"
+        assert api.handle_search(
+            fixture_points, {"type": "uidmeta", "query": "nomatch"})["totalResults"] == 0
+        # delete hook empties the index
+        api.handle_uidmeta_edit(meta, "DELETE",
+                                {"type": "metric", "name": "sys.cpu.user"})
+        assert plugin.indexes["uidmeta"].count() == 0
+        # annotation index + delete
+        from opentsdb_spark.operators.annotations import ANNOTATION_SCHEMA
+
+        empty_ann = spark.createDataFrame([], ANNOTATION_SCHEMA)
+        body = {"tsuid": "t1", "startTime": MS // 1000, "description": "note"}
+        _, ann2 = api.handle_annotation_edit(empty_ann, "POST", body)
+        assert plugin.indexes["annotation"].count() == 1
+        api.handle_annotation_edit(ann2, "DELETE", body)
+        assert plugin.indexes["annotation"].count() == 0
+        # tsmeta via handler
+        _, ts = api.handle_tsmeta_edit(None, "POST",
+                                       {"tsuid": "abc", "description": "d"}, spark=spark)
+        assert plugin.indexes["tsmeta"].count() == 1
+        api.handle_tsmeta_edit(ts, "DELETE", {"tsuid": "abc"})
+        assert plugin.indexes["tsmeta"].count() == 0
+        assert plugin.collect_stats()["deletes"] == 3
+        # types the plugin has no index for fall back to the built-in backend
+        assert api.handle_search(fixture_points, {"type": "tsuids", "query": "web01"})[
+            "totalResults"] > 0
+    finally:
+        SEARCH_PLUGINS.remove(plugin)
