@@ -1328,10 +1328,11 @@ from opentsdb_spark.pipeline.multimodal import (  # noqa: E402
     resize_images, sample_frames,
 )
 from opentsdb_spark.pipeline.similarity import (  # noqa: E402
-    brute_force_topk, embedding_stats, lsh_topk,
+    brute_force_topk, dequantized_view, embedding_stats, lsh_topk, quantize_embeddings,
 )
 from opentsdb_spark.pipeline.text import (  # noqa: E402
     detect_language, fingerprint_docs, quality_scores, repetition_signals, token_counts,
+    vocab_topk,
 )
 
 def _emb(spark, sf_dir):
@@ -1587,6 +1588,97 @@ def text_repetition(spark, sf_dir):
 
     return out.select("doc_id", r("dup_line_frac"), r("dup_line_char_frac"),
                       r("top_bigram_frac"), r("dup_trigram_frac"))
+
+
+@register(
+    "text_vocab_top50",
+    """WITH w AS (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\\s+')) AS token
+                  FROM documents),
+        c AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+              FROM w WHERE token <> '' GROUP BY token)
+        SELECT token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM c ORDER BY tf DESC, token ASC LIMIT 50""",
+)
+def text_vocab_top50(spark, sf_dir):
+    """Corpus-global vocabulary heavy hitters (pipeline.text.vocab_topk):
+    wordcount with map-side partial aggregation + TakeOrderedAndProject."""
+    return vocab_topk(_docs(spark, sf_dir), k=50)
+
+
+@register(
+    "embed_quantize",
+    f"""WITH s AS (SELECT vec_id,
+                          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+                   FROM embeddings),
+        q AS (SELECT e.vec_id,
+                     CASE WHEN s.amax > 0 THEN s.amax / 127.0 ELSE 0.0 END AS scale,
+                     CASE WHEN s.amax > 0 THEN
+                       list_transform(e.embedding::DOUBLE[],
+                         x -> least(127, greatest(-127,
+                                CAST(floor(x / (s.amax / 127.0) + 0.5) AS INT))))
+                     ELSE list_transform(e.embedding::DOUBLE[], x -> 0) END AS codes
+              FROM embeddings e JOIN s USING (vec_id))
+        SELECT vec_id, {RND.format('scale')} AS scale_r,
+               CAST(list_sum(codes) AS BIGINT) AS q_sum,
+               CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS q_l1
+        FROM q""",
+)
+def embed_quantize(spark, sf_dir):
+    """Int8 symmetric quantization, hash-checked: x/scale is the same IEEE
+    double division on both engines and floor(x+0.5) has engine-independent
+    tie behavior, so the codes (and their exact integer sums) must match
+    bit-for-bit."""
+    quant = quantize_embeddings(_emb(spark, sf_dir))
+    return quant.select(
+        "vec_id", _vr(F.col("scale")).alias("scale_r"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+    )
+
+
+@register(
+    "ann_quantized_top5",
+    f"""WITH s AS (SELECT vec_id,
+                          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+                   FROM embeddings),
+        dq AS (SELECT e.vec_id,
+                      list_transform(e.embedding::DOUBLE[],
+                        x -> CAST(least(127, greatest(-127,
+                               CAST(floor(x / (s.amax / 127.0) + 0.5) AS INT))) AS DOUBLE)
+                             * (s.amax / 127.0)) AS v
+               FROM embeddings e JOIN s USING (vec_id) WHERE s.amax > 0),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, d.vec_id,
+                 list_dot_product(q.qv, d.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(d.v, d.v))) AS cosine
+          FROM dq d CROSS JOIN q)
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+               {RND.format('cosine')} AS cosine_r
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5""",
+)
+def ann_quantized_top5(spark, sf_dir):
+    """Brute-force cosine top-5 over the int8-quantized index: quantize,
+    dequantize (q*scale), then reuse the exact search operator — the
+    compression layer composes with the existing ANN paths instead of
+    growing its own scorer. Ranking quality vs the float index is visible
+    by diffing with ann_bruteforce_top5."""
+    deq = dequantized_view(quantize_embeddings(_emb(spark, sf_dir)))
+    # zero vectors cannot be cosine-scored; the oracle's WHERE amax > 0 is
+    # mirrored here (none exist in the driver tables, but keep the contract)
+    deq = deq.where(F.exists("embedding", lambda x: x != 0.0))
+    qs = deq.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(deq, qs, k=5)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+        _vr(F.col("cosine")).alias("cosine_r"),
+    )
 
 
 @register(

@@ -220,3 +220,25 @@ def fingerprint_docs(docs: DataFrame, k: int = 5, num_mins: int = 4,
         fp.alias("fingerprint"),
         F.size(F.array_distinct(gram_hashes)).alias("distinct_grams"),
     )
+
+
+def vocab_topk(docs: DataFrame, k: int = 50, content_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus-global top-k vocabulary: (token, term frequency, document
+    frequency), ties broken by token for determinism.
+
+    The 100 TB shape is classic wordcount: explode -> groupBy(token) runs
+    with map-side partial aggregation, so the shuffle carries one row per
+    distinct token per input partition, not one per token occurrence;
+    document frequency rides the same aggregate as count_distinct (planned
+    as a two-phase expand, still partial-combined). The final top-k is
+    TakeOrderedAndProject — no global sort of the vocabulary."""
+    words = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(_words(F.col(content_col))).alias("token"),
+    ).where(F.col("token") != "")
+    counts = words.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("__did").alias("df"),
+    )
+    return counts.orderBy(F.desc("tf"), F.asc("token")).limit(k)

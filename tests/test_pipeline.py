@@ -457,3 +457,39 @@ def test_sample_frames_raw(spark):
     assert sample_frames(media, 1000).count() == 1
     with pytest.raises(NotImplementedError):
         sample_frames(media, 120, codec="real")
+
+
+def test_vocab_topk(spark):
+    from opentsdb_spark.pipeline.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana  cherry"), (2, "apple")],
+        "doc_id long, text string",
+    )
+    out = vocab_topk(df, k=2).collect()
+    # apple tf=3 df=2; banana tf=2 df=2; double space must not create '' token
+    assert [(r["token"], r["tf"], r["df"]) for r in out] == [
+        ("apple", 3, 2), ("banana", 2, 2)
+    ]
+    # deterministic tie-break: alphabetical among equal tf
+    tie = vocab_topk(spark.createDataFrame([(0, "b a")], "doc_id long, text string"), k=1)
+    assert tie.collect()[0]["token"] == "a"
+
+
+def test_quantize_embeddings(spark):
+    from opentsdb_spark.pipeline.similarity import dequantized_view, quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # scale = 1.0/127; codes = round-half-up(v/scale): [127, -63, 32]
+    # (-0.5/scale = -63.5 -> floor(-63.0) = -63: floor(x+0.5) half-up, not away-from-zero)
+    assert out[0]["q"] == [127, -63, 32]
+    assert out[0]["scale"] == pytest.approx(1.0 / 127)
+    # zero vector: scale 0, all-zero codes, no division blowup
+    assert out[1]["scale"] == 0.0 and out[1]["q"] == [0, 0, 0]
+    # dequantized view reconstructs within one quantization step
+    deq = {r["vec_id"]: r["embedding"] for r in dequantized_view(quantize_embeddings(df)).collect()}
+    assert deq[0] == pytest.approx([1.0, -0.5, 0.25], abs=1.0 / 254 + 1e-12)
