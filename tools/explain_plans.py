@@ -141,6 +141,52 @@ def main() -> None:
             if n > 0:
                 errors.append(f"{name}: {n} shuffles in a narrow-map operator")
 
+        # top-k must be TakeOrderedAndProject (bounded per-partition heaps),
+        # never a global Sort of the vocabulary
+        from opentsdb_spark.pipeline.text import vocab_topk
+
+        vplan = _plan_str(vocab_topk(raw_docs))
+        print("check vocab_topk: TakeOrdered="
+              f"{'TakeOrderedAndProject' in vplan}")
+        if "TakeOrderedAndProject" not in vplan:
+            errors.append("vocab_topk: top-k not planned as TakeOrderedAndProject")
+
+        # column pruning: ops that touch only (doc_id, text) must not drag
+        # the documents table's lang/source/n_chars columns through the scan
+        from opentsdb_spark.pipeline.multimodal import (
+            byte_stats, docs_as_raw_images, resize_images,
+        )
+
+        rplan = _plan_str(
+            byte_stats(resize_images(docs_as_raw_images(raw_docs, 24, 16), 8, 6))
+        )
+        pruned = not re.search(r"ReadSchema:.*source", rplan)
+        rtree = rplan.split("\n\n")[0]
+        rshuf = rtree.count("Exchange") - rtree.count("BroadcastExchange")
+        print(f"check resize_byte_stats: pruned={pruned} shuffles={rshuf}")
+        if not pruned:
+            errors.append("resize pipeline: unused documents columns reach the scan")
+        if rshuf > 0:
+            errors.append(f"resize pipeline: {rshuf} shuffles in a narrow-map chain")
+
+        # quantized ANN must broadcast the query side (no shuffle of the
+        # corpus for a handful of query vectors)
+        from pyspark.sql import functions as F2
+
+        from opentsdb_spark.pipeline.similarity import (
+            brute_force_topk, dequantized_view, quantize_embeddings,
+        )
+
+        deq = dequantized_view(quantize_embeddings(raw_emb))
+        qs = deq.where(F2.col("vec_id") < 3).select(
+            F2.col("vec_id").alias("query_id"), "embedding"
+        )
+        qplan = _plan_str(brute_force_topk(deq, qs, k=5))
+        has_bc = "BroadcastExchange" in qplan or "BroadcastNestedLoopJoin" in qplan
+        print(f"check ann_quantized: broadcast={has_bc}")
+        if not has_bc:
+            errors.append("quantized ANN: query side not broadcast")
+
     if check:
         errors.extend(_check_pushdown(spark))
         if errors:
