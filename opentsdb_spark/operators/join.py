@@ -300,7 +300,14 @@ class _ExprParser:
                     raise ValueError("expected ) after args")
                 return f"{t}({', '.join(args)})"
             return t
-        return t  # number
+        if "." in t or "e" in t or "E" in t:
+            # float-looking literal: JEXL arithmetic is double arithmetic,
+            # but Spark SQL parses `1.0` as DECIMAL(2,1) and decimal/decimal
+            # division truncates to the result scale (1.0 / -3.5 ->
+            # -0.285714). CAST keeps the whole expression in doubles; bare
+            # int literals stay as-is (int `/` already yields double).
+            return f"CAST({t} AS DOUBLE)"
+        return t  # integer literal
 
 
 def rewrite_ieee_arithmetic(expr: str) -> str:
