@@ -13,6 +13,7 @@ stays partition-parallel and the tiny query set broadcasts.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -167,12 +168,70 @@ def with_hyperplane_buckets(
 ) -> DataFrame:
     """df + exploded ``out`` = (table, bucket) struct per LSH table.
 
-    The planes arrive as DATA — a single-row broadcast frame crossJoined in
-    (BroadcastNestedLoopJoin, no shuffle, partitioning preserved) — so the
-    plan carries one column reference where the literal form carries
-    tables*bits*dim constant nodes; analyzer+Janino time drops from seconds
-    to milliseconds and the values are bit-identical (createDataFrame keeps
-    exact Python float bits)."""
+    The bucket fold runs in an Arrow-batched pandas_udf: the higher-order-
+    function form (with_hyperplane_buckets_expr) is CodegenFallback, so its
+    tables*bits*dim lambda ops ran INTERPRETED — ~100ns per multiply on the
+    whole-corpus hot path (measured 3.9s for 5k x 10x6x64 at sf0.1; the
+    numpy path is ~50ms). Bit-compatibility is load-bearing: products are
+    independent IEEE ops and the accumulation loops dim-sequentially below,
+    reproducing the fold's left-sum order exactly, so buckets are
+    bit-identical to the expression form and the DuckDB oracles. Planes
+    ride the pickled UDF closure (data, not plan nodes)."""
+    import numpy as np
+
+    planes = np.array(
+        [[_plane_coeffs(t, j, dim, seed) for j in range(bits)] for t in range(tables)],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        buckets = np.zeros((n, tables), dtype=np.int64)
+        for t in range(tables):
+            for j in range(bits):
+                c = planes[t, j]
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(V.shape[1]):
+                    # dim-sequential: acc_d = acc_{d-1} + (v_d * c_d), the
+                    # exact op sequence of aggregate(zip_with(v,c,*), 0, +)
+                    acc = acc + V[:, d] * c[d]
+                buckets[:, t] = buckets[:, t] * 2 + (acc >= 0.0)
+        return pd.Series(list(buckets))
+
+    return (
+        df.withColumn("__b", _buckets(F.col(vec_col)))
+        .select("*", F.posexplode("__b").alias("__t", "__bk"))
+        .withColumn(
+            out,
+            F.struct(
+                F.col("__t").cast("int").alias("table"),
+                F.col("__bk").alias("bucket"),
+            ),
+        )
+        .drop("__b", "__t", "__bk")
+    )
+
+
+def with_hyperplane_buckets_expr(
+    df: DataFrame,
+    vec_col: str,
+    tables: int,
+    bits: int,
+    dim: int,
+    seed: int = 42,
+    out: str = "tb",
+) -> DataFrame:
+    """Pure-column-expression variant (planes as a broadcast single-row
+    frame, BroadcastNestedLoopJoin, no Python workers). Kept as the
+    reference implementation the pandas path must match bit-for-bit, and
+    for environments where Python workers are unavailable; interpreted
+    higher-order functions make it ~50x slower on the corpus hot path."""
     planes = [[_plane_coeffs(t, j, dim, seed) for j in range(bits)] for t in range(tables)]
     pdf = df.sparkSession.createDataFrame(
         [(planes,)], "__planes array<array<array<double>>>"
