@@ -6,9 +6,14 @@
                      dedup.embedding_dup_pairs) then exact re-rank — the
                      scale path: each query only scores its bucket
 
-All dot products / norms are JVM-side higher-order array expressions
-(F.zip_with + F.aggregate) — no Python in the loop. At 100 TB the scan side
-stays partition-parallel and the tiny query set broadcasts.
+Vector math (bucket folds, cosine scoring, cell assignment) runs in
+Arrow-batched pandas_udfs with dim-sequential accumulation: Spark's
+higher-order array expressions are CodegenFallback (interpreted, ~100ns per
+lambda op on whole-corpus paths) while the numpy loops replay the identical
+IEEE op order — bit-identical results at vectorized speed. The expression
+forms are kept (_dot/_norm/with_hyperplane_buckets_expr) as the reference
+semantics the pandas paths must match. At 100 TB the scan side stays
+partition-parallel and the tiny query set broadcasts.
 """
 
 from __future__ import annotations
@@ -30,6 +35,35 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _cosine_pairs_udf():
+    """Arrow-batched cosine over (query_vec, corpus_vec) row pairs. The
+    expression form (_dot/_norm) is CodegenFallback — interpreted lambda ops
+    per element on the scoring hot path. This loops dim-sequentially so
+    every product/sum/sqrt/divide replays the fold's IEEE op order: values
+    are bit-identical to the expression form and the DuckDB oracles."""
+
+    @F.pandas_udf("double")
+    def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(qv)
+        if n == 0:
+            return pd.Series([], dtype=float)
+        Q = np.asarray([np.asarray(v, np.float64) for v in qv], dtype=np.float64)
+        C = np.asarray([np.asarray(v, np.float64) for v in cv], dtype=np.float64)
+        dot = np.zeros(n)
+        qn = np.zeros(n)
+        cn = np.zeros(n)
+        for d in range(Q.shape[1]):
+            dot = dot + Q[:, d] * C[:, d]
+            qn = qn + Q[:, d] * Q[:, d]
+            cn = cn + C[:, d] * C[:, d]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dot / (np.sqrt(qn) * np.sqrt(cn)))
+
+    return cos
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -41,15 +75,14 @@ def brute_force_topk(
     """Exact cosine top-k of each query vector against the corpus.
 
     queries: (query_id, embedding). Self-matches (same id) are kept; filter
-    upstream if undesired. Returns (query_id, vec_id, cosine, rank)."""
-    corpus = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cn", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv")))
+    upstream if undesired. Returns (query_id, vec_id, cosine, rank).
+    Scoring is the vectorized pandas cosine (see _cosine_pairs_udf); the
+    query set broadcasts so the corpus never shuffles before the per-query
+    top-k window."""
+    corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
     scored = corpus.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        "cosine", _cosine_pairs_udf()(F.col("qv"), F.col("cv"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -266,33 +299,25 @@ def lsh_topk(
     brute_force_topk on the driver fixture. At corpus scale the corpus side
     explodes ``tables`` rows per vector (8B bucket keys); the query side
     stays broadcast."""
-    corpus = (
-        with_hyperplane_buckets(
-            embeddings.select(F.col(id_col), F.col(vec_col)),
-            vec_col, tables, bits, dim, seed,
-        )
-        .select(id_col, _as_double(F.col(vec_col)).alias("cv"), "tb.table", "tb.bucket")
-        .withColumn("cn", _norm(F.col("cv")))
-    )
-    q = (
-        with_hyperplane_buckets(
-            queries.select(F.col(query_id_col), F.col(vec_col)),
-            vec_col, tables, bits, dim, seed,
-        )
-        .select(query_id_col, _as_double(F.col(vec_col)).alias("qv"), "tb.table", "tb.bucket")
-        .withColumn("qn", _norm(F.col("qv")))
-    )
+    corpus = with_hyperplane_buckets(
+        embeddings.select(F.col(id_col), F.col(vec_col)),
+        vec_col, tables, bits, dim, seed,
+    ).select(id_col, _as_double(F.col(vec_col)).alias("cv"), "tb.table", "tb.bucket")
+    q = with_hyperplane_buckets(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        vec_col, tables, bits, dim, seed,
+    ).select(query_id_col, _as_double(F.col(vec_col)).alias("qv"), "tb.table", "tb.bucket")
     # candidate = collision in any table; dedup (query, id) before scoring so
     # multi-table collisions are scored once
     cands = (
         corpus.join(F.broadcast(q.select(query_id_col, "table", "bucket")),
                     on=["table", "bucket"])
-        .select(query_id_col, id_col, "cv", "cn")
+        .select(query_id_col, id_col, "cv")
         .dropDuplicates([query_id_col, id_col])
     )
-    qv = q.select(query_id_col, "qv", "qn").dropDuplicates([query_id_col])
+    qv = q.select(query_id_col, "qv").dropDuplicates([query_id_col])
     scored = cands.join(F.broadcast(qv), on=query_id_col).withColumn(
-        "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        "cosine", _cosine_pairs_udf()(F.col("qv"), F.col("cv"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -348,39 +373,72 @@ def ivf_topk(
                 members = sample[assign == c]
                 if len(members):
                     cent[c] = members.mean(0)
-    spark = embeddings.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(cent)],
-            "cell int, cvec array<double>",
-        )
-    )
+    cent_arr = [[float(x) for x in c] for c in cent]
 
-    def _cos_to_cell(vcol):
-        return _dot(vcol, F.col("cvec")) / (_norm(vcol) * _norm(F.col("cvec")))
+    def _cell_cosines_udf():
+        """Cosine of each vector to every centroid, dim-sequential like the
+        expression fold — one Arrow batch computes the corpus x cells block
+        that previously ran as interpreted lambdas through a join+groupBy."""
+
+        @F.pandas_udf("array<double>")
+        def cellcos(vs: pd.Series) -> pd.Series:
+            import numpy as np
+
+            n = len(vs)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            V = np.asarray([np.asarray(v, np.float64) for v in vs], dtype=np.float64)
+            Cm = np.asarray(cent_arr, dtype=np.float64)
+            dots = np.zeros((n, Cm.shape[0]))
+            vn = np.zeros(n)
+            cn = np.zeros(Cm.shape[0])
+            for d in range(V.shape[1]):
+                vn = vn + V[:, d] * V[:, d]
+                cn = cn + Cm[:, d] * Cm[:, d]
+                dots = dots + V[:, d][:, None] * Cm[None, :, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (np.sqrt(vn)[:, None] * np.sqrt(cn)[None, :])
+            return pd.Series(list(cos))
+
+        return cellcos
 
     corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    # argmax cell straight off the scan — a narrow map stage (the previous
+    # corpus x centroids join + groupBy(id) shuffled the whole corpus);
+    # array_position takes the FIRST max, so ties resolve to the lowest cell
     assigned = (
-        corpus.join(cdf)
-        .groupBy(id_col)
-        .agg(F.max_by("cell", _cos_to_cell(F.col("cv"))).alias("cell"),
-             F.first("cv").alias("cv"))
-        .withColumn("cn", _norm(F.col("cv")))
+        corpus.withColumn("__cc", _cell_cosines_udf()(F.col("cv")))
+        .withColumn(
+            "cell",
+            (F.array_position("__cc", F.array_max("__cc")) - 1).cast("int"),
+        )
+        .drop("__cc")
     )
     q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("qcos"))
     probes = (
-        q.join(cdf)
-        .withColumn("qcos", _cos_to_cell(F.col("qv")))
-        .withColumn("pr", F.row_number().over(wq))
-        .where(F.col("pr") <= n_probe)
-        .select(query_id_col, "cell")
+        q.withColumn("__qc", _cell_cosines_udf()(F.col("qv")))
+        .select(
+            query_id_col,
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                F.col("__qc"),
+                                lambda c, i: F.struct((-c).alias("nc"), i.alias("cell")),
+                            )
+                        ),
+                        lambda s: s["cell"],
+                    ),
+                    1, n_probe,
+                )
+            ).alias("cell"),
+        )
     )
-    qv = q.withColumn("qn", _norm(F.col("qv")))
     scored = (
         assigned.join(F.broadcast(probes), on="cell")
-        .join(F.broadcast(qv), on=query_id_col)
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .join(F.broadcast(q), on=query_id_col)
+        .withColumn("cosine", _cosine_pairs_udf()(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
