@@ -390,11 +390,10 @@ def embedding_dup_pairs(
     Shape: corpus explodes ``tables`` (table, bucket) rows per vector (8B
     keys), candidates dedup on bare id pairs, vectors re-join only for the
     surviving pairs — the heavy arrays never ride the candidate shuffle."""
-    from opentsdb_spark.pipeline.similarity import with_hyperplane_buckets
+    from opentsdb_spark.pipeline.similarity import _cosine_pairs_udf, with_hyperplane_buckets
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    vecs = embeddings.select(F.col(id_col), v.alias("v"), norm.alias("n"))
+    vecs = embeddings.select(F.col(id_col), v.alias("v"))
     banded = with_hyperplane_buckets(
         embeddings.select(F.col(id_col), F.col(vec_col)),
         vec_col, tables, bits, dim, seed,
@@ -407,12 +406,13 @@ def embedding_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     pairs = cands.join(va, on="id_a").join(vb, on="id_b")
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
+    # vectorized cosine (similarity._cosine_pairs_udf): dim-sequential numpy,
+    # bit-identical to the zip_with/aggregate fold it replaces
     return (
-        pairs.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        pairs.withColumn("cosine", _cosine_pairs_udf()(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
