@@ -35,7 +35,10 @@ HEADLINE = [
     "ann_bruteforce_top5",
     "ann_lsh_top5",
     "text_quality",
+    "text_vocab_top50",
     "multimodal_features",
+    "multimodal_resize",
+    "ann_quantized_top5",
     "ingest_put_roundtrip",
 ]
 

@@ -1667,10 +1667,16 @@ def ann_quantized_top5(spark, sf_dir):
     compression layer composes with the existing ANN paths instead of
     growing its own scorer. Ranking quality vs the float index is visible
     by diffing with ann_bruteforce_top5."""
+    from opentsdb_spark.pipeline.dedup import _persist_small
+
     deq = dequantized_view(quantize_embeddings(_emb(spark, sf_dir)))
     # zero vectors cannot be cosine-scored; the oracle's WHERE amax > 0 is
     # mirrored here (none exist in the driver tables, but keep the contract)
     deq = deq.where(F.exists("embedding", lambda x: x != 0.0))
+    # corpus AND query sides derive from this frame — persist the quantized
+    # index once instead of re-quantizing the corpus per reference (the same
+    # two-scans trap _persist_small documents for the dedup signatures)
+    deq = _persist_small(deq, True)
     qs = deq.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

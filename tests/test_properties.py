@@ -253,3 +253,31 @@ def test_interpolation_strategies_agree_property(spark, pts):
         for (ta, va), (tb, vb) in zip(ra, rb):
             assert ta == tb
             assert va == pytest.approx(vb, rel=1e-9, abs=1e-9), agg
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(1, 100_000),
+       unit=st.sampled_from(["ms", "s", "m", "h", "d", "w", "n", "y"]))
+def test_time_parse_laws(n, unit):
+    """Duration/relative/epoch parsing laws against DateTime.java semantics:
+    '<N><unit>-ago' is exactly now - parse_duration_ms('<N><unit>'); epoch
+    magnitude detection (>=1e12 -> ms else seconds) round-trips; durations
+    scale linearly in N."""
+    from opentsdb_spark.timeparse import parse_datetime_ms, parse_duration_ms
+
+    unit_ms = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000,
+               "w": 7 * 86_400_000, "n": 30 * 86_400_000, "y": 365 * 86_400_000}
+    dur = parse_duration_ms(f"{n}{unit}")
+    assert dur == n * unit_ms[unit]
+    now = 1_700_000_000_000
+    assert parse_datetime_ms(f"{n}{unit}-ago", now_ms=now) == now - dur
+    # epoch magnitude detection round-trip
+    sec = 1_600_000_000 + (n % 1000)
+    assert parse_datetime_ms(sec, now_ms=now) == sec * 1000
+    assert parse_datetime_ms(sec * 1000, now_ms=now) == sec * 1000
+    # whitespace tolerated, garbage rejected
+    assert parse_duration_ms(f"  {n}{unit} ") == dur
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_duration_ms(f"{n}{unit}x")
