@@ -33,17 +33,32 @@ def _words(col):
 
 
 def _marker_count(words, markers: tuple[str, ...]):
+    # kept for reference/tests: higher-order filter over the split tokens —
+    # CodegenFallback, so every token runs an interpreted lambda. Prefer
+    # _marker_count_re on corpus paths.
     marker_arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+
+
+def _marker_count_re(text_col, markers: tuple[str, ...]):
+    """Token-equality marker count as ONE codegen regexp_count over the raw
+    lowered text: a whitespace-delimited token equals a marker iff the
+    marker is preceded by start/whitespace and followed (lookahead, not
+    consumed, so adjacent hits both count) by whitespace/end. Identical
+    counts to filtering the \\s+ split — without per-token interpreted
+    lambdas on the corpus hot path."""
+    import re as _re
+
+    pat = r"(?:^|\s)(?:" + "|".join(_re.escape(m) for m in markers) + r")(?=\s|$)"
+    return F.regexp_count(F.lower(text_col), F.lit(pat))
 
 
 def detect_language(docs: DataFrame, content_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Per-language marker scores + argmax prediction (ties -> first
     language in alphabetical order, deterministic)."""
-    words = _words(F.col(content_col))
     cols = [
-        _marker_count(words, LANG_MARKERS[lang]).alias(f"score_{lang}")
+        _marker_count_re(F.col(content_col), LANG_MARKERS[lang]).alias(f"score_{lang}")
         for lang in sorted(LANG_MARKERS)
     ]
     scored = docs.select(id_col, *cols)
@@ -62,8 +77,7 @@ def quality_scores(docs: DataFrame, content_col: str = "text",
     text = F.col(content_col)
     words = _words(text)
     n_words = F.size(words)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_stop = _marker_count_re(text, STOPWORDS)
     n_distinct = F.size(F.array_distinct(words))
     return docs.select(
         id_col,
