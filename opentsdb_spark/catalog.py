@@ -1874,10 +1874,29 @@ def _bucket_sql(v: str, table: int, bits: int, dim: int = 64, seed: int = 42) ->
     return "(" + " + ".join(terms) + ")"
 
 
-def _embedding_cosine_oracle(threshold: float, tables: int, bits: int) -> str:
+_RAW_VEC_CTE = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+# int8-dequantized vectors as a CTE producing the same (vec_id, v) shape —
+# every elementwise step (abs/max/divide/floor/clamp/multiply) is a single
+# exact IEEE op, so these doubles match pipeline.similarity's
+# quantize->dequantize bit-for-bit
+_DEQUANT_VEC_CTE = """raw AS (SELECT vec_id, embedding::DOUBLE[] AS rv FROM embeddings),
+        sc AS (SELECT vec_id, rv,
+                      list_max(list_transform(rv, x -> abs(x))) AS amax FROM raw),
+        e AS (SELECT vec_id,
+                     list_transform(rv,
+                       x -> CAST(least(127, greatest(-127,
+                              CAST(floor(x / (amax / 127.0) + 0.5) AS INT))) AS DOUBLE)
+                            * (amax / 127.0)) AS v
+              FROM sc WHERE amax > 0)"""
+
+
+def _embedding_cosine_oracle(
+    threshold: float, tables: int, bits: int, source_cte: str = _RAW_VEC_CTE
+) -> str:
     buckets = ",\n".join(f"{_bucket_sql('v', t, bits)} AS b{t}" for t in range(tables))
     any_collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(tables))
-    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""WITH {source_cte},
         b AS (SELECT vec_id, v, {_vecnorm_sql('v')} AS n, {buckets} FROM e),
         cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                         {_vecdot_sql('a.v', 'b.v')} / (a.n * b.n) AS cosine
@@ -1890,6 +1909,22 @@ def _embedding_cosine_oracle(threshold: float, tables: int, bits: int) -> str:
 def dedup_embedding_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = embedding_dup_pairs(emb, threshold=0.3, tables=8, bits=8)
+    return out.select("id_a", "id_b", _vr(F.col("cosine")).alias("cosine_r"))
+
+
+@register(
+    "dedup_embedding_quantized",
+    _embedding_cosine_oracle(0.3, tables=8, bits=8, source_cte=_DEQUANT_VEC_CTE),
+)
+def dedup_embedding_quantized(spark, sf_dir):
+    """Near-dup pairs over the int8-quantized index — the 100 TB shape:
+    quantize once (4x smaller index), LSH-bucket and re-rank on dequantized
+    vectors. Hash-checked end to end: the oracle requantizes in SQL with the
+    same exact IEEE steps, so buckets, candidate sets, and cosines must all
+    reproduce."""
+    deq = dequantized_view(quantize_embeddings(_emb(spark, sf_dir)))
+    deq = deq.where(F.exists("embedding", lambda x: x != 0.0))
+    out = embedding_dup_pairs(deq, threshold=0.3, tables=8, bits=8)
     return out.select("id_a", "id_b", _vr(F.col("cosine")).alias("cosine_r"))
 
 
