@@ -1064,25 +1064,30 @@ def tsdb_agg_dev_aligned_1h(spark, sf_dir):
 # ------- _substitute_missing (operators/groupby.py).
 
 
-def _interp_sql(metric: str, fill_expr: str) -> str:
+def _interp_sql(metric: str, fill_expr: str, by_user: bool = True) -> str:
     """Grid + neighbor-window oracle for cross_series_aggregate(sum-like).
 
     fill_expr references pv/pt/nv/nt/tm (prev/next value & ms-time, own ms-
-    time); applied only when the slot is interior (pv AND nv non-null)."""
+    time); applied only when the slot is interior (pv AND nv non-null).
+    by_user=False collapses ALL series of the metric into one group (the
+    no-group-by m=agg:metric form)."""
+    ucol = f"{U} AS user," if by_user else ""
+    usel = "user," if by_user else ""
+    ujoin = "AND g.user = s.user" if by_user else ""
     return f"""
         WITH p AS (
-          SELECT event_type AS metric, {U} AS user, {SID} AS sid,
+          SELECT event_type AS metric, {ucol} {SID} AS sid,
                  epoch_us(ts) AS tu, CAST(epoch_ms(ts) AS DOUBLE) AS tm, value AS v
           FROM events WHERE event_type = '{metric}'
         ),
         grid AS (
-          SELECT g.metric, g.user, s.sid, g.tu, g.tm
-          FROM (SELECT DISTINCT metric, user, tu, tm FROM p) g
-          JOIN (SELECT DISTINCT metric, user, sid FROM p) s
-            ON g.metric = s.metric AND g.user = s.user
+          SELECT g.metric, {'g.user,' if by_user else ''} s.sid, g.tu, g.tm
+          FROM (SELECT DISTINCT metric, {usel} tu, tm FROM p) g
+          JOIN (SELECT DISTINCT metric, {usel} sid FROM p) s
+            ON g.metric = s.metric {ujoin}
         ),
         w AS (
-          SELECT grid.metric, grid.user, grid.tu, grid.tm, p.v,
+          SELECT grid.metric, {'grid.user,' if by_user else ''} grid.tu, grid.tm, p.v,
             last_value(p.v IGNORE NULLS) OVER wp AS pv,
             last_value(CASE WHEN p.v IS NOT NULL THEN grid.tm END IGNORE NULLS)
                 OVER wp AS pt,
@@ -1095,11 +1100,11 @@ def _interp_sql(metric: str, fill_expr: str) -> str:
                  wn AS (PARTITION BY grid.sid ORDER BY grid.tu
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
-        SELECT metric, user, CAST(tu // 1000 AS BIGINT) AS ts_ms,
+        SELECT metric, {usel} CAST(tu // 1000 AS BIGINT) AS ts_ms,
                {RND.format(f'''sum(CASE WHEN v IS NOT NULL THEN v
                      WHEN pv IS NOT NULL AND nv IS NOT NULL THEN {fill_expr}
                 END)''')} AS value_r
-        FROM w GROUP BY metric, user, tu"""
+        FROM w GROUP BY metric, {usel} tu"""
 
 
 @register(
@@ -1117,6 +1122,25 @@ def tsdb_agg_pfsum(spark, sf_dir):
     df = _pts(spark, sf_dir).where(F.col("metric") == "click")
     out = cross_series_aggregate(df, "pfsum", ("user",))
     return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
+
+
+@register(
+    "tsdb_agg_sum_raw_full",
+    _interp_sql("signup", "pv + (tm - pt) * (nv - pv) / (nt - pt)", by_user=False),
+)
+def tsdb_agg_sum_raw_full(spark, sf_dir):
+    """m=sum:signup with NO downsample: every series of the metric LERP-
+    aligned onto the union grid at raw resolution and summed. Goes through
+    compile_query, which must route this to the grid-join strategy — the
+    pack strategy would materialize the whole metric as single array rows
+    (see plans/planner.py strategy routing; the reference streams this via
+    its k-way merge, src/core/AggregationIterator.java:39-43)."""
+    tsq = TSQuery(
+        start=START_SEC, end=END_SEC,
+        queries=(SubQuery(metric="signup", aggregator="sum"),),
+    )
+    [r] = compile_query(_pts(spark, sf_dir), tsq)
+    return r.df.select("metric", _ts_ms(), _vr(F.col("value")))
 
 
 # ===================================== rollups / histograms / annotations ===

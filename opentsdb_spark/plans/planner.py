@@ -200,8 +200,19 @@ def compile_subquery(
         )
         return CompiledSubQuery(out, group_tagks, q.aggregator, source_df)
 
+    # Strategy routing: a downsampled-but-unfilled frame has at most
+    # range/interval timestamps per group, so packing the group into array
+    # rows is bounded and cheapest (one scan, two shuffles). RAW resolution
+    # (no downsample) has unbounded timestamps per group — packing would
+    # materialize whole groups as single rows (the one scale-killer at
+    # 100 TB); route to the streaming-friendly grid-join formulation, which
+    # never holds a group in memory (the Spark analog of the reference's
+    # k-way merge iterator that streams spans without materializing the
+    # group, src/core/AggregationIterator.java:39-43).
+    strategy = "pack" if q.downsample is not None else "join"
     out = cross_series_aggregate(
-        df, q.aggregator, group_tagks, aligned=aligned, rate_mode=rate_mode
+        df, q.aggregator, group_tagks, aligned=aligned, rate_mode=rate_mode,
+        strategy=strategy,
     )
     return CompiledSubQuery(out, group_tagks, q.aggregator, source_df)
 

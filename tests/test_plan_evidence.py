@@ -134,6 +134,37 @@ def test_bucketed_layout_zero_shuffle_per_series_agg(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS pts_bucketed_test")
 
 
+def test_raw_resolution_agg_never_packs_groups(spark):
+    """A cross-series aggregation with NO downsample runs at raw resolution:
+    timestamps per group are unbounded, so the planner must route it to the
+    grid-join strategy — the pack strategy's collect_list would materialize
+    a whole group as one array row (the reference streams this via a k-way
+    merge that never holds a group, AggregationIterator.java:39-43).
+    Downsampled-but-unfilled queries stay on pack (grid bounded by
+    range/interval)."""
+    pts = _mk_days(spark, days=2)
+    start_ms, end_ms = EPOCH * 1000, (EPOCH + 2 * 86400) * 1000
+
+    raw = compile_subquery(
+        pts, SubQuery(metric="sys.cpu.user", aggregator="sum"), start_ms, end_ms
+    )
+    assert "collect_list" not in _plan(raw.df), "raw-resolution agg took the pack path"
+    # and it still computes: 2 days x 48 slots, 3 hosts summed per slot
+    assert raw.df.count() == 96
+
+    from opentsdb_spark.model import DownsampleSpec
+
+    ds = compile_subquery(
+        pts,
+        SubQuery(
+            metric="sys.cpu.user", aggregator="sum",
+            downsample=DownsampleSpec(3_600_000, "avg", fill="none"),
+        ),
+        start_ms, end_ms,
+    )
+    assert "collect_list" in _plan(ds.df), "bounded downsampled agg should pack"
+
+
 def test_topk_no_global_single_partition_window(spark):
     """highestMax must compile to TakeOrderedAndProject (distributed top-n),
     never an unpartitioned Window (single-partition sort)."""
