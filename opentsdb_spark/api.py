@@ -101,13 +101,17 @@ def handle_query(
     annotations: DataFrame | None = None,
     rollup_cfg=None,
     agg_tag: bool = False,
+    with_subquery_index: bool = False,
 ) -> list[dict[str, Any]]:
     """GET (params with m=) or POST (queries body) /api/query.
 
     ``histograms`` is the histogram frame (HISTOGRAM_SCHEMA) consulted when
     a sub-query carries percentiles / show-histogram-buckets;
     ``annotations`` is the annotation frame merged onto the output unless
-    no_annotations is set (reference HttpJsonSerializer.java:778-811)."""
+    no_annotations is set (reference HttpJsonSerializer.java:778-811).
+    ``with_subquery_index`` stamps each series dict with the internal
+    ``__subquery_index`` key (which m= sub-query produced it) for callers
+    that need per-subquery grouping (handle_graph's etags)."""
     import time
 
     t0 = time.monotonic()
@@ -148,7 +152,7 @@ def handle_query(
         if globals_list is not None:
             globals_list.sort(key=lambda n: n["startTime"])
     sub_stats: list[dict[str, Any]] = []
-    for q, res in zip(tsq.queries, compiled):
+    for sq_idx, (q, res) in enumerate(zip(tsq.queries, compiled)):
         echo = subquery_echo(q) if tsq.show_query else None
         ts0 = time.monotonic()
         series = serialize_subquery(
@@ -171,6 +175,9 @@ def handle_query(
         if tsq.show_stats:
             for s in series:
                 s["stats"] = st
+        if with_subquery_index:
+            for s in series:
+                s["__subquery_index"] = sq_idx
         sub_stats.append(st)
         out.extend(series)
     if request.get("arrays"):
@@ -219,8 +226,15 @@ def handle_graph(
     t0 = time.monotonic()
     mode = [k for k in ("ascii", "json", "png") if k in request]
     if not mode:
-        qs = "&".join(
-            f"{k}={v}" for k, v in request.items() if not k.startswith("_")
+        # percent-encode: m= values carry '{', '}', '|', '*' and filter
+        # values may hold spaces/'&' — a raw join would produce an invalid
+        # or ambiguous fragment (the reference bounces the original ENCODED
+        # query string, GraphHandler.java:131-147)
+        from urllib.parse import quote, urlencode
+
+        qs = urlencode(
+            {k: v for k, v in request.items() if not k.startswith("_")},
+            quote_via=quote,
         )
         return {"redirect": f"/#{qs}"}
     if mode[0] == "png":
@@ -231,21 +245,23 @@ def handle_graph(
     series = handle_query(
         points, {k: v for k, v in request.items() if k not in ("ascii", "json")},
         histograms=histograms, annotations=annotations, rollup_cfg=rollup_cfg,
+        with_subquery_index=True,
     )
+    sq_of = {id(s): s.pop("__subquery_index", None) for s in series}
     npoints = sum(len(s["dps"]) for s in series if "dps" in s)
     if mode[0] == "ascii":
         return {"ascii": graph_ascii(series), "points": npoints}
     # ?json: metadata only — etags mirrors the per-subquery aggregated-tag
-    # sets (GraphHandler.java:259-262 collects getAggregatedTags per query)
-    etags: list[list[str]] = []
-    seen = set()
+    # sets (GraphHandler.java:259-262 collects getAggregatedTags per query):
+    # one entry per sub-query, grouped by the explicit sub-query index
+    by_sq: dict[int, list[str]] = {}
     for s in series:
         if "metric" not in s:
             continue
-        key = id(s.get("aggregateTags"))
-        if key not in seen:
-            seen.add(key)
-            etags.append(sorted(s.get("aggregateTags") or []))
+        i = sq_of[id(s)]
+        if i is not None and i not in by_sq:
+            by_sq[i] = sorted(s.get("aggregateTags") or [])
+    etags = [by_sq[i] for i in sorted(by_sq)]
     return {
         "plotted": npoints,
         "points": npoints,

@@ -244,16 +244,26 @@ class FrameIndexSearchPlugin(SearchPlugin):
 
     def __init__(self) -> None:
         self.indexes: dict[str, DataFrame] = {}
-        self.stats = {"indexed_added": 0, "deletes": 0}
+        self.stats = {"index_calls": 0, "delete_calls": 0}
 
     def _merge(self, doc_type: str, frame: DataFrame) -> None:
         keys = list(self._KEYS[doc_type])
         cur = self.indexes.get(doc_type)
         if cur is not None:
-            kept = cur.join(frame.select(*keys).distinct(), on=keys, how="left_anti")
+            # null-safe key equality: GLOBAL annotations carry tsuid=NULL
+            # (Annotation.java global notes), and a plain on=keys anti-join
+            # never matches NULL keys — re-indexing a global annotation
+            # would keep the stale row alongside the new one, breaking
+            # last-write-wins. eqNullSafe treats NULL as a joinable value.
+            incoming = frame.select(*keys).distinct()
+            cond = None
+            for k in keys:
+                c = cur[k].eqNullSafe(incoming[k])
+                cond = c if cond is None else (cond & c)
+            kept = cur.join(incoming, on=cond, how="left_anti")
             frame = kept.unionByName(frame, allowMissingColumns=True)
         self.indexes[doc_type] = frame
-        self.stats["indexed_added"] += 1
+        self.stats["index_calls"] += 1
 
     def index_tsmeta(self, frame: DataFrame) -> None:
         self._merge("tsmeta", frame)
@@ -269,14 +279,14 @@ class FrameIndexSearchPlugin(SearchPlugin):
             self.indexes["tsmeta"] = self.indexes["tsmeta"].where(
                 ~F.col("tsuid").isin(list(tsuids))
             )
-            self.stats["deletes"] += 1
+            self.stats["delete_calls"] += 1
 
     def delete_uidmeta(self, kind: str, name: str) -> None:
         if "uidmeta" in self.indexes:
             self.indexes["uidmeta"] = self.indexes["uidmeta"].where(
                 ~((F.col("kind") == kind) & (F.col("name") == name))
             )
-            self.stats["deletes"] += 1
+            self.stats["delete_calls"] += 1
 
     def delete_annotation(self, tsuid: str | None, start_ms: int) -> None:
         if "annotation" in self.indexes:
@@ -284,7 +294,7 @@ class FrameIndexSearchPlugin(SearchPlugin):
             self.indexes["annotation"] = self.indexes["annotation"].where(
                 ~(key & (F.unix_millis("start_time") == start_ms))
             )
-            self.stats["deletes"] += 1
+            self.stats["delete_calls"] += 1
 
     def collect_stats(self) -> dict:
         return dict(self.stats)

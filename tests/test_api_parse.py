@@ -473,6 +473,15 @@ def test_handle_graph(fixture_points):
     # no output param -> redirect to the built-in UI, like GraphHandler:135-146
     red = api.handle_graph(fixture_points, dict(req))
     assert red["redirect"].startswith("/#start=")
+    # m= values carry {}|* — the fragment must be percent-encoded and
+    # decode back to the original params (the reference bounces the
+    # original ENCODED query string)
+    frag = red["redirect"][2:]
+    assert "{" not in frag and "|" not in frag
+    from urllib.parse import parse_qs
+
+    decoded = {k: v[0] for k, v in parse_qs(frag).items()}
+    assert decoded["m"] == req["m"]
     # ascii mode: per-point lines for both grouped series
     out = api.handle_graph(fixture_points, {**req, "ascii": "true"})
     lines = out["ascii"].strip().split("\n")
@@ -484,6 +493,18 @@ def test_handle_graph(fixture_points):
     assert set(js) == {"plotted", "points", "etags", "timing"}
     assert js["plotted"] == js["points"] == out["points"]
     assert js["etags"] == [["dc"]]  # host grouped, dc aggregated away
+    # two sub-queries with IDENTICAL aggregated-tag sets still yield one
+    # etags entry EACH (grouped by sub-query index, not list identity —
+    # GraphHandler.java:259-262 collects getAggregatedTags per query)
+    two = api.handle_graph(fixture_points, {
+        "start": EPOCH, "end": EPOCH + 100_000, "json": "true",
+        "m": ["sum:sys.cpu.user{host=*}", "max:sys.cpu.user{host=*}"],
+    })
+    assert two["etags"] == [["dc"], ["dc"]]
+    # the internal grouping key never leaks into the series dicts
+    assert all("__subquery_index" not in s for s in api.handle_query(
+        fixture_points, {"start": EPOCH, "end": EPOCH + 100_000,
+                         "m": "sum:sys.cpu.user{host=*}"}))
     # png is gnuplot territory — explicitly out of scope
     with pytest.raises(NotImplementedError):
         api.handle_graph(fixture_points, {**req, "png": "true"})

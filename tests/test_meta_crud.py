@@ -464,7 +464,18 @@ def test_frame_index_search_plugin(spark, fixture_points):
         assert plugin.indexes["tsmeta"].count() == 1
         api.handle_tsmeta_edit(ts, "DELETE", {"tsuid": "abc"})
         assert plugin.indexes["tsmeta"].count() == 0
-        assert plugin.collect_stats()["deletes"] == 3
+        assert plugin.collect_stats()["delete_calls"] == 3
+        # GLOBAL annotation (tsuid NULL): re-index must still be last-write-
+        # wins — a plain anti-join on the keys never matches NULL tsuid and
+        # would keep the stale row alongside the new one
+        gbody = {"startTime": MS // 1000, "description": "global v1"}
+        _, g1 = api.handle_annotation_edit(empty_ann, "POST", gbody)
+        _, g2 = api.handle_annotation_edit(
+            g1, "POST", {**gbody, "description": "global v2"})
+        idx = plugin.indexes["annotation"].collect()
+        assert len(idx) == 1 and idx[0]["description"] == "global v2"
+        api.handle_annotation_edit(g2, "DELETE", gbody)
+        assert plugin.indexes["annotation"].count() == 0
         # types the plugin has no index for fall back to the built-in backend
         assert api.handle_search(fixture_points, {"type": "tsuids", "query": "web01"})[
             "totalResults"] > 0
