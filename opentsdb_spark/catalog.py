@@ -1125,6 +1125,37 @@ def tsdb_agg_pfsum(spark, sf_dir):
 
 
 @register(
+    "tsdb_agg_none_single",
+    f"""WITH p AS (
+          SELECT event_type AS metric, {SID} AS sid, {TS_MS} AS ts_ms, value
+          FROM events WHERE event_type = 'signup'
+        )
+        SELECT metric, sid AS series_id, ts_ms, {RND.format('value')} AS value_r
+        FROM p WHERE sid = (SELECT min(sid) FROM p)""",
+)
+def tsdb_agg_none_single(spark, sf_dir):
+    """agg=none under strict arity: the reference's None aggregator throws
+    the moment a second value reaches it (Aggregators.java:434-461); with
+    strict_none the planner rejects multi-series matches up front, and a
+    single-series match (here TSUID-direct on the smallest series id of the
+    metric) passes through raw."""
+    from opentsdb_spark.sources.points import series_id_col
+
+    pts = _pts(spark, sf_dir)
+    sid0 = (
+        pts.where(F.col("metric") == "signup")
+        .select(F.min(series_id_col("metric", "tags")).alias("s"))
+        .first()["s"]
+    )
+    tsq = TSQuery(
+        start=START_SEC, end=END_SEC,
+        queries=(SubQuery(metric="signup", aggregator="none", tsuids=(sid0,)),),
+    )
+    [r] = compile_query(pts, tsq, strict_none=True)
+    return r.df.select("metric", "series_id", _ts_ms(), _vr(F.col("value")))
+
+
+@register(
     "tsdb_agg_sum_raw_full",
     _interp_sql("signup", "pv + (tm - pt) * (nv - pv) / (nt - pt)", by_user=False),
 )

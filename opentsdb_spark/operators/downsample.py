@@ -118,6 +118,9 @@ def downsample(
     Output: same series columns + (ts=bucket start, value=aggregated), one
     row per non-empty bucket — or per grid bucket when fill != 'none'.
     """
+    if spec.aggregator == "none":
+        # reference TsdbQuery.java:664-667
+        raise ValueError("cannot use the NONE aggregator for downsampling")
     agg = get_aggregator(spec.aggregator)
     if spec.run_all or spec.interval_ms == 0:
         # single bucket over the whole range, stamped at query start

@@ -121,6 +121,7 @@ def compile_subquery(
     timezone: str = "UTC",
     rollup_cfg=None,
     agg_tag: bool = False,
+    strict_none: bool = False,
 ) -> CompiledSubQuery:
     """Compile one m= sub-query against a point frame.
 
@@ -129,7 +130,9 @@ def compile_subquery(
     (reference src/core/TsdbQuery.java:197-215, tableToBeScanned:1553-1571).
     agg_tag: True when the frame mixes raw and pre-aggregated points tagged
     with AGG_TAG_KEY — the scan is then routed to exactly one of the two
-    stores (the reference's temporal vs groupby tables)."""
+    stores (the reference's temporal vs groupby tables).
+    strict_none: reject agg=none queries whose filters match more than one
+    series (see the agg=none branch below for the reference semantics)."""
     df = points.where(time_range_predicate(points, start_ms, end_ms)).where(
         F.col("metric") == q.metric
     )
@@ -191,13 +194,28 @@ def compile_subquery(
     group_tagks = tuple(f.tagk for f in q.filters if f.group_by)
 
     if q.aggregator == "none":
-        # raw per-series passthrough (reference src/core/Aggregators.java:434-461)
+        # raw per-series passthrough: the reference routes agg=none around
+        # group-by entirely, emitting each span as its own group
+        # (TsdbQuery.java:1006-1027 "The raw aggregator skips group bys");
+        # its None aggregator only throws if >1 value ever reaches one
+        # aggregation slot (Aggregators.java:434-461 IllegalDataException),
+        # which that routing makes unreachable. strict_none adds an
+        # up-front guard for callers that want the typo-proof behavior:
+        # reject when the filters leave more than one series.
         out = df.select(
             "metric",
             series_id_col("metric", "tags").alias("series_id"),
             "ts",
             "value",
         )
+        if strict_none:
+            n = out.select("series_id").distinct().limit(2).count()
+            if n > 1:
+                raise ValueError(
+                    "More than one value in aggregator none: "
+                    f"{n}+ series match metric {q.metric!r}; narrow the "
+                    "filters or use a real aggregator"
+                )
         return CompiledSubQuery(out, group_tagks, q.aggregator, source_df)
 
     # Strategy routing: a downsampled-but-unfilled frame has at most
@@ -308,6 +326,7 @@ def compile_query(
     histograms: DataFrame | None = None,
     rollup_cfg=None,
     agg_tag: bool = False,
+    strict_none: bool = False,
 ) -> list[CompiledSubQuery]:
     """Compile all sub-queries of a TSQuery. Sub-queries requesting
     percentiles/buckets route to the histogram frame (reference
@@ -339,7 +358,7 @@ def compile_query(
             out.append(
                 compile_subquery(
                     points, q, start_ms, end_ms, tsq.timezone,
-                    rollup_cfg=rollup_cfg, agg_tag=agg_tag,
+                    rollup_cfg=rollup_cfg, agg_tag=agg_tag, strict_none=strict_none,
                 )
             )
     return out

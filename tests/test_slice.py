@@ -157,6 +157,34 @@ def test_planner_explicit_tags(fixture_points):
     assert res.df.count() == 0  # series have {host,dc}, not exactly {host}
 
 
+def test_strict_none_arity(fixture_points):
+    """strict_none rejects an agg=none query matching >1 series, mirroring
+    the reference None aggregator's more-than-one-value IllegalDataException
+    (Aggregators.java:434-461); a single-series match passes through raw,
+    and the default stays permissive (the reference's own query routing
+    emits each span separately, TsdbQuery.java:1006-1027)."""
+    multi = TSQuery(
+        start=EPOCH, end=EPOCH + 100000,
+        queries=(SubQuery(metric="sys.cpu.user", aggregator="none"),),
+    )
+    with pytest.raises(ValueError, match="More than one value in aggregator none"):
+        compile_query(fixture_points, multi, strict_none=True)
+    # permissive default: every series passes through, keyed by series_id
+    [res] = compile_query(fixture_points, multi)
+    assert res.df.select("series_id").distinct().count() == 2
+    single = TSQuery(
+        start=EPOCH, end=EPOCH + 100000,
+        queries=(SubQuery(metric="sys.cpu.user", aggregator="none",
+                          filters=(TagFilter("literal_or", "host", "web01"),)),),
+    )
+    [res] = compile_query(fixture_points, single, strict_none=True)
+    assert res.df.count() == 300
+    # downsampling with the NONE aggregator is rejected outright
+    # (TsdbQuery.java:664-667)
+    with pytest.raises(ValueError, match="NONE aggregator for downsampling"):
+        downsample(fixture_points, DownsampleSpec(600_000, "none"))
+
+
 def test_rate_mode_prev_interp(offset_points):
     # after rate, cross-series LERP degrades to PREV (AggregationIterator.java:744-752)
     out = cross_series_aggregate(offset_points, "sum", (), rate_mode=True)
