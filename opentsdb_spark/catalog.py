@@ -1790,20 +1790,103 @@ def multimodal_bytes(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes")
 
 
-# --------- rows-only pipeline entries (hash-based candidates: the engine's
-# --------- xxhash64 has no DuckDB equivalent; semantics pinned by unit tests)
+# --------- production xxhash64 pipelines, oracle-checked via the pure-SQL
+# --------- XXH64 replica (pipeline/xxh64_sql.py): DuckDB has no xxhash64
+# --------- builtin, so the oracle re-derives it — 64-bit wrapping arithmetic
+# --------- through HUGEINT, recursive CTEs for the stripe/tail loops —
+# --------- bit-exact against Spark's F.xxhash64 (tests/test_pipeline.py).
+
+from opentsdb_spark.pipeline.xxh64_sql import (  # noqa: E402
+    hash_long_ctes, xxh64_str_ctes,
+)
 
 
-@register("dedup_minhash_lsh", None)
+def _minhash_xxh_oracle(num_hashes: int, bands: int, shingle_n: int,
+                        threshold: float) -> str:
+    r = num_hashes // bands
+    n1 = shingle_n - 1
+    mins = ", ".join(
+        f"min(xor(h, ({minhash_xor_constant(i)})::BIGINT))" for i in range(num_hashes)
+    )
+    band_ids = ("doc_id", "b") + tuple(f"v{j}" for j in range(r))
+    fold, src = [], "bandsrc"
+    for j in range(r):
+        fold.append(hash_long_ctes(src, band_ids, f"v{j}", "h", f"__f{j}", f"__p{j}"))
+        src = f"__f{j}"
+    vcols = ", ".join(f"s.sig[t.b*{r}+{j + 1}] AS v{j}" for j in range(r))
+    return f"""WITH RECURSIVE
+        w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - {n1}, 0)),
+                i -> array_to_string(w[i:i+{n1}], ' '))) AS grams
+              FROM w WHERE len(w) >= {shingle_n}),
+        eg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        strs AS (SELECT DISTINCT gram AS s FROM eg),
+        {xxh64_str_ctes('strs', ('s',), 's', out='gh')},
+        e AS (SELECT eg.doc_id, gh.h FROM eg JOIN gh ON eg.gram = gh.s),
+        sig AS (SELECT doc_id, [{mins}] AS sig FROM e GROUP BY doc_id),
+        bandsrc AS (SELECT s.doc_id, t.b, {vcols}, CAST(42 AS UBIGINT) AS h
+                    FROM sig s CROSS JOIN generate_series(0, {bands - 1}) t(b)),
+        {','.join(fold)},
+        band AS (SELECT doc_id, b, h AS bh FROM {src}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                        AND a.doc_id < b.doc_id),
+        est AS (SELECT c.id_a, c.id_b,
+                       CAST(len(list_filter(generate_series(1, {num_hashes}),
+                                            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                         / {float(num_hashes)!r} AS est
+                FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                            JOIN sig sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, {RND.format('est')} AS est_jaccard_r
+        FROM est WHERE est >= {threshold!r}"""
+
+
+@register("dedup_minhash_lsh", _minhash_xxh_oracle(64, 16, 3, 0.35))
 def dedup_minhash_lsh(spark, sf_dir):
+    """Production-default MinHash+LSH (xxhash64 shingle hash, native
+    xxhash64-over-array band keys), hash-checked against the pure-SQL XXH64
+    oracle replica."""
     docs = _docs(spark, sf_dir)
-    return minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.35)
+    out = minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.35)
+    return out.select("id_a", "id_b", _vr(F.col("est_jaccard")).alias("est_jaccard_r"))
 
 
-@register("dedup_simhash", None)
+def _simhash_xxh_oracle(max_hamming: int) -> str:
+    # full 64-bit token hashes: bit 63's rebuild term is the sign bit —
+    # added as the min-long literal (1<<63 overflows BIGINT)
+    bsums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(64)
+    )
+    rebuild = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(63)
+    ) + " + CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END"
+    return f"""WITH RECURSIVE
+        tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tw
+                FROM documents),
+        strs AS (SELECT DISTINCT tw AS s FROM tok),
+        {xxh64_str_ctes('strs', ('s',), 's', out='th0')},
+        th AS (SELECT tok.doc_id, th0.h FROM tok JOIN th0 ON tok.tw = th0.s),
+        bsum AS (SELECT doc_id, {bsums} FROM th GROUP BY doc_id),
+        sh AS (SELECT doc_id, ({rebuild}) AS sh FROM bsum),
+        band AS (SELECT doc_id, sh, t.b, (sh >> (t.b * 16)) & 65535 AS bh
+                 FROM sh CROSS JOIN generate_series(0, 3) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sh AS ha, b.sh AS hb
+                 FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                        AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+
+
+@register("dedup_simhash", _simhash_xxh_oracle(10))
 def dedup_simhash(spark, sf_dir):
+    """Production-default SimHash (xxhash64 token hash), hash-checked
+    against the pure-SQL XXH64 oracle replica. max_bucket left at its
+    never-binding-at-gate-scale default, mirroring the uncapped oracle."""
     docs = _docs(spark, sf_dir)
-    return simhash_pairs(docs, max_hamming=10)
+    out = simhash_pairs(docs, max_hamming=10)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # ---- md5-keyed checked variants of the hash pipelines ----------------------
@@ -2102,12 +2185,37 @@ def text_fingerprint_md5(spark, sf_dir):
     )
 
 
-@register("text_fingerprint", None)
+def _fingerprint_xxh_oracle(k: int, num_mins: int) -> str:
+    return f"""WITH RECURSIVE
+        w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        eg AS (SELECT doc_id, array_to_string(w[i+1:i+{k}], ' ') AS gram
+               FROM (SELECT doc_id, w,
+                            unnest(generate_series(0, greatest(len(w) - {k}, 0))) AS i
+                     FROM w)),
+        strs AS (SELECT DISTINCT gram AS s FROM eg),
+        {xxh64_str_ctes('strs', ('s',), 's', out='gh')},
+        dh AS (SELECT DISTINCT eg.doc_id, gh.h FROM eg JOIN gh ON eg.gram = gh.s),
+        fp AS (SELECT doc_id, list_sort(list(h)) AS hs FROM dh GROUP BY doc_id)
+        SELECT doc_id,
+               array_to_string(list_transform(hs[1:{num_mins}],
+                                              x -> CAST(x AS VARCHAR)), ',') AS fingerprint,
+               CAST(len(hs) AS BIGINT) AS distinct_grams
+        FROM fp"""
+
+
+@register("text_fingerprint", _fingerprint_xxh_oracle(5, 4))
 def text_fingerprint(spark, sf_dir):
+    """Production-default winnowing fingerprint (xxhash64 gram hash),
+    hash-checked against the pure-SQL XXH64 oracle replica."""
     docs = _docs(spark, sf_dir)
     out = fingerprint_docs(docs, k=5, num_mins=4)
-    return out.select("doc_id", F.col("fingerprint").cast("array<string>").alias("fingerprint"),
-                      "distinct_grams")
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("fingerprint", lambda x: x.cast("string")), ",").alias(
+            "fingerprint"
+        ),
+        F.col("distinct_grams").cast("long").alias("distinct_grams"),
+    )
 
 
 @register(

@@ -271,6 +271,54 @@ def test_repetition_signals(spark):
     assert out[3]["dup_trigram_frac"] == 0.0
 
 
+def test_xxh64_sql_replica_bit_exact(spark):
+    """The DuckDB-SQL XXH64 replica (oracle side of the production hash
+    pipelines) must be bit-exact vs Spark's F.xxhash64 for strings of every
+    length class (empty / <8 / <32 / stripe / stripe+tail) and for the
+    ARRAY<LONG> fold used by minhash band keys."""
+    import random
+
+    duckdb = pytest.importorskip("duckdb")
+    from opentsdb_spark.pipeline.xxh64_sql import (
+        SEED, hash_long_ctes, py_xxh64, py_xxh64_longs, xxh64_str_ctes,
+    )
+
+    rng = random.Random(11)
+    strs = ["", "a", "abc", "1234567", "12345678", "x" * 31, "y" * 32,
+            "z" * 33, "w" * 64, "v" * 71, "héllo wörld ünicode " * 4]
+    strs += ["".join(rng.choice("abcdef gh") for _ in range(rng.randint(0, 90)))
+             for _ in range(30)]
+    df = spark.createDataFrame(list(enumerate(strs)), "i int, s string")
+    spark_h = {r["i"]: r["h"] for r in df.select("i", F.xxhash64("s").alias("h")).collect()}
+    assert spark_h == {i: py_xxh64(s.encode()) for i, s in enumerate(strs)}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE strs (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO strs VALUES (?, ?)", list(enumerate(strs)))
+    sql = "WITH RECURSIVE " + xxh64_str_ctes("strs", ("i",), "s") + \
+          " SELECT i, h FROM xxh"
+    assert dict(con.execute(sql).fetchall()) == spark_h
+
+    arrs = [[rng.randint(-2**63, 2**63 - 1) for _ in range(4)] for _ in range(12)]
+    adf = spark.createDataFrame(list(enumerate(arrs)), "i int, a array<bigint>")
+    spark_a = {r["i"]: r["h"] for r in adf.select("i", F.xxhash64("a").alias("h")).collect()}
+    assert spark_a == {i: py_xxh64_longs(a) for i, a in enumerate(arrs)}
+
+    con.execute("CREATE TABLE la (i INT, v0 BIGINT, v1 BIGINT, v2 BIGINT, v3 BIGINT)")
+    con.executemany("INSERT INTO la VALUES (?,?,?,?,?)", [(i, *a) for i, a in enumerate(arrs)])
+    ids = ("i", "v0", "v1", "v2", "v3")
+    ctes = [f"f0src AS (SELECT *, CAST({SEED} AS UBIGINT) AS h FROM la)"]
+    src = "f0src"
+    for j in range(4):
+        ctes.append(hash_long_ctes(src, ids, f"v{j}", "h", f"f{j}", f"p{j}"))
+        src = f"f{j}"
+    fold_sql = ("WITH " + ",".join(ctes) +
+                " SELECT i, CAST(CAST(h AS HUGEINT) - CASE WHEN h >= 9223372036854775808"
+                " THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT)"
+                f" FROM {src}")
+    assert dict(con.execute(fold_sql).fetchall()) == spark_a
+
+
 def test_fingerprint(docs):
     out = {r["doc_id"]: r for r in fingerprint_docs(docs, k=3, num_mins=4).collect()}
     assert out[0]["fingerprint"] == out[1]["fingerprint"]
