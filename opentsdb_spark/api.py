@@ -155,6 +155,14 @@ def handle_query(
     for sq_idx, (q, res) in enumerate(zip(tsq.queries, compiled)):
         echo = subquery_echo(q) if tsq.show_query else None
         ts0 = time.monotonic()
+        if limit > 0 and res.source_df is not None:
+            # price the query BEFORE the expensive plan runs (the reference
+            # aborts mid-scan, TsdbQuery.java:527-536; see enforce_scan_budget)
+            from opentsdb_spark.plans.limits import enforce_scan_budget
+
+            s_ms = parse_datetime_ms(tsq.start, tsq.timezone, request.get("_now_ms"))
+            e_ms = parse_datetime_ms(tsq.end, tsq.timezone, request.get("_now_ms"))
+            enforce_scan_budget(res.source_df, q.downsample, s_ms, e_ms, limit)
         series = serialize_subquery(
             res, tsq.ms_resolution, limit,
             show_tsuids=tsq.show_tsuids, query_echo=echo,

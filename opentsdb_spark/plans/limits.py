@@ -44,3 +44,60 @@ def enforce_data_point_limit(df: DataFrame, max_data_points: int) -> DataFrame:
             f"query would return more than {max_data_points} data points"
         )
     return df
+
+
+# approximate milliseconds per calendar unit, for grid-size estimation only
+_CAL_MS = {"m": 60_000, "h": 3_600_000, "d": 86_400_000, "w": 7 * 86_400_000,
+           "n": 30 * 86_400_000, "y": 365 * 86_400_000}
+
+
+def enforce_scan_budget(source_df: DataFrame, downsample, start_ms: int,
+                        end_ms: int, max_data_points: int) -> None:
+    """Pre-execution budget check — the Spark analog of the reference
+    aborting DURING the scan once too many cells stream back
+    (src/core/TsdbQuery.java:527-536 wiring tsd.query.limits.data_points
+    into the scanner callbacks). On an immutable lake the query can be
+    priced BEFORE the expensive plan runs:
+
+      * scanned points: one cheap count over the filtered pre-aggregation
+        frame (column-pruned + predicate-pushed Parquet count — none of the
+        downstream grid/interpolation/aggregation work executes)
+      * output grid: for a fill-policy downsample the output is
+        series x buckets, which pure arithmetic bounds from the range and
+        interval — this catches the classic footgun (1s downsample with
+        fill=zero over a year = 31M rows per series from a handful of raw
+        points) that a post-hoc count only sees after building the grid
+
+    ``downsample`` is the sub-query's DownsampleSpec (or None). Raises
+    QueryLimitExceeded; 0 = unlimited (the reference's default)."""
+    if max_data_points <= 0:
+        return
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.sources.points import series_id_col
+
+    row = source_df.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct(series_id_col("metric", "tags")).alias("s"),
+    ).first()
+    n_scanned, n_series = row["n"], row["s"]
+    if n_scanned > max_data_points:
+        raise QueryLimitExceeded(
+            f"sorry, you have attempted to fetch more than our limit of "
+            f"{max_data_points} data points ({n_scanned} matched the scan)"
+        )
+    if downsample is not None and downsample.fill != "none" and not downsample.run_all:
+        if downsample.calendar:
+            unit_ms = _CAL_MS.get(downsample.calendar_unit or "d", 86_400_000)
+            interval_ms = unit_ms * max(downsample.calendar_n, 1)
+        else:
+            interval_ms = downsample.interval_ms
+        if interval_ms and interval_ms > 0:
+            buckets = (end_ms - start_ms) // interval_ms + 1
+            est = n_series * buckets
+            if est > max_data_points:
+                raise QueryLimitExceeded(
+                    f"downsample grid would emit ~{est} data points "
+                    f"({n_series} series x {buckets} buckets), over the "
+                    f"limit of {max_data_points}"
+                )

@@ -168,6 +168,36 @@ def test_limits(fixture_points):
         enforce_data_point_limit(fixture_points, 10)
 
 
+def test_scan_budget_rejects_before_execution(fixture_points):
+    """The pre-execution budget must reject an over-budget query from the
+    CHEAP pre-pass alone — a 1-second zero-filled downsample over the range
+    explodes to ~series x range_seconds output rows, which the grid
+    ARITHMETIC catches without ever building (or counting) that grid. A
+    sane grid passes; a raw scan bigger than the ceiling is also caught."""
+    from opentsdb_spark.model import DownsampleSpec
+    from opentsdb_spark.plans.limits import enforce_scan_budget
+
+    start_ms, end_ms = EPOCH * 1000, (EPOCH + 10 * 86400) * 1000
+    src = fixture_points.where(F.col("metric") == "sys.cpu.user")
+    # ~600 raw points, but a 1s fill=zero grid = 2 series x 864000 buckets
+    with pytest.raises(QueryLimitExceeded, match="grid"):
+        enforce_scan_budget(
+            src, DownsampleSpec(1_000, "avg", fill="zero"), start_ms, end_ms, 100_000
+        )
+    # same query, 1h buckets: 2 x 241 clears the same ceiling
+    enforce_scan_budget(
+        src, DownsampleSpec(3_600_000, "avg", fill="zero"), start_ms, end_ms, 100_000
+    )
+    # raw scan over the ceiling is caught by the count pre-pass
+    with pytest.raises(QueryLimitExceeded, match="scan"):
+        enforce_scan_budget(src, None, start_ms, end_ms, 10)
+    # API path: the grid rejection fires through handle_query
+    req = {"start": EPOCH, "end": EPOCH + 10 * 86400,
+           "m": "sum:1s-avg-zero:sys.cpu.user", "max_data_points": 100_000}
+    with pytest.raises(QueryLimitExceeded):
+        api.handle_query(fixture_points, req)
+
+
 def test_aggregate_tags(fixture_points):
     out = api.handle_query(
         fixture_points,
