@@ -637,22 +637,29 @@ def handle_uid_rename(points: DataFrame, body: dict) -> DataFrame:
     raise ValueError(f"unknown rename kind {kind!r}")
 
 
-def handle_tree(points: DataFrame, request: dict) -> Any:
-    """/api/tree + /api/tree/branch (reference src/tsd/TreeRpc.java). The
-    reference stores named trees server-side; here the rule set rides in
-    the request and branches are computed from the live series set —
-    stateless, no tree table to maintain."""
-    from opentsdb_spark.operators.tree import TreeRule, build_tree, tree_branch, tree_branches
+def _parse_tree_rules(rules: list[dict]) -> tuple:
+    from opentsdb_spark.operators.tree import TreeRule
 
-    rules = tuple(
+    return tuple(
         TreeRule(
             type=r["type"], field=r.get("field", ""),
             separator=r.get("separator"), regex=r.get("regex"),
             regex_group_idx=int(r.get("regexGroupIdx", r.get("regex_group_idx", 1))),
             display_format=r.get("displayFormat", r.get("display_format")),
         )
-        for r in request.get("rules", ())
+        for r in rules
     )
+
+
+def handle_tree(points: DataFrame, request: dict) -> Any:
+    """/api/tree ad-hoc evaluation + /api/tree/branch (reference
+    src/tsd/TreeRpc.java). With an inline rule set the evaluation is
+    stateless (the reference's /api/tree/test analog over the live series
+    set); stored trees with collision/not-matched bookkeeping live in a
+    TreeStore (handle_tree_edit / handle_tree_family)."""
+    from opentsdb_spark.operators.tree import build_tree, tree_branch, tree_branches
+
+    rules = _parse_tree_rules(request.get("rules", ()))
     leaves = build_tree(points, rules, strict_match=bool(request.get("strictMatch",
                                                                      request.get("strict_match"))))
     if "branch" in request:
@@ -660,6 +667,95 @@ def handle_tree(points: DataFrame, request: dict) -> Any:
     df = tree_branches(leaves)
     enforce_data_point_limit(df, request_limit(request))
     return [r.asDict() for r in df.collect()]
+
+
+# process-wide stored trees (reference: tree rows in the UID table)
+from opentsdb_spark.operators.tree import TreeStore  # noqa: E402
+
+TREES = TreeStore()
+
+
+def handle_tree_edit(method: str, body: dict, store: TreeStore | None = None) -> Any:
+    """POST/PUT/DELETE /api/tree on the STORED tree set, GET to list —
+    mirrors TreeRpc.handleTree (create needs a name; edit by treeId;
+    DELETE wipes the tree's built rows)."""
+    store = store or TREES
+    method = method.upper()
+    if method == "GET":
+        tid = body.get("treeId", body.get("tree"))
+        if tid is not None:
+            return _tree_to_dict(store.trees[int(tid)])
+        return [_tree_to_dict(t) for _, t in sorted(store.trees.items())]
+    if method == "DELETE":
+        store.delete(int(body["treeId"]))
+        return {}
+    from opentsdb_spark.operators.tree import TreeDef
+
+    fields = dict(
+        name=body.get("name", ""), description=body.get("description", ""),
+        notes=body.get("notes", ""),
+        strict_match=bool(body.get("strictMatch", body.get("strict_match", False))),
+        enabled=bool(body.get("enabled", True)),
+        store_failures=bool(body.get("storeFailures", body.get("store_failures", False))),
+        rules=_parse_tree_rules(body.get("rules", ())),
+    )
+    tid = body.get("treeId", body.get("tree"))
+    if method == "POST" and tid is not None and int(tid) in store.trees:
+        # POST on an existing tree edits only the provided fields (TreeRpc:
+        # POST modifies, PUT replaces); PUT falls through to create/replace
+        aliases = {
+            "name": ("name",), "description": ("description",),
+            "notes": ("notes",), "strict_match": ("strictMatch", "strict_match"),
+            "enabled": ("enabled",),
+            "store_failures": ("storeFailures", "store_failures"),
+            "rules": ("rules",),
+        }
+        updates = {
+            snake: fields[snake]
+            for snake, keys in aliases.items() if any(k in body for k in keys)
+        }
+        return _tree_to_dict(store.edit(int(tid), **updates))
+    if method == "PUT" and tid is not None and int(tid) in store.trees:
+        store.delete(int(tid))
+    t = store.create(TreeDef(tree_id=int(tid) if tid is not None else 0, **fields))
+    return _tree_to_dict(t)
+
+
+def _tree_to_dict(t) -> dict:
+    return {
+        "treeId": t.tree_id, "name": t.name, "description": t.description,
+        "notes": t.notes, "strictMatch": t.strict_match, "enabled": t.enabled,
+        "storeFailures": t.store_failures,
+        "rules": [
+            {"type": r.type, "field": r.field, "separator": r.separator,
+             "regex": r.regex, "regexGroupIdx": r.regex_group_idx,
+             "displayFormat": r.display_format}
+            for r in t.rules
+        ],
+    }
+
+
+def handle_tree_rebuild(points: DataFrame, body: dict,
+                        store: TreeStore | None = None) -> dict:
+    """Run the stored tree over the series set and persist its built rows
+    (the reference's TreeSync sweep / TreeBuilder processTimeseriesMeta)."""
+    store = store or TREES
+    state = store.rebuild(int(body["treeId"]), points)
+    return {"treeId": int(body["treeId"]), "stored": sorted(state)}
+
+
+def handle_tree_family(body: dict, store: TreeStore | None = None) -> list[dict]:
+    """/api/tree/collisions + /api/tree/notmatched (TreeRpc
+    handleCollisionNotMatched): the recorded failures of the last build.
+    Optional 'tsuids' narrows to specific series ids."""
+    store = store or TREES
+    family = body.get("family", "collisions")
+    key = {"collisions": "collisions", "notmatched": "not_matched"}[family]
+    df = store.built(int(body["treeId"]), key)
+    tsuids = body.get("tsuids")
+    if tsuids:
+        df = df.where(F.col("series_id").isin(list(tsuids)))
+    return [r.asDict() for r in df.orderBy("series_id").collect()]
 
 
 def handle_uid_assign(
@@ -697,6 +793,10 @@ ENDPOINTS_WRITE = {
     "/api/annotation/edit": handle_annotation_edit,
     "/api/annotation/bulk": handle_annotation_bulk_delete,
     "/api/tree": handle_tree,
+    "/api/tree/edit": handle_tree_edit,
+    "/api/tree/rebuild": handle_tree_rebuild,
+    "/api/tree/collisions": handle_tree_family,
+    "/api/tree/notmatched": handle_tree_family,
 }
 
 

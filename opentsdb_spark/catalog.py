@@ -2505,6 +2505,46 @@ def tree_branches_q(spark, sf_dir):
 
 
 @register(
+    "tree_collisions",
+    f"""WITH s AS (SELECT DISTINCT event_type AS metric, {U} AS user, {SID} AS sid FROM events),
+        k AS (SELECT metric, user, min(sid) AS keep FROM s GROUP BY metric, user)
+        SELECT s.sid AS series_id, k.keep AS existing_series_id,
+               s.metric || '/' || s.user AS branch_path
+        FROM s JOIN k ON s.metric = k.metric AND s.user = k.user
+        WHERE s.sid <> k.keep""",
+)
+def tree_collisions_q(spark, sf_dir):
+    """Persistent tree build: METRIC + TAGK(user) maps every (metric,user)
+    series set onto one leaf, so all but the winning series per leaf are
+    recorded as collisions (reference Tree.java:274-281 addCollision —
+    first writer wins; here the deterministic smallest series_id)."""
+    from opentsdb_spark.operators.tree import build_tree_state
+
+    _, collisions, _ = build_tree_state(
+        _pts(spark, sf_dir), (TreeRule("METRIC"), TreeRule("TAGK", "user"))
+    )
+    return collisions.select("series_id", "existing_series_id", "branch_path")
+
+
+@register(
+    "tree_notmatched",
+    f"""SELECT DISTINCT {SID} AS series_id, '1:TAGK:big' AS reason
+        FROM events WHERE NOT value > 100.0""",
+)
+def tree_notmatched_q(spark, sf_dir):
+    """Persistent tree build: TAGK(big) misses every series without the
+    big tag; those land in the not-matched family with the failed rule(s)
+    as the reason (reference TreeBuilder.java:645-650, Tree.java
+    addNotMatched)."""
+    from opentsdb_spark.operators.tree import build_tree_state
+
+    _, _, not_matched = build_tree_state(
+        _pts(spark, sf_dir), (TreeRule("METRIC"), TreeRule("TAGK", "big"))
+    )
+    return not_matched.select("series_id", "reason")
+
+
+@register(
     "uid_metrics_listing",
     """SELECT event_type AS name, count(*) AS points,
               CAST(min(epoch_ms(ts)) AS BIGINT) AS first_ms,

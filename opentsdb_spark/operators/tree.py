@@ -110,6 +110,147 @@ def build_tree(
     return out.drop("__all")
 
 
+def build_tree_state(
+    points: DataFrame,
+    rules: tuple[TreeRule, ...],
+    strict_match: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full tree build with failure bookkeeping: returns
+    (leaves, collisions, not_matched) — the three row families the
+    reference persists per tree (src/tree/Tree.java:60-68: branch rows +
+    a collisions row + a not-matched row; TreeBuilder.java:200-230 records
+    them while processing each TSMeta).
+
+      collisions   two series mapping to the SAME full path keep only one
+                   leaf (reference: first writer wins, Tree.java:274-281;
+                   here the tie-break is deterministic — smallest series_id)
+                   -> (series_id, existing_series_id, branch_path)
+      not_matched  series a rule extracted nothing from, with the rule list
+                   that missed (TreeBuilder.java:645-650 accumulates the
+                   failed rules into the reason string)
+                   -> (series_id, reason)
+    """
+    cols = points.columns
+    series = (
+        points.withColumn("series_id", series_id_col())
+        .groupBy("series_id")
+        .agg(F.first("metric").alias("metric"), F.first("tags").alias("tags"),
+             *([F.first("custom").alias("custom")] if "custom" in cols else []))
+    )
+    if "custom" not in cols:
+        series = series.withColumn("custom", F.lit(None).cast("map<string,string>"))
+    path = None
+    miss_reasons = []
+    for i, rule in enumerate(rules):
+        raw = _rule_levels(rule)
+        lv = F.coalesce(F.filter(raw, lambda x: x.isNotNull() & (x != "")), F.array())
+        tag = f"{rule.type}:{rule.field}" if rule.field else rule.type
+        miss_reasons.append(F.when(F.size(lv) == 0, F.lit(f"{i}:{tag}")))
+        path = lv if path is None else F.concat(path, lv)
+    if path is None:
+        raise ValueError("tree needs at least one rule")
+    st = series.select(
+        "series_id", path.alias("path"), F.size(path).alias("depth"),
+        F.filter(F.array(*miss_reasons), lambda x: x.isNotNull()).alias("__missed"),
+    )
+    not_matched = st.where(F.size("__missed") > 0).select(
+        "series_id", F.array_join("__missed", " ").alias("reason")
+    )
+    leaves = st.where(F.col("depth") > 0)
+    if strict_match:
+        leaves = leaves.where(F.size("__missed") == 0)
+    leaves = leaves.drop("__missed")
+    keep = leaves.groupBy("path").agg(F.min("series_id").alias("__keep"))
+    with_keep = leaves.join(keep, on="path")
+    collisions = (
+        with_keep.where(F.col("series_id") != F.col("__keep"))
+        .select(
+            "series_id", F.col("__keep").alias("existing_series_id"),
+            F.array_join("path", "/").alias("branch_path"),
+        )
+    )
+    kept_leaves = with_keep.where(F.col("series_id") == F.col("__keep")).drop("__keep")
+    return kept_leaves, collisions, not_matched
+
+
+@dataclass
+class TreeDef:
+    """A stored tree (reference src/tree/Tree.java:73-130: treeId, name,
+    description, notes, strictMatch, enabled, storeFailures + the ordered
+    rule set from src/tree/TreeRule.java)."""
+
+    tree_id: int
+    name: str = ""
+    description: str = ""
+    notes: str = ""
+    strict_match: bool = False
+    enabled: bool = True
+    store_failures: bool = False
+    rules: tuple[TreeRule, ...] = ()
+    created: int = 0
+
+
+class TreeStore:
+    """Persistent tree state: definitions + the three built row families
+    per tree, the engine-side analog of the reference's tree storage
+    (Tree.java TREE_FAMILY branch rows, collision row, not-matched row;
+    maintained by src/tree/TreeBuilder.java). Built frames stay lazy — a
+    production deployment checkpoints them to tables exactly like the
+    search-plugin index frames."""
+
+    def __init__(self) -> None:
+        self.trees: dict[int, TreeDef] = {}
+        self._built: dict[int, dict[str, DataFrame]] = {}
+        self._next_id = 1
+
+    def create(self, tree: TreeDef) -> TreeDef:
+        if tree.tree_id == 0:
+            tree = TreeDef(**{**tree.__dict__, "tree_id": self._next_id})
+        if tree.tree_id in self.trees:
+            raise ValueError(f"tree {tree.tree_id} already exists")
+        self._next_id = max(self._next_id, tree.tree_id) + 1
+        self.trees[tree.tree_id] = tree
+        return tree
+
+    def edit(self, tree_id: int, **updates) -> TreeDef:
+        cur = self.trees[tree_id]
+        self.trees[tree_id] = TreeDef(**{**cur.__dict__, **updates})
+        return self.trees[tree_id]
+
+    def delete(self, tree_id: int) -> None:
+        # reference: deleting a tree wipes branches/collisions/not-matched
+        # (Tree.java deleteTree definition flag)
+        self.trees.pop(tree_id)
+        self._built.pop(tree_id, None)
+
+    def rebuild(self, tree_id: int, points: DataFrame) -> dict[str, DataFrame]:
+        """Run every series through the tree's rules and persist the result
+        frames (the reference's TreeSync/TreeBuilder full-sweep)."""
+        t = self.trees[tree_id]
+        leaves, collisions, not_matched = build_tree_state(
+            points, t.rules, strict_match=t.strict_match
+        )
+        state = {"leaves": leaves}
+        if t.store_failures:
+            state["collisions"] = collisions
+            state["not_matched"] = not_matched
+        self._built[tree_id] = state
+        return state
+
+    def built(self, tree_id: int, family: str) -> DataFrame:
+        if tree_id not in self.trees:
+            raise KeyError(f"no such tree {tree_id}")
+        state = self._built.get(tree_id)
+        if state is None:
+            raise ValueError(f"tree {tree_id} has not been built")
+        if family not in state:
+            raise ValueError(
+                f"tree {tree_id} does not store {family} "
+                "(storeFailures disabled)" if family != "leaves" else family
+            )
+        return state[family]
+
+
 def tree_branches(leaves: DataFrame) -> DataFrame:
     """All inner branches: every proper prefix of every leaf path, with leaf
     counts (the reference's branch listing, TreeRpc 'branch' endpoint)."""

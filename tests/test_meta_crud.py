@@ -481,3 +481,66 @@ def test_frame_index_search_plugin(spark, fixture_points):
             "totalResults"] > 0
     finally:
         SEARCH_PLUGINS.remove(plugin)
+
+
+def test_tree_store_crud(fixture_points):
+    """Persistent tree state (reference src/tree/Tree.java storage rows +
+    src/tsd/TreeRpc.java CRUD): create/edit/list/delete definitions,
+    rebuild persists leaves + collision/not-matched families, and the
+    family endpoints serve the recorded failures."""
+    from opentsdb_spark import api
+    from opentsdb_spark.operators.tree import TreeStore
+
+    store = TreeStore()
+    t = api.handle_tree_edit("POST", {
+        "name": "dc tree", "storeFailures": True,
+        "rules": [{"type": "TAGK", "field": "dc"}],
+    }, store=store)
+    assert t["treeId"] == 1 and t["storeFailures"]
+    # METRIC-only second tree; ids auto-increment
+    t2 = api.handle_tree_edit("POST", {
+        "name": "by metric", "rules": [{"type": "METRIC"}],
+    }, store=store)
+    assert t2["treeId"] == 2
+    assert [x["treeId"] for x in api.handle_tree_edit("GET", {}, store=store)] == [1, 2]
+    # POST edit touches only provided fields
+    t = api.handle_tree_edit("POST", {"treeId": 1, "notes": "n2"}, store=store)
+    assert t["notes"] == "n2" and t["name"] == "dc tree" and len(t["rules"]) == 1
+    # rebuild tree 1: dc values lga/phx -> one leaf per dc, no collisions
+    out = api.handle_tree_rebuild(fixture_points, {"treeId": 1}, store=store)
+    assert out["stored"] == ["collisions", "leaves", "not_matched"]
+    assert api.handle_tree_family({"treeId": 1, "family": "collisions"},
+                                  store=store) == []
+    assert api.handle_tree_family({"treeId": 1, "family": "notmatched"},
+                                  store=store) == []
+    # METRIC-only tree: both series collapse onto one leaf -> 1 collision,
+    # the smaller series_id wins (deterministic analog of first-writer-wins,
+    # Tree.java:274-281)
+    api.handle_tree_edit("POST", {"treeId": 2, "storeFailures": True}, store=store)
+    api.handle_tree_rebuild(fixture_points, {"treeId": 2}, store=store)
+    colls = api.handle_tree_family({"treeId": 2, "family": "collisions"}, store=store)
+    assert len(colls) == 1
+    assert colls[0]["existing_series_id"] < colls[0]["series_id"]
+    assert colls[0]["branch_path"] == "sys.cpu.user"
+    # a rule missing a tag records not-matched with the failed rule reason
+    api.handle_tree_edit("POST", {
+        "treeId": 2,
+        "rules": [{"type": "METRIC"}, {"type": "TAGK", "field": "rack"}],
+    }, store=store)
+    api.handle_tree_rebuild(fixture_points, {"treeId": 2}, store=store)
+    nm = api.handle_tree_family({"treeId": 2, "family": "notmatched"}, store=store)
+    assert len(nm) == 2 and all(r["reason"] == "1:TAGK:rack" for r in nm)
+    # storeFailures off -> families are not stored and reads are refused
+    store.edit(2, store_failures=False)
+    api.handle_tree_rebuild(fixture_points, {"treeId": 2}, store=store)
+    with pytest.raises(ValueError, match="does not store"):
+        api.handle_tree_family({"treeId": 2, "family": "collisions"}, store=store)
+    # strict_match drops a series failing any rule from the leaves
+    store.edit(2, strict_match=True)
+    state = store.rebuild(2, fixture_points)
+    assert state["leaves"].count() == 0  # no series carries the rack tag
+    # DELETE wipes definition + built state
+    api.handle_tree_edit("DELETE", {"treeId": 2}, store=store)
+    assert [x["treeId"] for x in api.handle_tree_edit("GET", {}, store=store)] == [1]
+    with pytest.raises(KeyError):
+        api.handle_tree_family({"treeId": 2, "family": "collisions"}, store=store)
