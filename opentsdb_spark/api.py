@@ -116,6 +116,9 @@ def handle_query(
 
     t0 = time.monotonic()
     tsq = _tsquery_from_body(request) if "queries" in request else parse_query(request)
+    from opentsdb_spark.auth import check_query
+
+    check_query(request, tsq)  # no-op unless an auth plugin is installed
     out: list[dict[str, Any]] = []
     limit = request_limit(request)
     compiled = compile_query(points, tsq, histograms=histograms,
@@ -466,9 +469,11 @@ def handle_put(
     points frame) — the caller writes/streams the frame. Response carries
     success/failed counts (?summary) and per-point errors (?details),
     mirroring the reference's shapes."""
+    from opentsdb_spark.auth import check_permission
     from opentsdb_spark.streaming.ingest import apply_ingest_filters, parse_put_json
 
     request = request or {}
+    check_permission(request, "HTTP_PUT")  # no-op unless auth is enabled
     lines, n_total = _json_lines_frame(spark, body)
     points = apply_ingest_filters(parse_put_json(lines))
     n_ok = points.count()

@@ -544,3 +544,83 @@ def test_tree_store_crud(fixture_points):
     assert [x["treeId"] for x in api.handle_tree_edit("GET", {}, store=store)] == [1]
     with pytest.raises(KeyError):
         api.handle_tree_family({"treeId": 2, "family": "collisions"}, store=store)
+
+
+def test_auth_plugin_surface(fixture_points, spark):
+    """Auth plugin surface (reference src/auth/Authentication.java /
+    Authorization.java / AllowAllAuthenticatingAuthorizer.java): default
+    stays open; an installed plugin authenticates per request and can deny
+    permissions or individual queries; state rides the request dict."""
+    from opentsdb_spark import api
+    from opentsdb_spark.auth import (
+        FORBIDDEN, SUCCESS, UNAUTHORIZED, AllowAllAuthenticatingAuthorizer,
+        AuthError, AuthState, Authentication, Authorization, auth_enabled,
+        check_permission, configure_auth,
+    )
+
+    req = {"start": EPOCH, "end": EPOCH + 9000,
+           "m": "sum:10m-avg:sys.cpu.user{host=*}"}
+    # default: open, anonymous (AllowAll analog), handlers unaffected
+    assert not auth_enabled()
+    assert check_permission(req, "HTTP_PUT").user == "anonymous"
+    assert api.handle_query(fixture_points, dict(req))
+
+    class TokenAuth(Authentication, Authorization):
+        def authenticate_http(self, request):
+            tok = request.get("_headers", {}).get("Authorization")
+            if tok == "token ok":
+                return AuthState("alice")
+            return AuthState("-", UNAUTHORIZED, "bad token")
+
+        def authenticate_telnet(self, command):
+            return AuthState("telnet-user")
+
+        def authorization(self):
+            return self
+
+        def has_permission(self, state, permission):
+            if permission == "HTTP_PUT" and state.user != "alice":
+                return AuthState(state.user, FORBIDDEN, "puts restricted")
+            return state
+
+        def allow_query(self, state, tsq):
+            if any(q.metric == "secret.metric" for q in tsq.queries):
+                return AuthState(state.user, FORBIDDEN, "metric restricted")
+            return state
+
+    configure_auth(TokenAuth())
+    try:
+        assert auth_enabled()
+        # unauthenticated request -> UNAUTHORIZED from handle_query
+        with pytest.raises(AuthError, match="UNAUTHORIZED"):
+            api.handle_query(fixture_points, dict(req))
+        # authenticated -> allowed
+        ok = {**req, "_headers": {"Authorization": "token ok"}}
+        assert api.handle_query(fixture_points, dict(ok))
+        # per-query authorization denies a restricted metric
+        bad = {**ok, "m": "sum:secret.metric"}
+        with pytest.raises(AuthError, match="FORBIDDEN"):
+            api.handle_query(fixture_points, dict(bad))
+        # put permission enforced through handle_put
+        with pytest.raises(AuthError):
+            api.handle_put(spark, {"metric": "m", "timestamp": EPOCH,
+                                   "value": 1, "tags": {"h": "a"}},
+                           request={"_headers": {}})
+        resp, frame = api.handle_put(
+            spark, {"metric": "m", "timestamp": EPOCH, "value": 1,
+                    "tags": {"h": "a"}},
+            request={"_headers": {"Authorization": "token ok"}})
+        assert resp["success"] == 1 and frame.count() == 1
+        # a front-end-supplied state short-circuits re-authentication
+        pre = {"start": EPOCH, "end": EPOCH + 9000, "m": req["m"],
+               "_auth_state": AuthState("bob", SUCCESS)}
+        assert api.handle_query(fixture_points, pre)
+        # telnet surface
+        st = TokenAuth().authenticate_telnet(["put", "sys.cpu.user"])
+        assert st.user == "telnet-user" and st.status == SUCCESS
+    finally:
+        configure_auth(None)
+    assert not auth_enabled()
+    # AllowAll rejects unknown permission names
+    a = AllowAllAuthenticatingAuthorizer()
+    assert a.has_permission(AuthState("x"), "NOT_A_PERMISSION").status == FORBIDDEN
