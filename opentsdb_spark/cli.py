@@ -78,6 +78,16 @@ def main(argv: list[str] | None = None) -> int:
     mk.add_argument("--kind", default="metric", choices=["metric", "tagk", "tagv"])
     mk.add_argument("names", nargs="+")
 
+    ms = sub.add_parser(
+        "metasync",
+        help="reconcile UIDMeta/TSMeta registries against the point store "
+             "(reference uid metasync, src/tools/MetaSync.java)",
+    )
+    ms.add_argument("--meta-dir", required=True,
+                    help="registry root: reads/writes <dir>/uidmeta and <dir>/tsmeta")
+    ms.add_argument("--purge", action="store_true",
+                    help="wipe all meta rows instead (uid metapurge, MetaPurge.java)")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "query":
@@ -169,6 +179,25 @@ def main(argv: list[str] | None = None) -> int:
             spark.createDataFrame(
                 rows, "kind string, name string, uid string"
             ).write.mode("overwrite").parquet(args.registry)
+    elif args.cmd == "metasync":
+        from opentsdb_spark.operators.uid import (
+            TSMETA_SCHEMA, UIDMETA_SCHEMA, meta_purge, meta_sync,
+        )
+
+        spark, points = _spark_and_points(args)
+        up, tp = os.path.join(args.meta_dir, "uidmeta"), os.path.join(args.meta_dir, "tsmeta")
+        if args.purge:
+            um, tm = meta_purge(spark)
+        else:
+            um = spark.read.parquet(up) if os.path.isdir(up) else None
+            tm = spark.read.parquet(tp) if os.path.isdir(tp) else None
+            um, tm = meta_sync(points, um, tm)
+        # frames may read from the target paths — materialize before overwrite
+        um_rows, tm_rows = um.collect(), tm.collect()
+        spark.createDataFrame(um_rows, UIDMETA_SCHEMA).write.mode("overwrite").parquet(up)
+        spark.createDataFrame(tm_rows, TSMETA_SCHEMA).write.mode("overwrite").parquet(tp)
+        print(json.dumps({"uidmeta": len(um_rows), "tsmeta": len(tm_rows),
+                          "purged": bool(args.purge)}))
     return 0
 
 

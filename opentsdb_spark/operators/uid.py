@@ -275,3 +275,67 @@ def rename_tagv(points: DataFrame, tagk: str, old: str, new: str) -> DataFrame:
         )
     )
     return points.withColumn("tags", renamed)
+
+
+# ---- meta maintenance sweeps (reference src/tools/MetaSync.java,
+# ---- src/tools/MetaPurge.java: the `uid metasync` / `uid metapurge` CLI
+# ---- tools — walk the data table creating/updating meta for every
+# ---- UID/TSUID seen, or wipe all meta rows).
+
+
+def meta_sync(
+    points: DataFrame,
+    uidmeta: DataFrame | None = None,
+    tsmeta: DataFrame | None = None,
+    notify: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Reconcile the meta registries against the point store
+    (MetaSync.java:40-200 semantics as two set-based joins instead of a
+    row-at-a-time scan):
+
+      * every live UID name (metric/tagk/tagv) and every live TSUID gets a
+        registry row; rows that already exist keep their edited fields
+      * registry rows whose name/series no longer appears in the store are
+        dropped (the reference leaves them for MetaPurge; an immutable-lake
+        rewrite reconciles both directions in one pass — flagged in the
+        docstring because it subsumes the purge of orphans)
+      * registered search plugins are re-indexed with the synced frames
+        (MetaSync notifies plugins per entry, MetaSync.java:47-49)
+
+    Returns (uidmeta', tsmeta') — lazy frames; callers persist."""
+    spark = points.sparkSession
+    live_uid = None
+    for kind in ("metrics", "tagk", "tagv"):
+        part = uid_listing(points, kind).select(F.lit(kind).alias("kind"), "name")
+        live_uid = part if live_uid is None else live_uid.unionByName(part)
+    if uidmeta is None:
+        uidmeta = spark.createDataFrame([], UIDMETA_SCHEMA)
+    synced_uid = live_uid.join(uidmeta, on=["kind", "name"], how="left").select(
+        "kind", "name", "description", "notes", "display_name", "custom"
+    )
+
+    live_ts = tsmeta_frame(points).select("tsuid")
+    if tsmeta is None:
+        tsmeta = spark.createDataFrame([], TSMETA_SCHEMA)
+    synced_ts = live_ts.join(tsmeta, on="tsuid", how="left").select(
+        "tsuid", "description", "notes", "units", "data_type", "retention",
+        "max", "min", "custom"
+    )
+
+    if notify:
+        from opentsdb_spark.operators.metadata import notify_search_plugins
+
+        notify_search_plugins("index_uidmeta", synced_uid)
+        notify_search_plugins("index_tsmeta", synced_ts)
+    return synced_uid, synced_ts
+
+
+def meta_purge(spark) -> tuple[DataFrame, DataFrame]:
+    """Wipe ALL UIDMeta and TSMeta rows (MetaPurge.java:34-100
+    purgeUIDMeta/purgeTSMeta). Returns the emptied registries; the
+    reference mutates storage directly and does not notify plugins —
+    neither does this."""
+    return (
+        spark.createDataFrame([], UIDMETA_SCHEMA),
+        spark.createDataFrame([], TSMETA_SCHEMA),
+    )

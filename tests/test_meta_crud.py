@@ -624,3 +624,68 @@ def test_auth_plugin_surface(fixture_points, spark):
     # AllowAll rejects unknown permission names
     a = AllowAllAuthenticatingAuthorizer()
     assert a.has_permission(AuthState("x"), "NOT_A_PERMISSION").status == FORBIDDEN
+
+
+def test_meta_sync_and_purge(fixture_points, spark):
+    """MetaSync/MetaPurge sweeps (reference src/tools/MetaSync.java,
+    MetaPurge.java): sync creates registry rows for every live UID/TSUID,
+    preserves edited fields, drops rows for vanished names, re-indexes
+    search plugins; purge wipes everything."""
+    from opentsdb_spark.operators.metadata import (
+        SEARCH_PLUGINS, FrameIndexSearchPlugin, register_search_plugin,
+    )
+    from opentsdb_spark.operators.uid import meta_purge, meta_sync, uidmeta_upsert
+
+    # fresh sync from nothing: 1 metric + 2 tagks + 4 tagvs, 2 series
+    um, tm = meta_sync(fixture_points, notify=False)
+    uid_rows = {(r["kind"], r["name"]) for r in um.collect()}
+    assert ("metrics", "sys.cpu.user") in uid_rows
+    assert ("tagk", "host") in uid_rows and ("tagv", "web02") in uid_rows
+    assert len(uid_rows) == 7
+    assert tm.count() == 2 and all(r["description"] is None for r in tm.collect())
+
+    # edited fields survive a re-sync; stale rows are dropped
+    um2 = uidmeta_upsert(um, "metrics", "sys.cpu.user", description="cpu busy")
+    um2 = uidmeta_upsert(um2, "metrics", "gone.metric", description="orphan")
+    um3, tm3 = meta_sync(fixture_points, um2, tm, notify=False)
+    rows = {(r["kind"], r["name"]): r for r in um3.collect()}
+    assert rows[("metrics", "sys.cpu.user")]["description"] == "cpu busy"
+    assert ("metrics", "gone.metric") not in rows
+    assert len(rows) == 7
+
+    # plugins are re-indexed by the sweep
+    plugin = FrameIndexSearchPlugin()
+    register_search_plugin(plugin)
+    try:
+        meta_sync(fixture_points, um3, tm3)
+        assert plugin.indexes["uidmeta"].count() == 7
+        assert plugin.indexes["tsmeta"].count() == 2
+    finally:
+        SEARCH_PLUGINS.remove(plugin)
+
+    # purge: both registries emptied, schemas intact
+    pu, pt = meta_purge(spark)
+    assert pu.count() == 0 and pt.count() == 0
+    assert "kind" in pu.columns and "tsuid" in pt.columns
+
+
+def test_metasync_cli_roundtrip(tmp_path):
+    """The metasync CLI writes/reads the registry parquet pair and the
+    purge flag wipes it."""
+    import json as _json
+
+    from opentsdb_spark.cli import main as cli_main
+
+    meta = str(tmp_path / "meta")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli_main(["metasync", "--meta-dir", meta]) == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["uidmeta"] > 0 and out["tsmeta"] > 0 and not out["purged"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli_main(["metasync", "--meta-dir", meta, "--purge"]) == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out == {"uidmeta": 0, "tsmeta": 0, "purged": True}
