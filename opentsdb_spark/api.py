@@ -229,8 +229,13 @@ def handle_graph(
                                       (GraphHandler.java:394-407); "plotted"
                                       equals "points" because there is no
                                       gnuplot downsampling stage here
-    ?png raises NotImplementedError: PNG rendering is gnuplot subprocess
-    territory (src/mygnuplot.sh), declared out of engine scope in SURVEY §2.1.
+      {"png": <bytes>, "points", "plotted", "timing"}
+                                      ?png — the rendered image. The
+                                      reference shells out to gnuplot
+                                      (GraphHandler.java:394-410); here
+                                      graph.render_png rasterizes in pure
+                                      stdlib, honoring wxh/title/ylabel/
+                                      ylog/yrange/nokey/style/bg-fgcolor.
     """
     import time
 
@@ -248,13 +253,12 @@ def handle_graph(
             quote_via=quote,
         )
         return {"redirect": f"/#{qs}"}
-    if mode[0] == "png":
-        raise NotImplementedError(
-            "PNG graph rendering (gnuplot) is out of engine scope; "
-            "use ascii or json"
-        )
+    graph_params = (
+        "png", "ascii", "json", "wxh", "title", "ylabel", "ylog", "yrange",
+        "nokey", "style", "bgcolor", "fgcolor", "smooth", "yformat", "xformat",
+    )
     series = handle_query(
-        points, {k: v for k, v in request.items() if k not in ("ascii", "json")},
+        points, {k: v for k, v in request.items() if k not in graph_params},
         histograms=histograms, annotations=annotations, rollup_cfg=rollup_cfg,
         with_subquery_index=True,
     )
@@ -262,6 +266,16 @@ def handle_graph(
     npoints = sum(len(s["dps"]) for s in series if "dps" in s)
     if mode[0] == "ascii":
         return {"ascii": graph_ascii(series), "points": npoints}
+    if mode[0] == "png":
+        from opentsdb_spark.graph import render_png
+
+        png = render_png(series, request)
+        return {
+            "png": png,
+            "plotted": npoints,
+            "points": npoints,
+            "timing": (time.monotonic() - t0) * 1000.0,
+        }
     # ?json: metadata only — etags mirrors the per-subquery aggregated-tag
     # sets (GraphHandler.java:259-262 collects getAggregatedTags per query):
     # one entry per sub-query, grouped by the explicit sub-query index

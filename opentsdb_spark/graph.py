@@ -1,0 +1,449 @@
+"""PNG graph rendering for the legacy /q endpoint.
+
+The reference shells out to gnuplot (src/tsd/GraphHandler.java:394-410,
+src/graph/Plot.java:239-330, src/mygnuplot.sh); this module re-implements
+the drawing surface in pure stdlib (zlib + struct — no PIL/matplotlib in
+the engine environment) so /q?png serves a real image.
+
+Parameter parity with GraphHandler.parseHttpGraph / Plot.java:
+  wxh        "WIDTHxHEIGHT", min 100x100 (GraphHandler.java:676-706;
+             Plot.java:72-75 defaults 1024x768)
+  title      graph title (GraphHandler.java:828-835)
+  ylabel     y-axis label (GraphHandler.java:774-781)
+  ylog       log-scale y axis (GraphHandler.java:814-816)
+  yrange     "[min:max]" with either side empty (GraphHandler.java:758-765)
+  nokey      suppress the legend; default is gnuplot "set key right box"
+             (Plot.java:316-318)
+  bgcolor    "xRRGGBB" background (GraphHandler.java:836-843)
+  fgcolor    "xRRGGBB" foreground (GraphHandler.java:844-851)
+  style      data style; "lines", "points" or the default "linespoint"
+             (Plot.java:312-314)
+
+The drawing itself follows gnuplot's defaults the reference relies on:
+grid lines at the tics, rotated time labels on x (Plot.java:298-310,
+xFormat by span), classic line-type color cycle, legend swatches.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import time as _time
+import zlib
+from typing import Any
+
+MIN_PIXELS = 100  # Plot.java:68-70
+DEFAULT_W, DEFAULT_H = 1024, 768  # Plot.java:72-75
+
+# gnuplot classic line-type cycle (lt 1..8)
+PALETTE = [
+    (0xFF, 0x00, 0x00),  # red
+    (0x00, 0xA0, 0x00),  # green
+    (0x00, 0x00, 0xFF),  # blue
+    (0xC0, 0x00, 0xC0),  # magenta
+    (0x00, 0xA0, 0xA0),  # cyan
+    (0xA0, 0x60, 0x00),  # brown
+    (0xFF, 0x80, 0x00),  # orange
+    (0x60, 0x60, 0x60),  # grey
+]
+
+# ---------------------------------------------------------------- 5x7 font
+# bits: 5 columns per row, MSB = leftmost column; 7 rows per glyph.
+_FONT = {
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    "A": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1C, 0x12, 0x11, 0x11, 0x11, 0x12, 0x1C),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x11, 0x19, 0x15, 0x13, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x15, 0x0A),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x11, 0x0A, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    ".": (0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C),
+    ",": (0x00, 0x00, 0x00, 0x00, 0x0C, 0x04, 0x08),
+    ":": (0x00, 0x0C, 0x0C, 0x00, 0x0C, 0x0C, 0x00),
+    "-": (0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00),
+    "+": (0x00, 0x04, 0x04, 0x1F, 0x04, 0x04, 0x00),
+    "/": (0x01, 0x01, 0x02, 0x04, 0x08, 0x10, 0x10),
+    "%": (0x19, 0x19, 0x02, 0x04, 0x08, 0x13, 0x13),
+    "=": (0x00, 0x00, 0x1F, 0x00, 0x1F, 0x00, 0x00),
+    "(": (0x02, 0x04, 0x08, 0x08, 0x08, 0x04, 0x02),
+    ")": (0x08, 0x04, 0x02, 0x02, 0x02, 0x04, 0x08),
+    "_": (0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x1F),
+    "*": (0x00, 0x0A, 0x04, 0x1F, 0x04, 0x0A, 0x00),
+    "|": (0x04, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "{": (0x06, 0x04, 0x04, 0x08, 0x04, 0x04, 0x06),
+    "}": (0x0C, 0x04, 0x04, 0x02, 0x04, 0x04, 0x0C),
+    "<": (0x02, 0x04, 0x08, 0x10, 0x08, 0x04, 0x02),
+    ">": (0x08, 0x04, 0x02, 0x01, 0x02, 0x04, 0x08),
+    "#": (0x0A, 0x0A, 0x1F, 0x0A, 0x1F, 0x0A, 0x0A),
+    "!": (0x04, 0x04, 0x04, 0x04, 0x04, 0x00, 0x04),
+    "?": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x00, 0x04),
+    "'": (0x04, 0x04, 0x08, 0x00, 0x00, 0x00, 0x00),
+    '"': (0x0A, 0x0A, 0x00, 0x00, 0x00, 0x00, 0x00),
+    "[": (0x0E, 0x08, 0x08, 0x08, 0x08, 0x08, 0x0E),
+    "]": (0x0E, 0x02, 0x02, 0x02, 0x02, 0x02, 0x0E),
+    " ": (0, 0, 0, 0, 0, 0, 0),
+}
+GLYPH_W, GLYPH_H = 6, 7  # 5px glyph + 1px spacing
+
+
+class Canvas:
+    """Minimal RGB raster with a stdlib PNG encoder."""
+
+    def __init__(self, width: int, height: int, bg=(0xFF, 0xFF, 0xFF)):
+        self.w, self.h = width, height
+        self.buf = bytearray(bytes(bg) * (width * height))
+
+    def put(self, x: int, y: int, color) -> None:
+        if 0 <= x < self.w and 0 <= y < self.h:
+            i = (y * self.w + x) * 3
+            self.buf[i : i + 3] = bytes(color)
+
+    def get(self, x: int, y: int) -> tuple[int, int, int]:
+        i = (y * self.w + x) * 3
+        return tuple(self.buf[i : i + 3])
+
+    def hline(self, x0: int, x1: int, y: int, color) -> None:
+        for x in range(min(x0, x1), max(x0, x1) + 1):
+            self.put(x, y, color)
+
+    def vline(self, x: int, y0: int, y1: int, color) -> None:
+        for y in range(min(y0, y1), max(y0, y1) + 1):
+            self.put(x, y, color)
+
+    def rect(self, x0: int, y0: int, x1: int, y1: int, color) -> None:
+        self.hline(x0, x1, y0, color)
+        self.hline(x0, x1, y1, color)
+        self.vline(x0, y0, y1, color)
+        self.vline(x1, y0, y1, color)
+
+    def line(self, x0: int, y0: int, x1: int, y1: int, color) -> None:
+        # Bresenham
+        dx, dy = abs(x1 - x0), -abs(y1 - y0)
+        sx, sy = (1 if x0 < x1 else -1), (1 if y0 < y1 else -1)
+        err = dx + dy
+        while True:
+            self.put(x0, y0, color)
+            if x0 == x1 and y0 == y1:
+                return
+            e2 = 2 * err
+            if e2 >= dy:
+                err += dy
+                x0 += sx
+            if e2 <= dx:
+                err += dx
+                y0 += sy
+
+    def marker(self, x: int, y: int, color) -> None:
+        """gnuplot 'linespoint' plus-sign point marker."""
+        for d in (-2, -1, 1, 2):
+            self.put(x + d, y, color)
+            self.put(x, y + d, color)
+        self.put(x, y, color)
+
+    def text(self, x: int, y: int, s: str, color) -> None:
+        """5x7 bitmap text; lowercase folds to uppercase glyphs."""
+        for ch in s:
+            rows = _FONT.get(ch) or _FONT.get(ch.upper()) or _FONT["?"]
+            for ry, bits in enumerate(rows):
+                for rx in range(5):
+                    if bits & (1 << (4 - rx)):
+                        self.put(x + rx, y + ry, color)
+            x += GLYPH_W
+
+    def text_right(self, x: int, y: int, s: str, color) -> None:
+        self.text(x - len(s) * GLYPH_W, y, s, color)
+
+    def to_png(self) -> bytes:
+        stride = self.w * 3
+        raw = b"".join(
+            b"\x00" + bytes(self.buf[y * stride : (y + 1) * stride])
+            for y in range(self.h)
+        )
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", self.w, self.h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
+
+
+# ------------------------------------------------------------- axis math
+def _nice_ticks(lo: float, hi: float, n: int = 5) -> list[float]:
+    """~n tick positions at 1/2/5x10^k steps covering [lo, hi]."""
+    if hi <= lo:
+        hi = lo + (abs(lo) or 1.0)
+    span = hi - lo
+    step = 10 ** math.floor(math.log10(span / max(n, 1)))
+    for mult in (1, 2, 5, 10):
+        if span / (step * mult) <= n:
+            step *= mult
+            break
+    first = math.ceil(lo / step) * step
+    out = []
+    t = first
+    while t <= hi + step * 1e-9:
+        out.append(0.0 if abs(t) < step * 1e-9 else t)
+        t += step
+    return out
+
+
+def _fmt_num(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        a = abs(v)
+        if a >= 1e9 and a % 1e9 == 0:
+            return f"{int(v / 1e9)}G"
+        if a >= 1e6 and a % 1e6 == 0:
+            return f"{int(v / 1e6)}M"
+        if a >= 1e4 and a % 1e3 == 0:
+            return f"{int(v / 1e3)}K"
+        return str(int(v))
+    return f"{v:.6g}"
+
+
+def _x_format(span_sec: float):
+    """Label format by range span — Plot.xFormat() (Plot.java:334-357)."""
+    if span_sec < 2 * 60:  # < 2 minutes: second resolution
+        return "%H:%M:%S"
+    if span_sec < 2 * 86400:  # < 2 days: minute resolution
+        return "%H:%M"
+    if span_sec < 2 * 7 * 86400:  # < 2 weeks: day + hour
+        return "%a %H:%M"
+    if span_sec < 400 * 86400:  # < ~13 months
+        return "%m/%d"
+    return "%Y/%m/%d"
+
+
+def _parse_color(s: str | None, default):
+    if not s:
+        return default
+    s = s.lstrip("#")
+    if s.startswith("x"):  # gnuplot xRRGGBB (GraphHandler.java:836-851)
+        s = s[1:]
+    return tuple(int(s[i : i + 2], 16) for i in (0, 2, 4))
+
+
+def parse_wxh(wxh: str | None) -> tuple[int, int]:
+    """GraphHandler.java:676-706 — "WxH", both >= 100."""
+    if not wxh:
+        return DEFAULT_W, DEFAULT_H
+    w, _, h = wxh.partition("x")
+    try:
+        width, height = int(w), int(h)
+    except ValueError:
+        raise ValueError(f"Invalid wxh parameter: {wxh}")
+    if width < MIN_PIXELS or height < MIN_PIXELS:
+        raise ValueError(f"Parameter wxh too small: {wxh}")
+    return width, height
+
+
+def parse_yrange(yrange: str | None) -> tuple[float | None, float | None]:
+    """gnuplot "[min:max]" with either side optional (GraphHandler.java:758)."""
+    if not yrange:
+        return None, None
+    s = yrange.strip().lstrip("[").rstrip("]")
+    lo, _, hi = s.partition(":")
+    return (float(lo) if lo.strip() else None, float(hi) if hi.strip() else None)
+
+
+def _series_label(s: dict[str, Any]) -> str:
+    tags = s.get("tags") or {}
+    inner = ",".join(f"{k}={v}" for k, v in sorted(tags.items()))
+    return f"{s.get('metric', '?')}{{{inner}}}" if inner else str(s.get("metric", "?"))
+
+
+# ------------------------------------------------------------- renderer
+def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = None) -> bytes:
+    """Render query results (serialize_subquery dicts: metric/tags/dps) to a
+    PNG, honoring the reference's graph parameters (module docstring)."""
+    params = params or {}
+    width, height = parse_wxh(params.get("wxh"))
+    bg = _parse_color(params.get("bgcolor"), (0xFF, 0xFF, 0xFF))
+    fg = _parse_color(params.get("fgcolor"), (0x00, 0x00, 0x00))
+    grid_c = tuple(min(255, c + 200) if c < 128 else max(0, c - 40) for c in bg)
+    ylog = "ylog" in params
+    style = params.get("style", "linespoint")
+    y_lo_req, y_hi_req = parse_yrange(params.get("yrange"))
+
+    cv = Canvas(width, height, bg)
+
+    # gather points
+    data: list[tuple[str, list[tuple[float, float]]]] = []
+    for s in series:
+        dps = s.get("dps")
+        if not dps:
+            continue
+        pts = sorted((float(t), float(v)) for t, v in dps.items()
+                     if v is not None and v == v)
+        if pts:
+            data.append((_series_label(s), pts))
+
+    ml, mr, mt, mb = 64, 16, 28, 40  # margins
+    px0, px1 = ml, width - 1 - mr
+    py0, py1 = mt, height - 1 - mb
+
+    title = params.get("title")
+    if title:
+        cv.text((width - len(title) * GLYPH_W) // 2, 8, title, fg)
+
+    if not data:
+        cv.rect(px0, py0, px1, py1, fg)
+        cv.text((width - 7 * GLYPH_W) // 2, (py0 + py1) // 2, "NO DATA", fg)
+        return cv.to_png()
+
+    tmin = min(p[0][0] for _, p in data)
+    tmax = max(p[-1][0] for _, p in data)
+    vmin = min(v for _, p in data for _, v in p)
+    vmax = max(v for _, p in data for _, v in p)
+    if y_lo_req is not None:
+        vmin = y_lo_req
+    if y_hi_req is not None:
+        vmax = y_hi_req
+    if ylog:
+        vmin = max(vmin, 1e-300)
+        vmax = max(vmax, vmin * 10)
+    if vmax <= vmin:
+        vmax = vmin + (abs(vmin) or 1.0)
+    if tmax <= tmin:
+        tmax = tmin + 1
+
+    def sx(t: float) -> int:
+        return px0 + int(round((t - tmin) / (tmax - tmin) * (px1 - px0)))
+
+    def sy(v: float) -> int:
+        if ylog:
+            v = max(v, vmin)
+            f = (math.log10(v) - math.log10(vmin)) / (
+                math.log10(vmax) - math.log10(vmin)
+            )
+        else:
+            f = (v - vmin) / (vmax - vmin)
+        return py1 - int(round(max(0.0, min(1.0, f)) * (py1 - py0)))
+
+    # grid + tics ("set grid", Plot.java:312)
+    if ylog:
+        d0, d1 = math.floor(math.log10(vmin)), math.ceil(math.log10(vmax))
+        yticks = [10.0 ** d for d in range(int(d0), int(d1) + 1)]
+    else:
+        yticks = _nice_ticks(vmin, vmax)
+    for v in yticks:
+        if not (vmin <= v <= vmax):
+            continue
+        y = sy(v)
+        cv.hline(px0 + 1, px1 - 1, y, grid_c)
+        cv.hline(px0 - 3, px0, y, fg)
+        cv.text_right(px0 - 5, y - GLYPH_H // 2, _fmt_num(v), fg)
+
+    fmt = _x_format(tmax - tmin)
+    for t in _nice_ticks(tmin, tmax, 6):
+        if not (tmin <= t <= tmax):
+            continue
+        x = sx(t)
+        cv.vline(x, py0 + 1, py1 - 1, grid_c)
+        cv.vline(x, py1, py1 + 3, fg)
+        label = _time.strftime(fmt, _time.gmtime(t))
+        cv.text(x - len(label) * GLYPH_W // 2, py1 + 6, label, fg)
+
+    ylabel = params.get("ylabel")
+    if ylabel:  # horizontal at top-left of the axis (no rotation in 5x7 raster)
+        cv.text(4, py0 - GLYPH_H - 4, ylabel, fg)
+
+    cv.rect(px0, py0, px1, py1, fg)
+
+    # series ("set style data linespoint", Plot.java:312-314)
+    for i, (_, pts) in enumerate(data):
+        color = PALETTE[i % len(PALETTE)]
+        prev = None
+        for t, v in pts:
+            x, y = sx(t), sy(v)
+            if style in ("lines", "linespoint") and prev is not None:
+                cv.line(prev[0], prev[1], x, y, color)
+            if style in ("points", "linespoint"):
+                cv.marker(x, y, color)
+            prev = (x, y)
+
+    # legend ("set key right box", Plot.java:316-318)
+    if "nokey" not in params:
+        labels = [lbl for lbl, _ in data]
+        kw = max(len(x) for x in labels) * GLYPH_W + 30
+        kh = len(labels) * (GLYPH_H + 3) + 6
+        kx1, ky0 = px1 - 6, py0 + 6
+        kx0, ky1 = kx1 - kw, ky0 + kh
+        for y in range(ky0, ky1 + 1):  # opaque backing so lines don't bleed through
+            cv.hline(kx0, kx1, y, bg)
+        cv.rect(kx0, ky0, kx1, ky1, fg)
+        for i, lbl in enumerate(labels):
+            color = PALETTE[i % len(PALETTE)]
+            y = ky0 + 5 + i * (GLYPH_H + 3)
+            cv.hline(kx0 + 4, kx0 + 20, y + GLYPH_H // 2, color)
+            cv.text(kx0 + 24, y, lbl, fg)
+
+    return cv.to_png()
+
+
+def decode_png_size(png: bytes) -> tuple[int, int]:
+    """Parse width/height out of the IHDR chunk (test helper)."""
+    if png[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", png[16:24])
+    return w, h
+
+
+def decode_png_pixels(png: bytes) -> tuple[int, int, bytes]:
+    """Decode an RGB8/filter-0 PNG produced by Canvas.to_png (test helper)."""
+    w, h = decode_png_size(png)
+    # walk chunks, concatenate IDAT
+    i, idat = 8, b""
+    while i < len(png):
+        (ln,) = struct.unpack(">I", png[i : i + 4])
+        tag = png[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += png[i + 8 : i + 8 + ln]
+        i += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * 3 + 1
+    out = bytearray()
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError("unexpected PNG filter type")
+        out += row[1:]
+    return w, h, bytes(out)
