@@ -33,6 +33,7 @@ to a single groupBy.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -80,10 +81,12 @@ def cross_series_aggregate(
     if not aligned:
         if strategy == "pack":
             df = _interpolate_to_union_grid(df, gnames, interp)
+        elif strategy == "pack_expr":
+            df = _interpolate_to_union_grid_expr(df, gnames, interp)
         elif strategy == "join":
             df = _interpolate_via_grid_join(df, gnames, interp)
         else:
-            raise ValueError(f"strategy must be pack|join, got {strategy!r}")
+            raise ValueError(f"strategy must be pack|pack_expr|join, got {strategy!r}")
 
     out = (
         df.groupBy(*gnames, "ts")
@@ -93,7 +96,104 @@ def cross_series_aggregate(
     return out
 
 
+def _pack_per_series(df: DataFrame, gnames: list[str]) -> DataFrame:
+    """Shared head of the pack strategies: one row per (group, series) with
+    the series' sorted point array and the group's union timestamp grid."""
+    per_series = df.groupBy(*gnames, "__sid").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts").alias("t"), F.col("value").alias("v")))
+        ).alias("pts")
+    )
+    per_group = per_series.groupBy(*gnames).agg(
+        F.collect_list(F.struct("__sid", "pts")).alias("series")
+    )
+    all_ts = F.array_sort(
+        F.array_distinct(
+            F.flatten(F.transform("series", lambda s: F.transform(s["pts"], lambda p: p["t"])))
+        )
+    )
+    return (
+        per_group.withColumn("all_ts", all_ts)
+        .select(*gnames, "all_ts", F.explode("series").alias("s"))
+        .select(
+            *gnames, "all_ts",
+            F.col("s.__sid").alias("__sid"), F.col("s.pts").alias("pts"),
+        )
+    )
+
+
 def _interpolate_to_union_grid(df: DataFrame, gnames: list[str], interp: str) -> DataFrame:
+    """Vectorized pack strategy: same packing head as the expression form
+    (see _interpolate_to_union_grid_expr for the semantics contract), but
+    the per-slot lookup/interpolation runs in one Arrow-batched pandas UDF
+    using numpy searchsorted — O((|grid|+|points|) log |points|) per series
+    instead of the O(|grid| x |points|) interpreted higher-order-function
+    scans of the expression form (Spark evaluates transform/filter lambdas
+    via CodegenFallback, so each slot's filter() was a full interpreted
+    array walk; measured 2.5x of the whole aligned-aggregate query at
+    sf0.1).
+
+    Bit-compatibility with the expression form: millisecond timestamps are
+    widened to float64 exactly (|ms| < 2^52), and the LERP arithmetic
+    evaluates pv + (t-pt)*(nv-pv)/(nt-pt) with the same left-to-right IEEE
+    double ops as the Column expression; exact-match slots pass the stored
+    value through untouched; slots outside the series' own [first, last]
+    span return NULL (never NaN) so downstream aggregates skip them —
+    asserted equal to the expression form in
+    tests/test_groupby_strategies.py."""
+    @F.pandas_udf("array<double>")
+    def interp_slots(all_ms: pd.Series, pt_ms: pd.Series, pt_v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for am, tm, vv in zip(all_ms, pt_ms, pt_v):
+            a = np.asarray(am, dtype=np.int64)
+            t = np.asarray(tm, dtype=np.int64)
+            v = np.asarray(vv, dtype=np.float64)
+            li = np.searchsorted(t, a, side="left")
+            ri = np.searchsorted(t, a, side="right")
+            exact = ri > li  # slot timestamp present in this series
+            prev_i = li - 1  # last point strictly before the slot
+            next_i = ri  # first point strictly after the slot
+            interior = (prev_i >= 0) & (next_i < len(t)) & ~exact
+            vals = np.zeros(len(a), dtype=np.float64)
+            vals[exact] = v[li[exact]]
+            if interp == "lerp":
+                af = a.astype(np.float64)
+                tf = t.astype(np.float64)
+                p, n = prev_i[interior], next_i[interior]
+                vals[interior] = v[p] + (af[interior] - tf[p]) * (v[n] - v[p]) / (
+                    tf[n] - tf[p]
+                )
+            elif interp == "zim":
+                vals[interior] = 0.0
+            elif interp == "max":
+                vals[interior] = _DBL_MAX
+            elif interp == "min":
+                vals[interior] = -_DBL_MAX
+            elif interp == "prev":
+                vals[interior] = v[prev_i[interior]]
+            else:  # pragma: no cover
+                raise ValueError(f"unknown interpolation: {interp}")
+            valid = exact | interior
+            out.append([float(x) if ok else None for x, ok in zip(vals, valid)])
+        return pd.Series(out)
+
+    g = _pack_per_series(df, gnames).withColumn(
+        "vals",
+        interp_slots(
+            F.transform("all_ts", F.unix_millis),
+            F.transform("pts", lambda p: F.unix_millis(p["t"])),
+            F.transform("pts", lambda p: p["v"]),
+        ),
+    )
+    zipped = F.arrays_zip(F.col("all_ts").alias("ts"), F.col("vals").alias("value"))
+    return g.select(*gnames, "__sid", F.explode(zipped).alias("z")).select(
+        *gnames, "__sid", F.col("z.ts").alias("ts"), F.col("z.value").alias("value")
+    )
+
+
+def _interpolate_to_union_grid_expr(df: DataFrame, gnames: list[str], interp: str) -> DataFrame:
     """Expand each group's series onto the union of the group's timestamps,
     substituting interior-missing values per the interpolation method.
 
@@ -112,29 +212,10 @@ def _interpolate_to_union_grid(df: DataFrame, gnames: list[str], interp: str) ->
     range/interval buckets (SURVEY §7.4: always downsample before aligning
     at scale — the reference's in-heap SpanGroup equally materializes the
     group)."""
-    per_series = df.groupBy(*gnames, "__sid").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("ts").alias("t"), F.col("value").alias("v")))
-        ).alias("pts")
-    )
-    per_group = per_series.groupBy(*gnames).agg(
-        F.collect_list(F.struct("__sid", "pts")).alias("series")
-    )
-    all_ts = F.array_sort(
-        F.array_distinct(
-            F.flatten(F.transform("series", lambda s: F.transform(s["pts"], lambda p: p["t"])))
-        )
-    )
-    g = (
-        per_group.withColumn("all_ts", all_ts)
-        .select(*gnames, "all_ts", F.explode("series").alias("s"))
-        .select(
-            *gnames, "all_ts",
-            F.col("s.__sid").alias("__sid"), F.col("s.pts").alias("pts"),
-        )
-        # materialize the timestamp array once per row — referencing a bound
-        # column inside the per-slot lambda, never a recomputed transform
-        .withColumn("tsarr", F.transform("pts", lambda p: p["t"]))
+    # materialize the timestamp array once per row — referencing a bound
+    # column inside the per-slot lambda, never a recomputed transform
+    g = _pack_per_series(df, gnames).withColumn(
+        "tsarr", F.transform("pts", lambda p: p["t"])
     )
 
     def slot_value(t):
