@@ -9,6 +9,9 @@ DumpSeries / UidManager (src/tools/*.java). Subcommands:
     python -m opentsdb_spark.cli dump    --metric NAME [--out DIR]
     python -m opentsdb_spark.cli suggest --type metrics|tagk|tagv [--q PREFIX]
     python -m opentsdb_spark.cli uid     --kind metrics|tagk|tagv
+    python -m opentsdb_spark.cli search  lookup METRIC [TAGK=TAGV...]
+    python -m opentsdb_spark.cli graph   --start ... --out FILE.png m_spec...
+    python -m opentsdb_spark.cli version
 
 Points come from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.001)
 events, or --points-dir for a write_points-produced parquet layout.
@@ -77,6 +80,29 @@ def main(argv: list[str] | None = None) -> int:
     mk.add_argument("--registry", default=None, help="registry parquet dir (read+write)")
     mk.add_argument("--kind", default="metric", choices=["metric", "tagk", "tagv"])
     mk.add_argument("names", nargs="+")
+
+    se = sub.add_parser(
+        "search", help="series lookup (reference tsdb search lookup, "
+                       "src/tools/Search.java:33-100)"
+    )
+    se.add_argument("subcmd", choices=["lookup"])
+    se.add_argument(
+        "terms", nargs="+",
+        help="a metric name and/or TAGK=TAGV pairs (TAGV '*' = any)",
+    )
+
+    gr = sub.add_parser(
+        "graph", help="render an m= query to a PNG file (the /q endpoint "
+                      "image, graph.render_png)"
+    )
+    gr.add_argument("--start", required=True)
+    gr.add_argument("--end", default=None)
+    gr.add_argument("--out", required=True, help="output .png path")
+    gr.add_argument("--wxh", default=None)
+    gr.add_argument("--title", default=None)
+    gr.add_argument("m", nargs="+")
+
+    sub.add_parser("version", help="version/build info (reference tsdb version)")
 
     ms = sub.add_parser(
         "metasync",
@@ -179,6 +205,42 @@ def main(argv: list[str] | None = None) -> int:
             spark.createDataFrame(
                 rows, "kind string, name string, uid string"
             ).write.mode("overwrite").parquet(args.registry)
+    elif args.cmd == "search":
+        from opentsdb_spark import api
+
+        spark, points = _spark_and_points(args)
+        tags, metric = [], None
+        for t in args.terms:
+            if "=" in t:
+                k, _, v = t.partition("=")
+                tags.append({"key": k, "value": None if v in ("", "*") else v})
+            else:
+                metric = t
+        req = {"tags": tags}
+        if metric:
+            req["metric"] = metric
+        for r in api.handle_lookup(points, req):
+            tagstr = " ".join(f"{k}={v}" for k, v in sorted(r["tags"].items()))
+            print(f"{r['series_id']}\t{r['metric']}\t{tagstr}")
+    elif args.cmd == "graph":
+        from opentsdb_spark import api
+
+        spark, points = _spark_and_points(args)
+        req = {"start": args.start, "m": args.m, "png": ""}
+        if args.end:
+            req["end"] = args.end
+        if args.wxh:
+            req["wxh"] = args.wxh
+        if args.title:
+            req["title"] = args.title
+        out = api.handle_graph(points, req)
+        with open(args.out, "wb") as fh:
+            fh.write(out["png"])
+        print(f"{out['points']} points -> {args.out}")
+    elif args.cmd == "version":
+        from opentsdb_spark import api
+
+        print(json.dumps(api.handle_version(), indent=2))
     elif args.cmd == "metasync":
         from opentsdb_spark.operators.uid import (
             TSMETA_SCHEMA, UIDMETA_SCHEMA, meta_purge, meta_sync,

@@ -253,6 +253,22 @@ def test_cli_in_process(spark, tmp_path, capsys):
     rc = cli.main(["--sf-dir", "/root/testdata/sf0.001", "suggest", "--type", "metrics"])
     assert rc == 0
     assert "purchase" in capsys.readouterr().out
+    rc = cli.main(["version"])
+    assert rc == 0
+    assert "opentsdb-spark" in capsys.readouterr().out
+    rc = cli.main(["--sf-dir", "/root/testdata/sf0.001", "search", "lookup",
+                   "purchase", "user=1"])
+    assert rc == 0
+    assert "purchase{" in capsys.readouterr().out
+    png_path = tmp_path / "g.png"
+    rc = cli.main(["--sf-dir", "/root/testdata/sf0.001", "graph",
+                   "--start", "2024/01/01", "--end", "2024/02/01",
+                   "--out", str(png_path), "--wxh", "320x240",
+                   "sum:1d-sum:purchase"])
+    assert rc == 0
+    from opentsdb_spark.graph import decode_png_size
+
+    assert decode_png_size(png_path.read_bytes()) == (320, 240)
 
 
 def test_handle_stats(spark):
