@@ -48,8 +48,14 @@ def row_key(row, cols_sorted, colpos):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2] if len(sys.argv) > 2 else ""
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1] if len(argv) > 1 else ""
 
     from opentsdb_spark.catalog import CATALOG
     from opentsdb_spark.session import get_spark
@@ -62,6 +68,7 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
+    results: dict[str, dict] = {}
     for name, qd in CATALOG.items():
         if only and only not in name:
             continue
@@ -72,9 +79,12 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
+            results[name] = {"status": "fail", "detail": f"spark error: {e}"}
             print(f"FAIL  {name}: spark error {e}")
             continue
         if qd.sql is None:
+            results[name] = {"status": "rows_only", "rows": len(srows),
+                             "sec": round(time.time() - t0, 2)}
             print(f"ok    {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -83,14 +93,17 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
+            results[name] = {"status": "fail", "detail": f"oracle error: {e}"}
             print(f"FAIL  {name}: oracle error {e}")
             continue
         if sorted(scols) != sorted(ocols):
             failures.append((name, f"SCHEMA {sorted(scols)} vs {sorted(ocols)}"))
+            results[name] = {"status": "fail", "detail": "schema mismatch"}
             print(f"FAIL  {name}: schema {sorted(scols)} vs {sorted(ocols)}")
             continue
         if len(srows) != len(orows):
             failures.append((name, f"ROWS {len(srows)} vs {len(orows)}"))
+            results[name] = {"status": "fail", "detail": f"rowcount {len(srows)} vs {len(orows)}"}
             print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
             continue
         cs = sorted(scols)
@@ -102,11 +115,28 @@ def main() -> int:
             diff_s = list((smul - omul).items())[:3]
             diff_o = list((omul - smul).items())[:3]
             failures.append((name, f"VALUES spark-only={diff_s} oracle-only={diff_o}"))
+            results[name] = {"status": "fail", "detail": "value multiset mismatch"}
             print(f"FAIL  {name}: values differ; spark-only={diff_s} oracle-only={diff_o}")
             continue
+        results[name] = {"status": "match", "rows": len(srows),
+                         "sec": round(time.time() - t0, 2)}
         print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures / {len([n for n in CATALOG if not only or only in n])} queries")
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(results),
+            "match": sum(1 for r in results.values() if r["status"] == "match"),
+            "rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "fail": len(failures),
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
