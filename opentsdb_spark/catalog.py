@@ -2450,6 +2450,57 @@ def sample_stratified(spark, sf_dir):
     return out.select("vec_id", "label")
 
 
+@register(
+    "sample_temperature",
+    f"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        t AS (SELECT sum(pow(n, 0.5)) AS sum_pow, sum(n) AS n_total FROM c),
+        r AS (SELECT source,
+                     least(1.0, 0.5 * n_total / sum_pow * pow(n, -0.5)) AS rate
+              FROM c CROSS JOIN t)
+        SELECT d.doc_id, d.source, {RND.format('r.rate')} AS rate_r
+        FROM documents d JOIN r USING (source)
+        WHERE {_KNUTH.format(id='d.doc_id')} < r.rate * 10000""",
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature mixture sampling (alpha=0.5, target 50% of corpus):
+    kept docs per source ~ n^0.5, upweighting small sources — the
+    multilingual-LM temperature trick as a broadcast-join + narrow filter
+    (pipeline/sampling.py temperature_mixture)."""
+    from opentsdb_spark.pipeline.sampling import knuth_hash_bucket, temperature_mixture
+
+    docs = _docs(spark, sf_dir)
+    out = temperature_mixture(
+        docs, alpha=0.5, target_frac=0.5,
+        bucket=knuth_hash_bucket(F.col("doc_id")),
+    )
+    return out.select("doc_id", "source", _vr(F.col("rate")).alias("rate_r"))
+
+
+@register(
+    "sample_pack_sequences",
+    f"""WITH d AS (SELECT doc_id,
+                          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                          CAST({_KNUTH.format(id='doc_id')} % 8 AS INT) AS shard
+                   FROM documents)
+        SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                           - n_tokens) / 512.0) AS BIGINT) AS bin
+        FROM d""",
+)
+def sample_pack_sequences(spark, sf_dir):
+    """Greedy contiguous sequence packing into 512-token bins over 8
+    deterministic id-hash shards — bounded per-shard window state, no
+    global window (pipeline/sampling.py pack_sequences)."""
+    from opentsdb_spark.pipeline.sampling import knuth_hash_bucket, pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    out = pack_sequences(
+        docs, max_tokens=512, shards=8,
+        bucket=knuth_hash_bucket(F.col("doc_id")),
+    )
+    return out.select("doc_id", "shard", "n_tokens", "bin")
+
+
 # ============================================= query-string parser path =====
 
 from opentsdb_spark.parse import parse_gexp, parse_m_subquery  # noqa: E402

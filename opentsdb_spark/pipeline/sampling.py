@@ -80,3 +80,91 @@ def stratified_sample(
         *[F.lit(x) for kv in fractions.items() for x in (kv[0], int(round(kv[1] * _BUCKETS)))]
     )
     return docs.where(b < F.coalesce(thresh[F.col(strata_col)], F.lit(0)))
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Temperature-based mixture sampling across corpus sources.
+
+    Keeps an expected ``target_frac`` of the corpus while re-weighting the
+    source mix: kept docs per source are proportional to ``n_g ** alpha``
+    (alpha < 1 upweights small sources toward uniform, alpha = 1 preserves
+    the natural mix — the temperature trick of multilingual LM sampling).
+    Per-source keep rate r_g = min(1, C * n_g**(alpha-1)) with
+    C = target_frac * N_total / sum_g(n_g**alpha); a source capped at rate 1
+    delivers all its rows (slight under-delivery of the global target
+    rather than over-sampling others).
+
+    Scale shape: one partial-agg count per source (tiny result), the rate
+    table joins back via BROADCAST, and the keep decision is the same
+    deterministic id-hash bucket as hash_split — no shuffle of the corpus,
+    reproducible row-exact across runs and partitionings. Adds a ``rate``
+    column."""
+    n = F.col("n").cast("double")
+    cnt = docs.groupBy(source_col).agg(F.count("*").alias("n"))
+    tot = cnt.agg(
+        F.sum(F.pow(n, F.lit(alpha))).alias("sum_pow"),
+        F.sum("n").alias("n_total"),
+    )
+    rates = cnt.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("n_total").cast("double")
+            / F.col("sum_pow")
+            * F.pow(n, F.lit(alpha - 1.0)),
+        ).alias("rate"),
+    )
+    b = bucket if bucket is not None else _default_hash_bucket(F.col(id_col), seed)
+    return docs.join(F.broadcast(rates), on=source_col).where(
+        b < F.col("rate") * _BUCKETS
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    shards: int = 32,
+    token_col: Column | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Greedy contiguous sequence packing for LM training batches.
+
+    Assigns each document a (shard, bin) so that consecutive documents in a
+    shard accumulate into ~``max_tokens``-token training sequences:
+    bin = floor((running_token_total - own_tokens) / max_tokens) over the
+    shard's deterministic id order. A document whose tokens straddle a bin
+    boundary starts in its computed bin (the packer downstream truncates or
+    pads — this operator only decides grouping).
+
+    Scale shape: sharding is the same deterministic id-hash (so a document
+    always lands in the same shard regardless of cluster layout), and the
+    cumulative sum is a window PARTITIONED BY shard — shards bound window
+    state, so no single-partition global window at any corpus size. Output
+    adds shard, n_tokens, and bin columns."""
+    from pyspark.sql import Window
+
+    tok = (
+        token_col
+        if token_col is not None
+        else F.size(F.split(F.trim(F.col(content_col)), r"\s+"))
+    )
+    b = bucket if bucket is not None else _default_hash_bucket(F.col(id_col), 1)
+    out = docs.withColumn("shard", (b % shards).cast("int")).withColumn(
+        "n_tokens", tok.cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    running = F.sum("n_tokens").over(w)
+    return out.withColumn(
+        "bin", F.floor((running - F.col("n_tokens")) / F.lit(max_tokens))
+    )

@@ -458,6 +458,59 @@ def test_hash_split_and_stratified(spark):
     assert by[0] == 500 and 200 < by[1] < 300 and 2 not in by and 3 not in by
 
 
+def test_temperature_mixture(spark):
+    from opentsdb_spark.pipeline.sampling import temperature_mixture
+
+    # skewed corpus: big source 1600 docs, small source 400
+    df = spark.createDataFrame(
+        [(i, "big" if i < 1600 else "small") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    out = temperature_mixture(df, alpha=0.5, target_frac=0.5)
+    by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # kept counts ~ n^0.5: 40:20 ratio -> 2:1, not the natural 4:1
+    assert 1.6 < by["big"] / by["small"] < 2.5
+    # expected total ~ 1000
+    assert 800 < by["big"] + by["small"] < 1200
+    # alpha=1 preserves the natural mix
+    nat = temperature_mixture(df, alpha=1.0, target_frac=0.5)
+    byn = {r["source"]: r["count"] for r in nat.groupBy("source").count().collect()}
+    assert 3.0 < byn["big"] / byn["small"] < 5.5
+    # deterministic
+    assert out.exceptAll(
+        temperature_mixture(df, alpha=0.5, target_frac=0.5)
+    ).count() == 0
+    # rate cap: tiny source at extreme alpha keeps everything, never >100%
+    cap = temperature_mixture(df, alpha=0.0, target_frac=0.9)
+    byc = {r["source"]: r["count"] for r in cap.groupBy("source").count().collect()}
+    assert byc["small"] <= 400
+
+
+def test_pack_sequences(spark):
+    from opentsdb_spark.pipeline.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 50 + 1)) for i in range(500)], "doc_id long, text string"
+    )
+    out = pack_sequences(df, max_tokens=100, shards=4).collect()
+    assert len(out) == 500
+    assert {r["shard"] for r in out} <= set(range(4))
+    # within a shard, bins are non-decreasing in doc order and cumulative
+    # token totals per bin stay near the cap
+    from collections import defaultdict
+
+    per_shard = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        per_shard[r["shard"]].append(r)
+    for rows in per_shard.values():
+        bins = [r["bin"] for r in rows]
+        assert bins == sorted(bins)
+        cum = 0
+        for r in rows:
+            assert r["bin"] == cum // 100  # bin = floor(pre-sum / cap)
+            cum += r["n_tokens"]
+
+
 def test_resize_images_raw(spark):
     import numpy as np
 

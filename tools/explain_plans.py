@@ -141,6 +141,30 @@ def main() -> None:
             if n > 0:
                 errors.append(f"{name}: {n} shuffles in a narrow-map operator")
 
+        # temperature mixture: the per-source rate table must come back as a
+        # BroadcastExchange and the corpus side must not shuffle (the only
+        # non-broadcast Exchange allowed is the tiny count aggregate)
+        from opentsdb_spark.pipeline.sampling import pack_sequences, temperature_mixture
+
+        tplan = _plan_str(temperature_mixture(raw_docs))
+        t_bc = "BroadcastExchange" in tplan or "BroadcastHashJoin" in tplan
+        t_smj = "SortMergeJoin" in tplan
+        print(f"check temperature_mixture: broadcast={t_bc} sortmerge={t_smj}")
+        if not t_bc or t_smj:
+            errors.append("temperature_mixture: rate join is not broadcast")
+
+        # sequence packing: the cumulative-sum window must be PARTITIONED
+        # (per-shard state), never a single global window
+        pplan = _plan_str(pack_sequences(raw_docs, max_tokens=512))
+        import re as _re
+
+        bad_win = _re.search(r"Window .*partitionBy=\[\]", pplan) or (
+            "Window" in pplan and "shard" not in pplan
+        )
+        print(f"check pack_sequences: partitioned_window={not bad_win}")
+        if bad_win:
+            errors.append("pack_sequences: window is not partitioned by shard")
+
         # top-k must be TakeOrderedAndProject (bounded per-partition heaps),
         # never a global Sort of the vocabulary
         from opentsdb_spark.pipeline.text import vocab_topk
