@@ -104,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("version", help="version/build info (reference tsdb version)")
 
+    td = sub.add_parser(
+        "tsd", help="run the TSD daemon: HTTP /api/* + /q and optional "
+                    "telnet line protocol (reference tsdb tsd, "
+                    "src/tsd/TSDMain.java)"
+    )
+    td.add_argument("--port", type=int, default=4242)
+    td.add_argument("--telnet-port", type=int, default=None)
+
     ms = sub.add_parser(
         "metasync",
         help="reconcile UIDMeta/TSMeta registries against the point store "
@@ -241,6 +249,11 @@ def main(argv: list[str] | None = None) -> int:
         from opentsdb_spark import api
 
         print(json.dumps(api.handle_version(), indent=2))
+    elif args.cmd == "tsd":
+        from opentsdb_spark.tsd import TSD, serve
+
+        spark, points = _spark_and_points(args)
+        serve(TSD(spark, points), port=args.port, telnet_port=args.telnet_port)
     elif args.cmd == "metasync":
         from opentsdb_spark.operators.uid import (
             TSMETA_SCHEMA, UIDMETA_SCHEMA, meta_purge, meta_sync,

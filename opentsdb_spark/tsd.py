@@ -1,0 +1,378 @@
+"""The TSD daemon — HTTP + telnet serving layer over the api handlers.
+
+The reference runs a Netty server whose pipeline detects the protocol per
+connection and dispatches HTTP RPCs or telnet-style line commands
+(src/tsd/PipelineFactory.java, src/tsd/RpcHandler.java,
+src/tsd/RpcManager.java:120-190 for the endpoint map, src/tsd/TSDMain.java
+for startup). This module mirrors that with stdlib servers:
+
+  * :class:`TSD` — the shared state (point frame, annotations, uid
+    registry, rollup/histogram stores) + the endpoint router.
+  * :class:`TSDHTTPServer` — ThreadingHTTPServer serving the /api/* and /q
+    endpoints with the reference's JSON error envelope
+    (src/tsd/HttpQuery.java:585-630 {"error": {code, message, details}}).
+  * :class:`TelnetServer` — line-protocol listener: ``put``, ``rollup put``,
+    ``version``, ``stats``, ``help``, ``exit`` (src/tsd/RpcManager.java:
+    418-446 telnet command map, src/tsd/PutDataPointRpc.java:120-180).
+
+Writes mutate the in-memory frames under a lock (union + periodic
+localCheckpoint so lineage stays bounded); durable ingest at scale is the
+Structured Streaming path (streaming/ingest.py) — this server is the
+interactive/operational surface, exactly the role the reference TSD plays
+in front of HBase.
+
+Start one with::
+
+    python -m opentsdb_spark.cli tsd --port 4242 --telnet-port 4243
+"""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import DataFrame
+
+from opentsdb_spark import api
+
+_CHECKPOINT_EVERY = 32  # union depth before compacting lineage
+
+
+class BadRequest(ValueError):
+    pass
+
+
+class TSD:
+    """Server state + router. One instance backs both listeners."""
+
+    def __init__(
+        self,
+        spark,
+        points: DataFrame,
+        annotations: DataFrame | None = None,
+        rollups: DataFrame | None = None,
+        histograms: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.points = points
+        if annotations is None:
+            from opentsdb_spark.operators.annotations import ANNOTATION_SCHEMA
+
+            annotations = spark.createDataFrame([], ANNOTATION_SCHEMA)
+        self.annotations = annotations
+        self.rollups = rollups
+        self.histograms = histograms
+        self.uid_registry: DataFrame | None = None
+        self.lock = threading.Lock()
+        self._writes = 0
+
+    # ------------------------------------------------------------ writes
+    def _absorb(self, frame: DataFrame) -> None:
+        """Union new points into the served frame (caller holds the lock)."""
+        self.points = self.points.unionByName(frame, allowMissingColumns=True)
+        self._writes += 1
+        if self._writes % _CHECKPOINT_EVERY == 0:
+            # bound the union-lineage depth under sustained ingest
+            self.points = self.points.localCheckpoint()
+
+    def put_lines(self, lines: list[str]) -> dict[str, int]:
+        """Telnet ``put`` batch via the line parser
+        (sources/points.py:154-203, reference PutDataPointRpc.execute)."""
+        from pyspark.sql import functions as F
+
+        from opentsdb_spark.sources.points import parse_put_lines
+        from opentsdb_spark.streaming.ingest import apply_ingest_filters
+
+        ldf = self.spark.createDataFrame([(x,) for x in lines], "value string")
+        pts = apply_ingest_filters(parse_put_lines(ldf))
+        with self.lock:
+            n = pts.count()
+            self._absorb(pts.select("metric", "ts", "value", "tags"))
+        return {"success": n, "failed": len(lines) - n}
+
+    # ------------------------------------------------------------- routes
+    def route(self, method: str, path: str, request: dict, body: Any):
+        """Dispatch one request. Returns (payload, content_type) where
+        payload bytes are sent raw and anything else is JSON-encoded."""
+        seg = [s for s in path.split("/") if s]
+        with self.lock:
+            points = self.points
+            annotations = self.annotations
+
+        if path == "/q":
+            out = api.handle_graph(points, request, histograms=self.histograms,
+                                   annotations=annotations)
+            if "png" in out:
+                return out.pop("png"), "image/png"
+            if "ascii" in out:
+                return out["ascii"], "text/plain"
+            return out, None
+        if not seg or seg[0] != "api":
+            raise FileNotFoundError(path)
+        ep = seg[1] if len(seg) > 1 else ""
+
+        if ep == "query":
+            sub = seg[2] if len(seg) > 2 else None
+            if method == "DELETE":
+                out, retained = api.handle_query_delete(points, request)
+                with self.lock:
+                    self.points = retained
+                return out, None
+            if sub == "last":
+                return api.handle_last(points, request), None
+            if sub == "gexp":
+                return api.handle_gexp(points, request), None
+            if sub == "exp":
+                return api.handle_exp(points, body or request), None
+            req = dict(body) if isinstance(body, dict) else dict(request)
+            return api.handle_query(points, req, annotations=annotations,
+                                    histograms=self.histograms), None
+        if ep == "suggest":
+            return api.handle_suggest(points, body or request), None
+        if ep == "search":
+            stype = seg[2] if len(seg) > 2 else "tsmeta"
+            req = dict(body) if isinstance(body, dict) else dict(request)
+            if stype == "lookup":
+                # SearchRpc routes LOOKUP to the time-series lookup, not the
+                # search plugin (src/tsd/SearchRpc.java:70-80)
+                return api.handle_lookup(points, req), None
+            req["type"] = stype
+            return api.handle_search(points, req, annotations=annotations), None
+        if ep == "put":
+            resp, frame = api.handle_put(self.spark, body, request)
+            with self.lock:
+                self._absorb(frame)
+            # bare ?summary / ?details flags count as present (reference
+            # PutDataPointRpc.java query-param handling)
+            if "summary" in request or "details" in request:
+                return resp, None
+            return ("", None) if not resp.get("failed") else (resp, None)
+        if ep == "rollup":
+            resp, frame = api.handle_rollup_put(self.spark, body, request)
+            with self.lock:
+                self.rollups = (
+                    frame if self.rollups is None
+                    else self.rollups.unionByName(frame, allowMissingColumns=True)
+                )
+            return resp, None
+        if ep == "histogram":
+            resp, frame = api.handle_histogram_put(self.spark, body, request)
+            with self.lock:
+                self.histograms = (
+                    frame if self.histograms is None
+                    else self.histograms.unionByName(frame, allowMissingColumns=True)
+                )
+            return resp, None
+        if ep == "annotation":
+            if len(seg) > 2 and seg[2] == "bulk" and method == "DELETE":
+                out, frame = api.handle_annotation_bulk_delete(annotations, body or request)
+                with self.lock:
+                    self.annotations = frame
+                return out, None
+            if method in ("POST", "PUT", "DELETE"):
+                out, frame = api.handle_annotation_edit(annotations, method, body or request)
+                with self.lock:
+                    self.annotations = frame
+                return out, None
+            return api.handle_annotation_query(annotations, request), None
+        if ep == "uid":
+            sub = seg[2] if len(seg) > 2 else ""
+            if sub == "assign":
+                resp, reg = api.handle_uid_assign(self.uid_registry, body or request,
+                                                  spark=self.spark)
+                with self.lock:
+                    self.uid_registry = reg
+                return resp, None
+            if sub == "rename":
+                with self.lock:
+                    self.points = api.handle_uid_rename(self.points, body or request)
+                return {"result": "renamed"}, None
+            raise FileNotFoundError(path)
+        if ep == "tree":
+            if len(seg) > 2:
+                sub = seg[2]
+                if sub in ("rule", "rules", "branch", "collisions", "notmatched", "test"):
+                    return api.handle_tree(points, {**request, **(body or {})}), None
+            if method in ("POST", "PUT", "DELETE"):
+                return api.handle_tree_edit(method, body or request), None
+            if "rules" in request or (body and "rules" in body):
+                return api.handle_tree(points, {**request, **(body or {})}), None
+            return api.handle_tree_family(body or request), None
+        if ep == "aggregators":
+            return api.handle_aggregators(), None
+        if ep == "version":
+            return api.handle_version(), None
+        if ep == "config":
+            return api.handle_config(self.spark), None
+        if ep == "stats":
+            return api.handle_stats(self.spark), None
+        if ep == "dropcaches":
+            return api.handle_dropcaches(self.spark), None
+        raise FileNotFoundError(path)
+
+
+def _flatten_qs(qs: dict[str, list[str]]) -> dict[str, Any]:
+    """m= and tsuid= repeat (one per sub-query); everything else is scalar
+    (reference HttpQuery.getQueryString semantics)."""
+    out: dict[str, Any] = {}
+    for k, v in qs.items():
+        out[k] = v if k in ("m", "tsuids", "exp") else v[0]
+    return out
+
+
+def make_http_server(tsd: TSD, port: int = 0) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _respond(self, code: int, payload, content_type=None):
+            if isinstance(payload, (bytes, bytearray)):
+                data = bytes(payload)
+                ctype = content_type or "application/octet-stream"
+            elif isinstance(payload, str) and content_type:
+                data = payload.encode()
+                ctype = content_type
+            else:
+                # timestamps surface as datetime in annotation/meta echoes
+                data = json.dumps(payload, default=str).encode()
+                ctype = "application/json"
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _error(self, code: int, message: str):
+            # reference error envelope: HttpQuery.java:585-630
+            self._respond(code, {"error": {"code": code, "message": message}})
+
+        def _handle(self, method: str):
+            parsed = urlparse(self.path)
+            request = _flatten_qs(parse_qs(unquote(parsed.query), keep_blank_values=True))
+            body = None
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                raw = self.rfile.read(length)
+                try:
+                    body = json.loads(raw)
+                except json.JSONDecodeError:
+                    return self._error(400, "Unable to parse the given JSON")
+            try:
+                payload, ctype = tsd.route(method, parsed.path, request, body)
+            except FileNotFoundError:
+                return self._error(404, f"Endpoint not found: {parsed.path}")
+            except (BadRequest, ValueError, KeyError, TypeError) as e:
+                return self._error(400, str(e))
+            except PermissionError as e:
+                return self._error(403, str(e))
+            except NotImplementedError as e:
+                return self._error(501, str(e))
+            except Exception as e:  # noqa: BLE001 — the reference 500s too
+                return self._error(500, f"{type(e).__name__}: {e}")
+            self._respond(200 if payload != "" else 204, payload, ctype)
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+        def do_PUT(self):
+            self._handle("PUT")
+
+        def do_DELETE(self):
+            self._handle("DELETE")
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+class TelnetServer(socketserver.ThreadingTCPServer):
+    """Line-protocol listener (reference telnet RPCs,
+    src/tsd/RpcManager.java:418-446). Commands:
+
+      put <metric> <ts> <value> <tagk=tagv> [...]   (batched per connection)
+      version                                        flushes pending puts
+      stats
+      help
+      exit / quit
+    """
+
+    allow_reuse_address = True
+    daemon_threads = True
+    FLUSH_AT = 500  # max buffered put lines before a forced flush
+
+    def __init__(self, tsd: TSD, port: int = 0):
+        self.tsd = tsd
+        super().__init__(("127.0.0.1", port), _TelnetHandler)
+
+
+class _TelnetHandler(socketserver.StreamRequestHandler):
+    def handle(self):
+        tsd: TSD = self.server.tsd
+        pending: list[str] = []
+
+        def flush():
+            if pending:
+                tsd.put_lines(list(pending))
+                pending.clear()
+
+        while True:
+            raw = self.rfile.readline()
+            if not raw:
+                break
+            line = raw.decode("utf-8", "replace").strip()
+            if not line:
+                continue
+            cmd = line.split()[0].lower()
+            try:
+                if cmd == "put":
+                    pending.append(line)
+                    if len(pending) >= self.server.FLUSH_AT:
+                        flush()
+                elif cmd == "version":
+                    flush()
+                    v = api.handle_version()
+                    self.wfile.write(
+                        f"{v['engine']} {v['version']}\n".encode()
+                    )
+                elif cmd == "stats":
+                    flush()
+                    s = api.handle_stats(tsd.spark)
+                    for k, v in sorted(s.items()):
+                        self.wfile.write(f"{k} {v}\n".encode())
+                elif cmd == "help":
+                    self.wfile.write(
+                        b"available commands: put version stats help exit\n"
+                    )
+                elif cmd in ("exit", "quit"):
+                    break
+                else:
+                    self.wfile.write(f"unknown command: {cmd}\n".encode())
+            except Exception as e:  # noqa: BLE001 — keep the connection alive
+                self.wfile.write(f"error: {e}\n".encode())
+        flush()
+
+
+def serve(tsd: TSD, port: int = 4242, telnet_port: int | None = None,
+          block: bool = True):
+    """Start the HTTP listener (and optionally the telnet listener) —
+    the cli `tsd` subcommand entry. Returns (http_server, telnet_server)
+    when block=False (callers join/shutdown themselves)."""
+    http = make_http_server(tsd, port)
+    tel = TelnetServer(tsd, telnet_port) if telnet_port is not None else None
+    if not block:
+        threading.Thread(target=http.serve_forever, daemon=True).start()
+        if tel:
+            threading.Thread(target=tel.serve_forever, daemon=True).start()
+        return http, tel
+    if tel:
+        threading.Thread(target=tel.serve_forever, daemon=True).start()
+        print(f"telnet listening on {tel.server_address[1]}")
+    print(f"http listening on {http.server_address[1]}")
+    http.serve_forever()

@@ -1,0 +1,163 @@
+"""The TSD serving layer: HTTP /api/* + /q routing and the telnet line
+protocol (reference src/tsd/RpcManager.java endpoint map,
+src/tsd/PipelineFactory.java protocol split)."""
+
+import json
+import socket
+import urllib.error
+import urllib.request
+
+import pytest
+
+from opentsdb_spark.tsd import TSD, TelnetServer, make_http_server
+from tests.conftest import EPOCH
+
+
+@pytest.fixture(scope="module")
+def tsd_server(spark, fixture_points):
+    tsd = TSD(spark, fixture_points)
+    http = make_http_server(tsd, 0)
+    tel = TelnetServer(tsd, 0)
+    import threading
+
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    threading.Thread(target=tel.serve_forever, daemon=True).start()
+    yield tsd, http.server_address[1], tel.server_address[1]
+    http.shutdown()
+    tel.shutdown()
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        body = r.read()
+        ctype = r.headers.get("Content-Type", "")
+        return r.status, ctype, body
+
+
+def _post(port, path, payload, method="POST"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method=method,
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read()
+
+
+def test_version_config_aggregators(tsd_server):
+    _, port, _ = tsd_server
+    st, _, body = _get(port, "/api/version")
+    assert st == 200 and json.loads(body)["engine"] == "opentsdb-spark"
+    st, _, body = _get(port, "/api/aggregators")
+    assert st == 200 and "zimsum" in json.loads(body)
+    st, _, body = _get(port, "/api/config")
+    assert st == 200
+
+
+def test_query_endpoint(tsd_server):
+    _, port, _ = tsd_server
+    st, _, body = _get(
+        port,
+        f"/api/query?start={EPOCH}&end={EPOCH + 100_000}"
+        "&m=sum:10m-avg:sys.cpu.user%7Bhost=*%7D",
+    )
+    assert st == 200
+    out = json.loads(body)
+    assert len(out) == 2 and all("dps" in s for s in out)
+
+
+def test_suggest_and_search(tsd_server):
+    _, port, _ = tsd_server
+    st, _, body = _get(port, "/api/suggest?type=metrics&q=sys")
+    assert st == 200 and "sys.cpu.user" in json.loads(body)
+    st, _, body = _get(port, "/api/search/lookup?metric=sys.cpu.user")
+    assert st == 200
+
+
+def test_http_put_roundtrip(tsd_server):
+    tsd, port, _ = tsd_server
+    dp = {"metric": "tsd.test.http", "timestamp": EPOCH + 1, "value": 42.5,
+          "tags": {"host": "h1"}}
+    st, body = _post(port, "/api/put?details=", [dp])
+    assert st == 200
+    resp = json.loads(body)
+    assert resp["success"] == 1 and resp["failed"] == 0
+    st, _, body = _get(
+        port, f"/api/query?start={EPOCH}&end={EPOCH + 100}&m=sum:tsd.test.http"
+    )
+    [series] = json.loads(body)
+    assert series["dps"] == {str(EPOCH + 1): 42.5}
+
+
+def test_q_graph_png_and_ascii(tsd_server):
+    _, port, _ = tsd_server
+    st, ctype, body = _get(
+        port,
+        f"/q?start={EPOCH}&end={EPOCH + 100_000}&m=sum:sys.cpu.user&png&wxh=200x150",
+    )
+    assert st == 200 and ctype == "image/png"
+    from opentsdb_spark.graph import decode_png_size
+
+    assert decode_png_size(body) == (200, 150)
+    st, ctype, body = _get(
+        port, f"/q?start={EPOCH}&end={EPOCH + 100_000}&m=sum:sys.cpu.user&ascii"
+    )
+    assert st == 200 and ctype.startswith("text/plain") and b"sys.cpu.user" in body
+
+
+def test_error_envelope(tsd_server):
+    _, port, _ = tsd_server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(port, "/api/nosuch")
+    assert e.value.code == 404
+    assert json.loads(e.value.read())["error"]["code"] == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(port, "/api/query?start=bogus-time&m=sum:x")
+    assert e.value.code in (400, 500)
+    assert "error" in json.loads(e.value.read())
+
+
+def test_annotation_crud_http(tsd_server):
+    _, port, _ = tsd_server
+    ann = {"startTime": EPOCH, "description": "deploy", "tsuid": "000001"}
+    st, body = _post(port, "/api/annotation", ann)
+    assert st == 200 and json.loads(body)["description"] == "deploy"
+    st, _, body = _get(
+        port,
+        f"/api/annotation?start_time={EPOCH - 10}&end_time={EPOCH + 10}"
+        "&tsuids=000001",
+    )
+    assert any(a["description"] == "deploy" for a in json.loads(body))
+
+
+def test_telnet_protocol(tsd_server):
+    tsd, http_port, tel_port = tsd_server
+    s = socket.create_connection(("127.0.0.1", tel_port), timeout=30)
+    f = s.makefile("rwb")
+    f.write(
+        (
+            f"put tsd.test.telnet {EPOCH + 5} 7 host=web09\n"
+            f"put tsd.test.telnet {EPOCH + 65} 9 host=web09\n"
+            "version\n"
+        ).encode()
+    )
+    f.flush()
+    line = f.readline().decode()
+    assert "opentsdb-spark" in line
+    f.write(b"help\n")
+    f.flush()
+    assert b"put" in f.readline()
+    f.write(b"badcmd\n")
+    f.flush()
+    assert b"unknown command" in f.readline()
+    f.write(b"exit\n")
+    f.flush()
+    s.close()
+    # the flushed points are queryable over HTTP
+    st, _, body = _get(
+        http_port,
+        f"/api/query?start={EPOCH}&end={EPOCH + 100}&m=sum:tsd.test.telnet",
+    )
+    [series] = json.loads(body)
+    assert series["dps"] == {str(EPOCH + 5): 7.0, str(EPOCH + 65): 9.0}
