@@ -67,6 +67,8 @@ class TSD:
         self.rollups = rollups
         self.histograms = histograms
         self.uid_registry: DataFrame | None = None
+        self.uidmeta: DataFrame | None = None
+        self.tsmeta: DataFrame | None = None
         self.lock = threading.Lock()
         self._writes = 0
 
@@ -191,6 +193,20 @@ class TSD:
                 with self.lock:
                     self.points = api.handle_uid_rename(self.points, body or request)
                 return {"result": "renamed"}, None
+            if sub == "uidmeta":
+                out, frame = api.handle_uidmeta_edit(
+                    self.uidmeta, method, body or request, spark=self.spark
+                )
+                with self.lock:
+                    self.uidmeta = frame
+                return out, None
+            if sub == "tsmeta":
+                out, frame = api.handle_tsmeta_edit(
+                    self.tsmeta, method, body or request, spark=self.spark
+                )
+                with self.lock:
+                    self.tsmeta = frame
+                return out, None
             raise FileNotFoundError(path)
         if ep == "tree":
             if len(seg) > 2:

@@ -131,6 +131,17 @@ def test_annotation_crud_http(tsd_server):
     assert any(a["description"] == "deploy" for a in json.loads(body))
 
 
+def test_uidmeta_tsmeta_http(tsd_server):
+    _, port, _ = tsd_server
+    st, body = _post(port, "/api/uid/uidmeta",
+                     {"type": "metric", "name": "sys.cpu.user",
+                      "description": "cpu pct"})
+    assert st == 200 and json.loads(body)["description"] == "cpu pct"
+    st, body = _post(port, "/api/uid/tsmeta",
+                     {"tsuid": "0123", "description": "a series"})
+    assert st == 200 and json.loads(body)["description"] == "a series"
+
+
 def test_telnet_protocol(tsd_server):
     tsd, http_port, tel_port = tsd_server
     s = socket.create_connection(("127.0.0.1", tel_port), timeout=30)
