@@ -240,7 +240,7 @@ def _flatten_qs(qs: dict[str, list[str]]) -> dict[str, Any]:
     return out
 
 
-def make_http_server(tsd: TSD, port: int = 0) -> ThreadingHTTPServer:
+def make_http_handler(tsd: TSD) -> type:
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -305,7 +305,14 @@ def make_http_server(tsd: TSD, port: int = 0) -> ThreadingHTTPServer:
         def do_DELETE(self):
             self._handle("DELETE")
 
-    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    return Handler
+
+
+def make_http_server(tsd: TSD, port: int = 0) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer(("127.0.0.1", port), make_http_handler(tsd))
+
+
+_HTTP_VERBS = (b"GET", b"POST", b"PUT", b"DELETE", b"HEAD", b"OPTIONS")
 
 
 class TelnetServer(socketserver.ThreadingTCPServer):
@@ -375,20 +382,58 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
         flush()
 
 
+class DualProtocolServer(socketserver.ThreadingTCPServer):
+    """One listener for both protocols — the reference's PipelineFactory
+    sniffs the first bytes of a connection and installs either the HTTP
+    codec or the telnet line decoder (src/tsd/PipelineFactory.java
+    DetectHttpOrRpc). Here: peek the first token; an HTTP verb hands the
+    socket to the HTTP request handler, anything else speaks the line
+    protocol. This is the default `tsd` mode, so one port 4242 serves
+    curl and `echo put ... | nc` alike, exactly like the reference."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+    FLUSH_AT = TelnetServer.FLUSH_AT
+
+    def __init__(self, tsd: TSD, port: int = 0):
+        self.tsd = tsd
+        self._http_handler = make_http_handler(tsd)
+        super().__init__(("127.0.0.1", port), _DualHandler)
+
+
+class _DualHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        import socket as _socket
+
+        self.request.settimeout(300)
+        first = self.request.recv(8, _socket.MSG_PEEK)
+        if first.split(b" ")[0].rstrip(b"\r\n") in _HTTP_VERBS:
+            self.server._http_handler(self.request, self.client_address, self.server)
+        else:
+            _TelnetHandler(self.request, self.client_address, self.server)
+
+
 def serve(tsd: TSD, port: int = 4242, telnet_port: int | None = None,
           block: bool = True):
-    """Start the HTTP listener (and optionally the telnet listener) —
-    the cli `tsd` subcommand entry. Returns (http_server, telnet_server)
-    when block=False (callers join/shutdown themselves)."""
-    http = make_http_server(tsd, port)
-    tel = TelnetServer(tsd, telnet_port) if telnet_port is not None else None
+    """Start the listeners — the cli `tsd` subcommand entry.
+
+    Default (telnet_port None): ONE DualProtocolServer on ``port`` serving
+    both HTTP and the line protocol, like the reference TSD. Pass an
+    explicit telnet_port to split the protocols across two listeners.
+    Returns (main_server, telnet_server_or_None) when block=False."""
+    if telnet_port is None:
+        main: socketserver.BaseServer = DualProtocolServer(tsd, port)
+        tel = None
+    else:
+        main = make_http_server(tsd, port)
+        tel = TelnetServer(tsd, telnet_port)
     if not block:
-        threading.Thread(target=http.serve_forever, daemon=True).start()
+        threading.Thread(target=main.serve_forever, daemon=True).start()
         if tel:
             threading.Thread(target=tel.serve_forever, daemon=True).start()
-        return http, tel
+        return main, tel
     if tel:
         threading.Thread(target=tel.serve_forever, daemon=True).start()
         print(f"telnet listening on {tel.server_address[1]}")
-    print(f"http listening on {http.server_address[1]}")
-    http.serve_forever()
+    print(f"listening on {main.server_address[1]}")
+    main.serve_forever()

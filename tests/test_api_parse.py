@@ -551,6 +551,7 @@ def test_handle_graph(fixture_points):
     assert all("__subquery_index" not in s for s in api.handle_query(
         fixture_points, {"start": EPOCH, "end": EPOCH + 100_000,
                          "m": "sum:sys.cpu.user{host=*}"}))
-    # png is gnuplot territory — explicitly out of scope
-    with pytest.raises(NotImplementedError):
-        api.handle_graph(fixture_points, {**req, "png": "true"})
+    # png renders via the stdlib raster backend (graph.render_png)
+    png_out = api.handle_graph(fixture_points, {**req, "png": "true"})
+    assert png_out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    assert png_out["points"] == out["points"]

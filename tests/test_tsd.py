@@ -142,6 +142,35 @@ def test_uidmeta_tsmeta_http(tsd_server):
     assert st == 200 and json.loads(body)["description"] == "a series"
 
 
+def test_dual_protocol_single_port(spark, fixture_points):
+    """One port serves both curl and the line protocol (reference
+    PipelineFactory.DetectHttpOrRpc)."""
+    import threading
+
+    from opentsdb_spark.tsd import TSD, serve
+
+    tsd = TSD(spark, fixture_points)
+    main, tel = serve(tsd, port=0, block=False)
+    assert tel is None
+    port = main.server_address[1]
+    # HTTP on the shared port
+    st, _, body = _get(port, "/api/version")
+    assert st == 200 and json.loads(body)["engine"] == "opentsdb-spark"
+    # telnet on the SAME port
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    f = s.makefile("rwb")
+    f.write(f"put tsd.test.dual {EPOCH + 3} 1.5 host=x\nversion\nexit\n".encode())
+    f.flush()
+    assert b"opentsdb-spark" in f.readline()
+    s.close()
+    st, _, body = _get(
+        port, f"/api/query?start={EPOCH}&end={EPOCH + 100}&m=sum:tsd.test.dual"
+    )
+    [series] = json.loads(body)
+    assert series["dps"] == {str(EPOCH + 3): 1.5}
+    main.shutdown()
+
+
 def test_telnet_protocol(tsd_server):
     tsd, http_port, tel_port = tsd_server
     s = socket.create_connection(("127.0.0.1", tel_port), timeout=30)
