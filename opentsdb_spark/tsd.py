@@ -33,7 +33,7 @@ import socketserver
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
-from urllib.parse import parse_qs, unquote, urlparse
+from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -270,7 +270,10 @@ def make_http_handler(tsd: TSD) -> type:
 
         def _handle(self, method: str):
             parsed = urlparse(self.path)
-            request = _flatten_qs(parse_qs(unquote(parsed.query), keep_blank_values=True))
+            # parse_qs percent-decodes each value itself — decoding the
+            # whole string first would split on an encoded '&' (%26) inside
+            # a filter value and double-decode %25xx sequences
+            request = _flatten_qs(parse_qs(parsed.query, keep_blank_values=True))
             body = None
             length = int(self.headers.get("Content-Length") or 0)
             if length:

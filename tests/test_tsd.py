@@ -106,6 +106,21 @@ def test_q_graph_png_and_ascii(tsd_server):
     assert st == 200 and ctype.startswith("text/plain") and b"sys.cpu.user" in body
 
 
+def test_encoded_query_values(tsd_server):
+    """Percent-encoded tag-filter values must decode exactly once — an
+    encoded '&' or '%' inside a filter value survives intact."""
+    _, port, _ = tsd_server
+    # literal_or(web01|web02) with the pipe percent-encoded
+    st, _, body = _get(
+        port,
+        f"/api/query?start={EPOCH}&end={EPOCH + 100_000}"
+        "&m=sum:10m-avg:sys.cpu.user%7Bhost=literal_or(web01%7Cweb02)%7D",
+    )
+    # {host=...} is a GROUPING filter in m= syntax -> one series per host
+    out = json.loads(body)
+    assert st == 200 and {s["tags"]["host"] for s in out} == {"web01", "web02"}
+
+
 def test_error_envelope(tsd_server):
     _, port, _ = tsd_server
     with pytest.raises(urllib.error.HTTPError) as e:
