@@ -258,13 +258,28 @@ def _interpolate_to_union_grid_expr(df: DataFrame, gnames: list[str], interp: st
 
 
 def _interpolate_via_grid_join(df: DataFrame, gnames: list[str], interp: str) -> DataFrame:
-    """Unbounded-memory variant: distinct-ts x distinct-series grid left-
-    joined back onto the points. Re-executes the upstream sub-plan three
-    times but never materializes a group in memory — for raw-resolution
-    groups too large to pack."""
+    """Unbounded-memory variant: union-timestamp grid left-joined back onto
+    the points. Re-executes the upstream sub-plan three times but never
+    materializes a group in memory — for raw-resolution groups too large to
+    pack.
+
+    The grid is pruned to each series' own [first_ts, last_ts] SPAN before
+    the join: outside its span a series contributes nothing (the reference
+    iterator neither starts a span early nor continues past its last point,
+    AggregationIterator.java:690-800), and interior interpolation needs
+    both neighbors in-span, so out-of-span grid rows could only ever carry
+    NULL — rows the final aggregate would drop anyway. Without the prune
+    the grid is |union ts| x |series| — 392M rows for one sf0.1 metric
+    whose 20k series hold 1-2 points each (high-churn tag sets); with it,
+    the grid is Σ_series |union ts within span|, proportional to the work
+    the reference's k-way merge does on the same data."""
     grid_ts = df.select(*gnames, "ts").distinct()
-    series = df.select(*gnames, "__sid").distinct()
-    grid = grid_ts.join(series, on=gnames)  # group-local cross product
+    spans = df.groupBy(*gnames, "__sid").agg(
+        F.min("ts").alias("__t0"), F.max("ts").alias("__t1")
+    )
+    grid = grid_ts.join(spans, on=gnames).where(
+        F.col("ts").between(F.col("__t0"), F.col("__t1"))
+    ).drop("__t0", "__t1")
     joined = grid.join(
         df.select(*gnames, "__sid", "ts", "value"), on=[*gnames, "__sid", "ts"], how="left"
     )
@@ -273,16 +288,30 @@ def _interpolate_via_grid_join(df: DataFrame, gnames: list[str], interp: str) ->
 
 def _substitute_missing(joined: DataFrame, interp: str) -> DataFrame:
     """Per-series neighbor windows + interpolation substitution for
-    interior-missing grid slots (AggregationIterator.java:690-800)."""
-    w = Window.partitionBy("__sid").orderBy("ts")
-    w_prev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_next = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    interior-missing grid slots (AggregationIterator.java:690-800).
+
+    Both neighbor lookups run over RUNNING frames ([unboundedPreceding,
+    currentRow]) — the following-side neighbor uses a ts-DESCENDING running
+    frame rather than [currentRow, unboundedFollowing]: Spark evaluates
+    growing frames incrementally (one aggregate update per row) but
+    re-scans a shrinking unbounded-following frame from every row, which
+    is O(rows²) per series partition — measured as a 20-minute-CPU stage
+    on a raw-resolution grid at sf0.1 where the running form takes
+    seconds. Cost of the trick: one extra sort per window ordering."""
+    w_prev = Window.partitionBy("__sid").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # descending order: "last non-null so far" == first non-null at-or-after
+    # the current row in ascending time
+    w_next = Window.partitionBy("__sid").orderBy(F.desc("ts")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
 
     ts_ms = F.unix_millis("ts").cast("double")
     prev_v = F.last("value", ignorenulls=True).over(w_prev)
     prev_t = F.last(F.when(F.col("value").isNotNull(), ts_ms), ignorenulls=True).over(w_prev)
-    next_v = F.first("value", ignorenulls=True).over(w_next)
-    next_t = F.first(F.when(F.col("value").isNotNull(), ts_ms), ignorenulls=True).over(w_next)
+    next_v = F.last("value", ignorenulls=True).over(w_next)
+    next_t = F.last(F.when(F.col("value").isNotNull(), ts_ms), ignorenulls=True).over(w_next)
 
     interior = prev_v.isNotNull() & next_v.isNotNull()
     if interp == "lerp":
