@@ -41,6 +41,10 @@ from opentsdb_spark.functions.aggregators import AggSpec, get_aggregator
 from opentsdb_spark.sources.points import series_id_col
 
 _DBL_MAX = 1.7976931348623157e308
+# interval-join binning granularity for the grid-join strategy: buckets per
+# group time range. More bins = tighter candidate sets but more span rows
+# (a full-range series explodes into _GRID_BINS rows).
+_GRID_BINS = 1024
 
 
 def cross_series_aggregate(
@@ -272,14 +276,54 @@ def _interpolate_via_grid_join(df: DataFrame, gnames: list[str], interp: str) ->
     the grid is |union ts| x |series| — 392M rows for one sf0.1 metric
     whose 20k series hold 1-2 points each (high-churn tag sets); with it,
     the grid is Σ_series |union ts within span|, proportional to the work
-    the reference's k-way merge does on the same data."""
-    grid_ts = df.select(*gnames, "ts").distinct()
-    spans = df.groupBy(*gnames, "__sid").agg(
-        F.min("ts").alias("__t0"), F.max("ts").alias("__t1")
+    the reference's k-way merge does on the same data.
+
+    The ts-in-span predicate is a RANGE join, which Spark would execute as
+    a nested loop over |union ts| x |series| pairs per group (the filter
+    runs after the pairing). It is rewritten as an EQUI join by binning:
+    each group's time range splits into ``_GRID_BINS`` buckets, a union
+    timestamp belongs to exactly one bucket, a span explodes onto the
+    buckets it covers (<= _GRID_BINS rows per series), and the join keys on
+    (group, bucket) — a hash join whose output is the candidate set the
+    between-filter then trims. Input is persisted (it is scanned four
+    times: bounds, grid, spans, values; Spark does not share subplans)."""
+    df = df.persist()
+    bounds = df.groupBy(*gnames).agg(
+        F.unix_millis(F.min("ts")).alias("__lo"),
+        F.unix_millis(F.max("ts")).alias("__hi"),
+    ).withColumn(
+        "__w",
+        F.greatest((F.col("__hi") - F.col("__lo") + 1) / _GRID_BINS, F.lit(1.0)),
     )
-    grid = grid_ts.join(spans, on=gnames).where(
-        F.col("ts").between(F.col("__t0"), F.col("__t1"))
-    ).drop("__t0", "__t1")
+    grid_ts = (
+        df.select(*gnames, "ts").distinct()
+        .join(F.broadcast(bounds), on=gnames)
+        .withColumn(
+            "__bk",
+            F.floor((F.unix_millis("ts") - F.col("__lo")) / F.col("__w")).cast("int"),
+        )
+        .select(*gnames, "ts", "__bk")
+    )
+    spans = (
+        df.groupBy(*gnames, "__sid")
+        .agg(F.min("ts").alias("__t0"), F.max("ts").alias("__t1"))
+        .join(F.broadcast(bounds), on=gnames)
+        .withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.floor((F.unix_millis("__t0") - F.col("__lo")) / F.col("__w")).cast("int"),
+                    F.floor((F.unix_millis("__t1") - F.col("__lo")) / F.col("__w")).cast("int"),
+                )
+            ),
+        )
+        .select(*gnames, "__sid", "__t0", "__t1", "__bk")
+    )
+    grid = (
+        grid_ts.join(spans, on=[*gnames, "__bk"])
+        .where(F.col("ts").between(F.col("__t0"), F.col("__t1")))
+        .select(*gnames, "__sid", "ts")
+    )
     joined = grid.join(
         df.select(*gnames, "__sid", "ts", "value"), on=[*gnames, "__sid", "ts"], how="left"
     )
