@@ -165,6 +165,24 @@ def main() -> None:
         if bad_win:
             errors.append("pack_sequences: window is not partitioned by shard")
 
+        # raw-resolution cross-series aggregation (grid-join strategy):
+        # no nested-loop join (the span range-join must be the binned equi
+        # join) and no shrinking unbounded-following window frame (Spark
+        # re-scans those per row -> O(rows^2) per series; both regressions
+        # were measured as multi-minute stages at sf0.1)
+        from opentsdb_spark.operators.groupby import cross_series_aggregate
+        from opentsdb_spark.sources.points import load_points
+
+        raw_pts = load_points(spark, sf_dir).where(F.col("metric") == "signup")
+        gplan = _plan_str(cross_series_aggregate(raw_pts, "sum", strategy="join"))
+        has_bnlj = "BroadcastNestedLoopJoin" in gplan or "CartesianProduct" in gplan
+        has_shrink = "AND UNBOUNDED FOLLOWING" in gplan.upper()
+        print(f"check grid_join: nested_loop={has_bnlj} shrinking_frame={has_shrink}")
+        if has_bnlj:
+            errors.append("grid_join: span range join fell back to a nested loop")
+        if has_shrink:
+            errors.append("grid_join: O(n^2) unbounded-following window frame")
+
         # top-k must be TakeOrderedAndProject (bounded per-partition heaps),
         # never a global Sort of the vocabulary
         from opentsdb_spark.pipeline.text import vocab_topk
