@@ -29,6 +29,7 @@ HEADLINE = [
     "flagship",
     "tsdb_ds_10m_avg",
     "tsdb_agg_sum_aligned_1h",
+    "tsdb_agg_sum_raw_full",
     "tsdb_agg_zimsum_by_user",
     "tsdb_rate",
     "tsdb_filter_not_literal_or",
