@@ -281,3 +281,32 @@ def test_time_parse_laws(n, unit):
 
     with _pytest.raises(ValueError):
         parse_duration_ms(f"{n}{unit}x")
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e", "ff"]),
+             min_size=0, max_size=25).map(" ".join),
+    min_size=1, max_size=20,
+))
+def test_shingle_udf_matches_expression_form(spark, docs):
+    """The pandas-UDF n-gram builder must produce byte-identical gram
+    arrays (content AND first-occurrence order) to the Column-expression
+    form it replaced — the hash oracles downstream depend on it."""
+    from opentsdb_spark.pipeline.dedup import _gram_frame
+
+    n = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    fast = {r["doc_id"]: r["grams"] for r in _gram_frame(df, "text", "doc_id", n).collect()}
+    # the replaced expression form, inlined as the semantics oracle
+    words = df.select("doc_id", F.split(F.col("text"), r"\s+").alias("__w"))
+    idx = F.sequence(F.lit(0), F.size("__w") - n)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice("__w", i + 1, n), " "))
+    )
+    slow = {
+        r["doc_id"]: r["grams"]
+        for r in words.where(F.size("__w") >= n).select("doc_id", grams.alias("grams")).collect()
+    }
+    assert fast == slow

@@ -216,3 +216,51 @@ def test_telnet_protocol(tsd_server):
     )
     [series] = json.loads(body)
     assert series["dps"] == {str(EPOCH + 5): 7.0, str(EPOCH + 65): 9.0}
+
+
+def test_auth_denied_over_http(tsd_server):
+    """An installed auth plugin that denies HTTP_QUERY surfaces as a 403
+    with the reference error envelope (AuthState -> AuthError ->
+    PermissionError mapping in the TSD handler)."""
+    import urllib.error
+
+    from opentsdb_spark.auth import (
+        FORBIDDEN,
+        Authentication,
+        Authorization,
+        AuthState,
+        configure_auth,
+    )
+
+    class DenyQueries(Authentication, Authorization):
+        def authenticate_http(self, request):
+            return AuthState("tester")
+
+        def authenticate_telnet(self, command):
+            return AuthState("tester")
+
+        def authorization(self):
+            return self
+
+        def has_permission(self, state, permission):
+            if permission == "HTTP_QUERY":
+                return AuthState(state.user, FORBIDDEN, "queries disabled")
+            return state
+
+        def allow_query(self, state, tsquery):
+            return state
+
+    _, port, _ = tsd_server
+    configure_auth(DenyQueries())
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(port, f"/api/query?start={EPOCH}&end={EPOCH + 100}&m=sum:sys.cpu.user")
+        assert e.value.code == 403
+        assert json.loads(e.value.read())["error"]["code"] == 403
+        # non-query endpoints stay reachable
+        st, _, _ = _get(port, "/api/version")
+        assert st == 200
+    finally:
+        configure_auth(None)
+    st, _, _ = _get(port, f"/api/query?start={EPOCH}&end={EPOCH + 100}&m=sum:sys.cpu.user")
+    assert st == 200
