@@ -201,15 +201,31 @@ def parse_query(params: dict) -> TSQuery:
         end=params.get("end"),
         queries=tuple(parse_m_subquery(s, tz) for s in ms),
         timezone=tz,
-        ms_resolution=bool(params.get("ms")),
-        # presence-style flags (reference src/tsd/QueryRpc.java:542-568)
-        show_tsuids=bool(params.get("show_tsuids")),
-        show_query=bool(params.get("show_query")),
-        show_stats=bool(params.get("show_stats")),
-        show_summary=bool(params.get("show_summary")),
-        no_annotations=bool(params.get("no_annotations")),
-        with_global_annotations=bool(params.get("global_annotations")),
+        # presence-style flags (reference src/tsd/QueryRpc.java:542-568
+        # checks hasQueryStringParam): a bare '?ms' arrives as the empty
+        # string through a query-string parser and must still count as set;
+        # an explicit 'false'/'0' opts out (HttpQuery.parseBoolean analog)
+        ms_resolution=_flag(params, "ms"),
+        show_tsuids=_flag(params, "show_tsuids"),
+        show_query=_flag(params, "show_query"),
+        show_stats=_flag(params, "show_stats"),
+        show_summary=_flag(params, "show_summary"),
+        no_annotations=_flag(params, "no_annotations"),
+        with_global_annotations=_flag(params, "global_annotations"),
     )
+
+
+def _flag(params: dict, name: str) -> bool:
+    """Presence-style boolean, exactly the reference's
+    hasQueryStringParam: a present HTTP param counts as true whatever its
+    value (even '?ms=false' — QueryRpc.java:554-556 only checks presence).
+    Programmatic callers passing real booleans/None keep Python truthiness."""
+    if name not in params:
+        return False
+    v = params[name]
+    if isinstance(v, str):
+        return True
+    return bool(v)
 
 
 # ------------------------------------------------------------------ gexp ----

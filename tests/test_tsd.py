@@ -264,3 +264,19 @@ def test_auth_denied_over_http(tsd_server):
         configure_auth(None)
     st, _, _ = _get(port, f"/api/query?start={EPOCH}&end={EPOCH + 100}&m=sum:sys.cpu.user")
     assert st == 200
+
+
+def test_bare_flag_params(tsd_server):
+    """A bare '?ms&show_tsuids' must behave as set (reference
+    hasQueryStringParam presence semantics, QueryRpc.java:550-556)."""
+    _, port, _ = tsd_server
+    st, _, body = _get(
+        port,
+        f"/api/query?start={EPOCH}&end={EPOCH + 100_000}&ms&show_tsuids"
+        "&m=sum:10m-avg:sys.cpu.user%7Bhost=*%7D",
+    )
+    assert st == 200
+    out = json.loads(body)
+    for s in out:
+        assert "tsuids" in s  # show_tsuids honored
+        assert all(len(k) == 13 for k in s["dps"])  # ms-resolution keys
