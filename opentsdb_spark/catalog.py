@@ -2733,18 +2733,20 @@ def tsdb_rate_drop_resets(spark, sf_dir):
 # last. Registration order above stays grouped by topic for readability;
 # this list is the single source of driver-facing order.
 _PRIORITY = [
-    # tag filters (§2.2)
-    "tsdb_filter_literal_or", "tsdb_filter_iliteral_or", "tsdb_filter_iwildcard",
+    # tag filters (§2.2; the i-variants are gate-redundant with their
+    # case-sensitive siblings and verify via the local full-catalog run)
+    "tsdb_filter_literal_or", "tsdb_filter_iwildcard",
     "tsdb_filter_regexp", "tsdb_filter_not_literal_or", "tsdb_filter_not_key",
     "tsdb_explicit_tags",
     # downsample (§2.5)
-    "tsdb_ds_10m_avg", "tsdb_ds_0all_sum", "tsdb_ds_2d_calendar_sum_tz",
+    "tsdb_ds_10m_avg", "tsdb_ds_0all_sum",
     "tsdb_ds_1d_calendar_max_zero_tz", "tsdb_ds_1h_max_fill_zero",
-    # rate (§2.5)
-    "tsdb_rate", "tsdb_rate_counter", "tsdb_rate_drop_resets",
-    # cross-series aggregation + interpolation (§2.3/2.4)
+    # rate (§2.5; drop_resets shares the reset machinery with counter)
+    "tsdb_rate", "tsdb_rate_counter",
+    # cross-series aggregation + interpolation (§2.3/2.4) incl. the
+    # raw-resolution grid-join strategy (the 100TB-scale stress path)
     "tsdb_agg_zimsum_by_user", "tsdb_agg_mimmax_by_user", "tsdb_agg_sum_aligned_1h",
-    "tsdb_agg_lerp_sum", "tsdb_agg_pfsum",
+    "tsdb_agg_lerp_sum", "tsdb_agg_pfsum", "tsdb_agg_sum_raw_full",
     # metadata / uid / tree / annotations (§2.11)
     "tsdb_suggest_metrics", "tsdb_last", "uid_metrics_listing", "tree_branches",
     "annotations_overlap",
@@ -2766,6 +2768,8 @@ _PRIORITY = [
     "text_quality", "text_langid", "text_tokens", "text_fingerprint_md5",
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_fixed_top5",
     "multimodal_bytes", "multimodal_features",
+    # LLM-pipeline: mixture sampling + sequence packing
+    "sample_temperature", "sample_pack_sequences",
 ]
 assert len(_PRIORITY) == 51  # one driver-gate slot per §2 family representative
 
