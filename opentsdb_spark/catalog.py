@@ -1662,6 +1662,36 @@ def text_vocab_top50(spark, sf_dir):
 
 
 @register(
+    "text_lm_score",
+    f"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+        gl AS (SELECT doc_id, list_transform(
+                 generate_series(1, greatest(len(w) - 1, 0)),
+                 i -> array_to_string(w[i:i+1], ' ')) AS grams
+               FROM w WHERE len(w) >= 2),
+        e AS (SELECT doc_id, unnest(grams) AS g FROM gl),
+        nc AS (SELECT g, count(*) AS c_n FROM e GROUP BY g),
+        cx AS (SELECT doc_id, g, regexp_replace(g, '\\s?\\S+$', '') AS ctx FROM e),
+        cc AS (SELECT ctx, count(*) AS c_ctx FROM cx GROUP BY ctx),
+        v AS (SELECT count(*) AS v FROM nc),
+        sc AS (SELECT cx.doc_id, ln((nc.c_n + 0.5) / (cc.c_ctx + 0.5 * v.v)) AS logp
+               FROM cx JOIN nc USING (g) JOIN cc USING (ctx) CROSS JOIN v),
+        pd AS (SELECT doc_id, count(*) AS n_grams, avg(logp) AS a
+               FROM sc GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+               {RND.format('pd.a')} AS avg_logp_r
+        FROM documents d LEFT JOIN pd USING (doc_id)""",
+)
+def text_lm_score(spark, sf_dir):
+    """Corpus-fit bigram LM score per doc (add-k smoothed avg log-prob) —
+    the perplexity-proxy quality filter (pipeline.text.lm_score): fit and
+    score in one job, probability table joined (never broadcast/collected)."""
+    from opentsdb_spark.pipeline.text import lm_score
+
+    out = lm_score(_docs(spark, sf_dir), n=2)
+    return out.select("doc_id", "n_grams", _vr(F.col("avg_logp")).alias("avg_logp_r"))
+
+
+@register(
     "embed_quantize",
     f"""WITH s AS (SELECT vec_id,
                           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax

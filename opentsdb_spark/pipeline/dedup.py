@@ -67,7 +67,8 @@ def md5_hash64(c) -> F.Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int) -> DataFrame:
+def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int,
+                distinct: bool = True) -> DataFrame:
     """(id, grams) with the tokenizer materialized as its own projection —
     inlining split() into the transform lambda makes codegen re-split the
     text once per n-gram (O(len²) per doc); staging it as a bound column
@@ -79,7 +80,8 @@ def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int) -> DataF
     doc — guaranteed on a real corpus)."""
     words = docs.select(id_col, F.split(F.col(content_col), r"\s+").alias("__w"))
     if n == 1:
-        return words.select(id_col, F.array_distinct("__w").alias("grams"))
+        g1 = F.array_distinct("__w") if distinct else F.col("__w")
+        return words.select(id_col, g1.alias("grams"))
     # the sliding join runs in an Arrow-batched pandas UDF: the
     # transform(sequence, slice+array_join) expression form is
     # CodegenFallback, ~13us of interpreter overhead PER GRAM (3.4s for a
@@ -87,23 +89,20 @@ def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int) -> DataF
     # byte-identical (" ".join == array_join(_, " ")) and first-occurrence
     # order is preserved (dict.fromkeys == array_distinct), so every hash
     # oracle downstream is unaffected.
-    grams = _shingle_udf(n)(F.col("__w"))
+    grams = _shingle_udf(n, distinct)(F.col("__w"))
     return (
         words.where(F.size("__w") >= n)
         .select(id_col, grams.alias("grams"))
     )
 
 
-def _shingle_udf(n: int):
+def _shingle_udf(n: int, distinct: bool = True):
     @F.pandas_udf("array<string>")
     def shingle(words: pd.Series) -> pd.Series:
         out = []
         for w in words:
-            out.append(
-                list(dict.fromkeys(
-                    " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
-                ))
-            )
+            seq = (" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+            out.append(list(dict.fromkeys(seq)) if distinct else list(seq))
         return pd.Series(out)
 
     return shingle

@@ -256,3 +256,72 @@ def vocab_topk(docs: DataFrame, k: int = 50, content_col: str = "text",
         F.count_distinct("__did").alias("df"),
     )
     return counts.orderBy(F.desc("tf"), F.asc("token")).limit(k)
+
+
+def lm_score(
+    docs: DataFrame,
+    n: int = 2,
+    add_k: float = 0.5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-fit n-gram language-model score per document — the classic
+    perplexity-proxy quality filter (a document whose token transitions are
+    improbable under the corpus LM is likely noise/garble).
+
+    Fit and score are one Spark job, no driver-side model:
+      * fit: n-gram and (n-1)-gram counts over the WHOLE corpus (partial
+        aggregation, gram-keyed shuffle);
+      * score: each document's grams join their corpus counts (sort-merge
+        on the same 8-byte-hashable gram keys at scale) and contribute
+        log((c_n + k) / (c_ctx + k*V)) — add-k smoothed conditional
+        probability with V = distinct context count;
+      * output: (id, n_grams, avg_logp) with avg_logp = mean log-prob per
+        gram (higher = more typical). Docs shorter than n words score NULL.
+
+    The probability table is a frame JOIN, never a broadcast of the
+    vocabulary (unbounded at corpus scale). n=1 degenerates to unigram
+    log-frequency scoring.
+    """
+    from opentsdb_spark.pipeline.dedup import _gram_frame, _persist_small
+
+    ids = docs.select(id_col)
+    # raw occurrences, NOT per-doc-distinct shingles: a repeated transition
+    # must weigh repeatedly in both the fit counts and the score. The gram
+    # stream feeds both the fit aggregation and the score join — persisted
+    # so tokenize+shingle runs once (Spark shares no common subplans).
+    grams = _persist_small(
+        _gram_frame(docs, content_col, id_col, n, distinct=False)
+        .select(id_col, F.explode("grams").alias("g")),
+        True,
+    )
+    ngram_counts = grams.groupBy("g").agg(F.count("*").alias("c_n"))
+    if n > 1:
+        # context = the gram minus its last word
+        with_ctx = grams.withColumn(
+            "ctx", F.regexp_replace("g", r"\s?\S+$", "")
+        )
+        ctx_counts = with_ctx.groupBy("ctx").agg(F.count("*").alias("c_ctx"))
+        vocab = ngram_counts.agg(F.count("*").alias("v")).first()["v"]
+        scored = (
+            with_ctx.join(ngram_counts, on="g")
+            .join(ctx_counts, on="ctx")
+            .withColumn(
+                "logp",
+                F.log((F.col("c_n") + add_k) / (F.col("c_ctx") + add_k * vocab)),
+            )
+        )
+    else:
+        total = grams.count()
+        vocab = ngram_counts.count()
+        scored = grams.join(ngram_counts, on="g").withColumn(
+            "logp", F.log((F.col("c_n") + add_k) / (total + add_k * vocab))
+        )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"), F.avg("logp").alias("avg_logp")
+    )
+    return ids.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        "avg_logp",
+    )

@@ -594,3 +594,23 @@ def test_quantize_embeddings(spark):
     # dequantized view reconstructs within one quantization step
     deq = {r["vec_id"]: r["embedding"] for r in dequantized_view(quantize_embeddings(df)).collect()}
     assert deq[0] == pytest.approx([1.0, -0.5, 0.25], abs=1.0 / 254 + 1e-12)
+
+
+def test_lm_score(spark):
+    from opentsdb_spark.pipeline.text import lm_score
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat sat on the mat"),
+         (2, "zq xv qq pp zz yy"), (3, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(df, n=2).collect()}
+    # typical text scores strictly higher than garble under the corpus LM
+    assert out[0]["avg_logp"] > out[2]["avg_logp"]
+    # identical documents score identically
+    assert out[0]["avg_logp"] == out[1]["avg_logp"]
+    # sub-n documents have no n-gram identity
+    assert out[3]["n_grams"] == 0 and out[3]["avg_logp"] is None
+    # unigram degenerate mode runs and keeps ordering
+    u = {r["doc_id"]: r for r in lm_score(df, n=1).collect()}
+    assert u[0]["avg_logp"] > u[2]["avg_logp"]
