@@ -191,15 +191,78 @@ def parse_m_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
     )
 
 
+def _split_outside_braces(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` occurrences not enclosed in ``{}`` (series ids
+    embed 'metric{k=v,...}' whose braces may hold the separator)."""
+    parts, cur, depth = [], [], 0
+    for ch in s:
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def parse_tsuid_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
+    """Parse one ``tsuid=`` sub-query: ``agg:[interval-agg:][rate:]tsuid[,s]``
+    (reference QueryRpc.parseTsuidTypeSubQuery, QueryRpc.java:693-740) —
+    the m= grammar with a comma-separated TSUID list in the metric slot."""
+    parts = _split_outside_braces(spec, ":")
+    if len(parts) < 2 or len(parts) > 5:
+        raise ValueError(
+            f"Invalid parameter m={spec!r} "
+            f"({'not enough' if len(parts) < 2 else 'too many'} :-separated parts)"
+        )
+    # the reference's TSUIDs are hex ids; ours are 'metric{k=v,...}' series
+    # ids whose braces may hold commas — split the list on commas OUTSIDE
+    # braces only
+    tsuids = tuple(t for t in _split_outside_braces(parts[-1], ",") if t)
+    if not tsuids:
+        raise ValueError(f"tsuid query needs at least one TSUID: {spec!r}")
+    aggregator = parts[0]
+    downsample = None
+    rate = None
+    percentiles: tuple[float, ...] = ()
+    show_buckets = False
+    for tok in parts[1:-1]:
+        if tok.lower().startswith("rate"):
+            rate = _parse_rate(tok)
+        elif tok.lower().startswith("percentiles"):
+            percentiles = _parse_percentiles(tok)
+        elif tok.lower().startswith("show-histogram-buckets"):
+            show_buckets = True
+        elif tok and tok[0].isdigit():
+            downsample = _parse_downsample(tok, timezone)
+        else:
+            raise ValueError(f"unrecognized tsuid query token {tok!r} in {spec!r}")
+    return SubQuery(
+        metric="", aggregator=aggregator, downsample=downsample, rate=rate,
+        tsuids=tsuids, percentiles=percentiles,
+        show_histogram_buckets=show_buckets,
+    )
+
+
 def parse_query(params: dict) -> TSQuery:
-    """Parse GET-style params {start, end, m: [specs], timezone} into a
-    TSQuery (the /api/query GET path, src/tsd/QueryRpc.java:630-682)."""
+    """Parse GET-style params {start, end, m: [specs], tsuid: [specs],
+    timezone} into a TSQuery (the /api/query GET path,
+    src/tsd/QueryRpc.java:630-682; tsuid-type sub-queries :571-576)."""
     tz = params.get("timezone", "UTC")
     ms = [params["m"]] if isinstance(params.get("m"), str) else list(params.get("m", []))
+    tq = params.get("tsuid", [])
+    tqs = [tq] if isinstance(tq, str) else list(tq)
     return TSQuery(
         start=params["start"],
         end=params.get("end"),
-        queries=tuple(parse_m_subquery(s, tz) for s in ms),
+        queries=tuple(
+            [parse_tsuid_subquery(s, tz) for s in tqs]
+            + [parse_m_subquery(s, tz) for s in ms]
+        ),
         timezone=tz,
         # presence-style flags (reference src/tsd/QueryRpc.java:542-568
         # checks hasQueryStringParam): a bare '?ms' arrives as the empty

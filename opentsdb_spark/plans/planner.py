@@ -133,9 +133,17 @@ def compile_subquery(
     stores (the reference's temporal vs groupby tables).
     strict_none: reject agg=none queries whose filters match more than one
     series (see the agg=none branch below for the reference semantics)."""
-    df = points.where(time_range_predicate(points, start_ms, end_ms)).where(
-        F.col("metric") == q.metric
-    )
+    df = points.where(time_range_predicate(points, start_ms, end_ms))
+    if q.metric:
+        df = df.where(F.col("metric") == q.metric)
+    elif q.tsuids:
+        # tsuid-only sub-query (GET ?tsuid=agg:ts[,ts] has no metric slot):
+        # series ids embed the metric, so push the derived metric set down
+        # to the scan — the series_id predicate alone can't prune partitions
+        metrics = sorted({t.split("{", 1)[0] for t in q.tsuids})
+        df = df.where(F.col("metric").isin(metrics))
+    else:
+        raise ValueError("sub-query needs a metric or a TSUID list")
     df = df.drop("dt", "hr")  # partition-layout columns, consumed by the filter
 
     if q.tsuids:

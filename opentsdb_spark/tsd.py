@@ -236,7 +236,7 @@ def _flatten_qs(qs: dict[str, list[str]]) -> dict[str, Any]:
     (reference HttpQuery.getQueryString semantics)."""
     out: dict[str, Any] = {}
     for k, v in qs.items():
-        out[k] = v if k in ("m", "tsuids", "exp") else v[0]
+        out[k] = v if k in ("m", "tsuid", "tsuids", "exp") else v[0]
     return out
 
 

@@ -280,3 +280,27 @@ def test_bare_flag_params(tsd_server):
     for s in out:
         assert "tsuids" in s  # show_tsuids honored
         assert all(len(k) == 13 for k in s["dps"])  # ms-resolution keys
+
+
+def test_tsuid_get_query(tsd_server):
+    """GET ?tsuid=agg:[ds:]tsuid[,tsuid] sub-queries (reference
+    QueryRpc.parseTsuidTypeSubQuery, QueryRpc.java:693-740)."""
+    from urllib.parse import quote
+
+    _, port, _ = tsd_server
+    sid = quote("sys.cpu.user{dc=lga,host=web01}")
+    st, _, body = _get(
+        port,
+        f"/api/query?start={EPOCH}&end={EPOCH + 100_000}&tsuid=sum:{sid}",
+    )
+    assert st == 200
+    [series] = json.loads(body)
+    assert series["metric"] == "sys.cpu.user" and len(series["dps"]) > 0
+    # downsampled two-tsuid aggregate parses and aggregates both series
+    sid2 = quote("sys.cpu.user{dc=phx,host=web02}")
+    st, _, body = _get(
+        port,
+        f"/api/query?start={EPOCH}&end={EPOCH + 100_000}"
+        f"&tsuid=sum:10m-avg:{sid},{sid2}",
+    )
+    assert st == 200 and len(json.loads(body)) == 1
