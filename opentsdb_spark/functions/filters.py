@@ -116,3 +116,63 @@ def build_tag_filter(tags: Column, ftype: str, tagk: str, filter_str: str) -> Co
     except KeyError:
         raise ValueError(f"unknown tag filter type: {ftype!r} (have {sorted(FILTERS)})") from None
     return builder(tags, tagk, filter_str)
+
+
+# /api/config/filters metadata: the reference collects each filter class's
+# static description()/examples() strings (TagVFilter.java:359-380,
+# RpcManager.java:802-808 ShowConfig). Keyed by registry name so plugin
+# filters registered at runtime appear too (with placeholder text).
+FILTER_METADATA: dict[str, dict[str, str]] = {
+    "literal_or": {
+        "description": "Accepts one or more exact values and matches if the "
+                       "series contains any of them. Case sensitive.",
+        "examples": "host=literal_or(web01),  host=literal_or(web01|web02)",
+    },
+    "iliteral_or": {
+        "description": "Accepts one or more exact values and matches if the "
+                       "series contains any of them. Case insensitive.",
+        "examples": "host=iliteral_or(web01),  host=iliteral_or(WEB01|Web02)",
+    },
+    "not_literal_or": {
+        "description": "Skips any series with one or more of the given "
+                       "exact values. Case sensitive.",
+        "examples": "host=not_literal_or(web01|web02)",
+    },
+    "not_iliteral_or": {
+        "description": "Skips any series with one or more of the given "
+                       "exact values. Case insensitive.",
+        "examples": "host=not_iliteral_or(web01|WEB02)",
+    },
+    "wildcard": {
+        "description": "Performs pre/post/in-fix glob matching of values. "
+                       "The globs are case sensitive.",
+        "examples": "host=wildcard(web*),  host=wildcard(*.tsdb.net)",
+    },
+    "iwildcard": {
+        "description": "Performs pre/post/in-fix glob matching of values. "
+                       "The globs are case insensitive.",
+        "examples": "host=iwildcard(WEB*)",
+    },
+    "regexp": {
+        "description": "Provides full, POSIX-compliant regular expression "
+                       "matching of tag values.",
+        "examples": "host=regexp(.*)",
+    },
+    "not_key": {
+        "description": "Skips any series with the given tag key, regardless "
+                       "of the value.",
+        "examples": "host=not_key()",
+    },
+}
+
+
+def loaded_filters() -> dict[str, dict[str, str]]:
+    """{filter name: {description, examples}} for every registered filter
+    (reference TagVFilter.loadedFilters)."""
+    out = {}
+    for name in sorted(FILTERS):
+        out[name] = FILTER_METADATA.get(
+            name,
+            {"description": "plugin filter", "examples": f"tagk={name}(...)"},
+        )
+    return out

@@ -223,6 +223,12 @@ class TSD:
         if ep == "version":
             return api.handle_version(), None
         if ep == "config":
+            if len(seg) > 2 and seg[2] == "filters":
+                # reference ShowConfig filters endpoint
+                # (RpcManager.java:802-808, TagVFilter.loadedFilters)
+                from opentsdb_spark.functions.filters import loaded_filters
+
+                return loaded_filters(), None
             return api.handle_config(self.spark), None
         if ep == "stats":
             return api.handle_stats(self.spark), None

@@ -304,3 +304,12 @@ def test_tsuid_get_query(tsd_server):
         f"&tsuid=sum:10m-avg:{sid},{sid2}",
     )
     assert st == 200 and len(json.loads(body)) == 1
+
+
+def test_config_filters(tsd_server):
+    _, port, _ = tsd_server
+    st, _, body = _get(port, "/api/config/filters")
+    assert st == 200
+    out = json.loads(body)
+    assert set(out) >= {"literal_or", "iwildcard", "regexp", "not_key"}
+    assert "description" in out["literal_or"] and "examples" in out["regexp"]
