@@ -457,7 +457,7 @@ def tsdb_agg_zimsum_by_user(spark, sf_dir):
     # per-timestamp sum equals the plain SQL sum — checked end-to-end here;
     # interpolating aggregators are pinned by unit tests (tests/test_slice.py)
     df = _pts(spark, sf_dir).where(F.col("metric") == "view")
-    out = cross_series_aggregate(df, "zimsum", ("user",))
+    out = cross_series_aggregate(df, "zimsum", ("user",), strategy="sweep")
     return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
 
 
@@ -470,7 +470,7 @@ def tsdb_agg_zimsum_by_user(spark, sf_dir):
 )
 def tsdb_agg_mimmax_by_user(spark, sf_dir):
     df = _pts(spark, sf_dir).where(F.col("metric") == "error")
-    out = cross_series_aggregate(df, "mimmax", ("user",))
+    out = cross_series_aggregate(df, "mimmax", ("user",), strategy="sweep")
     return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
 
 
@@ -1064,13 +1064,16 @@ def tsdb_agg_dev_aligned_1h(spark, sf_dir):
 # ------- _substitute_missing (operators/groupby.py).
 
 
-def _interp_sql(metric: str, fill_expr: str, by_user: bool = True) -> str:
-    """Grid + neighbor-window oracle for cross_series_aggregate(sum-like).
+def _interp_sql(metric: str, fill_expr: str, by_user: bool = True, agg: str = "sum") -> str:
+    """Grid + neighbor-window oracle for cross_series_aggregate.
 
     fill_expr references pv/pt/nv/nt/tm (prev/next value & ms-time, own ms-
     time); applied only when the slot is interior (pv AND nv non-null).
     by_user=False collapses ALL series of the metric into one group (the
-    no-group-by m=agg:metric form)."""
+    no-group-by m=agg:metric form). agg: sum | avg | count — count counts
+    the in-span contributions (actual + interpolated), matching the
+    reference where every in-span series feeds a value to the aggregation
+    slot (AggregationIterator.java:690-800)."""
     ucol = f"{U} AS user," if by_user else ""
     usel = "user," if by_user else ""
     ujoin = "AND g.user = s.user" if by_user else ""
@@ -1101,10 +1104,19 @@ def _interp_sql(metric: str, fill_expr: str, by_user: bool = True) -> str:
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
         SELECT metric, {usel} CAST(tu // 1000 AS BIGINT) AS ts_ms,
-               {RND.format(f'''sum(CASE WHEN v IS NOT NULL THEN v
+               {{AGG}} AS value_r
+        FROM w GROUP BY metric, {usel} tu""".replace(
+        "{AGG}",
+        RND.format(
+            f"""{agg}(CASE WHEN v IS NOT NULL THEN v
                      WHEN pv IS NOT NULL AND nv IS NOT NULL THEN {fill_expr}
-                END)''')} AS value_r
-        FROM w GROUP BY metric, {usel} tu"""
+                END)"""
+        )
+        if agg != "count"
+        else """CAST(count(CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 0.0
+                END) AS BIGINT)""",
+    )
 
 
 @register(
@@ -1112,16 +1124,43 @@ def _interp_sql(metric: str, fill_expr: str, by_user: bool = True) -> str:
     _interp_sql("purchase", "pv + (tm - pt) * (nv - pv) / (nt - pt)"),
 )
 def tsdb_agg_lerp_sum(spark, sf_dir):
+    # raw resolution -> production line-sweep strategy, hash-checked against
+    # the declarative grid+neighbor-window oracle
     df = _pts(spark, sf_dir).where(F.col("metric") == "purchase")
-    out = cross_series_aggregate(df, "sum", ("user",))
+    out = cross_series_aggregate(df, "sum", ("user",), strategy="sweep")
     return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
 
 
 @register("tsdb_agg_pfsum", _interp_sql("click", "pv"))
 def tsdb_agg_pfsum(spark, sf_dir):
     df = _pts(spark, sf_dir).where(F.col("metric") == "click")
-    out = cross_series_aggregate(df, "pfsum", ("user",))
+    out = cross_series_aggregate(df, "pfsum", ("user",), strategy="sweep")
     return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
+
+
+@register(
+    "tsdb_agg_avg_raw",
+    _interp_sql("purchase", "pv + (tm - pt) * (nv - pv) / (nt - pt)", agg="avg"),
+)
+def tsdb_agg_avg_raw(spark, sf_dir):
+    """Raw-resolution avg: line-sweep sum / in-span-count decomposition
+    (operators/groupby.py _sweep_cross_series), checked against the
+    declarative per-slot avg oracle."""
+    df = _pts(spark, sf_dir).where(F.col("metric") == "purchase")
+    out = cross_series_aggregate(df, "avg", ("user",), strategy="sweep")
+    return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
+
+
+@register(
+    "tsdb_agg_count_raw",
+    _interp_sql("view", "0.0", by_user=False, agg="count"),
+)
+def tsdb_agg_count_raw(spark, sf_dir):
+    """Raw-resolution count: in-span series count per union timestamp via
+    the sweep's step prefix-sum (+1 at span start, -1 after span end)."""
+    df = _pts(spark, sf_dir).where(F.col("metric") == "view")
+    out = cross_series_aggregate(df, "count", strategy="sweep")
+    return out.select("metric", _ts_ms(), F.col("value").alias("value_r"))
 
 
 @register(
@@ -1162,10 +1201,10 @@ def tsdb_agg_none_single(spark, sf_dir):
 def tsdb_agg_sum_raw_full(spark, sf_dir):
     """m=sum:signup with NO downsample: every series of the metric LERP-
     aligned onto the union grid at raw resolution and summed. Goes through
-    compile_query, which must route this to the grid-join strategy — the
-    pack strategy would materialize the whole metric as single array rows
-    (see plans/planner.py strategy routing; the reference streams this via
-    its k-way merge, src/core/AggregationIterator.java:39-43)."""
+    compile_query, which routes this to the line-sweep strategy — linear
+    prefix sums over per-timestamp deltas, the Spark analog of the
+    reference's streaming k-way merge (AggregationIterator.java:39-43);
+    pack would materialize the whole metric as single array rows."""
     tsq = TSQuery(
         start=START_SEC, end=END_SEC,
         queries=(SubQuery(metric="signup", aggregator="sum"),),
@@ -1659,6 +1698,55 @@ def text_vocab_top50(spark, sf_dir):
     """Corpus-global vocabulary heavy hitters (pipeline.text.vocab_topk):
     wordcount with map-side partial aggregation + TakeOrderedAndProject."""
     return vocab_topk(_docs(spark, sf_dir), k=50)
+
+
+@register(
+    "text_tfidf_top3",
+    """WITH w AS (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\\s+')) AS token
+                  FROM documents),
+        w2 AS (SELECT * FROM w WHERE token <> ''),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM w2 GROUP BY doc_id, token),
+        dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM w2 GROUP BY token),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+                     tf.tf * ln(n.n / dfx.df) AS tfidf
+              FROM tf JOIN dfx USING (token) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, token ASC) AS rank FROM s)
+        SELECT doc_id, CAST(rank AS INT) AS rank, token,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               {} AS tfidf_r
+        FROM r WHERE rank <= 3""".format(RND.format("tfidf")),
+)
+def text_tfidf_top3(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (pipeline.text.tfidf_keywords):
+    vocabulary-sized df join + per-doc window top-k, no global sort."""
+    from opentsdb_spark.pipeline.text import tfidf_keywords
+
+    out = tfidf_keywords(_docs(spark, sf_dir), k=3)
+    return out.select("doc_id", "rank", "token", "tf", "df",
+                      _vr(F.col("tfidf")).alias("tfidf_r"))
+
+
+@register(
+    "text_bpe_pairs",
+    """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+                  FROM documents),
+        wf AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+        p AS (SELECT freq, unnest(list_transform(range(1, length(word)),
+                                  i -> substr(word, i, 2))) AS pair
+              FROM wf WHERE length(word) >= 2)
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""",
+)
+def text_bpe_pairs(spark, sf_dir):
+    """Adjacent character-pair counts, the counting step of one BPE merge
+    iteration (pipeline.text.bpe_pair_counts): pair explosion runs over the
+    DISTINCT-word vocabulary weighted by word frequency, not the corpus."""
+    from opentsdb_spark.pipeline.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=50)
 
 
 @register(
@@ -2774,8 +2862,11 @@ _PRIORITY = [
     # rate (§2.5; drop_resets shares the reset machinery with counter)
     "tsdb_rate", "tsdb_rate_counter",
     # cross-series aggregation + interpolation (§2.3/2.4) incl. the
-    # raw-resolution grid-join strategy (the 100TB-scale stress path)
-    "tsdb_agg_zimsum_by_user", "tsdb_agg_mimmax_by_user", "tsdb_agg_sum_aligned_1h",
+    # raw-resolution line-sweep strategy (the 100TB-scale stress path);
+    # avg_raw exercises the sweep's sum+count decomposition with grouping
+    # (mimmax_by_user rotates out — now a trivial direct groupBy, still
+    # verified by the full-catalog oracle run)
+    "tsdb_agg_zimsum_by_user", "tsdb_agg_avg_raw", "tsdb_agg_sum_aligned_1h",
     "tsdb_agg_lerp_sum", "tsdb_agg_pfsum", "tsdb_agg_sum_raw_full",
     # metadata / uid / tree / annotations (§2.11)
     "tsdb_suggest_metrics", "tsdb_last", "uid_metrics_listing", "tree_branches",

@@ -83,6 +83,11 @@ def cross_series_aggregate(
     interp = "prev" if (rate_mode and agg.interp == "lerp") else agg.interp
 
     if not aligned:
+        if strategy == "sweep":
+            out = _sweep_cross_series(df, gnames, interp, agg)
+            if out is not None:
+                return out.withColumnsRenamed({f"tag_{k}": k for k in group_tagks})
+            strategy = "join"  # aggregator not sweep-expressible — fall back
         if strategy == "pack":
             df = _interpolate_to_union_grid(df, gnames, interp)
         elif strategy == "pack_expr":
@@ -90,7 +95,7 @@ def cross_series_aggregate(
         elif strategy == "join":
             df = _interpolate_via_grid_join(df, gnames, interp)
         else:
-            raise ValueError(f"strategy must be pack|pack_expr|join, got {strategy!r}")
+            raise ValueError(f"strategy must be pack|pack_expr|join|sweep, got {strategy!r}")
 
     out = (
         df.groupBy(*gnames, "ts")
@@ -375,3 +380,165 @@ def _substitute_missing(joined: DataFrame, interp: str) -> DataFrame:
         F.when(interior, sub)
     )
     return joined.withColumn("value", value)
+
+
+# ------------------------------------------------------------- line sweep ---
+
+# prefix-sum bucket count per group: cumulative sums run as per-bucket local
+# windows (parallel) + a <=_SWEEP_BUCKETS-row offset join, so no group ever
+# sorts in a single task no matter how many distinct timestamps it has
+_SWEEP_BUCKETS = 256
+
+
+def _sweep_cross_series(df, gnames: list[str], interp: str, agg) -> DataFrame | None:
+    """Linear-time cross-series alignment for decomposable aggregators — the
+    Spark analog of the reference's streaming k-way merge
+    (src/core/AggregationIterator.java:39-43), which walks all spans in time
+    order holding only per-series cursor state. Here that cursor state
+    becomes prefix sums over a per-(group, timestamp) delta stream:
+
+      F(t) = sum over in-span series of f_s(t), where f_s is the series'
+      piecewise-linear (lerp) or step (prev/zim) reconstruction.
+
+    Each point of each series emits O(1) deltas (activation value, slope
+    change, post-deactivation removal); grouping deltas by timestamp and
+    prefix-summing in time order yields F at every union timestamp. Total
+    work is O(points), versus the grid join's O(sum over series of union
+    timestamps in span) — on high-churn tag sets (sf0.1: 19k mostly
+    single-point series over one metric) that is a ~200x row reduction.
+
+    Every summand is local (a value, a slope, or slope x own-gap), so the
+    running sums stay O(active series x value scale) — no a+m*t intercept
+    cancellation against epoch-sized timestamps.
+
+    Returns None when the aggregator isn't sweep-decomposable (min/max with
+    lerp, median, dev, mult, percentiles): caller falls back to the grid
+    join. Output: one row per (group, union ts) like the other strategies.
+    """
+    name = agg.name
+    # no-interpolation aggregators: missing slots contribute 0 (zimsum) or
+    # an ignored sentinel (mimmin/mimmax) — a plain groupBy is exact because
+    # every union timestamp has at least one real point
+    direct = {"zimsum": F.sum, "mimmin": F.min, "mimmax": F.max}
+    if name in direct:
+        return df.groupBy(*gnames, "ts").agg(direct[name](F.col("value")).alias("value"))
+    if name not in ("sum", "avg", "count", "pfsum") or interp not in ("lerp", "prev", "zim"):
+        return None
+
+    w = Window.partitionBy("__sid").orderBy("ts")
+    tms = F.unix_millis("ts").cast("double")
+    v = F.col("value")
+    first = F.lag("ts").over(w).isNull()
+    last = F.lead("ts").over(w).isNull()
+
+    need_count = name in ("avg", "count")
+    cols = []
+    if name != "count":
+        if interp == "lerp":
+            # piecewise-linear: P changes only at activation (interior value
+            # changes arrive via slope drift, which telescopes to v_i at
+            # each own point); M carries the slope deltas
+            nxt_v = F.lead("value").over(w)
+            nxt_t = F.lead(F.unix_millis("ts")).over(w).cast("double")
+            m = F.when(last, F.lit(0.0)).otherwise((nxt_v - v) / (nxt_t - tms))
+            m_prev = F.coalesce(F.lag(m).over(w), F.lit(0.0))
+            cols.append((F.when(first, v).otherwise(F.lit(0.0))).alias("__dp"))
+            cols.append((m - m_prev).alias("__dm"))
+        else:  # prev-step (pfsum, rate-mode sum): value jumps at own points
+            cols.append((v - F.coalesce(F.lag(v).over(w), F.lit(0.0))).alias("__dp"))
+            cols.append(F.lit(0.0).alias("__dm"))
+        cols.append(F.when(last, -v).otherwise(F.lit(0.0)).alias("__dpp"))
+    if need_count:
+        # in-span series count: step +1 over [first_ts, last_ts]
+        cols.append(F.when(first, F.lit(1.0)).otherwise(F.lit(0.0)).alias("__dc"))
+        cols.append(F.when(last, F.lit(-1.0)).otherwise(F.lit(0.0)).alias("__dcp"))
+
+    ev = df.select(*gnames, "ts", *cols)
+    sums = [F.sum(c).alias(c) for c in ev.columns if c.startswith("__d")]
+    # persist the delta frame: one row per (group, distinct ts) — tiny —
+    # and consumed by bounds, both local-window passes, and both per-bucket
+    # totals (Spark shares no subplans; without this the per-series event
+    # windows over the full point set re-execute up to 5 times)
+    d = ev.groupBy(*gnames, "ts").agg(*sums).persist()
+
+    # bucket assignment shared by both prefix-sum passes
+    bounds = d.groupBy(*gnames).agg(
+        F.unix_millis(F.min("ts")).alias("__lo"), F.unix_millis(F.max("ts")).alias("__hi")
+    ).withColumn(
+        "__w", F.greatest((F.col("__hi") - F.col("__lo") + 1) / _SWEEP_BUCKETS, F.lit(1.0))
+    )
+    d = d.join(F.broadcast(bounds), on=gnames).withColumn(
+        "__pid", F.floor((F.unix_millis("ts") - F.col("__lo")) / F.col("__w")).cast("int")
+    ).drop("__lo", "__hi", "__w")
+
+    cum1 = {}
+    if name != "count":
+        cum1["__pall"] = F.col("__dp") + F.col("__dpp")
+        cum1["__m"] = F.col("__dm")
+    if need_count:
+        cum1["__call"] = F.col("__dc") + F.col("__dcp")
+    d = _bucketed_scan(d, gnames, cum1, lag_ts=(interp == "lerp" and name != "count"))
+
+    if name != "count":
+        p_eval = F.col("__cum___pall") - F.col("__dpp")
+        if interp == "lerp":
+            # drift accrued since the previous union timestamp: slope-sum in
+            # force over that gap (M after previous row's events) x gap
+            m_before = F.col("__cum___m") - F.col("__dm")
+            r = F.when(
+                F.col("__lag_ts").isNull(), F.lit(0.0)
+            ).otherwise(m_before * (F.unix_millis("ts").cast("double") - F.col("__lag_ts")))
+            d = _bucketed_scan(d.withColumn("__r", r), gnames, {"__rsum": F.col("__r")})
+            p_eval = p_eval + F.col("__cum___rsum")
+    if need_count:
+        c_eval = F.col("__cum___call") - F.col("__dcp")
+
+    if name == "count":
+        value = c_eval.cast("long")  # match the join path's F.count type
+    elif name == "avg":
+        value = p_eval / c_eval
+    else:
+        value = p_eval
+    return d.select(*gnames, "ts", value.alias("value"))
+
+
+def _bucketed_scan(d: DataFrame, gnames: list[str], cum: dict, lag_ts: bool = False) -> DataFrame:
+    """Prefix sums (and optionally lag of ts-ms) over ts within each group
+    without a single-task group sort: local running sums per (group, __pid)
+    time bucket, then a tiny per-bucket offset table (<= _SWEEP_BUCKETS rows
+    per group) broadcast-joined back. Empty buckets are naturally skipped
+    by the offset window's pid ordering."""
+    for out_name, expr in cum.items():
+        d = d.withColumn(out_name, expr)
+    wloc = Window.partitionBy(*gnames, "__pid").orderBy("ts")
+    loc = d
+    for c in cum:
+        loc = loc.withColumn(f"__cs_{c}", F.sum(c).over(wloc))
+    if lag_ts:
+        loc = loc.withColumn("__lag_loc", F.lag(F.unix_millis("ts").cast("double")).over(wloc))
+
+    aggs = [F.sum(c).alias(f"__tot_{c}") for c in cum]
+    if lag_ts:
+        aggs.append(F.max(F.unix_millis("ts").cast("double")).alias("__last_ts"))
+    btot = d.groupBy(*gnames, "__pid").agg(*aggs)
+    woff = Window.partitionBy(*gnames).orderBy("__pid")
+    off_cols = [
+        F.coalesce(
+            F.sum(f"__tot_{c}").over(woff.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ).alias(f"__off_{c}")
+        for c in cum
+    ]
+    if lag_ts:
+        off_cols.append(F.lag("__last_ts").over(woff).alias("__prev_last_ts"))
+    off = btot.select(*gnames, "__pid", *off_cols)
+
+    out = loc.join(F.broadcast(off), on=[*gnames, "__pid"])
+    for c in cum:
+        out = out.withColumn(f"__cum_{c}", F.col(f"__cs_{c}") + F.col(f"__off_{c}"))
+        out = out.drop(f"__cs_{c}", f"__off_{c}", f"__tot_{c}")
+    if lag_ts:
+        out = out.withColumn("__lag_ts", F.coalesce("__lag_loc", "__prev_last_ts")).drop(
+            "__lag_loc", "__prev_last_ts"
+        )
+    return out

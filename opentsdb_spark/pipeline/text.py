@@ -325,3 +325,68 @@ def lm_score(
         F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
         "avg_logp",
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3, content_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (idf = ln(N/df), ties broken
+    by token asc) — the classic keyword/topic-tagging step of a corpus
+    pipeline.
+
+    100 TB shape: term frequencies partial-aggregate map-side before the
+    (doc, token) shuffle; the document-frequency table is vocabulary-sized
+    and joins on token (a hash join whose build side is the df aggregate,
+    not the corpus); N arrives as a broadcast one-row cross join. The
+    per-document top-k window partitions by doc_id — millions of small
+    partitions, no global sort.
+    """
+    words = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(_words(F.col(content_col))).alias("token"),
+    ).where(F.col("token") != "")
+    tf = words.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df = words.groupBy("token").agg(F.count_distinct(id_col).alias("df"))
+    n_docs = docs.select(F.count("*").alias("__n"))
+    scored = (
+        tf.join(df, on="token")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tf", "df", "tfidf")
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 50, content_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the counting step
+    of one BPE merge iteration (what a distributed tokenizer trainer runs
+    repeatedly over 100 TB). Returns the top-k pairs by total count, ties
+    broken by pair asc.
+
+    Scale trick: count WORD frequencies first (vocabulary-sized partial
+    aggregate), then explode character pairs only over DISTINCT words
+    weighted by their frequency — the pair explosion is O(vocab x word
+    length), not O(corpus tokens), exactly how BPE trainers compress the
+    problem before pair counting.
+    """
+    word_freq = (
+        docs.select(F.explode(_words(F.col(content_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = word_freq.where(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(F.sum("freq").alias("n")).orderBy(
+        F.desc("n"), F.asc("pair")
+    ).limit(k)

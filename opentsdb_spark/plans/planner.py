@@ -231,11 +231,11 @@ def compile_subquery(
     # rows is bounded and cheapest (one scan, two shuffles). RAW resolution
     # (no downsample) has unbounded timestamps per group — packing would
     # materialize whole groups as single rows (the one scale-killer at
-    # 100 TB); route to the streaming-friendly grid-join formulation, which
-    # never holds a group in memory (the Spark analog of the reference's
-    # k-way merge iterator that streams spans without materializing the
-    # group, src/core/AggregationIterator.java:39-43).
-    strategy = "pack" if q.downsample is not None else "join"
+    # 100 TB); route to the line-sweep strategy (linear-time prefix-sum
+    # analog of the reference's streaming k-way merge,
+    # src/core/AggregationIterator.java:39-43), which falls back internally
+    # to the unbounded grid join for non-decomposable aggregators.
+    strategy = "pack" if q.downsample is not None else "sweep"
     out = cross_series_aggregate(
         df, q.aggregator, group_tagks, aligned=aligned, rate_mode=rate_mode,
         strategy=strategy,

@@ -38,13 +38,20 @@ def collect_map(df):
     }
 
 
-@pytest.mark.parametrize("aggregator", ["sum", "avg", "min", "zimsum", "mimmax"])
+@pytest.mark.parametrize(
+    "aggregator", ["sum", "avg", "min", "zimsum", "mimmax", "count", "pfsum"]
+)
 def test_strategies_identical(ragged_points, aggregator):
+    # 'sweep' is exact for sum/avg/count/pfsum/zimsum/mimmax and silently
+    # falls back to 'join' for the rest (min) — identical either way.
+    # Its float round-off differs (prefix sums vs per-slot lerp), hence the
+    # small abs_tol; the other three strategies stay bit-identical.
     ref = None
-    for strategy in ("pack_expr", "pack", "join"):
+    for strategy in ("pack_expr", "pack", "join", "sweep"):
         got = collect_map(
             cross_series_aggregate(ragged_points, aggregator, strategy=strategy)
         )
+        tol = 1e-9 if strategy == "sweep" else 0
         if ref is None:
             ref = got
             continue
@@ -54,7 +61,7 @@ def test_strategies_identical(ragged_points, aggregator):
             if a is None or b is None:
                 assert a is b, (strategy, k)
             else:
-                assert math.isclose(a, b, rel_tol=0, abs_tol=0), (strategy, k)
+                assert math.isclose(a, b, rel_tol=0, abs_tol=tol), (strategy, k)
 
 
 def test_lerp_bit_exact_vs_expr(ragged_points):

@@ -614,3 +614,35 @@ def test_lm_score(spark):
     # unigram degenerate mode runs and keeps ordering
     u = {r["doc_id"]: r for r in lm_score(df, n=1).collect()}
     assert u[0]["avg_logp"] > u[2]["avg_logp"]
+
+
+def test_tfidf_keywords(spark):
+    from opentsdb_spark.pipeline.text import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(0, "apple apple banana shared"), (1, "cherry shared"), (2, "shared")],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["tfidf"]))
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=1 -> ln(3);
+    # 'shared' df=3 -> idf 0, never outranks them
+    assert [t for _, t, _ in sorted(by_doc[0])] == ["apple", "banana"]
+    assert by_doc[0][0][2] == pytest.approx(2 * math.log(3))
+    # doc 2 has only the idf-0 token: still emitted, score exactly 0
+    assert [(t, s) for _, t, s in by_doc[2]] == [("shared", 0.0)]
+
+
+def test_bpe_pair_counts(spark):
+    from opentsdb_spark.pipeline.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "abab ab"), (1, "abab x")],  # 'x' too short for any pair
+        "doc_id long, text string",
+    )
+    out = [(r["pair"], r["n"]) for r in bpe_pair_counts(df, k=10).collect()]
+    # 'abab' (freq 2) yields pairs ab, ba, ab; 'ab' (freq 1) yields ab:
+    # ab = 2*2 + 1 = 5, ba = 2; single-char 'x' yields nothing
+    assert out == [("ab", 5), ("ba", 2)]

@@ -136,10 +136,12 @@ def test_bucketed_layout_zero_shuffle_per_series_agg(spark, tmp_path):
 
 def test_raw_resolution_agg_never_packs_groups(spark):
     """A cross-series aggregation with NO downsample runs at raw resolution:
-    timestamps per group are unbounded, so the planner must route it to the
-    grid-join strategy — the pack strategy's collect_list would materialize
-    a whole group as one array row (the reference streams this via a k-way
-    merge that never holds a group, AggregationIterator.java:39-43).
+    timestamps per group are unbounded, so the planner must route it off the
+    pack strategy — pack's collect_list would materialize a whole group as
+    one array row (the reference streams this via a k-way merge that never
+    holds a group, AggregationIterator.java:39-43). Decomposable aggregators
+    take the linear-time line sweep; non-decomposable ones (median) fall
+    back to the grid join — neither may collect_list unbounded groups.
     Downsampled-but-unfilled queries stay on pack (grid bounded by
     range/interval)."""
     pts = _mk_days(spark, days=2)
@@ -151,6 +153,14 @@ def test_raw_resolution_agg_never_packs_groups(spark):
     assert "collect_list" not in _plan(raw.df), "raw-resolution agg took the pack path"
     # and it still computes: 2 days x 48 slots, 3 hosts summed per slot
     assert raw.df.count() == 96
+
+    # dev is not sweep-decomposable: falls back to grid join (median would
+    # show collect_list from its own per-slot builder, so test with dev)
+    dev = compile_subquery(
+        pts, SubQuery(metric="sys.cpu.user", aggregator="dev"), start_ms, end_ms
+    )
+    assert "collect_list" not in _plan(dev.df), "sweep fallback must be grid join, not pack"
+    assert dev.df.count() == 96
 
     from opentsdb_spark.model import DownsampleSpec
 

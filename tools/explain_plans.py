@@ -183,6 +183,22 @@ def main() -> None:
         if has_shrink:
             errors.append("grid_join: O(n^2) unbounded-following window frame")
 
+        # raw-resolution sweep strategy (the production route for
+        # decomposable aggregators): prefix sums must run as per-bucket
+        # local windows — never an unpartitioned global window, never a
+        # packed collect_list, never a nested loop
+        splan = _plan_str(cross_series_aggregate(raw_pts, "sum", strategy="sweep"))
+        s_unpart = _re.search(r"partitionBy=\[\]", splan) is not None
+        s_pack = "collect_list" in splan
+        s_bnlj = "BroadcastNestedLoopJoin" in splan or "CartesianProduct" in splan
+        print(f"check sweep: unpartitioned_window={s_unpart} pack={s_pack} nested_loop={s_bnlj}")
+        if s_unpart:
+            errors.append("sweep: prefix sum runs in an unpartitioned window")
+        if s_pack:
+            errors.append("sweep: unexpected collect_list in sweep plan")
+        if s_bnlj:
+            errors.append("sweep: nested-loop join in sweep plan")
+
         # top-k must be TakeOrderedAndProject (bounded per-partition heaps),
         # never a global Sort of the vocabulary
         from opentsdb_spark.pipeline.text import vocab_topk
