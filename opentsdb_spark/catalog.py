@@ -2184,6 +2184,46 @@ def dedup_embedding_quantized(spark, sf_dir):
     return out.select("id_a", "id_b", _vr(F.col("cosine")).alias("cosine_r"))
 
 
+def _semdedup_oracle(threshold: float, n_centroids: int) -> str:
+    from opentsdb_spark.pipeline.similarity import seeded_centroids
+
+    cents = seeded_centroids(n_centroids, 64)
+    rows = ",\n".join(
+        "(%d, [%s])" % (i, ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c))
+        for i, c in enumerate(cents)
+    )
+    cos_cell = f"{_vecdot_sql('v', 'cvec')} / ({_vecnorm_sql('v')} * {_vecnorm_sql('cvec')})"
+    pair_cos = f"{_vecdot_sql('a.cv', 'b.cv')} / (a.n * b.n)"
+    return f"""WITH cent(cell, cvec) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (SELECT vec_id, arg_max(cell, {cos_cell}) AS cell,
+                            any_value(v) AS cv
+                     FROM emb CROSS JOIN cent GROUP BY vec_id),
+        an AS (SELECT vec_id, cell, cv, {_vecnorm_sql('cv')} AS n FROM assigned),
+        dup AS (SELECT b.vec_id, max({pair_cos}) AS dup_cosine
+                FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE {pair_cos} >= {threshold!r}
+                GROUP BY b.vec_id)
+        SELECT an.vec_id, an.cell, (d.vec_id IS NULL) AS kept,
+               {RND.format('d.dup_cosine')} AS dup_cosine_r
+        FROM an LEFT JOIN dup d ON d.vec_id = an.vec_id"""
+
+
+@register("dedup_semantic", _semdedup_oracle(0.3, 8))
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup over deterministic seeded cells (see pipeline.similarity
+    .semdedup; the trained-kmeans form takes centroids=None). Hash-checked:
+    the oracle recomputes the identical cell partition and within-cell
+    cosines in SQL."""
+    from opentsdb_spark.pipeline.similarity import semdedup, seeded_centroids
+
+    emb = _emb(spark, sf_dir)
+    out = semdedup(emb, threshold=0.3, centroids=seeded_centroids(8, 64))
+    return out.select(
+        "vec_id", "cell", "kept", _vr(F.col("dup_cosine")).alias("dup_cosine_r")
+    )
+
+
 def _lsh_topk_oracle(k: int, tables: int, bits: int) -> str:
     buckets = ",\n".join(f"{_bucket_sql('v', t, bits)} AS b{t}" for t in range(tables))
     any_collide = " OR ".join(f"e.b{t} = q.b{t}" for t in range(tables))
@@ -2883,8 +2923,11 @@ _PRIORITY = [
     # LLM-pipeline: dedup family (md5 variants = hash-checked versions of the
     # xxhash64-keyed pipelines; the xxhash64 originals follow after the
     # priority block as rows-only entries)
+    # (dedup_embedding_cosine rotates out for dedup_semantic — the SemDeDup
+    # entry covers the same pairwise-cosine machinery PLUS cell assignment;
+    # the LSH-bucketed variant stays verified by the full-catalog run)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_minhash_md5",
-    "dedup_simhash_md5", "dedup_embedding_cosine",
+    "dedup_simhash_md5", "dedup_semantic",
     # LLM-pipeline: text / similarity / multimodal
     "text_quality", "text_langid", "text_tokens", "text_fingerprint_md5",
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_fixed_top5",

@@ -327,6 +327,134 @@ def lsh_topk(
     )
 
 
+def _cell_cosines_udf(cent_arr: list[list[float]]):
+    """Cosine of each vector to every centroid, dim-sequential like the
+    expression fold — one Arrow batch computes the corpus x cells block
+    that previously ran as interpreted lambdas through a join+groupBy."""
+
+    @F.pandas_udf("array<double>")
+    def cellcos(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, np.float64) for v in vs], dtype=np.float64)
+        Cm = np.asarray(cent_arr, dtype=np.float64)
+        dots = np.zeros((n, Cm.shape[0]))
+        vn = np.zeros(n)
+        cn = np.zeros(Cm.shape[0])
+        for d in range(V.shape[1]):
+            vn = vn + V[:, d] * V[:, d]
+            cn = cn + Cm[:, d] * Cm[:, d]
+            dots = dots + V[:, d][:, None] * Cm[None, :, d]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (np.sqrt(vn)[:, None] * np.sqrt(cn)[None, :])
+        return pd.Series(list(cos))
+
+    return cellcos
+
+
+def _assign_cells(corpus: DataFrame, cent_arr: list[list[float]], vec_alias: str) -> DataFrame:
+    """+`cell` = argmax-cosine centroid index — a narrow map stage straight
+    off the scan (no corpus x centroids join, no groupBy(id) shuffle);
+    array_position takes the FIRST max, so ties resolve to the lowest cell."""
+    return (
+        corpus.withColumn("__cc", _cell_cosines_udf(cent_arr)(F.col(vec_alias)))
+        .withColumn(
+            "cell",
+            (F.array_position("__cc", F.array_max("__cc")) - 1).cast("int"),
+        )
+        .drop("__cc")
+    )
+
+
+def _train_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int,
+    train_size: int,
+    iters: int,
+    seed: int,
+    vec_col: str,
+) -> list[list[float]]:
+    """Spherical-ish k-means on a BOUNDED driver-side sample (train_size
+    rows — at 100 TB you train on a sample regardless; the full corpus never
+    leaves executors)."""
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in embeddings.select(_as_double(F.col(vec_col))).limit(train_size).collect()]
+    )
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)].copy()
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = (sn @ cn.T).argmax(1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return [[float(x) for x in c] for c in cent]
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    train_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means the embedding
+    space into cells, then drop semantic near-duplicates WITHIN each cell —
+    pairwise cosine never crosses a cell boundary, so the quadratic blow-up
+    is bounded by the largest cluster, not the corpus.
+
+    Keep policy (deterministic, unlike the paper's arbitrary-one-per-group):
+    a vector is removed iff some LOWER-id vector in its cell has cosine >=
+    threshold to it — same keep-lowest-id convention as exact_dedup /
+    minhash_lsh_pairs. Returns one row per input vector:
+    (id, cell, kept, dup_cosine) where dup_cosine is the max cosine to a
+    lower-id cell-mate over the threshold (null when kept).
+
+    Scale shape: assignment is a narrow map stage (centroids ride the UDF
+    closure); the only shuffle is the within-cell self-join on the int cell
+    key. At 100 TB you'd raise n_centroids so cells stay ~1e4 vectors (the
+    paper uses ~100k clusters for ~100M docs) — pair work per cell is
+    |cell|^2/2 and cells are independent tasks."""
+    cent_arr = (
+        [[float(x) for x in c] for c in centroids]
+        if centroids is not None
+        else _train_kmeans(embeddings, n_centroids, train_size, iters, seed, vec_col)
+    )
+    corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    assigned = _assign_cells(corpus, cent_arr, "cv").persist()
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("cv").alias("av"), "cell")
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col("cv").alias("bv"), "cell")
+    dup = (
+        a.join(b, on="cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _cosine_pairs_udf()(F.col("av"), F.col("bv")))
+        .where(F.col("cosine") >= threshold)
+        .groupBy("id_b")
+        .agg(F.max("cosine").alias("dup_cosine"))
+        .withColumnRenamed("id_b", id_col)
+    )
+    return (
+        assigned.join(dup, on=id_col, how="left")
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_cosine").isNull().alias("kept"),
+            "dup_cosine",
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -355,68 +483,17 @@ def ivf_topk(
     ``centroids`` skips training and quantizes against the given cell
     vectors (data-independent — lets an external oracle recompute the
     identical partition; recall depends on how well they span the data)."""
-    if centroids is not None:
-        cent = centroids
-    else:
-        import numpy as np
-
-        sample = np.array(
-            [r[0] for r in embeddings.select(_as_double(F.col(vec_col))).limit(train_size).collect()]
-        )
-        rng = np.random.RandomState(seed)
-        cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)].copy()
-        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-        for _ in range(iters):
-            cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-            assign = (sn @ cn.T).argmax(1)
-            for c in range(len(cent)):
-                members = sample[assign == c]
-                if len(members):
-                    cent[c] = members.mean(0)
-    cent_arr = [[float(x) for x in c] for c in cent]
-
-    def _cell_cosines_udf():
-        """Cosine of each vector to every centroid, dim-sequential like the
-        expression fold — one Arrow batch computes the corpus x cells block
-        that previously ran as interpreted lambdas through a join+groupBy."""
-
-        @F.pandas_udf("array<double>")
-        def cellcos(vs: pd.Series) -> pd.Series:
-            import numpy as np
-
-            n = len(vs)
-            if n == 0:
-                return pd.Series([], dtype=object)
-            V = np.asarray([np.asarray(v, np.float64) for v in vs], dtype=np.float64)
-            Cm = np.asarray(cent_arr, dtype=np.float64)
-            dots = np.zeros((n, Cm.shape[0]))
-            vn = np.zeros(n)
-            cn = np.zeros(Cm.shape[0])
-            for d in range(V.shape[1]):
-                vn = vn + V[:, d] * V[:, d]
-                cn = cn + Cm[:, d] * Cm[:, d]
-                dots = dots + V[:, d][:, None] * Cm[None, :, d]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dots / (np.sqrt(vn)[:, None] * np.sqrt(cn)[None, :])
-            return pd.Series(list(cos))
-
-        return cellcos
+    cent_arr = (
+        [[float(x) for x in c] for c in centroids]
+        if centroids is not None
+        else _train_kmeans(embeddings, n_centroids, train_size, iters, seed, vec_col)
+    )
 
     corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-    # argmax cell straight off the scan — a narrow map stage (the previous
-    # corpus x centroids join + groupBy(id) shuffled the whole corpus);
-    # array_position takes the FIRST max, so ties resolve to the lowest cell
-    assigned = (
-        corpus.withColumn("__cc", _cell_cosines_udf()(F.col("cv")))
-        .withColumn(
-            "cell",
-            (F.array_position("__cc", F.array_max("__cc")) - 1).cast("int"),
-        )
-        .drop("__cc")
-    )
+    assigned = _assign_cells(corpus, cent_arr, "cv")
     q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
     probes = (
-        q.withColumn("__qc", _cell_cosines_udf()(F.col("qv")))
+        q.withColumn("__qc", _cell_cosines_udf(cent_arr)(F.col("qv")))
         .select(
             query_id_col,
             F.explode(

@@ -646,3 +646,29 @@ def test_bpe_pair_counts(spark):
     # 'abab' (freq 2) yields pairs ab, ba, ab; 'ab' (freq 1) yields ab:
     # ab = 2*2 + 1 = 5, ba = 2; single-char 'x' yields nothing
     assert out == [("ab", 5), ("ba", 2)]
+
+
+def test_semdedup(spark):
+    from opentsdb_spark.pipeline.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0 (cos ~ 0.9999)
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite of 0 — never a dup
+        (4, [0.998, 0.02, 0.0, 0.0]),   # near dup of 0 and 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one cell -> pure pairwise semantics; centroid along +x
+    out = {r["vec_id"]: r for r in semdedup(
+        emb, threshold=0.95, centroids=[[1.0, 0.0, 0.0, 0.0]]
+    ).collect()}
+    assert len(out) == 5  # one row per input vector
+    # keep-lowest-id: 0 survives, 1 and 4 are removed against it
+    assert out[0]["kept"] and out[0]["dup_cosine"] is None
+    assert not out[1]["kept"] and out[1]["dup_cosine"] == pytest.approx(1.0, abs=1e-3)
+    assert not out[4]["kept"]
+    assert out[2]["kept"] and out[3]["kept"]
+    # trained-kmeans path (centroids=None) runs and keeps the row contract
+    trained = semdedup(emb, threshold=0.95, n_centroids=2, train_size=5, iters=2)
+    assert trained.count() == 5
