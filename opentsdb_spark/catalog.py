@@ -1425,8 +1425,8 @@ from opentsdb_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk, dequantized_view, embedding_stats, lsh_topk, quantize_embeddings,
 )
 from opentsdb_spark.pipeline.text import (  # noqa: E402
-    detect_language, fingerprint_docs, quality_scores, repetition_signals, token_counts,
-    vocab_topk,
+    detect_language, fingerprint_docs, gopher_filter, quality_scores,
+    repetition_signals, source_mix_report, token_counts, vocab_topk,
 )
 
 def _emb(spark, sf_dir):
@@ -1620,6 +1620,56 @@ def text_langid(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     out = detect_language(docs)
     return out.select("doc_id", "score_de", "score_en", "score_es", "score_fr", "predicted_lang")
+
+
+_GOPHER_Q = rf"""q AS (SELECT doc_id, source,
+                 {_NW} AS nw,
+                 length(regexp_replace(text, '\s+', '', 'g')) / {_NW} AS mwl,
+                 len(list_filter({_WORDS}, w -> list_contains({_STOP_SQL}, w))) AS nstop,
+                 CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW} AS dr
+               FROM documents),
+        g AS (SELECT doc_id, source, CAST(nw AS BIGINT) AS n_words,
+                     (nw BETWEEN 20 AND 90) AS flag_word_count,
+                     (mwl >= 3.0 AND mwl <= 10.0) AS flag_mean_word_len,
+                     (nstop >= 1) AS flag_stopwords,
+                     (dr >= 0.4) AS flag_repetition
+              FROM q)"""
+
+
+@register(
+    "text_gopher_filter",
+    f"""WITH {_GOPHER_Q}
+        SELECT doc_id, n_words, flag_word_count, flag_mean_word_len,
+               flag_stopwords, flag_repetition,
+               (flag_word_count AND flag_mean_word_len AND flag_stopwords
+                AND flag_repetition) AS kept
+        FROM g""",
+)
+def text_gopher_filter(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = gopher_filter(docs)
+    return out.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        "flag_word_count", "flag_mean_word_len", "flag_stopwords",
+        "flag_repetition", "kept",
+    )
+
+
+@register(
+    "corpus_source_mix",
+    f"""WITH {_GOPHER_Q}
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN flag_word_count AND flag_mean_word_len
+                              AND flag_stopwords AND flag_repetition
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN flag_word_count AND flag_mean_word_len
+                              AND flag_stopwords AND flag_repetition
+                             THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+        FROM g GROUP BY source""",
+)
+def corpus_source_mix(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return source_mix_report(docs)
 
 
 @register(

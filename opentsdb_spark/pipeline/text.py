@@ -89,6 +89,71 @@ def quality_scores(docs: DataFrame, content_col: str = "text",
     )
 
 
+def gopher_filter(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 90,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_distinct_ratio: float = 0.4,
+    min_stop_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al., arXiv:2112.11446
+    Table A1 — word-count bounds, mean-word-length window, stopword
+    presence, repetition): one boolean flag per rule plus the conjunction.
+    Default thresholds are tuned to the synthetic corpus (real Gopher uses
+    50..100k words); every rule is a pure codegen column expression over
+    one scan — the 100 TB shape is a narrow map stage with no shuffle.
+
+    Returns (id, n_words, flag_* per rule, kept)."""
+    text = F.col(content_col)
+    words = _words(text)
+    n_words = F.size(words)
+    mwl = F.length(F.regexp_replace(text, r"\s+", "")) / n_words
+    n_stop = _marker_count_re(text, STOPWORDS)
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    flags = {
+        "flag_word_count": n_words.between(min_words, max_words),
+        "flag_mean_word_len": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
+        "flag_stopwords": n_stop >= min_stop_hits,
+        "flag_repetition": distinct_ratio >= min_distinct_ratio,
+    }
+    kept = None
+    for c in flags.values():
+        kept = c if kept is None else (kept & c)
+    return docs.select(
+        id_col,
+        n_words.alias("n_words"),
+        *[c.alias(n) for n, c in flags.items()],
+        kept.alias("kept"),
+    )
+
+
+def source_mix_report(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    **gopher_kwargs,
+) -> DataFrame:
+    """Per-source corpus composition after the quality gate: document and
+    surviving-document counts, survival rate, and surviving word volume —
+    the report a mixture-weighting step (cf. pipeline.sampling
+    .temperature_mixture) consumes. One scan + one groupBy on the
+    low-cardinality source key (partial aggregation makes the shuffle a few
+    rows per source per task)."""
+    gate = gopher_filter(docs, content_col=content_col, id_col=id_col, **gopher_kwargs)
+    joined = docs.select(id_col, source_col).join(gate, on=id_col)
+    kept_l = F.col("kept").cast("long")
+    return joined.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept_l).alias("n_kept"),
+        F.sum(F.col("n_words") * kept_l).alias("kept_words"),
+    )
+
+
 def token_counts(docs: DataFrame, content_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + a BPE-ish piece count (letter runs, digit

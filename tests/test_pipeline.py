@@ -672,3 +672,30 @@ def test_semdedup(spark):
     # trained-kmeans path (centroids=None) runs and keeps the row contract
     trained = semdedup(emb, threshold=0.95, n_centroids=2, train_size=5, iters=2)
     assert trained.count() == 5
+
+
+def test_gopher_filter_and_source_mix(spark):
+    from opentsdb_spark.pipeline.text import gopher_filter, source_mix_report
+
+    rows = [
+        (0, "the cat sat on the mat and then the dog sat too", "web"),   # ok
+        (1, "x", "web"),                                                  # too short
+        (2, "spam spam spam spam spam spam spam spam spam spam", "spamnet"),  # repetitive, no stopwords
+        (3, " ".join(f"w{i}" for i in range(200)), "web"),                # too long
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in gopher_filter(
+        docs, min_words=5, max_words=50, min_distinct_ratio=0.4
+    ).collect()}
+    assert out[0]["kept"]
+    assert not out[1]["kept"] and not out[1]["flag_word_count"]
+    assert not out[2]["kept"] and not out[2]["flag_stopwords"] \
+        and not out[2]["flag_repetition"]
+    assert not out[3]["kept"] and not out[3]["flag_word_count"]
+
+    mix = {r["source"]: r for r in source_mix_report(
+        docs, min_words=5, max_words=50, min_distinct_ratio=0.4
+    ).collect()}
+    assert mix["web"]["n_docs"] == 3 and mix["web"]["n_kept"] == 1
+    assert mix["web"]["kept_words"] == out[0]["n_words"]
+    assert mix["spamnet"]["n_kept"] == 0
