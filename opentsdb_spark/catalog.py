@@ -1425,8 +1425,8 @@ from opentsdb_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk, dequantized_view, embedding_stats, lsh_topk, quantize_embeddings,
 )
 from opentsdb_spark.pipeline.text import (  # noqa: E402
-    detect_language, fingerprint_docs, gopher_filter, quality_scores,
-    repetition_signals, source_mix_report, token_counts, vocab_topk,
+    chunk_docs, detect_language, fingerprint_docs, gopher_filter, paragraph_dedup,
+    quality_scores, repetition_signals, source_mix_report, token_counts, vocab_topk,
 )
 
 def _emb(spark, sf_dir):
@@ -1620,6 +1620,39 @@ def text_langid(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     out = detect_language(docs)
     return out.select("doc_id", "score_de", "score_en", "score_es", "score_fr", "predicted_lang")
+
+
+_CHUNKS_SQL = r"""w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+                FROM documents),
+        c AS (SELECT doc_id, CAST(i AS INT) AS chunk_pos,
+                     array_to_string(ws[i*5+1:i*5+5], ' ') AS chunk,
+                     doc_id * 1000000 + i AS ok
+              FROM w, unnest(generate_series(0, CAST(len(ws)//5 AS INT) - 1)) t(i))"""
+
+
+@register(
+    "text_chunks",
+    f"""WITH {_CHUNKS_SQL}
+        SELECT doc_id, chunk_pos, chunk FROM c""",
+)
+def text_chunks(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return chunk_docs(docs, chunk_words=5)
+
+
+@register(
+    "text_paragraph_dedup",
+    f"""WITH {_CHUNKS_SQL},
+        win AS (SELECT chunk, min(ok) AS ok FROM c GROUP BY chunk),
+        kept AS (SELECT c.* FROM c JOIN win ON win.chunk = c.chunk AND win.ok = c.ok)
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_pos) AS text,
+               CAST(count(*) AS INT) AS n_kept
+        FROM kept GROUP BY doc_id""",
+)
+def text_paragraph_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return paragraph_dedup(docs, chunk_words=5)
 
 
 _GOPHER_Q = rf"""q AS (SELECT doc_id, source,

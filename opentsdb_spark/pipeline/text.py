@@ -154,6 +154,77 @@ def source_mix_report(
     )
 
 
+def chunk_docs(
+    docs: DataFrame,
+    chunk_words: int = 5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into consecutive fixed-width word windows —
+    the pre-tokenization chunking step of a training pipeline (and the
+    pseudo-paragraph splitter for paragraph_dedup on corpora without
+    newlines). Emits floor(n_words / chunk_words) chunks per doc; a
+    trailing partial window is dropped. Pure codegen array expressions
+    (split -> sequence -> slice) over one scan; the explode multiplies rows
+    but never shuffles.
+
+    Returns (id, chunk_pos, chunk)."""
+    words = _words(F.col(content_col))
+    n_chunks = F.floor(F.size(words) / chunk_words).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " "),
+    )
+    return (
+        docs.where(n_chunks > 0)
+        .select(id_col, F.posexplode(chunks).alias("chunk_pos", "chunk"))
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    chunk_words: int = 5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph deduplication (Wenzek et al.,
+    arXiv:1911.00359 §3.1 — hash every paragraph, drop repeats across the
+    WHOLE corpus, keep one copy): the canonical boilerplate killer for web
+    corpora. Paragraphs here are chunk_docs windows (the synthetic corpus
+    has no newlines); swap the splitter for split('\\n') on real text.
+
+    Keep-first is deterministic: the surviving copy is the one with the
+    lowest (doc_id, chunk_pos). The winner per paragraph comes from a
+    map-side-combinable groupBy-min on the paragraph key — NOT a
+    per-paragraph row_number window, so a boilerplate paragraph with 10^9
+    copies is a single partial-aggregated key, not a one-task sort.
+
+    Returns one row per doc that keeps >= 1 paragraph: (id, text =
+    surviving chunks rejoined in order, n_kept). Text is lower-cased by the
+    word splitter (CCNet equally hashes normalized paragraphs); keep the
+    original around and re-join on (id, chunk_pos) if the raw casing
+    matters."""
+    okey = (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_pos")).alias("__ok")
+    chunks = chunk_docs(docs, chunk_words, content_col, id_col).select(
+        id_col, "chunk_pos", "chunk", okey
+    )
+    winners = chunks.groupBy("chunk").agg(F.min("__ok").alias("__ok"))
+    kept = chunks.join(winners, on=["chunk", "__ok"], how="left_semi")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_pos", "chunk"))
+            ).alias("__kc")
+        )
+        .select(
+            id_col,
+            F.array_join(F.transform("__kc", lambda s: s["chunk"]), " ").alias("text"),
+            F.size("__kc").alias("n_kept"),
+        )
+    )
+
+
 def token_counts(docs: DataFrame, content_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + a BPE-ish piece count (letter runs, digit

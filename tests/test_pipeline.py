@@ -699,3 +699,23 @@ def test_gopher_filter_and_source_mix(spark):
     assert mix["web"]["n_docs"] == 3 and mix["web"]["n_kept"] == 1
     assert mix["web"]["kept_words"] == out[0]["n_words"]
     assert mix["spamnet"]["n_kept"] == 0
+
+
+def test_chunk_and_paragraph_dedup(spark):
+    from opentsdb_spark.pipeline.text import chunk_docs, paragraph_dedup
+
+    rows = [
+        (0, "a b c d e f"),        # chunks (w=3): "a b c", "d e f"
+        (1, "a b c x y z"),        # "a b c" repeats doc 0's first chunk
+        (2, "a b"),                # shorter than one chunk -> dropped entirely
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = chunk_docs(docs, chunk_words=3).collect()
+    assert {(r["doc_id"], r["chunk_pos"], r["chunk"]) for r in ch} == {
+        (0, 0, "a b c"), (0, 1, "d e f"), (1, 0, "a b c"), (1, 1, "x y z"),
+    }
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, chunk_words=3).collect()}
+    # keep-first: doc 0 keeps both chunks; doc 1 loses its copy of "a b c"
+    assert out[0]["text"] == "a b c d e f" and out[0]["n_kept"] == 2
+    assert out[1]["text"] == "x y z" and out[1]["n_kept"] == 1
+    assert 2 not in out  # no full chunk -> no surviving row
