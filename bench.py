@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_semantic",
+    "text_paragraph_dedup",
     "ann_bruteforce_top5",
     "ann_lsh_top5",
     "text_quality",
