@@ -96,6 +96,34 @@ class TSD:
             self._absorb(pts.select("metric", "ts", "value", "tags"))
         return {"success": n, "failed": len(lines) - n}
 
+    def rollup_lines(self, lines: list[str]) -> dict[str, int]:
+        """Telnet ``rollup interval:[aggregator] metric ts value tag=v...``
+        batch (reference RollupDataPointRpc.java:86-95 — words[1] is the
+        interval:aggregator spec, the rest is a plain put line)."""
+        body = []
+        for line in lines:
+            try:
+                _, spec, metric, ts, value, *tagw = line.split()
+                interval, _, agg = spec.partition(":")
+                body.append({
+                    "interval": interval,
+                    "aggregator": agg or "sum",
+                    "metric": metric,
+                    "timestamp": int(ts),
+                    "value": float(value),
+                    "tags": dict(t.split("=", 1) for t in tagw),
+                })
+            except (ValueError, TypeError):
+                continue  # counted as failed by the success delta below
+        resp, frame = api.handle_rollup_put(self.spark, body)
+        with self.lock:
+            self.rollups = (
+                frame if self.rollups is None
+                else self.rollups.unionByName(frame, allowMissingColumns=True)
+            )
+        return {"success": resp["success"],
+                "failed": len(lines) - resp["success"]}
+
     # ------------------------------------------------------------- routes
     def route(self, method: str, path: str, request: dict, body: Any):
         """Dispatch one request. Returns (payload, content_type) where
@@ -367,6 +395,25 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                     pending.append(line)
                     if len(pending) >= self.server.FLUSH_AT:
                         flush()
+                elif cmd == "rollup":
+                    flush()
+                    r = tsd.rollup_lines([line])
+                    if r["failed"]:
+                        self.wfile.write(b"rollup: invalid line\n")
+                elif cmd == "dropcaches":
+                    flush()
+                    api.handle_dropcaches(tsd.spark)
+                    self.wfile.write(b"Caches dropped.\n")
+                elif cmd == "diediedie":
+                    # reference: clean shutdown (RpcManager.java:547-...)
+                    flush()
+                    self.wfile.write(b"Cleanup complete, shutting down.\n")
+                    import threading
+
+                    threading.Thread(
+                        target=self.server.shutdown, daemon=True
+                    ).start()
+                    break
                 elif cmd == "version":
                     flush()
                     v = api.handle_version()
@@ -380,7 +427,8 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                         self.wfile.write(f"{k} {v}\n".encode())
                 elif cmd == "help":
                     self.wfile.write(
-                        b"available commands: put version stats help exit\n"
+                        b"available commands: put rollup version stats"
+                        b" dropcaches diediedie help exit\n"
                     )
                 elif cmd in ("exit", "quit"):
                     break

@@ -313,3 +313,28 @@ def test_config_filters(tsd_server):
     out = json.loads(body)
     assert set(out) >= {"literal_or", "iwildcard", "regexp", "not_key"}
     assert "description" in out["literal_or"] and "examples" in out["regexp"]
+
+
+def test_telnet_rollup_and_dropcaches(tsd_server):
+    tsd, http_port, tel_port = tsd_server
+    s = socket.create_connection(("127.0.0.1", tel_port), timeout=30)
+    f = s.makefile("rwb")
+    f.write(
+        (
+            f"rollup 1h:sum tsd.test.rollup {EPOCH} 42 host=web01\n"
+            "dropcaches\n"
+        ).encode()
+    )
+    f.flush()
+    assert b"Caches dropped" in f.readline()
+    f.write(b"rollup bogus\ndropcaches\n")  # short line -> counted failed
+    f.flush()
+    assert b"invalid line" in f.readline()
+    assert b"Caches dropped" in f.readline()
+    f.write(b"exit\n")
+    f.flush()
+    s.close()
+    row = tsd.rollups.where("metric = 'tsd.test.rollup'").collect()
+    assert len(row) == 1
+    assert row[0]["interval"] == "1h" and row[0]["aggregator"] == "sum"
+    assert row[0]["value"] == 42.0 and row[0]["tags"]["host"] == "web01"
