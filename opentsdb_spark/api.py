@@ -870,3 +870,91 @@ def handle_dropcaches(spark, *_a) -> dict[str, str]:
 
 
 ENDPOINTS["/api/dropcaches"] = handle_dropcaches
+
+
+# ------------------------------------------------------------------- /logs --
+
+class _RingBufferHandler:
+    """Stdlib logging handler holding the last N formatted records — the
+    analog of the reference's CyclicBufferAppender read by LogsRpc
+    (src/tsd/LogsRpc.java:44-75). Installed lazily on the package logger by
+    handle_logs; level changes via ?level= mirror LogsRpc's POST."""
+
+    _instance = None
+
+    def __init__(self, capacity: int = 1024):
+        import collections
+        import logging
+
+        class _H(logging.Handler):
+            def __init__(self, buf):
+                super().__init__()
+                self.buf = buf
+                self.setFormatter(logging.Formatter(
+                    "%(asctime)s %(levelname)s [%(threadName)s] "
+                    "%(name)s: %(message)s"
+                ))
+
+            def emit(self, record):
+                try:
+                    self.buf.append(self.format(record))
+                except Exception:  # noqa: BLE001 — never break the app on log
+                    pass
+
+        self.buf = collections.deque(maxlen=capacity)
+        self.handler = _H(self.buf)
+        logging.getLogger("opentsdb_spark").addHandler(self.handler)
+
+    @classmethod
+    def instance(cls) -> "_RingBufferHandler":
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+
+def handle_logs(request: dict) -> Any:
+    """/logs (reference src/tsd/LogsRpc.java): newest-first buffered log
+    lines; ?json returns a JSON array, ?level=LEVEL switches the package
+    log level (DEBUG/INFO/WARN/ERROR, logback names accepted)."""
+    import logging
+
+    rb = _RingBufferHandler.instance()
+    if "level" in request and request["level"]:
+        name = str(request["level"]).upper()
+        level = {"TRACE": logging.DEBUG, "WARN": logging.WARNING}.get(
+            name, logging.getLevelName(name)
+        )
+        if not isinstance(level, int):
+            raise ValueError(f"Invalid level: {request['level']}")
+        logging.getLogger("opentsdb_spark").setLevel(level)
+        return {"status": "200", "message": f"level set to {name}"}
+    lines = list(rb.buf)[::-1]  # newest first, like LogIterator
+    if "json" in request:
+        return lines
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+# --------------------------------------------------- HttpRpcPlugin surface --
+
+HTTP_PLUGINS: dict[str, Any] = {}
+
+
+def register_http_plugin(path: str, fn) -> None:
+    """Mount a plugin HTTP handler under /plugin/<path> (reference
+    RpcManager.PLUGIN_BASE_WEBPATH, src/tsd/RpcManager.java:86-99 and
+    HttpRpcPlugin.java). fn(method, request, body) -> JSON-able."""
+    HTTP_PLUGINS[path.strip("/")] = fn
+
+
+def handle_plugin(method: str, path: str, request: dict, body: Any) -> Any:
+    """Dispatch /plugin/<subpath> to the registered handler with the
+    longest matching prefix (plugins may claim a subtree)."""
+    sub = path.split("/plugin/", 1)[1].strip("/") if "/plugin/" in path else ""
+    probe = sub
+    while True:
+        if probe in HTTP_PLUGINS:
+            return HTTP_PLUGINS[probe](method, request, body)
+        if "/" not in probe:
+            break
+        probe = probe.rsplit("/", 1)[0]
+    raise FileNotFoundError(f"no plugin mounted at /plugin/{sub}")

@@ -141,6 +141,11 @@ class TSD:
             if "ascii" in out:
                 return out["ascii"], "text/plain"
             return out, None
+        if seg and seg[0] == "logs":
+            out = api.handle_logs(request)
+            return (out, "text/plain") if isinstance(out, str) else (out, None)
+        if seg and seg[0] == "plugin":
+            return api.handle_plugin(method, path, request, body), None
         if not seg or seg[0] != "api":
             raise FileNotFoundError(path)
         ep = seg[1] if len(seg) > 1 else ""

@@ -338,3 +338,34 @@ def test_telnet_rollup_and_dropcaches(tsd_server):
     assert len(row) == 1
     assert row[0]["interval"] == "1h" and row[0]["aggregator"] == "sum"
     assert row[0]["value"] == 42.0 and row[0]["tags"]["host"] == "web01"
+
+
+def test_logs_and_http_plugin(tsd_server):
+    import logging
+
+    tsd, http_port, _ = tsd_server
+    # first hit installs the ring buffer; then a log line must show up
+    _get(http_port, "/logs")
+    logging.getLogger("opentsdb_spark.test").warning("ringbuffer probe %d", 7)
+    st, ctype, body = _get(http_port, "/logs")
+    assert st == 200 and "text/plain" in ctype
+    assert b"ringbuffer probe 7" in body
+    st, _, body = _get(http_port, "/logs?json")
+    assert any("ringbuffer probe 7" in x for x in json.loads(body))
+    # level switch mirrors LogsRpc POST
+    st, _, body = _get(http_port, "/logs?level=WARN")
+    assert json.loads(body)["message"] == "level set to WARN"
+    assert logging.getLogger("opentsdb_spark").level == logging.WARNING
+    logging.getLogger("opentsdb_spark").setLevel(logging.NOTSET)
+
+    # HttpRpcPlugin mount under /plugin/<path>, longest-prefix dispatch
+    from opentsdb_spark import api as _api
+
+    _api.register_http_plugin("myplug", lambda m, req, b: {"m": m, "echo": req.get("x")})
+    st, _, body = _get(http_port, "/plugin/myplug/sub/leaf?x=1")
+    assert st == 200 and json.loads(body) == {"m": "GET", "echo": "1"}
+    try:
+        _get(http_port, "/plugin/unmounted")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
