@@ -111,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     td.add_argument("--port", type=int, default=4242)
     td.add_argument("--telnet-port", type=int, default=None)
+    td.add_argument("--static-dir", default=None,
+                    help="serve /s/* files from this directory "
+                         "(reference tsd.http.staticroot)")
 
     ms = sub.add_parser(
         "metasync",
@@ -253,7 +256,8 @@ def main(argv: list[str] | None = None) -> int:
         from opentsdb_spark.tsd import TSD, serve
 
         spark, points = _spark_and_points(args)
-        serve(TSD(spark, points), port=args.port, telnet_port=args.telnet_port)
+        serve(TSD(spark, points, static_dir=args.static_dir),
+              port=args.port, telnet_port=args.telnet_port)
     elif args.cmd == "metasync":
         from opentsdb_spark.operators.uid import (
             TSMETA_SCHEMA, UIDMETA_SCHEMA, meta_purge, meta_sync,

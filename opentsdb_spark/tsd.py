@@ -56,9 +56,12 @@ class TSD:
         annotations: DataFrame | None = None,
         rollups: DataFrame | None = None,
         histograms: DataFrame | None = None,
+        static_dir: str | None = None,
     ):
         self.spark = spark
         self.points = points
+        # /s/* static root (reference tsd.http.staticroot); None = 404
+        self.static_dir = static_dir
         if annotations is None:
             from opentsdb_spark.operators.annotations import ANNOTATION_SCHEMA
 
@@ -141,6 +144,23 @@ class TSD:
             if "ascii" in out:
                 return out["ascii"], "text/plain"
             return out, None
+        if seg and seg[0] == "s":
+            # StaticFileRpc analog (reference src/tsd/StaticFileRpc.java):
+            # serve files under the configured static root; path traversal
+            # is rejected by resolving against the root
+            import mimetypes
+            import os as _os
+
+            if not self.static_dir:
+                raise FileNotFoundError(path)
+            root = _os.path.realpath(self.static_dir)
+            target = _os.path.realpath(_os.path.join(root, *seg[1:]))
+            if not target.startswith(root + _os.sep) or not _os.path.isfile(target):
+                raise FileNotFoundError(path)
+            with open(target, "rb") as fh:
+                data = fh.read()
+            ctype = mimetypes.guess_type(target)[0] or "application/octet-stream"
+            return data, ctype
         if seg and seg[0] == "logs":
             out = api.handle_logs(request)
             return (out, "text/plain") if isinstance(out, str) else (out, None)

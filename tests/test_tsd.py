@@ -369,3 +369,30 @@ def test_logs_and_http_plugin(tsd_server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_static_files(spark, fixture_points, tmp_path_factory):
+    root = tmp_path_factory.mktemp("static")
+    (root / "ui.css").write_text("body { color: red }")
+    sub = root / "img"
+    sub.mkdir()
+    (sub / "logo.gif").write_bytes(b"GIF89a")
+    tsd = TSD(spark, fixture_points, static_dir=str(root))
+    http = make_http_server(tsd, 0)
+    import threading
+
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    try:
+        port = http.server_address[1]
+        st, ctype, body = _get(port, "/s/ui.css")
+        assert st == 200 and "text/css" in ctype and b"color: red" in body
+        st, ctype, body = _get(port, "/s/img/logo.gif")
+        assert st == 200 and "image/gif" in ctype and body == b"GIF89a"
+        for bad in ("/s/missing.js", "/s/../secret", "/s/img/../../etc"):
+            try:
+                _get(port, bad)
+                assert False, f"expected 404 for {bad}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+    finally:
+        http.shutdown()
