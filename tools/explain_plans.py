@@ -126,7 +126,11 @@ def main() -> None:
 
         raw_docs = load_table(spark, sf_dir, "documents")
         raw_emb = load_table(spark, sf_dir, "embeddings")
+        from opentsdb_spark.pipeline.text import chunk_docs, gopher_filter
+
         narrow_ops = {
+            "gopher_filter": gopher_filter(raw_docs),
+            "chunk_docs": chunk_docs(raw_docs),
             "hash_split": hash_split(raw_docs, {"train": 0.9, "val": 0.1}),
             "stratified_sample": stratified_sample(
                 raw_emb, {0: 0.5}, strata_col="label", id_col="vec_id"
@@ -244,6 +248,29 @@ def main() -> None:
         print(f"check ann_quantized: broadcast={has_bc}")
         if not has_bc:
             errors.append("quantized ANN: query side not broadcast")
+
+        # paragraph dedup: keep-first winner must come from a map-side-
+        # combinable aggregate, never a per-paragraph row_number window
+        # (one boilerplate paragraph with 10^9 copies = one task otherwise)
+        from opentsdb_spark.pipeline.text import paragraph_dedup
+
+        dplan = _plan_str(paragraph_dedup(raw_docs))
+        d_win = "Window" in dplan
+        print(f"check paragraph_dedup: window={d_win}")
+        if d_win:
+            errors.append("paragraph_dedup: winner selection uses a Window")
+
+        # semdedup: the within-cell pair join must be an equi join on the
+        # cell key (a range/theta fallback is a nested loop over the corpus)
+        from opentsdb_spark.pipeline.similarity import seeded_centroids, semdedup
+
+        mplan = _plan_str(
+            semdedup(raw_emb, threshold=0.3, centroids=seeded_centroids(8, 64))
+        )
+        m_bnlj = "BroadcastNestedLoopJoin" in mplan or "CartesianProduct" in mplan
+        print(f"check semdedup: nested_loop={m_bnlj}")
+        if m_bnlj:
+            errors.append("semdedup: cell self-join fell back to a nested loop")
 
     if check:
         errors.extend(_check_pushdown(spark))
