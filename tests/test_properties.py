@@ -310,3 +310,43 @@ def test_shingle_udf_matches_expression_form(spark, docs):
         for r in words.where(F.size("__w") >= n).select("doc_id", grams.alias("grams")).collect()
     }
     assert fast == slow
+
+
+# --- paragraph dedup conservation laws ---------------------------------------
+# For any corpus: (1) the surviving chunk multiset has no duplicates,
+# (2) the surviving chunk SET equals the distinct-input-chunk set (dedup
+# removes copies, never content), (3) each chunk survives at its minimal
+# (doc_id, chunk_pos) site.
+
+_doc_words = st.lists(st.sampled_from(["w1", "w2", "w3"]), min_size=0, max_size=9)
+
+
+@given(st.lists(_doc_words, min_size=1, max_size=6))
+@_slow
+def test_paragraph_dedup_conservation(spark, docs_words):
+    from opentsdb_spark.pipeline.text import chunk_docs, paragraph_dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_docs(docs, chunk_words=3).collect()
+    out = paragraph_dedup(docs, chunk_words=3).collect()
+
+    surviving = [
+        (r["doc_id"], pos, ch)
+        for r in out
+        for pos, ch in enumerate(_rechunk(r["text"], 3))
+    ]
+    surv_chunks = [c for _, _, c in surviving]
+    assert len(surv_chunks) == len(set(surv_chunks))  # (1)
+    assert set(surv_chunks) == {c["chunk"] for c in chunks}  # (2)
+    first_site = {}
+    for c in sorted(chunks, key=lambda c: (c["doc_id"], c["chunk_pos"])):
+        first_site.setdefault(c["chunk"], c["doc_id"])
+    for did, _, ch in surviving:
+        assert first_site[ch] == did  # (3)
+    assert sum(r["n_kept"] for r in out) == len(set(surv_chunks))
+
+
+def _rechunk(text, n):
+    ws = text.split()
+    return [" ".join(ws[i:i + n]) for i in range(0, len(ws), n)]
