@@ -7,6 +7,7 @@ DumpSeries / UidManager (src/tools/*.java). Subcommands:
     python -m opentsdb_spark.cli gexp    --start ... [--end ...] expression
     python -m opentsdb_spark.cli import  FILE...
     python -m opentsdb_spark.cli dump    --metric NAME [--out DIR]
+    python -m opentsdb_spark.cli scan    --start ... [--end ...] [--importfmt|--delete] m_spec...
     python -m opentsdb_spark.cli suggest --type metrics|tagk|tagv [--q PREFIX]
     python -m opentsdb_spark.cli uid     --kind metrics|tagk|tagv
     python -m opentsdb_spark.cli search  lookup METRIC [TAGK=TAGV...]
@@ -62,6 +63,21 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("dump", help="dump series as import-format text")
     d.add_argument("--metric", default=None)
     d.add_argument("--out", default=None, help="write lines here (else stdout, first 50)")
+
+    sc = sub.add_parser(
+        "scan", help="print raw cells matching a full query spec; --delete "
+                     "removes them (reference tsdb scan, src/tools/DumpSeries.java)"
+    )
+    sc.add_argument("--start", required=True)
+    sc.add_argument("--end", default=None)
+    sc.add_argument("--importfmt", action="store_true",
+                    help="emit TextImporter lines (reference --import)")
+    sc.add_argument("--delete", action="store_true",
+                    help="delete matched cells instead of printing")
+    sc.add_argument("--out", default=None,
+                    help="--delete: write the retained table here; "
+                         "else write lines here (stdout first 50 otherwise)")
+    sc.add_argument("m_specs", nargs="+", help="AGG:[interval-agg:]metric{tags}")
 
     s = sub.add_parser("suggest", help="name autocomplete")
     s.add_argument("--type", default="metrics", choices=["metrics", "tagk", "tagv"])
@@ -172,6 +188,34 @@ def main(argv: list[str] | None = None) -> int:
         else:
             for r in lines.limit(50).collect():
                 print(r["line"])
+    elif args.cmd == "scan":
+        from opentsdb_spark.parse import parse_query
+        from opentsdb_spark.plans.planner import match_predicate
+        from opentsdb_spark.sources.points import dump_series, write_points
+
+        spark, points = _spark_and_points(args)
+        params = {"start": args.start, "m": args.m_specs}
+        if args.end:
+            params["end"] = args.end
+        tsq = parse_query(params)
+        matched = match_predicate(points, tsq)
+        if args.delete:
+            retained = points.where(~matched)
+            n = points.count() - retained.count()
+            if args.out:
+                write_points(retained, args.out)
+                print(f"deleted {n} cells; retained table -> {args.out}")
+            else:
+                print(f"deleted {n} cells (dry run — pass --out to persist)")
+        else:
+            lines = dump_series(points.where(matched),
+                                import_format=args.importfmt)
+            if args.out:
+                lines.write.mode("overwrite").text(args.out)
+                print(f"scanned -> {args.out}")
+            else:
+                for r in lines.limit(50).collect():
+                    print(r["line"])
     elif args.cmd == "suggest":
         from opentsdb_spark import api
 

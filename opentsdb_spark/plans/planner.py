@@ -372,15 +372,12 @@ def compile_query(
     return out
 
 
-def delete_matching_points(points: DataFrame, tsq: TSQuery, now_ms: int | None = None) -> DataFrame:
-    """DELETE /api/query: remove every point matched by any sub-query
-    (time range x metric x tag predicates) and return the RETAINED frame.
-
-    The reference flags the scan to delete matched cells in place
-    (src/tsd/QueryRpc.java:148-152 -> src/core/TsdbQuery.java setDelete);
-    on an immutable lake the delete is this anti-filter re-written with
-    ``sources.points.write_points`` — partition pruning bounds the rewrite
-    to the touched date partitions."""
+def match_predicate(points: DataFrame, tsq: TSQuery, now_ms: int | None = None):
+    """Column predicate matching every point any sub-query touches (time
+    range x metric x tag/tsuid predicates) — the raw-scan filter behind
+    both ``tsdb scan`` (reference src/tools/DumpSeries.java:60-120, which
+    prints/deletes raw cells without aggregating) and DELETE /api/query.
+    None when the query has no sub-queries."""
     start_ms = parse_datetime_ms(tsq.start, tsq.timezone, now_ms)
     end_ms = parse_datetime_ms(tsq.end, tsq.timezone, now_ms)
     matched = None
@@ -394,6 +391,19 @@ def delete_matching_points(points: DataFrame, tsq: TSQuery, now_ms: int | None =
         if pred is not None:
             m = m & pred
         matched = m if matched is None else (matched | m)
+    return matched
+
+
+def delete_matching_points(points: DataFrame, tsq: TSQuery, now_ms: int | None = None) -> DataFrame:
+    """DELETE /api/query: remove every point matched by any sub-query
+    and return the RETAINED frame.
+
+    The reference flags the scan to delete matched cells in place
+    (src/tsd/QueryRpc.java:148-152 -> src/core/TsdbQuery.java setDelete);
+    on an immutable lake the delete is this anti-filter re-written with
+    ``sources.points.write_points`` — partition pruning bounds the rewrite
+    to the touched date partitions."""
+    matched = match_predicate(points, tsq, now_ms)
     if matched is None:
         return points
     return points.where(~matched)

@@ -689,3 +689,44 @@ def test_metasync_cli_roundtrip(tmp_path):
         assert cli_main(["metasync", "--meta-dir", meta, "--purge"]) == 0
     out = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out == {"uidmeta": 0, "tsmeta": 0, "purged": True}
+
+
+def test_scan_cli(tmp_path):
+    """tsdb scan prints matched raw cells; --delete --out persists the
+    retained table (DumpSeries parity)."""
+    import contextlib
+    import io
+
+    from opentsdb_spark.cli import main as cli_main
+
+    spec = "sum:purchase{user=literal_or(1|2)}"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli_main(["scan", "--start", "2024/01/01", "--end", "2024/02/01", spec]) == 0
+    lines = [x for x in buf.getvalue().splitlines() if x.startswith("put purchase ")]
+    assert lines and all((" user=1" in x) or (" user=2" in x) for x in lines)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli_main([
+            "scan", "--start", "2024/01/01", "--end", "2024/02/01",
+            "--importfmt", spec,
+        ]) == 0
+    assert all(not x.startswith("put ") for x in buf.getvalue().splitlines()[:5])
+
+    out = str(tmp_path / "retained")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli_main([
+            "scan", "--start", "2024/01/01", "--end", "2024/01/05",
+            "--delete", "--out", out, "sum:purchase",
+        ]) == 0
+    assert "deleted" in buf.getvalue()
+    from opentsdb_spark.session import get_spark
+    from opentsdb_spark.sources.points import read_points
+
+    retained = read_points(get_spark("t"), out)
+    assert retained.where("metric = 'purchase'").count() > 0  # outside range kept
+    assert retained.where(
+        "metric = 'purchase' and ts >= '2024-01-01' and ts <= '2024-01-05'"
+    ).count() == 0
