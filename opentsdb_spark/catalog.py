@@ -3011,8 +3011,10 @@ _PRIORITY = [
     # the LSH-bucketed variant stays verified by the full-catalog run)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_minhash_md5",
     "dedup_simhash_md5", "dedup_semantic",
-    # LLM-pipeline: text / similarity / multimodal
-    "text_quality", "text_langid", "text_tokens", "text_fingerprint_md5",
+    # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
+    # for the corpus-wide paragraph dedup — token counting is also exercised
+    # by text_quality and stays verified by the full-catalog run)
+    "text_quality", "text_langid", "text_paragraph_dedup", "text_fingerprint_md5",
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_fixed_top5",
     "multimodal_bytes", "multimodal_features",
     # LLM-pipeline: mixture sampling + sequence packing

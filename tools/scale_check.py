@@ -1,0 +1,116 @@
+"""Scaling experiment: replicate the sf0.1 tables K times (ids/timestamps
+perturbed so keys stay unique) and measure how the headline queries scale.
+
+    python tools/scale_check.py [K] [out_json]
+
+Prints per-query wall seconds at 1x and Kx and the ratio. A ratio near K
+means linear scaling in data volume on fixed cores (the expected shape for
+scan-bound plans at constant parallelism); a ratio far above K flags a
+super-linear stage (quadratic pair blow-up, single-task sort, driver
+collect) that would sink a 100 TB run. Duplicated documents make the dedup
+family's candidate sets denser than production — pair counts rise, so dedup
+ratios above K by a small factor are expected and reported, not failed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from opentsdb_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+QUERIES = [
+    "tsdb_ds_10m_avg",
+    "tsdb_agg_sum_aligned_1h",
+    "tsdb_agg_sum_raw_full",
+    "tsdb_rate",
+    "gexp_sumseries",
+    "ingest_put_roundtrip",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "text_quality",
+    "text_paragraph_dedup",
+    "text_vocab_top50",
+    "ann_lsh_top5",
+    "multimodal_features",
+]
+
+
+def replicate(spark, k: int, out_dir: str) -> None:
+    """K copies of each table; ids offset per copy, event timestamps nudged
+    +copy ms so replicated points stay distinct (series, ts) cells."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        src = f"{BASE}/{name}.parquet"
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        if name in ("events", "documents", "embeddings"):
+            copies = []
+            for i in range(k):
+                c = df
+                if name == "events":
+                    c = (c.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+                          .withColumn("ts", F.timestamp_millis(
+                              F.unix_millis("ts") + F.lit(i))))
+                elif name == "documents":
+                    c = c.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+                else:
+                    c = c.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        else:
+            df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from opentsdb_spark import catalog
+
+    out = {}
+    for name in QUERIES:
+        fn = catalog.CATALOG[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark("scale-check")
+    big = f"/tmp/scale_check_sf{k}x"
+    print(f"replicating {BASE} x{k} -> {big}")
+    replicate(spark, k, big)
+    # warmup (JVM + python worker pool)
+    spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
+
+    base_t = time_queries(spark, BASE)
+    big_t = time_queries(spark, big)
+    report = {}
+    print(f"\n{'query':28s} {'1x':>8s} {f'{k}x':>8s} {'ratio':>7s}")
+    for name in QUERIES:
+        ratio = round(big_t[name] / max(base_t[name], 1e-9), 2)
+        report[name] = {"base_s": base_t[name], "big_s": big_t[name], "ratio": ratio}
+        print(f"{name:28s} {base_t[name]:8.2f} {big_t[name]:8.2f} {ratio:7.2f}")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump({"k": k, "queries": report}, f, indent=1, sort_keys=True)
+        print(f"wrote {out_json}")
+
+
+if __name__ == "__main__":
+    main()
