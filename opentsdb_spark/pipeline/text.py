@@ -206,10 +206,14 @@ def paragraph_dedup(
     matters."""
     okey = (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_pos")).alias("__ok")
     chunks = chunk_docs(docs, chunk_words, content_col, id_col).select(
-        id_col, "chunk_pos", "chunk", okey
+        id_col, "chunk_pos", "chunk", okey, F.xxhash64("chunk").alias("__ch")
     )
-    winners = chunks.groupBy("chunk").agg(F.min("__ok").alias("__ok"))
-    kept = chunks.join(winners, on=["chunk", "__ok"], how="left_semi")
+    # winner bookkeeping runs on the 8-byte paragraph hash, not the text —
+    # CCNet equally dedups on paragraph hashes; the raw string never enters
+    # the winner shuffle or the semi-join keys (at corpus scale the winner
+    # table is too big to broadcast and this halves the join's shuffle bytes)
+    winners = chunks.groupBy("__ch").agg(F.min("__ok").alias("__ok"))
+    kept = chunks.join(winners, on=["__ch", "__ok"], how="left_semi")
     return (
         kept.groupBy(id_col)
         .agg(

@@ -60,9 +60,11 @@ def replicate(spark, k: int, out_dir: str) -> None:
             for i in range(k):
                 c = df
                 if name == "events":
+                    # interval arithmetic works on TIMESTAMP and NTZ alike
+                    # (the driver parquet is INT64 TIMESTAMP(NANOS) -> NTZ
+                    # under a bare session)
                     c = (c.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
-                          .withColumn("ts", F.timestamp_millis(
-                              F.unix_millis("ts") + F.lit(i))))
+                          .withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {i} MILLISECOND")))
                 elif name == "documents":
                     c = c.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
                 else:
