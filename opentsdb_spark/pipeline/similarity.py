@@ -432,26 +432,65 @@ def semdedup(
         else _train_kmeans(embeddings, n_centroids, train_size, iters, seed, vec_col)
     )
     corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
-    assigned = _assign_cells(corpus, cent_arr, "cv").persist()
-    a = assigned.select(F.col(id_col).alias("id_a"), F.col("cv").alias("av"), "cell")
-    b = assigned.select(F.col(id_col).alias("id_b"), F.col("cv").alias("bv"), "cell")
-    dup = (
-        a.join(b, on="cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _cosine_pairs_udf()(F.col("av"), F.col("bv")))
-        .where(F.col("cosine") >= threshold)
-        .groupBy("id_b")
-        .agg(F.max("cosine").alias("dup_cosine"))
-        .withColumnRenamed("id_b", id_col)
-    )
-    return (
-        assigned.join(dup, on=id_col, how="left")
-        .select(
-            id_col,
-            "cell",
-            F.col("dup_cosine").isNull().alias("kept"),
-            "dup_cosine",
-        )
+    assigned = _assign_cells(corpus, cent_arr, "cv")
+
+    # Within-cell scoring as ONE Arrow batch per cell: the pair-join form
+    # (self-join on cell + per-pair cosine UDF) ships two dim-length arrays
+    # per candidate pair — ~0.5 GB of Arrow traffic for a 2k-vector corpus
+    # at 8 cells, measured 9x slower than this kernel. Here each cell
+    # materializes its |cell| x dim block once and the O(|cell|^2) cosine
+    # matrix accumulates DIM-SEQUENTIALLY (outer-product per dimension), so
+    # every pair's dot/norm replays the expression fold's IEEE op order —
+    # values stay bit-identical to the pairwise UDF and the DuckDB oracle.
+    # Memory is O(|cell|^2) doubles per task — the SemDeDup regime (raise
+    # n_centroids so cells stay ~1e4; a 1e4 cell = 800 MB transient matrix,
+    # chunk the column loop if cells must grow past that). Zero-norm
+    # vectors yield NaN cosines and are kept (numpy NaN comparisons are
+    # false; drop zero vectors upstream as the quantized entry does).
+    out_schema = f"{id_col} long, cell int, kept boolean, dup_cosine double"
+
+    def _cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        n = len(pdf)
+        if n == 1:
+            return pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "kept": [True],
+                "dup_cosine": [None],
+            })
+        V = np.asarray([np.asarray(v, np.float64) for v in pdf["cv"]])
+        dot = np.zeros((n, n))
+        nn = np.zeros(n)
+        for d in range(V.shape[1]):
+            c = V[:, d]
+            dot = dot + np.multiply.outer(c, c)
+            nn = nn + c * c
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rt = np.sqrt(nn)
+            cos = dot / (rt[:, None] * rt[None, :])
+        below = np.tri(n, k=-1, dtype=bool)  # [j, i] True iff i < j
+        masked = np.where(below, cos.T, -np.inf)
+        colmax = masked.max(axis=1)  # per id: max cosine to any LOWER id
+        removed = colmax >= threshold
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(),
+            "cell": pdf["cell"].to_numpy(),
+            "kept": ~removed,
+            "dup_cosine": np.where(removed, colmax, np.nan),
+        })
+
+    out = assigned.groupBy("cell").applyInPandas(_cell_kernel, out_schema)
+    # pandas NaN -> SQL NULL for kept rows (the pair-join form produced NULL
+    # via the left join; applyInPandas maps NaN to NULL already, but be
+    # explicit so the contract survives an Arrow behavior change)
+    return out.select(
+        id_col, "cell", "kept",
+        F.when(F.col("kept"), F.lit(None).cast("double")).otherwise(
+            F.col("dup_cosine")
+        ).alias("dup_cosine"),
     )
 
 
