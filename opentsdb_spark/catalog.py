@@ -1449,6 +1449,13 @@ def _docs(spark, sf_dir):
 _WORDS = "list_transform(string_split_regex(lower(text), '\\s+'), w -> w)"
 _STOP_SQL = "['the','a','of','and','is','to','in']"
 
+_NW = r"len(string_split_regex(text, '\s+'))"
+_MWL = RND.format(r"length(regexp_replace(text, '\s+', '', 'g')) / " + _NW)
+_SWR = RND.format(
+    f"CAST(len(list_filter({_WORDS}, w -> list_contains({_STOP_SQL}, w))) AS DOUBLE) / " + _NW
+)
+_DSR = RND.format(f"CAST(len(list_distinct({_WORDS})) AS DOUBLE) / " + _NW)
+
 
 @register(
     "dedup_exact",
@@ -1563,12 +1570,50 @@ def dedup_cluster_cc(spark, sf_dir):
     return dedup_assign_clusters(docs, pairs)
 
 
-_NW = r"len(string_split_regex(text, '\s+'))"
-_MWL = RND.format(r"length(regexp_replace(text, '\s+', '', 'g')) / " + _NW)
-_SWR = RND.format(
-    f"CAST(len(list_filter({_WORDS}, w -> list_contains({_STOP_SQL}, w))) AS DOUBLE) / " + _NW
+@register(
+    "dedup_canonical_quality",
+    f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+        cc AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+        comp AS (SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        dr AS (SELECT doc_id,
+                      CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW} AS score
+               FROM documents),
+        r AS (SELECT comp.doc_id, comp.component, dr.score,
+                     row_number() OVER (PARTITION BY comp.component
+                                        ORDER BY dr.score DESC, comp.doc_id ASC) AS rn
+              FROM comp JOIN dr ON comp.doc_id = dr.doc_id)
+        SELECT doc_id, component, {RND.format('score')} AS score_r,
+               rn = 1 AS is_canonical
+        FROM r""",
 )
-_DSR = RND.format(f"CAST(len(list_distinct({_WORDS})) AS DOUBLE) / " + _NW)
+def dedup_canonical_quality(spark, sf_dir):
+    """Quality-aware canonical selection over the jaccard near-dup
+    components: per cluster keep the member with the highest repetition
+    (distinct-word) score instead of the lowest id — see
+    pipeline.cluster.select_canonical. The oracle re-derives the same
+    components (recursive CTE) and winners (per-component window)."""
+    from opentsdb_spark.pipeline.cluster import dedup_assign_clusters, select_canonical
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_df=50)
+    clusters = dedup_assign_clusters(docs, pairs)
+    scores = quality_scores(docs).select(
+        "doc_id", F.col("distinct_ratio").alias("score")
+    )
+    out = select_canonical(clusters, scores)
+    return out.select(
+        "doc_id", "component", _vr(F.col("score")).alias("score_r"), "is_canonical"
+    )
+
+
 
 
 @register(

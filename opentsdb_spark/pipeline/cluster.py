@@ -100,3 +100,41 @@ def dedup_assign_clusters(
     return out.select(
         id_col, "component", (F.col("component") == F.col(id_col)).alias("is_canonical")
     )
+
+
+def select_canonical(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: instead of keep-lowest-id, keep
+    the HIGHEST-scoring member of each near-dup component (ties -> lowest
+    id) — the production policy when a dup cluster mixes a clean original
+    with mangled copies (cf. the quality-ranked dedup in RefinedWeb,
+    arXiv:2306.01116 §3).
+
+    The winner comes from a map-side-combinable max over a packed
+    (score, -id) struct — no per-component window, so a giant component
+    never serializes through one task. Null scores rank below every real
+    score. Returns (id, component, score, is_canonical)."""
+    j = clusters.select(id_col, component_col).join(
+        scores.select(id_col, score_col), on=id_col, how="left"
+    )
+    packed = F.struct(
+        F.coalesce(F.col(score_col), F.lit(float("-inf"))).alias("s"),
+        (-F.col(id_col)).alias("nid"),
+    )
+    best = (
+        j.groupBy(component_col)
+        .agg(F.max(packed).alias("b"))
+        .select(component_col, (-F.col("b.nid")).alias("__best_id"))
+    )
+    return (
+        j.join(best, on=component_col)
+        .select(
+            id_col, component_col, score_col,
+            (F.col(id_col) == F.col("__best_id")).alias("is_canonical"),
+        )
+    )
