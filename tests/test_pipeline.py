@@ -719,3 +719,21 @@ def test_chunk_and_paragraph_dedup(spark):
     assert out[0]["text"] == "a b c d e f" and out[0]["n_kept"] == 2
     assert out[1]["text"] == "x y z" and out[1]["n_kept"] == 1
     assert 2 not in out  # no full chunk -> no surviving row
+
+
+def test_select_canonical(spark):
+    from opentsdb_spark.pipeline.cluster import select_canonical
+
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (5, 5), (7, 7)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(0, 0.2), (1, 0.9), (2, 0.9), (5, 0.5)],  # doc 7 has NO score
+        "doc_id long, score double",
+    )
+    out = {r["doc_id"]: r for r in select_canonical(clusters, scores).collect()}
+    # component 0: 1 and 2 tie on 0.9 -> lowest id 1 wins; 0 loses
+    assert out[1]["is_canonical"] and not out[2]["is_canonical"] and not out[0]["is_canonical"]
+    assert out[5]["is_canonical"]          # singleton
+    assert out[7]["is_canonical"] and out[7]["score"] is None  # null-score singleton
