@@ -251,6 +251,7 @@ def handle_graph(
         qs = urlencode(
             {k: v for k, v in request.items() if not k.startswith("_")},
             quote_via=quote,
+            doseq=True,  # m=/tsuid= arrive as lists — one pair per element
         )
         return {"redirect": f"/#{qs}"}
     graph_params = (
@@ -286,7 +287,20 @@ def handle_graph(
         i = sq_of[id(s)]
         if i is not None and i not in by_sq:
             by_sq[i] = sorted(s.get("aggregateTags") or [])
-    etags = [by_sq[i] for i in sorted(by_sq)]
+
+    def _as_list(v):
+        return v if isinstance(v, list) else ([v] if v else [])
+
+    # one entry PER SUBMITTED sub-query (GraphHandler emits an aggregated-
+    # tags set per query) — a sub-query with zero series still holds its
+    # slot so consumers can zip etags against what they sent
+    n_sub = len(_as_list(request.get("m"))) + len(
+        _as_list(request.get("tsuids") or request.get("tsuid"))
+    )
+    if n_sub:
+        etags = [by_sq.get(i, []) for i in range(n_sub)]
+    else:
+        etags = [by_sq[i] for i in sorted(by_sq)]
     return {
         "plotted": npoints,
         "points": npoints,

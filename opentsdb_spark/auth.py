@@ -175,6 +175,27 @@ def check_permission(request: dict, permission: str) -> AuthState:
     return state
 
 
+def check_telnet(command: list[str], permission: str,
+                 state: AuthState | None = None) -> AuthState:
+    """Telnet-side guard (reference RpcHandler authenticates the first line
+    via Authentication.authenticate_telnet before dispatching): reuse the
+    connection's SUCCESS state or authenticate this command, then check the
+    permission. Raises AuthError on any non-SUCCESS state; no-op while auth
+    is disabled. Returns the state for the caller to cache per connection."""
+    if not _ENABLED:
+        return AuthState("anonymous")
+    if state is None or state.status != SUCCESS:
+        state = _PLUGIN.authenticate_telnet(command)
+    if state.status != SUCCESS:
+        raise AuthError(state)
+    authz = _PLUGIN.authorization()
+    if authz is not None:
+        checked = authz.has_permission(state, permission)
+        if checked.status != SUCCESS:
+            raise AuthError(checked)
+    return state
+
+
 def check_query(request: dict, tsquery) -> AuthState:
     """HTTP_QUERY permission + per-query allowQuery hook."""
     state = check_permission(request, "HTTP_QUERY")

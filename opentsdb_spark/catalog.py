@@ -1670,8 +1670,7 @@ def text_langid(spark, sf_dir):
 _CHUNKS_SQL = r"""w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
                 FROM documents),
         c AS (SELECT doc_id, CAST(i AS INT) AS chunk_pos,
-                     array_to_string(ws[i*5+1:i*5+5], ' ') AS chunk,
-                     doc_id * 1000000 + i AS ok
+                     array_to_string(ws[i*5+1:i*5+5], ' ') AS chunk
               FROM w, unnest(generate_series(0, CAST(len(ws)//5 AS INT) - 1)) t(i))"""
 
 
@@ -1688,8 +1687,10 @@ def text_chunks(spark, sf_dir):
 @register(
     "text_paragraph_dedup",
     f"""WITH {_CHUNKS_SQL},
-        win AS (SELECT chunk, min(ok) AS ok FROM c GROUP BY chunk),
-        kept AS (SELECT c.* FROM c JOIN win ON win.chunk = c.chunk AND win.ok = c.ok)
+        kept AS (SELECT doc_id, chunk_pos, chunk FROM (
+                   SELECT c.*, row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_pos) AS rn FROM c)
+                 WHERE rn = 1)
         SELECT doc_id,
                string_agg(chunk, ' ' ORDER BY chunk_pos) AS text,
                CAST(count(*) AS INT) AS n_kept

@@ -41,6 +41,36 @@ from opentsdb_spark.functions.aggregators import AggSpec, get_aggregator
 from opentsdb_spark.sources.points import series_id_col
 
 _DBL_MAX = 1.7976931348623157e308
+
+# Per-thread registry of frames persisted inside a query compilation. A
+# batch script lives with session-scoped caches, but the long-running TSD
+# daemon would leak one cached frame per grid-join query — it calls
+# release_scratch() after each request completes (thread-local so one
+# request's release can't unpin a concurrent request's working set).
+import threading as _threading
+
+_SCRATCH = _threading.local()
+
+
+def _register_scratch(df: DataFrame) -> DataFrame:
+    lst = getattr(_SCRATCH, "frames", None)
+    if lst is None:
+        lst = _SCRATCH.frames = []
+    lst.append(df)
+    return df
+
+
+def release_scratch() -> int:
+    """Unpersist every frame this thread's queries persisted. Returns the
+    count released."""
+    lst = getattr(_SCRATCH, "frames", None) or []
+    n = len(lst)
+    while lst:
+        try:
+            lst.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    return n
 # interval-join binning granularity for the grid-join strategy: buckets per
 # group time range. More bins = tighter candidate sets but more span rows
 # (a full-range series explodes into _GRID_BINS rows).
@@ -291,8 +321,9 @@ def _interpolate_via_grid_join(df: DataFrame, gnames: list[str], interp: str) ->
     buckets it covers (<= _GRID_BINS rows per series), and the join keys on
     (group, bucket) — a hash join whose output is the candidate set the
     between-filter then trims. Input is persisted (it is scanned four
-    times: bounds, grid, spans, values; Spark does not share subplans)."""
-    df = df.persist()
+    times: bounds, grid, spans, values; Spark does not share subplans);
+    the TSD daemon reclaims it per-request via release_scratch()."""
+    df = _register_scratch(df.persist())
     bounds = df.groupBy(*gnames).agg(
         F.unix_millis(F.min("ts")).alias("__lo"),
         F.unix_millis(F.max("ts")).alias("__hi"),

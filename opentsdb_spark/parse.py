@@ -117,36 +117,15 @@ def _parse_percentiles(token: str) -> tuple[float, ...]:
 
 def parse_m_subquery(spec: str, timezone: str = "UTC") -> SubQuery:
     """Parse one ``m=`` sub-query string into the query model."""
-    # peel metric{...}{...} off the tail: find metric start = after last ':'
-    # that is not inside braces
-    depth = 0
-    last_colon = -1
-    for i, ch in enumerate(spec):
-        if ch == "{":
-            depth += 1
-        elif ch == "}":
-            depth -= 1
-        elif ch == ":" and depth == 0:
-            last_colon = i
-    if last_colon < 0:
+    # metric{...}{...} is the last ':'-separated part outside braces; the
+    # head tokens before it are aggregator/downsample/rate/flags
+    parts = _split_outside_braces(spec, ":")
+    if len(parts) < 2:
         raise ValueError(f"m= spec needs '<aggregator>:<metric>', got {spec!r}")
-    head, metric_part = spec[: last_colon], spec[last_colon + 1:]
-    tokens = []
-    if head:
-        # split head on ':' outside braces
-        depth, cur = 0, []
-        for ch in head:
-            if ch == "{":
-                depth += 1
-            elif ch == "}":
-                depth -= 1
-            if ch == ":" and depth == 0:
-                tokens.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-        if cur:
-            tokens.append("".join(cur))
+    metric_part = parts[-1]
+    tokens = parts[:-1]
+    if tokens and tokens[-1] == "":
+        tokens.pop()  # 'agg::metric' — empty token before the metric
     if not tokens:
         raise ValueError(f"m= spec needs an aggregator: {spec!r}")
     aggregator = tokens[0]

@@ -204,16 +204,26 @@ def paragraph_dedup(
     word splitter (CCNet equally hashes normalized paragraphs); keep the
     original around and re-join on (id, chunk_pos) if the raw casing
     matters."""
-    okey = (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_pos")).alias("__ok")
     chunks = chunk_docs(docs, chunk_words, content_col, id_col).select(
-        id_col, "chunk_pos", "chunk", okey, F.xxhash64("chunk").alias("__ch")
+        id_col, "chunk_pos", "chunk", F.xxhash64("chunk").alias("__ch")
     )
     # winner bookkeeping runs on the 8-byte paragraph hash, not the text —
     # CCNet equally dedups on paragraph hashes; the raw string never enters
     # the winner shuffle or the semi-join keys (at corpus scale the winner
-    # table is too big to broadcast and this halves the join's shuffle bytes)
-    winners = chunks.groupBy("__ch").agg(F.min("__ok").alias("__ok"))
-    kept = chunks.join(winners, on=["__ch", "__ok"], how="left_semi")
+    # table is too big to broadcast and this halves the join's shuffle bytes).
+    # min over the (id, pos) STRUCT — lexicographic, no packed-scalar key
+    # that a book-length doc (chunk_pos >= 1e6) would overflow into the
+    # next doc's range
+    winners = (
+        chunks.groupBy("__ch")
+        .agg(F.min(F.struct(F.col(id_col), F.col("chunk_pos"))).alias("__w"))
+        .select(
+            "__ch",
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.chunk_pos").alias("chunk_pos"),
+        )
+    )
+    kept = chunks.join(winners, on=["__ch", id_col, "chunk_pos"], how="left_semi")
     return (
         kept.groupBy(id_col)
         .agg(

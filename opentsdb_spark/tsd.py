@@ -130,7 +130,20 @@ class TSD:
     # ------------------------------------------------------------- routes
     def route(self, method: str, path: str, request: dict, body: Any):
         """Dispatch one request. Returns (payload, content_type) where
-        payload bytes are sent raw and anything else is JSON-encoded."""
+        payload bytes are sent raw and anything else is JSON-encoded.
+
+        Handlers collect their results before returning, so any frame a
+        query compilation persisted (grid-join scratch) is released here —
+        without this a long-running daemon leaks one cached frame per
+        raw-resolution query."""
+        from opentsdb_spark.operators.groupby import release_scratch
+
+        try:
+            return self._route(method, path, request, body)
+        finally:
+            release_scratch()
+
+    def _route(self, method: str, path: str, request: dict, body: Any):
         seg = [s for s in path.split("/") if s]
         with self.lock:
             points = self.points
@@ -262,15 +275,22 @@ class TSD:
                 return out, None
             raise FileNotFoundError(path)
         if ep == "tree":
-            if len(seg) > 2:
-                sub = seg[2]
-                if sub in ("rule", "rules", "branch", "collisions", "notmatched", "test"):
-                    return api.handle_tree(points, {**request, **(body or {})}), None
+            req = {**request, **(body or {})}
+            sub = seg[2] if len(seg) > 2 else None
+            # reference TreeRpc sub-endpoints: rebuild runs the stored tree,
+            # collisions/notmatched read its build bookkeeping, the rest are
+            # ad-hoc rule evaluation over the live series set
+            if sub == "rebuild":
+                return api.handle_tree_rebuild(points, req), None
+            if sub in ("collisions", "notmatched"):
+                return api.handle_tree_family({"family": sub, **req}), None
+            if sub in ("rule", "rules", "branch", "test"):
+                return api.handle_tree(points, req), None
             if method in ("POST", "PUT", "DELETE"):
-                return api.handle_tree_edit(method, body or request), None
-            if "rules" in request or (body and "rules" in body):
-                return api.handle_tree(points, {**request, **(body or {})}), None
-            return api.handle_tree_family(body or request), None
+                return api.handle_tree_edit(method, req), None
+            if "rules" in req:
+                return api.handle_tree(points, req), None
+            return api.handle_tree_edit("GET", req), None
         if ep == "aggregators":
             return api.handle_aggregators(), None
         if ep == "version":
@@ -333,6 +353,9 @@ def make_http_handler(tsd: TSD) -> type:
             # whole string first would split on an encoded '&' (%26) inside
             # a filter value and double-decode %25xx sequences
             request = _flatten_qs(parse_qs(parsed.query, keep_blank_values=True))
+            # auth plugins read headers from '_headers' (auth.py contract);
+            # keys lower-cased so plugins need not guess casing
+            request["_headers"] = {k.lower(): v for k, v in self.headers.items()}
             body = None
             length = int(self.headers.get("Content-Length") or 0)
             if length:
@@ -399,8 +422,11 @@ class TelnetServer(socketserver.ThreadingTCPServer):
 
 class _TelnetHandler(socketserver.StreamRequestHandler):
     def handle(self):
+        from opentsdb_spark.auth import AuthError, check_telnet
+
         tsd: TSD = self.server.tsd
         pending: list[str] = []
+        auth_state = None  # per-connection, like the reference channel state
 
         def flush():
             if pending:
@@ -416,6 +442,15 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                 continue
             cmd = line.split()[0].lower()
             try:
+                if cmd in ("put", "rollup"):
+                    # write gate (reference authenticates the telnet line
+                    # before dispatch; HTTP put is equally gated)
+                    try:
+                        auth_state = check_telnet(line.split(), "TELNET_PUT",
+                                                  auth_state)
+                    except AuthError as e:
+                        self.wfile.write(f"auth denied: {e}\n".encode())
+                        continue
                 if cmd == "put":
                     pending.append(line)
                     if len(pending) >= self.server.FLUSH_AT:
@@ -486,9 +521,22 @@ class DualProtocolServer(socketserver.ThreadingTCPServer):
 class _DualHandler(socketserver.BaseRequestHandler):
     def handle(self):
         import socket as _socket
+        import time as _time
 
         self.request.settimeout(300)
-        first = self.request.recv(8, _socket.MSG_PEEK)
+        # peek until the first token is unambiguous: a short first segment
+        # (b"GE" of a split write) must not get misrouted to telnet — keep
+        # peeking until a delimiter arrives, 8 bytes are buffered, or a
+        # short sniff deadline passes (then fall through with what we have)
+        deadline = _time.monotonic() + 5.0
+        first = b""
+        while _time.monotonic() < deadline:
+            first = self.request.recv(8, _socket.MSG_PEEK)
+            if not first:  # peer closed before sending anything
+                return
+            if len(first) >= 8 or b" " in first or b"\n" in first:
+                break
+            _time.sleep(0.01)
         if first.split(b" ")[0].rstrip(b"\r\n") in _HTTP_VERBS:
             self.server._http_handler(self.request, self.client_address, self.server)
         else:

@@ -80,3 +80,17 @@ def test_rate_mode_prev_interp(ragged_points):
         cross_series_aggregate(ragged_points, "sum", rate_mode=True, strategy="pack")
     )
     assert e == p
+
+
+def test_grid_join_scratch_release(spark, fixture_points):
+    """The grid-join strategy persists its input; release_scratch (called
+    by the TSD daemon per request) unpins it again."""
+    from opentsdb_spark.operators.groupby import cross_series_aggregate, release_scratch
+
+    release_scratch()  # drain anything earlier tests registered
+    out = cross_series_aggregate(fixture_points, "dev", strategy="join")
+    out.count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0
+    assert release_scratch() >= 1
+    assert release_scratch() == 0  # idempotent

@@ -396,3 +396,91 @@ def test_static_files(spark, fixture_points, tmp_path_factory):
                 assert e.code == 404
     finally:
         http.shutdown()
+
+
+def test_tree_endpoints_over_http(tsd_server):
+    """Stored-tree lifecycle THROUGH the daemon: create -> rebuild ->
+    collisions/notmatched -> list -> delete (reference TreeRpc routing;
+    rebuild must not be swallowed by the edit handler)."""
+    from opentsdb_spark import api as _api
+    from opentsdb_spark.operators.tree import TreeStore
+
+    old = _api.TREES
+    _api.TREES = TreeStore()
+    try:
+        st, body = _post(http_port := tsd_server[1], "/api/tree", {
+            "name": "by metric", "storeFailures": True,
+            "rules": [{"type": "METRIC"}],
+        })
+        tid = json.loads(body)["treeId"]
+        st, body = _post(http_port, "/api/tree/rebuild", {"treeId": tid})
+        assert st == 200 and json.loads(body)["stored"] == [
+            "collisions", "leaves", "not_matched"]
+        # both fixture series collapse onto one metric leaf -> 1 collision
+        st, _, body = _get(http_port, f"/api/tree/collisions?treeId={tid}")
+        assert st == 200 and len(json.loads(body)) == 1
+        st, _, body = _get(http_port, f"/api/tree/notmatched?treeId={tid}")
+        assert st == 200 and json.loads(body) == []
+        # bare GET lists stored definitions
+        st, _, body = _get(http_port, "/api/tree")
+        assert [t["treeId"] for t in json.loads(body)] == [tid]
+        # ad-hoc rule evaluation still works on the same path
+        st, body = _post(http_port, "/api/tree", {
+            "rules": [{"type": "TAGK", "field": "host"}]})
+        assert st == 200 and json.loads(body)
+    finally:
+        _api.TREES = old
+
+
+def test_telnet_put_auth_gate(tsd_server):
+    """Telnet put/rollup honor the auth plugin like HTTP put does."""
+    from opentsdb_spark.auth import (
+        FORBIDDEN, Authentication, Authorization, AuthState, configure_auth,
+    )
+
+    class DenyTelnet(Authentication, Authorization):
+        def authenticate_telnet(self, command):
+            return AuthState("tester")
+
+        def authenticate_http(self, request):
+            return AuthState("tester")
+
+        def authorization(self):
+            return self
+
+        def has_permission(self, state, permission):
+            if permission == "TELNET_PUT":
+                return AuthState(state.user, FORBIDDEN, "writes disabled")
+            return state
+
+        def allow_query(self, state, tsquery):
+            return state
+
+    tsd, _, tel_port = tsd_server
+    configure_auth(DenyTelnet())
+    try:
+        s = socket.create_connection(("127.0.0.1", tel_port), timeout=30)
+        f = s.makefile("rwb")
+        f.write(f"put tsd.test.denied {EPOCH} 1 host=a\nexit\n".encode())
+        f.flush()
+        assert b"auth denied" in f.readline()
+        s.close()
+    finally:
+        configure_auth(None)
+    assert tsd.points.where("metric = 'tsd.test.denied'").count() == 0
+
+
+def test_graph_etags_and_redirect_lists(tsd_server):
+    _, http_port, _ = tsd_server
+    # empty sub-query still holds its etags slot (one entry per query)
+    st, _, body = _get(
+        http_port,
+        f"/q?json&start={EPOCH}&end={EPOCH + 100}"
+        "&m=sum:sys.cpu.user&m=sum:no.such.metric",
+    )
+    out = json.loads(body)
+    assert len(out["etags"]) == 2 and out["etags"][1] == []
+    # redirect keeps list params as repeated pairs, not a Python repr
+    st, _, body = _get(http_port, f"/q?start={EPOCH}&m=sum:sys.cpu.user")
+    frag = json.loads(body)["redirect"]
+    assert "m=sum%3Asys.cpu.user" in frag and "%5B" not in frag
