@@ -587,6 +587,24 @@ def handle_annotation_edit(
     return (stored[0].asDict() if stored else None), out
 
 
+def handle_annotation_bulk_update(
+    annotations: DataFrame, method: str, body: Any
+) -> tuple[list[dict[str, Any]], DataFrame]:
+    """POST/PUT /api/annotation/bulk (reference AnnotationRpc
+    executeBulkUpdate:158-200): create/update a LIST of annotations in one
+    call; the response echoes the stored records in request order.
+    Deletions stay on the DELETE bulk endpoint."""
+    if not isinstance(body, list):
+        raise ValueError("bulk annotation update requires a JSON array body")
+    stored: list[dict[str, Any]] = []
+    frame = annotations
+    for note in body:
+        echo, frame = handle_annotation_edit(frame, method, note)
+        if echo is not None:
+            stored.append(echo)
+    return stored, frame
+
+
 def handle_annotation_bulk_delete(
     annotations: DataFrame, body: dict
 ) -> tuple[dict[str, Any], DataFrame]:

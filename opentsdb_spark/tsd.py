@@ -236,8 +236,15 @@ class TSD:
                 )
             return resp, None
         if ep == "annotation":
-            if len(seg) > 2 and seg[2] == "bulk" and method == "DELETE":
-                out, frame = api.handle_annotation_bulk_delete(annotations, body or request)
+            if len(seg) > 2 and seg[2] == "bulk":
+                if method == "DELETE":
+                    out, frame = api.handle_annotation_bulk_delete(
+                        annotations, body or request)
+                elif method in ("POST", "PUT"):
+                    out, frame = api.handle_annotation_bulk_update(
+                        annotations, method, body)
+                else:
+                    raise BadRequest("bulk annotations accept POST/PUT/DELETE")
                 with self.lock:
                     self.annotations = frame
                 return out, None

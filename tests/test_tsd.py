@@ -484,3 +484,23 @@ def test_graph_etags_and_redirect_lists(tsd_server):
     st, _, body = _get(http_port, f"/q?start={EPOCH}&m=sum:sys.cpu.user")
     frag = json.loads(body)["redirect"]
     assert "m=sum%3Asys.cpu.user" in frag and "%5B" not in frag
+
+
+def test_annotation_bulk_update(tsd_server):
+    tsd, http_port, _ = tsd_server
+    notes = [
+        {"startTime": EPOCH + 1, "description": "d1", "tsuid": "000001"},
+        {"startTime": EPOCH + 2, "description": "d2"},  # global
+    ]
+    st, body = _post(http_port, "/api/annotation/bulk", notes)
+    out = json.loads(body)
+    assert st == 200 and len(out) == 2
+    assert {o["description"] for o in out} == {"d1", "d2"}
+    # both records are queryable afterwards
+    st, _, body = _get(
+        http_port,
+        f"/api/annotation?start_time={EPOCH}&end_time={EPOCH + 100}"
+        "&tsuids=000001",
+    )
+    descs = {a["description"] for a in json.loads(body)}
+    assert {"d1", "d2"} <= descs  # tsuid-scoped + global
