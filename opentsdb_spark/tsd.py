@@ -235,7 +235,9 @@ class TSD:
                     else self.histograms.unionByName(frame, allowMissingColumns=True)
                 )
             return resp, None
-        if ep == "annotation":
+        if ep in ("annotation", "annotations"):
+            # the plural alias serves range fetches (reference RpcManager
+            # mounts AnnotationRpc at both api/annotation and api/annotations)
             if len(seg) > 2 and seg[2] == "bulk":
                 if method == "DELETE":
                     out, frame = api.handle_annotation_bulk_delete(
