@@ -1446,10 +1446,10 @@ def _docs(spark, sf_dir):
     )
 
 
-_WORDS = "list_transform(string_split_regex(lower(text), '\\s+'), w -> w)"
+_WORDS = "list_transform(regexp_extract_all(lower(text), '\\S+'), w -> w)"
 _STOP_SQL = "['the','a','of','and','is','to','in']"
 
-_NW = r"len(string_split_regex(text, '\s+'))"
+_NW = r"len(regexp_extract_all(text, '\S+'))"
 _MWL = RND.format(r"length(regexp_replace(text, '\s+', '', 'g')) / " + _NW)
 _SWR = RND.format(
     f"CAST(len(list_filter({_WORDS}, w -> list_contains({_STOP_SQL}, w))) AS DOUBLE) / " + _NW
@@ -1472,8 +1472,8 @@ def dedup_exact(spark, sf_dir):
     f"""WITH g AS (
           SELECT doc_id,
                  list_distinct(list_transform(
-                   generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0)),
-                   i -> array_to_string(string_split_regex(text, '\\s+')[i:i+4], ' ')
+                   generate_series(1, greatest(len(regexp_extract_all(text, '\\S+')) - 4, 0)),
+                   i -> array_to_string(regexp_extract_all(text, '\\S+')[i:i+4], ' ')
                  )) AS grams
           FROM documents),
         e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
@@ -1496,7 +1496,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 @register(
     "dedup_decontaminate",
-    r"""WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+    r"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
         g AS (SELECT doc_id, list_distinct(list_transform(
                 generate_series(1, greatest(len(w) - 4, 0)),
                 i -> array_to_string(w[i:i+4], ' '))) AS grams
@@ -1525,8 +1525,8 @@ def dedup_decontaminate(spark, sf_dir):
 _JACCARD_PAIRS_CTE = """g AS (
           SELECT doc_id,
                  list_distinct(list_transform(
-                   generate_series(1, greatest(len(string_split_regex(text, '\\s+')) - 4, 0)),
-                   i -> array_to_string(string_split_regex(text, '\\s+')[i:i+4], ' ')
+                   generate_series(1, greatest(len(regexp_extract_all(text, '\\S+')) - 4, 0)),
+                   i -> array_to_string(regexp_extract_all(text, '\\S+')[i:i+4], ' ')
                  )) AS grams
           FROM documents),
         e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
@@ -1667,7 +1667,7 @@ def text_langid(spark, sf_dir):
     return out.select("doc_id", "score_de", "score_en", "score_es", "score_fr", "predicted_lang")
 
 
-_CHUNKS_SQL = r"""w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+_CHUNKS_SQL = r"""w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
                 FROM documents),
         c AS (SELECT doc_id, CAST(i AS INT) AS chunk_pos,
                      array_to_string(ws[i*5+1:i*5+5], ' ') AS chunk
@@ -1754,7 +1754,7 @@ def corpus_source_mix(spark, sf_dir):
 @register(
     "text_tokens",
     r"""SELECT doc_id,
-               len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '\S+')) AS ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_pieces
         FROM documents""",
 )
@@ -1768,7 +1768,7 @@ def text_tokens(spark, sf_dir):
 _REP_SQL = r"""WITH base AS (
       SELECT doc_id,
              string_split(text, chr(10)) AS ls,
-             string_split_regex(lower(text), '\s+') AS w
+             regexp_extract_all(lower(text), '\S+') AS w
       FROM documents
     ), g AS (
       SELECT doc_id, ls,
@@ -1816,7 +1816,7 @@ def text_repetition(spark, sf_dir):
 @register(
     "text_vocab_top50",
     """WITH w AS (SELECT doc_id,
-                         unnest(string_split_regex(lower(text), '\\s+')) AS token
+                         unnest(regexp_extract_all(lower(text), '\\S+')) AS token
                   FROM documents),
         c AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
               FROM w WHERE token <> '' GROUP BY token)
@@ -1832,7 +1832,7 @@ def text_vocab_top50(spark, sf_dir):
 @register(
     "text_tfidf_top3",
     """WITH w AS (SELECT doc_id,
-                         unnest(string_split_regex(lower(text), '\\s+')) AS token
+                         unnest(regexp_extract_all(lower(text), '\\S+')) AS token
                   FROM documents),
         w2 AS (SELECT * FROM w WHERE token <> ''),
         tf AS (SELECT doc_id, token, count(*) AS tf FROM w2 GROUP BY doc_id, token),
@@ -1860,7 +1860,7 @@ def text_tfidf_top3(spark, sf_dir):
 
 @register(
     "text_bpe_pairs",
-    """WITH w AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+    """WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word
                   FROM documents),
         wf AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word),
         p AS (SELECT freq, unnest(list_transform(range(1, length(word)),
@@ -1880,7 +1880,7 @@ def text_bpe_pairs(spark, sf_dir):
 
 @register(
     "text_lm_score",
-    f"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    f"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         gl AS (SELECT doc_id, list_transform(
                  generate_series(1, greatest(len(w) - 1, 0)),
                  i -> array_to_string(w[i:i+1], ' ')) AS grams
@@ -2062,7 +2062,7 @@ def _minhash_xxh_oracle(num_hashes: int, bands: int, shingle_n: int,
         src = f"__f{j}"
     vcols = ", ".join(f"s.sig[t.b*{r}+{j + 1}] AS v{j}" for j in range(r))
     return f"""WITH RECURSIVE
-        w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+        w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         g AS (SELECT doc_id, list_distinct(list_transform(
                 generate_series(1, greatest(len(w) - {n1}, 0)),
                 i -> array_to_string(w[i:i+{n1}], ' '))) AS grams
@@ -2109,7 +2109,7 @@ def _simhash_xxh_oracle(max_hamming: int) -> str:
         f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(63)
     ) + " + CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END"
     return f"""WITH RECURSIVE
-        tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tw
+        tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tw
                 FROM documents),
         strs AS (SELECT DISTINCT tw AS s FROM tok),
         {xxh64_str_ctes('strs', ('s',), 's', out='th0')},
@@ -2156,7 +2156,7 @@ def _minhash_md5_oracle(num_hashes: int, bands: int, shingle_n: int, threshold: 
         f"array_to_string(list_transform(s.sig[b*{r}+1:b*{r}+{r}],"
         " x -> CAST(x AS VARCHAR)), ',')"
     )
-    return f"""WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    return f"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         g AS (SELECT doc_id, list_distinct(list_transform(
                 generate_series(1, greatest(len(w) - {n1}, 0)),
                 i -> array_to_string(w[i:i+{n1}], ' '))) AS grams
@@ -2196,7 +2196,7 @@ def _simhash_md5_oracle(max_hamming: int) -> str:
     )
     rebuild = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END"
                          for b in range(60))
-    return f"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tw
+    return f"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tw
                     FROM documents),
         th AS (SELECT doc_id, {_MD5H.format('tw')} AS h FROM tok),
         bsum AS (SELECT doc_id, {bsums} FROM th GROUP BY doc_id),
@@ -2445,7 +2445,7 @@ def ann_ivf_fixed_top5(spark, sf_dir):
 
 @register(
     "text_fingerprint_md5",
-    f"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+    f"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
         gh AS (SELECT doc_id, list_distinct(list_transform(
                  generate_series(0, greatest(len(w) - 5, 0)),
                  i -> {_MD5H.format("array_to_string(w[i+1:i+5], ' ')")})) AS gh
@@ -2474,7 +2474,7 @@ def text_fingerprint_md5(spark, sf_dir):
 
 def _fingerprint_xxh_oracle(k: int, num_mins: int) -> str:
     return f"""WITH RECURSIVE
-        w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+        w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
         eg AS (SELECT doc_id, array_to_string(w[i+1:i+{k}], ' ') AS gram
                FROM (SELECT doc_id, w,
                             unnest(generate_series(0, greatest(len(w) - {k}, 0))) AS i
@@ -2766,7 +2766,7 @@ def sample_temperature(spark, sf_dir):
 @register(
     "sample_pack_sequences",
     f"""WITH d AS (SELECT doc_id,
-                          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                          len(regexp_extract_all(text, '\\S+')) AS n_tokens,
                           CAST({_KNUTH.format(id='doc_id')} % 8 AS INT) AS shard
                    FROM documents)
         SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,

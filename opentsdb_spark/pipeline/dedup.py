@@ -78,10 +78,15 @@ def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int,
     (without the size guard, F.sequence(0, negative) yields a DESCENDING
     index list and slice(_, 0, n) aborts the whole job on the first short
     doc — guaranteed on a real corpus)."""
-    words = docs.select(id_col, F.split(F.col(content_col), r"\s+").alias("__w"))
+    # \S+ extraction, not a \s+ split: split's '' boundary tokens gave
+    # empty docs the gram set [''] (all empty docs paired at jaccard 1.0)
+    # and put phantom ''-joined grams in every doc with trailing whitespace
+    words = docs.select(
+        id_col, F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)).alias("__w")
+    )
     if n == 1:
         g1 = F.array_distinct("__w") if distinct else F.col("__w")
-        return words.select(id_col, g1.alias("grams"))
+        return words.select(id_col, g1.alias("grams")).where(F.size("grams") > 0)
     # the sliding join runs in an Arrow-batched pandas UDF: the
     # transform(sequence, slice+array_join) expression form is
     # CodegenFallback, ~13us of interpreter overhead PER GRAM (3.4s for a
@@ -319,7 +324,10 @@ def simhash(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id",
     """64-bit SimHash over words: bit b of the hash is the sign of the sum
     over tokens of (+1 if bit b of xxhash64(token) else -1)."""
     hash_fn = hash_fn or F.xxhash64
-    tok = docs.select(id_col, F.explode(F.split(F.col(content_col), r"\s+")).alias("w"))
+    tok = docs.select(
+        id_col,
+        F.explode(F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0))).alias("w"),
+    )
     tok = tok.withColumn("h", hash_fn("w"))
     # F.expr strings, not builder chains: 64 aggs + the 64-term reassembly
     # built call-by-call cost ~2.5s of py4j round-trips per plan; one parse
@@ -398,6 +406,7 @@ def embedding_dup_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    persist: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold, candidates from K
     independent random-hyperplane LSH tables (pipeline.similarity.
@@ -408,15 +417,21 @@ def embedding_dup_pairs(
 
     Shape: corpus explodes ``tables`` (table, bucket) rows per vector (8B
     keys), candidates dedup on bare id pairs, vectors re-join only for the
-    surviving pairs — the heavy arrays never ride the candidate shuffle."""
+    surviving pairs — the heavy arrays never ride the candidate shuffle.
+    Both derived frames feed two plan references each (self-join sides /
+    pair re-joins), so they are persisted like the other *_pairs operators
+    — without it the bucket UDF and the source scan each run twice."""
     from opentsdb_spark.pipeline.similarity import _cosine_pairs_udf, with_hyperplane_buckets
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vecs = embeddings.select(F.col(id_col), v.alias("v"))
-    banded = with_hyperplane_buckets(
-        embeddings.select(F.col(id_col), F.col(vec_col)),
-        vec_col, tables, bits, dim, seed,
-    ).select(id_col, "tb.table", "tb.bucket")
+    vecs = _persist_small(embeddings.select(F.col(id_col), v.alias("v")), persist)
+    banded = _persist_small(
+        with_hyperplane_buckets(
+            embeddings.select(F.col(id_col), F.col(vec_col)),
+            vec_col, tables, bits, dim, seed,
+        ).select(id_col, "tb.table", "tb.bucket"),
+        persist,
+    )
     a = banded.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "table", "bucket")
     cands = (

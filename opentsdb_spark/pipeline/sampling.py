@@ -106,15 +106,19 @@ def temperature_mixture(
     table joins back via BROADCAST, and the keep decision is the same
     deterministic id-hash bucket as hash_split — no shuffle of the corpus,
     reproducible row-exact across runs and partitionings. Adds a ``rate``
-    column."""
+    column. NULL sources form their own mixture group (an inner join on the
+    raw source key would silently DROP unlabeled docs while still counting
+    them in N_total)."""
+    key = F.coalesce(F.col(source_col), F.lit("\x00__null_source__"))
+    keyed = docs.withColumn("__src_key", key)
     n = F.col("n").cast("double")
-    cnt = docs.groupBy(source_col).agg(F.count("*").alias("n"))
+    cnt = keyed.groupBy("__src_key").agg(F.count("*").alias("n"))
     tot = cnt.agg(
         F.sum(F.pow(n, F.lit(alpha))).alias("sum_pow"),
         F.sum("n").alias("n_total"),
     )
     rates = cnt.crossJoin(F.broadcast(tot)).select(
-        source_col,
+        "__src_key",
         F.least(
             F.lit(1.0),
             F.lit(target_frac)
@@ -124,9 +128,9 @@ def temperature_mixture(
         ).alias("rate"),
     )
     b = bucket if bucket is not None else _default_hash_bucket(F.col(id_col), seed)
-    return docs.join(F.broadcast(rates), on=source_col).where(
+    return keyed.join(F.broadcast(rates), on="__src_key").where(
         b < F.col("rate") * _BUCKETS
-    )
+    ).drop("__src_key")
 
 
 def pack_sequences(
@@ -157,7 +161,8 @@ def pack_sequences(
     tok = (
         token_col
         if token_col is not None
-        else F.size(F.split(F.trim(F.col(content_col)), r"\s+"))
+        # \S+ runs: trim+split miscounted trailing-\n and empty docs
+        else F.size(F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)))
     )
     b = bucket if bucket is not None else _default_hash_bucket(F.col(id_col), 1)
     out = docs.withColumn("shard", (b % shards).cast("int")).withColumn(

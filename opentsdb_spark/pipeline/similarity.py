@@ -299,10 +299,15 @@ def lsh_topk(
     brute_force_topk on the driver fixture. At corpus scale the corpus side
     explodes ``tables`` rows per vector (8B bucket keys); the query side
     stays broadcast."""
+    # candidate generation runs on bare 8-byte ids + bucket keys — the
+    # dim-length vectors do NOT ride the tables-fold explode or the
+    # dropDuplicates shuffle (~64x the bytes at dim 64 x 10 tables); the
+    # survivors re-join their vectors afterwards, same pattern as
+    # dedup.embedding_dup_pairs
     corpus = with_hyperplane_buckets(
         embeddings.select(F.col(id_col), F.col(vec_col)),
         vec_col, tables, bits, dim, seed,
-    ).select(id_col, _as_double(F.col(vec_col)).alias("cv"), "tb.table", "tb.bucket")
+    ).select(id_col, "tb.table", "tb.bucket")
     q = with_hyperplane_buckets(
         queries.select(F.col(query_id_col), F.col(vec_col)),
         vec_col, tables, bits, dim, seed,
@@ -312,12 +317,15 @@ def lsh_topk(
     cands = (
         corpus.join(F.broadcast(q.select(query_id_col, "table", "bucket")),
                     on=["table", "bucket"])
-        .select(query_id_col, id_col, "cv")
+        .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
+    vecs = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     qv = q.select(query_id_col, "qv").dropDuplicates([query_id_col])
-    scored = cands.join(F.broadcast(qv), on=query_id_col).withColumn(
-        "cosine", _cosine_pairs_udf()(F.col("qv"), F.col("cv"))
+    scored = (
+        cands.join(vecs, on=id_col)
+        .join(F.broadcast(qv), on=query_id_col)
+        .withColumn("cosine", _cosine_pairs_udf()(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -379,12 +387,24 @@ def _train_kmeans(
 ) -> list[list[float]]:
     """Spherical-ish k-means on a BOUNDED driver-side sample (train_size
     rows — at 100 TB you train on a sample regardless; the full corpus never
-    leaves executors)."""
+    leaves executors). The sample is the train_size LOWEST xxhash64 rows —
+    a deterministic uniform draw across the whole corpus (TakeOrdered heap
+    per partition, no full sort): a bare limit() would take the first
+    file(s) in scan order and train centroids on one corpus slice, which
+    skews cell occupancy for everything downstream."""
     import numpy as np
 
     sample = np.array(
-        [r[0] for r in embeddings.select(_as_double(F.col(vec_col))).limit(train_size).collect()]
+        [
+            r[0]
+            for r in embeddings.select(_as_double(F.col(vec_col)).alias("__v"))
+            .orderBy(F.xxhash64(F.col("__v").cast("string")))
+            .limit(train_size)
+            .collect()
+        ]
     )
+    if len(sample) == 0:
+        raise ValueError("k-means training set is empty — no embedding rows")
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)].copy()
     sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)

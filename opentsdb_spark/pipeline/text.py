@@ -29,7 +29,11 @@ STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
 
 def _words(col):
-    return F.split(F.lower(col), r"\s+")
+    # maximal \S+ runs, NOT a \s+ split: split() emits '' boundary tokens
+    # for leading/trailing whitespace (ubiquitous on real web text), which
+    # silently corrupted every word count and ratio built on it; extract
+    # yields [] for empty/whitespace-only text
+    return F.regexp_extract_all(F.lower(col), F.lit(r"\S+"), F.lit(0))
 
 
 def _marker_count(words, markers: tuple[str, ...]):
@@ -246,7 +250,9 @@ def token_counts(docs: DataFrame, content_col: str = "text",
     text = F.col(content_col)
     return docs.select(
         id_col,
-        F.size(F.split(F.trim(text), r"\s+")).alias("ws_tokens"),
+        # \S+ extraction, not trim+split: trim() strips only spaces, so a
+        # trailing \n made a phantom token, and split('') is [''] not []
+        F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))).alias("ws_tokens"),
         F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias("bpe_pieces"),
     )
 
@@ -259,7 +265,12 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    # phone separators are space/dash/dot/parens ONLY (no \s: a class with
+    # \n swallowed digit runs ACROSS LINES into one giant bogus redaction)
+    # and the body is bounded so a greedy match can't eat a whole number
+    # table; in-line spaced digit groups ('10 20 30 40') still match — an
+    # inherent ambiguity of phone-shaped scrubbing, bounded at ~15 digits
+    ("phone", r"\+?[0-9][0-9()\-\. ]{5,12}[0-9]", "<PHONE>"),
 )
 
 
@@ -371,7 +382,14 @@ def fingerprint_docs(docs: DataFrame, k: int = 5, num_mins: int = 4,
                      hash_fn=None) -> DataFrame:
     """Rolling k-gram fingerprint: hash every word k-gram (the set-based
     equivalent of a Rabin-Karp rolling window), keep the num_mins smallest
-    hashes as the document fingerprint (winnowing-style selection)."""
+    hashes as the document fingerprint (winnowing-style selection).
+
+    Documents shorter than k words hash their FULL text as a single gram
+    (the index clamp at 0) — deliberate, so short docs still fingerprint
+    and dedup among themselves, unlike the n-gram pair operators which
+    drop them (_word_ngrams / _gram_frame return nothing below n). A short
+    doc can only collide with an equal short doc, never with a long doc's
+    interior window (grams of different word counts hash differently)."""
     hash_fn = hash_fn or F.xxhash64
     words = _words(F.col(content_col))
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
@@ -425,7 +443,9 @@ def lm_score(
       * score: each document's grams join their corpus counts (sort-merge
         on the same 8-byte-hashable gram keys at scale) and contribute
         log((c_n + k) / (c_ctx + k*V)) — add-k smoothed conditional
-        probability with V = distinct context count;
+        probability with V = the corpus' distinct n-GRAM count (an upper
+        bound on the per-context branching factor; the DuckDB oracle
+        mirrors exactly this V);
       * output: (id, n_grams, avg_logp) with avg_logp = mean log-prob per
         gram (higher = more typical). Docs shorter than n words score NULL.
 

@@ -737,3 +737,33 @@ def test_select_canonical(spark):
     assert out[1]["is_canonical"] and not out[2]["is_canonical"] and not out[0]["is_canonical"]
     assert out[5]["is_canonical"]          # singleton
     assert out[7]["is_canonical"] and out[7]["score"] is None  # null-score singleton
+
+
+def test_temperature_mixture_null_source(spark):
+    from opentsdb_spark.pipeline.sampling import temperature_mixture
+
+    rows = [(i, "s1" if i < 50 else None) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(docs, alpha=1.0, target_frac=1.0)
+    # alpha=1, target=1 -> every source (incl. the NULL group) keeps rate 1
+    assert out.count() == 100
+    assert out.where("source is null").count() == 50
+
+
+def test_tokenizer_boundary_whitespace(spark):
+    """\\S+ extraction: trailing/leading whitespace and empty docs must not
+    produce phantom tokens anywhere word counts are built."""
+    from opentsdb_spark.pipeline.dedup import ngram_jaccard_pairs
+    from opentsdb_spark.pipeline.text import quality_scores, token_counts
+
+    rows = [(0, "the cat sat\n"), (1, " the cat sat"), (2, ""), (3, "   \n ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert q[0]["n_words"] == 3 and q[1]["n_words"] == 3
+    assert q[2]["n_words"] == 0 and q[3]["n_words"] == 0
+    t = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert t[0]["ws_tokens"] == 3 and t[2]["ws_tokens"] == 0 and t[3]["ws_tokens"] == 0
+    # empty docs never pair, even at n=1
+    pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.1)
+    ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (2, 3) not in ids and all(2 not in p and 3 not in p for p in ids)
