@@ -93,6 +93,10 @@ def bulk_delete_annotations(
     AnnotationRpc bulk endpoint / Annotation.deleteRange
     (src/meta/Annotation.java:260-319: deletes annotations whose START
     falls inside the range)."""
+    if not tsuids and not global_:
+        # reference AnnotationRpc bulk delete 400s without a target — a
+        # silent no-op here would report totalDeleted: 0 as success
+        raise ValueError("bulk annotation delete needs 'tsuids' or the global flag")
     in_range = (F.unix_millis("start_time") >= start_ms) & (
         F.unix_millis("start_time") <= end_ms
     )

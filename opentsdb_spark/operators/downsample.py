@@ -142,7 +142,10 @@ def downsample(
         .withColumnRenamed("__bucket", "ts")
     )
 
-    if spec.fill != "none":
+    if spec.fill != "none" and not (spec.run_all or spec.interval_ms == 0):
+        # run_all ('0all') has ONE bucket per series and a series only
+        # exists where it has points — there is no grid to fill, and the
+        # fixed-interval grid math divides by interval 0
         out = _fill_grid(out, spec, start_ms, end_ms, series_cols)
     return out
 
@@ -215,9 +218,7 @@ def _fill_grid(
             )
         )
     grid = series.withColumn("ts", ts_source)
-    cols = ["value"] if "tags" not in series_cols else ["__sid", "ts", "value"]
-    if "tags" in series_cols:
-        grid = grid.join(buckets.select(*cols), on=join_keys, how="left").drop("__sid")
-    else:
-        grid = grid.join(buckets.select(*join_keys, "value"), on=join_keys, how="left")
+    grid = grid.join(
+        buckets.select(*join_keys, "value"), on=join_keys, how="left"
+    ).drop("__sid")
     return grid.withColumn("value", F.coalesce(F.col("value"), fill_val))

@@ -92,10 +92,28 @@ def simple_histogram_json_codec(raw):
 
 
 def decode_histogram_points(raw_points: DataFrame, codec_id_col: str = "codec_id",
-                            raw_col: str = "raw") -> DataFrame:
+                            raw_col: str = "raw", strict: bool = True) -> DataFrame:
     """Route raw histogram payloads through their registered codec (the
     HistogramCodecManager dispatch): one pass per registered codec id,
-    unioned — each codec is a native expression, so this stays codegen."""
+    unioned — each codec is a native expression, so this stays codegen.
+
+    strict (default, matching the reference's decode throw for an unknown
+    codec id): a payload whose codec_id has no registered codec raises
+    instead of silently vanishing from the union (which would truncate
+    every percentile computed downstream). The check is one short-circuit
+    lookup job — histogram frames are ingested batches, not corpus scans;
+    pass strict=False to skip it on a pre-validated frame."""
+    if strict:
+        bad = (
+            raw_points.where(~F.col(codec_id_col).isin(list(HISTOGRAM_CODECS)))
+            .select(codec_id_col)
+            .first()
+        )
+        if bad is not None:
+            raise ValueError(
+                f"unknown histogram codec id {bad[0]} "
+                f"(registered: {sorted(HISTOGRAM_CODECS)})"
+            )
     parts = []
     for cid, codec in sorted(HISTOGRAM_CODECS.items()):
         part = raw_points.where(F.col(codec_id_col) == cid).withColumn(

@@ -252,8 +252,13 @@ class TreeStore:
 
 
 def tree_branches(leaves: DataFrame) -> DataFrame:
-    """All inner branches: every proper prefix of every leaf path, with leaf
-    counts (the reference's branch listing, TreeRpc 'branch' endpoint)."""
+    """All branches: every prefix of every leaf path INCLUDING the full
+    rule-derived path, with leaf counts. The full path is deliberately a
+    branch row — in the reference a leaf hangs OFF the branch named by all
+    rule segments (the leaf itself adds only its display name /tsuid,
+    src/tree/Branch.java), so 'event_type/user' is the terminal branch
+    holding the leaves, not the leaf (the tree_branches oracle pins both
+    depth levels)."""
     prefixes = leaves.select(
         F.explode(
             F.transform(

@@ -30,6 +30,13 @@ def compile_exp_query(
     columns [*join_tagks, ts, value]."""
     start_ms = parse_datetime_ms(eq.start, now_ms=now_ms)
     end_ms = parse_datetime_ms(eq.end, now_ms=now_ms)
+    # same inverted-range guard as compile_query (TSQuery.java:179-186) —
+    # without it a fill-policy downsample reaches F.sequence with
+    # last < first and dies with Spark's sequence-boundaries error
+    if end_ms < start_ms:
+        raise ValueError(
+            f"End time [{end_ms}] must be greater than or equal to the start time [{start_ms}]"
+        )
 
     variables: dict[str, DataFrame] = {}
     var_tagks: dict[str, tuple[str, ...]] = {}

@@ -167,7 +167,11 @@ def compile_subquery(
 
     aligned = False
     if q.downsample is not None:
-        if rollup_cfg is not None and not q.downsample.calendar and not q.downsample.run_all:
+        # tsuid sub-queries (metric='') never route to rollups: the rollup
+        # tables are keyed by metric and pre-agg rows have no TSUID identity
+        # to filter on — the reference equally scans raw for TSUID queries
+        if (rollup_cfg is not None and not q.downsample.calendar
+                and not q.downsample.run_all and not q.tsuids):
             from opentsdb_spark.plans.rollup import RollupConfig, RollupTable, routed_downsample
 
             # the same metric/time/tag predicates bound each rollup table's
@@ -382,9 +386,14 @@ def match_predicate(points: DataFrame, tsq: TSQuery, now_ms: int | None = None):
     end_ms = parse_datetime_ms(tsq.end, tsq.timezone, now_ms)
     matched = None
     for q in tsq.queries:
-        m = time_range_predicate(points, start_ms, end_ms) & (
-            F.col("metric") == q.metric
-        )
+        m = time_range_predicate(points, start_ms, end_ms)
+        if q.metric:
+            m = m & (F.col("metric") == q.metric)
+        elif q.tsuids:
+            # tsuid sub-queries carry metric='' — derive the metric set
+            # from the series ids like compile_subquery's scan pruning
+            metrics = sorted({t.split("{", 1)[0] for t in q.tsuids})
+            m = m & F.col("metric").isin(metrics)
         if q.tsuids:
             m = m & series_id_col("metric", "tags").isin(list(q.tsuids))
         pred = _tag_predicates(q)

@@ -335,13 +335,17 @@ def fsck_fix(points: DataFrame, now_ms: int | None = None) -> DataFrame:
     )
     if now_ms is not None:
         out = out.where(F.unix_millis("ts") <= now_ms + 3_600_000)
+    # winning ROW via struct max, never independent per-column maxes (see
+    # streaming.ingest.dedup_last_write_wins)
     return (
         out.groupBy("metric", "tags", "ts")
-        .agg(
-            F.max("value").alias("value"),
-            F.max("value_long").alias("value_long"),
+        .agg(F.max(F.struct("value", "value_long")).alias("__w"))
+        .select(
+            "metric", "ts",
+            F.col("__w.value").alias("value"),
+            F.col("__w.value_long").alias("value_long"),
+            "tags",
         )
-        .select("metric", "ts", "value", "value_long", "tags")
     )
 
 

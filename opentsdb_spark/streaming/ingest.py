@@ -108,8 +108,18 @@ def dedup_last_write_wins(points: DataFrame, ingest_time_col: str | None = None)
     from opentsdb_spark.sources.points import series_id_col
 
     if ingest_time_col is None:
-        return points.groupBy("metric", "tags", "ts").agg(
-            F.max("value").alias("value"), F.max("value_long").alias("value_long")
+        # one WINNING ROW via max over the (value, value_long) struct —
+        # independent max(value)/max(value_long) could pair a value from
+        # one duplicate with the long of another, fabricating a point
+        # neither write contained
+        return (
+            points.groupBy("metric", "tags", "ts")
+            .agg(F.max(F.struct("value", "value_long")).alias("__w"))
+            .select(
+                "metric", "tags", "ts",
+                F.col("__w.value").alias("value"),
+                F.col("__w.value_long").alias("value_long"),
+            )
         )
     w = Window.partitionBy(series_id_col(), F.col("ts")).orderBy(F.desc(ingest_time_col))
     return (

@@ -48,10 +48,15 @@ def _rate_fn(
     for pdf in batches:
         pdf = pdf.sort_values("ts_ms")
         for ts_ms, v in zip(pdf["ts_ms"], pdf["value"]):
-            if last_ts is not None and ts_ms > last_ts:
-                rate = (v - last_v) / ((ts_ms - last_ts) / 1000.0)
-                out_rows.append((series_id, pd.Timestamp(ts_ms, unit="ms"), rate))
-            last_ts, last_v = int(ts_ms), float(v)
+            if last_ts is None or ts_ms > last_ts:
+                if last_ts is not None:
+                    rate = (v - last_v) / ((ts_ms - last_ts) / 1000.0)
+                    out_rows.append((series_id, pd.Timestamp(ts_ms, unit="ms"), rate))
+                # the cursor only ever advances: a LATE point (ts <= last)
+                # emits nothing AND must not regress the state, or the next
+                # in-order point rates across an already-rated interval
+                # (the reference RateSpan never steps backwards)
+                last_ts, last_v = int(ts_ms), float(v)
     if last_ts is not None:
         state.update((last_ts, last_v))
     yield pd.DataFrame(out_rows, columns=["series_id", "ts", "rate"])

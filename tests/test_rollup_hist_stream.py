@@ -449,3 +449,98 @@ def test_streaming_doc_dedup_and_gate(spark):
             q.stop()
         # 1 is an exact dup of 0; 3 too short; 4 boilerplate; 5 symbol soup
         assert got == {0, 2}
+
+
+def test_review_fix_regressions(spark, fixture_points):
+    """Pins for the round-5 core-engine review fixes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.model import DownsampleSpec, SubQuery, TSQuery
+    from opentsdb_spark.plans.planner import compile_query, delete_matching_points
+    from opentsdb_spark.sources.points import series_id_col
+    from tests.conftest import EPOCH
+
+    # tsuid sub-queries (metric='') must actually delete their series
+    sid = fixture_points.select(
+        series_id_col("metric", "tags").alias("s")
+    ).where("tags['host'] = 'web01'").first()["s"]
+    tsq = TSQuery(
+        start=str(EPOCH), end=str(EPOCH + 10_000),
+        queries=(SubQuery(metric="", aggregator="sum", tsuids=(sid,)),),
+    )
+    retained = delete_matching_points(fixture_points, tsq)
+    assert retained.where("tags['host'] = 'web01'").count() == 0
+    assert retained.where("tags['host'] = 'web02'").count() == 300
+
+    # 0all + a fill policy: parses and runs (was ZeroDivisionError)
+    tsq0 = TSQuery(
+        start=str(EPOCH), end=str(EPOCH + 10_000),
+        queries=(SubQuery(
+            metric="sys.cpu.user", aggregator="sum",
+            downsample=DownsampleSpec(interval_ms=0, aggregator="sum",
+                                      run_all=True, fill="zero"),
+        ),),
+    )
+    [r] = compile_query(fixture_points, tsq0)
+    assert r.df.count() == 1  # one 0all bucket for the summed group
+
+    # LWW dedup pairs (value, value_long) from ONE winning row
+    from opentsdb_spark.streaming.ingest import dedup_last_write_wins
+
+    dup = spark.createDataFrame(
+        [("m", 1000, 10.5, None, {"h": "a"}), ("m", 1000, 2.0, 2, {"h": "a"})],
+        "metric string, ts_ms long, value double, value_long long, tags map<string,string>",
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"),
+             "value", "value_long", "tags")
+    [w] = dedup_last_write_wins(dup).collect()
+    assert w["value"] == 10.5 and w["value_long"] is None
+
+    # unknown histogram codec raises instead of silently truncating
+    from opentsdb_spark.operators.histogram import decode_histogram_points
+
+    raw = spark.createDataFrame([(99, "x")], "codec_id int, raw string")
+    with pytest.raises(ValueError, match="unknown histogram codec id 99"):
+        decode_histogram_points(raw)
+
+    # bulk annotation delete without a target is a 400, not a silent no-op
+    from opentsdb_spark.operators.annotations import bulk_delete_annotations
+
+    ann = spark.createDataFrame([], "tsuid string, start_time timestamp, "
+                                    "end_time timestamp, description string, "
+                                    "notes string, custom map<string,string>")
+    with pytest.raises(ValueError, match="tsuids.*global|global.*tsuids"):
+        bulk_delete_annotations(ann, 0, 10)
+
+
+def test_streaming_rate_late_point_state():
+    """_rate_fn never regresses its cursor on out-of-order points."""
+    import pandas as pd
+
+    from opentsdb_spark.streaming.stateful import _rate_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    st = FakeState()
+    batch1 = pd.DataFrame({"ts_ms": [100_000], "value": [10.0]})
+    list(_rate_fn(("s",), iter([batch1]), st))
+    assert st.get == (100_000, 10.0)
+    # late point: no output, state unchanged
+    late = pd.DataFrame({"ts_ms": [50_000], "value": [5.0]})
+    [out] = list(_rate_fn(("s",), iter([late]), st))
+    assert len(out) == 0 and st.get == (100_000, 10.0)
+    # next in-order point rates against the REAL last point
+    nxt = pd.DataFrame({"ts_ms": [110_000], "value": [11.0]})
+    [out] = list(_rate_fn(("s",), iter([nxt]), st))
+    assert len(out) == 1 and abs(out["rate"][0] - 0.1) < 1e-12
