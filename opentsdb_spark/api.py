@@ -121,7 +121,11 @@ def handle_query(
     check_query(request, tsq)  # no-op unless an auth plugin is installed
     out: list[dict[str, Any]] = []
     limit = request_limit(request)
-    compiled = compile_query(points, tsq, histograms=histograms,
+    # _now_ms pins 'now' for the DATA range too, not just the annotation
+    # window / scan budget below — otherwise a caller-pinned clock reads
+    # data and annotations from different windows
+    compiled = compile_query(points, tsq, now_ms=request.get("_now_ms"),
+                             histograms=histograms,
                              rollup_cfg=rollup_cfg, agg_tag=agg_tag)
     ann_map: dict[str, list[dict[str, Any]]] | None = None
     globals_list: list[dict[str, Any]] | None = None
@@ -191,9 +195,12 @@ def handle_query(
                 s["__subquery_index"] = sq_idx
         sub_stats.append(st)
         out.extend(series)
-    if request.get("arrays"):
-        # as_arrays output: dps as [[ts, value], ...] (reference
-        # HttpJsonSerializer.java:820-846, ?arrays=true)
+    from opentsdb_spark.parse import _flag
+
+    if _flag(request, "arrays"):
+        # as_arrays output: dps as [[ts, value], ...] — PRESENCE semantics
+        # like every other query flag (a bare '?arrays' arrives as '',
+        # reference HttpJsonSerializer.java:820-846 checks the param is set)
         for s in out:
             s["dps"] = [[int(k), v] for k, v in s["dps"].items()]
     if tsq.show_summary:
@@ -257,6 +264,8 @@ def handle_graph(
     graph_params = (
         "png", "ascii", "json", "wxh", "title", "ylabel", "ylog", "yrange",
         "nokey", "style", "bgcolor", "fgcolor", "smooth", "yformat", "xformat",
+        # graph modes consume dps as dicts — strip the arrays output option
+        "arrays",
     )
     series = handle_query(
         points, {k: v for k, v in request.items() if k not in graph_params},
@@ -328,7 +337,7 @@ def handle_query_delete(points: DataFrame, request: dict) -> tuple[list[dict[str
 
     tsq = _tsquery_from_body(request) if "queries" in request else parse_query(request)
     results = handle_query(points, request)
-    return results, delete_matching_points(points, tsq)
+    return results, delete_matching_points(points, tsq, now_ms=request.get("_now_ms"))
 
 
 def handle_gexp(points: DataFrame, request: dict) -> list[dict[str, Any]]:
@@ -612,7 +621,12 @@ def handle_annotation_bulk_delete(
     time range x (tsuids | global). Echoes the request with totalDeleted."""
     from opentsdb_spark.operators.annotations import bulk_delete_annotations
 
-    start_ms = parse_datetime_ms(body.get("startTime", body.get("start_time")))
+    start = body.get("startTime", body.get("start_time"))
+    if start is None:
+        # destructive endpoint: a missing start must not default to 'now'
+        # (reference AnnotationRpc bulk delete 400s on a missing start time)
+        raise ValueError("Missing start time for bulk annotation delete")
+    start_ms = parse_datetime_ms(start)
     end_ms = parse_datetime_ms(body.get("endTime", body.get("end_time")))
     tsuids = tuple(body.get("tsuids", ()))
     global_ = bool(body.get("global", False))

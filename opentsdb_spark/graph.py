@@ -311,8 +311,13 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
         dps = s.get("dps")
         if not dps:
             continue
-        pts = sorted((float(t), float(v)) for t, v in dps.items()
-                     if v is not None and v == v)
+        # skip NaN AND +/-Inf: an infinite point (rate over a counter
+        # reset, gexp divide-by-zero) would overflow the tick math
+        pts = sorted(
+            (float(t), float(v))
+            for t, v in dps.items()
+            if v is not None and v == v and abs(float(v)) != float("inf")
+        )
         if pts:
             data.append((_series_label(s), pts))
 

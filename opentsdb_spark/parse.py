@@ -67,8 +67,10 @@ def _parse_filter_block(block: str, group_by: bool) -> list[TagFilter]:
 
 
 def _parse_rate(token: str) -> RateOptions:
-    """'rate' or 'rate{counter[,max[,reset[,dropResets]]]}'
-    (reference src/tsd/QueryRpc.java parseRateOptions)."""
+    """'rate' or 'rate{counter[,max[,reset]]}' — dropping resets is spelled
+    'dropcounter' in the FIRST slot, and more than 3 slots is an error
+    (reference QueryRpc.parseRateOptions: exactly 1..3 parts,
+    drop_counter = parts[0].equals("dropcounter"))."""
     if token == "rate":
         return RateOptions()
     m = re.match(r"^rate\{(.*)\}$", token)
@@ -80,7 +82,12 @@ def _parse_rate(token: str) -> RateOptions:
     parts = [p.strip() for p in m.group(1).split(",")]
     if parts == [""]:
         parts = []
-    counter = bool(parts) and parts[0].startswith("counter")
+    if len(parts) > 3:
+        raise ValueError(
+            "Incorrect number of values in rate options specification, must "
+            f"be counter[,counter max value,reset value]: {token!r}"
+        )
+    counter = bool(parts) and parts[0].endswith("counter")
     drop = bool(parts) and parts[0] == "dropcounter"
     cmax = int(parts[1]) if len(parts) > 1 and parts[1] else (1 << 63) - 1
     reset = int(parts[2]) if len(parts) > 2 and parts[2] else 0
@@ -233,7 +240,10 @@ def parse_query(params: dict) -> TSQuery:
     src/tsd/QueryRpc.java:630-682; tsuid-type sub-queries :571-576)."""
     tz = params.get("timezone", "UTC")
     ms = [params["m"]] if isinstance(params.get("m"), str) else list(params.get("m", []))
-    tq = params.get("tsuid", [])
+    # the reference GET param is 'tsuid'; 'tsuids' is accepted as an alias
+    # because the rest of this stack (tsd._flatten_qs, handle_graph) already
+    # treats both spellings as sub-query lists
+    tq = params.get("tsuid", params.get("tsuids", []))
     tqs = [tq] if isinstance(tq, str) else list(tq)
     return TSQuery(
         start=params["start"],

@@ -51,17 +51,32 @@ def serialize_subquery(
     # over-limit queries instead of OOMing the serving layer)
     enforce_data_point_limit(out_df, max_data_points)
     rows = out_df.orderBy(*key_cols, "__t").collect()
-    # aggregateTags: tag keys present on the scanned series but aggregated
-    # away (not grouped on) — reference HttpJsonSerializer.java:771-816
-    agg_tags: list[str] = []
+    # per-output-series tag partition (reference SpanGroup.computeTags,
+    # src/core/SpanGroup.java:348-386): a key whose value is IDENTICAL
+    # across every underlying series that has it stays in `tags`; a key
+    # seen with >= 2 values moves to `aggregateTags`. One small aggregate
+    # over the scanned series set, grouped by the output key.
+    tag_info: dict[tuple, tuple[dict[str, str], list[str]]] = {}
     if result.aggregator != "none" and result.source_df is not None:
-        keys = [
-            r["k"]
-            for r in result.source_df.select(
-                F.explode(F.map_keys("tags")).alias("k")
-            ).distinct().collect()
-        ]
-        agg_tags = sorted(set(keys) - set(gk))
+        ti_rows = (
+            result.source_df.select(
+                "metric",
+                *[F.col("tags")[k].alias(k) for k in gk],
+                F.explode(F.map_entries("tags")).alias("__e"),
+            )
+            .select(*key_cols, F.col("__e.key").alias("__k"),
+                    F.col("__e.value").alias("__v"))
+            .distinct()
+            .groupBy(*key_cols, "__k")
+            .agg(F.count_distinct("__v").alias("__n"), F.first("__v").alias("__v"))
+            .collect()
+        )
+        for tr in ti_rows:
+            t, a = tag_info.setdefault(tuple(tr[c] for c in key_cols), ({}, []))
+            if tr["__n"] == 1:
+                t[tr["__k"]] = tr["__v"]
+            else:
+                a.append(tr["__k"])
     # per-output-series TSUID lists: distinct source series ids grouped by
     # the output key — one extra small aggregate, only when requested
     tsuid_map: dict[tuple, list[str]] = {}
@@ -86,10 +101,18 @@ def serialize_subquery(
     for r in rows:
         key = tuple(r[c] for c in key_cols)
         if key != cur_key:
+            if result.aggregator == "none":
+                # one output series == one source series: its own full tag
+                # map, nothing aggregated (the group columns were never
+                # selected on this path — parse the canonical series id)
+                tags, atags = _tags_from_series_id(r["series_id"]), []
+            else:
+                t, a = tag_info.get(key, ({}, []))
+                tags, atags = t, sorted(a)
             cur = {
                 "metric": r["metric"],
-                "tags": {k: r[k] for k in gk if r[k] is not None} if gk else {},
-                "aggregateTags": agg_tags,
+                "tags": tags,
+                "aggregateTags": atags,
                 "dps": {},
             }
             if query_echo is not None:
@@ -114,6 +137,14 @@ def serialize_subquery(
         assert cur is not None
         cur["dps"][str(t)] = r["value"]
     return out
+
+
+def _tags_from_series_id(sid: str) -> dict[str, str]:
+    """Invert sources.points.series_id_col: 'metric{k=v,k=v}' -> tag map."""
+    if "{" not in sid:
+        return {}
+    body = sid[sid.index("{") + 1 : sid.rindex("}")]
+    return dict(p.split("=", 1) for p in body.split(",") if "=" in p)
 
 
 def subquery_echo(q) -> dict[str, Any]:
@@ -202,7 +233,9 @@ def ascii_table(results: list[dict[str, Any]], max_rows: int = 40) -> str:
     serializer / CliQuery text output, src/tsd/GraphHandler.java:394-410)."""
     lines = []
     for series in results:
-        tags = ",".join(f"{k}={v}" for k, v in sorted(series["tags"].items()))
+        if "metric" not in series:  # statsSummary trailer etc.
+            continue
+        tags = ",".join(f"{k}={v}" for k, v in sorted(series.get("tags", {}).items()))
         header = f"{series['metric']}{{{tags}}}"
         if series.get("aggregateTags"):
             header += f"  (aggregated: {','.join(series['aggregateTags'])})"

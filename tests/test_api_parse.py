@@ -113,7 +113,9 @@ def test_handle_query_post(fixture_points):
                       "filters": [{"type": "literal_or", "tagk": "host",
                                    "filter": "web02", "groupBy": True}]}]},
     )
-    assert len(out) == 1 and out[0]["tags"] == {"host": "web02"}
+    # dc is constant across the group's series -> stays in tags
+    # (reference SpanGroup.computeTags: only CONFLICTING values aggregate)
+    assert len(out) == 1 and out[0]["tags"] == {"host": "web02", "dc": "phx"}
 
 
 def test_handle_gexp(fixture_points):
@@ -204,8 +206,16 @@ def test_aggregate_tags(fixture_points):
         {"start": EPOCH, "end": EPOCH + 100_000,
          "m": "sum:10m-avg:sys.cpu.user{host=*}"},
     )
-    # dc exists on the series but is not a group key -> aggregated away
-    assert out[0]["aggregateTags"] == ["dc"]
+    # each host group holds ONE series, so dc is constant within it and
+    # stays in tags (SpanGroup.computeTags); nothing is aggregated away
+    assert out[0]["aggregateTags"] == []
+    assert out[0]["tags"]["dc"] in ("lga", "phx")
+    # ungrouped: both series collapse, dc and host CONFLICT -> aggregated
+    both = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 100_000, "m": "sum:10m-avg:sys.cpu.user"},
+    )
+    assert both[0]["aggregateTags"] == ["dc", "host"] and both[0]["tags"] == {}
 
 
 def test_tree(fixture_points):
@@ -538,7 +548,7 @@ def test_handle_graph(fixture_points):
     js = api.handle_graph(fixture_points, {**req, "json": "true"})
     assert set(js) == {"plotted", "points", "etags", "timing"}
     assert js["plotted"] == js["points"] == out["points"]
-    assert js["etags"] == [["dc"]]  # host grouped, dc aggregated away
+    assert js["etags"] == [[]]  # one series per host group: nothing aggregated
     # two sub-queries with IDENTICAL aggregated-tag sets still yield one
     # etags entry EACH (grouped by sub-query index, not list identity —
     # GraphHandler.java:259-262 collects getAggregatedTags per query)
@@ -546,7 +556,7 @@ def test_handle_graph(fixture_points):
         "start": EPOCH, "end": EPOCH + 100_000, "json": "true",
         "m": ["sum:sys.cpu.user{host=*}", "max:sys.cpu.user{host=*}"],
     })
-    assert two["etags"] == [["dc"], ["dc"]]
+    assert two["etags"] == [[], []]
     # the internal grouping key never leaks into the series dicts
     assert all("__subquery_index" not in s for s in api.handle_query(
         fixture_points, {"start": EPOCH, "end": EPOCH + 100_000,
@@ -555,3 +565,36 @@ def test_handle_graph(fixture_points):
     png_out = api.handle_graph(fixture_points, {**req, "png": "true"})
     assert png_out["png"][:8] == b"\x89PNG\r\n\x1a\n"
     assert png_out["points"] == out["points"]
+
+
+def test_none_aggregator_with_grouping_serializes(fixture_points):
+    """agg=none + a group-by filter: per-series output with the series'
+    FULL tag map (was a serializer crash on the unselected group columns)."""
+    out = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 100_000, "m": "none:sys.cpu.user{host=*}"},
+    )
+    assert len(out) == 2
+    tags = {frozenset(s["tags"].items()) for s in out}
+    assert frozenset({"host": "web01", "dc": "lga"}.items()) in tags
+    assert all(s["aggregateTags"] == [] for s in out)
+
+
+def test_tsuids_param_alias_and_arrays_flag(fixture_points):
+    from opentsdb_spark.sources.points import series_id_col
+
+    sid = fixture_points.select(
+        series_id_col("metric", "tags").alias("s")
+    ).where("tags['host'] = 'web01'").first()["s"]
+    out = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 100_000, "tsuids": [f"sum:{sid}"]},
+    )
+    assert len(out) == 1 and out[0]["metric"] == "sys.cpu.user"
+    # bare '?arrays' (empty string through a query parser) counts as set
+    arr = api.handle_query(
+        fixture_points,
+        {"start": EPOCH, "end": EPOCH + 100_000,
+         "m": "sum:10m-avg:sys.cpu.user", "arrays": ""},
+    )
+    assert isinstance(arr[0]["dps"], list) and len(arr[0]["dps"][0]) == 2
