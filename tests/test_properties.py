@@ -350,3 +350,22 @@ def test_paragraph_dedup_conservation(spark, docs_words):
 def _rechunk(text, n):
     ws = text.split()
     return [" ".join(ws[i:i + n]) for i in range(0, len(ws), n)]
+
+
+# --- parser robustness: any m= spec either parses or raises ValueError ------
+
+_spec_chars = st.text(
+    alphabet="abc:{}=|,*().-0123456789 ", min_size=0, max_size=40
+)
+
+
+@given(_spec_chars)
+@settings(max_examples=300, deadline=None)
+def test_m_spec_parser_total(spec):
+    from opentsdb_spark.parse import parse_m_subquery
+
+    try:
+        q = parse_m_subquery(spec)
+        assert q.metric  # success implies a non-empty metric slot
+    except ValueError:
+        pass  # the only permitted failure mode (maps to HTTP 400)

@@ -504,3 +504,24 @@ def test_annotation_bulk_update(tsd_server):
     )
     descs = {a["description"] for a in json.loads(body)}
     assert {"d1", "d2"} <= descs  # tsuid-scoped + global
+
+
+def test_concurrent_queries(tsd_server):
+    """The daemon serves parallel queries correctly (thread-per-request,
+    shared SparkSession, per-thread scratch release)."""
+    import concurrent.futures
+
+    _, http_port, _ = tsd_server
+
+    def one(i):
+        path = (f"/api/query?start={EPOCH}&end={EPOCH + 100}"
+                f"&m={'sum' if i % 2 else 'max'}:sys.cpu.user")
+        st, _, body = _get(http_port, path)
+        assert st == 200
+        [series] = json.loads(body)
+        return series["dps"][str(EPOCH + 30)]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(16)))
+    # max:(300.0) alternating with sum:(1+300)
+    assert set(results) == {301.0, 300.0}
