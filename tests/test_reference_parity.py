@@ -239,3 +239,63 @@ def test_percentile_estimators_match_commons_math(spark):
                          ).collect()[0]["x"]
             want = ref(xs, q)
             assert got == pytest.approx(want, rel=1e-12), (name, len(xs), got, want)
+
+
+def test_simple_histogram_percentiles(spark):
+    """Reference TestSimpleHistogram.testPercentile / testPercentileList
+    (test/core/TestSimpleHistogram.java:270-338): bucket-midpoint
+    percentiles over [1,6):5 [6,10):10 [10,20):1 (+overflow 5, which the
+    reference's percentile walk EXCLUDES from the total) -> p50 = 8.0;
+    with a trailing empty [20,40) bucket -> p99 = 15.0. (An out-of-range
+    percentile is a ValueError here where the reference returns -1 — we
+    fail loud instead of emitting a sentinel value.)"""
+    import pytest as _pytest
+
+    from opentsdb_spark.operators.histogram import histogram_percentile, merge_histograms
+
+    rows = [
+        ("m", [(1.0, 6.0, 5), (6.0, 10.0, 10), (10.0, 20.0, 1), (20.0, 40.0, 0)], 0, 5),
+    ]
+    hists = spark.createDataFrame(
+        rows,
+        "metric string, buckets array<struct<lower float, upper float, count long>>, "
+        "underflow long, overflow long",
+    )
+    merged = merge_histograms(hists, ("metric",))
+    [p50] = histogram_percentile(merged, ("metric",), 50.0).collect()
+    assert p50["value"] == 8.0
+    [p99] = histogram_percentile(merged, ("metric",), 99.0).collect()
+    assert p99["value"] == 15.0
+    with _pytest.raises(ValueError):
+        histogram_percentile(merged, ("metric",), 1000.0)
+
+
+def test_filling_downsampler_vectors(spark):
+    """Reference TestFillingDownsampler.testNaNMissingInterval /
+    testZeroMissingInterval (test/core/TestFillingDownsampler.java:47-112):
+    9 points of 1.0 at base+25ms*k, 100ms-sum over [base, base+900ms) ->
+    buckets [NaN,3,NaN,2,NaN,NaN,4,NaN,NaN] (nan fill) / zeros (zero fill)."""
+    import math
+
+    from opentsdb_spark.model import DownsampleSpec
+    from opentsdb_spark.operators.downsample import downsample
+
+    base = 500
+    ks = [4, 5, 7, 12, 15, 24, 25, 26, 27]
+    df = spark.createDataFrame(
+        [("m", base + 25 * k, 1.0) for k in ks],
+        "metric string, ts_ms long, value double",
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value",
+             F.create_map(F.lit("h"), F.lit("a")).alias("tags"))
+    expect = [float("nan"), 3.0, float("nan"), 2.0, float("nan"),
+              float("nan"), 4.0, float("nan"), float("nan")]
+    for fill, exp in (
+        ("nan", expect),
+        ("zero", [0.0 if e != e else e for e in expect]),
+    ):
+        spec = DownsampleSpec(interval_ms=100, aggregator="sum", fill=fill)
+        rows = downsample(df, spec, base, base + 36 * 25).orderBy("ts").collect()
+        got = [(r["ts"].timestamp() * 1000, r["value"]) for r in rows]
+        assert [t for t, _ in got] == [base + 100 * i for i in range(9)]
+        for (_, v), e in zip(got, exp):
+            assert (math.isnan(v) and math.isnan(e)) or v == e
