@@ -428,6 +428,7 @@ def semdedup(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell: int | None = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): k-means the embedding
     space into cells, then drop semantic near-duplicates WITHIN each cell —
@@ -453,6 +454,53 @@ def semdedup(
     )
     corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     assigned = _assign_cells(corpus, cent_arr, "cv")
+
+    # Guard the quadratic: pair work per cell is |cell|^2, so a cell past
+    # ``max_cell`` is SUBDIVIDED by extra random-hyperplane sign bits
+    # (ceil(log2(size/max_cell)) bits, deterministic planes disjoint from
+    # the ANN tables) before the pairwise kernel. Proper SemDeDup raises
+    # n_centroids with the corpus (the paper runs ~100k clusters); the cap
+    # is the safety net when centroids are fixed — pairs never cross a
+    # subcell, the standard LSH recall trade (measured: 30x-replicated
+    # sf0.1 at 8 fixed cells went 136s -> bounded without it).
+    assigned = assigned.withColumn("__sub", F.lit(0))
+    # cheap pre-gate: a metadata-level row count (no UDF) skips the whole
+    # probe when no cell can possibly exceed the cap
+    if max_cell is not None and embeddings.count() <= max_cell:
+        max_cell = None
+    if max_cell is not None:
+        # persisted: the size probe and the kernel otherwise each run the
+        # assignment UDF over the corpus
+        from pyspark.storagelevel import StorageLevel
+
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = {r["cell"]: r["n"] for r in
+                 assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+        import math as _math
+
+        bits = {c: max(0, _math.ceil(_math.log2(n / max_cell))) if n > max_cell else 0
+                for c, n in sizes.items()}
+        maxbits = max(bits.values(), default=0)
+        if maxbits > 0:
+            maxbits = min(maxbits, 16)
+            sig = F.lit(0).cast("long")
+            for j in range(maxbits):
+                plane = F.array(*[
+                    F.lit(c) for c in _plane_coeffs(2_000_000, j, len(cent_arr[0]), seed)
+                ])
+                sig = sig * 2 + F.when(_dot(F.col("cv"), plane) >= 0, 1).otherwise(0)
+            bits_map = F.create_map(*[
+                F.lit(x) for kv in bits.items() for x in kv
+            ])
+            nb = bits_map[F.col("cell")]
+            # per-cell right shift: shiftright() takes only a literal shift,
+            # so divide by 2^(maxbits-nb) instead (exact: sig < 2^16)
+            shifted = F.floor(
+                sig.cast("double") / F.pow(F.lit(2.0), (F.lit(maxbits) - nb).cast("double"))
+            ).cast("long")
+            assigned = assigned.withColumn(
+                "__sub", F.when(nb > 0, shifted).otherwise(F.lit(0)).cast("long")
+            )
 
     # Within-cell scoring as ONE Arrow batch per cell: the pair-join form
     # (self-join on cell + per-pair cosine UDF) ships two dim-length arrays
@@ -502,7 +550,7 @@ def semdedup(
             "dup_cosine": np.where(removed, colmax, np.nan),
         })
 
-    out = assigned.groupBy("cell").applyInPandas(_cell_kernel, out_schema)
+    out = assigned.groupBy("cell", "__sub").applyInPandas(_cell_kernel, out_schema)
     # pandas NaN -> SQL NULL for kept rows (the pair-join form produced NULL
     # via the left join; applyInPandas maps NaN to NULL already, but be
     # explicit so the contract survives an Arrow behavior change)

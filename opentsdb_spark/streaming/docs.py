@@ -54,7 +54,99 @@ def streaming_quality_gate(
         n, F.lit(1.0)
     )
     return docs.where(
-        (F.size(F.split(F.trim(text), r"\s+")) >= min_words)
+        # \S+ extraction (see pipeline.text._words): trim+split counts a
+        # phantom token on trailing newlines and 1 on empty docs
+        (F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))) >= min_words)
         & (symbol_ratio <= max_symbol_ratio)
         & (F.regexp_count(text, F.lit(BOILERPLATE_MARKERS)) == 0)
+    )
+
+
+def neardup_filter_batch(
+    batch: DataFrame,
+    index_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_new_bands: int | None = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One micro-batch of streaming MinHash near-dup suppression against a
+    PERSISTENT band index (the production shape: the index parquet is the
+    only state, shared across restarts and with the batch pipeline; Spark's
+    in-memory dedup state can't hold a corpus).
+
+    A document is a near-duplicate when fewer than ``min_new_bands``
+    (default: half) of its LSH band keys are unseen — i.e. most bands
+    collide with the index or with an earlier doc in this batch
+    (keep-first within the batch by lowest id). Survivors' bands are
+    APPENDED to the index; the filtered batch is returned. Wire through
+    ``foreachBatch`` (see streaming_neardup_sink).
+
+    Scale shape: band keys are 8-byte (band, hash) pairs; the index join is
+    a broadcast-free equijoin on those keys and the index only ever grows
+    by survivors' bands."""
+    import os
+
+    from pyspark.sql import Window
+
+    from opentsdb_spark.pipeline.dedup import minhash_signature
+
+    spark = batch.sparkSession
+    if min_new_bands is None:
+        min_new_bands = bands - bands // 2
+    r = num_hashes // bands
+    sigs = minhash_signature(batch, content_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.xxhash64(F.slice("signature", b * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh").persist()
+    if os.path.exists(index_path):
+        index = spark.read.parquet(index_path).select("band", "bh")
+        fresh = banded.join(index, on=["band", "bh"], how="left_anti")
+    else:
+        fresh = banded
+    # keep-first WITHIN the batch: a band key claimed by a lower id in this
+    # same batch is not fresh for higher ids
+    w = Window.partitionBy("band", "bh").orderBy(id_col)
+    fresh = fresh.withColumn("__rn", F.row_number().over(w)).where("__rn = 1")
+    new_counts = fresh.groupBy(id_col).agg(F.count("*").alias("__new"))
+    kept_ids = new_counts.where(F.col("__new") >= min_new_bands).select(id_col)
+    kept = batch.join(kept_ids, on=id_col, how="left_semi")
+    # append the SURVIVORS' full band sets (not just the fresh keys) so a
+    # future near-identical doc collides on every band
+    banded.join(kept_ids, on=id_col, how="left_semi").select(
+        "band", "bh"
+    ).write.mode("append").parquet(index_path)
+    banded.unpersist()
+    return kept
+
+
+def streaming_neardup_sink(
+    docs: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """writeStream.foreachBatch wiring for neardup_filter_batch: each
+    micro-batch is near-dup-filtered against the shared index and survivors
+    append to the output parquet. Returns the DataStreamWriter (caller
+    picks the trigger and calls start())."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        kept = neardup_filter_batch(batch, index_path, **kwargs)
+        kept.write.mode("append").parquet(out_path)
+
+    return docs.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
     )

@@ -544,3 +544,53 @@ def test_streaming_rate_late_point_state():
     nxt = pd.DataFrame({"ts_ms": [110_000], "value": [11.0]})
     [out] = list(_rate_fn(("s",), iter([nxt]), st))
     assert len(out) == 1 and abs(out["rate"][0] - 0.1) < 1e-12
+
+
+def test_streaming_neardup_sink(spark):
+    """MinHash near-dup suppression across micro-batches via the persistent
+    band index: a near-identical doc in a LATER batch is dropped; novel
+    docs pass; the index survives between runs."""
+    import json as _json
+
+    from opentsdb_spark.streaming.docs import streaming_neardup_sink
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away to the deep green forest before dusk settles tonight")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "docs")
+        os.makedirs(src)
+        out = os.path.join(d, "out")
+        idx = os.path.join(d, "index")
+
+        def feed(name, rows):
+            with open(os.path.join(src, name), "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+
+        def run_once():
+            stream = spark.readStream.schema("doc_id long, text string").json(src)
+            q = streaming_neardup_sink(
+                stream, out, idx, os.path.join(d, "ck")
+            ).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+
+        feed("b1.json", [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base},  # in-batch dup of 0 (keep-first)
+            {"doc_id": 2, "text": "completely different words about spark "
+                                  "engines analytics clusters shuffles and "
+                                  "caches in a long enough sentence today"},
+        ])
+        run_once()
+        feed("b2.json", [
+            # same content, later batch: every band collides with the
+            # index (a one-word variant is probabilistic at 16 bands —
+            # raise `bands` to trade shuffle volume for recall)
+            {"doc_id": 3, "text": base},
+            {"doc_id": 4, "text": "yet another entirely novel document about "
+                                  "gardening tulips roses and the weather in "
+                                  "spring with plenty of unique words"},
+        ])
+        run_once()
+        kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept == {0, 2, 4}
