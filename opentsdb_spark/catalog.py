@@ -474,7 +474,9 @@ def tsdb_agg_mimmax_by_user(spark, sf_dir):
     return out.select("metric", "user", _ts_ms(), _vr(F.col("value")))
 
 
-def _aligned_sql(metric: str, per_series_agg: str, cross_agg: str) -> str:
+def _aligned_sql_expr(metric: str, per_series_agg: str, cross_expr: str) -> str:
+    """Shared aligned-1h oracle template; cross_expr is the full cross-series
+    aggregate expression over the zero-filled grid value coalesce(p.v, 0.0)."""
     return f"""WITH f AS (
           SELECT {U} AS user, {K} AS k, {BIG} AS big, value, {H_SEC} AS b
           FROM events
@@ -485,10 +487,15 @@ def _aligned_sql(metric: str, per_series_agg: str, cross_agg: str) -> str:
               FROM s CROSS JOIN (SELECT unnest(generate_series({START_SEC}, {END_SEC - 3600}, 3600)) AS b) gs),
         p AS (SELECT user, k, big, b, {per_series_agg}(value) AS v FROM f GROUP BY ALL)
         SELECT '{metric}' AS metric, g.user, CAST(g.b AS BIGINT) AS ts_sec,
-               {RND.format(f'{cross_agg}(coalesce(p.v, 0.0))')} AS value_r
+               {RND.format(cross_expr)} AS value_r
         FROM g LEFT JOIN p ON g.user = p.user AND g.k = p.k
                AND g.big IS NOT DISTINCT FROM p.big AND g.b = p.b
         GROUP BY g.user, g.b"""
+
+
+def _aligned_sql(metric: str, per_series_agg: str, cross_agg: str) -> str:
+    # the plain-aggregator special case of _aligned_sql_expr
+    return _aligned_sql_expr(metric, per_series_agg, f"{cross_agg}(coalesce(p.v, 0.0))")
 
 
 def _aligned_query(spark, sf_dir, metric: str, per_series_agg: str, cross_agg: str):
@@ -1467,9 +1474,8 @@ def dedup_exact(spark, sf_dir):
     return exact_dedup(docs)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""WITH g AS (
+# shared gram/pair CTE prefix (identical to dedup_ngram_jaccard's oracle)
+_JACCARD_PAIRS_CTE = """g AS (
           SELECT doc_id,
                  list_distinct(list_transform(
                    generate_series(1, greatest(len(regexp_extract_all(text, '\\S+')) - 4, 0)),
@@ -1484,7 +1490,12 @@ def dedup_exact(spark, sf_dir):
         j AS (SELECT c.id_a, c.id_b,
                      CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
                        / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jac
-              FROM cand c JOIN g ga ON c.id_a = ga.doc_id JOIN g gb ON c.id_b = gb.doc_id)
+              FROM cand c JOIN g ga ON c.id_a = ga.doc_id JOIN g gb ON c.id_b = gb.doc_id)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_JACCARD_PAIRS_CTE}
         SELECT id_a, id_b, {RND.format('jac')} AS jaccard_r
         FROM j WHERE jac >= 0.1""",
 )
@@ -1519,25 +1530,6 @@ def dedup_decontaminate(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 25 == 0)
     train = docs.where(F.col("doc_id") % 25 != 0)
     return decontaminate(train, bench, n=5, min_shared=1)
-
-
-# shared gram/pair CTE prefix (identical to dedup_ngram_jaccard's oracle)
-_JACCARD_PAIRS_CTE = """g AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   generate_series(1, greatest(len(regexp_extract_all(text, '\\S+')) - 4, 0)),
-                   i -> array_to_string(regexp_extract_all(text, '\\S+')[i:i+4], ' ')
-                 )) AS grams
-          FROM documents),
-        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-        keep AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 50),
-        ee AS (SELECT e.doc_id, e.gram FROM e SEMI JOIN keep ON e.gram = keep.gram),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                 FROM ee a JOIN ee b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-        j AS (SELECT c.id_a, c.id_b,
-                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-                       / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jac
-              FROM cand c JOIN g ga ON c.id_a = ga.doc_id JOIN g gb ON c.id_b = gb.doc_id)"""
 
 
 @register(
@@ -2897,23 +2889,6 @@ def uid_metrics_listing(spark, sf_dir):
         F.unix_millis("first_seen").alias("first_ms"),
         F.unix_millis("last_seen").alias("last_ms"),
     )
-
-
-def _aligned_sql_expr(metric: str, per_series_agg: str, cross_expr: str) -> str:
-    return f"""WITH f AS (
-          SELECT {U} AS user, {K} AS k, {BIG} AS big, value, {H_SEC} AS b
-          FROM events
-          WHERE event_type = '{metric}' AND {U} IN ('1','2','3')
-        ),
-        s AS (SELECT DISTINCT user, k, big FROM f),
-        g AS (SELECT s.user, s.k, s.big, gs.b
-              FROM s CROSS JOIN (SELECT unnest(generate_series({START_SEC}, {END_SEC - 3600}, 3600)) AS b) gs),
-        p AS (SELECT user, k, big, b, {per_series_agg}(value) AS v FROM f GROUP BY ALL)
-        SELECT '{metric}' AS metric, g.user, CAST(g.b AS BIGINT) AS ts_sec,
-               {RND.format(cross_expr)} AS value_r
-        FROM g LEFT JOIN p ON g.user = p.user AND g.k = p.k
-               AND g.big IS NOT DISTINCT FROM p.big AND g.b = p.b
-        GROUP BY g.user, g.b"""
 
 
 @register(

@@ -162,7 +162,10 @@ class ExpExpression:
     id: str
     expr: str
     join: ExpJoin = field(default_factory=ExpJoin)
-    fill_policies: dict[str, FillPolicy] = field(default_factory=dict)
+    # excluded from the generated __hash__: the one mutable field in the
+    # frozen model family (hash(query) must work like every other class;
+    # eq still compares it)
+    fill_policies: dict[str, FillPolicy] = field(default_factory=dict, hash=False)
 
 
 @dataclass(frozen=True)

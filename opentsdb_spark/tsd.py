@@ -94,8 +94,10 @@ class TSD:
 
         ldf = self.spark.createDataFrame([(x,) for x in lines], "value string")
         pts = apply_ingest_filters(parse_put_lines(ldf))
+        # the count depends only on this batch — run the Spark job OUTSIDE
+        # the lock so a big telnet flush doesn't stall every other request
+        n = pts.count()
         with self.lock:
-            n = pts.count()
             self._absorb(pts.select("metric", "ts", "value", "tags"))
         return {"success": n, "failed": len(lines) - n}
 
@@ -183,27 +185,39 @@ class TSD:
             raise FileNotFoundError(path)
         ep = seg[1] if len(seg) > 1 else ""
 
+        # POST bodies MERGE over the query-string dict ({**request, **body})
+        # rather than replacing it: request carries transport context the
+        # handlers contractually read (_headers for auth plugins, _now_ms)
+        merged = {**request, **body} if isinstance(body, dict) else dict(request)
         if ep == "query":
             sub = seg[2] if len(seg) > 2 else None
             if method == "DELETE":
-                out, retained = api.handle_query_delete(points, request)
+                out, _ = api.handle_query_delete(points, request)
+                # re-apply the delete predicate to the CURRENT frame under
+                # the lock — assigning the snapshot-derived frame would drop
+                # points a concurrent put absorbed since the snapshot
+                from opentsdb_spark.parse import parse_query as _parse_q
+                from opentsdb_spark.plans.planner import delete_matching_points
+
+                tsq = (api._tsquery_from_body(request) if "queries" in request
+                       else _parse_q(request))
                 with self.lock:
-                    self.points = retained
+                    self.points = delete_matching_points(
+                        self.points, tsq, now_ms=request.get("_now_ms"))
                 return out, None
             if sub == "last":
                 return api.handle_last(points, request), None
             if sub == "gexp":
                 return api.handle_gexp(points, request), None
             if sub == "exp":
-                return api.handle_exp(points, body or request), None
-            req = dict(body) if isinstance(body, dict) else dict(request)
-            return api.handle_query(points, req, annotations=annotations,
+                return api.handle_exp(points, merged if body else request), None
+            return api.handle_query(points, merged, annotations=annotations,
                                     histograms=self.histograms), None
         if ep == "suggest":
-            return api.handle_suggest(points, body or request), None
+            return api.handle_suggest(points, merged), None
         if ep == "search":
             stype = seg[2] if len(seg) > 2 else "tsmeta"
-            req = dict(body) if isinstance(body, dict) else dict(request)
+            req = merged
             if stype == "lookup":
                 # SearchRpc routes LOOKUP to the time-series lookup, not the
                 # search plugin (src/tsd/SearchRpc.java:70-80)
@@ -238,30 +252,35 @@ class TSD:
         if ep in ("annotation", "annotations"):
             # the plural alias serves range fetches (reference RpcManager
             # mounts AnnotationRpc at both api/annotation and api/annotations)
+            # read-modify-write paths run the handler INSIDE the lock on
+            # the FRESH frame: handler-on-snapshot + assign would silently
+            # drop a concurrent writer's records (lost update). Writes
+            # serialize behind the lock; reads only hold it for a snapshot.
             if len(seg) > 2 and seg[2] == "bulk":
-                if method == "DELETE":
-                    out, frame = api.handle_annotation_bulk_delete(
-                        annotations, body or request)
-                elif method in ("POST", "PUT"):
-                    out, frame = api.handle_annotation_bulk_update(
-                        annotations, method, body)
-                else:
-                    raise BadRequest("bulk annotations accept POST/PUT/DELETE")
                 with self.lock:
+                    if method == "DELETE":
+                        out, frame = api.handle_annotation_bulk_delete(
+                            self.annotations, body or request)
+                    elif method in ("POST", "PUT"):
+                        out, frame = api.handle_annotation_bulk_update(
+                            self.annotations, method, body)
+                    else:
+                        raise BadRequest("bulk annotations accept POST/PUT/DELETE")
                     self.annotations = frame
                 return out, None
             if method in ("POST", "PUT", "DELETE"):
-                out, frame = api.handle_annotation_edit(annotations, method, body or request)
                 with self.lock:
+                    out, frame = api.handle_annotation_edit(
+                        self.annotations, method, body or request)
                     self.annotations = frame
                 return out, None
             return api.handle_annotation_query(annotations, request), None
         if ep == "uid":
             sub = seg[2] if len(seg) > 2 else ""
             if sub == "assign":
-                resp, reg = api.handle_uid_assign(self.uid_registry, body or request,
-                                                  spark=self.spark)
                 with self.lock:
+                    resp, reg = api.handle_uid_assign(
+                        self.uid_registry, body or request, spark=self.spark)
                     self.uid_registry = reg
                 return resp, None
             if sub == "rename":
@@ -269,17 +288,17 @@ class TSD:
                     self.points = api.handle_uid_rename(self.points, body or request)
                 return {"result": "renamed"}, None
             if sub == "uidmeta":
-                out, frame = api.handle_uidmeta_edit(
-                    self.uidmeta, method, body or request, spark=self.spark
-                )
                 with self.lock:
+                    out, frame = api.handle_uidmeta_edit(
+                        self.uidmeta, method, body or request, spark=self.spark
+                    )
                     self.uidmeta = frame
                 return out, None
             if sub == "tsmeta":
-                out, frame = api.handle_tsmeta_edit(
-                    self.tsmeta, method, body or request, spark=self.spark
-                )
                 with self.lock:
+                    out, frame = api.handle_tsmeta_edit(
+                        self.tsmeta, method, body or request, spark=self.spark
+                    )
                     self.tsmeta = frame
                 return out, None
             raise FileNotFoundError(path)
@@ -336,6 +355,13 @@ def make_http_handler(tsd: TSD) -> type:
             pass
 
         def _respond(self, code: int, payload, content_type=None):
+            if code == 204 or (payload == "" and not content_type):
+                # RFC 7230: 204 carries NO body — writing even '""' after
+                # it desynchronizes HTTP/1.1 keep-alive connections
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             if isinstance(payload, (bytes, bytearray)):
                 data = bytes(payload)
                 ctype = content_type or "application/octet-stream"
@@ -357,7 +383,12 @@ def make_http_handler(tsd: TSD) -> type:
             self._respond(code, {"error": {"code": code, "message": message}})
 
         def _handle(self, method: str):
+            from urllib.parse import unquote
+
             parsed = urlparse(self.path)
+            # percent-decode the PATH (static files with spaces/unicode,
+            # encoded endpoint segments); query values decode via parse_qs
+            path = unquote(parsed.path)
             # parse_qs percent-decodes each value itself — decoding the
             # whole string first would split on an encoded '&' (%26) inside
             # a filter value and double-decode %25xx sequences
@@ -374,13 +405,20 @@ def make_http_handler(tsd: TSD) -> type:
                 except json.JSONDecodeError:
                     return self._error(400, "Unable to parse the given JSON")
             try:
-                payload, ctype = tsd.route(method, parsed.path, request, body)
+                payload, ctype = tsd.route(method, path, request, body)
             except FileNotFoundError:
-                return self._error(404, f"Endpoint not found: {parsed.path}")
+                return self._error(404, f"Endpoint not found: {path}")
             except (BadRequest, ValueError, KeyError, TypeError) as e:
                 return self._error(400, str(e))
             except PermissionError as e:
-                return self._error(403, str(e))
+                # authentication failure (no/expired credentials) is 401 so
+                # clients re-prompt; an authorization denial stays 403
+                from opentsdb_spark.auth import UNAUTHORIZED, AuthError
+
+                code = 401 if (
+                    isinstance(e, AuthError) and e.state.status == UNAUTHORIZED
+                ) else 403
+                return self._error(code, str(e))
             except NotImplementedError as e:
                 return self._error(501, str(e))
             except Exception as e:  # noqa: BLE001 — the reference 500s too
@@ -442,6 +480,17 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                 tsd.put_lines(list(pending))
                 pending.clear()
 
+        try:
+            self._serve_lines(tsd, pending, flush, check_telnet, AuthError,
+                              auth_state)
+        finally:
+            # the end-of-connection flush must survive EVERY exit path —
+            # a socket timeout or reset on readline would otherwise drop
+            # up to FLUSH_AT-1 accepted put lines silently
+            flush()
+
+    def _serve_lines(self, tsd, pending, flush, check_telnet, AuthError,
+                     auth_state):
         while True:
             raw = self.rfile.readline()
             if not raw:
@@ -505,7 +554,6 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                     self.wfile.write(f"unknown command: {cmd}\n".encode())
             except Exception as e:  # noqa: BLE001 — keep the connection alive
                 self.wfile.write(f"error: {e}\n".encode())
-        flush()
 
 
 class DualProtocolServer(socketserver.ThreadingTCPServer):

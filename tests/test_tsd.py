@@ -525,3 +525,70 @@ def test_concurrent_queries(tsd_server):
         results = list(ex.map(one, range(16)))
     # max:(300.0) alternating with sum:(1+300)
     assert set(results) == {301.0, 300.0}
+
+
+def test_http_204_no_body_keepalive(tsd_server):
+    """A bare put returns a true 204 (no body) and the keep-alive
+    connection stays usable for the next request (RFC 7230)."""
+    import http.client
+
+    _, http_port, _ = tsd_server
+    conn = http.client.HTTPConnection("127.0.0.1", http_port, timeout=30)
+    try:
+        conn.request("POST", "/api/put", json.dumps({
+            "metric": "tsd.test.keepalive", "timestamp": EPOCH,
+            "value": 1, "tags": {"h": "a"},
+        }), {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 204
+        assert r.read() == b""  # NO body after 204
+        # same connection, next request must parse cleanly
+        conn.request("GET", "/api/version")
+        r2 = conn.getresponse()
+        assert r2.status == 200 and b"version" in r2.read()
+    finally:
+        conn.close()
+
+
+def test_auth_401_vs_403(tsd_server):
+    """Unauthenticated -> 401; authenticated-but-denied -> 403."""
+    from opentsdb_spark.auth import (
+        FORBIDDEN, UNAUTHORIZED, Authentication, Authorization, AuthState,
+        configure_auth,
+    )
+
+    class TokenAuth(Authentication, Authorization):
+        def authenticate_http(self, request):
+            hdrs = request.get("_headers") or {}
+            if hdrs.get("authorization") == "Bearer ok":
+                return AuthState("user")
+            return AuthState("anon", UNAUTHORIZED, "missing token")
+
+        def authenticate_telnet(self, command):
+            return AuthState("user")
+
+        def authorization(self):
+            return self
+
+        def has_permission(self, state, permission):
+            if permission == "HTTP_QUERY" and state.user == "user":
+                return AuthState(state.user, FORBIDDEN, "queries disabled")
+            return state
+
+        def allow_query(self, state, tsquery):
+            return state
+
+    _, http_port, _ = tsd_server
+    configure_auth(TokenAuth())
+    try:
+        url = (f"http://127.0.0.1:{http_port}/api/query?start={EPOCH}"
+               f"&end={EPOCH + 100}&m=sum:sys.cpu.user")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(url)
+        assert e.value.code == 401  # no credentials
+        req = urllib.request.Request(url, headers={"Authorization": "Bearer ok"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 403  # authenticated, permission denied
+    finally:
+        configure_auth(None)
