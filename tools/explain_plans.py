@@ -260,6 +260,24 @@ def main() -> None:
         if d_win:
             errors.append("paragraph_dedup: winner selection uses a Window")
 
+        # lsh_topk: the multi-table explode and the candidate dedup shuffle
+        # must carry bare ids — the dim-length vectors re-join afterwards
+        from opentsdb_spark.pipeline.similarity import lsh_topk
+
+        lq = raw_emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        lplan = _plan_str(lsh_topk(raw_emb, lq, k=5))
+        # the corpus-side HashAggregate for dropDuplicates must not list the
+        # vector column among its grouping/agg outputs
+        import re as _re2
+
+        dd = _re2.search(r"HashAggregate.*keys=\[query_id[^\n]*", lplan)
+        dd_has_vec = bool(dd and ("cv#" in dd.group(0) or "embedding" in dd.group(0)))
+        print(f"check lsh_topk: candidate_dedup_carries_vectors={dd_has_vec}")
+        if dd_has_vec:
+            errors.append("lsh_topk: candidate dedup shuffles the vector column")
+
         # semdedup: the within-cell pair join must be an equi join on the
         # cell key (a range/theta fallback is a nested loop over the corpus)
         from opentsdb_spark.pipeline.similarity import seeded_centroids, semdedup
