@@ -33,8 +33,18 @@ def _parse_tag_filter(tagk: str, spec: str, group_by: bool) -> TagFilter:
     """Shorthand: '*' -> wildcard, 'a|b'/'a' -> literal_or (case-insensitive
     variants when the value is wrapped in a function form)."""
     m = _FILTER_FN.match(spec)
-    if m and m.group(1) in _FILTER_TYPES:
-        return TagFilter(m.group(1), tagk, m.group(2), group_by)
+    if m:
+        name = m.group(1)
+        # consult the LIVE registry too, so plugin filters registered via
+        # functions.filters.register_filter parse from query strings
+        from opentsdb_spark.functions.filters import FILTERS as _LIVE_FILTERS
+
+        if name in _FILTER_TYPES or name in _LIVE_FILTERS:
+            return TagFilter(name, tagk, m.group(2), group_by)
+        # function-shaped value with an unregistered name: the reference
+        # throws 'No such filter' (TagVFilter.Builder) rather than treating
+        # 'nosuchfilter(x)' as a literal tag value
+        raise ValueError(f"no such filter: {name!r} in {spec!r}")
     if "*" in spec:
         return TagFilter("iwildcard", tagk, spec, group_by)
     return TagFilter("literal_or", tagk, spec, group_by)

@@ -299,3 +299,36 @@ def test_filling_downsampler_vectors(spark):
         assert [t for t, _ in got] == [base + 100 * i for i in range(9)]
         for (_, v), e in zip(got, exp):
             assert (math.isnan(v) and math.isnan(e)) or v == e
+
+
+def test_queryrpc_parse_vectors():
+    """Reference TestQueryRpc parse vectors (test/tsd/TestQueryRpc.java:
+    246-320): two-brace-group m= specs, filter typing, empty brace groups,
+    and the malformed specs that must 400."""
+    import pytest as _pytest
+
+    from opentsdb_spark.parse import parse_m_subquery
+
+    # grouped {colo=lga} + non-grouped {host=wildcard(*quirm)}
+    q = parse_m_subquery("sum:sys.cpu.0{colo=lga}{host=wildcard(*quirm)}")
+    types = {(f.tagk, f.type, f.group_by) for f in q.filters}
+    assert ("colo", "literal_or", True) in types
+    assert ("host", "wildcard", False) in types
+    # same tagk in both groups keeps BOTH filters
+    q = parse_m_subquery("sum:sys.cpu.0{host=quirm|tsort}{host=wildcard(*quirm)}")
+    assert len(q.filters) == 2
+    assert {f.type for f in q.filters} == {"literal_or", "wildcard"}
+    # {}{} = no filters at all
+    q = parse_m_subquery("sum:sys.cpu.0{}{}")
+    assert q.filters == ()
+    # malformed: missing close brace / missing '=' / unknown filter name
+    for bad in (
+        "sum:sys.cpu.0{host=wildcard(*tsort)}{host=wildcard(*quirm",
+        "sum:sys.cpu.0{host=wildcard(*tsort)}{hostwildcard(*quirm)}",
+        "sum:sys.cpu.0{host=nosuchfilter(*tsort)}",
+    ):
+        with _pytest.raises(ValueError):
+            parse_m_subquery(bad)
+    # explicit_tags token rides between aggregator and metric
+    q = parse_m_subquery("sum:explicit_tags:sys.cpu.0{host=web01}")
+    assert q.explicit_tags and q.metric == "sys.cpu.0"
