@@ -191,6 +191,12 @@ class TSD:
         merged = {**request, **body} if isinstance(body, dict) else dict(request)
         if ep == "query":
             sub = seg[2] if len(seg) > 2 else None
+            # the reference's TSQuery POJO also accepts "delete": true in a
+            # POST body (Jackson setDelete); both routes stay gated behind
+            # allow_delete inside handle_query_delete
+            if isinstance(body, dict) and body.get("delete"):
+                method = "DELETE"
+                request = merged
             if method == "DELETE":
                 out, _ = api.handle_query_delete(points, request)
                 # re-apply the delete predicate to the CURRENT frame under

@@ -592,3 +592,40 @@ def test_auth_401_vs_403(tsd_server):
         assert e.value.code == 403  # authenticated, permission denied
     finally:
         configure_auth(None)
+
+
+def test_post_body_delete_flag(spark, fixture_points):
+    """POST /api/query with \"delete\": true behaves like HTTP DELETE
+    (reference TSQuery POJO setDelete), still gated by allow_delete."""
+    from opentsdb_spark import api as _api
+    from opentsdb_spark.tsd import TSD, make_http_server
+
+    tsd = TSD(spark, fixture_points)
+    http = make_http_server(tsd, 0)
+    import threading
+
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    try:
+        port = http.server_address[1]
+        payload = {
+            "start": EPOCH, "end": EPOCH + 100, "delete": True,
+            "queries": [{"metric": "sys.cpu.user", "aggregator": "sum"}],
+        }
+        # gate closed -> 403
+        try:
+            _post(port, "/api/query", payload)
+            assert False, "expected 403"
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        _api.ALLOW_DELETE = True
+        try:
+            st, body = _post(port, "/api/query", payload)
+            assert st == 200
+        finally:
+            _api.ALLOW_DELETE = False
+        assert tsd.points.where(
+            f"metric = 'sys.cpu.user' and ts <= timestamp_seconds({EPOCH + 100})"
+        ).count() == 0
+        assert tsd.points.count() > 0  # later points retained
+    finally:
+        http.shutdown()
