@@ -74,6 +74,20 @@ class TSD:
         self.tsmeta: DataFrame | None = None
         self.lock = threading.Lock()
         self._writes = 0
+        # reference RpcManager.Status lifecycle: startup -> ok/partial/error
+        # -> shutting-down (sticky); here storage is the Spark session, so
+        # the probe is "can we still plan against the point frame"
+        self.status = "startup"
+
+    def probe_status(self) -> str:
+        if self.status == "shutting-down":
+            return self.status
+        try:
+            _ = self.points.schema  # session + frame still usable
+            self.status = "ok"
+        except Exception:  # noqa: BLE001 — any failure = storage error
+            self.status = "error"
+        return self.status
 
     # ------------------------------------------------------------ writes
     def _absorb(self, frame: DataFrame) -> None:
@@ -181,14 +195,33 @@ class TSD:
             return (out, "text/plain") if isinstance(out, str) else (out, None)
         if seg and seg[0] == "plugin":
             return api.handle_plugin(method, path, request, body), None
-        if not seg or seg[0] != "api":
-            raise FileNotFoundError(path)
-        ep = seg[1] if len(seg) > 1 else ""
-
         # POST bodies MERGE over the query-string dict ({**request, **body})
         # rather than replacing it: request carries transport context the
         # handlers contractually read (_headers for auth plugins, _now_ms)
         merged = {**request, **body} if isinstance(body, dict) else dict(request)
+
+        if not seg:
+            # HomePage ("" endpoint): a minimal landing page like the
+            # reference's HomePage RPC
+            html = ("<html><head><title>opentsdb-spark</title></head><body>"
+                    "<h1>opentsdb-spark</h1><p>API at /api/*, graphs at /q, "
+                    "static at /s/*.</p></body></html>")
+            return html, "text/html"
+        if seg[0] == "favicon.ico":
+            raise FileNotFoundError(path)  # served from static_dir via /s
+        # bare (non-/api) aliases from the reference RPC table
+        if seg[0] == "aggregators" and len(seg) == 1:
+            return api.handle_aggregators(), None
+        if seg[0] == "version" and len(seg) == 1:
+            return api.handle_version(), None
+        if seg[0] == "stats" and len(seg) == 1:
+            return api.handle_stats(self.spark), None
+        if seg[0] == "suggest" and len(seg) == 1:
+            return api.handle_suggest(points, merged), None
+        if seg[0] != "api":
+            raise FileNotFoundError(path)
+        ep = seg[1] if len(seg) > 1 else ""
+
         if ep == "query":
             sub = seg[2] if len(seg) > 2 else None
             # the reference's TSQuery POJO also accepts "delete": true in a
@@ -337,6 +370,8 @@ class TSD:
 
                 return loaded_filters(), None
             return api.handle_config(self.spark), None
+        if ep == "status":
+            return self.probe_status(), "text/plain"
         if ep == "stats":
             return api.handle_stats(self.spark), None
         if ep == "dropcaches":
@@ -524,6 +559,9 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                     r = tsd.rollup_lines([line])
                     if r["failed"]:
                         self.wfile.write(b"rollup: invalid line\n")
+                elif cmd == "status":
+                    flush()
+                    self.wfile.write((tsd.probe_status() + "\n").encode())
                 elif cmd == "dropcaches":
                     flush()
                     api.handle_dropcaches(tsd.spark)
@@ -531,6 +569,7 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                 elif cmd == "diediedie":
                     # reference: clean shutdown (RpcManager.java:547-...)
                     flush()
+                    tsd.status = "shutting-down"
                     self.wfile.write(b"Cleanup complete, shutting down.\n")
                     import threading
 
@@ -552,7 +591,7 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                 elif cmd == "help":
                     self.wfile.write(
                         b"available commands: put rollup version stats"
-                        b" dropcaches diediedie help exit\n"
+                        b" status dropcaches diediedie help exit\n"
                     )
                 elif cmd in ("exit", "quit"):
                     break

@@ -629,3 +629,22 @@ def test_post_body_delete_flag(spark, fixture_points):
         assert tsd.points.count() > 0  # later points retained
     finally:
         http.shutdown()
+
+
+def test_status_homepage_and_bare_aliases(tsd_server):
+    tsd, http_port, tel_port = tsd_server
+    st, ctype, body = _get(http_port, "/api/status")
+    assert st == 200 and body == b"ok"
+    st, ctype, body = _get(http_port, "/")
+    assert st == 200 and "text/html" in ctype and b"opentsdb-spark" in body
+    for alias in ("/aggregators", "/version", "/stats"):
+        st, _, _ = _get(http_port, alias)
+        assert st == 200, alias
+    st, _, body = _get(http_port, "/suggest?type=metrics")
+    assert st == 200 and json.loads(body)
+    s = socket.create_connection(("127.0.0.1", tel_port), timeout=30)
+    f = s.makefile("rwb")
+    f.write(b"status\nexit\n")
+    f.flush()
+    assert f.readline().strip() == b"ok"
+    s.close()
