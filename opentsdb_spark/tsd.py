@@ -11,9 +11,10 @@ for startup). This module mirrors that with stdlib servers:
   * :class:`TSDHTTPServer` — ThreadingHTTPServer serving the /api/* and /q
     endpoints with the reference's JSON error envelope
     (src/tsd/HttpQuery.java:585-630 {"error": {code, message, details}}).
-  * :class:`TelnetServer` — line-protocol listener: ``put``, ``rollup put``,
-    ``version``, ``stats``, ``help``, ``exit`` (src/tsd/RpcManager.java:
-    418-446 telnet command map, src/tsd/PutDataPointRpc.java:120-180).
+  * :class:`TelnetServer` — line-protocol listener: ``put``, ``rollup``,
+    ``version``, ``stats``, ``status``, ``dropcaches``, ``diediedie``,
+    ``help``, ``exit`` (src/tsd/RpcManager.java:418-446 telnet command map,
+    src/tsd/PutDataPointRpc.java:120-180).
 
 Writes mutate the in-memory frames under a lock (union + periodic
 localCheckpoint so lineage stays bounded); durable ingest at scale is the

@@ -369,3 +369,16 @@ def test_m_spec_parser_total(spec):
         assert q.metric  # success implies a non-empty metric slot
     except ValueError:
         pass  # the only permitted failure mode (maps to HTTP 400)
+
+
+@given(_spec_chars)
+@_slow
+def test_gexp_parser_total(spark, spec):
+    """parse_gexp either evaluates or raises ValueError — no other escape."""
+    from opentsdb_spark.parse import parse_gexp
+
+    pts = _df(spark, [(0, 1.0, "a")])
+    try:
+        parse_gexp(spec, pts, EPOCH * 1000, (EPOCH + 100) * 1000)
+    except ValueError:
+        pass
