@@ -323,12 +323,18 @@ def handle_graph(
 ALLOW_DELETE = False
 
 
-def handle_query_delete(points: DataFrame, request: dict) -> tuple[list[dict[str, Any]], DataFrame]:
-    """DELETE /api/query — returns (query results, retained point frame).
+def handle_query_delete(
+    points: DataFrame, request: dict
+) -> tuple[list[dict[str, Any]], DataFrame, TSQuery]:
+    """DELETE /api/query — returns (query results, retained point frame,
+    the parsed TSQuery).
 
     The reference deletes matched cells while serving the query result
     (QueryRpc.java:148-152); here the caller persists the retained frame
-    (e.g. sources.points.write_points) to make the delete durable."""
+    (e.g. sources.points.write_points) to make the delete durable. The
+    TSQuery is returned so a concurrent-safe caller (the TSD daemon) can
+    re-apply the SAME parsed delete to its live frame under its lock
+    without re-encoding the body-vs-querystring parse rule."""
     if not ALLOW_DELETE:
         raise PermissionError(
             "Deleting data is not enabled (tsd.http.query.allow_delete=false)"
@@ -337,7 +343,8 @@ def handle_query_delete(points: DataFrame, request: dict) -> tuple[list[dict[str
 
     tsq = _tsquery_from_body(request) if "queries" in request else parse_query(request)
     results = handle_query(points, request)
-    return results, delete_matching_points(points, tsq, now_ms=request.get("_now_ms"))
+    retained = delete_matching_points(points, tsq, now_ms=request.get("_now_ms"))
+    return results, retained, tsq
 
 
 def handle_gexp(points: DataFrame, request: dict) -> list[dict[str, Any]]:

@@ -436,11 +436,22 @@ def semdedup(
     is bounded by the largest cluster, not the corpus.
 
     Keep policy (deterministic, unlike the paper's arbitrary-one-per-group):
-    a vector is removed iff some LOWER-id vector in its cell has cosine >=
-    threshold to it — same keep-lowest-id convention as exact_dedup /
-    minhash_lsh_pairs. Returns one row per input vector:
-    (id, cell, kept, dup_cosine) where dup_cosine is the max cosine to a
-    lower-id cell-mate over the threshold (null when kept).
+    a vector is removed iff some LOWER-id vector in its COMPARISON GROUP
+    has cosine >= threshold to it — same keep-lowest-id convention as
+    exact_dedup / minhash_lsh_pairs. The comparison group is the k-means
+    cell, further subdivided by random-hyperplane sign bits when a cell
+    exceeds ``max_cell`` rows (the quadratic-kernel guard): past the cap,
+    pairs never cross a subcell, so near-dups split across subcells both
+    survive — the standard LSH recall trade. Pass max_cell=None for exact
+    within-cell semantics regardless of size. Returns one row per input
+    vector: (id, cell, kept, dup_cosine) where dup_cosine is the max
+    cosine to a lower-id group-mate over the threshold (null when kept).
+
+    When the corpus exceeds max_cell this runs eager probe jobs (a row
+    count and a per-cell size aggregate) and persists the assigned frame;
+    the persist is registered with operators.groupby's per-thread scratch
+    registry — long-running servers release it via release_scratch(),
+    batch scripts with session lifetime can ignore it.
 
     Scale shape: assignment is a narrow map stage (centroids ride the UDF
     closure); the only shuffle is the within-cell self-join on the int cell
@@ -470,10 +481,13 @@ def semdedup(
         max_cell = None
     if max_cell is not None:
         # persisted: the size probe and the kernel otherwise each run the
-        # assignment UDF over the corpus
+        # assignment UDF over the corpus. Registered as per-thread scratch
+        # so a serving layer can unpin it after the query completes.
         from pyspark.storagelevel import StorageLevel
 
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        from opentsdb_spark.operators.groupby import _register_scratch
+
+        assigned = _register_scratch(assigned.persist(StorageLevel.MEMORY_AND_DISK))
         sizes = {r["cell"]: r["n"] for r in
                  assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
         import math as _math

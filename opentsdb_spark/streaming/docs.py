@@ -65,6 +65,7 @@ def streaming_quality_gate(
 def neardup_filter_batch(
     batch: DataFrame,
     index_path: str,
+    batch_id: int | None = None,
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
@@ -80,13 +81,21 @@ def neardup_filter_batch(
     A document is a near-duplicate when fewer than ``min_new_bands``
     (default: half) of its LSH band keys are unseen — i.e. most bands
     collide with the index or with an earlier doc in this batch
-    (keep-first within the batch by lowest id). Survivors' bands are
-    APPENDED to the index; the filtered batch is returned. Wire through
-    ``foreachBatch`` (see streaming_neardup_sink).
+    (keep-first within the batch by lowest id). Documents SHORTER than
+    ``shingle_n`` words have no shingle identity: they pass through
+    un-indexed (novel by definition) rather than silently vanishing.
+    Survivors' bands are APPENDED to the index tagged with ``batch_id``;
+    on a foreachBatch REPLAY (at-least-once semantics) the same batch_id's
+    own rows are excluded from the collision lookup, so the recomputed
+    keep set is identical — output rows may duplicate on replay (standard
+    for parquet foreachBatch sinks) but never disappear. The returned
+    frame is localCheckpoint-materialized, so the caller's write does not
+    re-run the signature pipeline.
 
     Scale shape: band keys are 8-byte (band, hash) pairs; the index join is
     a broadcast-free equijoin on those keys and the index only ever grows
-    by survivors' bands."""
+    by survivors' bands. This function runs eager jobs (it writes the
+    index) — it is a sink building block, not a lazy operator."""
     import os
 
     from pyspark.sql import Window
@@ -110,24 +119,37 @@ def neardup_filter_batch(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh").persist()
-    if os.path.exists(index_path):
-        index = spark.read.parquet(index_path).select("band", "bh")
-        fresh = banded.join(index, on=["band", "bh"], how="left_anti")
-    else:
-        fresh = banded
-    # keep-first WITHIN the batch: a band key claimed by a lower id in this
-    # same batch is not fresh for higher ids
-    w = Window.partitionBy("band", "bh").orderBy(id_col)
-    fresh = fresh.withColumn("__rn", F.row_number().over(w)).where("__rn = 1")
-    new_counts = fresh.groupBy(id_col).agg(F.count("*").alias("__new"))
-    kept_ids = new_counts.where(F.col("__new") >= min_new_bands).select(id_col)
-    kept = batch.join(kept_ids, on=id_col, how="left_semi")
-    # append the SURVIVORS' full band sets (not just the fresh keys) so a
-    # future near-identical doc collides on every band
-    banded.join(kept_ids, on=id_col, how="left_semi").select(
-        "band", "bh"
-    ).write.mode("append").parquet(index_path)
-    banded.unpersist()
+    try:
+        if os.path.exists(index_path):
+            index = spark.read.parquet(index_path)
+            if batch_id is not None and "__batch_id" in index.columns:
+                # replay safety: this batch's previously-appended bands must
+                # not count as collisions against itself
+                index = index.where(F.col("__batch_id") != batch_id)
+            fresh = banded.join(index.select("band", "bh"),
+                                on=["band", "bh"], how="left_anti")
+        else:
+            fresh = banded
+        # keep-first WITHIN the batch: a band key claimed by a lower id in
+        # this same batch is not fresh for higher ids
+        w = Window.partitionBy("band", "bh").orderBy(id_col)
+        fresh = fresh.withColumn("__rn", F.row_number().over(w)).where("__rn = 1")
+        new_counts = fresh.groupBy(id_col).agg(F.count("*").alias("__new"))
+        kept_ids = new_counts.where(F.col("__new") >= min_new_bands).select(id_col)
+        # short docs (no signature row) pass through un-indexed
+        shorties = batch.join(sigs.select(id_col), on=id_col, how="left_anti")
+        kept = (
+            batch.join(kept_ids, on=id_col, how="left_semi")
+            .unionByName(shorties)
+            .localCheckpoint()  # materialize: caller's write must not
+        )                        # re-run the signature pipeline
+        # append the SURVIVORS' full band sets (not just the fresh keys) so
+        # a future near-identical doc collides on every band
+        banded.join(kept_ids, on=id_col, how="left_semi").select(
+            "band", "bh", F.lit(batch_id).cast("long").alias("__batch_id")
+        ).write.mode("append").parquet(index_path)
+    finally:
+        banded.unpersist()
     return kept
 
 
@@ -144,7 +166,7 @@ def streaming_neardup_sink(
     picks the trigger and calls start())."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        kept = neardup_filter_batch(batch, index_path, **kwargs)
+        kept = neardup_filter_batch(batch, index_path, batch_id=batch_id, **kwargs)
         kept.write.mode("append").parquet(out_path)
 
     return docs.writeStream.foreachBatch(_sink).option(

@@ -226,21 +226,19 @@ class TSD:
         if ep == "query":
             sub = seg[2] if len(seg) > 2 else None
             # the reference's TSQuery POJO also accepts "delete": true in a
-            # POST body (Jackson setDelete); both routes stay gated behind
-            # allow_delete inside handle_query_delete
-            if isinstance(body, dict) and body.get("delete"):
+            # POST body (Jackson setDelete) — on /api/query ITSELF only
+            # (the exp/gexp/last sub-endpoints have their own body shapes);
+            # both routes stay gated behind allow_delete in the handler
+            if sub is None and isinstance(body, dict) and body.get("delete"):
                 method = "DELETE"
                 request = merged
             if method == "DELETE":
-                out, _ = api.handle_query_delete(points, request)
-                # re-apply the delete predicate to the CURRENT frame under
+                out, _, tsq = api.handle_query_delete(points, request)
+                # re-apply the SAME parsed delete to the CURRENT frame under
                 # the lock — assigning the snapshot-derived frame would drop
                 # points a concurrent put absorbed since the snapshot
-                from opentsdb_spark.parse import parse_query as _parse_q
                 from opentsdb_spark.plans.planner import delete_matching_points
 
-                tsq = (api._tsquery_from_body(request) if "queries" in request
-                       else _parse_q(request))
                 with self.lock:
                     self.points = delete_matching_points(
                         self.points, tsq, now_ms=request.get("_now_ms"))

@@ -333,7 +333,7 @@ def test_handle_query_delete(fixture_points):
         api.handle_query_delete(fixture_points, req)
     api.ALLOW_DELETE = True
     try:
-        results, retained = api.handle_query_delete(fixture_points, req)
+        results, retained, _tsq = api.handle_query_delete(fixture_points, req)
         assert results  # query results still served, like the reference
         # 100 buckets of 30s in (EPOCH, EPOCH+3000]: ts starts at EPOCH+30
         n_deleted = fixture_points.count() - retained.count()

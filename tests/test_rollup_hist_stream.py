@@ -594,3 +594,31 @@ def test_streaming_neardup_sink(spark):
         run_once()
         kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
         assert kept == {0, 2, 4}
+
+
+def test_neardup_batch_replay_and_short_docs(spark):
+    """Replaying the same batch_id (foreachBatch at-least-once) keeps the
+    same survivors; sub-shingle docs pass through un-indexed."""
+    import tempfile as _tf
+
+    from opentsdb_spark.streaming.docs import neardup_filter_batch
+
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    with _tf.TemporaryDirectory() as d:
+        idx = os.path.join(d, "idx")
+        b = spark.createDataFrame(
+            [(0, long_a), (1, long_a), (2, "hi")],  # 1 dups 0; 2 is short
+            "doc_id long, text string",
+        )
+        kept1 = {r["doc_id"] for r in
+                 neardup_filter_batch(b, idx, batch_id=7).collect()}
+        assert kept1 == {0, 2}
+        # crash-replay of the SAME batch: identical keep set, not empty
+        kept2 = {r["doc_id"] for r in
+                 neardup_filter_batch(b, idx, batch_id=7).collect()}
+        assert kept2 == {0, 2}
+        # a LATER batch still collides with batch 7's surviving bands
+        b2 = spark.createDataFrame([(3, long_a)], "doc_id long, text string")
+        kept3 = {r["doc_id"] for r in
+                 neardup_filter_batch(b2, idx, batch_id=8).collect()}
+        assert kept3 == set()

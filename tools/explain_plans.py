@@ -272,11 +272,19 @@ def main() -> None:
         # vector column among its grouping/agg outputs
         import re as _re2
 
-        dd = _re2.search(r"HashAggregate.*keys=\[query_id[^\n]*", lplan)
-        dd_has_vec = bool(dd and ("cv#" in dd.group(0) or "embedding" in dd.group(0)))
-        print(f"check lsh_topk: candidate_dedup_carries_vectors={dd_has_vec}")
-        if dd_has_vec:
-            errors.append("lsh_topk: candidate dedup shuffles the vector column")
+        # formatted mode lists node details separately: the dedup node's
+        # key line is 'Keys [2]: [query_id#.., vec_id#..]'
+        dd = _re2.search(r"Keys \[\d+\]: \[query_id[^\n]*", lplan)
+        if dd is None:
+            # the guarded node must exist — a silent pass when plan
+            # formatting drifts would report the invariant as satisfied
+            errors.append("lsh_topk: candidate-dedup HashAggregate not found in plan")
+            print("check lsh_topk: candidate_dedup_node=MISSING")
+        else:
+            dd_has_vec = "cv#" in dd.group(0) or "embedding" in dd.group(0)
+            print(f"check lsh_topk: candidate_dedup_carries_vectors={dd_has_vec}")
+            if dd_has_vec:
+                errors.append("lsh_topk: candidate dedup shuffles the vector column")
 
         # semdedup: the within-cell pair join must be an equi join on the
         # cell key (a range/theta fallback is a nested loop over the corpus)
