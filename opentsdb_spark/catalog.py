@@ -1727,6 +1727,33 @@ def text_gopher_filter(spark, sf_dir):
 
 
 @register(
+    "corpus_funnel",
+    f"""WITH win AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        surv AS (SELECT d.* FROM documents d SEMI JOIN win ON d.doc_id = win.doc_id),
+        q AS (SELECT doc_id,
+                     {_NW} AS nw,
+                     length(regexp_replace(text, '\\s+', '', 'g')) / {_NW} AS mwl,
+                     len(list_filter({_WORDS}, w -> list_contains({_STOP_SQL}, w))) AS nstop,
+                     CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW} AS dr
+              FROM surv),
+        g AS (SELECT CAST(nw AS BIGINT) AS n_words,
+                     (nw BETWEEN 20 AND 90) AND (mwl >= 3.0 AND mwl <= 10.0)
+                      AND (nstop >= 1) AND (dr >= 0.4) AS kept
+              FROM q)
+        SELECT (SELECT count(*) FROM documents) AS n_input,
+               count(*) AS n_after_exact,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+               CAST(sum(CASE WHEN kept THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+        FROM g""",
+)
+def corpus_funnel_q(spark, sf_dir):
+    from opentsdb_spark.pipeline.text import corpus_funnel
+
+    docs = _docs(spark, sf_dir)
+    return corpus_funnel(docs)
+
+
+@register(
     "corpus_source_mix",
     f"""WITH {_GOPHER_Q}
         SELECT source, count(*) AS n_docs,

@@ -243,6 +243,41 @@ def paragraph_dedup(
     )
 
 
+def corpus_funnel(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **gopher_kwargs,
+) -> DataFrame:
+    """Attrition funnel for the standard cleaning chain: input -> exact
+    dedup (keep lowest id per content hash) -> Gopher quality gate. One
+    summary row (n_input, n_after_exact, n_after_quality, kept_words) —
+    the report every corpus-cleaning run ships with its output.
+
+    Shape: the exact-dedup winner is a map-side-combinable min over the
+    32-byte content hash (same key as pipeline.dedup.exact_dedup); the
+    gate is pure codegen flags; the final count is one global aggregate.
+    Nothing materializes per-doc output — this is the REPORT; run
+    exact_dedup/gopher_filter themselves for the cleaned corpus."""
+    hashed = docs.select(
+        id_col, content_col,
+        F.sha2(F.col(content_col).cast("binary"), 256).alias("__h"),
+    )
+    winners = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    survivors = hashed.join(winners, on=["__h", id_col], how="left_semi")
+    gate = gopher_filter(survivors, content_col=content_col, id_col=id_col,
+                         **gopher_kwargs)
+    kept_l = F.col("kept").cast("long")
+    agg = gate.agg(
+        F.count("*").alias("n_after_exact"),
+        F.sum(kept_l).alias("n_after_quality"),
+        F.sum(F.col("n_words") * kept_l).alias("kept_words"),
+    )
+    return agg.crossJoin(
+        F.broadcast(docs.agg(F.count("*").alias("n_input")))
+    ).select("n_input", "n_after_exact", "n_after_quality", "kept_words")
+
+
 def token_counts(docs: DataFrame, content_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + a BPE-ish piece count (letter runs, digit

@@ -767,3 +767,18 @@ def test_tokenizer_boundary_whitespace(spark):
     pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.1)
     ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (2, 3) not in ids and all(2 not in p and 3 not in p for p in ids)
+
+
+def test_corpus_funnel(spark):
+    from opentsdb_spark.pipeline.text import corpus_funnel
+
+    rows = [
+        (0, "the cat sat on the mat and then the dog sat too"),
+        (1, "the cat sat on the mat and then the dog sat too"),  # exact dup
+        (2, "x"),  # survives dedup, fails the gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    [r] = corpus_funnel(docs, min_words=5, max_words=50,
+                        min_distinct_ratio=0.4).collect()
+    assert r["n_input"] == 3 and r["n_after_exact"] == 2
+    assert r["n_after_quality"] == 1 and r["kept_words"] == 12
