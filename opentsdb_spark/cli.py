@@ -9,7 +9,7 @@ DumpSeries / UidManager (src/tools/*.java). Subcommands:
     python -m opentsdb_spark.cli dump    --metric NAME [--out DIR]
     python -m opentsdb_spark.cli scan    --start ... [--end ...] [--importfmt|--delete] m_spec...
     python -m opentsdb_spark.cli suggest --type metrics|tagk|tagv [--q PREFIX]
-    python -m opentsdb_spark.cli uid     --kind metrics|tagk|tagv
+    python -m opentsdb_spark.cli uid     [--kind ...] [list|grep RE|assign N...|rename OLD NEW]
     python -m opentsdb_spark.cli search  lookup METRIC [TAGK=TAGV...]
     python -m opentsdb_spark.cli graph   --start ... --out FILE.png m_spec...
     python -m opentsdb_spark.cli version
@@ -83,8 +83,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--type", default="metrics", choices=["metrics", "tagk", "tagv"])
     s.add_argument("--q", default="")
 
-    u = sub.add_parser("uid", help="uid registry listing")
+    u = sub.add_parser(
+        "uid", help="uid registry tools (reference tsdb uid / UidManager): "
+                    "list (default), grep RE, assign NAME..., rename OLD NEW"
+    )
     u.add_argument("--kind", default="metrics", choices=["metrics", "tagk", "tagv"])
+    u.add_argument("subcmd", nargs="?", default="list",
+                   choices=["list", "grep", "assign", "rename"])
+    u.add_argument("uid_args", nargs="*",
+                   help="grep: regex; assign: names; rename: OLD NEW "
+                        "(tagv rename: TAGK OLD NEW); renames print put "
+                        "lines unless --out is given")
+    u.add_argument("--registry", default=None,
+                   help="assign: registry parquet dir (read+write)")
+    u.add_argument("--out", default=None, help="rename: write renamed table here")
 
     f = sub.add_parser("fsck", help="data-integrity scan (duplicates/NaN/null/future)")
     f.add_argument("--fix", action="store_true", help="write a repaired table")
@@ -222,11 +234,47 @@ def main(argv: list[str] | None = None) -> int:
         spark, points = _spark_and_points(args)
         print(json.dumps(api.handle_suggest(points, {"type": args.type, "q": args.q})))
     elif args.cmd == "uid":
-        from opentsdb_spark.operators.uid import uid_listing
+        import re as _re
+
+        from opentsdb_spark.operators.uid import (
+            rename_metric, rename_tagk, rename_tagv, uid_assign, uid_listing,
+        )
 
         spark, points = _spark_and_points(args)
-        for r in uid_listing(points, args.kind).orderBy("name").collect():
-            print(f"{r['name']}\t{r['points']}\t{r['first_seen']}\t{r['last_seen']}")
+        if args.subcmd in ("list", "grep"):
+            pat = _re.compile(args.uid_args[0]) if args.uid_args else None
+            for r in uid_listing(points, args.kind).orderBy("name").collect():
+                if args.subcmd == "grep" and (pat is None or not pat.search(r["name"])):
+                    continue
+                print(f"{r['name']}\t{r['points']}\t{r['first_seen']}\t{r['last_seen']}")
+        elif args.subcmd == "assign":
+            reg = (spark.read.parquet(args.registry)
+                   if args.registry and os.path.exists(args.registry) else None)
+            kind = {"metrics": "metric"}.get(args.kind, args.kind)
+            assigned, reg = uid_assign(reg, {kind: args.uid_args}, spark=spark)
+            if args.registry:
+                reg.write.mode("overwrite").parquet(args.registry)
+            print(json.dumps(assigned, indent=2))
+        elif args.subcmd == "rename":
+            if args.kind == "metrics":
+                old, new = args.uid_args
+                renamed = rename_metric(points, old, new)
+            elif args.kind == "tagk":
+                old, new = args.uid_args
+                renamed = rename_tagk(points, old, new)
+            else:
+                tagk, old, new = args.uid_args
+                renamed = rename_tagv(points, tagk, old, new)
+            if args.out:
+                from opentsdb_spark.sources.points import write_points
+
+                write_points(renamed, args.out)
+                print(f"renamed -> {args.out}")
+            else:
+                from opentsdb_spark.sources.points import dump_series
+
+                for r in dump_series(renamed).limit(20).collect():
+                    print(r["line"])
     elif args.cmd == "fsck":
         import time
 

@@ -730,3 +730,39 @@ def test_scan_cli(tmp_path):
     assert retained.where(
         "metric = 'purchase' and ts >= '2024-01-01' and ts <= '2024-01-05'"
     ).count() == 0
+
+
+def test_uid_cli_subcommands(tmp_path):
+    """tsdb uid grep/assign/rename (reference UidManager tool surface)."""
+    import contextlib
+    import io
+    import json as _json
+
+    from opentsdb_spark.cli import main as cli_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli_main(["uid", "grep", "^sign"]) == 0
+    lines = [x for x in buf.getvalue().splitlines() if x.strip()]
+    assert lines and all(x.startswith("signup") for x in lines)
+
+    reg = str(tmp_path / "reg")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        # argparse can't resume a nargs='*' positional after an optional —
+        # options go before the subcommand words
+        assert cli_main(["uid", "--registry", reg, "assign", "m.new"]) == 0
+    out = _json.loads(buf.getvalue())
+    assert "m.new" in out["metric"]
+
+    out_dir = str(tmp_path / "renamed")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli_main(["uid", "--kind", "metrics", "--out", out_dir,
+                         "rename", "signup", "signup2"]) == 0
+    from opentsdb_spark.session import get_spark
+    from opentsdb_spark.sources.points import read_points
+
+    pts = read_points(get_spark("t"), out_dir)
+    assert pts.where("metric = 'signup'").count() == 0
+    assert pts.where("metric = 'signup2'").count() > 0
