@@ -256,8 +256,18 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     hash_fn=None,
     persist: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified on the signature.
+
+    ``max_bucket`` (opt-in) skips band buckets holding more than that many
+    documents before the self-join — the hot-bucket guard the simhash path
+    has. A bucket of B docs costs B^2/2 candidate rows; on a corpus with a
+    boilerplate near-clone cluster of 10^4 copies one bucket alone is 5e7
+    pairs PER BAND. Skipped-bucket members still pair through their other
+    bands (any-band collision), so only pathological clone-clusters lose
+    recall — the same trade as simhash_pairs' cap. Default None preserves
+    exact all-pairs semantics (the hash-checked oracles).
 
     rows-per-band r = num_hashes/bands; two docs collide in a band iff that
     band of the signature matches exactly; candidates are then scored by
@@ -297,6 +307,12 @@ def minhash_lsh_pairs(
     # dedup candidates on bare id pairs (8B keys), then re-join the
     # signatures — dragging the 64-long signature arrays through the
     # distinct shuffle costs ~64x the row width for nothing
+    if max_bucket is not None:
+        bucket_sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("__n"))
+        banded = banded.join(
+            bucket_sizes.where(F.col("__n") <= max_bucket).select("band", "bh"),
+            on=["band", "bh"], how="left_semi",
+        )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
     cands = (

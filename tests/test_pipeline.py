@@ -782,3 +782,22 @@ def test_corpus_funnel(spark):
                         min_distinct_ratio=0.4).collect()
     assert r["n_input"] == 3 and r["n_after_exact"] == 2
     assert r["n_after_quality"] == 1 and r["kept_words"] == 12
+
+
+def test_minhash_max_bucket_cap(spark):
+    from opentsdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base) for i in range(6)] + [
+        (10, "completely different words about spark analytics engines here now"),
+        (11, "completely different words about spark analytics engines here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the 6-clone cluster pairs all-to-all (15 pairs) + 1 pair
+    full = minhash_lsh_pairs(docs, threshold=0.9)
+    assert full.count() == 16
+    # cap below the clone-cluster size: its buckets are skipped in every
+    # band, the small pair survives
+    capped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=4)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(10, 11)}
