@@ -242,9 +242,17 @@ def main(argv: list[str] | None = None) -> int:
 
         spark, points = _spark_and_points(args)
         if args.subcmd in ("list", "grep"):
-            pat = _re.compile(args.uid_args[0]) if args.uid_args else None
+            if args.subcmd == "grep":
+                if not args.uid_args:
+                    ap.error("uid grep needs a regex argument")
+                try:
+                    pat = _re.compile(args.uid_args[0])
+                except _re.error as e:
+                    ap.error(f"invalid regex {args.uid_args[0]!r}: {e}")
+            else:
+                pat = None
             for r in uid_listing(points, args.kind).orderBy("name").collect():
-                if args.subcmd == "grep" and (pat is None or not pat.search(r["name"])):
+                if pat is not None and not pat.search(r["name"]):
                     continue
                 print(f"{r['name']}\t{r['points']}\t{r['first_seen']}\t{r['last_seen']}")
         elif args.subcmd == "assign":
@@ -253,9 +261,20 @@ def main(argv: list[str] | None = None) -> int:
             kind = {"metrics": "metric"}.get(args.kind, args.kind)
             assigned, reg = uid_assign(reg, {kind: args.uid_args}, spark=spark)
             if args.registry:
-                reg.write.mode("overwrite").parquet(args.registry)
+                # the updated frame may read from the same path —
+                # materialize before the overwrite (same hazard as mkmetric)
+                rows = reg.collect()
+                spark.createDataFrame(
+                    rows, "kind string, name string, uid string"
+                ).write.mode("overwrite").parquet(args.registry)
             print(json.dumps(assigned, indent=2))
         elif args.subcmd == "rename":
+            want = 3 if args.kind == "tagv" else 2
+            if len(args.uid_args) != want:
+                ap.error(
+                    "uid rename needs TAGK OLD NEW for tagv" if want == 3
+                    else "uid rename needs OLD NEW"
+                )
             if args.kind == "metrics":
                 old, new = args.uid_args
                 renamed = rename_metric(points, old, new)

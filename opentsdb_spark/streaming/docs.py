@@ -124,8 +124,12 @@ def neardup_filter_batch(
             index = spark.read.parquet(index_path)
             if batch_id is not None and "__batch_id" in index.columns:
                 # replay safety: this batch's previously-appended bands must
-                # not count as collisions against itself
-                index = index.where(F.col("__batch_id") != batch_id)
+                # not count as collisions against itself. NULL batch ids
+                # (direct calls / pre-column index files) are OTHER batches
+                # and must stay — a bare != would null them out of the join
+                index = index.where(
+                    F.col("__batch_id").isNull() | (F.col("__batch_id") != batch_id)
+                )
             fresh = banded.join(index.select("band", "bh"),
                                 on=["band", "bh"], how="left_anti")
         else:
@@ -136,8 +140,13 @@ def neardup_filter_batch(
         fresh = fresh.withColumn("__rn", F.row_number().over(w)).where("__rn = 1")
         new_counts = fresh.groupBy(id_col).agg(F.count("*").alias("__new"))
         kept_ids = new_counts.where(F.col("__new") >= min_new_bands).select(id_col)
-        # short docs (no signature row) pass through un-indexed
-        shorties = batch.join(sigs.select(id_col), on=id_col, how="left_anti")
+        # short docs (no signature row) pass through un-indexed; the id set
+        # comes from the PERSISTED banded frame (same ids as sigs — a doc
+        # has band rows iff it has a signature), so this does not re-run
+        # the signature aggregation per micro-batch
+        shorties = batch.join(
+            banded.select(id_col).distinct(), on=id_col, how="left_anti"
+        )
         kept = (
             batch.join(kept_ids, on=id_col, how="left_semi")
             .unionByName(shorties)

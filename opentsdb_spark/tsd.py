@@ -84,7 +84,10 @@ class TSD:
         if self.status == "shutting-down":
             return self.status
         try:
-            _ = self.points.schema  # session + frame still usable
+            # a REAL JVM round-trip: DataFrame.schema is a cached property
+            # on the Python object and would keep answering after the
+            # session died
+            self.points._jdf.schema()
             self.status = "ok"
         except Exception:  # noqa: BLE001 — any failure = storage error
             self.status = "error"

@@ -766,3 +766,24 @@ def test_uid_cli_subcommands(tmp_path):
     pts = read_points(get_spark("t"), out_dir)
     assert pts.where("metric = 'signup'").count() == 0
     assert pts.where("metric = 'signup2'").count() > 0
+
+
+def test_uid_assign_registry_roundtrip(tmp_path):
+    """Two consecutive assigns against the SAME registry path (the second
+    read+overwrite was the overwrite-while-reading hazard)."""
+    import contextlib
+    import io
+    import json as _json
+
+    from opentsdb_spark.cli import main as cli_main
+
+    reg = str(tmp_path / "reg")
+    for name in ("m.one", "m.two"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert cli_main(["uid", "--registry", reg, "assign", name]) == 0
+        assert name in _json.loads(buf.getvalue())["metric"]
+    from opentsdb_spark.session import get_spark
+
+    rows = {r["name"] for r in get_spark("t").read.parquet(reg).collect()}
+    assert rows == {"m.one", "m.two"}

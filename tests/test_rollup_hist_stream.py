@@ -622,3 +622,20 @@ def test_neardup_batch_replay_and_short_docs(spark):
         kept3 = {r["doc_id"] for r in
                  neardup_filter_batch(b2, idx, batch_id=8).collect()}
         assert kept3 == set()
+
+
+def test_neardup_null_batch_id_index_rows_still_collide(spark):
+    """Index rows written without a batch_id (NULL) must still count as
+    collisions for batched runs (NULL != id is NULL, not true)."""
+    import tempfile as _tf
+
+    from opentsdb_spark.streaming.docs import neardup_filter_batch
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    with _tf.TemporaryDirectory() as d:
+        idx = os.path.join(d, "idx")
+        seed = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        neardup_filter_batch(seed, idx)  # batch_id=None -> NULL rows
+        b = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        kept = neardup_filter_batch(b, idx, batch_id=3).collect()
+        assert kept == []  # the seeded index must suppress the clone

@@ -272,19 +272,27 @@ def main() -> None:
         # vector column among its grouping/agg outputs
         import re as _re2
 
-        # formatted mode lists node details separately: the dedup node's
-        # key line is 'Keys [2]: [query_id#.., vec_id#..]'
-        dd = _re2.search(r"Keys \[\d+\]: \[query_id[^\n]*", lplan)
-        if dd is None:
+        # formatted mode lists node details separately: find the dedup
+        # node's FULL detail block (from its "(N) HashAggregate" header to
+        # the next header) whose Keys line starts with query_id, and scan
+        # the whole block — a dragged vector could ride Keys, Functions
+        # (first()), Input, or Results
+        blocks = _re2.split(r"\n(?=\(\d+\) )", lplan)
+        dd_blocks = [b for b in blocks
+                     if "HashAggregate" in b.split("\n", 1)[0]
+                     and _re2.search(r"Keys \[\d+\]: \[query_id", b)]
+        if not dd_blocks:
             # the guarded node must exist — a silent pass when plan
             # formatting drifts would report the invariant as satisfied
             errors.append("lsh_topk: candidate-dedup HashAggregate not found in plan")
             print("check lsh_topk: candidate_dedup_node=MISSING")
         else:
-            dd_has_vec = "cv#" in dd.group(0) or "embedding" in dd.group(0)
+            dd_has_vec = any(
+                _re2.search(r"\b(qv|cv|embedding)#", b) for b in dd_blocks
+            )
             print(f"check lsh_topk: candidate_dedup_carries_vectors={dd_has_vec}")
             if dd_has_vec:
-                errors.append("lsh_topk: candidate dedup shuffles the vector column")
+                errors.append("lsh_topk: candidate dedup shuffles a vector column")
 
         # semdedup: the within-cell pair join must be an equi join on the
         # cell key (a range/theta fallback is a nested loop over the corpus)
