@@ -332,3 +332,28 @@ def test_queryrpc_parse_vectors():
     # explicit_tags token rides between aggregator and metric
     q = parse_m_subquery("sum:explicit_tags:sys.cpu.0{host=web01}")
     assert q.explicit_tags and q.metric == "sys.cpu.0"
+
+
+def test_aggregation_iterator_double_spans(spark):
+    """Reference TestAggregationIterator.testAggregate_doubleSpans
+    (test/core/TestAggregationIterator.java:91-114): span1 = (0s:40,
+    10s:50, 30s:70), span2 = (10s:37, 20s:48), LERP sum ->
+    [40, 87, 60+48=108, 70] — 60 is span1's interpolated value at 20s and
+    span2 contributes nothing outside its [10s, 20s] range."""
+    from opentsdb_spark.operators.groupby import cross_series_aggregate
+    from tests.conftest import EPOCH
+
+    base = EPOCH * 1000
+    rows = (
+        [("m", base, 40.0, "s1"), ("m", base + 10_000, 50.0, "s1"),
+         ("m", base + 30_000, 70.0, "s1")]
+        + [("m", base + 10_000, 37.0, "s2"), ("m", base + 20_000, 48.0, "s2")]
+    )
+    df = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double, host string"
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value",
+             F.create_map(F.lit("host"), F.col("host")).alias("tags"))
+    for strategy in ("pack", "join", "sweep"):
+        out = {int(r["ts"].timestamp() * 1000 - base): r["value"]
+               for r in cross_series_aggregate(df, "sum", strategy=strategy).collect()}
+        assert out == {0: 40.0, 10_000: 87.0, 20_000: 108.0, 30_000: 70.0}, strategy
