@@ -79,6 +79,10 @@ class TSD:
         # -> shutting-down (sticky); here storage is the Spark session, so
         # the probe is "can we still plan against the point frame"
         self.status = "startup"
+        # reference RpcHandler counters (rpc.received type=http/telnet,
+        # exceptions_caught) surfaced through /api/stats and telnet `stats`
+        self.counters = {"rpc.received.http": 0, "rpc.received.telnet": 0,
+                         "rpc.received.http_plugin": 0, "exceptions_caught": 0}
 
     def probe_status(self) -> str:
         if self.status == "shutting-down":
@@ -158,8 +162,14 @@ class TSD:
         raw-resolution query."""
         from opentsdb_spark.operators.groupby import release_scratch
 
+        self.counters["rpc.received.http"] += 1
+        if path.split("/")[1:2] == ["plugin"]:
+            self.counters["rpc.received.http_plugin"] += 1
         try:
             return self._route(method, path, request, body)
+        except Exception:
+            self.counters["exceptions_caught"] += 1
+            raise
         finally:
             release_scratch()
 
@@ -375,7 +385,7 @@ class TSD:
         if ep == "status":
             return self.probe_status(), "text/plain"
         if ep == "stats":
-            return api.handle_stats(self.spark), None
+            return {**api.handle_stats(self.spark), **self.counters}, None
         if ep == "dropcaches":
             return api.handle_dropcaches(self.spark), None
         raise FileNotFoundError(path)
@@ -542,6 +552,7 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
             if not line:
                 continue
             cmd = line.split()[0].lower()
+            tsd.counters["rpc.received.telnet"] += 1
             try:
                 if cmd in ("put", "rollup"):
                     # write gate (reference authenticates the telnet line
@@ -587,7 +598,7 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                     )
                 elif cmd == "stats":
                     flush()
-                    s = api.handle_stats(tsd.spark)
+                    s = {**api.handle_stats(tsd.spark), **tsd.counters}
                     for k, v in sorted(s.items()):
                         self.wfile.write(f"{k} {v}\n".encode())
                 elif cmd == "help":

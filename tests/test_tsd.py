@@ -648,3 +648,29 @@ def test_status_homepage_and_bare_aliases(tsd_server):
     f.flush()
     assert f.readline().strip() == b"ok"
     s.close()
+
+
+def test_rpc_counters(tsd_server):
+    tsd, http_port, tel_port = tsd_server
+    before = tsd.counters["rpc.received.http"]
+    _get(http_port, "/api/version")
+    try:
+        _get(http_port, "/api/nope")
+    except urllib.error.HTTPError:
+        pass
+    st, _, body = _get(http_port, "/api/stats")
+    stats = json.loads(body)
+    assert stats["rpc.received.http"] >= before + 3
+    assert stats["exceptions_caught"] >= 1
+    s = socket.create_connection(("127.0.0.1", tel_port), timeout=30)
+    f = s.makefile("rwb")
+    f.write(b"stats\nexit\n")
+    f.flush()
+    lines = b""
+    for _ in range(20):
+        ln = f.readline()
+        if not ln:
+            break
+        lines += ln
+    s.close()
+    assert b"rpc.received.telnet" in lines
