@@ -39,7 +39,9 @@ from opentsdb_spark.model import (
 )
 from opentsdb_spark.operators.metadata import SUGGEST_MAX, last_points, lookup, suggest
 from opentsdb_spark.parse import parse_gexp, parse_query
-from opentsdb_spark.plans.limits import enforce_data_point_limit, request_limit
+from opentsdb_spark.plans.limits import (
+    enforce_data_point_limit, request_byte_limit, request_limit,
+)
 from opentsdb_spark.plans.planner import compile_query
 from opentsdb_spark.serializer import graph_ascii, serialize_subquery, subquery_echo
 from opentsdb_spark.timeparse import parse_datetime_ms, parse_duration_ms
@@ -124,9 +126,21 @@ def handle_query(
     # _now_ms pins 'now' for the DATA range too, not just the annotation
     # window / scan budget below — otherwise a caller-pinned clock reads
     # data and annotations from different windows
+    # agg=none parity: the reference routes NONE around group-bys and emits
+    # one SpanGroup PER SPAN (src/core/TsdbQuery.java:1006-1027 "The raw
+    # aggregator skips group bys"), so ?m=none:metric over a multi-series
+    # metric legitimately returns one output series per span — it does NOT
+    # throw; Aggregators.None's "More than one value" guard
+    # (Aggregators.java:434-461) is unreachable from this path. The engine
+    # serializes per series_id, matching that shape exactly
+    # (test_tsd.py::test_none_multi_series_per_span). Callers wanting the
+    # typo-proof rejection opt in with ?strict_none.
+    from opentsdb_spark.parse import _flag
+
     compiled = compile_query(points, tsq, now_ms=request.get("_now_ms"),
                              histograms=histograms,
-                             rollup_cfg=rollup_cfg, agg_tag=agg_tag)
+                             rollup_cfg=rollup_cfg, agg_tag=agg_tag,
+                             strict_none=_flag(request, "strict_none"))
     ann_map: dict[str, list[dict[str, Any]]] | None = None
     globals_list: list[dict[str, Any]] | None = None
     if annotations is not None and not tsq.no_annotations:
@@ -162,6 +176,14 @@ def handle_query(
     for sq_idx, (q, res) in enumerate(zip(tsq.queries, compiled)):
         echo = subquery_echo(q) if tsq.show_query else None
         ts0 = time.monotonic()
+        byte_limit = request_byte_limit(request)
+        if byte_limit > 0 and res.source_df is not None:
+            # byte ceiling first: it prices the scan from plan statistics
+            # alone (tsd.query.limits.bytes, SaltScanner.java:560-605) —
+            # no job runs at all for an over-budget range
+            from opentsdb_spark.plans.limits import enforce_byte_budget
+
+            enforce_byte_budget(res.source_df, byte_limit)
         if limit > 0 and res.source_df is not None:
             # price the query BEFORE the expensive plan runs (the reference
             # aborts mid-scan, TsdbQuery.java:527-536; see enforce_scan_budget)

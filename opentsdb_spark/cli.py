@@ -142,6 +142,20 @@ def main(argv: list[str] | None = None) -> int:
     td.add_argument("--static-dir", default=None,
                     help="serve /s/* files from this directory "
                          "(reference tsd.http.staticroot)")
+    # The reference defaults tsd.query.limits.* to unlimited because it
+    # STREAMS results into the channel; this daemon materializes responses
+    # via collect(), so an unlimited default would let one un-downsampled
+    # full-range query OOM the driver. Ship the ceiling ON: 8M data points
+    # is far above any renderable/JSON-consumable response and well inside
+    # driver memory. 0 disables (the reference default).
+    td.add_argument("--max-data-points", type=int, default=8_000_000,
+                    help="reject queries whose scan or output grid exceeds "
+                         "this many data points (tsd.query.limits.data_points; "
+                         "0 = unlimited)")
+    td.add_argument("--max-scan-bytes", type=int, default=0,
+                    help="reject queries whose pruned Parquet scan exceeds "
+                         "this many bytes (tsd.query.limits.bytes; "
+                         "0 = unlimited, the reference default)")
 
     ms = sub.add_parser(
         "metasync",
@@ -364,8 +378,11 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(api.handle_version(), indent=2))
     elif args.cmd == "tsd":
+        from opentsdb_spark.plans import limits
         from opentsdb_spark.tsd import TSD, serve
 
+        limits.configure(max_data_points=args.max_data_points,
+                         max_bytes=args.max_scan_bytes)
         spark, points = _spark_and_points(args)
         serve(TSD(spark, points, static_dir=args.static_dir),
               port=args.port, telnet_port=args.telnet_port)

@@ -104,8 +104,14 @@ def decode_histogram_points(raw_points: DataFrame, codec_id_col: str = "codec_id
     lookup job — histogram frames are ingested batches, not corpus scans;
     pass strict=False to skip it on a pre-validated frame."""
     if strict:
+        # NULL codec ids must hit the probe too: ~isin(...) is NULL (not
+        # true) for a NULL codec_id, which would let exactly the silent
+        # union truncation strict mode exists to prevent slip through
         bad = (
-            raw_points.where(~F.col(codec_id_col).isin(list(HISTOGRAM_CODECS)))
+            raw_points.where(
+                F.col(codec_id_col).isNull()
+                | ~F.col(codec_id_col).isin(list(HISTOGRAM_CODECS))
+            )
             .select(codec_id_col)
             .first()
         )

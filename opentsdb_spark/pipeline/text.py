@@ -301,11 +301,12 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
     # phone separators are space/dash/dot/parens ONLY (no \s: a class with
-    # \n swallowed digit runs ACROSS LINES into one giant bogus redaction)
-    # and the body is bounded so a greedy match can't eat a whole number
-    # table; in-line spaced digit groups ('10 20 30 40') still match — an
-    # inherent ambiguity of phone-shaped scrubbing, bounded at ~15 digits
-    ("phone", r"\+?[0-9][0-9()\-\. ]{5,12}[0-9]", "<PHONE>"),
+    # \n swallowed digit runs ACROSS LINES into one giant bogus redaction).
+    # Bounded by DIGIT count (7-15 digits, E.164's max), not raw chars: a
+    # char-count bound made '+1 (555) 123-4567' match only partially and
+    # leak trailing digits. At most 2 separators per gap (covers ') 1' in
+    # '(555) 123'), so total length stays bounded and never crosses lines.
+    ("phone", r"\+?[0-9](?:[()\-\. ]{0,2}[0-9]){6,14}", "<PHONE>"),
 )
 
 

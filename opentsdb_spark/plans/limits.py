@@ -20,16 +20,31 @@ class QueryLimitExceeded(RuntimeError):
 # (0 = disabled, the reference's default). Every API handler consults this
 # before collecting to the driver; a per-request "max_data_points" overrides
 # it (QueryLimitOverride.java's per-metric override generalized per-request).
+# The reference can default to unlimited because it STREAMS results into the
+# channel; this engine materializes responses via collect(), so the TSD
+# daemon turns a non-zero ceiling on by default (cli.py tsd
+# --max-data-points) — library callers keep the reference default.
 DEFAULT_MAX_DATA_POINTS = 0
 
+# analog of tsd.query.limits.bytes (src/core/SaltScanner.java:560-605 aborts
+# the scan once the streamed cells exceed the byte ceiling). 0 = disabled.
+DEFAULT_MAX_BYTES = 0
 
-def configure(max_data_points: int) -> None:
-    global DEFAULT_MAX_DATA_POINTS
-    DEFAULT_MAX_DATA_POINTS = int(max_data_points)
+
+def configure(max_data_points: int | None = None, max_bytes: int | None = None) -> None:
+    global DEFAULT_MAX_DATA_POINTS, DEFAULT_MAX_BYTES
+    if max_data_points is not None:
+        DEFAULT_MAX_DATA_POINTS = int(max_data_points)
+    if max_bytes is not None:
+        DEFAULT_MAX_BYTES = int(max_bytes)
 
 
 def request_limit(request: dict) -> int:
     return int(request.get("max_data_points", DEFAULT_MAX_DATA_POINTS))
+
+
+def request_byte_limit(request: dict) -> int:
+    return int(request.get("max_bytes", DEFAULT_MAX_BYTES))
 
 
 def enforce_data_point_limit(df: DataFrame, max_data_points: int) -> DataFrame:
@@ -44,6 +59,44 @@ def enforce_data_point_limit(df: DataFrame, max_data_points: int) -> DataFrame:
             f"query would return more than {max_data_points} data points"
         )
     return df
+
+
+def estimate_scan_bytes(df: DataFrame) -> int:
+    """On-disk bytes the query would read, priced WITHOUT running any job.
+
+    File-source scans are priced from the physical plan's pruned file
+    listing (FileSourceScanExec.selectedPartitions.totalFileSize): for a
+    path-based dt-partitioned Parquet layout, partition filters prune at
+    physical planning, so a one-day slice of a year prices only that day's
+    files — exactly the bytes the reference's scanner would stream
+    (src/core/SaltScanner.java:560-605). The cost is a driver-side file
+    listing, no Spark job. Non-file leaves (in-memory frames, cached
+    relations) fall back to Catalyst's optimized-plan size estimate."""
+    qe = df._jdf.queryExecution()
+    leaves = qe.executedPlan().collectLeaves()
+    total, found_files = 0, False
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() == "FileSourceScanExec":
+            found_files = True
+            total += int(leaf.selectedPartitions().totalFileSize())
+    if found_files:
+        return total
+    return int(qe.optimizedPlan().stats().sizeInBytes())
+
+
+def enforce_byte_budget(source_df: DataFrame, max_bytes: int) -> None:
+    """Pre-execution byte ceiling — tsd.query.limits.bytes. Rejects the
+    query from plan statistics alone (no job runs); 0 = unlimited."""
+    if max_bytes <= 0:
+        return
+    est = estimate_scan_bytes(source_df)
+    if est > max_bytes:
+        raise QueryLimitExceeded(
+            f"sorry, you have attempted to fetch more than our limit of "
+            f"{max_bytes} bytes (the scan would read ~{est} bytes after "
+            f"partition pruning)"
+        )
 
 
 # approximate milliseconds per calendar unit, for grid-size estimation only

@@ -39,8 +39,15 @@ from urllib.parse import parse_qs, urlparse
 from pyspark.sql import DataFrame
 
 from opentsdb_spark import api
+from opentsdb_spark.plans.limits import QueryLimitExceeded
 
 _CHECKPOINT_EVERY = 32  # union depth before compacting lineage
+
+# Explicit "respond 204" sentinel. Handlers that legitimately produce an
+# empty string WITH a content type (e.g. GET /logs on an empty ring buffer)
+# must still get an empty 200 body, like the reference LogsRpc — so
+# no-content is signalled by identity, never inferred from payload == "".
+NO_CONTENT = object()
 
 
 class BadRequest(ValueError):
@@ -74,6 +81,11 @@ class TSD:
         self.uidmeta: DataFrame | None = None
         self.tsmeta: DataFrame | None = None
         self.lock = threading.Lock()
+        # counters get their own lock: increments must not queue behind the
+        # frame lock, which is held across Spark unions during ingest, and
+        # unsynchronized += from ThreadingHTTPServer/telnet threads loses
+        # counts (read-modify-write race) so the stats drift low
+        self._counter_lock = threading.Lock()
         self._writes = 0
         # reference RpcManager.Status lifecycle: startup -> ok/partial/error
         # -> shutting-down (sticky); here storage is the Spark session, so
@@ -83,6 +95,10 @@ class TSD:
         # exceptions_caught) surfaced through /api/stats and telnet `stats`
         self.counters = {"rpc.received.http": 0, "rpc.received.telnet": 0,
                          "rpc.received.http_plugin": 0, "exceptions_caught": 0}
+
+    def bump(self, name: str, n: int = 1) -> None:
+        with self._counter_lock:
+            self.counters[name] = self.counters.get(name, 0) + n
 
     def probe_status(self) -> str:
         if self.status == "shutting-down":
@@ -162,13 +178,13 @@ class TSD:
         raw-resolution query."""
         from opentsdb_spark.operators.groupby import release_scratch
 
-        self.counters["rpc.received.http"] += 1
+        self.bump("rpc.received.http")
         if path.split("/")[1:2] == ["plugin"]:
-            self.counters["rpc.received.http_plugin"] += 1
+            self.bump("rpc.received.http_plugin")
         try:
             return self._route(method, path, request, body)
         except Exception:
-            self.counters["exceptions_caught"] += 1
+            self.bump("exceptions_caught")
             raise
         finally:
             release_scratch()
@@ -283,7 +299,7 @@ class TSD:
             # PutDataPointRpc.java query-param handling)
             if "summary" in request or "details" in request:
                 return resp, None
-            return ("", None) if not resp.get("failed") else (resp, None)
+            return (NO_CONTENT, None) if not resp.get("failed") else (resp, None)
         if ep == "rollup":
             resp, frame = api.handle_rollup_put(self.spark, body, request)
             with self.lock:
@@ -408,7 +424,7 @@ def make_http_handler(tsd: TSD) -> type:
             pass
 
         def _respond(self, code: int, payload, content_type=None):
-            if code == 204 or (payload == "" and not content_type):
+            if code == 204 or payload is NO_CONTENT:
                 # RFC 7230: 204 carries NO body — writing even '""' after
                 # it desynchronizes HTTP/1.1 keep-alive connections
                 self.send_response(204)
@@ -461,6 +477,11 @@ def make_http_handler(tsd: TSD) -> type:
                 payload, ctype = tsd.route(method, path, request, body)
             except FileNotFoundError:
                 return self._error(404, f"Endpoint not found: {path}")
+            except QueryLimitExceeded as e:
+                # reference: QueryException(REQUEST_ENTITY_TOO_LARGE,
+                # "Sorry, you have attempted to fetch more than our limit
+                # ...") — src/core/SaltScanner.java:560-605
+                return self._error(413, str(e))
             except (BadRequest, ValueError, KeyError, TypeError) as e:
                 return self._error(400, str(e))
             except PermissionError as e:
@@ -476,7 +497,10 @@ def make_http_handler(tsd: TSD) -> type:
                 return self._error(501, str(e))
             except Exception as e:  # noqa: BLE001 — the reference 500s too
                 return self._error(500, f"{type(e).__name__}: {e}")
-            self._respond(200 if payload != "" else 204, payload, ctype)
+            # 204 only on the explicit sentinel — a handler's legitimate
+            # empty-string body (e.g. /logs with an empty ring buffer)
+            # stays an empty 200, matching the reference LogsRpc
+            self._respond(204 if payload is NO_CONTENT else 200, payload, ctype)
 
         def do_GET(self):
             self._handle("GET")
@@ -552,7 +576,7 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
             if not line:
                 continue
             cmd = line.split()[0].lower()
-            tsd.counters["rpc.received.telnet"] += 1
+            tsd.bump("rpc.received.telnet")
             try:
                 if cmd in ("put", "rollup"):
                     # write gate (reference authenticates the telnet line

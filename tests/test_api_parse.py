@@ -88,8 +88,10 @@ def test_handle_query_data_point_limit(fixture_points):
     # data-point ceiling, TsdbQuery.java:527-536), per-request override key
     from opentsdb_spark.plans.limits import QueryLimitExceeded
 
+    # (agg=none over a multi-series metric is itself a strict_none error on
+    # the API surface now — use a real aggregator to exercise the limit)
     req = {"start": EPOCH, "end": EPOCH + 9000 * 1000,
-           "m": "none:sys.cpu.user", "max_data_points": 10}
+           "m": "sum:sys.cpu.user", "max_data_points": 10}
     with pytest.raises(QueryLimitExceeded):
         api.handle_query(fixture_points, req)
     req["max_data_points"] = 100_000  # raise the ceiling -> passes
@@ -198,6 +200,41 @@ def test_scan_budget_rejects_before_execution(fixture_points):
            "m": "sum:1s-avg-zero:sys.cpu.user", "max_data_points": 100_000}
     with pytest.raises(QueryLimitExceeded):
         api.handle_query(fixture_points, req)
+
+
+def test_byte_budget_prices_from_plan_stats(spark, fixture_points, tmp_path):
+    """tsd.query.limits.bytes analog: the ceiling is enforced from the
+    OPTIMIZED plan's size statistics — partition pruning must shrink the
+    estimate (a one-day slice of a dt-partitioned layout prices only that
+    day's files), and rejection runs NO Spark job."""
+    from opentsdb_spark.plans.limits import (
+        QueryLimitExceeded, enforce_byte_budget, estimate_scan_bytes,
+    )
+    from opentsdb_spark.sources.points import write_points
+
+    path = str(tmp_path / "pts")
+    # fixture spans one day; widen to 3 dt partitions by shifting copies
+    wide = fixture_points
+    for days in (1, 2):
+        wide = wide.unionByName(
+            fixture_points.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        )
+    write_points(wide, path)
+    full = spark.read.parquet(path)
+    full_bytes = estimate_scan_bytes(full)
+    day0 = full.where(F.col("dt") == F.to_date(F.timestamp_seconds(F.lit(EPOCH))))
+    day0_bytes = estimate_scan_bytes(day0)
+    assert 0 < day0_bytes < full_bytes  # pruning reflected in the estimate
+    enforce_byte_budget(day0, day0_bytes + 1)  # under budget passes
+    with pytest.raises(QueryLimitExceeded, match="bytes"):
+        enforce_byte_budget(day0, day0_bytes - 1)
+    # rejection is statistics-only: no job may run
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    with pytest.raises(QueryLimitExceeded):
+        enforce_byte_budget(full, 1)
+    assert tracker.getJobIdsForGroup(None) == before
 
 
 def test_aggregate_tags(fixture_points):

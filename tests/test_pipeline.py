@@ -418,6 +418,9 @@ def test_pii_scrub(spark):
     s = r["scrubbed"]
     assert "<EMAIL>" in s and "<IP>" in s and "<SSN>" in s and "<PHONE>" in s
     assert "a@b.com" not in s and "6789" not in s and "555" not in s
+    # the FULL number must be gone — a char-bounded pattern used to leave
+    # '<PHONE>67'-style trailing-digit leaks
+    assert "67" not in s and "+1" not in s and "123" not in s
 
 
 def test_boilerplate_flags(spark):

@@ -503,6 +503,12 @@ def test_review_fix_regressions(spark, fixture_points):
     with pytest.raises(ValueError, match="unknown histogram codec id 99"):
         decode_histogram_points(raw)
 
+    # a NULL codec id is just as unknown — ~isin() alone is NULL for NULL
+    # rows, which would silently drop them from the decode union
+    raw_null = spark.createDataFrame([(None, "x")], "codec_id int, raw string")
+    with pytest.raises(ValueError, match="unknown histogram codec id None"):
+        decode_histogram_points(raw_null)
+
     # bulk annotation delete without a target is a 400, not a silent no-op
     from opentsdb_spark.operators.annotations import bulk_delete_annotations
 

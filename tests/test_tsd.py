@@ -67,6 +67,52 @@ def test_query_endpoint(tsd_server):
     assert len(out) == 2 and all("dps" in s for s in out)
 
 
+def test_none_multi_series_per_span(tsd_server):
+    """agg=none over a multi-series metric emits one output series PER SPAN
+    — the reference routes NONE around group-bys (TsdbQuery.java:1006-1027)
+    and never hits Aggregators.None's more-than-one-value guard; the series
+    must come back separate, never interleaved. ?strict_none opts into the
+    typo-proof 400 rejection instead."""
+    _, port, _ = tsd_server
+    st, _, body = _get(
+        port, f"/api/query?start={EPOCH}&end={EPOCH + 100_000}&m=none:sys.cpu.user"
+    )
+    assert st == 200
+    out = json.loads(body)
+    assert len(out) == 2
+    # ascending 1..N vs descending N..1: interleaving would mix the ramps
+    ramps = {tuple(v for _, v in sorted(s["dps"].items())) for s in out}
+    assert all(r == tuple(sorted(r)) or r == tuple(sorted(r, reverse=True))
+               for r in ramps)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(port, f"/api/query?start={EPOCH}&end={EPOCH + 100_000}"
+                   "&m=none:sys.cpu.user&strict_none")
+    assert ei.value.code == 400
+    err = json.loads(ei.value.read())["error"]
+    assert "More than one value in aggregator none" in err["message"]
+
+
+def test_query_limits_413(tsd_server):
+    """Over-budget queries answer the reference's 413 envelope
+    (QueryException REQUEST_ENTITY_TOO_LARGE, SaltScanner.java:560-605)
+    instead of OOM-collecting: data-point ceiling prices the scan up front,
+    byte ceiling prices it from plan statistics alone."""
+    _, port, _ = tsd_server
+    base = f"/api/query?start={EPOCH}&end={EPOCH + 100_000}&m=sum:sys.cpu.user"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(port, base + "&max_data_points=3")
+    assert ei.value.code == 413
+    err = json.loads(ei.value.read())["error"]
+    assert err["code"] == 413 and "limit" in err["message"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(port, base + "&max_bytes=16")
+    assert ei.value.code == 413
+    assert "bytes" in json.loads(ei.value.read())["error"]["message"]
+    # within budget: both ceilings clear
+    st, _, _ = _get(port, base + "&max_data_points=100000&max_bytes=1000000000")
+    assert st == 200
+
+
 def test_suggest_and_search(tsd_server):
     _, port, _ = tsd_server
     st, _, body = _get(port, "/api/suggest?type=metrics&q=sys")
@@ -344,8 +390,11 @@ def test_logs_and_http_plugin(tsd_server):
     import logging
 
     tsd, http_port, _ = tsd_server
-    # first hit installs the ring buffer; then a log line must show up
-    _get(http_port, "/logs")
+    # first hit installs the (empty) ring buffer — an empty text/plain body
+    # is an empty 200 like the reference LogsRpc, NOT a 204 (no-content is
+    # an explicit sentinel, never inferred from payload == "")
+    st0, ctype0, body0 = _get(http_port, "/logs")
+    assert st0 == 200 and "text/plain" in ctype0 and body0 == b""
     logging.getLogger("opentsdb_spark.test").warning("ringbuffer probe %d", 7)
     st, ctype, body = _get(http_port, "/logs")
     assert st == 200 and "text/plain" in ctype
