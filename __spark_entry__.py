@@ -31,4 +31,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.sql for name, qd in catalog.CATALOG.items() if qd.sql is not None}
+    # callable sql entries resolve lazily (data-dependent literals, e.g.
+    # trained IVF centroids) — see catalog.QueryDef.sql / resolve_sql
+    return {
+        name: catalog.resolve_sql(qd)
+        for name, qd in catalog.CATALOG.items()
+        if qd.sql is not None
+    }

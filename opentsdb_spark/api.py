@@ -72,6 +72,10 @@ def _tsquery_from_body(body: dict) -> TSQuery:
                 counter_max=int(ro.get("counterMax", (1 << 63) - 1)),
                 reset_value=int(ro.get("resetValue", 0)),
                 drop_resets=bool(ro.get("dropResets")),
+                # engine extension: reference first-vs-(0,0) origin opt-in
+                # (RateSpan.java:108-114; default-off decision documented
+                # on model.RateOptions)
+                first_vs_zero=bool(ro.get("firstVsZero")),
             )
         subs.append(
             SubQuery(
@@ -150,11 +154,31 @@ def handle_query(
         end_ms = parse_datetime_ms(tsq.end, tsq.timezone, request.get("_now_ms"))
         ann_map = {}
         globals_list = [] if tsq.with_global_annotations else None
-        # empty tsuids + include_global=False applies no identity predicate:
-        # every overlapping note comes back; global rows (tsuid null) are
-        # routed below and dropped unless with_global_annotations
+        # push the identity filter into the FRAME: a broadcast semi-join
+        # against the query's matched-series ids means annotation cost
+        # scales with the matched series, not the global annotation table
+        # (which a dense deployment grows without bound). Falls back to the
+        # fetch-all path only when no sub-query exposes a source frame.
+        from opentsdb_spark.sources.points import series_id_col
+
+        sid_frames = [
+            res.source_df.select(series_id_col("metric", "tags").alias("tsuid"))
+            for res in compiled
+            if res.source_df is not None
+        ]
+        tsuid_df = None
+        if sid_frames:
+            tsuid_df = sid_frames[0]
+            for f in sid_frames[1:]:
+                tsuid_df = tsuid_df.unionByName(f)
+        # fallback (tsuid_df None): tsuids=() + include_global=False applies
+        # no identity predicate at all — every overlapping note comes back
+        # and is routed driver-side, exactly the old behavior. With the
+        # frame, globals only ride along when actually requested.
         rows = annotations_in_range(
-            annotations, start_ms, end_ms, tsuids=(), include_global=False
+            annotations, start_ms, end_ms, tsuids=(),
+            include_global=tsuid_df is not None and bool(tsq.with_global_annotations),
+            tsuid_df=tsuid_df,
         ).collect()
         for r in rows:
             note = {

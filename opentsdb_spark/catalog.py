@@ -15,6 +15,7 @@ Conventions keeping Spark and DuckDB hash-identical:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -67,13 +68,21 @@ RND_NF = (
 class QueryDef:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # None => non-SQL-expressible; driver does rows-only check
+    # None => non-SQL-expressible; driver does rows-only check. A CALLABLE
+    # is resolved to the SQL string lazily at oracle-consumption time — for
+    # oracles whose literals depend on the gate data (the trained-IVF
+    # centroids); resolve with resolve_sql().
+    sql: str | Callable[[], str] | None
 
 
 CATALOG: dict[str, QueryDef] = {}
 
 
-def register(name: str, sql: str | None):
+def resolve_sql(qd: QueryDef) -> str | None:
+    return qd.sql() if callable(qd.sql) else qd.sql
+
+
+def register(name: str, sql):
     def deco(fn):
         CATALOG[name] = QueryDef(name, fn, sql)
         return fn
@@ -440,6 +449,37 @@ def tsdb_rate_counter(spark, sf_dir):
     return out.select(
         "metric", series_id_col().alias("series_id"), _ts_ms(), _vr(F.col("value"))
     )
+
+
+@register(
+    "tsdb_rate_first_vs_zero",
+    f"""WITH d AS (
+          SELECT {SID} AS series_id, epoch_ms(ts) AS t, value AS v
+          FROM events WHERE event_type = 'error'
+        )
+        SELECT 'error' AS metric, series_id, CAST(t AS BIGINT) AS ts_ms,
+               {RND.format('''CASE WHEN lag(v) OVER w IS NULL
+                     THEN v / (t / 1000.0)
+                     ELSE (v - lag(v) OVER w) / ((t - lag(t) OVER w) / 1000.0)
+                END''')} AS value_r
+        FROM d WINDOW w AS (PARTITION BY series_id ORDER BY t)""",
+)
+def tsdb_rate_first_vs_zero(spark, sf_dir):
+    """The reference's first-vs-(0,0) rate quirk through the FULL query
+    surface: m= spec 'none:rate{fvz}:error' -> parser -> planner. The
+    reference always rates each series' first point against a synthetic
+    (t=0, v=0) origin (src/core/RateSpan.java:108-114 "emit a rate of
+    (value - 0) / (T - 0) for backward compatibility"); this engine's
+    documented default drops the first point, and the fvz slot
+    (rateOptions.firstVsZero over JSON) opts reference semantics back in.
+    Every series keeps exactly one more row than tsdb_rate — the
+    first-point rate v / epoch_seconds."""
+    from opentsdb_spark.parse import parse_m_subquery
+    from opentsdb_spark.plans.planner import compile_subquery
+
+    sub = parse_m_subquery("none:rate{fvz}:error")
+    res = compile_subquery(_pts(spark, sf_dir), sub, START_MS, END_MS)
+    return res.df.select("metric", "series_id", _ts_ms(), _vr(F.col("value")))
 
 
 # ======================================== cross-series aggregation ==========
@@ -2402,19 +2442,43 @@ def ann_lsh_top5(spark, sf_dir):
                       _vr(F.col("cosine")).alias("cosine_r"))
 
 
-@register("ann_ivf_top5", None)
+def _ivf_trained_sql() -> str:
+    """Oracle for the TRAINED IVF path, built lazily at oracle-resolution
+    time: training is deterministic (hash-ordered sample + fixed-seed numpy
+    kernel), so train_centroids_replica reproduces the exact centroids
+    ivf_topk trains — WITHOUT Spark — and splices them as literals into the
+    same quantize/probe/re-rank SQL the fixed-centroid entry uses. The
+    replica reads the gate's parquet (SPARK_GRAFT_ORACLE_SF_DIR, default
+    the driver's sf0.01); tools/check_oracle.py pins the env var to its
+    sf_dir so Spark and oracle always train on the same corpus."""
+    from opentsdb_spark.pipeline.similarity import train_centroids_replica
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = train_centroids_replica(
+        f"{sf_dir}/embeddings.parquet", n_centroids=16, train_size=10_000,
+        iters=5, seed=42,
+    )
+    return _ivf_oracle_from_centroids(5, 12, cents)
+
+
+@register("ann_ivf_top5", _ivf_trained_sql)
 def ann_ivf_top5(spark, sf_dir):
     from opentsdb_spark.pipeline.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=12)
+    out = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=12)
+    return out.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"),
+                      _vr(F.col("cosine")).alias("cosine_r"))
 
 
 def _ivf_fixed_oracle(k: int, n_centroids: int, n_probe: int) -> str:
     from opentsdb_spark.pipeline.similarity import seeded_centroids
 
-    cents = seeded_centroids(n_centroids, 64)
+    return _ivf_oracle_from_centroids(k, n_probe, seeded_centroids(n_centroids, 64))
+
+
+def _ivf_oracle_from_centroids(k: int, n_probe: int, cents: list[list[float]]) -> str:
     rows = ",\n".join(
         "(%d, [%s])" % (i, ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c))
         for i, c in enumerate(cents)

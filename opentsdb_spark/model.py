@@ -63,6 +63,14 @@ class RateOptions:
     counter_max: int = (1 << 63) - 1
     reset_value: int = 0  # rate > reset_value -> emit 0 (when counter)
     drop_resets: bool = False
+    # The reference ALWAYS computes each series' first rate against a
+    # synthetic (t=0, v=0) origin "for backward compatibility"
+    # (src/core/RateSpan.java:108-114), emitting value/epoch_seconds for the
+    # first point. This engine's documented default DROPS the first point
+    # instead (a rate needs two observations; the quirk's output is a
+    # near-zero artifact of the epoch). Opt into reference behavior per
+    # query: m=...rate{...,fvz}: or rateOptions {"firstVsZero": true}.
+    first_vs_zero: bool = False
 
 
 @dataclass(frozen=True)

@@ -114,13 +114,30 @@ def annotations_in_range(
     end_ms: int,
     tsuids: tuple[str, ...] = (),
     include_global: bool = True,
+    tsuid_df: DataFrame | None = None,
 ) -> DataFrame:
     """Annotations overlapping [start, end] for the given series (and/or
-    global ones) — the /api/annotation query path."""
+    global ones) — the /api/annotation query path.
+
+    ``tsuid_df`` (one column of series ids) pushes the identity filter into
+    the FRAME as a broadcast semi-join instead of a driver-side literal
+    list: /api/query hands the query's matched-series frame here so
+    annotation cost scales with the matched series, not the global
+    annotation table. The matched side is small post-aggregation output, so
+    the broadcast is bounded; global rows (tsuid NULL) union back in when
+    requested."""
     overlap = (F.unix_millis("start_time") <= end_ms) & (
         F.coalesce(F.unix_millis("end_time"), F.unix_millis("start_time")) >= start_ms
     )
     df = annotations.where(overlap)
+    if tsuid_df is not None:
+        ids = tsuid_df.select(
+            F.col(tsuid_df.columns[0]).alias("tsuid")
+        ).distinct()
+        matched = df.join(F.broadcast(ids), "tsuid", "semi")
+        if include_global:
+            matched = matched.unionByName(df.where(F.col("tsuid").isNull()))
+        return matched
     preds = []
     if tsuids:
         preds.append(F.col("tsuid").isin(list(tsuids)))

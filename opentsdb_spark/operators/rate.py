@@ -31,10 +31,16 @@ def rate(
     points: DataFrame,
     options: RateOptions | None = None,
     series_cols: tuple[str, ...] = ("metric", "tags"),
-    first_vs_zero: bool = False,
+    first_vs_zero: bool | None = None,
 ) -> DataFrame:
-    """Convert each series' values to per-second rates of change."""
+    """Convert each series' values to per-second rates of change.
+
+    ``first_vs_zero`` overrides ``options.first_vs_zero`` when given —
+    the query surface reaches the quirk through RateOptions (m= spec
+    'rate{...,fvz}', JSON rateOptions.firstVsZero)."""
     opts = options or RateOptions()
+    if first_vs_zero is None:
+        first_vs_zero = opts.first_vs_zero
     # partition key: maps can't be partition keys pre-canonicalization, so
     # key on a deterministic string when tags is among the series columns
     part_cols = list(series_cols)

@@ -80,7 +80,12 @@ def _parse_rate(token: str) -> RateOptions:
     """'rate' or 'rate{counter[,max[,reset]]}' — dropping resets is spelled
     'dropcounter' in the FIRST slot, and more than 3 slots is an error
     (reference QueryRpc.parseRateOptions: exactly 1..3 parts,
-    drop_counter = parts[0].equals("dropcounter"))."""
+    drop_counter = parts[0].equals("dropcounter")).
+
+    Engine extension: a trailing ``fvz`` slot ('rate{fvz}',
+    'rate{counter,,0,fvz}') opts into the reference's first-vs-(0,0)
+    origin for each series' first rate (RateSpan.java:108-114) — see
+    model.RateOptions.first_vs_zero for the default-off rationale."""
     if token == "rate":
         return RateOptions()
     m = re.match(r"^rate\{(.*)\}$", token)
@@ -92,17 +97,21 @@ def _parse_rate(token: str) -> RateOptions:
     parts = [p.strip() for p in m.group(1).split(",")]
     if parts == [""]:
         parts = []
+    fvz = bool(parts) and parts[-1].lower() == "fvz"
+    if fvz:
+        parts = parts[:-1]
     if len(parts) > 3:
         raise ValueError(
             "Incorrect number of values in rate options specification, must "
-            f"be counter[,counter max value,reset value]: {token!r}"
+            f"be counter[,counter max value,reset value][,fvz]: {token!r}"
         )
     counter = bool(parts) and parts[0].endswith("counter")
     drop = bool(parts) and parts[0] == "dropcounter"
     cmax = int(parts[1]) if len(parts) > 1 and parts[1] else (1 << 63) - 1
     reset = int(parts[2]) if len(parts) > 2 and parts[2] else 0
     return RateOptions(counter=counter or drop, counter_max=cmax,
-                       reset_value=reset, drop_resets=drop)
+                       reset_value=reset, drop_resets=drop,
+                       first_vs_zero=fvz)
 
 
 def _parse_downsample(token: str, timezone: str) -> DownsampleSpec:

@@ -377,32 +377,12 @@ def _assign_cells(corpus: DataFrame, cent_arr: list[list[float]], vec_alias: str
     )
 
 
-def _train_kmeans(
-    embeddings: DataFrame,
-    n_centroids: int,
-    train_size: int,
-    iters: int,
-    seed: int,
-    vec_col: str,
-) -> list[list[float]]:
-    """Spherical-ish k-means on a BOUNDED driver-side sample (train_size
-    rows — at 100 TB you train on a sample regardless; the full corpus never
-    leaves executors). The sample is the train_size LOWEST xxhash64 rows —
-    a deterministic uniform draw across the whole corpus (TakeOrdered heap
-    per partition, no full sort): a bare limit() would take the first
-    file(s) in scan order and train centroids on one corpus slice, which
-    skews cell occupancy for everything downstream."""
+def _kmeans_iterations(sample, n_centroids: int, iters: int, seed: int) -> list[list[float]]:
+    """The numpy k-means kernel shared by the Spark trainer and the
+    Spark-free oracle replica (train_centroids_replica) — any change here
+    changes trained centroids on BOTH sides identically."""
     import numpy as np
 
-    sample = np.array(
-        [
-            r[0]
-            for r in embeddings.select(_as_double(F.col(vec_col)).alias("__v"))
-            .orderBy(F.xxhash64(F.col("__v").cast("string")))
-            .limit(train_size)
-            .collect()
-        ]
-    )
     if len(sample) == 0:
         raise ValueError("k-means training set is empty — no embedding rows")
     rng = np.random.RandomState(seed)
@@ -416,6 +396,71 @@ def _train_kmeans(
             if len(members):
                 cent[c] = members.mean(0)
     return [[float(x) for x in c] for c in cent]
+
+
+def _train_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int,
+    train_size: int,
+    iters: int,
+    seed: int,
+    vec_col: str,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Spherical-ish k-means on a BOUNDED driver-side sample (train_size
+    rows — at 100 TB you train on a sample regardless; the full corpus never
+    leaves executors). The sample is the train_size LOWEST xxhash64(id)
+    rows, id-tiebroken — a deterministic uniform draw across the whole
+    corpus (TakeOrdered heap per partition, no full sort): a bare limit()
+    would take the first file(s) in scan order and train centroids on one
+    corpus slice, which skews cell occupancy for everything downstream.
+    Hashing the 8-byte id (not the vector's string form) keeps the draw
+    cheap AND replicable off-Spark (xxh64_sql.py py_hash_long), which is
+    what lets the trained path be value-checked by an external oracle."""
+    import numpy as np
+
+    sample = np.array(
+        [
+            r[0]
+            for r in embeddings.select(
+                _as_double(F.col(vec_col)).alias("__v"), F.col(id_col).alias("__id")
+            )
+            .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+            .limit(train_size)
+            .collect()
+        ]
+    )
+    return _kmeans_iterations(sample, n_centroids, iters, seed)
+
+
+def train_centroids_replica(
+    parquet_path: str,
+    n_centroids: int,
+    train_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Spark-FREE replica of _train_kmeans for oracle construction: reads
+    the embeddings parquet via DuckDB, reproduces the hash-ordered sample
+    with the bit-exact python XXH64 (py_hash_long == Spark xxhash64 on a
+    LONG column), and runs the shared numpy kernel — so the returned
+    centroids are literal-for-literal what ivf_topk trains on the same
+    data, without a SparkSession."""
+    import duckdb
+    import numpy as np
+
+    from opentsdb_spark.pipeline.xxh64_sql import py_hash_long
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {id_col}, {vec_col}::DOUBLE[] FROM read_parquet(?)",
+        [parquet_path],
+    ).fetchall()
+    rows.sort(key=lambda r: (py_hash_long(int(r[0]), 42), r[0]))
+    sample = np.array([r[1] for r in rows[:train_size]])
+    return _kmeans_iterations(sample, n_centroids, iters, seed)
 
 
 def semdedup(

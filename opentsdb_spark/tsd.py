@@ -12,9 +12,10 @@ for startup). This module mirrors that with stdlib servers:
     endpoints with the reference's JSON error envelope
     (src/tsd/HttpQuery.java:585-630 {"error": {code, message, details}}).
   * :class:`TelnetServer` — line-protocol listener: ``put``, ``rollup``,
-    ``version``, ``stats``, ``status``, ``dropcaches``, ``diediedie``,
-    ``help``, ``exit`` (src/tsd/RpcManager.java:418-446 telnet command map,
-    src/tsd/PutDataPointRpc.java:120-180).
+    ``histogram``, ``version``, ``stats``, ``status``, ``dropcaches``,
+    ``diediedie``, ``help``, ``exit`` (src/tsd/RpcManager.java:306-446
+    telnet command map, src/tsd/PutDataPointRpc.java:120-180,
+    src/tsd/HistogramDataPointRpc.java:92-158).
 
 Writes mutate the in-memory frames under a lock (union + periodic
 localCheckpoint so lineage stays bounded); durable ingest at scale is the
@@ -166,6 +167,104 @@ class TSD:
             )
         return {"success": resp["success"],
                 "failed": len(lines) - resp["success"]}
+
+    def histogram_lines(self, lines: list[str]) -> dict[str, int]:
+        """Telnet ``histogram <metric> <ts> [<codec_id>] <value> <tag=v>...``
+        (reference src/tsd/HistogramDataPointRpc.java:92-158, registered on
+        the telnet map in src/tsd/RpcManager.java:306,338).
+
+        Without a codec id the value is the simple text codec — colon-
+        separated ``lower,upper=count`` pairs plus ``u=``/``o=`` under/
+        overflow counts (parseTelnet, HistogramDataPointRpc.java:209-243).
+        With a codec id the value is the base64 raw payload, routed through
+        the codec registry exactly like the HTTP path
+        (HistogramPojo.base64StringToBytes -> histogramManager().decode)."""
+        import base64
+
+        from opentsdb_spark.operators.histogram import (
+            HISTOGRAM_CODECS, decode_histogram_points,
+        )
+
+        body: list[dict] = []
+        raw_rows: list[tuple] = []
+        for line in lines:
+            try:
+                words = line.split()
+                metric, tsw = words[1], words[2]
+                ts = int(tsw.replace(".", "")) if "." in tsw else int(tsw)
+                try:
+                    codec_id, has_id = int(words[3]), True
+                except ValueError:
+                    codec_id, has_id = None, False
+                value = words[4] if has_id else words[3]
+                tags = dict(
+                    t.split("=", 1) for t in words[5 if has_id else 4:] if t
+                )
+                if not metric or ts <= 0 or not value or not tags:
+                    continue
+                if has_id:
+                    if codec_id not in HISTOGRAM_CODECS:
+                        continue  # counted failed, like a decode throw
+                    raw_rows.append(
+                        (metric, ts, tags, codec_id, base64.b64decode(value))
+                    )
+                    continue
+                buckets: dict[str, int] = {}
+                under = over = 0
+                for part in value.split(":"):
+                    k, sep, v = part.partition("=")
+                    if not sep:
+                        raise ValueError(f"improperly formatted bucket: {part}")
+                    if k.lower() == "u":
+                        under = int(v)
+                    elif k.lower() == "o":
+                        over = int(v)
+                    else:
+                        lo, hi = k.split(",")
+                        buckets[f"{float(lo)},{float(hi)}"] = int(v)
+                if not buckets:
+                    continue
+                body.append({"metric": metric, "timestamp": ts,
+                             "buckets": buckets, "underflow": under,
+                             "overflow": over, "tags": tags})
+            except (ValueError, IndexError):
+                continue
+        n_ok = 0
+        frames = []
+        if body:
+            resp, frame = api.handle_histogram_put(self.spark, body)
+            n_ok += resp["success"]
+            frames.append(frame)
+        if raw_rows:
+            from pyspark.sql import functions as F
+
+            raw_df = self.spark.createDataFrame(
+                raw_rows,
+                "metric string, ts_s long, tags map<string,string>, "
+                "codec_id int, raw binary",
+            )
+            decoded = decode_histogram_points(raw_df, strict=False).select(
+                "metric",
+                F.timestamp_seconds(
+                    F.when(F.col("ts_s") >= 1_000_000_000_000,
+                           F.col("ts_s") / 1000).otherwise(F.col("ts_s"))
+                ).alias("ts"),
+                "buckets",
+                F.col("underflow").cast("long").alias("underflow"),
+                F.col("overflow").cast("long").alias("overflow"),
+                "tags",
+            )
+            n_ok += decoded.count()
+            frames.append(decoded)
+        if frames:
+            with self.lock:
+                for frame in frames:
+                    self.histograms = (
+                        frame if self.histograms is None
+                        else self.histograms.unionByName(
+                            frame, allowMissingColumns=True)
+                    )
+        return {"success": n_ok, "failed": len(lines) - n_ok}
 
     # ------------------------------------------------------------- routes
     def route(self, method: str, path: str, request: dict, body: Any):
@@ -529,6 +628,8 @@ class TelnetServer(socketserver.ThreadingTCPServer):
     src/tsd/RpcManager.java:418-446). Commands:
 
       put <metric> <ts> <value> <tagk=tagv> [...]   (batched per connection)
+      rollup <interval>:<agg> <metric> <ts> <value> <tagk=tagv> [...]
+      histogram <metric> <ts> [<codec_id>] <value> <tagk=tagv> [...]
       version                                        flushes pending puts
       stats
       help
@@ -578,7 +679,7 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
             cmd = line.split()[0].lower()
             tsd.bump("rpc.received.telnet")
             try:
-                if cmd in ("put", "rollup"):
+                if cmd in ("put", "rollup", "histogram"):
                     # write gate (reference authenticates the telnet line
                     # before dispatch; HTTP put is equally gated)
                     try:
@@ -596,6 +697,11 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                     r = tsd.rollup_lines([line])
                     if r["failed"]:
                         self.wfile.write(b"rollup: invalid line\n")
+                elif cmd == "histogram":
+                    flush()
+                    r = tsd.histogram_lines([line])
+                    if r["failed"]:
+                        self.wfile.write(b"histogram: invalid line\n")
                 elif cmd == "status":
                     flush()
                     self.wfile.write((tsd.probe_status() + "\n").encode())
@@ -627,8 +733,8 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                         self.wfile.write(f"{k} {v}\n".encode())
                 elif cmd == "help":
                     self.wfile.write(
-                        b"available commands: put rollup version stats"
-                        b" status dropcaches diediedie help exit\n"
+                        b"available commands: put rollup histogram version"
+                        b" stats status dropcaches diediedie help exit\n"
                     )
                 elif cmd in ("exit", "quit"):
                     break

@@ -38,6 +38,15 @@ def test_parse_rate_empty_positional_slots():
     assert q.rate == RateOptions()
     q = parse_m_subquery("sum:rate{dropcounter}:m1")
     assert q.rate.drop_resets and q.rate.counter
+    # engine extension: trailing 'fvz' opts into the reference's
+    # first-vs-(0,0) origin (RateSpan.java:108-114); composes with the
+    # positional counter slots and never collides with them
+    q = parse_m_subquery("sum:rate{fvz}:m1")
+    assert q.rate == RateOptions(first_vs_zero=True)
+    q = parse_m_subquery("sum:rate{counter,,1000,fvz}:m1")
+    assert q.rate.counter and q.rate.reset_value == 1000 and q.rate.first_vs_zero
+    with pytest.raises(ValueError):
+        parse_m_subquery("sum:rate{counter,1,2,3,fvz}:m1")
 
 
 def test_parse_m_subquery_minimal():
@@ -505,6 +514,10 @@ def test_query_annotations_merged(spark, fixture_points):
         (web01, (EPOCH + 60) * 1000, None, "deploy", None, None),
         (web01, (EPOCH + 999_999) * 1000, None, "out of range", None, None),
         (None, (EPOCH + 90) * 1000, (EPOCH + 95) * 1000, "global maint", None, None),
+        # an in-range note on a series the query does NOT match: the
+        # semi-join against the matched-series frame must drop it
+        ("other.metric{host=web09}", (EPOCH + 60) * 1000, None,
+         "unmatched series", None, None),
     ]
     anns = spark.createDataFrame(
         [(t, *r) for t, *r in rows], "tsuid string, s long, e long, "
@@ -522,6 +535,8 @@ def test_query_annotations_merged(spark, fixture_points):
     assert by_host["web02"]["annotations"] == []
     for s in out:
         assert [g["description"] for g in s["globalAnnotations"]] == ["global maint"]
+        assert all(a["description"] != "unmatched series"
+                   for a in s["annotations"])
     # no_annotations suppresses everything
     req["no_annotations"] = "1"
     out = api.handle_query(fixture_points, req, annotations=anns)
@@ -535,6 +550,30 @@ def test_query_annotations_merged(spark, fixture_points):
     dps = out[0]["dps"]
     assert isinstance(dps, list) and dps == sorted(dps)
     assert all(len(p) == 2 and isinstance(p[0], int) for p in dps)
+
+
+def test_annotation_tsuid_filter_in_plan(spark, fixture_points):
+    """Plan evidence for the pushed annotation identity filter: passing the
+    matched-series frame turns the fetch into a broadcast LEFT SEMI join,
+    so annotation scan cost follows the matched series, not the global
+    annotation table."""
+    from opentsdb_spark.operators.annotations import annotations_in_range
+    from opentsdb_spark.sources.points import series_id_col
+
+    anns = spark.createDataFrame(
+        [("sys.cpu.user{dc=lga,host=web01}", (EPOCH + 60) * 1000, None, "d"),
+         ("other{host=x}", (EPOCH + 61) * 1000, None, "u"),
+         (None, (EPOCH + 62) * 1000, None, "g")],
+        "tsuid string, s long, e long, description string",
+    ).select("tsuid", F.timestamp_millis("s").alias("start_time"),
+             F.timestamp_millis("e").alias("end_time"), "description")
+    ids = fixture_points.select(series_id_col().alias("tsuid"))
+    out = annotations_in_range(anns, EPOCH * 1000, (EPOCH + 300) * 1000,
+                               tsuid_df=ids, include_global=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    got = sorted(r["description"] for r in out.collect())
+    assert got == ["d", "g"]  # matched + global; unmatched series dropped
 
 
 def test_graph_ascii_format():

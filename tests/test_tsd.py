@@ -386,6 +386,53 @@ def test_telnet_rollup_and_dropcaches(tsd_server):
     assert row[0]["value"] == 42.0 and row[0]["tags"]["host"] == "web01"
 
 
+def test_telnet_histogram(tsd_server):
+    """Telnet ``histogram`` round-trips into the histogram frame — both the
+    bare simple-text form (lower,upper=count pairs + u=/o=, reference
+    HistogramDataPointRpc.parseTelnet) and the codec-id + base64 form."""
+    import base64
+
+    tsd, http_port, tel_port = tsd_server
+    b64 = base64.b64encode(b'{"b": {"5,10": 3}, "u": 0, "o": 2}').decode()
+    s = socket.create_connection(("127.0.0.1", tel_port), timeout=30)
+    f = s.makefile("rwb")
+    f.write(
+        (
+            f"histogram tsd.test.hist {EPOCH + 5} 0.0,10.0=4:10.0,50.0=2:u=1:o=0 host=web01\n"
+            f"histogram tsd.test.hist {EPOCH + 65} 0 {b64} host=web01\n"
+            "histogram bogus\n"
+            "version\n"
+        ).encode()
+    )
+    f.flush()
+    assert b"invalid line" in f.readline()
+    assert b"opentsdb-spark" in f.readline()
+    f.write(b"exit\n")
+    f.flush()
+    s.close()
+    rows = {int(r["ts"].timestamp()): r
+            for r in tsd.histograms.where("metric = 'tsd.test.hist'").collect()}
+    simple = rows[EPOCH + 5]
+    assert [(b["lower"], b["upper"], b["count"]) for b in simple["buckets"]] == \
+        [(0.0, 10.0, 4), (10.0, 50.0, 2)]
+    assert simple["underflow"] == 1 and simple["overflow"] == 0
+    coded = rows[EPOCH + 65]
+    assert [(b["lower"], b["upper"], b["count"]) for b in coded["buckets"]] == \
+        [(5.0, 10.0, 3)]
+    assert coded["overflow"] == 2 and coded["tags"]["host"] == "web01"
+    # the ingested histograms serve percentile queries over HTTP
+    st, _, body = _get(
+        http_port,
+        f"/api/query?start={EPOCH}&end={EPOCH + 100}"
+        "&m=sum:percentiles%5B50%5D:tsd.test.hist",
+    )
+    assert st == 200
+    [series] = json.loads(body)
+    # p50 per point: {[0,10):4,[10,50):2,u=1} -> midpoint 5.0;
+    # {[5,10):3,o=2} -> midpoint 7.5
+    assert list(series["dps"].values()) == [5.0, 7.5]
+
+
 def test_logs_and_http_plugin(tsd_server):
     import logging
 

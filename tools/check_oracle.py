@@ -57,7 +57,11 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = argv[1] if len(argv) > 1 else ""
 
-    from opentsdb_spark.catalog import CATALOG
+    # lazy (callable) oracles read the gate parquet to build their SQL —
+    # pin them to THIS run's sf_dir so Spark and oracle see the same corpus
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
+    from opentsdb_spark.catalog import CATALOG, resolve_sql
     from opentsdb_spark.session import get_spark
 
     spark = get_spark("oracle-check")
@@ -82,13 +86,14 @@ def main() -> int:
             results[name] = {"status": "fail", "detail": f"spark error: {e}"}
             print(f"FAIL  {name}: spark error {e}")
             continue
-        if qd.sql is None:
+        sql = resolve_sql(qd)
+        if sql is None:
             results[name] = {"status": "rows_only", "rows": len(srows),
                              "sec": round(time.time() - t0, 2)}
             print(f"ok    {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(qd.sql)
+            res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
