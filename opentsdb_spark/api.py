@@ -307,9 +307,42 @@ def handle_graph(
             doseq=True,  # m=/tsuid= arrive as lists — one pair per element
         )
         return {"redirect": f"/#{qs}"}
+    # parameter validation, mirroring GraphHandler's COLOR_VALIDATOR /
+    # SMOOTH_VALIDATOR 400s (GraphHandler.java:85-86, 836-858)
+    import re as _re
+
+    for cp in ("bgcolor", "fgcolor"):
+        v = request.get(cp)
+        if isinstance(v, str) and v and not _re.fullmatch(r"[xX][0-9a-fA-F]{6}", v):
+            raise ValueError(
+                f"'{cp}' was invalid. Must be a hex value e.g. 'xFFFFFF'"
+            )
+    sm = request.get("smooth")
+    if isinstance(sm, str) and sm:
+        from opentsdb_spark.graph import SMOOTH_KINDS
+
+        if sm not in SMOOTH_KINDS:
+            raise ValueError(
+                f"'smooth' was invalid. Must be one of {sorted(SMOOTH_KINDS)}"
+            )
+    # per-sub-query plot options: one o= per m= (GraphHandler.java:213-232
+    # — mismatched counts are a 400), appended to each series' plot spec
+    # (Plot.java:380-389); "axis x1y2" routes the series to a right-hand
+    # second y scale (Plot.java:338-341 "set y2tics border")
+    o_list = request.get("o")
+    if o_list is not None:
+        o_list = o_list if isinstance(o_list, list) else [o_list]
+        n_m = len(request["m"]) if isinstance(request.get("m"), list) else (
+            1 if request.get("m") else 0
+        )
+        if n_m and len(o_list) != n_m:
+            raise ValueError(
+                f"{len(o_list)} `o' parameters, but {n_m} `m' parameters."
+            )
     graph_params = (
         "png", "ascii", "json", "wxh", "title", "ylabel", "ylog", "yrange",
         "nokey", "style", "bgcolor", "fgcolor", "smooth", "yformat", "xformat",
+        "o",
         # graph modes consume dps as dicts — strip the arrays output option
         "arrays",
     )
@@ -325,6 +358,12 @@ def handle_graph(
     if mode[0] == "png":
         from opentsdb_spark.graph import render_png
 
+        if o_list:
+            for s in series:
+                i = sq_of.get(id(s))
+                s["__opts"] = (
+                    o_list[i] if i is not None and i < len(o_list) else ""
+                )
         png = render_png(series, request)
         return {
             "png": png,

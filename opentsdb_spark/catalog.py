@@ -1476,21 +1476,40 @@ from opentsdb_spark.pipeline.text import (  # noqa: E402
     quality_scores, repetition_signals, source_mix_report, token_counts, vocab_topk,
 )
 
+def _spread_small(df, spark, floor: int, per_part_bytes: int):
+    """SIZE-ADAPTIVE spread for the small single-file corpus tables. A
+    single small parquet scans as 1 partition (serializing all work), but
+    blasting a sub-MB table across all 32 cores makes task + Arrow-worker
+    overhead the dominant cost once the per-row kernels are vectorized
+    (measured: ann_lsh_top5 29.7 CPU-s at 32 parts vs 6.0 at 4;
+    multimodal_resize 13.9 vs 3.2 at 8). Partitions scale with bytes,
+    floored for parallelism, capped at cores — and a scan that already has
+    enough partitions is NEVER repartitioned (at corpus scale the file
+    splits provide parallelism; forcing a shuffle down to `cores`
+    partitions there would be the 100TB anti-pattern)."""
+    from opentsdb_spark.plans.limits import estimate_scan_bytes
+
+    cores = spark.sparkContext.defaultParallelism
+    target = max(floor, min(cores, estimate_scan_bytes(df) // per_part_bytes))
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def _emb(spark, sf_dir):
-    """embeddings table spread across cores — same single-file 1-partition
-    problem as _docs, and the per-row work (60+ hyperplane dot folds) is
-    the heaviest per-row compute in the catalog."""
-    return load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """embeddings table, size-adaptively spread (see _spread_small) — the
+    bucket/cosine kernels are matmuls, so per-row cost is tiny and ~256KB
+    per partition keeps overhead proportional."""
+    return _spread_small(load_table(spark, sf_dir, "embeddings"), spark,
+                         floor=4, per_part_bytes=256 << 10)
 
 
 def _docs(spark, sf_dir):
-    """documents table spread across cores — the single small parquet file
-    otherwise yields a 1-partition plan that serializes all per-doc work."""
-    return load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """documents table, size-adaptively spread (see _spread_small). Doc
+    queries run regex/shingle kernels — heavier per row than the embedding
+    matmuls, so a higher floor (8) and ~64KB per partition."""
+    return _spread_small(load_table(spark, sf_dir, "documents"), spark,
+                         floor=8, per_part_bytes=64 << 10)
 
 
 _WORDS = "list_transform(regexp_extract_all(lower(text), '\\S+'), w -> w)"

@@ -18,6 +18,14 @@ Parameter parity with GraphHandler.parseHttpGraph / Plot.java:
   fgcolor    "xRRGGBB" foreground (GraphHandler.java:844-851)
   style      data style; "lines", "points" or the default "linespoint"
              (Plot.java:312-314)
+  smooth     gnuplot "smooth <kind>" (GraphHandler.java:852-858 validator,
+             Plot.java:376-378 forwards to the plot command). Data-transform
+             kinds (unique/frequency/fnormal/cumulative/cnormal/bins/unwrap)
+             rewrite the series values exactly as gnuplot documents them;
+             curve kinds (csplines/acsplines/mcsplines = interpolating
+             spline, bezier/sbezier = approximating curve) draw a smoothed
+             polyline through/along the points; zsort has no geometric
+             effect on 2-D lines and passes through.
 
 The drawing itself follows gnuplot's defaults the reference relies on:
 grid lines at the tics, rotated time labels on x (Plot.java:298-310,
@@ -284,6 +292,105 @@ def parse_yrange(yrange: str | None) -> tuple[float | None, float | None]:
     return (float(lo) if lo.strip() else None, float(hi) if hi.strip() else None)
 
 
+# the reference's SMOOTH_VALIDATOR token set (GraphHandler.java:86)
+SMOOTH_KINDS = frozenset({
+    "unique", "frequency", "fnormal", "cumulative", "cnormal", "bins",
+    "csplines", "acsplines", "mcsplines", "bezier", "sbezier", "unwrap",
+    "zsort",
+})
+
+
+def _smooth_transform(pts: list[tuple[float, float]], kind: str | None):
+    """Value-space smooth kinds (gnuplot data transforms) — applied BEFORE
+    axis scaling so y-range follows the transformed values, as gnuplot's
+    autoscale does."""
+    if not kind or not pts:
+        return pts
+    if kind in ("unique", "frequency", "fnormal"):
+        agg: dict[float, list[float]] = {}
+        for t, v in pts:
+            agg.setdefault(t, []).append(v)
+        if kind == "unique":  # mean of duplicate x
+            return [(t, sum(vs) / len(vs)) for t, vs in sorted(agg.items())]
+        out = [(t, sum(vs)) for t, vs in sorted(agg.items())]
+        if kind == "fnormal":
+            tot = sum(abs(v) for _, v in out) or 1.0
+            out = [(t, v / tot) for t, v in out]
+        return out
+    if kind in ("cumulative", "cnormal"):
+        out, acc = [], 0.0
+        for t, v in pts:
+            acc += v
+            out.append((t, acc))
+        if kind == "cnormal" and acc:
+            out = [(t, v / acc) for t, v in out]
+        return out
+    if kind == "bins":  # histogram of x into ~sqrt(n) bins, summed y
+        n = max(1, int(math.sqrt(len(pts))))
+        t0, t1 = pts[0][0], pts[-1][0]
+        w = (t1 - t0) / n or 1.0
+        agg2: dict[int, float] = {}
+        for t, v in pts:
+            b = min(n - 1, int((t - t0) / w))
+            agg2[b] = agg2.get(b, 0.0) + v
+        return [(t0 + (b + 0.5) * w, v) for b, v in sorted(agg2.items())]
+    if kind == "unwrap":  # remove 2*pi phase jumps
+        out, off, prev = [], 0.0, None
+        for t, v in pts:
+            if prev is not None:
+                d = v - prev
+                if d > math.pi:
+                    off -= 2 * math.pi
+                elif d < -math.pi:
+                    off += 2 * math.pi
+            out.append((t, v + off))
+            prev = v
+        return out
+    return pts  # zsort + the curve kinds: no value-space change
+
+
+def _curve_points(xy: list[tuple[int, int]], kind: str | None):
+    """Pixel-space curve kinds: densified smooth polyline to draw instead
+    of straight segments. csplines family = Catmull-Rom interpolation
+    (passes through every point, like gnuplot's cubic splines);
+    bezier/sbezier = one approximating Bezier with the data as control
+    polygon (de Casteljau, capped control count)."""
+    if not kind or kind not in ("csplines", "acsplines", "mcsplines",
+                                "bezier", "sbezier") or len(xy) < 3:
+        return xy
+    if kind in ("bezier", "sbezier"):
+        ctrl = xy if len(xy) <= 64 else xy[:: max(1, len(xy) // 64)]
+        if ctrl[-1] != xy[-1]:
+            ctrl = [*ctrl, xy[-1]]
+        samples = max(64, 4 * len(xy))
+        out = []
+        for s in range(samples + 1):
+            u = s / samples
+            pts = [(float(x), float(y)) for x, y in ctrl]
+            while len(pts) > 1:  # de Casteljau
+                pts = [
+                    (a[0] + (b[0] - a[0]) * u, a[1] + (b[1] - a[1]) * u)
+                    for a, b in zip(pts, pts[1:])
+                ]
+            out.append((int(round(pts[0][0])), int(round(pts[0][1]))))
+        return out
+    out = [xy[0]]
+    ext = [xy[0], *xy, xy[-1]]
+    for i in range(1, len(ext) - 2):
+        p0, p1, p2, p3 = ext[i - 1], ext[i], ext[i + 1], ext[i + 2]
+        for s in range(1, 9):  # 8 samples per segment
+            u = s / 8.0
+            u2, u3 = u * u, u * u * u
+            x = 0.5 * ((2 * p1[0]) + (-p0[0] + p2[0]) * u
+                       + (2 * p0[0] - 5 * p1[0] + 4 * p2[0] - p3[0]) * u2
+                       + (-p0[0] + 3 * p1[0] - 3 * p2[0] + p3[0]) * u3)
+            y = 0.5 * ((2 * p1[1]) + (-p0[1] + p2[1]) * u
+                       + (2 * p0[1] - 5 * p1[1] + 4 * p2[1] - p3[1]) * u2
+                       + (-p0[1] + 3 * p1[1] - 3 * p2[1] + p3[1]) * u3)
+            out.append((int(round(x)), int(round(y))))
+    return out
+
+
 def _series_label(s: dict[str, Any]) -> str:
     tags = s.get("tags") or {}
     inner = ",".join(f"{k}={v}" for k, v in sorted(tags.items()))
@@ -301,12 +408,15 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
     grid_c = tuple(min(255, c + 200) if c < 128 else max(0, c - 40) for c in bg)
     ylog = "ylog" in params
     style = params.get("style", "linespoint")
+    smooth = params.get("smooth") or None
     y_lo_req, y_hi_req = parse_yrange(params.get("yrange"))
 
     cv = Canvas(width, height, bg)
 
-    # gather points
-    data: list[tuple[str, list[tuple[float, float]]]] = []
+    # gather points; a series whose per-sub-query "__opts" plot option
+    # contains x1y2 scales against the RIGHT y2 axis (Plot.java:338-341,
+    # 380-389 append the o= option to the plot spec)
+    data: list[tuple[str, list[tuple[float, float]], bool]] = []
     for s in series:
         dps = s.get("dps")
         if not dps:
@@ -318,10 +428,13 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
             for t, v in dps.items()
             if v is not None and v == v and abs(float(v)) != float("inf")
         )
+        pts = _smooth_transform(pts, smooth)
         if pts:
-            data.append((_series_label(s), pts))
+            data.append((_series_label(s), pts,
+                         "x1y2" in str(s.get("__opts", ""))))
 
-    ml, mr, mt, mb = 64, 16, 28, 40  # margins
+    has_y2 = any(y2 for _, _, y2 in data)
+    ml, mr, mt, mb = 64, 64 if has_y2 else 16, 28, 40  # margins
     px0, px1 = ml, width - 1 - mr
     py0, py1 = mt, height - 1 - mb
 
@@ -334,10 +447,15 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
         cv.text((width - 7 * GLYPH_W) // 2, (py0 + py1) // 2, "NO DATA", fg)
         return cv.to_png()
 
-    tmin = min(p[0][0] for _, p in data)
-    tmax = max(p[-1][0] for _, p in data)
-    vmin = min(v for _, p in data for _, v in p)
-    vmax = max(v for _, p in data for _, v in p)
+    tmin = min(p[0][0] for _, p, _y in data)
+    tmax = max(p[-1][0] for _, p, _y in data)
+    y1_vals = [v for _, p, y2 in data if not y2 for _, v in p]
+    y2_vals = [v for _, p, y2 in data if y2 for _, v in p]
+    # all-series-on-y2 still needs a left scale — mirror y2's
+    vmin = min(y1_vals or y2_vals)
+    vmax = max(y1_vals or y2_vals)
+    v2min = min(y2_vals) if y2_vals else 0.0
+    v2max = max(y2_vals) if y2_vals else 1.0
     if y_lo_req is not None:
         vmin = y_lo_req
     if y_hi_req is not None:
@@ -363,6 +481,14 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
             f = (v - vmin) / (vmax - vmin)
         return py1 - int(round(max(0.0, min(1.0, f)) * (py1 - py0)))
 
+    if v2max <= v2min:
+        v2max = v2min + (abs(v2min) or 1.0)
+
+    def sy2(v: float) -> int:
+        # linear right-hand scale (gnuplot's ylog applies to y1 only)
+        f = (v - v2min) / (v2max - v2min)
+        return py1 - int(round(max(0.0, min(1.0, f)) * (py1 - py0)))
+
     # grid + tics ("set grid", Plot.java:312)
     if ylog:
         d0, d1 = math.floor(math.log10(vmin)), math.ceil(math.log10(vmax))
@@ -376,6 +502,14 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
         cv.hline(px0 + 1, px1 - 1, y, grid_c)
         cv.hline(px0 - 3, px0, y, fg)
         cv.text_right(px0 - 5, y - GLYPH_H // 2, _fmt_num(v), fg)
+
+    if has_y2:  # "set y2tics border" (Plot.java:338-341)
+        for v in _nice_ticks(v2min, v2max):
+            if not (v2min <= v <= v2max):
+                continue
+            y = sy2(v)
+            cv.hline(px1, px1 + 3, y, fg)
+            cv.text(px1 + 5, y - GLYPH_H // 2, _fmt_num(v), fg)
 
     fmt = _x_format(tmax - tmin)
     for t in _nice_ticks(tmin, tmax, 6):
@@ -393,21 +527,25 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
 
     cv.rect(px0, py0, px1, py1, fg)
 
-    # series ("set style data linespoint", Plot.java:312-314)
-    for i, (_, pts) in enumerate(data):
+    # series ("set style data linespoint", Plot.java:312-314; "smooth"
+    # curve kinds densify the drawn polyline, Plot.java:376-378)
+    for i, (_, pts, on_y2) in enumerate(data):
         color = PALETTE[i % len(PALETTE)]
-        prev = None
-        for t, v in pts:
-            x, y = sx(t), sy(v)
-            if style in ("lines", "linespoint") and prev is not None:
-                cv.line(prev[0], prev[1], x, y, color)
-            if style in ("points", "linespoint"):
+        ymap = sy2 if on_y2 else sy
+        xy = [(sx(t), ymap(v)) for t, v in pts]
+        if style in ("lines", "linespoint"):
+            prev = None
+            for x, y in _curve_points(xy, smooth):
+                if prev is not None:
+                    cv.line(prev[0], prev[1], x, y, color)
+                prev = (x, y)
+        if style in ("points", "linespoint"):
+            for x, y in xy:  # markers stay on the DATA points
                 cv.marker(x, y, color)
-            prev = (x, y)
 
     # legend ("set key right box", Plot.java:316-318)
     if "nokey" not in params:
-        labels = [lbl for lbl, _ in data]
+        labels = [lbl for lbl, _, _y in data]
         kw = max(len(x) for x in labels) * GLYPH_W + 30
         kh = len(labels) * (GLYPH_H + 3) + 6
         kx1, ky0 = px1 - 6, py0 + 6

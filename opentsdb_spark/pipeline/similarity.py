@@ -35,12 +35,19 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _cosine_pairs_udf():
+def _cosine_pairs_udf(bit_exact: bool = False):
     """Arrow-batched cosine over (query_vec, corpus_vec) row pairs. The
     expression form (_dot/_norm) is CodegenFallback — interpreted lambda ops
-    per element on the scoring hot path. This loops dim-sequentially so
-    every product/sum/sqrt/divide replays the fold's IEEE op order: values
-    are bit-identical to the expression form and the DuckDB oracles."""
+    per element on the scoring hot path.
+
+    bit_exact=True loops dim-sequentially so every product/sum/sqrt/divide
+    replays the fold's IEEE op order — bit-identical to the expression form.
+    The default uses einsum (pairwise summation, ~3x fewer python-level
+    passes); its ~1e-15 relative FP-order noise is absorbed by the
+    catalog's 4-decimal RND rounding (whose +1e-7 boundary bias exists
+    precisely to keep such noise off rounding edges), so oracle hashes are
+    unchanged — pinned by the full-catalog run and the fast-vs-exact
+    equality test."""
 
     @F.pandas_udf("double")
     def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
@@ -51,13 +58,18 @@ def _cosine_pairs_udf():
             return pd.Series([], dtype=float)
         Q = np.asarray([np.asarray(v, np.float64) for v in qv], dtype=np.float64)
         C = np.asarray([np.asarray(v, np.float64) for v in cv], dtype=np.float64)
-        dot = np.zeros(n)
-        qn = np.zeros(n)
-        cn = np.zeros(n)
-        for d in range(Q.shape[1]):
-            dot = dot + Q[:, d] * C[:, d]
-            qn = qn + Q[:, d] * Q[:, d]
-            cn = cn + C[:, d] * C[:, d]
+        if not bit_exact:
+            dot = np.einsum("ij,ij->i", Q, C)
+            qn = np.einsum("ij,ij->i", Q, Q)
+            cn = np.einsum("ij,ij->i", C, C)
+        else:
+            dot = np.zeros(n)
+            qn = np.zeros(n)
+            cn = np.zeros(n)
+            for d in range(Q.shape[1]):
+                dot = dot + Q[:, d] * C[:, d]
+                qn = qn + Q[:, d] * Q[:, d]
+                cn = cn + C[:, d] * C[:, d]
         with np.errstate(divide="ignore", invalid="ignore"):
             return pd.Series(dot / (np.sqrt(qn) * np.sqrt(cn)))
 
@@ -198,6 +210,7 @@ def with_hyperplane_buckets(
     dim: int,
     seed: int = 42,
     out: str = "tb",
+    bit_exact: bool = False,
 ) -> DataFrame:
     """df + exploded ``out`` = (table, bucket) struct per LSH table.
 
@@ -205,17 +218,26 @@ def with_hyperplane_buckets(
     function form (with_hyperplane_buckets_expr) is CodegenFallback, so its
     tables*bits*dim lambda ops ran INTERPRETED — ~100ns per multiply on the
     whole-corpus hot path (measured 3.9s for 5k x 10x6x64 at sf0.1; the
-    numpy path is ~50ms). Bit-compatibility is load-bearing: products are
-    independent IEEE ops and the accumulation loops dim-sequentially below,
-    reproducing the fold's left-sum order exactly, so buckets are
-    bit-identical to the expression form and the DuckDB oracles. Planes
-    ride the pickled UDF closure (data, not plan nodes)."""
+    numpy path is ~50ms). Planes ride the pickled UDF closure (data, not
+    plan nodes).
+
+    Default (bit_exact=False): ONE BLAS matmul V @ planes^T per Arrow batch
+    — ~tables*bits fewer python-level passes than the fold. Its blocked FP
+    summation can in principle flip a sign vs the expression form only when
+    |<v,plane>| ~ 1e-15 * ||terms||; measured corpus margins are ~1e-6
+    (nine orders of magnitude), so buckets agree in practice
+    (tests/test_pipeline.py pins agreement + identical top-k).
+    bit_exact=True reproduces aggregate(zip_with(...))'s dim-sequential
+    left-sum order exactly — bit-identical to with_hyperplane_buckets_expr
+    and the DuckDB oracles by construction; use it when an oracle must be
+    pinned against adversarial margins."""
     import numpy as np
 
     planes = np.array(
         [[_plane_coeffs(t, j, dim, seed) for j in range(bits)] for t in range(tables)],
         dtype=np.float64,
     )
+    flat_planes = planes.reshape(tables * bits, dim)
 
     @F.pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
@@ -225,6 +247,13 @@ def with_hyperplane_buckets(
         V = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
         )
+        if not bit_exact:
+            signs = (V @ flat_planes.T) >= 0.0  # (n, tables*bits)
+            weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64))
+            buckets = (
+                signs.reshape(n, tables, bits).astype(np.int64) * weights
+            ).sum(axis=2)
+            return pd.Series(list(buckets))
         buckets = np.zeros((n, tables), dtype=np.int64)
         for t in range(tables):
             for j in range(bits):
@@ -288,10 +317,13 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    bit_exact: bool = False,
 ) -> DataFrame:
     """Multi-table hyperplane-LSH ANN: a corpus vector is a candidate for a
     query if they collide in ANY of ``tables`` independent sign-hash tables;
     candidates are exactly cosine-scored and top-k ranked.
+    ``bit_exact`` selects the fold-order-exact bucket path (see
+    with_hyperplane_buckets) — the matmul default is ~10x fewer CPU ops.
 
     Recall tuning: P[candidate] = 1 - (1 - p^bits)^tables with
     p = 1 - theta/pi. The defaults (10 tables x 6 bits) give ~0.95 for
@@ -306,11 +338,11 @@ def lsh_topk(
     # dedup.embedding_dup_pairs
     corpus = with_hyperplane_buckets(
         embeddings.select(F.col(id_col), F.col(vec_col)),
-        vec_col, tables, bits, dim, seed,
+        vec_col, tables, bits, dim, seed, bit_exact=bit_exact,
     ).select(id_col, "tb.table", "tb.bucket")
     q = with_hyperplane_buckets(
         queries.select(F.col(query_id_col), F.col(vec_col)),
-        vec_col, tables, bits, dim, seed,
+        vec_col, tables, bits, dim, seed, bit_exact=bit_exact,
     ).select(query_id_col, _as_double(F.col(vec_col)).alias("qv"), "tb.table", "tb.bucket")
     # candidate = collision in any table; dedup (query, id) before scoring so
     # multi-table collisions are scored once

@@ -507,11 +507,11 @@ class TSD:
 
 
 def _flatten_qs(qs: dict[str, list[str]]) -> dict[str, Any]:
-    """m= and tsuid= repeat (one per sub-query); everything else is scalar
-    (reference HttpQuery.getQueryString semantics)."""
+    """m=, tsuid= and o= repeat (one per sub-query); everything else is
+    scalar (reference HttpQuery.getQueryString semantics)."""
     out: dict[str, Any] = {}
     for k, v in qs.items():
-        out[k] = v if k in ("m", "tsuid", "tsuids", "exp") else v[0]
+        out[k] = v if k in ("m", "tsuid", "tsuids", "exp", "o") else v[0]
     return out
 
 

@@ -74,6 +74,74 @@ def test_bgcolor_param():
     assert tuple(px[:3]) == (0, 0, 0x40)
 
 
+def test_smooth_kinds():
+    """Every reference SMOOTH_VALIDATOR token renders (GraphHandler.java:86,
+    852-858); transform kinds change the drawn values, curve kinds change
+    the drawn line; an unknown kind 400s at the handler."""
+    from opentsdb_spark.graph import (
+        SMOOTH_KINDS, _curve_points, _smooth_transform,
+    )
+
+    for kind in SMOOTH_KINDS:
+        png = render_png(SERIES, {"smooth": kind, "wxh": "200x150"})
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # value-space transforms
+    pts = [(0.0, 1.0), (0.0, 3.0), (1.0, 2.0)]
+    assert _smooth_transform(pts, "unique") == [(0.0, 2.0), (1.0, 2.0)]
+    assert _smooth_transform(pts, "frequency") == [(0.0, 4.0), (1.0, 2.0)]
+    assert _smooth_transform(pts, "cumulative") == [
+        (0.0, 1.0), (0.0, 4.0), (1.0, 6.0)]
+    cn = _smooth_transform(pts, "cnormal")
+    assert cn[-1][1] == 1.0
+    # curve kinds: csplines passes THROUGH the data points; bezier starts
+    # and ends on them
+    xy = [(0, 0), (10, 20), (20, 0)]
+    cs = _curve_points(xy, "csplines")
+    for p in xy:
+        assert p in cs
+    bz = _curve_points(xy, "bezier")
+    assert bz[0] == xy[0] and bz[-1] == xy[-1]
+    # a smoothed line is denser than the straight polyline
+    assert len(cs) > len(xy) and len(bz) > len(xy)
+
+
+def test_graph_param_validation(fixture_points):
+    """bgcolor/fgcolor must be xRRGGBB, smooth must be a known kind —
+    the reference 400s otherwise (GraphHandler.java:836-858)."""
+    req = {"start": 1356998400, "end": 1356998800, "m": ["sum:sys.cpu.user"],
+           "png": ""}
+    for bad in ({"bgcolor": "red"}, {"fgcolor": "FFFFFF"},
+                {"smooth": "wavy"}):
+        with pytest.raises(ValueError):
+            api.handle_graph(fixture_points, {**req, **bad})
+    # valid values pass end-to-end
+    out = api.handle_graph(
+        fixture_points,
+        {**req, "bgcolor": "x102030", "fgcolor": "xFFFFFF",
+         "smooth": "csplines"},
+    )
+    assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_per_series_axis_option(fixture_points):
+    """o= plot options: one per m= (mismatch is a 400,
+    GraphHandler.java:224-232); 'axis x1y2' scales that sub-query's series
+    on a right-hand y2 axis (Plot.java:338-341, 380-389)."""
+    req = {"start": 1356998400, "end": 1357100000, "png": "",
+           "m": ["sum:sys.cpu.user{host=literal_or(web01)}",
+                 "sum:sys.cpu.user{host=literal_or(web02)}"]}
+    with pytest.raises(ValueError, match="`o' parameters"):
+        api.handle_graph(fixture_points, {**req, "o": ["axis x1y2"]})
+    out = api.handle_graph(fixture_points,
+                           {**req, "o": ["", "axis x1y2"], "wxh": "400x300"})
+    png = out["png"]
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # the y2 variant reserves a wider right margin for the y2 tics, so the
+    # rendered image differs from the plain two-series render
+    plain = api.handle_graph(fixture_points, {**req, "wxh": "400x300"})
+    assert png != plain["png"]
+
+
 def test_ylog_and_empty_series():
     png = render_png(
         [{"metric": "m", "tags": {}, "dps": {"1000": 1.0, "2000": 1000.0}}],

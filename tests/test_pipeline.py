@@ -192,6 +192,35 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"recall@5 = {recall}"
 
 
+def test_lsh_fast_path_matches_bit_exact(spark):
+    """The matmul bucket/cosine fast path (the default) must agree with the
+    fold-order-exact path on real-margin data: identical buckets, identical
+    top-k membership and ranks, cosines within 1e-12 (FP-order noise only —
+    absorbed by the catalog's 4-decimal rounding)."""
+    from opentsdb_spark.pipeline.similarity import with_hyperplane_buckets
+
+    corpus, qdf = _planted_fixture(spark)
+    fast_b = with_hyperplane_buckets(
+        corpus.select("vec_id", "embedding"), "embedding", 10, 6, 64
+    ).select("vec_id", "tb").collect()
+    exact_b = with_hyperplane_buckets(
+        corpus.select("vec_id", "embedding"), "embedding", 10, 6, 64,
+        bit_exact=True,
+    ).select("vec_id", "tb").collect()
+    assert {(r["vec_id"], tuple(r["tb"])) for r in fast_b} == \
+        {(r["vec_id"], tuple(r["tb"])) for r in exact_b}
+
+    fast = lsh_topk(corpus, qdf, k=5, tables=10, bits=6, dim=64).collect()
+    exact = lsh_topk(corpus, qdf, k=5, tables=10, bits=6, dim=64,
+                     bit_exact=True).collect()
+    fk = {(r["query_id"], r["vec_id"]): (r["rank"], r["cosine"]) for r in fast}
+    ek = {(r["query_id"], r["vec_id"]): (r["rank"], r["cosine"]) for r in exact}
+    assert fk.keys() == ek.keys()
+    for key, (rank, cos) in fk.items():
+        erank, ecos = ek[key]
+        assert rank == erank and abs(cos - ecos) < 1e-12
+
+
 def test_ivf_topk_recall(spark):
     """IVF multi-probe: >= 0.9 recall on near-dup neighbors, and the honest
     noise-regime floor on the raw fixture (probing 8/16 cells ~= half the
