@@ -543,6 +543,33 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
             for x, y in xy:  # markers stay on the DATA points
                 cv.marker(x, y, color)
 
+    # annotations: a vertical marker at each note's startTime plus a
+    # white-backed label along the bottom of the plot (Plot.java:345-370:
+    # "set arrow from <ts>, graph 0 to <ts>, graph 1 nohead ls 3" + a
+    # FRONT label over a white rectangle; ls 3 is classic-gnuplot blue —
+    # drawn after the series so the labels sit on top, as "front" does)
+    notes: list[dict[str, Any]] = []
+    seen_notes: set[tuple] = set()
+    for s in series:
+        for n in (s.get("annotations") or []) + (s.get("globalAnnotations") or []):
+            key = (n.get("startTime"), n.get("description"))
+            if key not in seen_notes:
+                seen_notes.add(key)
+                notes.append(n)
+    for n in sorted(notes, key=lambda n: n.get("startTime") or 0):
+        nt = n.get("startTime")
+        if nt is None or not (tmin <= float(nt) <= tmax):
+            continue
+        x = sx(float(nt))
+        cv.vline(x, py0 + 1, py1 - 1, (0x00, 0x00, 0xFF))
+        desc = str(n.get("description") or "")[:24]
+        if desc:
+            w = len(desc) * GLYPH_W
+            lx = max(px0 + 1, min(x - w // 2, px1 - w - 1))
+            for yy in range(py1 - GLYPH_H - 4, py1 - 1):
+                cv.hline(lx - 2, min(lx + w + 2, px1 - 1), yy, bg)
+            cv.text(lx, py1 - GLYPH_H - 3, desc, fg)
+
     # legend ("set key right box", Plot.java:316-318)
     if "nokey" not in params:
         labels = [lbl for lbl, _, _y in data]

@@ -123,6 +123,46 @@ def test_graph_param_validation(fixture_points):
     assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_annotations_drawn(fixture_points, spark):
+    """Annotations render as a blue vertical marker + bottom label
+    (Plot.java:345-370 'set arrow ... nohead ls 3' + front label): the
+    annotated render contains pure-blue pixels the plain one lacks."""
+    from opentsdb_spark.graph import decode_png_pixels
+
+    ann_series = [dict(SERIES[0])]
+    ann_series[0]["annotations"] = [
+        {"startTime": 1356998460, "description": "deploy"}]
+    png = render_png(ann_series, {"wxh": "300x200", "nokey": ""})
+    base = render_png([SERIES[0]], {"wxh": "300x200", "nokey": ""})
+    def count_blue(p):
+        w, h, px = decode_png_pixels(p)
+        return sum(
+            1 for i in range(0, len(px), 3)
+            if px[i] == 0 and px[i + 1] == 0 and px[i + 2] == 0xFF
+        )
+
+    assert count_blue(png) > count_blue(base) + 50  # near-full-height vline
+
+    # end-to-end: /q png with an annotation frame
+    from opentsdb_spark.operators.annotations import ANNOTATION_SCHEMA
+
+    anns = spark.createDataFrame(
+        [(None, 1356998460000, None, "maint", None, None)],
+        "tsuid string, s long, e long, description string, notes string, "
+        "custom map<string,string>",
+    ).selectExpr("tsuid", "timestamp_millis(s) AS start_time",
+                 "timestamp_millis(e) AS end_time", "description", "notes",
+                 "custom")
+    out = api.handle_graph(
+        fixture_points,
+        {"start": 1356998400, "end": 1357100000, "png": "",
+         "m": ["sum:sys.cpu.user"], "global_annotations": "1",
+         "wxh": "300x200"},
+        annotations=anns,
+    )
+    assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_per_series_axis_option(fixture_points):
     """o= plot options: one per m= (mismatch is a 400,
     GraphHandler.java:224-232); 'axis x1y2' scales that sub-query's series
