@@ -142,6 +142,10 @@ def main(argv: list[str] | None = None) -> int:
     td.add_argument("--static-dir", default=None,
                     help="serve /s/* files from this directory "
                          "(reference tsd.http.staticroot)")
+    td.add_argument("--mode", choices=("rw", "ro", "wo"), default="rw",
+                    help="operation mode (reference tsd.mode): ro serves "
+                         "only read RPCs, wo only write RPCs; unregistered "
+                         "endpoints 404")
     # The reference defaults tsd.query.limits.* to unlimited because it
     # STREAMS results into the channel; this daemon materializes responses
     # via collect(), so an unlimited default would let one un-downsampled
@@ -384,7 +388,7 @@ def main(argv: list[str] | None = None) -> int:
         limits.configure(max_data_points=args.max_data_points,
                          max_bytes=args.max_scan_bytes)
         spark, points = _spark_and_points(args)
-        serve(TSD(spark, points, static_dir=args.static_dir),
+        serve(TSD(spark, points, static_dir=args.static_dir, mode=args.mode),
               port=args.port, telnet_port=args.telnet_port)
     elif args.cmd == "metasync":
         from opentsdb_spark.operators.uid import (

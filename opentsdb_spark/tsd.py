@@ -58,6 +58,17 @@ class BadRequest(ValueError):
 class TSD:
     """Server state + router. One instance backs both listeners."""
 
+    # endpoint sets per operation mode (reference tsd.mode,
+    # src/tsd/RpcManager.java:295-366: WRITEONLY registers only the write
+    # RPCs + tree/uid, READONLY only the read RPCs + uid; put/rollup/
+    # histogram telnet commands exist in wo/rw only; the introspection
+    # block — version/stats/config/dropcaches/status/aggregators/logs — is
+    # mode-independent). uid is registered in every mode and rejects the
+    # cross-mode sub-operations itself (UniqueIdRpc.java:96-199).
+    _WRITE_EPS = frozenset({"put", "rollup", "histogram",
+                            "annotation", "annotations", "tree"})
+    _READ_EPS = frozenset({"query", "search", "suggest"})
+
     def __init__(
         self,
         spark,
@@ -66,7 +77,11 @@ class TSD:
         rollups: DataFrame | None = None,
         histograms: DataFrame | None = None,
         static_dir: str | None = None,
+        mode: str = "rw",
     ):
+        if mode not in ("rw", "ro", "wo"):
+            raise ValueError(f"tsd.mode must be rw|ro|wo, got {mode!r}")
+        self.mode = mode
         self.spark = spark
         self.points = points
         # /s/* static root (reference tsd.http.staticroot); None = 404
@@ -290,6 +305,18 @@ class TSD:
 
     def _route(self, method: str, path: str, request: dict, body: Any):
         seg = [s for s in path.split("/") if s]
+        # mode gating mirrors the reference's REGISTRATION split — an
+        # endpoint absent from the mode's RPC map is a plain 404, not a 403
+        # (RpcManager.java:295-366)
+        api_ep = seg[1] if len(seg) > 1 and seg[0] == "api" else None
+        if self.mode == "ro" and api_ep in self._WRITE_EPS:
+            raise FileNotFoundError(path)
+        if self.mode == "wo" and (
+            api_ep in self._READ_EPS
+            or not seg  # HomePage — enableUi block, absent in wo
+            or seg[0] in ("q", "s", "suggest", "favicon.ico")
+        ):
+            raise FileNotFoundError(path)
         with self.lock:
             points = self.points
             annotations = self.annotations
@@ -443,6 +470,15 @@ class TSD:
             return api.handle_annotation_query(annotations, request), None
         if ep == "uid":
             sub = seg[2] if len(seg) > 2 else ""
+            # uid is registered in EVERY mode; the cross-mode sub-operations
+            # reject themselves (UniqueIdRpc.java:96-199)
+            if self.mode == "ro" and (
+                sub in ("assign", "rename")
+                or (sub in ("uidmeta", "tsmeta") and method != "GET")
+            ):
+                raise BadRequest("This operation is not allowed in ro mode.")
+            if self.mode == "wo" and sub in ("uidmeta", "tsmeta") and method == "GET":
+                raise BadRequest("This operation is not allowed in wo mode.")
             if sub == "assign":
                 with self.lock:
                     resp, reg = api.handle_uid_assign(
@@ -679,6 +715,12 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
             cmd = line.split()[0].lower()
             tsd.bump("rpc.received.telnet")
             try:
+                if tsd.mode == "ro" and cmd in ("put", "rollup", "histogram"):
+                    # write commands are not REGISTERED on a read-only TSD
+                    # (RpcManager.java:318-334) — same reply as any
+                    # unregistered command
+                    self.wfile.write(f"unknown command: {cmd}\n".encode())
+                    continue
                 if cmd in ("put", "rollup", "histogram"):
                     # write gate (reference authenticates the telnet line
                     # before dispatch; HTTP put is equally gated)

@@ -433,6 +433,73 @@ def test_telnet_histogram(tsd_server):
     assert list(series["dps"].values()) == [5.0, 7.5]
 
 
+def test_operation_modes(spark, fixture_points):
+    """tsd.mode parity (RpcManager.java:295-366): ro never registers the
+    write RPCs (404 / telnet 'unknown command'), wo never registers the
+    read/UI RPCs; uid rejects cross-mode sub-operations itself with a 400
+    (UniqueIdRpc.java:96-199); introspection works in every mode."""
+    import threading
+
+    ro = TSD(spark, fixture_points, mode="ro")
+    http = make_http_server(ro, 0)
+    tel = TelnetServer(ro, 0)
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    threading.Thread(target=tel.serve_forever, daemon=True).start()
+    port, tport = http.server_address[1], tel.server_address[1]
+    try:
+        # reads + introspection live
+        st, _, _ = _get(port, f"/api/query?start={EPOCH}&end={EPOCH + 100_000}"
+                              "&m=sum:sys.cpu.user")
+        assert st == 200
+        assert _get(port, "/api/version")[0] == 200
+        # writes are unregistered -> 404
+        for p, payload in (("/api/put", [{"metric": "m", "timestamp": EPOCH,
+                                          "value": 1, "tags": {"h": "a"}}]),
+                           ("/api/rollup", []), ("/api/histogram", []),
+                           ("/api/annotation", {"startTime": EPOCH})):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(port, p, payload)
+            assert ei.value.code == 404, p
+        # uid write sub-op 400s with the reference's message
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(port, "/api/uid/assign", {"metric": ["x"]})
+        assert ei.value.code == 400
+        assert "not allowed in ro mode" in ei.value.read().decode()
+        # telnet put = unknown command
+        s = socket.create_connection(("127.0.0.1", tport), timeout=30)
+        f = s.makefile("rwb")
+        f.write(f"put m {EPOCH} 1 h=a\nexit\n".encode())
+        f.flush()
+        assert b"unknown command: put" in f.readline()
+        s.close()
+    finally:
+        http.shutdown()
+        tel.shutdown()
+
+    wo = TSD(spark, fixture_points, mode="wo")
+    http = make_http_server(wo, 0)
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    port = http.server_address[1]
+    try:
+        # writes live
+        st, body = _post(port, "/api/put?details=",
+                         [{"metric": "m", "timestamp": EPOCH, "value": 1,
+                           "tags": {"h": "a"}}])
+        assert st == 200 and json.loads(body)["success"] == 1
+        # reads/UI unregistered -> 404
+        for p in (f"/api/query?start={EPOCH}&m=sum:sys.cpu.user",
+                  "/api/suggest?type=metrics", "/q?png", "/"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _get(port, p)
+            assert ei.value.code == 404, p
+        assert _get(port, "/api/stats")[0] == 200  # introspection stays
+    finally:
+        http.shutdown()
+
+    with pytest.raises(ValueError):
+        TSD(spark, fixture_points, mode="bogus")
+
+
 def test_logs_and_http_plugin(tsd_server):
     import logging
 
