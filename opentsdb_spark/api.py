@@ -1000,6 +1000,77 @@ def handle_stats(spark, *_a) -> dict[str, Any]:
 ENDPOINTS["/api/stats"] = handle_stats
 
 
+def handle_stats_threads(*_a) -> list[dict[str, Any]]:
+    """/api/stats/threads (reference StatsRpc.printThreadStats,
+    src/tsd/StatsRpc.java:180-200: one map per live thread with name/state/
+    priority/stack) — here the daemon's Python threads."""
+    import sys
+    import threading
+    import traceback
+
+    frames = sys._current_frames()
+    out = []
+    for t in threading.enumerate():
+        fr = frames.get(t.ident)
+        out.append({
+            "threadID": t.ident,
+            "name": t.name,
+            "state": "RUNNABLE" if t.is_alive() else "TERMINATED",
+            "daemon": t.daemon,
+            "interrupted": False,
+            "priority": 5,  # python threads have no priority; JVM default
+            "stack": traceback.format_stack(fr) if fr else [],
+        })
+    return out
+
+
+def handle_stats_jvm(spark, *_a) -> dict[str, Any]:
+    """/api/stats/jvm (reference StatsRpc.printJVMStats: runtime/memory/GC
+    maps) — the Spark driver JVM's runtime + memory plus the python
+    process's view."""
+    import os as _os
+    import time as _time
+
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    mx = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    rmx = mx.getRuntimeMXBean()
+    return {
+        "runtime": {
+            "startTime": rmx.getStartTime(),
+            "uptime": rmx.getUptime(),
+            "vmName": rmx.getVmName(),
+            "vmVersion": rmx.getVmVersion(),
+            "pid": _os.getpid(),
+            "currentTime": int(_time.time() * 1000),
+        },
+        "memory": {
+            "totalMemory": rt.totalMemory(),
+            "freeMemory": rt.freeMemory(),
+            "maxMemory": rt.maxMemory(),
+            "availableProcessors": rt.availableProcessors(),
+        },
+    }
+
+
+def handle_stats_region_clients(spark, *_a) -> list[dict[str, Any]]:
+    """/api/stats/region_clients (reference StatsRpc.printRegionClientStats:
+    one map per HBase region-server client). The storage layer here is
+    Spark executors over Parquet, so the analogous per-storage-worker view
+    is the executor list."""
+    infos = spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos()
+    return [
+        {
+            "executorHost": e.host(),
+            "numRunningTasks": e.numRunningTasks(),
+            "usedOnHeapStorageMemory": e.usedOnHeapStorageMemory(),
+            "totalOnHeapStorageMemory": e.totalOnHeapStorageMemory(),
+            "dead": False,
+            "pendingBreachedThreshold": False,
+        }
+        for e in infos
+    ]
+
+
 def handle_dropcaches(spark, *_a) -> dict[str, str]:
     """/api/dropcaches — clears Spark's SQL plan/data caches (the reference
     drops its UID LRU caches; we have no UID caches by design)."""

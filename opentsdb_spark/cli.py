@@ -146,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="operation mode (reference tsd.mode): ro serves "
                          "only read RPCs, wo only write RPCs; unregistered "
                          "endpoints 404")
+    td.add_argument("--cors-domains", default=None,
+                    help="comma list of allowed CORS origins, or '*' "
+                         "(reference tsd.http.request.cors_domains; unset "
+                         "disables CORS and 405s OPTIONS)")
+    td.add_argument("--cors-headers", default=None,
+                    help="Access-Control-Allow-Headers value "
+                         "(tsd.http.request.cors_headers)")
     # The reference defaults tsd.query.limits.* to unlimited because it
     # STREAMS results into the channel; this daemon materializes responses
     # via collect(), so an unlimited default would let one un-downsampled
@@ -388,7 +395,9 @@ def main(argv: list[str] | None = None) -> int:
         limits.configure(max_data_points=args.max_data_points,
                          max_bytes=args.max_scan_bytes)
         spark, points = _spark_and_points(args)
-        serve(TSD(spark, points, static_dir=args.static_dir, mode=args.mode),
+        serve(TSD(spark, points, static_dir=args.static_dir, mode=args.mode,
+                  cors_domains=args.cors_domains,
+                  cors_headers=args.cors_headers),
               port=args.port, telnet_port=args.telnet_port)
     elif args.cmd == "metasync":
         from opentsdb_spark.operators.uid import (

@@ -78,10 +78,30 @@ class TSD:
         histograms: DataFrame | None = None,
         static_dir: str | None = None,
         mode: str = "rw",
+        cors_domains: str | None = None,
+        cors_headers: str | None = None,
     ):
         if mode not in ("rw", "ro", "wo"):
             raise ValueError(f"tsd.mode must be rw|ro|wo, got {mode!r}")
         self.mode = mode
+        # CORS config (reference tsd.http.request.cors_domains/_headers,
+        # RpcHandler.java:92-115: comma list matched case-insensitively;
+        # '*' must be the only entry)
+        if cors_domains:
+            doms = [d.strip().upper() for d in cors_domains.split(",") if d.strip()]
+            if "*" in doms and len(doms) > 1:
+                raise ValueError(
+                    "tsd.http.request.cors_domains must be a public resource "
+                    "(*) or a list of domains, not both"
+                )
+            self.cors_domains: set[str] | None = set(doms)
+        else:
+            self.cors_domains = None
+        self.cors_headers = cors_headers or (
+            "Authorization, Content-Type, Accept, Origin, User-Agent, DNT, "
+            "Cache-Control, X-Mx-ReqToken, Keep-Alive, X-Requested-With, "
+            "If-Modified-Since"
+        )
         self.spark = spark
         self.points = points
         # /s/* static root (reference tsd.http.staticroot); None = 404
@@ -111,6 +131,12 @@ class TSD:
         # exceptions_caught) surfaced through /api/stats and telnet `stats`
         self.counters = {"rpc.received.http": 0, "rpc.received.telnet": 0,
                          "rpc.received.http_plugin": 0, "exceptions_caught": 0}
+
+        # completed-query ring buffer backing /api/stats/query (reference
+        # QueryStats keeps running+completed query maps, StatsRpc:84-96)
+        from collections import deque
+
+        self.completed_queries: deque = deque(maxlen=256)
 
     def bump(self, name: str, n: int = 1) -> None:
         with self._counter_lock:
@@ -404,8 +430,20 @@ class TSD:
                 return api.handle_gexp(points, request), None
             if sub == "exp":
                 return api.handle_exp(points, merged if body else request), None
-            return api.handle_query(points, merged, annotations=annotations,
-                                    histograms=self.histograms), None
+            import time as _time
+
+            q0 = _time.monotonic()
+            out = api.handle_query(points, merged, annotations=annotations,
+                                   histograms=self.histograms)
+            self.completed_queries.append({
+                "queryStart": int(_time.time() * 1000),
+                "elapsed": round((_time.monotonic() - q0) * 1000.0, 3),
+                "seriesCount": len(out),
+                "emittedDPs": sum(len(s.get("dps", ())) for s in out),
+                "query": {k: v for k, v in merged.items()
+                          if not k.startswith("_")},
+            })
+            return out, None
         if ep == "suggest":
             return api.handle_suggest(points, merged), None
         if ep == "search":
@@ -536,6 +574,17 @@ class TSD:
         if ep == "status":
             return self.probe_status(), "text/plain"
         if ep == "stats":
+            # sub-endpoints (reference StatsRpc.java:80-96)
+            sub = seg[2] if len(seg) > 2 else ""
+            if sub == "threads":
+                return api.handle_stats_threads(), None
+            if sub == "jvm":
+                return api.handle_stats_jvm(self.spark), None
+            if sub == "query":
+                return {"completed": list(self.completed_queries),
+                        "running": []}, None
+            if sub == "region_clients":
+                return api.handle_stats_region_clients(self.spark), None
             return {**api.handle_stats(self.spark), **self.counters}, None
         if ep == "dropcaches":
             return api.handle_dropcaches(self.spark), None
@@ -558,11 +607,14 @@ def make_http_handler(tsd: TSD) -> type:
         def log_message(self, *a):  # quiet
             pass
 
-        def _respond(self, code: int, payload, content_type=None):
+        def _respond(self, code: int, payload, content_type=None,
+                     extra_headers=None):
             if code == 204 or payload is NO_CONTENT:
                 # RFC 7230: 204 carries NO body — writing even '""' after
                 # it desynchronizes HTTP/1.1 keep-alive connections
                 self.send_response(204)
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
@@ -576,8 +628,21 @@ def make_http_handler(tsd: TSD) -> type:
                 # timestamps surface as datetime in annotation/meta echoes
                 data = json.dumps(payload, default=str).encode()
                 ctype = "application/json"
+            headers = {**getattr(self, "_req_cors", {}), **(extra_headers or {})}
+            # response compression when the client accepts it (the
+            # reference's Netty pipeline runs HttpContentCompressor,
+            # src/tsd/PipelineFactory.java:158); tiny bodies skip — the
+            # gzip header would outweigh them
+            accept = self.headers.get("Accept-Encoding", "")
+            if "gzip" in accept.lower() and len(data) > 256:
+                import gzip as _gzip
+
+                data = _gzip.compress(data, 6)
+                headers["Content-Encoding"] = "gzip"
             self.send_response(code)
             self.send_header("Content-Type", ctype)
+            for k, v in headers.items():
+                self.send_header(k, v)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
@@ -588,6 +653,33 @@ def make_http_handler(tsd: TSD) -> type:
 
         def _handle(self, method: str):
             from urllib.parse import unquote
+
+            # CORS gate (reference RpcHandler.java:200-245): on OPTIONS or
+            # an Origin'd request with a configured domain list — matched
+            # domains get the Access-Control-* headers (OPTIONS then ends
+            # with a bare 200); unmatched domains get the reference's quirky
+            # 200-with-error-body and NO allow-origin header; OPTIONS
+            # without CORS config is a 405.
+            self._req_cors = {}
+            origin = self.headers.get("Origin")
+            if method == "OPTIONS" or (tsd.cors_domains is not None and origin):
+                if tsd.cors_domains is None or not origin:
+                    return self._error(
+                        405, f"The HTTP method [{method}] is not permitted"
+                    )
+                if "*" in tsd.cors_domains or origin.upper() in tsd.cors_domains:
+                    self._req_cors = {
+                        "Access-Control-Allow-Origin": origin,
+                        "Access-Control-Allow-Methods": "GET, POST, PUT, DELETE",
+                        "Access-Control-Allow-Headers": tsd.cors_headers,
+                    }
+                    if method == "OPTIONS":
+                        return self._respond(200, "", "text/plain")
+                else:
+                    return self._respond(200, {"error": {
+                        "code": 200, "message": "CORS domain not allowed",
+                        "details": f"The domain [{origin}] is not permitted"
+                                   " access"}})
 
             parsed = urlparse(self.path)
             # percent-decode the PATH (static files with spaces/unicode,
@@ -636,6 +728,9 @@ def make_http_handler(tsd: TSD) -> type:
             # empty-string body (e.g. /logs with an empty ring buffer)
             # stays an empty 200, matching the reference LogsRpc
             self._respond(204 if payload is NO_CONTENT else 200, payload, ctype)
+
+        def do_OPTIONS(self):
+            self._handle("OPTIONS")
 
         def do_GET(self):
             self._handle("GET")

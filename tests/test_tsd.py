@@ -433,6 +433,91 @@ def test_telnet_histogram(tsd_server):
     assert list(series["dps"].values()) == [5.0, 7.5]
 
 
+def test_stats_subendpoints(tsd_server):
+    """/api/stats/{threads,jvm,query,region_clients} (StatsRpc.java:80-96)."""
+    _, port, _ = tsd_server
+    st, _, body = _get(port, "/api/stats/threads")
+    threads = json.loads(body)
+    assert st == 200 and any(t["name"] == "MainThread" for t in threads)
+    assert all("state" in t and "threadID" in t for t in threads)
+    st, _, body = _get(port, "/api/stats/jvm")
+    jvm = json.loads(body)
+    assert jvm["memory"]["totalMemory"] > 0 and jvm["runtime"]["uptime"] > 0
+    # run a query, then it must appear in the completed-query stats
+    _get(port, f"/api/query?start={EPOCH}&end={EPOCH + 100_000}&m=sum:sys.cpu.user")
+    st, _, body = _get(port, "/api/stats/query")
+    qs = json.loads(body)
+    assert st == 200 and qs["completed"]
+    assert any("sum:sys.cpu.user" in str(q["query"].get("m")) for q in qs["completed"])
+    st, _, body = _get(port, "/api/stats/region_clients")
+    assert st == 200 and isinstance(json.loads(body), list)
+
+
+def test_cors_and_gzip(spark, fixture_points):
+    """CORS per RpcHandler.java:200-245: OPTIONS without config is 405;
+    matched Origin gets the Access-Control headers (OPTIONS -> bare 200);
+    unmatched Origin gets the 200-with-error-body quirk and NO allow-origin
+    header. Plus gzip response compression on Accept-Encoding."""
+    import gzip
+    import threading
+
+    tsd = TSD(spark, fixture_points, cors_domains="example.com,other.ORG")
+    http = make_http_server(tsd, 0)
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    port = http.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # matched origin: headers present, OPTIONS is a bare 200
+        req = urllib.request.Request(base + "/api/version", method="OPTIONS",
+                                     headers={"Origin": "Example.COM"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert r.headers["Access-Control-Allow-Origin"] == "Example.COM"
+            assert "GET, POST" in r.headers["Access-Control-Allow-Methods"]
+        # matched origin on a real GET rides the allow-origin header
+        req = urllib.request.Request(base + "/api/version",
+                                     headers={"Origin": "other.org"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Access-Control-Allow-Origin"] == "other.org"
+            assert json.loads(r.read())["engine"] == "opentsdb-spark"
+        # unmatched origin: 200 + error body, NO allow-origin (the
+        # reference's documented quirk)
+        req = urllib.request.Request(base + "/api/version",
+                                     headers={"Origin": "evil.example"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert r.headers.get("Access-Control-Allow-Origin") is None
+            assert "CORS domain not allowed" in json.loads(r.read())["error"]["message"]
+        # gzip: big responses compress when accepted
+        req = urllib.request.Request(
+            base + f"/api/query?start={EPOCH}&end={EPOCH + 100_000}"
+                   "&m=none:sys.cpu.user",
+            headers={"Accept-Encoding": "gzip"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Encoding"] == "gzip"
+            out = json.loads(gzip.decompress(r.read()))
+            assert len(out) == 2
+    finally:
+        http.shutdown()
+
+    # no CORS config: OPTIONS is a 405 (RpcHandler.java:206-209)
+    tsd2 = TSD(spark, fixture_points)
+    http2 = make_http_server(tsd2, 0)
+    threading.Thread(target=http2.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http2.server_address[1]}/api/version",
+            method="OPTIONS")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 405
+    finally:
+        http2.shutdown()
+    # '*' plus other domains is a config error (RpcHandler.java:104-109)
+    with pytest.raises(ValueError):
+        TSD(spark, fixture_points, cors_domains="*,example.com")
+
+
 def test_operation_modes(spark, fixture_points):
     """tsd.mode parity (RpcManager.java:295-366): ro never registers the
     write RPCs (404 / telnet 'unknown command'), wo never registers the
