@@ -966,6 +966,12 @@ def handle_version(*_a) -> dict[str, str]:
 
 
 def handle_config(spark, *_a) -> dict[str, str]:
+    """/api/config — the loaded opentsdb.conf map when one was applied
+    (reference ShowConfig serves the tsd config), else the Spark conf."""
+    from opentsdb_spark.config import LOADED
+
+    if LOADED:
+        return dict(LOADED)
     return {k: v for k, v in spark.sparkContext.getConf().getAll()}
 
 

@@ -137,12 +137,16 @@ def main(argv: list[str] | None = None) -> int:
                     "telnet line protocol (reference tsdb tsd, "
                     "src/tsd/TSDMain.java)"
     )
-    td.add_argument("--port", type=int, default=4242)
+    td.add_argument("--config", default=None,
+                    help="opentsdb.conf java-properties file (reference "
+                         "tsd config keys; explicit flags override it)")
+    td.add_argument("--port", type=int, default=None,
+                    help="HTTP(+telnet) port (tsd.network.port; default 4242)")
     td.add_argument("--telnet-port", type=int, default=None)
     td.add_argument("--static-dir", default=None,
                     help="serve /s/* files from this directory "
                          "(reference tsd.http.staticroot)")
-    td.add_argument("--mode", choices=("rw", "ro", "wo"), default="rw",
+    td.add_argument("--mode", choices=("rw", "ro", "wo"), default=None,
                     help="operation mode (reference tsd.mode): ro serves "
                          "only read RPCs, wo only write RPCs; unregistered "
                          "endpoints 404")
@@ -159,11 +163,11 @@ def main(argv: list[str] | None = None) -> int:
     # full-range query OOM the driver. Ship the ceiling ON: 8M data points
     # is far above any renderable/JSON-consumable response and well inside
     # driver memory. 0 disables (the reference default).
-    td.add_argument("--max-data-points", type=int, default=8_000_000,
+    td.add_argument("--max-data-points", type=int, default=None,
                     help="reject queries whose scan or output grid exceeds "
                          "this many data points (tsd.query.limits.data_points; "
-                         "0 = unlimited)")
-    td.add_argument("--max-scan-bytes", type=int, default=0,
+                         "0 = unlimited; default 8000000 without --config)")
+    td.add_argument("--max-scan-bytes", type=int, default=None,
                     help="reject queries whose pruned Parquet scan exceeds "
                          "this many bytes (tsd.query.limits.bytes; "
                          "0 = unlimited, the reference default)")
@@ -389,16 +393,39 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(api.handle_version(), indent=2))
     elif args.cmd == "tsd":
+        from opentsdb_spark import config as tsdconf
         from opentsdb_spark.plans import limits
         from opentsdb_spark.tsd import TSD, serve
 
-        limits.configure(max_data_points=args.max_data_points,
-                         max_bytes=args.max_scan_bytes)
+        cfg = tsdconf.load_config(args.config)
+        if args.config:
+            # wires allow_delete / expansion limit / fix_duplicates /
+            # limit defaults; explicit flags below override the limits
+            tsdconf.apply_config(cfg)
+        mdp = args.max_data_points
+        if mdp is None:
+            # config file is authoritative when given (0 = the reference's
+            # unlimited default); otherwise this daemon ships the ceiling ON
+            mdp = int(cfg["tsd.query.limits.data_points.default"]) if args.config else 8_000_000
+        msb = args.max_scan_bytes
+        if msb is None:
+            msb = int(cfg["tsd.query.limits.bytes.default"]) if args.config else 0
+        limits.configure(max_data_points=mdp, max_bytes=msb)
         spark, points = _spark_and_points(args)
-        serve(TSD(spark, points, static_dir=args.static_dir, mode=args.mode,
-                  cors_domains=args.cors_domains,
-                  cors_headers=args.cors_headers),
-              port=args.port, telnet_port=args.telnet_port)
+        serve(
+            TSD(
+                spark, points,
+                static_dir=args.static_dir or (cfg["tsd.http.staticroot"] or None),
+                mode=args.mode or cfg["tsd.mode"],
+                cors_domains=args.cors_domains
+                or (cfg["tsd.http.request.cors_domains"] or None),
+                cors_headers=args.cors_headers
+                or (cfg["tsd.http.request.cors_headers"] or None),
+                no_diediedie=tsdconf.as_bool(cfg["tsd.no_diediedie"]),
+            ),
+            port=args.port if args.port is not None else int(cfg["tsd.network.port"]),
+            telnet_port=args.telnet_port,
+        )
     elif args.cmd == "metasync":
         from opentsdb_spark.operators.uid import (
             TSMETA_SCHEMA, UIDMETA_SCHEMA, meta_purge, meta_sync,

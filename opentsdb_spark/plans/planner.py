@@ -99,6 +99,19 @@ AGG_TAG_KEY = "_aggregate"
 RAW_AGG_TAG_VALUE = "RAW"
 
 
+# tsd.storage.fix_duplicates analog (src/utils/Config.java:98-99): when ON,
+# duplicate (series, ts) rows resolve to one winner inside every compiled
+# sub-query's scan (max (value,value_long) struct — deterministic without a
+# write-order column; with an ingest_time column the writer dedups at
+# compaction instead, streaming.ingest.dedup_last_write_wins). Default OFF:
+# the engine then aggregates duplicates as-is — a DOCUMENTED deviation from
+# the reference's throw-on-duplicate default, because detecting duplicates
+# up front would cost an extra scan on every query at corpus scale, and the
+# streaming/compaction path already dedups before data is served. Set via
+# config.apply_config (opentsdb.conf) or directly.
+FIX_DUPLICATES = False
+
+
 def _wants_pre_aggregate(q: SubQuery) -> bool:
     """The query asks for the pre-aggregated (groupby) store: the m= pre-agg
     flag, or a literal_or filter on the agg tag naming a non-RAW value
@@ -163,6 +176,14 @@ def compile_subquery(
     pred = _tag_predicates(q)
     if pred is not None:
         df = df.where(pred)
+    if FIX_DUPLICATES and set(df.columns) <= {"metric", "tags", "ts",
+                                              "value", "value_long"}:
+        from opentsdb_spark.streaming.ingest import dedup_last_write_wins
+
+        cols = df.columns
+        if "value_long" not in cols:
+            df = df.withColumn("value_long", F.lit(None).cast("long"))
+        df = dedup_last_write_wins(df).select(*cols)
     source_df = df
 
     aligned = False

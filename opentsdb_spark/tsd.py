@@ -80,10 +80,13 @@ class TSD:
         mode: str = "rw",
         cors_domains: str | None = None,
         cors_headers: str | None = None,
+        no_diediedie: bool = False,
     ):
         if mode not in ("rw", "ro", "wo"):
             raise ValueError(f"tsd.mode must be rw|ro|wo, got {mode!r}")
         self.mode = mode
+        # tsd.no_diediedie: the shutdown command is simply not registered
+        self.no_diediedie = no_diediedie
         # CORS config (reference tsd.http.request.cors_domains/_headers,
         # RpcHandler.java:92-115: comma list matched case-insensitively;
         # '*' must be the only entry)
@@ -846,6 +849,9 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                     flush()
                     api.handle_dropcaches(tsd.spark)
                     self.wfile.write(b"Caches dropped.\n")
+                elif cmd == "diediedie" and tsd.no_diediedie:
+                    # tsd.no_diediedie=true: never registered (RpcManager)
+                    self.wfile.write(f"unknown command: {cmd}\n".encode())
                 elif cmd == "diediedie":
                     # reference: clean shutdown (RpcManager.java:547-...)
                     flush()

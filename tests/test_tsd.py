@@ -518,6 +518,64 @@ def test_cors_and_gzip(spark, fixture_points):
         TSD(spark, fixture_points, cors_domains="*,example.com")
 
 
+def test_config_file_and_fix_duplicates(spark, fixture_points, tmp_path):
+    """opentsdb.conf loading (reference src/utils/Config.java): properties
+    parse, defaults merge, /api/config serves the loaded map, and
+    tsd.storage.fix_duplicates=true makes the planner resolve duplicate
+    (series, ts) rows to one winner per fix_duplicates semantics."""
+    from opentsdb_spark import api
+    from opentsdb_spark import config as tsdconf
+    from opentsdb_spark.functions import filters
+    from opentsdb_spark.plans import limits, planner
+
+    conf = tmp_path / "opentsdb.conf"
+    conf.write_text(
+        "# comment\n"
+        "tsd.mode = ro\n"
+        "tsd.query.limits.data_points.default = 1234\n"
+        "tsd.query.filter.expansion_limit: 99\n"
+        "tsd.storage.fix_duplicates = true\n"
+        "tsd.some.plugin.key = kept-verbatim\n"
+    )
+    cfg = tsdconf.load_config(str(conf))
+    assert cfg["tsd.mode"] == "ro"
+    assert cfg["tsd.network.port"] == "4242"  # default survives
+    assert cfg["tsd.some.plugin.key"] == "kept-verbatim"
+    try:
+        tsdconf.apply_config(cfg)
+        assert limits.DEFAULT_MAX_DATA_POINTS == 1234
+        assert filters.EXPANSION_LIMIT == 99
+        assert planner.FIX_DUPLICATES
+        # /api/config now serves the loaded map (reference ShowConfig)
+        assert api.handle_config(spark)["tsd.mode"] == "ro"
+
+        # duplicate (series, ts) rows: with fix ON, max-(value,value_long)
+        # struct wins — sum over the dup'd timestamp sees ONE point
+        from pyspark.sql import functions as F
+
+        dup = fixture_points.unionByName(
+            fixture_points.limit(0)  # schema anchor
+        ).unionByName(
+            spark.createDataFrame(
+                [("sys.cpu.user", (EPOCH + 30) * 1000, 999.0,
+                  {"host": "web01", "dc": "lga"})],
+                "metric string, ts_ms long, value double, tags map<string,string>",
+            ).select("metric", F.timestamp_millis("ts_ms").alias("ts"),
+                     "value", F.lit(None).cast("long").alias("value_long"),
+                     "tags")
+        )
+        out = api.handle_query(
+            dup, {"start": EPOCH, "end": EPOCH + 50,
+                  "m": "sum:sys.cpu.user{host=literal_or(web01)}"})
+        [series] = out
+        # winner is max(value)=999, not 1+999
+        assert series["dps"][str(EPOCH + 30)] == 999.0
+    finally:
+        tsdconf.apply_config(tsdconf.load_config(None))  # reset defaults
+        tsdconf.LOADED.clear()
+    assert not planner.FIX_DUPLICATES and limits.DEFAULT_MAX_DATA_POINTS == 0
+
+
 def test_operation_modes(spark, fixture_points):
     """tsd.mode parity (RpcManager.java:295-366): ro never registers the
     write RPCs (404 / telnet 'unknown command'), wo never registers the
