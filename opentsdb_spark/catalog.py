@@ -2890,6 +2890,62 @@ def sample_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "shard", "n_tokens", "bin")
 
 
+_DSIR_B = 10_007
+
+
+@register(
+    "sample_dsir_weights",
+    f"""WITH RECURSIVE
+        w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+              FROM documents),
+        uni AS (SELECT doc_id, unnest(w) AS g FROM w),
+        bi AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+               FROM (SELECT doc_id, w,
+                            unnest(generate_series(1, len(w) - 1)) AS i
+                     FROM w WHERE len(w) >= 2)),
+        feats AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+        strs AS (SELECT DISTINCT g AS s FROM feats),
+        {xxh64_str_ctes('strs', ('s',), 's', out='gh')},
+        fb AS (SELECT f.doc_id,
+                      ((gh.h % {_DSIR_B}) + {_DSIR_B}) % {_DSIR_B} AS bucket
+               FROM feats f JOIN gh ON f.g = gh.s),
+        tf AS (SELECT fb.* FROM fb
+               JOIN (SELECT doc_id FROM documents WHERE source = 'src0') t
+               USING (doc_id)),
+        rc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS n
+               FROM fb GROUP BY bucket),
+        rt AS (SELECT sum(n) AS t FROM rc),
+        tc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS n
+               FROM tf GROUP BY bucket),
+        tt AS (SELECT sum(n) AS t FROM tc),
+        ratio AS (SELECT rc.bucket,
+                         ln(coalesce((tc.n + 0.5), 0.5)
+                            / ((SELECT t FROM tt) + 0.5 * {_DSIR_B}))
+                         - ln((rc.n + 0.5)
+                              / ((SELECT t FROM rt) + 0.5 * {_DSIR_B})) AS lr
+                  FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket)
+        SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               {RND.format('sum(ratio.lr)')} AS log_weight_r
+        FROM fb JOIN ratio ON ratio.bucket = fb.bucket
+        GROUP BY fb.doc_id""",
+)
+def sample_dsir_weights(spark, sf_dir):
+    """DSIR importance weights toward the 'src0' slice (Xie et al. 2023):
+    hashed uni+bigram bag-of-buckets likelihood ratio, target fit on src0
+    docs vs the whole corpus. Hash-checked against the pure-SQL XXH64
+    replica; top-weight docs are the importance-resampled selection."""
+    from opentsdb_spark.pipeline.sampling import dsir_importance_weights
+
+    docs = _docs(spark, sf_dir)
+    out = dsir_importance_weights(
+        docs, F.col("source") == "src0", n_buckets=_DSIR_B
+    )
+    return out.select(
+        "doc_id", F.col("n_feats").cast("long").alias("n_feats"),
+        _vr(F.col("log_weight")).alias("log_weight_r"),
+    )
+
+
 # ============================================= query-string parser path =====
 
 from opentsdb_spark.parse import parse_gexp, parse_m_subquery  # noqa: E402

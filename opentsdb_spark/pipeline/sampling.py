@@ -173,3 +173,95 @@ def pack_sequences(
     return out.withColumn(
         "bin", F.floor((running - F.col("n_tokens")) / F.lit(max_tokens))
     )
+
+
+def _hashed_ngram_feats(docs: DataFrame, content_col: str, id_col: str,
+                        n_buckets: int, hash_fn) -> DataFrame:
+    """(id, bucket) rows — one per unigram/bigram OCCURRENCE, bucketed by
+    hash into ``n_buckets`` (the DSIR paper's hashed n-gram featurizer,
+    Xie et al. 2023 §2.2: uni+bi-grams hashed into 10k buckets)."""
+    words = F.regexp_extract_all(F.lower(F.col(content_col)), F.lit(r"\S+"), F.lit(0))
+    bigrams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        # zip_with pads the shorter side with null; concat_ws skips nulls,
+        # so the pad row collapses to the bare last word — drop it by
+        # requiring a space
+        lambda g: g.contains(" "),
+    )
+    grams = F.concat(words, bigrams)
+    return docs.select(
+        id_col, F.explode(grams).alias("__g")
+    ).select(
+        id_col, F.pmod(hash_fn(F.col("__g")), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 10_007,
+    smoothing: float = 0.5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023): score every document by how target-like its hashed
+    n-gram features are,
+
+        log w(doc) = sum over feature occurrences f of
+                     ln p_target(f) - ln p_raw(f)
+
+    with unigram+bigram features hashed into ``n_buckets`` buckets and
+    Laplace-smoothed bag-of-buckets probabilities fit on the TARGET subset
+    (rows matching ``target_pred``) vs the WHOLE corpus. Selecting the
+    top-weight documents importance-resamples the corpus toward the target
+    distribution — the standard domain-matching data-selection op.
+
+    Scale shape: the featurizer is a narrow explode (no payloads), both
+    probability tables are <= n_buckets rows built with map-side-combinable
+    counts and BROADCAST back, and the per-doc sum is one groupBy(id) —
+    nothing driver-side, no table ever exceeds n_buckets rows.
+
+    Returns (id, n_feats, log_weight)."""
+    hash_fn = hash_fn or F.xxhash64
+    feats = _hashed_ngram_feats(docs, content_col, id_col, n_buckets, hash_fn)
+    tgt_ids = docs.where(target_pred).select(id_col)
+    tgt_feats = feats.join(F.broadcast(tgt_ids), on=id_col, how="leftsemi")
+
+    def prob_table(f: DataFrame, p_name: str) -> DataFrame:
+        cnt = f.groupBy("bucket").agg(F.count("*").alias("__n"))
+        tot = cnt.agg(F.sum("__n").alias("__t"))
+        return cnt.crossJoin(F.broadcast(tot)).select(
+            "bucket",
+            ((F.col("__n") + F.lit(smoothing))
+             / (F.col("__t") + F.lit(smoothing * n_buckets))).alias(p_name),
+        )
+
+    tgt_tot = tgt_feats.count()  # scalar for the unseen-bucket floor
+    raw_tot = feats.count()
+    ratio = (
+        prob_table(feats, "p_raw")
+        .join(prob_table(tgt_feats, "p_tgt"), on="bucket", how="left")
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(
+                    F.col("p_tgt"),
+                    F.lit(smoothing) / F.lit(tgt_tot + smoothing * n_buckets),
+                )) - F.log("p_raw")
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )

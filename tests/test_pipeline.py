@@ -433,6 +433,33 @@ def test_connected_components_chain_and_clusters(spark):
     assert kept == {0, 10, 99}
 
 
+def test_dsir_importance_weights(spark):
+    """DSIR (Xie et al. 2023): documents written in the target slice's
+    vocabulary must out-weigh documents written in the off-target
+    vocabulary, and weights are symmetric evidence — a doc mixing both
+    sits between them."""
+    from opentsdb_spark.pipeline.sampling import dsir_importance_weights
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "law court judge ruling appeal " * 4, "legal"))
+        rows.append((100 + i, "goal match striker penalty corner " * 4, "sport"))
+    rows.append((500, "law court judge ruling appeal law court", "web"))
+    rows.append((501, "goal match striker penalty corner goal", "web"))
+    rows.append((502, "law court goal match judge striker", "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r["log_weight"]
+           for r in dsir_importance_weights(
+               docs, F.col("source") == "legal").collect()}
+    assert out[500] > out[502] > out[501]
+    assert out[500] > 0 > out[501]  # target-like up, off-target down
+    # n_feats = unigrams + bigrams per doc
+    nf = {r["doc_id"]: r["n_feats"]
+          for r in dsir_importance_weights(
+              docs, F.col("source") == "legal").collect()}
+    assert nf[501] == 6 + 5
+
+
 def test_pii_scrub(spark):
     from opentsdb_spark.pipeline.text import pii_scrub
 
