@@ -50,7 +50,16 @@ def serialize_subquery(
     # fail fast BEFORE materializing (reference TsdbQuery.java:527-536 aborts
     # over-limit queries instead of OOMing the serving layer)
     enforce_data_point_limit(out_df, max_data_points)
-    rows = out_df.orderBy(*key_cols, "__t").collect()
+    ordered = out_df.orderBy(*key_cols, "__t")
+    if max_data_points <= 0:
+        # UNLIMITED responses stream partition-by-partition instead of
+        # collecting: orderBy range-partitions + sorts, and toLocalIterator
+        # walks partitions in order, so global order is preserved while
+        # driver memory is bounded by one partition — the analog of the
+        # reference streaming its span iterator into the channel
+        rows = ordered.toLocalIterator()
+    else:
+        rows = ordered.collect()
     # per-output-series tag partition (reference SpanGroup.computeTags,
     # src/core/SpanGroup.java:348-386): a key whose value is IDENTICAL
     # across every underlying series that has it stays in `tags`; a key
