@@ -32,9 +32,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     # callable sql entries resolve lazily (data-dependent literals, e.g.
-    # trained IVF centroids) — see catalog.QueryDef.sql / resolve_sql
-    return {
-        name: catalog.resolve_sql(qd)
-        for name, qd in catalog.CATALOG.items()
-        if qd.sql is not None
-    }
+    # trained IVF centroids) — see catalog.QueryDef.sql / resolve_sql.
+    # A lazy resolve that fails (gate parquet unavailable in this
+    # environment) degrades THAT entry to rows-only instead of taking the
+    # whole oracle map down with it.
+    out: dict[str, str] = {}
+    for name, qd in catalog.CATALOG.items():
+        if qd.sql is None:
+            continue
+        try:
+            sql = catalog.resolve_sql(qd)
+        except Exception:  # noqa: BLE001 — degrade one entry, keep the rest
+            continue
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -145,6 +145,28 @@ def handle_query(
                              histograms=histograms,
                              rollup_cfg=rollup_cfg, agg_tag=agg_tag,
                              strict_none=_flag(request, "strict_none"))
+    # budget enforcement runs FIRST — before the annotation semi-join below,
+    # which executes a real scan over each sub-query's source frame; an
+    # over-budget query must be rejected before ANY range-sized job runs
+    byte_limit = request_byte_limit(request)
+    for q, res in zip(tsq.queries, compiled):
+        if res.source_df is None:
+            continue
+        if byte_limit > 0:
+            # byte ceiling first: it prices the scan from plan statistics
+            # alone (tsd.query.limits.bytes, SaltScanner.java:560-605) —
+            # no job runs at all for an over-budget range
+            from opentsdb_spark.plans.limits import enforce_byte_budget
+
+            enforce_byte_budget(res.source_df, byte_limit)
+        if limit > 0:
+            # price the query BEFORE the expensive plan runs (the reference
+            # aborts mid-scan, TsdbQuery.java:527-536; see enforce_scan_budget)
+            from opentsdb_spark.plans.limits import enforce_scan_budget
+
+            s_ms = parse_datetime_ms(tsq.start, tsq.timezone, request.get("_now_ms"))
+            e_ms = parse_datetime_ms(tsq.end, tsq.timezone, request.get("_now_ms"))
+            enforce_scan_budget(res.source_df, q.downsample, s_ms, e_ms, limit)
     ann_map: dict[str, list[dict[str, Any]]] | None = None
     globals_list: list[dict[str, Any]] | None = None
     if annotations is not None and not tsq.no_annotations:
@@ -157,8 +179,12 @@ def handle_query(
         # push the identity filter into the FRAME: a broadcast semi-join
         # against the query's matched-series ids means annotation cost
         # scales with the matched series, not the global annotation table
-        # (which a dense deployment grows without bound). Falls back to the
-        # fetch-all path only when no sub-query exposes a source frame.
+        # (which a dense deployment grows without bound). The broadcast
+        # side is the DISTINCT matched-series id set — bounded by series
+        # cardinality in range, not data volume; the budget checks above
+        # already rejected over-budget ranges before this job runs. Falls
+        # back to the fetch-all path only when no sub-query exposes a
+        # source frame.
         from opentsdb_spark.sources.points import series_id_col
 
         sid_frames = [
@@ -200,22 +226,6 @@ def handle_query(
     for sq_idx, (q, res) in enumerate(zip(tsq.queries, compiled)):
         echo = subquery_echo(q) if tsq.show_query else None
         ts0 = time.monotonic()
-        byte_limit = request_byte_limit(request)
-        if byte_limit > 0 and res.source_df is not None:
-            # byte ceiling first: it prices the scan from plan statistics
-            # alone (tsd.query.limits.bytes, SaltScanner.java:560-605) —
-            # no job runs at all for an over-budget range
-            from opentsdb_spark.plans.limits import enforce_byte_budget
-
-            enforce_byte_budget(res.source_df, byte_limit)
-        if limit > 0 and res.source_df is not None:
-            # price the query BEFORE the expensive plan runs (the reference
-            # aborts mid-scan, TsdbQuery.java:527-536; see enforce_scan_budget)
-            from opentsdb_spark.plans.limits import enforce_scan_budget
-
-            s_ms = parse_datetime_ms(tsq.start, tsq.timezone, request.get("_now_ms"))
-            e_ms = parse_datetime_ms(tsq.end, tsq.timezone, request.get("_now_ms"))
-            enforce_scan_budget(res.source_df, q.downsample, s_ms, e_ms, limit)
         series = serialize_subquery(
             res, tsq.ms_resolution, limit,
             show_tsuids=tsq.show_tsuids, query_echo=echo,

@@ -43,12 +43,20 @@ def parse_properties(text: str) -> dict[str, str]:
         line = raw.strip()
         if not line or line[0] in "#!":
             continue
-        for sep in ("=", ":"):
-            if sep in line:
-                k, _, v = line.partition(sep)
-                break
+        # java-properties splits at the FIRST of '='/':'/whitespace — a
+        # fixed '=' preference would mis-split 'k: v=x' at the '=' inside
+        # the value
+        cut = min((i for i in (line.find("="), line.find(":"),
+                               line.find(" "), line.find("\t")) if i >= 0),
+                  default=-1)
+        if cut < 0:
+            k, v = line, ""
         else:
-            k, _, v = line.partition(" ")
+            k, v = line[:cut], line[cut + 1:].lstrip()
+            # 'k = v': the cut lands on the whitespace BEFORE the '=' —
+            # java-properties then skips one optional '='/':' after the key
+            if line[cut] in " \t" and v[:1] in "=:":
+                v = v[1:].lstrip()
         k, v = k.strip(), v.strip()
         if k:
             out[k] = v

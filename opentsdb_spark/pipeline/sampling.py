@@ -243,7 +243,6 @@ def dsir_importance_weights(
         )
 
     tgt_tot = tgt_feats.count()  # scalar for the unseen-bucket floor
-    raw_tot = feats.count()
     ratio = (
         prob_table(feats, "p_raw")
         .join(prob_table(tgt_feats, "p_tgt"), on="bucket", how="left")

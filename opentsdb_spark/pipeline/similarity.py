@@ -538,7 +538,8 @@ def semdedup(
     cent_arr = (
         [[float(x) for x in c] for c in centroids]
         if centroids is not None
-        else _train_kmeans(embeddings, n_centroids, train_size, iters, seed, vec_col)
+        else _train_kmeans(embeddings, n_centroids, train_size, iters, seed, vec_col,
+                           id_col=id_col)
     )
     corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     assigned = _assign_cells(corpus, cent_arr, "cv")
@@ -684,7 +685,8 @@ def ivf_topk(
     cent_arr = (
         [[float(x) for x in c] for c in centroids]
         if centroids is not None
-        else _train_kmeans(embeddings, n_centroids, train_size, iters, seed, vec_col)
+        else _train_kmeans(embeddings, n_centroids, train_size, iters, seed, vec_col,
+                           id_col=id_col)
     )
 
     corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))

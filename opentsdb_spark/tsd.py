@@ -436,10 +436,11 @@ class TSD:
             import time as _time
 
             q0 = _time.monotonic()
+            started_ms = int(_time.time() * 1000)  # START, not completion
             out = api.handle_query(points, merged, annotations=annotations,
                                    histograms=self.histograms)
             self.completed_queries.append({
-                "queryStart": int(_time.time() * 1000),
+                "queryStart": started_ms,
                 "elapsed": round((_time.monotonic() - q0) * 1000.0, 3),
                 "seriesCount": len(out),
                 "emittedDPs": sum(len(s.get("dps", ())) for s in out),
@@ -614,9 +615,13 @@ def make_http_handler(tsd: TSD) -> type:
                      extra_headers=None):
             if code == 204 or payload is NO_CONTENT:
                 # RFC 7230: 204 carries NO body — writing even '""' after
-                # it desynchronizes HTTP/1.1 keep-alive connections
+                # it desynchronizes HTTP/1.1 keep-alive connections. CORS
+                # headers must still ride along: a matched-Origin /api/put
+                # answers 204, and a browser drops the response without
+                # Access-Control-Allow-Origin on it
                 self.send_response(204)
-                for k, v in (extra_headers or {}).items():
+                for k, v in {**getattr(self, "_req_cors", {}),
+                             **(extra_headers or {})}.items():
                     self.send_header(k, v)
                 self.send_header("Content-Length", "0")
                 self.end_headers()

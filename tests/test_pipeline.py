@@ -433,6 +433,21 @@ def test_connected_components_chain_and_clusters(spark):
     assert kept == {0, 10, 99}
 
 
+def test_ivf_custom_id_col_trains(spark):
+    """ivf_topk's trained path must honor a custom id_col — the hash-ordered
+    training sample keys on the id column, so a frame without 'vec_id' has
+    to work when id_col names its real id."""
+    from opentsdb_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    renamed = emb.withColumnRenamed("vec_id", "doc_id")
+    q = renamed.where(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), "embedding")
+    out = ivf_topk(renamed, q, k=3, n_centroids=4, n_probe=4,
+                   id_col="doc_id").collect()
+    assert len(out) == 6 and all(r["rank"] <= 3 for r in out)
+
+
 def test_dsir_importance_weights(spark):
     """DSIR (Xie et al. 2023): documents written in the target slice's
     vocabulary must out-weigh documents written in the off-target

@@ -541,6 +541,11 @@ def test_config_file_and_fix_duplicates(spark, fixture_points, tmp_path):
     assert cfg["tsd.mode"] == "ro"
     assert cfg["tsd.network.port"] == "4242"  # default survives
     assert cfg["tsd.some.plugin.key"] == "kept-verbatim"
+    # java-properties splits at the FIRST separator: a ':'-keyed line whose
+    # value contains '=' must keep the full value, and 'k = v' strips the
+    # optional '=' after the whitespace cut
+    p = tsdconf.parse_properties("a.key: X-Token=abc\nb.key = v\nc.key:v2")
+    assert p == {"a.key": "X-Token=abc", "b.key": "v", "c.key": "v2"}
     try:
         tsdconf.apply_config(cfg)
         assert limits.DEFAULT_MAX_DATA_POINTS == 1234

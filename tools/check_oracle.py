@@ -86,7 +86,13 @@ def main() -> int:
             results[name] = {"status": "fail", "detail": f"spark error: {e}"}
             print(f"FAIL  {name}: spark error {e}")
             continue
-        sql = resolve_sql(qd)
+        try:
+            sql = resolve_sql(qd)  # lazy oracles may read the gate parquet
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"ORACLE RESOLVE ERROR: {e}"))
+            results[name] = {"status": "fail", "detail": f"oracle resolve error: {e}"}
+            print(f"FAIL  {name}: oracle resolve error {e}")
+            continue
         if sql is None:
             results[name] = {"status": "rows_only", "rows": len(srows),
                              "sec": round(time.time() - t0, 2)}
