@@ -3153,6 +3153,159 @@ def tsdb_rate_drop_resets(spark, sf_dir):
     return out.select("metric", series_id_col().alias("series_id"), _ts_ms(), _vr(F.col("value")))
 
 
+# ---- round 6: substring dedup / prototypicality / covariance / CCNet ------
+
+
+@register(
+    "dedup_substring",
+    lambda: f"""WITH RECURSIVE
+        w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(
+                generate_series(1, greatest(len(w) - 4, 0)),
+                i -> struct_pack(pos := i - 1,
+                                 gram := array_to_string(w[i:i+4], ' ')))) AS u
+              FROM w),
+        e AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g),
+        strs AS (SELECT DISTINCT gram AS s FROM e),
+        {xxh64_str_ctes('strs', ('s',), 's', out='gh')},
+        eh AS (SELECT e.doc_id, e.pos, gh.h FROM e JOIN gh ON e.gram = gh.s),
+        duph AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM eh)
+                 GROUP BY h HAVING count(*) >= 2),
+        dw AS (SELECT eh.doc_id, eh.pos FROM eh SEMI JOIN duph ON eh.h = duph.h),
+        cov AS (SELECT doc_id, count(DISTINCT pos + j) AS dup_tokens
+                FROM (SELECT doc_id, pos, unnest(generate_series(0, 4)) AS j
+                      FROM dw) t
+                GROUP BY doc_id),
+        wins AS (SELECT doc_id, count(*) AS n_windows FROM eh GROUP BY doc_id),
+        dwins AS (SELECT doc_id, count(*) AS n_dup_windows FROM dw GROUP BY doc_id),
+        base AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS nw
+                 FROM documents)
+        SELECT b.doc_id,
+               CAST(b.nw AS INT) AS n_words,
+               CAST(coalesce(wins.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(dwins.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               {RND.format("coalesce(cov.dup_tokens, 0)::DOUBLE / nullif(b.nw, 0)")} AS dup_frac_r
+        FROM base b LEFT JOIN wins USING (doc_id) LEFT JOIN dwins USING (doc_id)
+        LEFT JOIN cov USING (doc_id)""",
+)
+def dedup_substring(spark, sf_dir):
+    """ExactSubstr-style substring-duplication signal (Lee et al.,
+    arXiv:2107.06499 §4) over 5-token xxhash64 windows, hash-checked
+    against the pure-SQL XXH64 oracle replica."""
+    from opentsdb_spark.pipeline.dedup import substring_dup_spans
+
+    out = substring_dup_spans(_docs(spark, sf_dir), k=5)
+    return out.select("doc_id", "n_words", "n_windows", "n_dup_windows",
+                      "dup_tokens", _vr(F.col("dup_frac")).alias("dup_frac_r"))
+
+
+def _prototypicality_oracle(n_centroids: int = 16) -> str:
+    from opentsdb_spark.pipeline.similarity import seeded_centroids
+
+    cents = seeded_centroids(n_centroids, 64)
+    rows = ",\n".join(
+        "(%d, [%s])" % (i, ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c))
+        for i, c in enumerate(cents)
+    )
+    cos_cell = f"{_vecdot_sql('v', 'cvec')} / ({_vecnorm_sql('v')} * {_vecnorm_sql('cvec')})"
+    return f"""WITH cent(cell, cvec) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (SELECT vec_id, cell, {cos_cell} AS c FROM emb CROSS JOIN cent),
+        best AS (SELECT vec_id, arg_max(cell, c) AS cell, max(c) AS proto
+                 FROM scored GROUP BY vec_id)
+        SELECT vec_id, CAST(cell AS INT) AS cell,
+               {RND.format('proto')} AS proto_r,
+               CAST(row_number() OVER (PARTITION BY cell
+                                       ORDER BY proto DESC, vec_id ASC) AS BIGINT)
+                 AS cell_rank
+        FROM best"""
+
+
+@register("embed_prototypicality", _prototypicality_oracle())
+def embed_prototypicality(spark, sf_dir):
+    """SSL-prototypes/D4 prototypicality (cosine to assigned centroid +
+    within-cell rank) against the deterministic seeded cells — the same
+    data-independent centroids the fixed-IVF entry replays in SQL, so the
+    whole scoring path is hash-checked (the cosine kernel is the
+    dim-sequential _cell_cosines_udf, bit-identical to the SQL fold)."""
+    from opentsdb_spark.pipeline.similarity import prototypicality
+
+    out = prototypicality(_emb(spark, sf_dir), n_centroids=16, dim=64)
+    return out.select("vec_id", "cell", _vr(F.col("proto")).alias("proto_r"),
+                      "cell_rank")
+
+
+@register(
+    "embed_covariance",
+    f"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT count(*) AS n FROM e),
+        d AS (SELECT unnest(generate_series(1, 64)) AS k),
+        m AS (SELECT k, sum(v[k]) AS s FROM e CROSS JOIN d GROUP BY k),
+        ss AS (SELECT di.k AS ki, dj.k AS kj, sum(v[di.k] * v[dj.k]) AS ss
+               FROM e CROSS JOIN d di CROSS JOIN d dj
+               WHERE di.k <= dj.k GROUP BY ki, kj)
+        SELECT CAST(ss.ki - 1 AS INT) AS i, CAST(ss.kj - 1 AS INT) AS j,
+               {RND.format('ss.ss / n.n - (mi.s / n.n) * (mj.s / n.n)')} AS cov_r
+        FROM ss JOIN m mi ON mi.k = ss.ki JOIN m mj ON mj.k = ss.kj CROSS JOIN n""",
+)
+def embed_covariance(spark, sf_dir):
+    """Distributed covariance of the embedding cloud (the PCA/whitening
+    input): per-Arrow-batch moment partials via one numpy matmul each,
+    elementwise-summed — shuffle volume is #batches x d^2, independent of
+    corpus size. pca_components/pca_project consume this (pinned by
+    tests/test_pipeline.py; eigenvector signs aren't SQL-expressible)."""
+    from opentsdb_spark.pipeline.similarity import covariance_matrix
+
+    out = covariance_matrix(_emb(spark, sf_dir), dim=64)
+    return out.select("i", "j", _vr(F.col("cov")).alias("cov_r"))
+
+
+@register(
+    "text_ccnet_buckets",
+    rf"""WITH w AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS w
+                   FROM documents),
+        gl AS (SELECT doc_id, lang, list_transform(
+                 generate_series(1, greatest(len(w) - 1, 0)),
+                 i -> array_to_string(w[i:i+1], ' ')) AS grams
+               FROM w WHERE len(w) >= 2),
+        e AS (SELECT doc_id, lang, unnest(grams) AS g FROM gl),
+        nc AS (SELECT lang, g, count(*) AS c_n FROM e GROUP BY lang, g),
+        cx AS (SELECT doc_id, lang, g, regexp_replace(g, '\s?\S+$', '') AS ctx
+               FROM e),
+        cc AS (SELECT lang, ctx, count(*) AS c_ctx FROM cx GROUP BY lang, ctx),
+        v AS (SELECT lang, count(*) AS v FROM nc GROUP BY lang),
+        sc AS (SELECT cx.doc_id,
+                      ln((nc.c_n + 0.5) / (cc.c_ctx + 0.5 * v.v)) AS logp
+               FROM cx JOIN nc ON nc.lang = cx.lang AND nc.g = cx.g
+                       JOIN cc ON cc.lang = cx.lang AND cc.ctx = cx.ctx
+                       JOIN v ON v.lang = cx.lang),
+        pd AS (SELECT doc_id, count(*) AS n_grams, avg(logp) AS a
+               FROM sc GROUP BY doc_id),
+        s AS (SELECT d.doc_id, d.lang,
+                     CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+                     {RND.format('pd.a')} AS score_r
+              FROM documents d LEFT JOIN pd USING (doc_id)),
+        b AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                ORDER BY score_r DESC NULLS LAST, doc_id ASC) AS bucket
+              FROM s)
+        SELECT doc_id, lang, n_grams, score_r, CAST(bucket AS INT) AS bucket,
+               CASE WHEN bucket = 1 THEN 'head'
+                    WHEN bucket < 3 THEN 'middle'
+                    ELSE 'tail' END AS bucket_name
+        FROM b""",
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality bands from PER-LANGUAGE corpus-fit
+    bigram LMs (lm_score group_col=lang): ntile over the 1e-4-rounded score
+    so knife-edge band boundaries are engine-deterministic."""
+    from opentsdb_spark.pipeline.text import ccnet_buckets
+
+    out = ccnet_buckets(_docs(spark, sf_dir), n=2, n_buckets=3)
+    return out.select("doc_id", "lang", "n_grams", "score_r", "bucket",
+                      "bucket_name")
+
+
 # ==================================================== driver-check ordering =
 # The verify driver cross-checks a PREFIX of this catalog (round 1 sampled
 # the first 50 of 77, leaving whole operator families unchecked). Reorder so

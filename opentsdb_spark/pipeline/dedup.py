@@ -68,7 +68,7 @@ def md5_hash64(c) -> F.Column:
 
 
 def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int,
-                distinct: bool = True) -> DataFrame:
+                distinct: bool = True, extra_cols: tuple = ()) -> DataFrame:
     """(id, grams) with the tokenizer materialized as its own projection —
     inlining split() into the transform lambda makes codegen re-split the
     text once per n-gram (O(len²) per doc); staging it as a bound column
@@ -82,11 +82,13 @@ def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int,
     # empty docs the gram set [''] (all empty docs paired at jaccard 1.0)
     # and put phantom ''-joined grams in every doc with trailing whitespace
     words = docs.select(
-        id_col, F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)).alias("__w")
+        id_col, *extra_cols,
+        F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)).alias("__w"),
     )
     if n == 1:
         g1 = F.array_distinct("__w") if distinct else F.col("__w")
-        return words.select(id_col, g1.alias("grams")).where(F.size("grams") > 0)
+        return (words.select(id_col, *extra_cols, g1.alias("grams"))
+                .where(F.size("grams") > 0))
     # the sliding join runs in an Arrow-batched pandas UDF: the
     # transform(sequence, slice+array_join) expression form is
     # CodegenFallback, ~13us of interpreter overhead PER GRAM (3.4s for a
@@ -97,7 +99,7 @@ def _gram_frame(docs: DataFrame, content_col: str, id_col: str, n: int,
     grams = _shingle_udf(n, distinct)(F.col("__w"))
     return (
         words.where(F.size("__w") >= n)
-        .select(id_col, grams.alias("grams"))
+        .select(id_col, *extra_cols, grams.alias("grams"))
     )
 
 
@@ -465,4 +467,73 @@ def embedding_dup_pairs(
         pairs.withColumn("cosine", _cosine_pairs_udf()(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    k: int = 5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Exact substring-duplication signal (Lee et al., arXiv:2107.06499 §4
+    ExactSubstr): any >= k-token span shared verbatim across documents
+    contains a shared k-token window, so hashing EVERY k-token window (all
+    positions, not per-doc-distinct) and flagging windows whose hash occurs
+    in >= 2 distinct documents finds exactly the spans the paper's suffix
+    array finds — without the global corpus sort/concatenation the suffix
+    array needs. Per doc: total windows, duplicated windows, the number of
+    token positions covered by the union of duplicated spans, and that
+    coverage as a fraction (the "what fraction of this doc is verbatim
+    elsewhere" removal criterion).
+
+    Scale shape: windows shrink to (xxhash64, id, pos) immediately — text
+    never enters a shuffle; cross-doc discovery is distinct (hash, id)
+    pairs then a partial-aggregated count per 8-byte hash (a boilerplate
+    window in 1e9 docs is one combiner key, never a one-task sort); span
+    coverage re-explodes k positions for DUPLICATED windows only. The
+    window frame feeds three aggregates, so it is persisted once.
+
+    Returns (id, n_words, n_windows, n_dup_windows, dup_tokens, dup_frac),
+    one row per input doc (docs shorter than k words score zeros)."""
+    win = _persist_small(
+        _gram_frame(docs, content_col, id_col, k, distinct=False)
+        .select(id_col, F.posexplode("grams").alias("pos", "g"))
+        .select(id_col, "pos", F.xxhash64("g").alias("__h")),
+        persist,
+    )
+    dup_h = (
+        win.select("__h", id_col).distinct()
+        .groupBy("__h").agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    dup_win = _persist_small(win.join(dup_h, on="__h", how="left_semi"), persist)
+    cov = (
+        dup_win.select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("__t"))
+        .groupBy(id_col).agg(F.countDistinct("__t").alias("dup_tokens"))
+    )
+    n_win = win.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    n_dup = dup_win.groupBy(id_col).agg(F.count("*").alias("n_dup_windows"))
+    base = docs.select(
+        id_col,
+        F.size(F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0))).alias("n_words"),
+    )
+    return (
+        base.join(n_win, on=id_col, how="left")
+        .join(n_dup, on=id_col, how="left")
+        .join(cov, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.when(F.col("n_words") > 0, F.col("n_words")),
+        )
     )

@@ -792,3 +792,161 @@ def dequantized_view(quant: DataFrame, vec_col: str = "q") -> DataFrame:
         "embedding",
         F.transform(F.col(vec_col), lambda x: x.cast("double") * F.col("scale")),
     ).drop(vec_col, "scale")
+
+
+def prototypicality(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SSL-prototypes / D4-style prototypicality score (Sorscher et al.,
+    arXiv:2206.14486; Tirumala et al., arXiv:2308.12284): cosine of each
+    vector to its assigned cluster centroid, plus the vector's rank within
+    its cluster (rank 1 = most prototypical). Data pruning keeps the HARD
+    examples (low rank from the bottom) on big corpora and the easy ones on
+    small — this emits the raw score/rank so either policy is a filter.
+
+    Assignment + score is one narrow map stage (_cell_cosines_udf computes
+    all centroid cosines per Arrow batch; argmax picks the cell, max IS the
+    score — no corpus x centroid join). The within-cell rank is the only
+    shuffle: cells partition the corpus, rank sorts inside each cell. At
+    100 TB you'd raise n_centroids so cells stay bounded (same knob as
+    semdedup) — the sort is per-cell, never global.
+
+    Pass ``centroids`` (e.g. from _train_kmeans) for trained cells;
+    defaults to the deterministic seeded hyperplane centroids so the whole
+    path is data-independent and SQL-replayable. Returns
+    (id, cell, proto = cosine to own centroid, cell_rank)."""
+    cents = (
+        [[float(x) for x in c] for c in centroids]
+        if centroids is not None
+        else seeded_centroids(n_centroids, dim, seed)
+    )
+    corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    scored = (
+        corpus.withColumn("__cc", _cell_cosines_udf(cents)(F.col("__v")))
+        .select(
+            id_col,
+            (F.array_position("__cc", F.array_max("__cc")) - 1).cast("int").alias("cell"),
+            F.array_max("__cc").alias("proto"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell").orderBy(F.col("proto").desc(), F.col(id_col).asc())
+    return scored.withColumn("cell_rank", F.row_number().over(w).cast("long"))
+
+
+def covariance_matrix(
+    embeddings: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Population covariance of the embedding cloud, E[x_i x_j] - mu_i mu_j,
+    as (i, j, cov) rows for i <= j — the input PCA / ZCA-whitening needs.
+
+    Shape at 100 TB: one mapInPandas pass emits PER-ARROW-BATCH moment
+    partials (count, d sums, d*d outer-product sums via one numpy matmul);
+    partials posexplode to (idx, partial) and sum per idx — shuffle volume
+    is #batches x d^2 rows, independent of corpus size, and the final
+    combine runs on a d^2-row frame. No n x d^2 explode, no per-row UDF.
+    The d x d result is tiny even at d = 4096; eigendecomposition of it is
+    a driver/numpy step (pca_components below)."""
+    import numpy as np
+
+    v = _as_double(F.col(vec_col))
+    rows = embeddings.select(v.alias("__v"))
+
+    def _moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(x, np.float64) for x in pdf["__v"]], np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(V)],
+                    "s": [V.sum(0).tolist()],
+                    "ss": [(V.T @ V).reshape(-1).tolist()],
+                }
+            )
+
+    parts = rows.mapInPandas(_moments, "n long, s array<double>, ss array<double>")
+    # single tiny barrier frames: #batches rows in, d^2 (+d) rows out
+    from opentsdb_spark.pipeline.dedup import _persist_small
+
+    parts = _persist_small(parts, True)
+    n = parts.agg(F.sum("n").alias("n"))
+    sums = (
+        parts.select(F.posexplode("s").alias("i", "sv"))
+        .groupBy("i").agg(F.sum("sv").alias("s"))
+    )
+    sq = (
+        parts.select(F.posexplode("ss").alias("idx", "ssv"))
+        .groupBy("idx").agg(F.sum("ssv").alias("ss"))
+        .select(
+            (F.col("idx") / dim).cast("int").alias("i"),
+            (F.col("idx") % dim).cast("int").alias("j"),
+            "ss",
+        )
+        .where(F.col("i") <= F.col("j"))
+    )
+    mi = sums.select(F.col("i"), F.col("s").alias("si"))
+    mj = sums.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    return (
+        sq.join(mi, on="i").join(mj, on="j").crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("ss") / F.col("n")
+             - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))).alias("cov"),
+        )
+    )
+
+
+def pca_components(cov_rows, dim: int = 64, q: int = 8):
+    """Top-q principal axes from covariance_matrix() output: rebuild the
+    symmetric d x d matrix driver-side (d^2 rows is kilobytes), numpy
+    eigendecomposition, return (components [q x d], explained_variance [q]).
+    Sign convention: each component's largest-|coefficient| entry is made
+    positive, so the basis is deterministic across BLAS builds."""
+    import numpy as np
+
+    C = np.zeros((dim, dim))
+    for r in cov_rows.collect() if hasattr(cov_rows, "collect") else cov_rows:
+        C[r["i"]][r["j"]] = C[r["j"]][r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:q]
+    comps = vecs[:, order].T
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return comps.tolist(), vals[order].tolist()
+
+
+def pca_project(
+    embeddings: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project each embedding onto fixed principal axes: one Arrow-batched
+    matmul per batch, a narrow map stage (components ride the closure like
+    the ANN centroids). Returns (id, proj array<double>[q])."""
+    import numpy as np
+
+    Cm = [[float(x) for x in c] for c in components]
+
+    @F.pandas_udf("array<double>")
+    def proj(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(x, np.float64) for x in vs], np.float64)
+        P = V @ np.asarray(Cm, np.float64).T
+        return pd.Series([p.tolist() for p in P])
+
+    return embeddings.select(F.col(id_col), proj(_as_double(F.col(vec_col))).alias("proj"))

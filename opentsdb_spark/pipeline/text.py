@@ -468,6 +468,7 @@ def lm_score(
     add_k: float = 0.5,
     content_col: str = "text",
     id_col: str = "doc_id",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Corpus-fit n-gram language-model score per document — the classic
     perplexity-proxy quality filter (a document whose token transitions are
@@ -488,46 +489,81 @@ def lm_score(
     The probability table is a frame JOIN, never a broadcast of the
     vocabulary (unbounded at corpus scale). n=1 degenerates to unigram
     log-frequency scoring.
+
+    ``group_col`` scopes the WHOLE fit per group — counts, contexts, and
+    the smoothing vocabulary V are all per-group, i.e. one independent LM
+    per language (what CCNet's per-language KenLM does, Wenzek et al.
+    arXiv:1911.00359 §3.3). The per-group V becomes a count aggregate
+    joined on the group key instead of a driver scalar.
     """
     from opentsdb_spark.pipeline.dedup import _gram_frame, _persist_small
 
-    ids = docs.select(id_col)
+    gcols = [group_col] if group_col else []
+    ids = docs.select(id_col, *gcols)
     # raw occurrences, NOT per-doc-distinct shingles: a repeated transition
     # must weigh repeatedly in both the fit counts and the score. The gram
     # stream feeds both the fit aggregation and the score join — persisted
     # so tokenize+shingle runs once (Spark shares no common subplans).
     grams = _persist_small(
-        _gram_frame(docs, content_col, id_col, n, distinct=False)
-        .select(id_col, F.explode("grams").alias("g")),
+        _gram_frame(docs, content_col, id_col, n, distinct=False,
+                    extra_cols=tuple(gcols))
+        .select(id_col, *gcols, F.explode("grams").alias("g")),
         True,
     )
-    ngram_counts = grams.groupBy("g").agg(F.count("*").alias("c_n"))
+    ngram_counts = grams.groupBy(*gcols, "g").agg(F.count("*").alias("c_n"))
     if n > 1:
         # context = the gram minus its last word
         with_ctx = grams.withColumn(
             "ctx", F.regexp_replace("g", r"\s?\S+$", "")
         )
-        ctx_counts = with_ctx.groupBy("ctx").agg(F.count("*").alias("c_ctx"))
-        vocab = ngram_counts.agg(F.count("*").alias("v")).first()["v"]
-        scored = (
-            with_ctx.join(ngram_counts, on="g")
-            .join(ctx_counts, on="ctx")
-            .withColumn(
-                "logp",
-                F.log((F.col("c_n") + add_k) / (F.col("c_ctx") + add_k * vocab)),
+        ctx_counts = with_ctx.groupBy(*gcols, "ctx").agg(F.count("*").alias("c_ctx"))
+        if group_col:
+            vgrp = ngram_counts.groupBy(group_col).agg(F.count("*").alias("__v"))
+            scored = (
+                with_ctx.join(ngram_counts, on=[*gcols, "g"])
+                .join(ctx_counts, on=[*gcols, "ctx"])
+                .join(vgrp, on=group_col)
+                .withColumn(
+                    "logp",
+                    F.log((F.col("c_n") + add_k)
+                          / (F.col("c_ctx") + add_k * F.col("__v"))),
+                )
             )
-        )
+        else:
+            vocab = ngram_counts.agg(F.count("*").alias("v")).first()["v"]
+            scored = (
+                with_ctx.join(ngram_counts, on="g")
+                .join(ctx_counts, on="ctx")
+                .withColumn(
+                    "logp",
+                    F.log((F.col("c_n") + add_k) / (F.col("c_ctx") + add_k * vocab)),
+                )
+            )
     else:
-        total = grams.count()
-        vocab = ngram_counts.count()
-        scored = grams.join(ngram_counts, on="g").withColumn(
-            "logp", F.log((F.col("c_n") + add_k) / (total + add_k * vocab))
-        )
+        if group_col:
+            tot = grams.groupBy(group_col).agg(F.count("*").alias("__t"))
+            vgrp = ngram_counts.groupBy(group_col).agg(F.count("*").alias("__v"))
+            scored = (
+                grams.join(ngram_counts, on=[*gcols, "g"])
+                .join(tot, on=group_col).join(vgrp, on=group_col)
+                .withColumn(
+                    "logp",
+                    F.log((F.col("c_n") + add_k)
+                          / (F.col("__t") + add_k * F.col("__v"))),
+                )
+            )
+        else:
+            total = grams.count()
+            vocab = ngram_counts.count()
+            scored = grams.join(ngram_counts, on="g").withColumn(
+                "logp", F.log((F.col("c_n") + add_k) / (total + add_k * vocab))
+            )
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_grams"), F.avg("logp").alias("avg_logp")
     )
     return ids.join(per_doc, on=id_col, how="left").select(
         id_col,
+        *gcols,
         F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
         "avg_logp",
     )
@@ -596,3 +632,56 @@ def bpe_pair_counts(docs: DataFrame, k: int = 50, content_col: str = "text",
     return pairs.groupBy("pair").agg(F.sum("freq").alias("n")).orderBy(
         F.desc("n"), F.asc("pair")
     ).limit(k)
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    n: int = 2,
+    n_buckets: int = 3,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet quality bucketing (Wenzek et al., arXiv:1911.00359 §3.3): score
+    every document under a PER-LANGUAGE corpus-fit n-gram LM (lm_score with
+    group_col=lang — CCNet uses per-language KenLM perplexity) and cut each
+    language into ``n_buckets`` equal-count bands by score: bucket 1 =
+    "head" (most fluent), then "middle", "tail". Downstream mixes sample
+    head-heavy (the paper trains on head+middle).
+
+    The banding is ntile over (per-language) windows ordered by the score
+    ROUNDED to 1e-4 with the doc id as tie-break — float sums differ in the
+    last ulp across engines/partitionings, and an unrounded order would
+    make knife-edge bucket boundaries nondeterministic. Unscored docs
+    (shorter than n words) order after every scored doc.
+
+    The only post-score shuffle is the per-language ntile window — at 100 TB
+    the per-language sort is the honest cost of exact equal-count bands;
+    swap rank for fixed PERCENTILE THRESHOLDS (one approx_percentile pass +
+    a narrow map) when approximate bands are acceptable.
+
+    Returns (id, lang, n_grams, score_r, bucket, bucket_name)."""
+    from pyspark.sql import Window
+
+    scores = lm_score(docs, n=n, content_col=content_col, id_col=id_col,
+                      group_col=lang_col)
+    score_r = (
+        F.floor(F.col("avg_logp") * F.lit(10000.0) + F.lit(0.5000001))
+        / F.lit(10000.0)
+    ).cast("double")
+    scored = scores.select(id_col, lang_col, "n_grams", score_r.alias("score_r"))
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("score_r").desc_nulls_last(), F.col(id_col).asc())
+    )
+    name = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") < n_buckets, "middle")
+        .otherwise("tail")
+        if n_buckets == 3
+        else F.col("bucket").cast("string")
+    )
+    return (
+        scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .withColumn("bucket_name", name)
+    )

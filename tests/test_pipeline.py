@@ -875,3 +875,129 @@ def test_minhash_max_bucket_cap(spark):
     capped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=4)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(10, 11)}
+
+
+def test_substring_dup_spans(spark):
+    from opentsdb_spark.pipeline.dedup import substring_dup_spans
+
+    # docs 0/1 share the verbatim 6-token run "a b c d e f" (two 5-token
+    # windows); doc 2 is disjoint; doc 3 is shorter than k
+    df = spark.createDataFrame(
+        [(0, "a b c d e f x y z w"), (1, "q q q a b c d e f"),
+         (2, "m n o p r s t u v"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dup_spans(df, k=5).collect()}
+    assert len(out) == 4
+    # doc0: windows at pos 0 ("a b c d e") and 1 ("b c d e f") also occur
+    # in doc1 -> 2 dup windows covering token positions 0..5 (6 tokens)
+    assert out[0]["n_windows"] == 6 and out[0]["n_dup_windows"] == 2
+    assert out[0]["dup_tokens"] == 6
+    assert abs(out[0]["dup_frac"] - 0.6) < 1e-12
+    # doc1: same shared windows at pos 3/4 -> covers tokens 3..8
+    assert out[1]["n_dup_windows"] == 2 and out[1]["dup_tokens"] == 6
+    # doc2: nothing shared
+    assert out[2]["n_dup_windows"] == 0 and out[2]["dup_frac"] == 0.0
+    # doc3: too short for any window; frac is 0/3 = 0
+    assert out[3]["n_windows"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_lm_score_grouped(spark):
+    from opentsdb_spark.pipeline.text import lm_score
+
+    base = [(0, "en", "the cat sat on the mat"),
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "zq xv qq pp zz yy")]
+    df = spark.createDataFrame(base, "doc_id long, lang string, text string")
+    solo = {r["doc_id"]: r["avg_logp"] for r in
+            lm_score(df, n=2, group_col="lang").collect()}
+    # per-group fit: adding a big disjoint-language corpus must NOT change
+    # the en scores (a global fit would shift V and every count)
+    noisy = base + [(i, "xx", f"tok{i} tok{i+1} tok{i+2} tok{i}") for i in range(10, 40)]
+    df2 = spark.createDataFrame(noisy, "doc_id long, lang string, text string")
+    grouped = {r["doc_id"]: r["avg_logp"] for r in
+               lm_score(df2, n=2, group_col="lang").collect()}
+    for d in (0, 1, 2):
+        assert grouped[d] == solo[d]
+    assert solo[0] > solo[2]
+
+
+def test_ccnet_buckets(spark):
+    from opentsdb_spark.pipeline.text import ccnet_buckets
+
+    rows = [(i, "en", " ".join(["the cat sat on the mat"] * (1 + i % 3)))
+            for i in range(9)]
+    rows += [(100 + i, "de", "der hund " + " ".join(f"w{j}" for j in range(i + 2)))
+             for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ccnet_buckets(df, n=2, n_buckets=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # equal-count bands per language (9 en -> 3/3/3, 6 de -> 2/2/2)
+    for lang, rs in by_lang.items():
+        from collections import Counter
+
+        c = Counter(r["bucket"] for r in rs)
+        assert set(c) == {1, 2, 3}
+        assert max(c.values()) - min(c.values()) <= 1
+    names = {r["bucket"]: r["bucket_name"] for r in out}
+    assert names == {1: "head", 2: "middle", 3: "tail"}
+    # head scores >= tail scores within a language
+    for lang, rs in by_lang.items():
+        heads = [r["score_r"] for r in rs if r["bucket"] == 1]
+        tails = [r["score_r"] for r in rs if r["bucket"] == 3]
+        assert min(heads) >= max(tails)
+
+
+def test_prototypicality(spark):
+    from opentsdb_spark.pipeline.similarity import prototypicality, seeded_centroids
+
+    cents = seeded_centroids(4, 4)
+    # vectors exactly on two centroids plus one off-axis
+    rows = [(0, [float(x) for x in cents[0]]),
+            (1, [float(x) * 2.0 for x in cents[0]]),
+            (2, [float(x) for x in cents[1]]),
+            (3, [1.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           prototypicality(df, n_centroids=4, dim=4, centroids=cents).collect()}
+    # scaled copies land in the same cell with identical (cosine) score
+    assert out[0]["cell"] == out[1]["cell"]
+    assert abs(out[0]["proto"] - 1.0) < 1e-12 and abs(out[1]["proto"] - 1.0) < 1e-12
+    assert abs(out[2]["proto"] - 1.0) < 1e-12
+    # ranks within a cell are 1..n, most prototypical first
+    cellmates = [r for r in out.values() if r["cell"] == out[0]["cell"]]
+    assert sorted(r["cell_rank"] for r in cellmates) == list(range(1, len(cellmates) + 1))
+
+
+def test_covariance_and_pca(spark):
+    import numpy as np
+
+    from opentsdb_spark.pipeline.similarity import (
+        covariance_matrix, pca_components, pca_project,
+    )
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant variance along a known axis
+    base = rng.randn(200, 4) * np.array([5.0, 1.0, 0.5, 0.1])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cov = covariance_matrix(df, dim=4)
+    got = {(r["i"], r["j"]): r["cov"] for r in cov.collect()}
+    ref = np.cov(base, rowvar=False, bias=True)
+    assert len(got) == 10  # upper triangle of 4x4
+    for (i, j), v in got.items():
+        assert abs(v - ref[i][j]) < 1e-9
+    comps, ev = pca_components(cov, dim=4, q=2)
+    # first principal axis is the dominant coordinate, variance ~25
+    assert abs(abs(comps[0][0]) - 1.0) < 0.05
+    assert abs(ev[0] - ref[0][0]) < 2.0
+    # components orthonormal
+    C = np.asarray(comps)
+    assert np.allclose(C @ C.T, np.eye(2), atol=1e-9)
+    # projection matches numpy matmul
+    proj = {r["vec_id"]: r["proj"] for r in pca_project(df, comps).collect()}
+    want = base @ C.T
+    for i in range(0, 200, 50):
+        assert np.allclose(proj[i], want[i], atol=1e-9)
