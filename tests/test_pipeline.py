@@ -1001,3 +1001,33 @@ def test_covariance_and_pca(spark):
     want = base @ C.T
     for i in range(0, 200, 50):
         assert np.allclose(proj[i], want[i], atol=1e-9)
+
+
+def test_quality_classifier(spark):
+    from opentsdb_spark.pipeline.classifier import (
+        score_quality, train_quality_classifier,
+    )
+
+    # two separable populations: fluent English-ish vs junk token soup
+    good = [(i, " ".join(["the cat sat on the mat and the dog ran"] * 3), 1)
+            for i in range(20)]
+    junk = [(100 + i, " ".join(f"zx{j}q" for j in range(25)), 0)
+            for i in range(20)]
+    labeled = spark.createDataFrame(good + junk,
+                                    "doc_id long, text string, label int")
+    model = train_quality_classifier(labeled, n_features=256, max_iter=25)
+    scored = {r["doc_id"]: r for r in
+              score_quality(labeled, model, n_features=256).collect()}
+    assert len(scored) == 40
+    for i in range(20):
+        assert scored[i]["quality_prob"] > 0.5 and scored[i]["keep"]
+        assert not scored[100 + i]["keep"]
+    # probabilities are probabilities
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in scored.values())
+    # generalizes to unseen docs from the same populations
+    unseen = spark.createDataFrame(
+        [(500, "the cat and the dog sat on the mat the cat ran"),
+         (501, " ".join(f"qq{j}z" for j in range(30)))],
+        "doc_id long, text string")
+    u = {r["doc_id"]: r for r in score_quality(unseen, model, n_features=256).collect()}
+    assert u[500]["quality_prob"] > u[501]["quality_prob"]
