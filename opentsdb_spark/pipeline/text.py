@@ -504,18 +504,18 @@ def lm_score(
     # must weigh repeatedly in both the fit counts and the score. The gram
     # stream feeds both the fit aggregation and the score join — persisted
     # so tokenize+shingle runs once (Spark shares no common subplans).
-    grams = _persist_small(
-        _gram_frame(docs, content_col, id_col, n, distinct=False,
-                    extra_cols=tuple(gcols))
-        .select(id_col, *gcols, F.explode("grams").alias("g")),
-        True,
-    )
+    exploded = _gram_frame(docs, content_col, id_col, n, distinct=False,
+                           extra_cols=tuple(gcols)).select(
+        id_col, *gcols, F.explode("grams").alias("g"))
+    if n > 1:
+        # context (the gram minus its last word) is computed INTO the
+        # persisted frame: it feeds both the ctx-count fit and the score
+        # join, and leaving it lazy re-runs the regex once per consumer
+        exploded = exploded.withColumn("ctx", F.regexp_replace("g", r"\s?\S+$", ""))
+    grams = _persist_small(exploded, True)
     ngram_counts = grams.groupBy(*gcols, "g").agg(F.count("*").alias("c_n"))
     if n > 1:
-        # context = the gram minus its last word
-        with_ctx = grams.withColumn(
-            "ctx", F.regexp_replace("g", r"\s?\S+$", "")
-        )
+        with_ctx = grams
         ctx_counts = with_ctx.groupBy(*gcols, "ctx").agg(F.count("*").alias("c_ctx"))
         if group_col:
             vgrp = ngram_counts.groupBy(group_col).agg(F.count("*").alias("__v"))

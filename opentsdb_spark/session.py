@@ -41,7 +41,10 @@ def get_spark(app_name: str = "opentsdb-spark", cpus: int | None = None) -> Spar
         # Spark's vectorized reader rejects; read as long ns + convert
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver IS the executor: 8g starved the 32-thread JVM
+        # once a session accumulated a few persisted sf0.1 frames (GC churn
+        # inflated late-session queries ~10x); the target box has 128 GiB
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
