@@ -13,6 +13,7 @@ the driver.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -685,3 +686,99 @@ def ccnet_buckets(
         scored.withColumn("bucket", F.ntile(n_buckets).over(w))
         .withColumn("bucket_name", name)
     )
+
+
+def _bpe_merge_udf(left: str, right: str):
+    """Arrow-batched greedy left-to-right merge of one (left, right) pair
+    inside each symbol array — the rewrite step of a BPE iteration."""
+
+    @F.pandas_udf("array<string>")
+    def merge(sym: pd.Series) -> pd.Series:
+        out = []
+        for s in sym:
+            s = list(s)
+            r, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    r.append(left + right)
+                    i += 2
+                else:
+                    r.append(s[i])
+                    i += 1
+            out.append(r)
+        return pd.Series(out)
+
+    return merge
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 50,
+    min_count: int = 2,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 10,
+):
+    """Full BPE tokenizer training loop (Sennrich et al., arXiv:1508.07909)
+    — the iterative trainer bpe_pair_counts is one step of. Returns
+    (merges, vocab_df): ``merges`` is the ordered list of (left, right)
+    merge rules (THE tokenizer artifact), ``vocab_df`` the final
+    (word, freq, symbols) segmentation table.
+
+    Scale shape (how real distributed BPE trainers run over 100 TB):
+      * the corpus collapses ONCE to the word-frequency table (vocab-sized
+        partial aggregate) — every later iteration works on the vocab,
+        never the corpus; words carry their freq as a weight.
+      * per iteration: adjacent-pair counts via a codegen zip_with over the
+        symbol arrays (one vocab-sized partial-agg shuffle), top-1 pair to
+        the driver (ONE row — the only driver state is the merge list),
+        then an Arrow-batched merge map rewrites the symbol arrays.
+      * lineage is truncated with localCheckpoint every
+        ``checkpoint_every`` merges — n_merges chained maps otherwise
+        stack an O(n) deep plan that re-analyzes per iteration.
+
+    Words end with the classic '</w>' terminal symbol so end-of-word units
+    merge distinctly from word-internal ones. Ties on count break by pair
+    (left, right) ascending — deterministic across engines/partitionings.
+    Iterative + order-dependent => not SQL-expressible; pinned against a
+    pure-Python reference in tests/test_pipeline.py."""
+    vocab = (
+        docs.select(F.explode(_words(F.col(content_col))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "word", "freq",
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+            ).alias("symbols"),
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.col("symbols"),
+                    F.slice(F.col("symbols"), 2,
+                            F.greatest(F.size("symbols") - 1, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        ).where(F.col("p.r").isNotNull())
+        top = (
+            pairs.groupBy("p").agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        left, right = top[0]["p"]["l"], top[0]["p"]["r"]
+        merges.append((left, right))
+        vocab = vocab.withColumn("symbols", _bpe_merge_udf(left, right)("symbols"))
+        if (it + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges, vocab

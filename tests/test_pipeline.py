@@ -1031,3 +1031,51 @@ def test_quality_classifier(spark):
         "doc_id long, text string")
     u = {r["doc_id"]: r for r in score_quality(unseen, model, n_features=256).collect()}
     assert u[500]["quality_prob"] > u[501]["quality_prob"]
+
+
+def test_train_bpe(spark):
+    from collections import Counter
+
+    from opentsdb_spark.pipeline.text import train_bpe
+
+    corpus = ["low low low lower lower newest newest newest newest widest",
+              "widest widest newest low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id long, text string")
+    merges, vocab = train_bpe(df, n_merges=8, checkpoint_every=3)
+
+    # pure-Python reference: Sennrich-style BPE on word frequencies
+    wf = Counter(w for t in corpus for w in t.lower().split())
+    segs = {w: list(w) + ["</w>"] for w in wf}
+    ref_merges = []
+    for _ in range(8):
+        pc = Counter()
+        for w, s in segs.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += wf[w]
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], ) + tuple(
+            [-ord(c) for c in kv[0][0]] + [-ord(c) for c in kv[0][1]]))
+        # deterministic tie-break: max count, then lexicographically SMALLEST
+        top_n = max(pc.values())
+        cands = sorted([p for p, n in pc.items() if n == top_n])
+        best = cands[0]
+        if pc[best] < 2:
+            break
+        ref_merges.append(best)
+        a, b = best
+        for w, s in segs.items():
+            r, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    r.append(a + b)
+                    i += 2
+                else:
+                    r.append(s[i])
+                    i += 1
+            segs[w] = r
+    assert merges == ref_merges
+    # final segmentations agree with the reference
+    got = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+    assert got == segs
