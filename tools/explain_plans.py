@@ -306,6 +306,60 @@ def main() -> None:
         if m_bnlj:
             errors.append("semdedup: cell self-join fell back to a nested loop")
 
+        def _exchange_blocks(plan: str) -> list[str]:
+            """Full detail blocks of every (non-broadcast) Exchange node."""
+            bl = _re2.split(r"\n(?=\(\d+\) )", plan)
+            return [b for b in bl
+                    if b.split("\n", 1)[0].strip().endswith("Exchange")
+                    and "Broadcast" not in b.split("\n", 1)[0]]
+
+        # substring dedup: every shuffle carries 8-byte window hashes, the
+        # raw gram strings / document text must never enter an Exchange,
+        # and there is no Window anywhere (coverage is aggregate-only)
+        from opentsdb_spark.pipeline.dedup import substring_dup_spans
+
+        ssplan = _plan_str(substring_dup_spans(raw_docs, k=5))
+        ss_bad = any(_re2.search(r"\b(g|text)#", b) for b in _exchange_blocks(ssplan))
+        ss_win = "Window" in ssplan
+        print(f"check substring_dedup: strings_in_shuffle={ss_bad} window={ss_win}")
+        if ss_bad:
+            errors.append("substring dedup: gram/text strings ride a shuffle")
+        if ss_win:
+            errors.append("substring dedup: unexpected Window in plan")
+
+        # prototypicality: assignment is a narrow map; the ONLY shuffle is
+        # the per-cell rank window, and that window is partitioned
+        from opentsdb_spark.pipeline.similarity import prototypicality
+
+        prplan = _plan_str(prototypicality(raw_emb, n_centroids=8, dim=64))
+        pr_exch = len(_exchange_blocks(prplan))
+        pr_unpart = "SinglePartition" in prplan
+        print(f"check prototypicality: shuffles={pr_exch} unpartitioned_window={pr_unpart}")
+        if pr_exch > 1:
+            errors.append(f"prototypicality: {pr_exch} shuffles (expected 1: the rank window)")
+        if pr_unpart:
+            errors.append("prototypicality: rank window is unpartitioned")
+
+        # covariance: the d-length embedding arrays are consumed by the
+        # moment partials BEFORE any shuffle — no Exchange carries them
+        from opentsdb_spark.pipeline.similarity import covariance_matrix
+
+        cvplan = _plan_str(covariance_matrix(raw_emb, dim=64))
+        cv_bad = any(_re2.search(r"\b(embedding|__v)#", b)
+                     for b in _exchange_blocks(cvplan))
+        print(f"check covariance: vectors_in_shuffle={cv_bad}")
+        if cv_bad:
+            errors.append("covariance: embedding vectors ride a shuffle")
+
+        # ccnet buckets: the per-language band window must be partitioned
+        from opentsdb_spark.pipeline.text import ccnet_buckets
+
+        ccplan = _plan_str(ccnet_buckets(raw_docs))
+        cc_unpart = "SinglePartition" in ccplan
+        print(f"check ccnet_buckets: unpartitioned_window={cc_unpart}")
+        if cc_unpart:
+            errors.append("ccnet_buckets: band window is unpartitioned")
+
     if check:
         errors.extend(_check_pushdown(spark))
         if errors:
