@@ -3306,6 +3306,53 @@ def text_ccnet_buckets(spark, sf_dir):
                       "bucket_name")
 
 
+@register(
+    "text_hash_embedding",
+    lambda: f"""WITH RECURSIVE
+        w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w
+              FROM documents),
+        uni AS (SELECT doc_id, unnest(w) AS g FROM w),
+        bi AS (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, greatest(len(w) - 1, 0)),
+                 i -> w[i] || ' ' || w[i+1])) AS g FROM w),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        strs AS (SELECT DISTINCT g AS s FROM grams),
+        {xxh64_str_ctes('strs', ('s',), 's', out='gh')},
+        gb AS (SELECT grams.doc_id, ((gh.h % 1024) + 1024) % 1024 AS bucket
+               FROM grams JOIN gh ON grams.g = gh.s),
+        counts AS (SELECT doc_id, bucket, count(*) AS c
+                   FROM gb GROUP BY doc_id, bucket),
+        keysrc AS (SELECT DISTINCT bucket, dd.d AS d,
+                          CAST(bucket * 8 + dd.d AS BIGINT) AS key,
+                          CAST(42 AS UBIGINT) AS seed
+                   FROM counts CROSS JOIN
+                        (SELECT unnest(generate_series(0, 7)) AS d) dd),
+        {hash_long_ctes('keysrc', ('bucket', 'd'), 'key', 'seed', 'kh', '__k')},
+        sgn AS (SELECT bucket, d,
+                       CASE WHEN kh.h % 2 = 1 THEN 1 ELSE -1 END AS sgn
+                FROM kh),
+        proj AS (SELECT c.doc_id, s.d, sum(c.c * s.sgn) AS v
+                 FROM counts c JOIN sgn s ON s.bucket = c.bucket
+                 GROUP BY c.doc_id, s.d),
+        nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM proj GROUP BY doc_id)
+        SELECT p.doc_id, CAST(p.d AS INT) AS d,
+               {RND.format('CASE WHEN nrm.n > 0 THEN p.v / nrm.n ELSE 0.0 END')} AS val_r
+        FROM proj p JOIN nrm USING (doc_id)""",
+)
+def text_hash_embedding(spark, sf_dir):
+    """Hashed signed-random-projection text embedding (Charikar 2002 SRP
+    kept unquantized): projection sums are exact integers on both engines
+    (count x +/-1 with coefficients from xxhash64 bit 0), so the only
+    float op is the final L2 division — hash-checked via the pure-SQL
+    XXH64 string AND long replicas."""
+    from opentsdb_spark.pipeline.text import hash_embed_docs
+
+    out = hash_embed_docs(_docs(spark, sf_dir), dim=8, n_buckets=1024,
+                          packed=False)
+    return out.select("doc_id", F.col("d").cast("int").alias("d"),
+                      _vr(F.col("val")).alias("val_r"))
+
+
 # ==================================================== driver-check ordering =
 # The verify driver cross-checks a PREFIX of this catalog (round 1 sampled
 # the first 50 of 77, leaving whole operator families unchecked). Reorder so

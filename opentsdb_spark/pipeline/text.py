@@ -782,3 +782,70 @@ def train_bpe(
         if (it + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint()
     return merges, vocab
+
+
+def hash_embed_docs(
+    docs: DataFrame,
+    dim: int = 16,
+    n_buckets: int = 1024,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    packed: bool = True,
+) -> DataFrame:
+    """Cheap deterministic text embedding: hashed uni+bigram counts (the
+    DSIR featurizer) signed-random-projected to ``dim`` dimensions and
+    L2-normalized — the classic SimHash-style random projection (Charikar
+    2002) kept UNQUANTIZED, so the output plugs straight into the embedding
+    operators (cosine near-dup, ANN, SemDeDup) on corpora that have no
+    neural embeddings.
+
+    The projection matrix is never materialized: coefficient(bucket, d) =
+    sign of bit 0 of xxhash64(bucket * dim + d), computed in codegen per
+    exploded (gram-bucket, d) row. Projection sums are COUNT * (+/-1) —
+    exact integers — so the result is bit-identical across engines and
+    partitionings (the one float step, the final L2 division, is a single
+    IEEE op on exact ints); the DuckDB oracle replays the same xxhash64
+    via the pure-SQL XXH64 replica.
+
+    Scale shape: narrow gram explode -> pmod bucket -> dim explode (a
+    constant x``dim`` multiplier), one (id, d)-keyed partial-agg shuffle,
+    one tiny per-id norm aggregate joined back. Returns (id, embedding
+    array<double>[dim]) when ``packed``, else (id, d, val) rows."""
+    from opentsdb_spark.pipeline.sampling import _hashed_ngram_feats
+
+    feats = _hashed_ngram_feats(docs, content_col, id_col, n_buckets, F.xxhash64)
+    counts = feats.groupBy(id_col, "bucket").agg(F.count("*").alias("c"))
+    proj = (
+        counts.select(
+            id_col, "bucket", "c",
+            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d"),
+        )
+        .withColumn(
+            "sgn",
+            F.when(
+                F.xxhash64((F.col("bucket") * dim + F.col("d")).cast("long"))
+                .bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        .groupBy(id_col, "d")
+        .agg(F.sum(F.col("c") * F.col("sgn")).alias("v"))
+    )
+    norms = proj.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("__n")
+    )
+    rows = proj.join(norms, on=id_col).select(
+        id_col, "d",
+        F.when(F.col("__n") > 0, F.col("v") / F.col("__n"))
+        .otherwise(F.lit(0.0)).alias("val"),
+    )
+    if not packed:
+        return rows
+    return (
+        rows.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("d", "val"))).alias("__dv"))
+        .select(
+            id_col,
+            F.transform("__dv", lambda s: s["val"]).alias("embedding"),
+        )
+    )

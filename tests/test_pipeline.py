@@ -1079,3 +1079,30 @@ def test_train_bpe(spark):
     # final segmentations agree with the reference
     got = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
     assert got == segs
+
+
+def test_hash_embed_docs(spark):
+    import math
+
+    from opentsdb_spark.pipeline.text import hash_embed_docs
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat sat on the mat"),
+         (2, "completely different words here entirely"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in
+           hash_embed_docs(df, dim=8, n_buckets=256).collect()}
+    # empty doc has no grams -> no row
+    assert set(out) == {0, 1, 2}
+    # identical docs embed identically; all vectors unit-norm
+    assert out[0] == out[1]
+    for v in out.values():
+        assert len(v) == 8
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-12
+    # different content embeds differently
+    assert out[0] != out[2]
+    # unpacked form agrees with packed
+    rows = hash_embed_docs(df, dim=8, n_buckets=256, packed=False).collect()
+    for r in rows:
+        assert abs(out[r["doc_id"]][r["d"]] - r["val"]) < 1e-15
