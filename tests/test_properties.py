@@ -382,3 +382,65 @@ def test_gexp_parser_total(spark, spec):
         parse_gexp(spec, pts, EPOCH * 1000, (EPOCH + 100) * 1000)
     except ValueError:
         pass
+
+
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=0, max_size=20).map(" ".join),
+    min_size=1, max_size=12,
+)
+
+
+@_slow
+@given(texts=_doc_texts)
+def test_substring_dup_conservation(spark, texts):
+    """Conservation laws of the ExactSubstr window signal: window counts
+    bound dup counts, coverage is bounded by both words and k x windows,
+    and cross-doc symmetry (a doc with dup windows implies >= 2 docs do)."""
+    from opentsdb_spark.pipeline.dedup import substring_dup_spans
+
+    k = 3
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = substring_dup_spans(df, k=k).collect()
+    assert len(rows) == len(texts)
+    dup_docs = 0
+    for r in rows:
+        nw, nwin = r["n_words"], r["n_windows"]
+        assert nwin == max(0, nw - k + 1)
+        assert 0 <= r["n_dup_windows"] <= nwin
+        assert 0 <= r["dup_tokens"] <= min(nw, r["n_dup_windows"] * k)
+        if r["n_dup_windows"] > 0:
+            # every dup window covers >= k tokens... at least k total
+            assert r["dup_tokens"] >= k
+            dup_docs += 1
+        if nw > 0:
+            assert abs(r["dup_frac"] - r["dup_tokens"] / nw) < 1e-12
+    # a shared window needs two distinct docs
+    assert dup_docs != 1
+
+
+@_slow
+@given(texts=_doc_texts)
+def test_hash_embed_properties(spark, texts):
+    """SRP embedding: unit norm (or absent) per doc, identical text ->
+    identical vector, and determinism across two runs."""
+    import math as m
+
+    from opentsdb_spark.pipeline.text import hash_embed_docs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r["doc_id"]: r["embedding"] for r in
+           hash_embed_docs(df, dim=4, n_buckets=64).collect()}
+    again = {r["doc_id"]: r["embedding"] for r in
+             hash_embed_docs(df, dim=4, n_buckets=64).collect()}
+    assert out == again
+    for i, t in enumerate(texts):
+        if not t.split():
+            assert i not in out
+            continue
+        n = m.sqrt(sum(x * x for x in out[i]))
+        assert abs(n - 1.0) < 1e-12 or n == 0.0
+    for i, ti in enumerate(texts):
+        for j, tj in enumerate(texts):
+            if i < j and ti == tj and ti.split():
+                assert out[i] == out[j]

@@ -42,6 +42,11 @@ QUERIES = [
     "text_vocab_top50",
     "ann_lsh_top5",
     "multimodal_features",
+    "dedup_substring",
+    "text_ccnet_buckets",
+    "embed_prototypicality",
+    "embed_covariance",
+    "text_hash_embedding",
 ]
 
 
