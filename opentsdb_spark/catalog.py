@@ -3353,6 +3353,47 @@ def text_hash_embedding(spark, sf_dir):
                       _vr(F.col("val")).alias("val_r"))
 
 
+@register(
+    "tsdb_asof_join",
+    f"""WITH v AS (SELECT user_id, ts, max(value) AS view_value
+                  FROM events WHERE event_type = 'view'
+                  GROUP BY user_id, ts),
+        p AS (SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id,
+               CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+               {RND.format('p.value')} AS value_r,
+               CAST(epoch_ms(v.ts) AS BIGINT) AS view_ts_ms,
+               {RND.format('v.view_value')} AS view_value_r
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts""",
+)
+def tsdb_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py union-scan formulation) vs DuckDB's
+    native ASOF LEFT JOIN: every purchase event enriched with the same
+    user's most recent at-or-before view value. The right side pre-dedups
+    per (user, ts) so the winner is engine-independent."""
+    from opentsdb_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, views, on=["user_id"], ts_col="ts",
+                    right_cols=["view_value"], suffix="_v")
+    return out.select(
+        "event_id", "user_id", _ts_ms(),
+        _vr(F.col("value")).alias("value_r"),
+        F.unix_millis("ts_v").alias("view_ts_ms"),
+        _vr(F.col("view_value_v")).alias("view_value_r"),
+    )
+
+
 # ==================================================== driver-check ordering =
 # The verify driver cross-checks a PREFIX of this catalog (round 1 sampled
 # the first 50 of 77, leaving whole operator families unchecked). Reorder so

@@ -206,3 +206,52 @@ def test_exp_query_dag_chaining(fixture_points):
     res = compile_exp_query(fixture_points, eq)
     rows = {int(r["ts"].timestamp()): r["value"] for r in res["quad"].collect()}
     assert rows[EPOCH] == pytest.approx(40.0)  # mean(1..19)=10 -> x4
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.operators.asof import asof_join
+
+    def ts(s):
+        return F.timestamp_millis(F.lit(s * 1000)).cast("timestamp")
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "b", 100), (4, "c", 100)],
+        "id long, k string, sec long",
+    ).select("id", "k", F.timestamp_millis(F.col("sec") * 1000).alias("ts"))
+    right = spark.createDataFrame(
+        [("a", 100, 10.0), ("a", 200, 20.0), ("b", 150, 30.0)],
+        "k string, sec long, v double",
+    ).select("k", F.timestamp_millis(F.col("sec") * 1000).alias("ts"), "v")
+
+    back = {r["id"]: r for r in
+            asof_join(left, right, on=["k"], right_cols=["v"]).collect()}
+    # exact-equal timestamps match (>= semantics)
+    assert back[1]["v_right"] == 10.0
+    # latest at-or-before wins
+    assert back[2]["v_right"] == 20.0
+    # right row is AFTER the left row -> no backward match
+    assert back[3]["v_right"] is None
+    # key never appears on the right -> null
+    assert back[4]["v_right"] is None
+    assert back[2]["ts_right"] is not None
+
+    fwd = {r["id"]: r for r in
+           asof_join(left, right, on=["k"], right_cols=["v"],
+                     direction="forward").collect()}
+    assert fwd[1]["v_right"] == 10.0      # equality still matches
+    assert fwd[2]["v_right"] is None      # nothing at-or-after 205
+    assert fwd[3]["v_right"] == 30.0      # earliest at-or-after
+
+    tol = {r["id"]: r for r in
+           asof_join(left, right, on=["k"], right_cols=["v"],
+                     tolerance_ms=5_000).collect()}
+    # 205s left vs 200s right: within 5s tolerance
+    assert tol[2]["v_right"] == 20.0
+    # row count conserved: exactly one output row per left row
+    assert sorted(back) == [1, 2, 3, 4]
+    wide = {r["id"]: r for r in
+            asof_join(left, right, on=["k"], right_cols=["v"],
+                      tolerance_ms=1_000).collect()}
+    assert wide[2]["v_right"] is None and wide[1]["v_right"] == 10.0
