@@ -3394,6 +3394,85 @@ def tsdb_asof_join(spark, sf_dir):
     )
 
 
+@register(
+    "tsdb_sessionize",
+    f"""WITH e AS (SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WHERE event_type = 'click'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e)
+        SELECT user_id,
+               CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {RND.format('sum(value)')} AS sum_value_r
+        FROM s GROUP BY user_id, sid""",
+)
+def tsdb_sessionize(spark, sf_dir):
+    """Gap-based sessionization with Spark's NATIVE session_window (30-min
+    inactivity gap closes a session): one groupBy over the dynamic-window
+    key — the engine-side plan is a single partial-aggregated shuffle on
+    (user, session), exactly the Structured-Streaming-compatible form. The
+    oracle derives identical sessions the classical SQL way (lag -> gap
+    flag -> running sum, with '>=' on the gap: Spark's session interval
+    is [start, last+gap), so a gap of exactly 30:00 starts a NEW
+    session)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    )
+    out = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    return out.select(
+        "user_id",
+        F.unix_millis("first_ts").alias("session_start_ms"),
+        "n_events",
+        _vr(F.col("sum_value")).alias("sum_value_r"),
+    )
+
+
+@register(
+    "tsdb_interval_join",
+    f"""WITH i AS (SELECT event_id AS error_id, user_id, ts AS s,
+                          ts + INTERVAL 2 HOUR AS e
+                   FROM events WHERE event_type = 'error'),
+        p AS (SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'click')
+        SELECT p.event_id, i.error_id, p.user_id,
+               CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+               {RND.format('p.value')} AS value_r
+        FROM p JOIN i ON p.user_id = i.user_id
+                     AND p.ts BETWEEN i.s AND i.e""",
+)
+def tsdb_interval_join(spark, sf_dir):
+    """Interval-containment join (operators/asof.py binned equi-join):
+    clicks by the same user inside the 2-hour window after each error
+    event, vs DuckDB's plain BETWEEN theta join."""
+    from opentsdb_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = interval_join(clicks, errors, on=["user_id"])
+    return out.select("event_id", "error_id", "user_id", _ts_ms(),
+                      _vr(F.col("value")).alias("value_r"))
+
+
 # ==================================================== driver-check ordering =
 # The verify driver cross-checks a PREFIX of this catalog (round 1 sampled
 # the first 50 of 77, leaving whole operator families unchecked). Reorder so

@@ -1,4 +1,4 @@
-"""As-of (most-recent-match) join for time-series enrichment.
+"""Temporal joins: as-of (most-recent-match) and interval containment.
 
 The operator the DataFrame API lacks natively: for every left row, attach
 the latest right row with the same key and ``right.ts <= left.ts``
@@ -100,3 +100,55 @@ def asof_join(
             F.when(keep, F.col("ts" + suffix)).alias("ts" + suffix),
         )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_ms: int = 600_000,
+) -> DataFrame:
+    """Distributed interval-containment join: every (point, interval) pair
+    with equal ``on`` keys and ``start <= point.ts <= end`` (closed on both
+    ends) — the temporal join behind "which events fell inside this outage
+    window / annotation span / maintenance period".
+
+    Spark plans a raw BETWEEN theta-join as a broadcast-nested-loop —
+    O(|points| x |intervals|) per key. Here both sides BIN to fixed
+    ``bucket_ms`` buckets (the same binned-equi-join trick the raw-agg grid
+    strategy uses, operators/groupby.py): a point lands in exactly one
+    bucket, an interval explodes to the buckets it covers, and the join is
+    a plain hash equi-join on (keys..., bucket) with the exact containment
+    predicate as a post-filter. Each qualifying pair matches exactly once
+    (the point's single bucket), so no dedup pass. Pick ``bucket_ms`` near
+    the TYPICAL interval length: the interval-side blowup is
+    ~len/bucket_ms + 1 rows while bucket population stays bounded.
+
+    Column names must be disjoint apart from ``on`` (pre-rename the
+    sides); zero/negative-length intervals where end < start match
+    nothing."""
+    keys = list(on)
+    pb = points.withColumn(
+        "__b", F.floor(F.unix_millis(F.col(point_ts)) / F.lit(bucket_ms))
+    )
+    iv = intervals.where(F.col(end_col) >= F.col(start_col))
+    ib = iv.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_millis(F.col(start_col)) / F.lit(bucket_ms)),
+                F.floor(F.unix_millis(F.col(end_col)) / F.lit(bucket_ms)),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, on=[*keys, "__b"])
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("__b")
+    )

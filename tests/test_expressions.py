@@ -255,3 +255,31 @@ def test_asof_join_directions_and_tolerance(spark):
             asof_join(left, right, on=["k"], right_cols=["v"],
                       tolerance_ms=1_000).collect()}
     assert wide[2]["v_right"] is None and wide[1]["v_right"] == 10.0
+
+
+def test_interval_join(spark):
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.operators.asof import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 3_600), (3, "a", 7_201), (4, "b", 100)],
+        "id long, k string, sec long",
+    ).select("id", "k", F.timestamp_millis(F.col("sec") * 1000).alias("ts"))
+    ivs = spark.createDataFrame(
+        [(10, "a", 0, 7_200),      # long interval spanning many buckets
+         (11, "a", 3_600, 3_600),  # zero-length: matches exactly ts=3600
+         (12, "b", 200, 100)],     # end < start: matches nothing
+        "iid long, k string, s long, e long",
+    ).select(
+        "iid", "k",
+        F.timestamp_millis(F.col("s") * 1000).alias("start_ts"),
+        F.timestamp_millis(F.col("e") * 1000).alias("end_ts"),
+    )
+    got = sorted(
+        (r["id"], r["iid"])
+        for r in interval_join(pts, ivs, on=["k"], bucket_ms=600_000).collect()
+    )
+    # closed on both ends; each qualifying pair appears EXACTLY once even
+    # when the interval spans multiple buckets
+    assert got == [(1, 10), (2, 10), (2, 11)]
