@@ -58,6 +58,10 @@ HEADLINE = [
     "text_ccnet_buckets",
     "embed_prototypicality",
     "embed_covariance",
+    "text_hash_embedding",
+    "tsdb_asof_join",
+    "tsdb_interval_join",
+    "tsdb_sessionize",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -849,3 +849,68 @@ def hash_embed_docs(
             F.transform("__dv", lambda s: s["val"]).alias("embedding"),
         )
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge list (train_bpe output) to the corpus —
+    the encode step: per word, repeatedly merge the present pair with the
+    LOWEST merge rank (the standard greedy BPE encode, the exact inverse
+    of the training loop's construction order) until no ranked pair
+    remains. Returns (id, tokens array<string>, n_tokens).
+
+    Scale shape: one Arrow-batched narrow map; the merge-rank table rides
+    the UDF closure exactly as a production tokenizer's vocab ships to
+    executors, and encodes memoize per DISTINCT word within a batch, so
+    per-batch cost tracks the batch's vocabulary, not its token count.
+    Encoding the training corpus with its own merges reproduces
+    train_bpe's final segmentation table (pinned in tests)."""
+    rank = {tuple(m): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        memo: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            s = list(word) + ["</w>"]
+            while len(s) > 1:
+                best, bi = None, None
+                for i in range(len(s) - 1):
+                    r = rank.get((s[i], s[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, bi = r, i
+                if best is None:
+                    break
+                a, b = merges[best]
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            memo[word] = s
+            return s
+
+        res = []
+        for t in texts:
+            toks: list[str] = []
+            for w in _re.findall(r"\S+", (t or "").lower()):
+                toks.extend(enc(w))
+            res.append(toks)
+        return pd.Series(res)
+
+    return docs.select(
+        id_col, encode(F.col(content_col)).alias("tokens")
+    ).withColumn("n_tokens", F.size("tokens"))

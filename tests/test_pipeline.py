@@ -1106,3 +1106,24 @@ def test_hash_embed_docs(spark):
     rows = hash_embed_docs(df, dim=8, n_buckets=256, packed=False).collect()
     for r in rows:
         assert abs(out[r["doc_id"]][r["d"]] - r["val"]) < 1e-15
+
+
+def test_bpe_encode_roundtrip(spark):
+    from opentsdb_spark.pipeline.text import bpe_encode, train_bpe
+
+    corpus = ["low low low lower lower newest newest newest newest widest",
+              "widest widest newest low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id long, text string")
+    merges, vocab = train_bpe(df, n_merges=8, checkpoint_every=3)
+    segs = {r["word"]: list(r["symbols"]) for r in vocab.collect()}
+    enc = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    # greedy lowest-rank encode reproduces the trainer's final segmentation
+    for i, t in enumerate(corpus):
+        want = [tok for w in t.lower().split() for tok in segs[w]]
+        assert list(enc[i]["tokens"]) == want
+        assert enc[i]["n_tokens"] == len(want)
+    # unseen word degrades to characters + terminal (plus any applicable merge)
+    u = spark.createDataFrame([(9, "zzq")], "doc_id long, text string")
+    [row] = bpe_encode(u, merges).collect()
+    assert "".join(row["tokens"]) == "zzq</w>"
