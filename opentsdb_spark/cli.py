@@ -102,6 +102,15 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--fix", action="store_true", help="write a repaired table")
     f.add_argument("--out", default=None, help="output dir for --fix")
 
+    rt = sub.add_parser(
+        "retention",
+        help="drop dt partitions older than a TTL (reference HBase table TTL)",
+    )
+    rt.add_argument("path", help="write_points layout directory")
+    rt.add_argument("--keep-days", type=int, required=True)
+    rt.add_argument("--dry-run", action="store_true",
+                    help="list expired partitions without deleting")
+
     mk = sub.add_parser(
         "mkmetric", help="assign UIDs to metric names (reference tsdb mkmetric)"
     )
@@ -323,6 +332,14 @@ def main(argv: list[str] | None = None) -> int:
 
                 for r in dump_series(renamed).limit(20).collect():
                     print(r["line"])
+    elif args.cmd == "retention":
+        from opentsdb_spark.sources.points import retention_sweep
+
+        dropped = retention_sweep(args.path, args.keep_days, dry_run=args.dry_run)
+        verb = "would drop" if args.dry_run else "dropped"
+        for d in dropped:
+            print(f"{verb} {d}")
+        print(f"{verb} {len(dropped)} partition(s)")
     elif args.cmd == "fsck":
         import time
 

@@ -22,6 +22,8 @@ by metric to co-locate series for repeated group-bys.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -365,3 +367,47 @@ def dump_series(points: DataFrame, import_format: bool = True) -> DataFrame:
     if not import_format:
         line = F.concat(F.lit("put "), line)
     return points.select(line.alias("line"))
+
+
+def retention_sweep(
+    path: str,
+    keep_days: int,
+    now_ms: int | None = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """TTL retention for the ``write_points`` layout — the analog of the
+    reference's HBase table TTL (src/create_table.sh: the data table is
+    created with a TTL so cells age out storage-side; there is no
+    query-side code path).
+
+    Columnar translation: a ``dt=YYYY-MM-DD`` partition STRICTLY older
+    than ``now - keep_days`` is dropped wholesale — a directory delete
+    driven by partition VALUES only. No file is opened, no data scanned;
+    at 100 TB this is O(#expired partitions) metadata work, the same
+    reason the layout partitions on ``dt`` for query pruning. Partitions
+    the cutoff date touches are KEPT whole (TTL granularity = one
+    partition, just as HBase TTL granularity is a cell timestamp check at
+    compaction, not an exact query-time cut).
+
+    Returns the dropped partition names (``dry_run`` lists without
+    deleting)."""
+    import datetime
+    import re as _re
+    import shutil
+    import time
+
+    now_s = (now_ms / 1000.0) if now_ms is not None else time.time()
+    cutoff = (
+        datetime.datetime.fromtimestamp(now_s, tz=datetime.timezone.utc).date()
+        - datetime.timedelta(days=keep_days)
+    )
+    dropped: list[str] = []
+    for ent in sorted(os.listdir(path)):
+        m = _re.fullmatch(r"dt=(\d{4}-\d{2}-\d{2})", ent)
+        if not m:
+            continue
+        if datetime.date.fromisoformat(m.group(1)) < cutoff:
+            dropped.append(ent)
+            if not dry_run:
+                shutil.rmtree(os.path.join(path, ent))
+    return dropped

@@ -263,3 +263,35 @@ def test_calendar_fill_grid_with_n(spark):
     out2 = downsample(pts, spec2, start_ms=start, end_ms=end).collect()
     got2 = sorted(str(r["ts"])[:10] for r in out2)
     assert got2 == ["2024-01-01", "2024-01-03", "2024-01-05"]
+
+
+def test_retention_sweep(spark, tmp_path):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.sources.points import (
+        read_points, retention_sweep, write_points,
+    )
+
+    now_ms = int(time.time() * 1000)
+    day = 86_400_000
+    rows = [("m", now_ms - d * day, float(d)) for d in range(5)]
+    df = spark.createDataFrame(rows, "metric string, ms long, value double").select(
+        "metric", F.timestamp_millis("ms").alias("ts"), "value",
+        F.lit(None).cast("long").alias("value_long"),
+        F.create_map(F.lit("h"), F.lit("a")).alias("tags"),
+    )
+    path = str(tmp_path / "pts")
+    write_points(df, path)
+    # dry run reports but deletes nothing
+    listed = retention_sweep(path, keep_days=2, now_ms=now_ms, dry_run=True)
+    assert len(listed) == 2  # days 3 and 4 are strictly older than the cutoff
+    assert read_points(spark, path).count() == 5
+    dropped = retention_sweep(path, keep_days=2, now_ms=now_ms)
+    assert dropped == listed
+    kept = read_points(spark, path)
+    assert kept.count() == 3
+    assert kept.agg(F.max("value")).first()[0] == 2.0
+    # idempotent
+    assert retention_sweep(path, keep_days=2, now_ms=now_ms) == []
