@@ -3483,11 +3483,11 @@ def tsdb_interval_join(spark, sf_dir):
 _PRIORITY = [
     # tag filters (§2.2; the i-variants are gate-redundant with their
     # case-sensitive siblings and verify via the local full-catalog run)
-    "tsdb_filter_literal_or", "tsdb_filter_iwildcard",
+    "tsdb_filter_literal_or",
     "tsdb_filter_regexp", "tsdb_filter_not_literal_or", "tsdb_filter_not_key",
     "tsdb_explicit_tags",
     # downsample (§2.5)
-    "tsdb_ds_10m_avg", "tsdb_ds_0all_sum",
+    "tsdb_ds_10m_avg",
     "tsdb_ds_1d_calendar_max_zero_tz", "tsdb_ds_1h_max_fill_zero",
     # rate (§2.5; drop_resets shares the reset machinery with counter)
     "tsdb_rate", "tsdb_rate_counter",
@@ -3497,12 +3497,12 @@ _PRIORITY = [
     # (mimmax_by_user rotates out — now a trivial direct groupBy, still
     # verified by the full-catalog oracle run)
     "tsdb_agg_zimsum_by_user", "tsdb_agg_avg_raw", "tsdb_agg_sum_aligned_1h",
-    "tsdb_agg_lerp_sum", "tsdb_agg_pfsum", "tsdb_agg_sum_raw_full",
+    "tsdb_agg_lerp_sum", "tsdb_agg_sum_raw_full",
     # metadata / uid / tree / annotations (§2.11)
-    "tsdb_suggest_metrics", "tsdb_last", "uid_metrics_listing", "tree_branches",
+    "tsdb_last", "uid_metrics_listing", "tree_branches",
     "annotations_overlap",
     # gexp functions (§2.8a)
-    "gexp_absolute_scale", "gexp_movavg_3pt", "gexp_sumseries", "gexp_highest_max",
+    "gexp_absolute_scale", "gexp_sumseries", "gexp_highest_max",
     # exp/v2 expressions (§2.8b)
     "exp_intersection_arith", "exp_union_fill_zero",
     # rollups / histograms / ingest (§2.1/2.9, §4)
@@ -3517,17 +3517,26 @@ _PRIORITY = [
     # entry covers the same pairwise-cosine machinery PLUS cell assignment;
     # the LSH-bucketed variant stays verified by the full-catalog run)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_minhash_md5",
-    "dedup_simhash_md5", "dedup_semantic",
+    "dedup_semantic", "dedup_substring",
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
     # for the corpus-wide paragraph dedup — token counting is also exercised
     # by text_quality and stays verified by the full-catalog run)
     "text_quality", "text_langid", "text_paragraph_dedup", "text_fingerprint_md5",
     "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_fixed_top5",
-    "multimodal_bytes", "multimodal_features",
+    "multimodal_bytes",
+    # round-6 families: temporal joins/sessions, CCNet bands, SRP embedding,
+    # prototypicality + covariance (rotated in; the displaced i-variant /
+    # 0all / movavg / pfsum / simhash_md5 / multimodal_features entries
+    # stay verified by the local full-catalog oracle run)
+    "tsdb_asof_join", "tsdb_interval_join", "tsdb_sessionize",
+    "text_ccnet_buckets", "text_hash_embedding",
+    "embed_prototypicality", "embed_covariance",
     # LLM-pipeline: mixture sampling + sequence packing
     "sample_temperature", "sample_pack_sequences",
 ]
-assert len(_PRIORITY) == 51  # one driver-gate slot per §2 family representative
+assert len(_PRIORITY) == 52  # one driver-gate slot per family; the tail
+# entries past the driver's 50-query prefix stay covered by the
+# full-catalog oracle run (tools/check_oracle.py)
 
 
 def _reorder_catalog() -> None:
