@@ -83,3 +83,41 @@ def streaming_rate(points: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessions(
+    points: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based session aggregation over the live point stream — the
+    streaming form of the batch ``tsdb_sessionize`` catalog query, built
+    ENTIRELY from native operators: watermark + ``session_window`` groupBy
+    (dynamic-gap state is managed by Spark's session-window state store;
+    no custom GroupState needed, which is why this lives beside — not
+    inside — the applyInPandasWithState rate).
+
+    Per (metric, series) session: event count, value sum, first/last event
+    time. In append mode a session emits once the watermark passes its
+    close (event-time end + gap); state is bounded by live sessions x
+    O(32B). Late points inside the watermark re-open/merge sessions —
+    exactly the semantics a TSD-side "activity burst" monitor wants."""
+    from opentsdb_spark.sources.points import series_id_col
+
+    keyed = points.withColumn("series_id", series_id_col())
+    return (
+        keyed.withWatermark("ts", watermark)
+        .groupBy("metric", "series_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "metric", "series_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events", "sum_value", "first_ts", "last_ts",
+        )
+    )

@@ -645,3 +645,41 @@ def test_neardup_null_batch_id_index_rows_still_collide(spark):
         b = spark.createDataFrame([(1, text)], "doc_id long, text string")
         kept = neardup_filter_batch(b, idx, batch_id=3).collect()
         assert kept == []  # the seeded index must suppress the clone
+
+
+def test_streaming_sessions(spark):
+    from opentsdb_spark.streaming.ingest import read_put_stream
+    from opentsdb_spark.streaming.stateful import streaming_sessions
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "batch1.txt"), "w") as f:
+            # session 1: three events 60s apart; session 2 after a 45-min
+            # gap; a final event 6h later advances the watermark past both
+            for i in range(3):
+                f.write(f"put m.s {EPOCH + 60 * i} 1.0 host=web01\n")
+            f.write(f"put m.s {EPOCH + 2820} 5.0 host=web01\n")
+            f.write(f"put m.s {EPOCH + 21600} 9.0 host=web01\n")
+        stream = streaming_sessions(read_put_stream(spark, path=src),
+                                    gap="30 minutes", watermark="10 minutes")
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("sessions_test")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT * FROM sessions_test ORDER BY session_start"
+            ).collect()
+        finally:
+            q.stop()
+        # both closed sessions emitted (the 6h event's session stays open)
+        assert len(rows) == 2
+        s1, s2 = rows
+        assert s1["n_events"] == 3 and abs(s1["sum_value"] - 3.0) < 1e-9
+        assert s2["n_events"] == 1 and abs(s2["sum_value"] - 5.0) < 1e-9
+        # session window = [first_event, last_event + gap)
+        assert (s1["session_end"] - s1["last_ts"]).total_seconds() == 1800
