@@ -122,8 +122,13 @@ class _CpuMeter:
         self._thread.start()
 
     def _sample(self) -> None:
-        now = _scan_tree_cpu()
+        # the /proc scan runs INSIDE the lock: an unlocked scan lets a
+        # stale snapshot (scanned earlier, applied later) drop below a live
+        # pid's high-water mark and falsely trip the pid-reuse branch,
+        # double-counting that pid's whole cumulative CPU into _retired.
+        # The scan is ~1ms; total() contends only with the 200ms sampler.
         with self._lock:
+            now = _scan_tree_cpu()
             for pid, cpu in list(self._live.items()):
                 if pid not in now:
                     self._retired += cpu

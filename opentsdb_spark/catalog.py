@@ -3209,11 +3209,21 @@ def _prototypicality_oracle(n_centroids: int = 16) -> str:
         for i, c in enumerate(cents)
     )
     cos_cell = f"{_vecdot_sql('v', 'cvec')} / ({_vecnorm_sql('v')} * {_vecnorm_sql('cvec')})"
+    # NaN pinned to -2.0 and ties broken by cell ASC — mirrors the Spark
+    # side's nanvl + array_position-first-max exactly (arg_max's tie-break
+    # is unspecified, so the pick runs through an ordered row_number)
     return f"""WITH cent(cell, cvec) AS (VALUES {rows}),
         emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        scored AS (SELECT vec_id, cell, {cos_cell} AS c FROM emb CROSS JOIN cent),
-        best AS (SELECT vec_id, arg_max(cell, c) AS cell, max(c) AS proto
-                 FROM scored GROUP BY vec_id)
+        scored AS (SELECT vec_id, cell,
+                          CASE WHEN isnan({cos_cell}) THEN -2.0
+                               ELSE {cos_cell} END AS c
+                   FROM emb CROSS JOIN cent),
+        best AS (SELECT vec_id, cell, c AS proto FROM (
+                   SELECT vec_id, cell, c,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY c DESC, cell ASC) AS rn
+                   FROM scored)
+                 WHERE rn = 1)
         SELECT vec_id, CAST(cell AS INT) AS cell,
                {RND.format('proto')} AS proto_r,
                CAST(row_number() OVER (PARTITION BY cell

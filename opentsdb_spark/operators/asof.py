@@ -74,13 +74,21 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = {
-        c + suffix: F.last(F.col(c + suffix), ignorenulls=True).over(w)
-        for c in right_cols
-    }
-    carried["ts" + suffix] = F.last(
-        F.when(F.col("__side") == 0, ts), ignorenulls=True
+    # the carried state is ONE struct per right row, not per-column lasts:
+    # a per-column last(ignorenulls) would skip a matched row's NULL payload
+    # and resurrect a STALE older value (a (value, ts) pair corresponding to
+    # no actual right row — DuckDB ASOF/pandas merge_asof return the matched
+    # row's NULL). The struct itself is non-null whenever a right row
+    # exists, so the whole row wins or loses atomically.
+    payload = F.last(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(ts.alias("__ts"), *[F.col(c + suffix) for c in right_cols]),
+        ),
+        ignorenulls=True,
     ).over(w)
+    carried = {c + suffix: payload[c + suffix] for c in right_cols}
+    carried["ts" + suffix] = payload["__ts"]
     out = u.select(
         *[c for c in left.columns],
         *[v.alias(k) for k, v in carried.items()],

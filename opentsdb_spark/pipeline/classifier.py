@@ -38,18 +38,9 @@ def _feature_vectors(docs: DataFrame, content_col: str, id_col: str,
     doc's distinct gram count, never n_features."""
     from pyspark.ml.feature import HashingTF
 
-    words = F.regexp_extract_all(F.lower(F.col(content_col)), F.lit(r"\S+"), F.lit(0))
-    bigrams = F.filter(
-        F.zip_with(
-            words,
-            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-        # zip_with pads the shorter side with null; concat_ws collapses the
-        # pad row to the bare last word — drop it by requiring a space
-        lambda g: g.contains(" "),
-    )
-    grams = docs.select(id_col, F.concat(words, bigrams).alias("__g"))
+    from opentsdb_spark.pipeline.sampling import uni_bigram_array
+
+    grams = docs.select(id_col, uni_bigram_array(content_col).alias("__g"))
     tf = HashingTF(inputCol="__g", outputCol="features", numFeatures=n_features)
     return tf.transform(grams).select(id_col, "features")
 

@@ -175,11 +175,12 @@ def pack_sequences(
     )
 
 
-def _hashed_ngram_feats(docs: DataFrame, content_col: str, id_col: str,
-                        n_buckets: int, hash_fn) -> DataFrame:
-    """(id, bucket) rows — one per unigram/bigram OCCURRENCE, bucketed by
-    hash into ``n_buckets`` (the DSIR paper's hashed n-gram featurizer,
-    Xie et al. 2023 §2.2: uni+bi-grams hashed into 10k buckets)."""
+def uni_bigram_array(content_col: str) -> Column:
+    """Array of lowered unigrams ++ adjacent bigrams — THE gram shape of
+    the DSIR featurizer (Xie et al. 2023 §2.2), shared by the importance
+    weighter (exploded + hashed) and the quality classifier (fed whole to
+    HashingTF). One definition so the null-pad edge case below stays fixed
+    everywhere."""
     words = F.regexp_extract_all(F.lower(F.col(content_col)), F.lit(r"\S+"), F.lit(0))
     bigrams = F.filter(
         F.zip_with(
@@ -192,9 +193,16 @@ def _hashed_ngram_feats(docs: DataFrame, content_col: str, id_col: str,
         # requiring a space
         lambda g: g.contains(" "),
     )
-    grams = F.concat(words, bigrams)
+    return F.concat(words, bigrams)
+
+
+def _hashed_ngram_feats(docs: DataFrame, content_col: str, id_col: str,
+                        n_buckets: int, hash_fn) -> DataFrame:
+    """(id, bucket) rows — one per unigram/bigram OCCURRENCE, bucketed by
+    hash into ``n_buckets`` (the DSIR paper's hashed n-gram featurizer,
+    Xie et al. 2023 §2.2: uni+bi-grams hashed into 10k buckets)."""
     return docs.select(
-        id_col, F.explode(grams).alias("__g")
+        id_col, F.explode(uni_bigram_array(content_col)).alias("__g")
     ).select(
         id_col, F.pmod(hash_fn(F.col("__g")), F.lit(n_buckets)).alias("bucket")
     )

@@ -827,8 +827,15 @@ def prototypicality(
         else seeded_centroids(n_centroids, dim, seed)
     )
     corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    # NaN cosines (zero-norm vectors: 0/0 on both engines) pin to -2.0 —
+    # below any real cosine — so cell assignment and rank are deterministic
+    # and engine-independent instead of riding NaN-ordering differences
+    cc = F.transform(
+        _cell_cosines_udf(cents)(F.col("__v")),
+        lambda x: F.nanvl(x, F.lit(-2.0)),
+    )
     scored = (
-        corpus.withColumn("__cc", _cell_cosines_udf(cents)(F.col("__v")))
+        corpus.withColumn("__cc", cc)
         .select(
             id_col,
             (F.array_position("__cc", F.array_max("__cc")) - 1).cast("int").alias("cell"),

@@ -283,3 +283,24 @@ def test_interval_join(spark):
     # closed on both ends; each qualifying pair appears EXACTLY once even
     # when the interval spans multiple buckets
     assert got == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_asof_join_null_right_payload(spark):
+    """A matched right row whose payload is NULL must yield NULL, not
+    resurrect an older row's value (DuckDB ASOF / merge_asof semantics)."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "a", 300)], "id long, k string, sec long") \
+        .select("id", "k", F.timestamp_millis(F.col("sec") * 1000).alias("ts"))
+    right = spark.createDataFrame(
+        [("a", 100, 5.0), ("a", 200, None)], "k string, sec long, v double"
+    ).select("k", F.timestamp_millis(F.col("sec") * 1000).alias("ts"), "v")
+    [r] = asof_join(left, right, on=["k"], right_cols=["v"]).collect()
+    assert r["v_right"] is None
+    assert r["ts_right"].timestamp() == 200.0
+    # tolerance computed from the matched row, not the stale value's row
+    [t] = asof_join(left, right, on=["k"], right_cols=["v"],
+                    tolerance_ms=150_000).collect()
+    assert t["v_right"] is None and t["ts_right"] is not None

@@ -1055,8 +1055,6 @@ def test_train_bpe(spark):
                 pc[(s[i], s[i + 1])] += wf[w]
         if not pc:
             break
-        best = max(pc.items(), key=lambda kv: (kv[1], ) + tuple(
-            [-ord(c) for c in kv[0][0]] + [-ord(c) for c in kv[0][1]]))
         # deterministic tie-break: max count, then lexicographically SMALLEST
         top_n = max(pc.values())
         cands = sorted([p for p, n in pc.items() if n == top_n])
