@@ -47,3 +47,27 @@ def test_points_frame_ts_contract(spark):
     pts = load_points(spark, SF_DIR)
     assert dict(pts.dtypes)["ts"] == "timestamp"
     pts.select(F.unix_millis("ts")).limit(1).collect()
+
+
+def test_cpu_meter_monotonic_under_churn():
+    """bench._CpuMeter must never go backwards, even when short-lived
+    children exit between samples (the /proc snapshot-diff failure mode
+    that produced negative per-query CPU deltas)."""
+    import subprocess
+    import time
+
+    import bench
+
+    meter = bench._CpuMeter()
+    last = meter.total()
+    for _ in range(3):
+        # burn ~0.1s of CPU in a child that exits before the next sample
+        subprocess.run(
+            ["python", "-c", "x=0\nfor i in range(2_000_000): x+=i"],
+            check=True,
+        )
+        cur = meter.total()
+        assert cur >= last
+        last = cur
+    time.sleep(0.3)  # one sampler tick with no work
+    assert meter.total() >= last
