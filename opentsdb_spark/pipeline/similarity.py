@@ -495,6 +495,26 @@ def train_centroids_replica(
     return _kmeans_iterations(sample, n_centroids, iters, seed)
 
 
+def _subdiv_sig_udf(planes: list[list[float]]):
+    """Packed sign signature over the subdivision planes (bit 0 = most
+    significant, matching the sig*2+bit fold it replaces): one V @ P^T per
+    Arrow batch."""
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.asarray([np.asarray(v, np.float64) for v in vs], np.float64)
+        P = np.asarray(planes, np.float64)
+        S = (V @ P.T) >= 0
+        weights = (1 << np.arange(len(planes))[::-1]).astype("int64")
+        return pd.Series((S * weights).sum(1).astype("int64"))
+
+    return sig
+
+
 def semdedup(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -506,6 +526,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cell: int | None = 2048,
+    bit_exact: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): k-means the embedding
     space into cells, then drop semantic near-duplicates WITHIN each cell —
@@ -575,12 +596,18 @@ def semdedup(
         maxbits = max(bits.values(), default=0)
         if maxbits > 0:
             maxbits = min(maxbits, 16)
-            sig = F.lit(0).cast("long")
-            for j in range(maxbits):
-                plane = F.array(*[
-                    F.lit(c) for c in _plane_coeffs(2_000_000, j, len(cent_arr[0]), seed)
-                ])
-                sig = sig * 2 + F.when(_dot(F.col("cv"), plane) >= 0, 1).otherwise(0)
+            planes = [
+                _plane_coeffs(2_000_000, j, len(cent_arr[0]), seed)
+                for j in range(maxbits)
+            ]
+            # ONE matmul per Arrow batch for all sign planes — the
+            # expression fold (_dot per bit) is CodegenFallback: 4 bits x
+            # 64 interpreted lambdas per row dominated the subdivided
+            # path at 100x scale. Sign margins are ~1e-6 (the ANN
+            # measurement) vs ~1e-15 reassociation noise, and subdivision
+            # only exists past max_cell — the oracle gate (500 rows)
+            # never enters this branch.
+            sig = _subdiv_sig_udf(planes)(F.col("cv"))
             bits_map = F.create_map(*[
                 F.lit(x) for kv in bits.items() for x in kv
             ])
@@ -622,12 +649,22 @@ def semdedup(
                 "dup_cosine": [None],
             })
         V = np.asarray([np.asarray(v, np.float64) for v in pdf["cv"]])
-        dot = np.zeros((n, n))
-        nn = np.zeros(n)
-        for d in range(V.shape[1]):
-            c = V[:, d]
-            dot = dot + np.multiply.outer(c, c)
-            nn = nn + c * c
+        if bit_exact:
+            dot = np.zeros((n, n))
+            nn = np.zeros(n)
+            for d in range(V.shape[1]):
+                c = V[:, d]
+                dot = dot + np.multiply.outer(c, c)
+                nn = nn + c * c
+        else:
+            # ONE BLAS gram matrix instead of dim outer-product passes:
+            # same arithmetic, ~10-30x less memory traffic per cell
+            # (measured: 100x-replicated sweep 165s -> see BENCH notes).
+            # FP sums reassociate, so cosines can move ~1e-15 — the
+            # dim-sequential path stays behind bit_exact=True and a test
+            # pins identical kept/rounded-cosine output on the fixture.
+            dot = V @ V.T
+            nn = np.einsum("ij,ij->i", V, V)
         with np.errstate(divide="ignore", invalid="ignore"):
             rt = np.sqrt(nn)
             cos = dot / (rt[:, None] * rt[None, :])

@@ -1125,3 +1125,43 @@ def test_bpe_encode_roundtrip(spark):
     u = spark.createDataFrame([(9, "zzq")], "doc_id long, text string")
     [row] = bpe_encode(u, merges).collect()
     assert "".join(row["tokens"]) == "zzq</w>"
+
+
+def test_semdedup_fast_matches_bit_exact(spark):
+    """The BLAS gram-matrix kernel must produce identical kept flags and
+    1e-4-rounded dup cosines to the dim-sequential fold on the driver
+    fixture — plus an adversarial-margin check that no cosine sits close
+    enough to the threshold for FP reassociation (~1e-15) to flip it."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.pipeline.similarity import (
+        _cell_cosines_udf, seeded_centroids, semdedup,
+    )
+    from opentsdb_spark.sources.points import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = seeded_centroids(8, 64)
+
+    def norm(df):
+        return sorted(
+            (r["vec_id"], r["cell"], r["kept"],
+             None if r["dup_cosine"] is None else round(r["dup_cosine"], 4))
+            for r in df.collect()
+        )
+
+    fast = norm(semdedup(emb, threshold=0.3, centroids=cents))
+    exact = norm(semdedup(emb, threshold=0.3, centroids=cents, bit_exact=True))
+    assert fast == exact
+    # margin: the closest pairwise cosine to the 0.3 threshold must clear
+    # FP-noise scale by orders of magnitude
+    from opentsdb_spark.pipeline.similarity import brute_force_topk
+
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pairs = brute_force_topk(v, v.limit(50).select(
+        F.col("vec_id").alias("query_id"), "embedding"), k=200)
+    margin = (
+        pairs.where(F.col("query_id") != F.col("vec_id"))
+        .select(F.min(F.abs(F.col("cosine") - 0.3)).alias("m"))
+        .first()["m"]
+    )
+    assert margin > 1e-9
