@@ -3483,6 +3483,134 @@ def tsdb_interval_join(spark, sf_dir):
                       _vr(F.col("value")).alias("value_r"))
 
 
+# ---- round 6b: BM25 retrieval / token-budget selection / Bloom hygiene ----
+
+_BM25_QUERIES = [
+    ("q_scan", "spark table scan"),
+    ("q_join", "hash join merge"),
+    ("q_sort", "window sort order"),
+]
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{tok}')"
+    for qid, qtext in _BM25_QUERIES
+    for tok in dict.fromkeys(qtext.split())
+)
+
+@register(
+    "text_bm25_top5",
+    f"""WITH w AS (SELECT doc_id,
+                          unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+                   FROM documents),
+        p AS (SELECT doc_id, token, count(*) AS tf
+              FROM w WHERE token <> '' GROUP BY doc_id, token),
+        dl AS (SELECT doc_id, count(*) AS dl
+               FROM w WHERE token <> '' GROUP BY doc_id),
+        st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        dfx AS (SELECT token, count(*) AS df FROM p GROUP BY token),
+        q(query_id, token) AS (VALUES {_BM25_VALUES}),
+        sc AS (SELECT q.query_id, p.doc_id,
+                      ln(1.0 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                        * p.tf * 2.2
+                        / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS wgt
+               FROM p JOIN q USING (token) JOIN dl USING (doc_id)
+                      JOIN dfx USING (token) CROSS JOIN st),
+        agg AS (SELECT query_id, doc_id,
+                       {RND.format('sum(wgt)')} AS score_r,
+                       count(*) AS matched_terms
+                FROM sc GROUP BY query_id, doc_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_r DESC, doc_id ASC) AS rank FROM agg)
+        SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+               CAST(matched_terms AS BIGINT) AS matched_terms, score_r
+        FROM r WHERE rank <= 5""",
+)
+def text_bm25_top5(spark, sf_dir):
+    """Okapi BM25 top-5 per query (pipeline.text.bm25_search): broadcast
+    query-term probe of a build-once posting frame; ranks on the ROUNDED
+    score (both engines), so sub-1e-4 FP fold-order drift cannot reorder."""
+    from pyspark.sql import Window
+
+    from opentsdb_spark.pipeline.text import bm25_search
+
+    out = bm25_search(_docs(spark, sf_dir), _BM25_QUERIES, k=500)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_r"), F.asc("doc_id"))
+    return (
+        out.select("query_id", "doc_id", "matched_terms",
+                   _vr(F.col("score")).alias("score_r"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "matched_terms", "score_r")
+    )
+
+
+@register(
+    "sample_token_budget",
+    r"""WITH t AS (SELECT doc_id, source,
+                          len(regexp_extract_all(text, '\S+')) AS n_tokens
+                   FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY n_tokens DESC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < 2000""",
+)
+def sample_token_budget(spark, sf_dir):
+    """Per-source greedy token-budget selection
+    (pipeline.sampling.token_budget_select): one window cumsum per source,
+    keep while the tokens accumulated before the doc are under budget."""
+    from opentsdb_spark.pipeline.sampling import token_budget_select
+
+    return token_budget_select(_docs(spark, sf_dir), budget_tokens=2000)
+
+
+def _bloom_oracle() -> str:
+    # n=5 grams (w[i:i+4] is a 5-element inclusive slice); positions are the
+    # three 20-bit slices of the xxh64 gram hash — DuckDB's arithmetic >>
+    # sign-extends, but & 1048575 masks the extension away, so it extracts
+    # the same raw bits as Spark's shiftrightunsigned+mask.
+    pos = "((h >> (i * 20)) & 1048575)"
+    return f"""WITH RECURSIVE
+        w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+        g AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 4, 0)),
+                i -> array_to_string(w[i:i+4], ' '))) AS grams
+              FROM w),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        strs AS (SELECT DISTINCT gram AS s FROM e),
+        {xxh64_str_ctes('strs', ('s',), 's', out='gh')},
+        hpos AS (SELECT s, t.i, {pos} AS pos
+                 FROM gh CROSS JOIN generate_series(0, 2) t(i)),
+        bench_pos AS (SELECT DISTINCT hp.pos
+                      FROM e JOIN hpos hp ON e.gram = hp.s
+                      WHERE e.doc_id % 25 = 0),
+        hit AS (SELECT e.doc_id, hp.s
+                FROM e JOIN hpos hp ON e.gram = hp.s
+                       JOIN bench_pos USING (pos)
+                WHERE e.doc_id % 25 <> 0
+                GROUP BY e.doc_id, hp.s HAVING count(*) = 3),
+        per AS (SELECT doc_id, count(*) AS bloom_grams FROM hit GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(p.bloom_grams, 0) AS BIGINT) AS bloom_grams,
+               coalesce(p.bloom_grams, 0) >= 1 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+        LEFT JOIN per p ON d.doc_id = p.doc_id"""
+
+
+@register("dedup_bloom_decontaminate", _bloom_oracle())
+def dedup_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter benchmark hygiene (pipeline.dedup.bloom_decontaminate):
+    the broadcast side is the bounded position set (<= 2^20 ints), not the
+    unbounded benchmark gram set; same %25 bench/corpus split as
+    dedup_decontaminate so the two hygiene passes are directly comparable."""
+    from opentsdb_spark.pipeline.dedup import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return bloom_decontaminate(train, bench, n=5)
+
+
 # ==================================================== driver-check ordering =
 # The verify driver cross-checks a PREFIX of this catalog (round 1 sampled
 # the first 50 of 77, leaving whole operator families unchecked). Reorder so
@@ -3496,9 +3624,11 @@ _PRIORITY = [
     "tsdb_filter_literal_or",
     "tsdb_filter_regexp", "tsdb_filter_not_literal_or", "tsdb_filter_not_key",
     "tsdb_explicit_tags",
-    # downsample (§2.5)
+    # downsample (§2.5; 1h_max_fill_zero rotates out — calendar_max_zero_tz
+    # already pins the fill machinery, and the fixed-grid variant stays
+    # verified by the local full-catalog oracle run)
     "tsdb_ds_10m_avg",
-    "tsdb_ds_1d_calendar_max_zero_tz", "tsdb_ds_1h_max_fill_zero",
+    "tsdb_ds_1d_calendar_max_zero_tz",
     # rate (§2.5; drop_resets shares the reset machinery with counter)
     "tsdb_rate", "tsdb_rate_counter",
     # cross-series aggregation + interpolation (§2.3/2.4) incl. the
@@ -3531,8 +3661,12 @@ _PRIORITY = [
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
     # for the corpus-wide paragraph dedup — token counting is also exercised
     # by text_quality and stays verified by the full-catalog run)
-    "text_quality", "text_langid", "text_paragraph_dedup", "text_fingerprint_md5",
-    "ann_bruteforce_top5", "ann_lsh_top5", "ann_ivf_fixed_top5",
+    # (text_langid and ann_bruteforce rotate out for the round-6b families —
+    # langid shares the codegen-signal machinery with text_quality, and the
+    # brute-force ANN baseline anchors the LSH/IVF recall tests; both stay
+    # verified by the local full-catalog oracle run)
+    "text_quality", "text_paragraph_dedup", "text_fingerprint_md5",
+    "ann_lsh_top5", "ann_ivf_fixed_top5",
     "multimodal_bytes",
     # round-6 families: temporal joins/sessions, CCNet bands, SRP embedding,
     # prototypicality + covariance (rotated in; the displaced i-variant /
@@ -3543,6 +3677,9 @@ _PRIORITY = [
     "embed_prototypicality", "embed_covariance",
     # LLM-pipeline: mixture sampling + sequence packing
     "sample_temperature", "sample_pack_sequences",
+    # round-6b families: BM25 lexical retrieval, token-budget selection,
+    # Bloom-filter benchmark hygiene
+    "text_bm25_top5", "sample_token_budget", "dedup_bloom_decontaminate",
 ]
 assert len(_PRIORITY) == 52  # one driver-gate slot per family; the tail
 # entries past the driver's 50-query prefix stay covered by the

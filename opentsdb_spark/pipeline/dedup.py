@@ -557,3 +557,83 @@ def substring_dup_spans(
             / F.when(F.col("n_words") > 0, F.col("n_words")),
         )
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    min_shared: int = 1,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter instead of the
+    exact gram-hash set (``decontaminate``): every benchmark n-gram sets
+    ``k_hashes`` bit positions of an ``m_bits``-bit array; a corpus gram is
+    flagged when ALL its positions are set. One-sided by construction —
+    false positives possible (overcounts ``shared_grams``), false
+    negatives impossible — the right trade for hygiene filtering.
+
+    The k positions are disjoint bit-slices of ONE xxhash64 (the classic
+    partition-the-hash construction: position i is bits [20*i, 20*i+20) of
+    the 64-bit hash), so the engine computes one hash per gram and pure
+    bit arithmetic after — no second hash function, no 64-bit overflow,
+    and the DuckDB oracle replicates it exactly from the XXH64 SQL replica.
+
+    100 TB shape: where exact decontamination broadcasts 8 bytes per
+    DISTINCT benchmark gram, the Bloom set broadcasts at most
+    ``min(k * grams, m_bits)`` DISTINCT int positions — bounded by the
+    filter size (2^20 positions ~ 8 MB as a broadcast join build side)
+    no matter how large the benchmark suite grows, and shrinking further
+    as the array saturates. The corpus never shuffles: grams stream
+    through a broadcast hash join on the position ints in place.
+    """
+    if 20 * k_hashes > 64:
+        raise ValueError("k_hashes * 20 bits must fit the 64-bit hash")
+    mask = m_bits - 1
+
+    def positions(frame: DataFrame, cols: list) -> DataFrame:
+        slices = F.array(*[
+            (F.shiftrightunsigned(F.col("gh"), 20 * i).bitwiseAND(mask))
+            .cast("long").alias(f"p{i}")
+            for i in range(k_hashes)
+        ])
+        return frame.select(*cols, F.posexplode(slices).alias("i", "pos"))
+
+    bench_pos = (
+        positions(
+            _gram_frame(benchmark, content_col, id_col, n)
+            .select(F.explode("grams").alias("g"))
+            .select(F.xxhash64("g").alias("gh"))
+            .distinct(),
+            [],
+        )
+        .select("pos")
+        .distinct()
+    )
+    corpus = (
+        _gram_frame(docs, content_col, id_col, n)
+        .select(id_col, F.explode("grams").alias("g"))
+        .select(id_col, F.xxhash64("g").alias("gh"))
+    )
+    hits = (
+        positions(corpus, [id_col, "gh"])
+        .join(F.broadcast(bench_pos), on="pos")
+        .groupBy(id_col, "gh")
+        .agg(F.count("*").alias("set_bits"))
+        .where(F.col("set_bits") == k_hashes)
+        .groupBy(id_col)
+        .agg(F.count_distinct("gh").alias("bloom_grams"))
+    )
+    shared = F.coalesce(F.col("bloom_grams"), F.lit(0))
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            shared.cast("long").alias("bloom_grams"),
+            (shared >= min_shared).alias("contaminated"),
+        )
+    )

@@ -272,3 +272,49 @@ def dsir_importance_weights(
             F.sum("log_ratio").alias("log_weight"),
         )
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    priority: Column | None = None,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select documents per ``group_col`` in priority order until each
+    group's cumulative token count reaches ``budget_tokens`` — the "give me
+    N tokens of the best data per source/domain" step that turns a scored
+    corpus into a fixed-size training mixture.
+
+    A doc is kept while the tokens accumulated BEFORE it are under budget,
+    so every group overshoots by at most one document (the standard greedy
+    contract). ``priority`` defaults to token count descending; ties always
+    break by doc id ascending so the selection is deterministic.
+
+    100 TB shape: token counts are a narrow map (one codegen regexp count,
+    no tokenizer explode); the running sum is one window keyed by the
+    group — the sort is per-group (source/domain cardinality is small but
+    each partition sorts only its own docs, and Spark's window sort
+    spills), and nothing collects. The output is the kept docs plus each
+    one's cumulative position, so downstream packing can resume the order.
+    """
+    from pyspark.sql import Window
+
+    toks = F.coalesce(
+        F.regexp_count(F.col(content_col), F.lit(r"\S+")), F.lit(0)
+    ).cast("long")
+    base = docs.select(
+        id_col, group_col, toks.alias("n_tokens"),
+    )
+    order = [priority, F.asc(id_col)] if priority is not None else [
+        F.desc("n_tokens"), F.asc(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    cum = base.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    return (
+        cum.where(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )

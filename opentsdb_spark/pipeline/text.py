@@ -914,3 +914,81 @@ def bpe_encode(
     return docs.select(
         id_col, encode(F.col(content_col)).alias("tokens")
     ).withColumn("n_tokens", F.size("tokens"))
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: score every document against each
+    query string, return the top-``k`` docs per query — the sparse
+    (keyword) complement to the dense ANN retrieval in
+    ``pipeline.similarity``, and the standard first-stage ranker of a
+    retrieval-augmented data pipeline.
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))      (Robertson/Lucene)
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+
+    100 TB shape: the corpus tokenizes ONCE into a (doc, token, tf, dl)
+    posting frame; the query-term table is tiny and BROADCASTS, so scoring
+    touches only postings of query terms (an index probe, not a corpus
+    scan, after the one posting build). Document frequencies and avgdl are
+    vocabulary-/scalar-sized aggregates of the same posting frame. Top-k
+    per query partitions the window by query id — no global sort, and with
+    a handful of queries the ranked frame is tiny.
+
+    Ties break by doc id ascending for determinism.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(_words(F.col(content_col))).alias("token"),
+    ).where(F.col("token") != "")
+    postings = words.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    doclen = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    df = postings.groupBy("token").agg(F.count("*").alias("df"))
+
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [
+            (qid, tok)
+            for qid, qtext in queries
+            for tok in dict.fromkeys(qtext.lower().split())
+        ],
+        "query_id string, token string",
+    )
+
+    scored = (
+        postings.join(F.broadcast(qterms), on="token")
+        .join(doclen, on=id_col)
+        .join(F.broadcast(df.join(F.broadcast(qterms), on="token")
+                          .select("token", "df").distinct()), on="token")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("w").alias("score"), F.count("*").alias("matched_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "matched_terms", "score")
+    )

@@ -1165,3 +1165,83 @@ def test_semdedup_fast_matches_bit_exact(spark):
         .first()["m"]
     )
     assert margin > 1e-9
+
+
+def test_bm25_search(spark, docs):
+    """BM25 ranks the doc containing more/rarer query terms first; scores
+    match a hand-computed Okapi formula on the tiny fixture."""
+    from opentsdb_spark.pipeline.text import bm25_search
+
+    out = bm25_search(docs.select("doc_id", "text"),
+                      [("q", "fox engines")], k=10)
+    rows = sorted(
+        ((r["rank"], r["doc_id"], r["matched_terms"], r["score"])
+         for r in out.collect())
+    )
+    # 'fox' appears in docs 0,1,2 (df=3); 'engines' only in doc 4 (df=1):
+    # doc 4's single rare term outweighs any single common-term doc.
+    assert [r[1] for r in rows] == [4, 0, 1, 2]
+    assert rows[0][2] == 1  # doc 4 matched only 'engines'
+    # hand-check doc 4: N=5, df=1, tf=1, dl=7, avgdl=(9*3+8+7)/5=8.4
+    idf = math.log(1 + (5 - 1 + 0.5) / 1.5)
+    exp = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 7 / 8.4))
+    assert abs(rows[0][3] - exp) < 1e-9
+    # docs 0 and 1 are identical -> identical scores, tie broken by id
+    assert rows[1][3] == rows[2][3]
+
+
+def test_token_budget_select(spark):
+    """Greedy budget contract: keep in priority order while tokens BEFORE
+    the doc are under budget — each group overshoots by at most one doc."""
+    from opentsdb_spark.pipeline.sampling import token_budget_select
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a " * 10, "s1"),   # 10 tokens
+            (1, "b " * 8, "s1"),    # 8
+            (2, "c " * 6, "s1"),    # 6
+            (3, "d " * 4, "s2"),    # 4
+            (4, "", "s2"),          # 0 tokens, still under budget
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in
+           token_budget_select(docs, budget_tokens=15).collect()}
+    # s1 priority order 0(10), 1(8), 2(6): doc 1 starts at 10 < 15 (kept,
+    # overshooting to 18); doc 2 starts at 18 >= 15 (dropped)
+    assert set(out) == {0, 1, 3, 4}
+    assert out[1]["cum_tokens"] == 18
+    # s2: zero-token doc sorts last but stays under budget
+    assert out[4]["cum_tokens"] == 4
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom hygiene is one-sided: every doc the exact gram-set pass flags
+    is flagged by the Bloom pass too (false negatives impossible), and the
+    bloom gram count never undercounts the exact shared-gram count."""
+    from opentsdb_spark.pipeline.dedup import bloom_decontaminate, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "news report the quick brown fox jumps over a fence"),
+            (1, "completely unrelated sentence about spark engines"),
+            (2, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"]: r for r in
+             decontaminate(train, bench, n=4).collect()}
+    bloom = {r["doc_id"]: r for r in
+             bloom_decontaminate(train, bench, n=4).collect()}
+    assert set(exact) == set(bloom)
+    for did in exact:
+        assert bloom[did]["bloom_grams"] >= exact[did]["shared_grams"]
+        if exact[did]["contaminated"]:
+            assert bloom[did]["contaminated"]
+    # on this fixture (tiny gram sets in a 2^20-bit array) no false
+    # positives are plausible either: the clean docs stay clean
+    assert not bloom[1]["contaminated"] and not bloom[2]["contaminated"]
