@@ -62,6 +62,8 @@ HEADLINE = [
     "tsdb_asof_join",
     "tsdb_interval_join",
     "tsdb_sessionize",
+    "text_bm25_top5",
+    "dedup_bloom_decontaminate",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -289,15 +289,24 @@ def token_budget_select(
 
     A doc is kept while the tokens accumulated BEFORE it are under budget,
     so every group overshoots by at most one document (the standard greedy
-    contract). ``priority`` defaults to token count descending; ties always
+    contract). The default priority is token count descending; ties always
     break by doc id ascending so the selection is deterministic.
 
-    100 TB shape: token counts are a narrow map (one codegen regexp count,
-    no tokenizer explode); the running sum is one window keyed by the
-    group — the sort is per-group (source/domain cardinality is small but
-    each partition sorts only its own docs, and Spark's window sort
-    spills), and nothing collects. The output is the kept docs plus each
-    one's cumulative position, so downstream packing can resume the order.
+    100 TB shape (default priority): a window partitioned by the
+    low-cardinality source key would SORT EACH WHOLE SOURCE IN ONE TASK —
+    the skew magnet of naive budget selection. Instead the running sum is
+    two-phase: (1) aggregate (group, n_tokens) value-buckets — a map-side
+    combinable groupBy whose result is bounded by #groups x distinct token
+    counts — and cumsum THAT tiny frame per group; (2) rank docs only
+    WITHIN their (group, n_tokens) bucket (row_number by doc id — far
+    finer partitions than whole sources) and combine:
+    cum = bucket_prefix + rank * n_tokens. Token counts are one codegen
+    regexp count, no tokenizer explode; nothing collects.
+
+    A caller-supplied ``priority`` column falls back to the direct
+    per-group window (custom priorities are not bucketable in general —
+    acceptable when groups are balanced; pre-bucket the priority yourself
+    when one group dominates).
     """
     from pyspark.sql import Window
 
@@ -307,14 +316,44 @@ def token_budget_select(
     base = docs.select(
         id_col, group_col, toks.alias("n_tokens"),
     )
-    order = [priority, F.asc(id_col)] if priority is not None else [
-        F.desc("n_tokens"), F.asc(id_col)]
-    w = Window.partitionBy(group_col).orderBy(*order)
-    cum = base.withColumn(
-        "cum_tokens", F.sum("n_tokens").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if priority is not None:
+        w = Window.partitionBy(group_col).orderBy(priority, F.asc(id_col))
+        cum = base.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        return (
+            cum.where(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+            .select(id_col, group_col, "n_tokens", "cum_tokens")
+        )
+
+    # phase 1: per-(group, token-count) bucket totals, cumsum over the
+    # bucket frame only (rows = groups x distinct counts, not docs)
+    per_val = base.groupBy(group_col, "n_tokens").agg(
+        F.sum("n_tokens").alias("tok_sum"))
+    wv = Window.partitionBy(group_col).orderBy(F.desc("n_tokens"))
+    per_val = per_val.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("tok_sum").over(
+                wv.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).where(F.col("cum_before") < budget_tokens)  # whole tail buckets drop early
+
+    # phase 2: rank only within the (group, value) bucket; the join against
+    # the pruned bucket frame also prunes fully-dropped docs pre-window
+    wb = Window.partitionBy(group_col, "n_tokens").orderBy(F.asc(id_col))
+    cum = (
+        base.join(per_val, on=[group_col, "n_tokens"])
+        .withColumn("__rn", F.row_number().over(wb))
+        .withColumn(
+            "cum_tokens",
+            F.col("cum_before") + F.col("__rn") * F.col("n_tokens"))
     )
     return (
-        cum.where(F.col("cum_tokens") - F.col("n_tokens") < budget_tokens)
+        cum.where(
+            F.col("cum_before") + (F.col("__rn") - 1) * F.col("n_tokens")
+            < budget_tokens)
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )

@@ -924,6 +924,7 @@ def bm25_search(
     b: float = 0.75,
     content_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """Okapi BM25 lexical retrieval: score every document against each
     query string, return the top-``k`` docs per query — the sparse
@@ -946,12 +947,18 @@ def bm25_search(
     """
     from pyspark.sql import Window
 
+    from opentsdb_spark.pipeline.dedup import _persist_small
+
     words = docs.select(
         F.col(id_col),
         F.explode(_words(F.col(content_col))).alias("token"),
     ).where(F.col("token") != "")
-    postings = words.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    doclen = words.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # the posting frame feeds four branches (scoring, dl, df, avgdl); Spark
+    # shares no common subplans, so persist it or the corpus tokenizes 4x
+    postings = _persist_small(
+        words.groupBy(id_col, "token").agg(F.count("*").alias("tf")), persist)
+    # dl re-aggregates the posting frame, not the corpus — one tokenizer scan
+    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
     )

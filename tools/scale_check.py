@@ -47,6 +47,8 @@ QUERIES = [
     "embed_prototypicality",
     "embed_covariance",
     "text_hash_embedding",
+    "text_bm25_top5",
+    "dedup_bloom_decontaminate",
 ]
 
 
