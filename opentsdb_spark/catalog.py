@@ -3597,6 +3597,96 @@ def _bloom_oracle() -> str:
         LEFT JOIN per p ON d.doc_id = p.doc_id"""
 
 
+@register(
+    "ann_hard_negatives",
+    f"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                          embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        scored AS (
+          SELECT q.query_id, e.vec_id, e.label AS neg_label,
+                 list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))) AS cosine
+          FROM embeddings e CROSS JOIN q
+          WHERE e.label <> q.q_label)
+        SELECT query_id, vec_id, neg_label,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+               {RND.format('cosine')} AS cosine_r
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) <= 5""",
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (pipeline.similarity
+    .hard_negatives): top-5 most-similar DIFFERENT-label vectors per query;
+    same broadcast-query/no-corpus-shuffle shape as ann_bruteforce_top5."""
+    from opentsdb_spark.pipeline.similarity import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding")
+    out = hard_negatives(emb, q, k=5)
+    return out.select("query_id", "vec_id", "neg_label",
+                      F.col("rank").cast("long").alias("rank"),
+                      _vr(F.col("cosine")).alias("cosine_r"))
+
+
+@register(
+    "text_vocab_top10_lang",
+    r"""WITH w AS (SELECT lang, doc_id,
+                          unnest(regexp_extract_all(lower(text), '\S+')) AS token
+                   FROM documents),
+        c AS (SELECT lang, token, count(*) AS tf,
+                     count(DISTINCT doc_id) AS df
+              FROM w WHERE token <> '' GROUP BY lang, token)
+        SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY tf DESC, token ASC) AS INT) AS rank,
+               token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY lang
+                ORDER BY tf DESC, token ASC) <= 10""",
+)
+def text_vocab_top10_lang(spark, sf_dir):
+    """Per-language vocabulary heavy hitters (pipeline.text
+    .vocab_topk_grouped): the top-k window runs over the aggregated
+    (group, token) vocab frame, never over documents."""
+    from opentsdb_spark.pipeline.text import vocab_topk_grouped
+
+    return vocab_topk_grouped(_docs(spark, sf_dir), k=10, group_col="lang")
+
+
+def _class_balance_oracle() -> str:
+    # Spark's xxhash64(BIGINT) (seed 42) via the hash_long SQL replica; the
+    # UBIGINT output reinterprets to Spark's signed BIGINT for ordering.
+    signed = ("CAST(CASE WHEN h >= 9223372036854775808 "
+              "THEN CAST(h AS HUGEINT) - 18446744073709551616 "
+              "ELSE CAST(h AS HUGEINT) END AS BIGINT)")
+    return f"""WITH
+        ids AS (SELECT label, vec_id FROM embeddings),
+        {hash_long_ctes('ids', ('label', 'vec_id'), 'vec_id',
+                        'CAST(42 AS UBIGINT)', 'hh', '__cb')},
+        hs AS (SELECT label, vec_id, {signed} AS h FROM hh),
+        m AS (SELECT min(cnt) AS m
+              FROM (SELECT count(*) AS cnt FROM embeddings GROUP BY label)),
+        r AS (SELECT label, vec_id, row_number() OVER (PARTITION BY label
+                     ORDER BY h ASC, vec_id ASC) AS rn FROM hs)
+        SELECT label, vec_id FROM r CROSS JOIN m WHERE rn <= m.m"""
+
+
+@register("sample_class_balance", _class_balance_oracle())
+def sample_class_balance(spark, sf_dir):
+    """Deterministic class balancing (pipeline.sampling.class_balance):
+    every label down-sampled to the smallest class by lowest xxhash64(id);
+    ranking runs over the 24-byte (label, hash, id) frame only."""
+    from opentsdb_spark.pipeline.sampling import class_balance
+
+    out = class_balance(_emb(spark, sf_dir), label_col="label",
+                        id_col="vec_id")
+    return out.select("label", "vec_id")
+
+
 @register("dedup_bloom_decontaminate", _bloom_oracle())
 def dedup_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter benchmark hygiene (pipeline.dedup.bloom_decontaminate):

@@ -155,6 +155,9 @@ def main(argv: list[str] | None = None) -> int:
     td.add_argument("--static-dir", default=None,
                     help="serve /s/* files from this directory "
                          "(reference tsd.http.staticroot)")
+    td.add_argument("--cache-dir", default=None,
+                    help="/q graph disk-cache directory (reference "
+                         "tsd.http.cachedir; unset disables caching)")
     td.add_argument("--mode", choices=("rw", "ro", "wo"), default=None,
                     help="operation mode (reference tsd.mode): ro serves "
                          "only read RPCs, wo only write RPCs; unregistered "
@@ -433,6 +436,7 @@ def main(argv: list[str] | None = None) -> int:
             TSD(
                 spark, points,
                 static_dir=args.static_dir or (cfg["tsd.http.staticroot"] or None),
+                cache_dir=args.cache_dir or (cfg["tsd.http.cachedir"] or None),
                 mode=args.mode or cfg["tsd.mode"],
                 cors_domains=args.cors_domains
                 or (cfg["tsd.http.request.cors_domains"] or None),

@@ -21,6 +21,7 @@ DEFAULTS: dict[str, str] = {
     "tsd.mode": "rw",
     "tsd.network.port": "4242",
     "tsd.http.staticroot": "",
+    "tsd.http.cachedir": "",
     "tsd.http.query.allow_delete": "false",
     "tsd.http.request.cors_domains": "",
     "tsd.http.request.cors_headers": "",

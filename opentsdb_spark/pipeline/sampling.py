@@ -357,3 +357,37 @@ def token_budget_select(
             < budget_tokens)
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )
+
+
+def class_balance(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic class balancing: down-sample every class to the size
+    of the smallest one, keeping each class's rows with the lowest
+    xxhash64(id) — a seedless, order-independent "random" subset that is
+    identical on every run and engine (the classifier-training prep step).
+
+    Scale shape: class sizes are one tiny groupBy; the min joins back as a
+    broadcast one-row frame. Selection ranks ONLY the (label, hash, id)
+    triple frame — 24-byte rows, not payloads — in a per-class window, and
+    the kept ids semi-join the full rows back. At extreme skew (one class =
+    half the corpus) pre-bucket the hash as in ``token_budget_select``.
+
+    Returns the kept rows of ``df`` (all original columns).
+    """
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(label_col).agg(F.count("*").alias("__n"))
+    m = sizes.agg(F.min("__n").alias("__m"))
+    ids = df.select(
+        label_col, id_col, F.xxhash64(F.col(id_col)).alias("__h"))
+    w = Window.partitionBy(label_col).orderBy(F.asc("__h"), F.asc(id_col))
+    kept = (
+        ids.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(m))
+        .where(F.col("__rn") <= F.col("__m"))
+        .select(label_col, id_col)
+    )
+    return df.join(kept, on=[label_col, id_col], how="leftsemi")

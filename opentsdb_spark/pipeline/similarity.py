@@ -994,3 +994,55 @@ def pca_project(
         return pd.Series([p.tolist() for p in P])
 
     return embeddings.select(F.col(id_col), proj(_as_double(F.col(vec_col))).alias("proj"))
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining: for each query vector, the ``k`` most
+    cosine-similar corpus vectors carrying a DIFFERENT label — the standard
+    negative-selection step when building contrastive / embedding training
+    pairs (hardest negatives teach the most).
+
+    ``queries`` defaults to the corpus itself (self-matches are excluded by
+    the label predicate only when labels differ — a query is never its own
+    negative since it shares its own label). Returns
+    (query_id, vec_id, neg_label, cosine, rank).
+
+    Scale shape: identical to ``brute_force_topk`` — the query side
+    broadcasts with its labels, the corpus never shuffles, the label
+    predicate prunes candidates BEFORE the per-query top-k window, and
+    scoring is the same Arrow-batched cosine kernel. For corpus-x-corpus
+    mining at 100 TB, feed ``queries`` from an LSH/IVF candidate join
+    (lsh_topk/ivf_topk) instead of the full cross product.
+    """
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("neg_label"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    if queries is None:
+        queries = embeddings.select(
+            F.col(id_col).alias(query_id_col), F.col(label_col), F.col(vec_col))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("q_label"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("neg_label") != F.col("q_label"))
+        .withColumn("cosine", _cosine_pairs_udf()(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "neg_label", "cosine", "rank")
+    )

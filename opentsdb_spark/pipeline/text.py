@@ -999,3 +999,40 @@ def bm25_search(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "matched_terms", "score")
     )
+
+
+def vocab_topk_grouped(
+    docs: DataFrame,
+    k: int = 10,
+    group_col: str = "lang",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group vocabulary heavy hitters: the top-``k`` tokens of each
+    language/source/domain by term frequency (ties by token asc) with
+    document frequency alongside — the grouped sibling of ``vocab_topk``,
+    the report that drives per-language tokenizer/mixture decisions.
+
+    Scale shape: one tokenize+explode scan; (group, token) counts partial-
+    aggregate map-side, so the shuffle carries the per-task distinct
+    vocabulary, not the corpus; the top-k window partitions by group over
+    the AGGREGATED vocab frame (rows = groups x distinct tokens, payload =
+    two longs) — never over documents.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(_words(F.col(content_col))).alias("token"),
+    ).where(F.col("token") != "")
+    counts = words.groupBy(group_col, "token").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct(id_col).alias("df"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "rank", "token", "tf", "df")
+    )

@@ -77,6 +77,7 @@ class TSD:
         rollups: DataFrame | None = None,
         histograms: DataFrame | None = None,
         static_dir: str | None = None,
+        cache_dir: str | None = None,
         mode: str = "rw",
         cors_domains: str | None = None,
         cors_headers: str | None = None,
@@ -109,6 +110,9 @@ class TSD:
         self.points = points
         # /s/* static root (reference tsd.http.staticroot); None = 404
         self.static_dir = static_dir
+        # /q graph disk cache root (reference tsd.http.cachedir,
+        # GraphHandler.java:166-191); None = render every request
+        self.cache_dir = cache_dir
         if annotations is None:
             from opentsdb_spark.operators.annotations import ANNOTATION_SCHEMA
 
@@ -133,7 +137,11 @@ class TSD:
         # reference RpcHandler counters (rpc.received type=http/telnet,
         # exceptions_caught) surfaced through /api/stats and telnet `stats`
         self.counters = {"rpc.received.http": 0, "rpc.received.telnet": 0,
-                         "rpc.received.http_plugin": 0, "exceptions_caught": 0}
+                         "rpc.received.http_plugin": 0, "exceptions_caught": 0,
+                         # GraphHandler.collectStats: http.graphs.generated
+                         # cache=miss vs cache=disk (GraphHandler.java:60-70)
+                         "http.graphs.generated": 0,
+                         "http.graphs.diskcache_hit": 0}
 
         # completed-query ring buffer backing /api/stats/query (reference
         # QueryStats keeps running+completed query maps, StatsRpc:84-96)
@@ -332,6 +340,146 @@ class TSD:
         finally:
             release_scratch()
 
+    # ------------------------------------------------------ /q disk cache
+    def _graph_cache_basepath(self, request: dict) -> str:
+        """Super-cheap caching mechanism: hash the query string minus the
+        params that don't influence the output — the reference removes
+        exactly ``ignore``/``png``/``json``/``ascii`` and hex-hashes the
+        rest (GraphHandler.getGnuplotBasePath, GraphHandler.java:441-453).
+        md5 instead of Java HashMap.hashCode so the key is stable across
+        processes and restarts (the reference's is JVM-run-specific, which
+        silently empties its cache on restart — ours survives)."""
+        import hashlib
+        import os as _os
+
+        qs = {
+            k: v for k, v in request.items()
+            if not k.startswith("_")
+            and k not in ("ignore", "png", "json", "ascii")
+        }
+        canon = "&".join(
+            f"{k}={','.join(v) if isinstance(v, list) else v}"
+            for k, v in sorted(qs.items())
+        )
+        return _os.path.join(
+            self.cache_dir, hashlib.md5(canon.encode()).hexdigest()[:16])
+
+    @staticmethod
+    def _graph_max_age(request: dict, start_sec: int, end_sec: int,
+                       now_sec: int) -> int:
+        """GraphHandler.computeMaxAge (GraphHandler.java:455-480): future
+        end -> uncacheable; absolute spans older than MAX_TIMESPAN (1h) ->
+        a day; otherwise ~0.1% of the covered span ((end-start) >> 10)."""
+        def _rel(v) -> bool:
+            if isinstance(v, list):
+                v = v[0] if v else None
+            return isinstance(v, str) and v.strip().endswith("-ago")
+
+        if end_sec > now_sec:
+            return 0
+        if (end_sec < now_sec - 3600 and not _rel(request.get("start"))
+                and not _rel(request.get("end"))):
+            return 86400
+        return max(int(end_sec - start_sec), 0) >> 10
+
+    @staticmethod
+    def _graph_cache_stale(end_sec: int, max_age: int, path: str) -> bool:
+        """GraphHandler.staleCacheFile (GraphHandler.java:482-530): a file
+        written BEFORE an absolute past end time holds partial results;
+        otherwise staleness is bounded by max_age."""
+        import os as _os
+        import time as _time
+
+        try:
+            mtime = int(_os.stat(path).st_mtime)
+        except OSError:
+            return True
+        now = int(_time.time())
+        staleness = now - mtime
+        if mtime <= 0 or staleness < 0:
+            return True
+        if 0 < end_sec < now:
+            return mtime < end_sec
+        return staleness > max_age
+
+    def _graph_with_cache(self, points, request: dict, annotations):
+        """/q with the reference's disk cache in front (GraphHandler.java:
+        166-191 isDiskCacheHit + RunGnuplot cache write). One divergence,
+        documented: the reference caches the gnuplot PNG even for ?json
+        requests (its json is a sidecar of the render); here each output
+        mode caches under its own extension since json doesn't render."""
+        import os as _os
+        import time as _time
+
+        t0 = _time.monotonic()
+        mode = next((k for k in ("ascii", "json", "png") if k in request),
+                    None)
+        use_cache = bool(self.cache_dir) and mode is not None
+        cachepath = end_sec = max_age = None
+        if use_cache:
+            from opentsdb_spark.timeparse import parse_datetime_ms
+
+            def _first(v):
+                return v[0] if isinstance(v, list) and v else v
+
+            tz = _first(request.get("tz")) or "UTC"
+            now_sec = int(_time.time())
+            try:
+                start_sec = parse_datetime_ms(_first(request.get("start")),
+                                              tz) // 1000
+                end_sec = parse_datetime_ms(_first(request.get("end")),
+                                            tz) // 1000
+            except Exception:  # unparseable -> let handle_graph 400 it
+                use_cache = False
+        if use_cache:
+            max_age = self._graph_max_age(request, start_sec, end_sec,
+                                          now_sec)
+            ext = {"png": ".png", "ascii": ".txt", "json": ".json"}[mode]
+            cachepath = self._graph_cache_basepath(request) + ext
+            # minimum possible PNG is 21 bytes (isDiskCacheHit size guard)
+            if ("nocache" not in request
+                    and _os.path.isfile(cachepath)
+                    and (_os.path.getsize(cachepath) >= 21
+                         or mode == "json")
+                    and not self._graph_cache_stale(end_sec, max_age,
+                                                    cachepath)):
+                self.bump("http.graphs.diskcache_hit")
+                with open(cachepath, "rb") as fh:
+                    data = fh.read()
+                if mode == "png":
+                    return data, "image/png"
+                if mode == "ascii":
+                    return data.decode("utf-8"), "text/plain"
+                out = json.loads(data)
+                # isDiskCacheHit refreshes timing and marks the hit
+                # (GraphHandler.java:503-510)
+                out["timing"] = int((_time.monotonic() - t0) * 1000)
+                out["cachehit"] = "disk"
+                return out, None
+
+        out = api.handle_graph(points, request, histograms=self.histograms,
+                               annotations=annotations)
+        if use_cache and "redirect" not in out:
+            self.bump("http.graphs.generated")
+            _os.makedirs(self.cache_dir, exist_ok=True)
+            if mode == "png":
+                payload = out["png"]
+            elif mode == "ascii":
+                payload = out["ascii"].encode("utf-8")
+            else:
+                payload = json.dumps(
+                    {k: v for k, v in out.items() if k != "png"}
+                ).encode("utf-8")
+            tmp = f"{cachepath}.tmp{_os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(payload)
+            _os.replace(tmp, cachepath)  # atomic vs concurrent readers
+        if "png" in out:
+            return out.pop("png"), "image/png"
+        if "ascii" in out:
+            return out["ascii"], "text/plain"
+        return out, None
+
     def _route(self, method: str, path: str, request: dict, body: Any):
         seg = [s for s in path.split("/") if s]
         # mode gating mirrors the reference's REGISTRATION split — an
@@ -351,13 +499,7 @@ class TSD:
             annotations = self.annotations
 
         if path == "/q":
-            out = api.handle_graph(points, request, histograms=self.histograms,
-                                   annotations=annotations)
-            if "png" in out:
-                return out.pop("png"), "image/png"
-            if "ascii" in out:
-                return out["ascii"], "text/plain"
-            return out, None
+            return self._graph_with_cache(points, request, annotations)
         if seg and seg[0] == "s":
             # StaticFileRpc analog (reference src/tsd/StaticFileRpc.java):
             # serve files under the configured static root; path traversal

@@ -1245,3 +1245,54 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     # on this fixture (tiny gram sets in a 2^20-bit array) no false
     # positives are plausible either: the clean docs stay clean
     assert not bloom[1]["contaminated"] and not bloom[2]["contaminated"]
+
+
+def test_hard_negatives(spark):
+    """The top negative is the most-similar different-label vector; own
+    class never appears."""
+    from opentsdb_spark.pipeline.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # same label as 0 — never 0's negative
+        (2, [0.8, 0.2, 0.0], 1),   # closest different-label to 0
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(emb, k=2).collect()
+    mine = {r["rank"]: r for r in out if r["query_id"] == 0}
+    assert mine[1]["vec_id"] == 2 and mine[1]["neg_label"] == 1
+    assert all(r["neg_label"] != 0 for r in out if r["query_id"] == 0)
+    # every query got negatives only from other classes
+    labels = {r[0]: r[2] for r in rows}
+    for r in out:
+        assert r["neg_label"] != labels[r["query_id"]]
+
+
+def test_vocab_topk_grouped(spark, docs):
+    from opentsdb_spark.pipeline.text import vocab_topk_grouped
+
+    out = vocab_topk_grouped(docs, k=2, group_col="lang").collect()
+    en = {r["rank"]: r for r in out if r["lang"] == "en"}
+    # 'the' dominates the three en dup docs (2 each) + none in doc 4
+    assert en[1]["token"] == "the" and en[1]["tf"] == 6 and en[1]["df"] == 3
+    de = [r for r in out if r["lang"] == "de"]
+    assert len(de) == 2 and de[0]["rank"] == 1
+
+
+def test_class_balance(spark):
+    from opentsdb_spark.pipeline.sampling import class_balance
+
+    rows = [(i, [float(i)], 0) for i in range(10)] + \
+           [(100 + i, [float(i)], 1) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = class_balance(df).groupBy("label").count().collect()
+    sizes = {r["label"]: r["count"] for r in out}
+    # both classes cut to the minority size; selection is deterministic
+    assert sizes == {0: 3, 1: 3}
+    a = sorted(r["vec_id"] for r in class_balance(df).collect())
+    b = sorted(r["vec_id"] for r in class_balance(df).collect())
+    assert a == b and len(a) == 6

@@ -985,3 +985,46 @@ def test_rpc_counters(tsd_server):
         lines += ln
     s.close()
     assert b"rpc.received.telnet" in lines
+
+
+def test_q_graph_disk_cache(spark, fixture_points, tmp_path):
+    """/q disk cache (reference tsd.http.cachedir, GraphHandler
+    isDiskCacheHit/RunGnuplot): second identical request serves the cached
+    bytes, ?nocache bypasses the read, ?json hits carry cachehit=disk."""
+    import threading
+
+    from opentsdb_spark.tsd import make_http_server
+
+    tsd = TSD(spark, fixture_points, cache_dir=str(tmp_path))
+    http = make_http_server(tsd, 0)
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    port = http.server_address[1]
+    try:
+        url = (f"/q?start={EPOCH}&end={EPOCH + 100_000}"
+               "&m=sum:sys.cpu.user&png&wxh=200x150")
+        st, ct, b1 = _get(port, url)
+        assert st == 200 and ct.startswith("image/png")
+        assert tsd.counters["http.graphs.generated"] == 1
+        st, ct, b2 = _get(port, url)
+        assert st == 200 and b2 == b1
+        assert tsd.counters["http.graphs.diskcache_hit"] == 1
+        assert tsd.counters["http.graphs.generated"] == 1
+        # nocache skips the cache read (and hashes to its own basepath,
+        # exactly like the reference, which never strips it from the key)
+        _get(port, url + "&nocache")
+        assert tsd.counters["http.graphs.generated"] == 2
+        assert tsd.counters["http.graphs.diskcache_hit"] == 1
+        # json: first render plain, second marked as a disk hit
+        jurl = (f"/q?start={EPOCH}&end={EPOCH + 100_000}"
+                "&m=sum:sys.cpu.user&json")
+        _, _, jb = _get(port, jurl)
+        assert "cachehit" not in json.loads(jb)
+        _, _, jb2 = _get(port, jurl)
+        j2 = json.loads(jb2)
+        assert j2["cachehit"] == "disk"
+        assert j2["points"] == json.loads(jb)["points"]
+        # cache files landed under the configured dir
+        exts = {p.suffix for p in tmp_path.iterdir()}
+        assert ".png" in exts and ".json" in exts
+    finally:
+        http.shutdown()
