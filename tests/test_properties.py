@@ -444,3 +444,43 @@ def test_hash_embed_properties(spark, texts):
         for j, tj in enumerate(texts):
             if i < j and ti == tj and ti.split():
                 assert out[i] == out[j]
+
+
+# --- token-budget two-phase plan == direct greedy ---------------------------
+# The scale-friendly two-phase selection (bucket cumsum + within-bucket
+# row_number) must produce EXACTLY the direct greedy semantics: sort each
+# group by (tokens desc, id asc), keep while the tokens accumulated before
+# the doc are under budget.
+
+_budget_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9999),       # doc id
+        st.integers(min_value=0, max_value=30),         # token count
+        st.sampled_from(["s1", "s2", "s3"]),            # source
+    ),
+    min_size=1, max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@_slow
+@given(docs=_budget_docs, budget=st.integers(min_value=0, max_value=120))
+def test_token_budget_two_phase_matches_greedy(spark, docs, budget):
+    from opentsdb_spark.pipeline.sampling import token_budget_select
+
+    rows = [(i, "w " * n, s) for i, n, s in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_select(df, budget_tokens=budget).collect()
+    }
+    expect = set()
+    for src in {s for _, _, s in docs}:
+        cum = 0
+        for i, n, _ in sorted(
+            (d for d in docs if d[2] == src), key=lambda d: (-d[1], d[0])
+        ):
+            if cum < budget:
+                expect.add((i, cum + n))
+            cum += n
+    assert got == expect
