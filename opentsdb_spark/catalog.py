@@ -3687,6 +3687,62 @@ def sample_class_balance(spark, sf_dir):
     return out.select("label", "vec_id")
 
 
+_SURV_JACCARD_CTE = """g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(regexp_extract_all(text, '\\S+')) - 4, 0)),
+                   i -> array_to_string(regexp_extract_all(text, '\\S+')[i:i+4], ' ')
+                 )) AS grams
+          FROM surv),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        keep AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 50),
+        ee AS (SELECT e.doc_id, e.gram FROM e SEMI JOIN keep ON e.gram = keep.gram),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM ee a JOIN ee b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        j AS (SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                       / (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jac
+              FROM cand c JOIN g ga ON c.id_a = ga.doc_id JOIN g gb ON c.id_b = gb.doc_id)"""
+
+
+@register(
+    "corpus_dedup_pipeline",
+    f"""WITH RECURSIVE
+        ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        surv AS (SELECT d.doc_id, d.text FROM documents d
+                 SEMI JOIN ex ON d.doc_id = ex.doc_id),
+        {_SURV_JACCARD_CTE},
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v),
+        cc AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+        comp AS (SELECT s.doc_id, coalesce(cc.component, s.doc_id) AS component
+                 FROM surv s LEFT JOIN cc ON s.doc_id = cc.doc_id),
+        dr AS (SELECT doc_id,
+                      CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW} AS score
+               FROM surv),
+        r AS (SELECT comp.doc_id, comp.component,
+                     row_number() OVER (PARTITION BY comp.component
+                                        ORDER BY dr.score DESC, comp.doc_id ASC) AS rn
+              FROM comp JOIN dr ON comp.doc_id = dr.doc_id)
+        SELECT d.doc_id, r.doc_id IS NOT NULL AS exact_kept,
+               coalesce(r.component, -1) AS component,
+               coalesce(r.rn = 1, FALSE) AS final_kept
+        FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""",
+)
+def corpus_dedup_pipeline(spark, sf_dir):
+    """End-to-end dedup funnel (pipeline.cluster.dedup_pipeline): exact
+    sha2 dedup -> Jaccard near-dup pairs over survivors -> connected
+    components -> quality-canonical per cluster, one row per input doc."""
+    from opentsdb_spark.pipeline.cluster import dedup_pipeline
+
+    return dedup_pipeline(_docs(spark, sf_dir))
+
+
 @register("dedup_bloom_decontaminate", _bloom_oracle())
 def dedup_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter benchmark hygiene (pipeline.dedup.bloom_decontaminate):

@@ -138,3 +138,54 @@ def select_canonical(
             (F.col(id_col) == F.col("__best_id")).alias("is_canonical"),
         )
     )
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: int = 50,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full corpus dedup funnel in one call — the composition a real
+    pipeline runs nightly: (1) exact dedup (sha2 content keys, keep min
+    id), (2) n-gram Jaccard near-dup pairs over the exact survivors,
+    (3) connected-component clustering, (4) quality-aware canonical
+    selection per cluster. Returns one row per INPUT doc:
+
+      (id, exact_kept, component, final_kept)
+
+    component is the near-dup cluster of the doc's exact survivor set
+    (-1 for docs dropped at the exact stage); final_kept marks the single
+    surviving representative of each cluster.
+
+    Scale shape: each stage is the already-scale-shaped operator it
+    composes (32-byte exact keys, df-capped inverted-index candidates,
+    large-star/small-star CC, packed-struct canonical max) — staging them
+    back-to-back adds no new shuffle beyond each stage's own; the final
+    assembly is two left joins on the id.
+    """
+    from opentsdb_spark.pipeline.dedup import exact_dedup, ngram_jaccard_pairs
+    from opentsdb_spark.pipeline.text import quality_scores
+
+    keep = exact_dedup(docs, content_col=content_col, id_col=id_col)
+    surv = docs.join(keep.select(id_col), on=id_col, how="leftsemi")
+    pairs = ngram_jaccard_pairs(
+        surv, n=n, threshold=threshold, max_df=max_df,
+        content_col=content_col, id_col=id_col)
+    clusters = dedup_assign_clusters(surv, pairs, id_col=id_col)
+    scores = quality_scores(surv, content_col=content_col, id_col=id_col).select(
+        id_col, F.col("distinct_ratio").alias("score"))
+    canon = select_canonical(clusters, scores, id_col=id_col)
+    return (
+        docs.select(id_col)
+        .join(canon.select(id_col, "component", "is_canonical"),
+              on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("component").isNotNull().alias("exact_kept"),
+            F.coalesce(F.col("component"), F.lit(-1)).alias("component"),
+            F.coalesce(F.col("is_canonical"), F.lit(False)).alias("final_kept"),
+        )
+    )

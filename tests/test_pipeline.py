@@ -1296,3 +1296,23 @@ def test_class_balance(spark):
     a = sorted(r["vec_id"] for r in class_balance(df).collect())
     b = sorted(r["vec_id"] for r in class_balance(df).collect())
     assert a == b and len(a) == 6
+
+
+def test_dedup_pipeline_funnel(spark, docs):
+    """Exact dups drop at stage 1; near-dups cluster and keep exactly one
+    representative; singletons survive untouched."""
+    from opentsdb_spark.pipeline.cluster import dedup_pipeline
+
+    out = {r["doc_id"]: r for r in
+           dedup_pipeline(docs.select("doc_id", "text"), threshold=0.3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    # doc 1 is an exact copy of doc 0 -> dropped at the exact stage
+    assert out[0]["exact_kept"] and not out[1]["exact_kept"]
+    assert out[1]["component"] == -1 and not out[1]["final_kept"]
+    # docs 0 and 2 are near-dups -> same cluster, exactly one survivor
+    assert out[0]["component"] == out[2]["component"]
+    assert out[0]["final_kept"] != out[2]["final_kept"]
+    # unrelated docs survive as their own component
+    for i in (3, 4):
+        assert out[i]["exact_kept"] and out[i]["final_kept"]
+        assert out[i]["component"] == i
