@@ -185,3 +185,53 @@ def test_topk_no_global_single_partition_window(spark):
     plan = _plan(out)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Window" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_bm25_broadcasts_query_terms_and_persists_postings(spark):
+    """BM25's scale posture: the query-term probe must be a broadcast hash
+    join (the corpus never shuffles toward the tiny term list), and the
+    posting frame must be an InMemoryRelation so the corpus tokenizes once
+    across the four consuming branches."""
+    from opentsdb_spark.pipeline.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common words here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, [("q1", "common tok1")], k=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "InMemoryTableScan" in plan, "posting frame not persisted"
+
+
+def test_token_budget_no_whole_group_window(spark):
+    """The two-phase budget selection must NOT sort whole sources in one
+    window: the only doc-level window partitions by (source, n_tokens)
+    value buckets, never by the source alone."""
+    from opentsdb_spark.pipeline.sampling import token_budget_select
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 9), f"s{i % 2}") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    plan = _plan(token_budget_select(docs, budget_tokens=10))
+    import re
+
+    # every row_number window spec must carry both keys
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)",
+                           plan):
+        assert "n_tokens" in spec, f"doc-level window missing bucket key: {spec}"
+
+
+def test_bloom_broadcasts_position_set(spark):
+    """Bloom decontamination joins corpus gram positions against a
+    BROADCAST position table — the corpus side must not shuffle."""
+    from opentsdb_spark.pipeline.dedup import bloom_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "a b c d e x y z"), (2, "p q r s t u v w")],
+        "doc_id long, text string")
+    plan = _plan(bloom_decontaminate(train, bench, n=4))
+    assert "BroadcastExchange" in plan
