@@ -3687,6 +3687,48 @@ def sample_class_balance(spark, sf_dir):
     return out.select("label", "vec_id")
 
 
+@register(
+    "tsdb_rate_ds_sum",
+    f"""WITH f AS (
+          SELECT {SID} AS sid, {U} AS user, value, {H_SEC} AS b
+          FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (SELECT DISTINCT sid, user FROM f),
+        grid AS (SELECT s.sid, s.user, gs.b
+                 FROM s CROSS JOIN (SELECT unnest(generate_series(
+                      {START_SEC}, {END_SEC - 3600}, 3600)) AS b) gs),
+        p AS (SELECT sid, b, sum(value) AS v FROM f GROUP BY sid, b),
+        z AS (SELECT grid.sid, grid.user, grid.b,
+                     coalesce(p.v, 0.0) AS v
+              FROM grid LEFT JOIN p ON grid.sid = p.sid AND grid.b = p.b),
+        r AS (SELECT sid, user, b,
+                     (v - lag(v) OVER w) / 3600.0 AS rv
+              FROM z WINDOW w AS (PARTITION BY sid ORDER BY b)
+              QUALIFY lag(v) OVER w IS NOT NULL)
+        SELECT 'purchase' AS metric, user, CAST(b AS BIGINT) AS ts_sec,
+               {RND.format('sum(rv)')} AS value_r
+        FROM r GROUP BY user, b""",
+)
+def tsdb_rate_ds_sum(spark, sf_dir):
+    """The canonical production query shape, all three stages in the
+    reference's order (downsample -> rate -> cross-series aggregate,
+    TsdbQuery/AggregationIterator): sum:1h-sum-zero:rate:purchase{user=*}
+    grouped by user. Zero-fill aligns every series on the full hour grid,
+    so rate is defined on each bucket and the aggregation takes the
+    aligned (no-interpolation) path."""
+    tsq = TSQuery(
+        start=START_SEC, end=END_SEC,
+        queries=(SubQuery(
+            metric="purchase", aggregator="sum",
+            downsample=DownsampleSpec(3_600_000, "sum", fill="zero"),
+            rate=RateOptions(),
+            filters=(TagFilter("wildcard", "user", "*", group_by=True),),
+        ),),
+    )
+    [r] = compile_query(load_points(spark, sf_dir), tsq)
+    return r.df.select("metric", "user", _ts_sec(), _vr(F.col("value")))
+
+
 _SURV_JACCARD_CTE = """g AS (
           SELECT doc_id,
                  list_distinct(list_transform(
