@@ -938,8 +938,10 @@ def bm25_search(
     100 TB shape: the corpus tokenizes ONCE into a (doc, token, tf, dl)
     posting frame; the query-term table is tiny and BROADCASTS, so scoring
     touches only postings of query terms (an index probe, not a corpus
-    scan, after the one posting build). Document frequencies and avgdl are
-    vocabulary-/scalar-sized aggregates of the same posting frame. Top-k
+    scan, after the one posting build). Document frequencies are likewise
+    probed — the posting frame semi-joins to the broadcast term list
+    before aggregating, never a full-vocabulary shuffle; doclen/avgdl are
+    doc-/scalar-sized partial aggregates of the same posting frame. Top-k
     per query partitions the window by query id — no global sort, and with
     a handful of queries the ranked frame is tiny.
 
@@ -962,7 +964,6 @@ def bm25_search(
     stats = doclen.agg(
         F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
     )
-    df = postings.groupBy("token").agg(F.count("*").alias("df"))
 
     spark = docs.sparkSession
     qterms = spark.createDataFrame(
@@ -973,12 +974,20 @@ def bm25_search(
         ],
         "query_id string, token string",
     )
+    # df is only consumed for QUERY terms: semi-join the posting frame to
+    # the broadcast term list BEFORE aggregating, so df costs a probe of
+    # the query terms' postings — never a full-vocabulary shuffle of the
+    # entire posting frame (at corpus scale that shuffle dwarfs scoring)
+    df = (
+        postings.join(F.broadcast(qterms.select("token").distinct()),
+                      on="token", how="left_semi")
+        .groupBy("token").agg(F.count("*").alias("df"))
+    )
 
     scored = (
         postings.join(F.broadcast(qterms), on="token")
         .join(doclen, on=id_col)
-        .join(F.broadcast(df.join(F.broadcast(qterms), on="token")
-                          .select("token", "df").distinct()), on="token")
+        .join(F.broadcast(df), on="token")
         .join(F.broadcast(stats))
         .withColumn(
             "idf",

@@ -202,6 +202,18 @@ def test_bm25_broadcasts_query_terms_and_persists_postings(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "InMemoryTableScan" in plan, "posting frame not persisted"
+    # df must be probed, never a full-vocabulary aggregate: every
+    # HashAggregate keyed on the bare token column has to sit above the
+    # broadcast semi-join that filters postings to query terms
+    import re
+
+    for m in re.finditer(r"HashAggregate\(keys=\[token[^\]]*\]", plan):
+        below = plan[m.end():]
+        nxt_scan = below.find("InMemoryTableScan")
+        nxt_semi = below.find("LeftSemi")
+        assert 0 <= nxt_semi < nxt_scan or nxt_scan == -1, (
+            "token-keyed aggregate reads the raw posting frame "
+            "(full-vocabulary df shuffle)")
 
 
 def test_token_budget_no_whole_group_window(spark):
