@@ -3817,8 +3817,10 @@ _PRIORITY = [
     # verified by the local full-catalog oracle run)
     "tsdb_ds_10m_avg",
     "tsdb_ds_1d_calendar_max_zero_tz",
-    # rate (§2.5; drop_resets shares the reset machinery with counter)
-    "tsdb_rate", "tsdb_rate_counter",
+    # rate (§2.5) + the canonical production composite downsample->rate->
+    # aggregate (rate_counter rotates out — its reset machinery is pinned
+    # by reference parity vectors and the local full-catalog oracle run)
+    "tsdb_rate", "tsdb_rate_ds_sum",
     # cross-series aggregation + interpolation (§2.3/2.4) incl. the
     # raw-resolution line-sweep strategy (the 100TB-scale stress path);
     # avg_raw exercises the sweep's sum+count decomposition with grouping

@@ -577,8 +577,9 @@ def bloom_decontaminate(
     negatives impossible — the right trade for hygiene filtering.
 
     The k positions are disjoint bit-slices of ONE xxhash64 (the classic
-    partition-the-hash construction: position i is bits [20*i, 20*i+20) of
-    the 64-bit hash), so the engine computes one hash per gram and pure
+    partition-the-hash construction: with w = log2(m_bits), position i is
+    bits [w*i, w*i+w) of the 64-bit hash — m_bits must be a power of two
+    and k*w <= 64), so the engine computes one hash per gram and pure
     bit arithmetic after — no second hash function, no 64-bit overflow,
     and the DuckDB oracle replicates it exactly from the XXH64 SQL replica.
 
@@ -590,13 +591,23 @@ def bloom_decontaminate(
     as the array saturates. The corpus never shuffles: grams stream
     through a broadcast hash join on the position ints in place.
     """
-    if 20 * k_hashes > 64:
-        raise ValueError("k_hashes * 20 bits must fit the 64-bit hash")
+    # slice width follows m_bits: position i is bits [w*i, w*i+w) of the
+    # hash, so m_bits MUST be a power of two (the bitmask is only uniform
+    # over [0, m_bits) then) and the k slices must be disjoint within 64
+    # bits (overlapping slices correlate the positions and blow the
+    # advertised false-positive bound)
+    if m_bits <= 1 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    w = m_bits.bit_length() - 1
+    if w * k_hashes > 64:
+        raise ValueError(
+            f"k_hashes * log2(m_bits) = {k_hashes}*{w} bits "
+            "must fit the 64-bit hash")
     mask = m_bits - 1
 
     def positions(frame: DataFrame, cols: list) -> DataFrame:
         slices = F.array(*[
-            (F.shiftrightunsigned(F.col("gh"), 20 * i).bitwiseAND(mask))
+            (F.shiftrightunsigned(F.col("gh"), w * i).bitwiseAND(mask))
             .cast("long").alias(f"p{i}")
             for i in range(k_hashes)
         ])

@@ -351,15 +351,20 @@ class TSD:
         silently empties its cache on restart — ours survives)."""
         import hashlib
         import os as _os
+        from urllib.parse import urlencode
 
         qs = {
             k: v for k, v in request.items()
             if not k.startswith("_")
             and k not in ("ignore", "png", "json", "ascii")
         }
-        canon = "&".join(
-            f"{k}={','.join(v) if isinstance(v, list) else v}"
-            for k, v in sorted(qs.items())
+        # re-encode with percent-quoting (lists as repeated params) so the
+        # key is injective: a literal '&'/'='/',' inside a value can never
+        # collide with a parameter boundary, and m=['a','b'] never collides
+        # with m=['a,b']
+        canon = urlencode(
+            [(k, v) for k, vs in sorted(qs.items())
+             for v in (vs if isinstance(vs, list) else [vs])],
         )
         return _os.path.join(
             self.cache_dir, hashlib.md5(canon.encode()).hexdigest()[:16])
@@ -459,8 +464,11 @@ class TSD:
 
         out = api.handle_graph(points, request, histograms=self.histograms,
                                annotations=annotations)
-        if use_cache and "redirect" not in out:
+        if "redirect" not in out:
+            # every render counts, cached or not (GraphHandler.collectStats
+            # counts graphs_generated unconditionally)
             self.bump("http.graphs.generated")
+        if use_cache and "redirect" not in out:
             _os.makedirs(self.cache_dir, exist_ok=True)
             if mode == "png":
                 payload = out["png"]
@@ -470,7 +478,10 @@ class TSD:
                 payload = json.dumps(
                     {k: v for k, v in out.items() if k != "png"}
                 ).encode("utf-8")
-            tmp = f"{cachepath}.tmp{_os.getpid()}"
+            # pid+thread id: the server is a ThreadingHTTPServer, so two
+            # threads can miss on the same query concurrently — a shared
+            # tmp path interleaves their writes / fails the second replace
+            tmp = f"{cachepath}.tmp{_os.getpid()}.{threading.get_ident()}"
             with open(tmp, "wb") as fh:
                 fh.write(payload)
             _os.replace(tmp, cachepath)  # atomic vs concurrent readers

@@ -1247,6 +1247,25 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     assert not bloom[1]["contaminated"] and not bloom[2]["contaminated"]
 
 
+def test_bloom_m_bits_validation(spark):
+    """The partition-the-hash construction is only uniform for a
+    power-of-two m_bits, and the k slices must fit 64 bits — both
+    misuses raise instead of silently degrading the filter."""
+    import pytest
+
+    from opentsdb_spark.pipeline.dedup import bloom_decontaminate
+
+    docs = spark.createDataFrame([(0, "a b c d e")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_decontaminate(docs, docs, m_bits=1_000_000)
+    with pytest.raises(ValueError, match="64-bit"):
+        bloom_decontaminate(docs, docs, m_bits=1 << 22, k_hashes=3)
+    # wider-than-default power of two with fitting slices is legal
+    assert bloom_decontaminate(
+        docs, docs, m_bits=1 << 21, k_hashes=3).count() == 1
+
+
 def test_hard_negatives(spark):
     """The top negative is the most-similar different-label vector; own
     class never appears."""

@@ -1028,3 +1028,21 @@ def test_q_graph_disk_cache(spark, fixture_points, tmp_path):
         assert ".png" in exts and ".json" in exts
     finally:
         http.shutdown()
+
+
+def test_q_graph_cache_key_injective(spark, fixture_points, tmp_path):
+    """The cache key must be injective over the decoded parameter map:
+    a literal '&'/'=' inside a value, or a ',' inside one m= entry, must
+    never collide with a parameter boundary (distinct queries served each
+    other's cached graph otherwise)."""
+    tsd = TSD(spark, fixture_points, cache_dir=str(tmp_path))
+    paths = {
+        tsd._graph_cache_basepath(req)
+        for req in (
+            {"title": "a&ylabel=b"},
+            {"title": "a", "ylabel": "b"},
+            {"m": ["sum:x", "sum:y"]},
+            {"m": ["sum:x,sum:y"]},
+        )
+    }
+    assert len(paths) == 4
