@@ -49,6 +49,8 @@ QUERIES = [
     "text_hash_embedding",
     "text_bm25_top5",
     "dedup_bloom_decontaminate",
+    "tsdb_rate_ds_sum",
+    "corpus_dedup_pipeline",
 ]
 
 
