@@ -28,12 +28,19 @@ def _persist_small(df: DataFrame, enabled: bool) -> DataFrame:
     candidate join). The persisted frame is orders of magnitude smaller than
     the corpus (fixed-width signatures vs. documents); MEMORY_AND_DISK spills
     instead of evicting to recompute. Callers that manage their own lifecycle
-    can pass persist=False and cache/checkpoint externally."""
+    can pass persist=False and cache/checkpoint externally.
+
+    Every persist registers with the per-thread scratch registry, so a
+    long-lived serving process can release a request's whole working set
+    with one release_scratch() call (same contract as the grid-join
+    scratch frames) instead of leaking one cached frame per request."""
     if not enabled:
         return df
     from pyspark.storagelevel import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    from opentsdb_spark.operators.groupby import _register_scratch
+
+    return _register_scratch(df.persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def exact_dedup(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:

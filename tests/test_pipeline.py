@@ -1266,6 +1266,22 @@ def test_bloom_m_bits_validation(spark):
         docs, docs, m_bits=1 << 21, k_hashes=3).count() == 1
 
 
+def test_persist_small_registers_scratch(spark):
+    """Pipeline persists must register with the per-thread scratch registry
+    so a long-lived serving process can release a request's working set —
+    one leaked cached frame per request otherwise."""
+    from opentsdb_spark.operators.groupby import release_scratch
+    from opentsdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    release_scratch()  # drop anything earlier tests pinned on this thread
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    minhash_lsh_pairs(docs, num_hashes=8, bands=4).count()
+    assert release_scratch() >= 1
+
+
 def test_hard_negatives(spark):
     """The top negative is the most-similar different-label vector; own
     class never appears."""
