@@ -89,14 +89,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     u.add_argument("--kind", default="metrics", choices=["metrics", "tagk", "tagv"])
     u.add_argument("subcmd", nargs="?", default="list",
-                   choices=["list", "grep", "assign", "rename"])
+                   choices=["list", "grep", "assign", "rename", "delete",
+                            "lookup", "treesync", "treepurge"])
     u.add_argument("uid_args", nargs="*",
                    help="grep: regex; assign: names; rename: OLD NEW "
                         "(tagv rename: TAGK OLD NEW); renames print put "
-                        "lines unless --out is given")
+                        "lines unless --out is given; delete/lookup: NAME; "
+                        "treepurge: TREE_ID [true] (true also removes the "
+                        "definition, UidManager.java:220-245)")
     u.add_argument("--registry", default=None,
-                   help="assign: registry parquet dir (read+write)")
+                   help="assign/delete/lookup: registry parquet dir")
     u.add_argument("--out", default=None, help="rename: write renamed table here")
+    u.add_argument("--trees", default=None,
+                   help="treesync/treepurge: tree storage dir "
+                        "(trees.json + tree_<id>/<family> parquet)")
 
     f = sub.add_parser("fsck", help="data-integrity scan (duplicates/NaN/null/future)")
     f.add_argument("--fix", action="store_true", help="write a repaired table")
@@ -274,6 +280,63 @@ def main(argv: list[str] | None = None) -> int:
 
         spark, points = _spark_and_points(args)
         print(json.dumps(api.handle_suggest(points, {"type": args.type, "q": args.q})))
+    elif args.cmd == "uid" and args.subcmd in ("treesync", "treepurge"):
+        # reference `tsdb uid treesync` / `uid treepurge <id> [true]`
+        # (UidManager.java:220-245 -> TreeSync.java); tree defs + built
+        # families live in the --trees directory
+        from opentsdb_spark.operators.tree import (
+            load_tree_defs, treepurge, treesync,
+        )
+
+        if not args.trees:
+            ap.error(f"uid {args.subcmd} needs --trees DIR")
+        if args.subcmd == "treesync":
+            spark, points = _spark_and_points(args)
+            store = load_tree_defs(args.trees)
+            report = treesync(store, points, args.trees)
+            print(json.dumps(report, indent=2))
+        else:
+            if not args.uid_args:
+                ap.error("uid treepurge needs a TREE_ID argument")
+            try:
+                tid = int(args.uid_args[0])
+            except ValueError:
+                ap.error(f"tree id must be an integer, got {args.uid_args[0]!r}")
+            delete_def = len(args.uid_args) > 1 and args.uid_args[1] == "true"
+            treepurge(args.trees, tid, delete_definition=delete_def)
+            print(f"purged tree {tid}"
+                  + (" and its definition" if delete_def else ""))
+    elif args.cmd == "uid" and args.subcmd in ("delete", "lookup"):
+        # reference `uid delete <kind> <name>` / bare `[kind] <name>` lookup
+        # against the assign registry (UidManager.java:68-75 usage)
+        if not args.registry:
+            ap.error(f"uid {args.subcmd} needs --registry DIR")
+        if not args.uid_args:
+            ap.error(f"uid {args.subcmd} needs a NAME argument")
+        name = args.uid_args[0]
+        kind = {"metrics": "metric"}.get(args.kind, args.kind)
+        spark, _points = _spark_and_points(args)
+        reg = (spark.read.parquet(args.registry)
+               if os.path.exists(args.registry) else None)
+        if reg is None:
+            print(f"no registry at {args.registry}", file=sys.stderr)
+            return 2
+        rows = reg.collect()
+        hit = [r for r in rows
+               if r["kind"] == kind and (r["name"] == name or r["uid"] == name)]
+        if not hit:
+            print(f"{kind} {name!r} not found", file=sys.stderr)
+            return 2
+        if args.subcmd == "lookup":
+            for r in hit:
+                print(f"{r['kind']}\t{r['name']}\t{r['uid']}")
+        else:
+            keep = [r for r in rows
+                    if not (r["kind"] == kind and r["name"] == hit[0]["name"])]
+            spark.createDataFrame(
+                keep, "kind string, name string, uid string"
+            ).write.mode("overwrite").parquet(args.registry)
+            print(f"deleted {kind} {hit[0]['name']} ({hit[0]['uid']})")
     elif args.cmd == "uid":
         import re as _re
 

@@ -304,3 +304,84 @@ def tree_branch(leaves: DataFrame, path: tuple[str, ...]) -> dict:
         "branches": [r.asDict() for r in children.collect()],
         "leaves": [r.asDict() for r in leaf_rows.collect()],
     }
+
+
+# --------------------------------------------------------------- tree sync
+# Disk-backed tree storage driven by the `uid treesync` / `uid treepurge`
+# CLI (reference src/tools/UidManager.java:220-245 dispatching to
+# src/tools/TreeSync.java). Layout under one directory:
+#   <dir>/trees.json            tree definitions incl. rules
+#   <dir>/tree_<id>/<family>/   parquet per built row family
+# The reference stores both in the UID table; a directory of parquet
+# tables is the columnar analog.
+
+TREE_FAMILIES = ("leaves", "collisions", "not_matched")
+
+
+def save_tree_defs(store: TreeStore, dir_path: str) -> None:
+    import json
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    defs = [
+        {**{k: v for k, v in t.__dict__.items() if k != "rules"},
+         "rules": [r.__dict__ for r in t.rules]}
+        for t in store.trees.values()
+    ]
+    tmp = os.path.join(dir_path, ".trees.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(defs, fh, indent=1)
+    os.replace(tmp, os.path.join(dir_path, "trees.json"))
+
+
+def load_tree_defs(dir_path: str) -> TreeStore:
+    import json
+    import os
+
+    store = TreeStore()
+    p = os.path.join(dir_path, "trees.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            for d in json.load(fh):
+                rules = tuple(TreeRule(**r) for r in d.pop("rules", ()))
+                store.create(TreeDef(rules=rules, **d))
+    return store
+
+
+def treesync(store: TreeStore, points: DataFrame, dir_path: str) -> dict:
+    """Run every series through every ENABLED tree's rules and write the
+    built row families to disk (TreeSync.java's full sweep; disabled trees
+    are skipped exactly like TreeBuilder refuses them). Returns per-tree
+    family row counts. Each tree's sweep is one distinct-series scan —
+    at scale the series frame, not the point data, bounds the work."""
+    import os
+
+    report: dict[int, dict[str, int]] = {}
+    for tid, t in sorted(store.trees.items()):
+        if not t.enabled:
+            continue
+        state = store.rebuild(tid, points)
+        counts = {}
+        for family, df in state.items():
+            out = os.path.join(dir_path, f"tree_{tid}", family)
+            df.write.mode("overwrite").parquet(out)
+            counts[family] = df.sparkSession.read.parquet(out).count()
+        report[tid] = counts
+    return report
+
+
+def treepurge(dir_path: str, tree_id: int, delete_definition: bool = False,
+              store: TreeStore | None = None) -> TreeStore:
+    """Remove a tree's built families from disk, optionally the definition
+    too (UidManager treepurge <id> [true] -> TreeSync.purgeTree)."""
+    import os
+    import shutil
+
+    built = os.path.join(dir_path, f"tree_{tree_id}")
+    if os.path.isdir(built):
+        shutil.rmtree(built)
+    store = store if store is not None else load_tree_defs(dir_path)
+    if delete_definition and tree_id in store.trees:
+        store.delete(tree_id)
+        save_tree_defs(store, dir_path)
+    return store

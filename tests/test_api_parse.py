@@ -327,6 +327,48 @@ def test_cli_in_process(spark, tmp_path, capsys):
     assert decode_png_size(png_path.read_bytes()) == (320, 240)
 
 
+def test_cli_uid_registry_and_trees(spark, tmp_path, capsys):
+    """`uid delete/lookup` against the assign registry and `uid treesync` /
+    `uid treepurge` against a tree-storage dir (UidManager.java:60-90
+    usage + :220-245 dispatch)."""
+    from opentsdb_spark import cli
+    from opentsdb_spark.operators.tree import (
+        TreeDef, TreeRule, TreeStore, save_tree_defs,
+    )
+
+    reg = str(tmp_path / "reg")
+    assert cli.main(["--sf-dir", "/root/testdata/sf0.001", "uid",
+                     "--registry", reg, "assign", "m1", "m2"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--sf-dir", "/root/testdata/sf0.001", "uid",
+                     "--registry", reg, "lookup", "m1"]) == 0
+    out = capsys.readouterr().out
+    assert "m1" in out and "metric" in out
+    assert cli.main(["--sf-dir", "/root/testdata/sf0.001", "uid",
+                     "--registry", reg, "delete", "m1"]) == 0
+    capsys.readouterr()
+    # deleted name no longer resolves; m2 still does
+    assert cli.main(["--sf-dir", "/root/testdata/sf0.001", "uid",
+                     "--registry", reg, "lookup", "m1"]) == 2
+    assert cli.main(["--sf-dir", "/root/testdata/sf0.001", "uid",
+                     "--registry", reg, "lookup", "m2"]) == 0
+    capsys.readouterr()
+
+    td = str(tmp_path / "trees")
+    st = TreeStore()
+    st.create(TreeDef(tree_id=0, name="by user",
+                      rules=(TreeRule(type="TAGK", field="user"),)))
+    save_tree_defs(st, td)
+    assert cli.main(["--sf-dir", "/root/testdata/sf0.001", "uid",
+                     "--trees", td, "treesync"]) == 0
+    assert '"leaves"' in capsys.readouterr().out
+    import os
+
+    assert os.path.isdir(os.path.join(td, "tree_1", "leaves"))
+    assert cli.main(["uid", "--trees", td, "treepurge", "1", "true"]) == 0
+    assert not os.path.isdir(os.path.join(td, "tree_1"))
+
+
 def test_handle_stats(spark):
     out = api.handle_stats(spark)
     assert out["default_parallelism"] >= 1 and "applicationId" in out

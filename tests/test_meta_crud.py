@@ -546,6 +546,45 @@ def test_tree_store_crud(fixture_points):
         api.handle_tree_family({"treeId": 2, "family": "collisions"}, store=store)
 
 
+def test_tree_sync_and_purge(fixture_points, tmp_path):
+    """Disk-backed tree storage (reference `tsdb uid treesync` /
+    `uid treepurge`, src/tools/UidManager.java:220-245 -> TreeSync.java):
+    definitions round-trip through trees.json, the sweep builds only
+    ENABLED trees and writes their row families as parquet, and purge
+    removes the built rows — the definition only with the explicit flag."""
+    import os
+
+    from opentsdb_spark.operators.tree import (
+        TreeDef, TreeRule, TreeStore, load_tree_defs, save_tree_defs,
+        treepurge, treesync,
+    )
+
+    store = TreeStore()
+    store.create(TreeDef(tree_id=0, name="by dc", store_failures=True,
+                         rules=(TreeRule(type="TAGK", field="dc"),)))
+    store.create(TreeDef(tree_id=0, name="disabled", enabled=False,
+                         rules=(TreeRule(type="METRIC"),)))
+    d = str(tmp_path / "trees")
+    save_tree_defs(store, d)
+    loaded = load_tree_defs(d)
+    assert loaded.trees[1].rules == store.trees[1].rules
+    assert loaded.trees[1].store_failures and not loaded.trees[2].enabled
+
+    report = treesync(loaded, fixture_points, d)
+    assert set(report) == {1}  # disabled tree skipped (TreeBuilder refusal)
+    assert report[1]["leaves"] == 2 and report[1]["collisions"] == 0
+    spark = fixture_points.sparkSession
+    leaves = spark.read.parquet(os.path.join(d, "tree_1", "leaves"))
+    assert {r["path"][0] for r in leaves.collect()} == {"lga", "phx"}
+
+    treepurge(d, 1)
+    assert not os.path.isdir(os.path.join(d, "tree_1"))
+    assert 1 in load_tree_defs(d).trees  # definition survives a plain purge
+    treepurge(d, 1, delete_definition=True)
+    assert 1 not in load_tree_defs(d).trees
+    assert 2 in load_tree_defs(d).trees
+
+
 def test_auth_plugin_surface(fixture_points, spark):
     """Auth plugin surface (reference src/auth/Authentication.java /
     Authorization.java / AllowAllAuthenticatingAuthorizer.java): default
