@@ -148,6 +148,29 @@ class TSD:
         from collections import deque
 
         self.completed_queries: deque = deque(maxlen=256)
+        # server shutdown hooks (one per listener): diediedie stops the
+        # WHOLE daemon like the reference's doShutdown, not just the
+        # listener the command arrived on
+        self._shutdown_hooks: list = []
+
+    def register_shutdown(self, hook) -> None:
+        self._shutdown_hooks.append(hook)
+
+    def request_shutdown(self) -> None:
+        """Run every registered listener shutdown from a fresh thread —
+        socketserver.shutdown() deadlocks when called from one of its own
+        handler threads (the reference spawns ShutdownNetty for the same
+        reason, RpcManager DieDieDie.doShutdown)."""
+        hooks = list(self._shutdown_hooks)
+
+        def run():
+            for h in hooks:
+                try:
+                    h()
+                except Exception:  # noqa: BLE001 — best-effort teardown
+                    pass
+
+        threading.Thread(target=run, daemon=True, name="tsd-shutdown").start()
 
     def bump(self, name: str, n: int = 1) -> None:
         with self._counter_lock:
@@ -547,6 +570,18 @@ class TSD:
             return html, "text/html"
         if seg[0] == "favicon.ico":
             raise FileNotFoundError(path)  # served from static_dir via /s
+        if seg[0] == "diediedie" and len(seg) == 1:
+            # HTTP shutdown (RpcManager.java:362-366 registers DieDieDie on
+            # http too in rw/wo, gated by tsd.no_diediedie; DieDieDie.execute
+            # HTTP variant replies a page then shuts down)
+            if self.no_diediedie or self.mode == "ro":
+                raise FileNotFoundError(path)
+            self.status = "shutting-down"
+            self.request_shutdown()
+            return ("<html><head><title>TSD Exiting</title></head><body>"
+                    "<h1>You killed me</h1>"
+                    "<p>Cleaning up and exiting now.</p></body></html>",
+                    "text/html")
         # bare (non-/api) aliases from the reference RPC table
         if seg[0] == "aggregators" and len(seg) == 1:
             return api.handle_aggregators(), None
@@ -909,7 +944,9 @@ def make_http_handler(tsd: TSD) -> type:
 
 
 def make_http_server(tsd: TSD, port: int = 0) -> ThreadingHTTPServer:
-    return ThreadingHTTPServer(("127.0.0.1", port), make_http_handler(tsd))
+    srv = ThreadingHTTPServer(("127.0.0.1", port), make_http_handler(tsd))
+    tsd.register_shutdown(srv.shutdown)
+    return srv
 
 
 _HTTP_VERBS = (b"GET", b"POST", b"PUT", b"DELETE", b"HEAD", b"OPTIONS")
@@ -935,6 +972,7 @@ class TelnetServer(socketserver.ThreadingTCPServer):
     def __init__(self, tsd: TSD, port: int = 0):
         self.tsd = tsd
         super().__init__(("127.0.0.1", port), _TelnetHandler)
+        tsd.register_shutdown(self.shutdown)
 
 
 class _TelnetHandler(socketserver.StreamRequestHandler):
@@ -1011,15 +1049,12 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                     # tsd.no_diediedie=true: never registered (RpcManager)
                     self.wfile.write(f"unknown command: {cmd}\n".encode())
                 elif cmd == "diediedie":
-                    # reference: clean shutdown (RpcManager.java:547-...)
+                    # reference: clean shutdown of the WHOLE daemon
+                    # (RpcManager DieDieDie.doShutdown kills every listener)
                     flush()
                     tsd.status = "shutting-down"
                     self.wfile.write(b"Cleanup complete, shutting down.\n")
-                    import threading
-
-                    threading.Thread(
-                        target=self.server.shutdown, daemon=True
-                    ).start()
+                    tsd.request_shutdown()
                     break
                 elif cmd == "version":
                     flush()
@@ -1062,6 +1097,7 @@ class DualProtocolServer(socketserver.ThreadingTCPServer):
         self.tsd = tsd
         self._http_handler = make_http_handler(tsd)
         super().__init__(("127.0.0.1", port), _DualHandler)
+        tsd.register_shutdown(self.shutdown)
 
 
 class _DualHandler(socketserver.BaseRequestHandler):

@@ -1030,6 +1030,45 @@ def test_q_graph_disk_cache(spark, fixture_points, tmp_path):
         http.shutdown()
 
 
+def test_http_diediedie_shuts_down_all_listeners(spark, fixture_points):
+    """HTTP /diediedie (RpcManager.java:362-366 registers DieDieDie on the
+    http map too): replies the exit page, then stops EVERY listener — the
+    reference's doShutdown kills the whole daemon, not one channel."""
+    import threading
+    import time
+
+    tsd = TSD(spark, fixture_points)
+    http = make_http_server(tsd, 0)
+    tel = TelnetServer(tsd, 0)
+    t1 = threading.Thread(target=http.serve_forever, daemon=True)
+    t2 = threading.Thread(target=tel.serve_forever, daemon=True)
+    t1.start()
+    t2.start()
+    st, ct, body = _get(http.server_address[1], "/diediedie")
+    assert st == 200 and ct.startswith("text/html")
+    assert b"You killed me" in body
+    assert tsd.probe_status() == "shutting-down"
+    t1.join(timeout=10)
+    t2.join(timeout=10)
+    assert not t1.is_alive() and not t2.is_alive()
+
+
+def test_http_diediedie_not_registered_when_disabled(spark, fixture_points):
+    """tsd.no_diediedie=true: the command is simply absent from the RPC
+    map — a plain 404, exactly like an unknown endpoint."""
+    import threading
+
+    tsd = TSD(spark, fixture_points, no_diediedie=True)
+    http = make_http_server(tsd, 0)
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(http.server_address[1], "/diediedie")
+        assert e.value.code == 404
+    finally:
+        http.shutdown()
+
+
 def test_q_graph_cache_key_injective(spark, fixture_points, tmp_path):
     """The cache key must be injective over the decoded parameter map:
     a literal '&'/'=' inside a value, or a ',' inside one m= entry, must

@@ -87,15 +87,22 @@ def replicate(spark, k: int, out_dir: str) -> None:
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, float]:
+    """Best-of-``repeat`` per query (same policy as bench.py): the first
+    execution of a fresh plan shape pays JIT/codegen compilation that can
+    dwarf the steady-state cost, and a ratio built on one cold and one
+    warm run reads as a fake (anti-)scaling signal."""
     from opentsdb_spark import catalog
 
     out = {}
     for name in QUERIES:
         fn = catalog.CATALOG[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     return out
 
 
