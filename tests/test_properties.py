@@ -283,6 +283,35 @@ def test_time_parse_laws(n, unit):
         parse_duration_ms(f"{n}{unit}x")
 
 
+_prop_key = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz.0123456789_-", min_size=1, max_size=20)
+_prop_val = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789=:/., -", min_size=0,
+    max_size=30).map(str.strip).filter(lambda v: v[:1] not in ("=", ":"))
+# leading '='/':' in a value is NOT round-trippable by design: after a
+# whitespace separator java-properties skips one optional '='/':'
+# ("k<TAB>:v" means k=v, not k=":v")
+
+
+@given(kv=st.dictionaries(_prop_key, _prop_val, min_size=0, max_size=8),
+       sep=st.sampled_from(["=", ": ", " = ", "\t", " "]))
+def test_config_properties_roundtrip(kv, sep):
+    """java-properties laws (Config.java's loader): any 'key<sep>value'
+    rendering parses back to the exact map; comments/blank lines vanish;
+    the FIRST of '='/':'/whitespace cuts the key, so separators inside a
+    VALUE survive verbatim."""
+    from opentsdb_spark.config import parse_properties
+
+    text = "# comment\n! bang comment\n\n" + "\n".join(
+        f"{k}{sep}{v}" for k, v in kv.items())
+    parsed = parse_properties(text)
+    assert parsed == kv
+    # first-separator law: cuts at the first delimiter, later ones are value
+    assert parse_properties("k=v:x w")["k"] == "v:x w"
+    assert parse_properties("k: v=x")["k"] == "v=x"
+    assert parse_properties("k v=x")["k"] == "v=x"
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(docs=st.lists(
