@@ -186,6 +186,54 @@ def compile_subquery(
         df = dedup_last_write_wins(df).select(*cols)
     source_df = df
 
+    # Linear-rate rewrite: downsample-fill(zero) -> rate(plain) -> sum is
+    # the canonical production shape, and on a zero-filled grid a plain
+    # (non-counter) rate is LINEAR in the values, so it commutes with a
+    # sum-family cross-series aggregate:
+    #   sum_s (v_s[b] - v_s[b-1])/dt  ==  (V[b] - V[b-1])/dt,
+    #   V[b] = sum_s v_s[b]  (missing buckets contribute the zero fill).
+    # Rewritten pipeline: sparse per-series downsample -> pre-aggregate to
+    # the GROUP level -> zero-fill the group grid -> rate per group. The
+    # filled grid shrinks from series x buckets to groups x buckets —
+    # at corpus scale the series:group ratio is the whole fan-out (the
+    # generic path window-sorts the series-level grid, the one stage here
+    # that grows with series count rather than group count). first_vs_zero
+    # stays linear (first rate = v/epoch_sec); counter wrap/resets do not.
+    if (
+        rollup_cfg is None
+        and q.downsample is not None
+        and q.downsample.fill == "zero"
+        and not q.downsample.run_all
+        and q.downsample.interval_ms != 0
+        and q.rate is not None
+        and not q.rate.counter
+        and q.aggregator in ("sum", "zimsum")
+    ):
+        from dataclasses import replace
+
+        gks = tuple(f.tagk for f in q.filters if f.group_by)
+        sparse = downsample(
+            df, replace(q.downsample, fill="none"), start_ms, end_ms,
+            series_cols=("metric", "tags"),
+        )
+        gcols = [F.col("tags").getItem(k).alias(f"tag_{k}") for k in gks]
+        gnames = ["metric", *[f"tag_{k}" for k in gks]]
+        pre = (
+            sparse.select("metric", *gcols, "ts", "value")
+            .groupBy(*gnames, "ts")
+            .agg(F.sum("value").alias("value"))
+        )
+        # zero-fill the GROUP grid by re-downsampling the pre-aggregated
+        # frame (ts is already the bucket start, so the re-bucketing is
+        # the identity and only the fill pass does work)
+        filled = downsample(
+            pre, replace(q.downsample, aggregator="sum"), start_ms, end_ms,
+            series_cols=tuple(gnames),
+        )
+        out = rate(filled, q.rate, series_cols=tuple(gnames))
+        out = out.withColumnsRenamed({f"tag_{k}": k for k in gks})
+        return CompiledSubQuery(out, gks, q.aggregator, source_df)
+
     aligned = False
     if q.downsample is not None:
         # tsuid sub-queries (metric='') never route to rollups: the rollup

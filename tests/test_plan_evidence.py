@@ -187,6 +187,33 @@ def test_topk_no_global_single_partition_window(spark):
     assert "Window" not in plan.split("TakeOrderedAndProject")[0]
 
 
+def test_linear_rate_rewrite_keeps_grid_group_level(spark):
+    """ds-fill(zero) -> plain rate -> sum must run on the GROUP-level grid
+    (the linear-rate rewrite): the rate window partitions on the group tag
+    column, never on a per-series id — the series-level grid is the one
+    stage that grows with series count instead of group count. Counter
+    rates are non-linear and must keep the generic per-series path."""
+    from opentsdb_spark.model import DownsampleSpec, RateOptions, TagFilter
+
+    pts = _mk_days(spark)
+    mk = lambda rate_opts: TSQuery(  # noqa: E731
+        start=EPOCH, end=EPOCH + 5 * 86400,
+        queries=(SubQuery(
+            metric="sys.cpu.user", aggregator="sum",
+            downsample=DownsampleSpec(3_600_000, "sum", fill="zero"),
+            rate=rate_opts,
+            filters=(TagFilter("wildcard", "host", "*", group_by=True),),
+        ),),
+    )
+    [r] = compile_query(pts, mk(RateOptions()))
+    plan = _plan(r.df)
+    assert "__sid" not in plan, "rewrite did not fire: series-level grid"
+    assert "tag_host" in plan  # the rate window keys on the group column
+    # counter mode: per-series wrap detection — generic path required
+    [rc] = compile_query(pts, mk(RateOptions(counter=True)))
+    assert "__sid" in _plan(rc.df)
+
+
 def test_bm25_broadcasts_query_terms_and_persists_postings(spark):
     """BM25's scale posture: the query-term probe must be a broadcast hash
     join (the corpus never shuffles toward the tiny term list), and the
