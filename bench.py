@@ -34,6 +34,7 @@ HEADLINE = [
     "tsdb_agg_sum_raw_full",
     "tsdb_agg_zimsum_by_user",
     "tsdb_rate",
+    "tsdb_rate_ds_sum",
     "tsdb_filter_not_literal_or",
     "tsdb_last",
     "gexp_sumseries",
