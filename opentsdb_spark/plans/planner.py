@@ -199,14 +199,15 @@ def compile_subquery(
     # generic path window-sorts the series-level grid, the one stage here
     # that grows with series count rather than group count). first_vs_zero
     # stays linear (first rate = v/epoch_sec); counter wrap/resets do not.
+    # The same algebra holds WITHOUT a rate (sum of zero-filled series ==
+    # zero-filled sum of the sparse series), so rate is optional here.
     if (
         rollup_cfg is None
         and q.downsample is not None
         and q.downsample.fill == "zero"
         and not q.downsample.run_all
         and q.downsample.interval_ms != 0
-        and q.rate is not None
-        and not q.rate.counter
+        and (q.rate is None or not q.rate.counter)
         and q.aggregator in ("sum", "zimsum")
     ):
         from dataclasses import replace
@@ -230,7 +231,8 @@ def compile_subquery(
             pre, replace(q.downsample, aggregator="sum"), start_ms, end_ms,
             series_cols=tuple(gnames),
         )
-        out = rate(filled, q.rate, series_cols=tuple(gnames))
+        out = (rate(filled, q.rate, series_cols=tuple(gnames))
+               if q.rate is not None else filled)
         out = out.withColumnsRenamed({f"tag_{k}": k for k in gks})
         return CompiledSubQuery(out, gks, q.aggregator, source_df)
 
