@@ -322,8 +322,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"no registry at {args.registry}", file=sys.stderr)
             return 2
         rows = reg.collect()
-        hit = [r for r in rows
-               if r["kind"] == kind and (r["name"] == name or r["uid"] == name)]
+        # exact-name matches take precedence over uid matches: when the
+        # argument is one row's name AND another row's uid, the name row
+        # wins deterministically (never parquet row order)
+        hit = [r for r in rows if r["kind"] == kind and r["name"] == name]
+        if not hit:
+            hit = [r for r in rows if r["kind"] == kind and r["uid"] == name]
         if not hit:
             print(f"{kind} {name!r} not found", file=sys.stderr)
             return 2

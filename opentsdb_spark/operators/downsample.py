@@ -218,7 +218,23 @@ def _fill_grid(
             )
         )
     grid = series.withColumn("ts", ts_source)
-    grid = grid.join(
-        buckets.select(*join_keys, "value"), on=join_keys, how="left"
-    ).drop("__sid")
+    if "__sid" in join_keys:
+        # canonical series-id string — never null, plain equi-join is safe
+        grid = grid.join(
+            buckets.select(*join_keys, "value"), on=join_keys, how="left"
+        ).drop("__sid")
+    else:
+        # plain series columns can hold NULL (a group-by tag value absent
+        # from a series, e.g. a not_key group under the linear-rate
+        # rewrite) and join equality never matches null keys — the fill
+        # would silently replace REAL sums with the fill value. GROUP BY
+        # treats nulls as equal, so merge grid and data through a
+        # union + max instead of a join: exactly one non-null value
+        # exists per (series, ts), max() ignores the grid row's null.
+        grid = (
+            buckets.select(*join_keys, "value")
+            .unionByName(grid.withColumn("value", F.lit(None).cast("double")))
+            .groupBy(*join_keys)
+            .agg(F.max("value").alias("value"))
+        )
     return grid.withColumn("value", F.coalesce(F.col("value"), fill_val))

@@ -322,13 +322,18 @@ def save_tree_defs(store: TreeStore, dir_path: str) -> None:
     import json
     import os
 
+    import threading
+
     os.makedirs(dir_path, exist_ok=True)
     defs = [
         {**{k: v for k, v in t.__dict__.items() if k != "rules"},
          "rules": [r.__dict__ for r in t.rules]}
         for t in store.trees.values()
     ]
-    tmp = os.path.join(dir_path, ".trees.json.tmp")
+    # pid+thread-unique tmp: concurrent writers on a shared tmp name
+    # interleave and the atomic replace publishes corrupt JSON
+    tmp = os.path.join(
+        dir_path, f".trees.json.tmp{os.getpid()}.{threading.get_ident()}")
     with open(tmp, "w") as fh:
         json.dump(defs, fh, indent=1)
     os.replace(tmp, os.path.join(dir_path, "trees.json"))
@@ -355,15 +360,22 @@ def treesync(store: TreeStore, points: DataFrame, dir_path: str) -> dict:
     family row counts. Each tree's sweep is one distinct-series scan —
     at scale the series frame, not the point data, bounds the work."""
     import os
+    import shutil
 
     report: dict[int, dict[str, int]] = {}
     for tid, t in sorted(store.trees.items()):
+        built_dir = os.path.join(dir_path, f"tree_{tid}")
+        # stale state never survives a sweep: a tree toggled to disabled
+        # (or one whose store_failures was switched off) must not keep
+        # serving last sync's families next to fresh leaves
+        if os.path.isdir(built_dir):
+            shutil.rmtree(built_dir)
         if not t.enabled:
             continue
         state = store.rebuild(tid, points)
         counts = {}
         for family, df in state.items():
-            out = os.path.join(dir_path, f"tree_{tid}", family)
+            out = os.path.join(built_dir, family)
             df.write.mode("overwrite").parquet(out)
             counts[family] = df.sparkSession.read.parquet(out).count()
         report[tid] = counts

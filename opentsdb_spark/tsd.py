@@ -161,16 +161,19 @@ class TSD:
         socketserver.shutdown() deadlocks when called from one of its own
         handler threads (the reference spawns ShutdownNetty for the same
         reason, RpcManager DieDieDie.doShutdown)."""
-        hooks = list(self._shutdown_hooks)
+        # one thread PER hook: socketserver.shutdown() blocks until that
+        # server's serve_forever() loop exits — a listener that was
+        # constructed but never started would hang a sequential loop and
+        # the remaining listeners would keep serving forever
+        def _safe(hook):
+            try:
+                hook()
+            except Exception:  # noqa: BLE001 — best-effort teardown
+                pass
 
-        def run():
-            for h in hooks:
-                try:
-                    h()
-                except Exception:  # noqa: BLE001 — best-effort teardown
-                    pass
-
-        threading.Thread(target=run, daemon=True, name="tsd-shutdown").start()
+        for i, h in enumerate(list(self._shutdown_hooks)):
+            threading.Thread(target=_safe, args=(h,), daemon=True,
+                             name=f"tsd-shutdown-{i}").start()
 
     def bump(self, name: str, n: int = 1) -> None:
         with self._counter_lock:
@@ -1045,8 +1048,12 @@ class _TelnetHandler(socketserver.StreamRequestHandler):
                     flush()
                     api.handle_dropcaches(tsd.spark)
                     self.wfile.write(b"Caches dropped.\n")
-                elif cmd == "diediedie" and tsd.no_diediedie:
-                    # tsd.no_diediedie=true: never registered (RpcManager)
+                elif cmd == "diediedie" and (tsd.no_diediedie
+                                             or tsd.mode == "ro"):
+                    # tsd.no_diediedie=true (or a read-only TSD): never
+                    # registered — the reference's DieDieDie registration
+                    # block covers both command maps and only runs in
+                    # rw/wo (RpcManager.java:261,362-366)
                     self.wfile.write(f"unknown command: {cmd}\n".encode())
                 elif cmd == "diediedie":
                     # reference: clean shutdown of the WHOLE daemon

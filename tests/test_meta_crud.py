@@ -577,6 +577,22 @@ def test_tree_sync_and_purge(fixture_points, tmp_path):
     leaves = spark.read.parquet(os.path.join(d, "tree_1", "leaves"))
     assert {r["path"][0] for r in leaves.collect()} == {"lga", "phx"}
 
+    # stale-family cleanup: toggling store_failures off must not leave
+    # last sync's collisions/not_matched parquet next to fresh leaves
+    loaded.edit(1, store_failures=False)
+    save_tree_defs(loaded, d)
+    report = treesync(load_tree_defs(d), fixture_points, d)
+    assert set(report[1]) == {"leaves"}
+    assert not os.path.isdir(os.path.join(d, "tree_1", "collisions"))
+    # a tree disabled after a sync loses its whole built dir on the next
+    loaded.edit(1, enabled=False)
+    save_tree_defs(loaded, d)
+    assert treesync(load_tree_defs(d), fixture_points, d) == {}
+    assert not os.path.isdir(os.path.join(d, "tree_1"))
+
+    loaded.edit(1, enabled=True)
+    save_tree_defs(loaded, d)
+    treesync(load_tree_defs(d), fixture_points, d)
     treepurge(d, 1)
     assert not os.path.isdir(os.path.join(d, "tree_1"))
     assert 1 in load_tree_defs(d).trees  # definition survives a plain purge

@@ -68,6 +68,32 @@ def test_downsample_fill_zero(spark):
     assert vals == {EPOCH: 1.0, EPOCH + 60: 0.0, EPOCH + 120: 3.0, EPOCH + 180: 0.0}
 
 
+def test_linear_rewrite_null_group_values(spark):
+    """The linear rewrite's group-level zero fill must keep REAL sums when
+    the group-by tag value is NULL (e.g. a not_key group): a plain join
+    on the group columns never matches null keys and silently zeroed
+    every bucket — the fill merge has to treat nulls as equal."""
+    rows = [("m", 1000 * 3600 * 1000, 10.0, {"dc": "x"}),
+            ("m", 1001 * 3600 * 1000, 20.0, {"dc": "x"}),
+            ("m", 1002 * 3600 * 1000, 40.0, {"dc": "y"})]
+    pts = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double, tags map<string,string>"
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value",
+             F.lit(None).cast("long").alias("value_long"), "tags")
+    tsq = TSQuery(
+        start=1000 * 3600, end=1004 * 3600,
+        queries=(SubQuery(
+            metric="m", aggregator="sum",
+            downsample=DownsampleSpec(3_600_000, "sum", fill="zero"),
+            filters=(TagFilter("not_key", "host", "", group_by=True),),
+        ),),
+    )
+    [r] = compile_query(pts, tsq)
+    vals = {r["ts"].timestamp() // 3600: r["value"]
+            for r in r.df.collect()}
+    assert vals == {1000: 10.0, 1001: 20.0, 1002: 40.0, 1003: 0.0}
+
+
 def test_downsample_0all(fixture_points):
     spec = DownsampleSpec(interval_ms=0, aggregator="max", run_all=True)
     out = downsample(fixture_points, spec, start_ms=EPOCH * 1000, end_ms=(EPOCH + 10**6) * 1000)

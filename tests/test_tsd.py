@@ -1053,6 +1053,28 @@ def test_http_diediedie_shuts_down_all_listeners(spark, fixture_points):
     assert not t1.is_alive() and not t2.is_alive()
 
 
+def test_telnet_diediedie_gated_in_ro_mode(spark, fixture_points):
+    """A read-only TSD must refuse diediedie on BOTH listeners — the
+    reference's registration block only runs in rw/wo and covers the
+    telnet and http maps together (RpcManager.java:261,362-366)."""
+    import threading
+
+    tsd = TSD(spark, fixture_points, mode="ro")
+    tel = TelnetServer(tsd, 0)
+    threading.Thread(target=tel.serve_forever, daemon=True).start()
+    try:
+        s = socket.create_connection(
+            ("127.0.0.1", tel.server_address[1]), timeout=30)
+        f = s.makefile("rwb")
+        f.write(b"diediedie\n")
+        f.flush()
+        assert b"unknown command" in f.readline()
+        assert tsd.probe_status() != "shutting-down"
+        s.close()
+    finally:
+        tel.shutdown()
+
+
 def test_http_diediedie_not_registered_when_disabled(spark, fixture_points):
     """tsd.no_diediedie=true: the command is simply absent from the RPC
     map — a plain 404, exactly like an unknown endpoint."""
