@@ -283,6 +283,60 @@ def test_time_parse_laws(n, unit):
         parse_duration_ms(f"{n}{unit}x")
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pts=st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 9), st.integers(0, 3),
+              st.floats(-100, 100, allow_nan=False, width=32)),
+    min_size=1, max_size=60),
+    calendar=st.booleans(), with_rate=st.booleans())
+def test_linear_rewrite_matches_generic_path(spark, pts, calendar, with_rate):
+    """The linear-rate rewrite must be VALUE-equivalent to the generic
+    per-series chain (downsample+fill -> rate -> aligned cross-series sum)
+    on arbitrary inputs, for both fixed and calendar intervals, with and
+    without the rate stage."""
+    from opentsdb_spark.model import (
+        DownsampleSpec, RateOptions, SubQuery, TagFilter, TSQuery,
+    )
+    from opentsdb_spark.operators.downsample import downsample
+    from opentsdb_spark.operators.groupby import cross_series_aggregate
+    from opentsdb_spark.operators.rate import rate as rate_op
+    from opentsdb_spark.plans.planner import compile_query
+
+    base = 1_700_000_000_000 - (1_700_000_000_000 % 86_400_000)
+    rows = [
+        ("m", base + h * 3_600_000 + (s % 4) * 60_000, v,
+         {"u": f"u{g}", "s": f"s{s}"})
+        for (g, s, h, v) in pts
+    ]
+    pts_df = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double, tags map<string,string>"
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value",
+             F.lit(None).cast("long").alias("value_long"), "tags")
+    spec = (DownsampleSpec(86_400_000, "sum", fill="zero", calendar=True,
+                           calendar_unit="d")
+            if calendar else DownsampleSpec(3_600_000, "sum", fill="zero"))
+    start_s, end_s = base // 1000, base // 1000 + 6 * 3600
+    tsq = TSQuery(start=start_s, end=end_s, queries=(SubQuery(
+        metric="m", aggregator="sum", downsample=spec,
+        rate=RateOptions() if with_rate else None,
+        filters=(TagFilter("wildcard", "u", "*", group_by=True),),
+    ),))
+    [r] = compile_query(pts_df, tsq)
+    got = {(row["u"], row["ts"]): round(row["value"], 6)
+           for row in r.df.collect()}
+
+    generic = downsample(pts_df, spec, start_s * 1000, end_s * 1000,
+                         series_cols=("metric", "tags"))
+    if with_rate:
+        generic = rate_op(generic, RateOptions(),
+                          series_cols=("metric", "tags"))
+    generic = cross_series_aggregate(generic, "sum", ("u",), aligned=True)
+    want = {(row["u"], row["ts"]): round(row["value"], 6)
+            for row in generic.collect()}
+    assert got == want
+
+
 _prop_key = st.text(
     alphabet="abcdefghijklmnopqrstuvwxyz.0123456789_-", min_size=1, max_size=20)
 _prop_val = st.text(
