@@ -175,6 +175,11 @@ def main(argv: list[str] | None = None) -> int:
     td.add_argument("--cors-headers", default=None,
                     help="Access-Control-Allow-Headers value "
                          "(tsd.http.request.cors_headers)")
+    td.add_argument("--trees-dir", default=None,
+                    help="disk-backed /api/tree storage dir (trees.json + "
+                         "built families; shared with `uid treesync`) — "
+                         "tree edits survive restarts like the reference's "
+                         "UID-table tree rows")
     # The reference defaults tsd.query.limits.* to unlimited because it
     # STREAMS results into the channel; this daemon materializes responses
     # via collect(), so an unlimited default would let one un-downsampled
@@ -510,6 +515,7 @@ def main(argv: list[str] | None = None) -> int:
                 cors_headers=args.cors_headers
                 or (cfg["tsd.http.request.cors_headers"] or None),
                 no_diediedie=tsdconf.as_bool(cfg["tsd.no_diediedie"]),
+                trees_dir=args.trees_dir,
             ),
             port=args.port if args.port is not None else int(cfg["tsd.network.port"]),
             telnet_port=args.telnet_port,

@@ -82,6 +82,7 @@ class TSD:
         cors_domains: str | None = None,
         cors_headers: str | None = None,
         no_diediedie: bool = False,
+        trees_dir: str | None = None,
     ):
         if mode not in ("rw", "ro", "wo"):
             raise ValueError(f"tsd.mode must be rw|ro|wo, got {mode!r}")
@@ -123,6 +124,17 @@ class TSD:
         self.uid_registry: DataFrame | None = None
         self.uidmeta: DataFrame | None = None
         self.tsmeta: DataFrame | None = None
+        # disk-backed /api/tree definitions (--trees-dir): loaded at boot,
+        # saved after every mutating edit, shared with `uid treesync` —
+        # the reference keeps tree rows in the UID table, so its trees
+        # equally survive a TSD restart. None = process-memory store.
+        self.trees_dir = trees_dir
+        if trees_dir:
+            from opentsdb_spark.operators.tree import load_tree_defs
+
+            self.tree_store = load_tree_defs(trees_dir)
+        else:
+            self.tree_store = None
         self.lock = threading.Lock()
         # counters get their own lock: increments must not queue behind the
         # frame lock, which is held across Spark unions during ingest, and
@@ -744,16 +756,27 @@ class TSD:
             # collisions/notmatched read its build bookkeeping, the rest are
             # ad-hoc rule evaluation over the live series set
             if sub == "rebuild":
-                return api.handle_tree_rebuild(points, req), None
+                return (api.handle_tree_rebuild(points, req,
+                                                store=self.tree_store),
+                        None)
             if sub in ("collisions", "notmatched"):
-                return api.handle_tree_family({"family": sub, **req}), None
+                return (api.handle_tree_family({"family": sub, **req},
+                                               store=self.tree_store),
+                        None)
             if sub in ("rule", "rules", "branch", "test"):
                 return api.handle_tree(points, req), None
             if method in ("POST", "PUT", "DELETE"):
-                return api.handle_tree_edit(method, req), None
+                out = api.handle_tree_edit(method, req,
+                                           store=self.tree_store)
+                if self.trees_dir and self.tree_store is not None:
+                    from opentsdb_spark.operators.tree import save_tree_defs
+
+                    save_tree_defs(self.tree_store, self.trees_dir)
+                return out, None
             if "rules" in req:
                 return api.handle_tree(points, req), None
-            return api.handle_tree_edit("GET", req), None
+            return api.handle_tree_edit("GET", req,
+                                        store=self.tree_store), None
         if ep == "aggregators":
             return api.handle_aggregators(), None
         if ep == "version":

@@ -1053,6 +1053,40 @@ def test_http_diediedie_shuts_down_all_listeners(spark, fixture_points):
     assert not t1.is_alive() and not t2.is_alive()
 
 
+def test_tree_edits_survive_daemon_restart(spark, fixture_points, tmp_path):
+    """/api/tree with --trees-dir: definitions persist across a daemon
+    restart (the reference stores tree rows in the UID table, so its trees
+    equally survive), and the dir is shared with `uid treesync`."""
+    import threading
+
+    d = str(tmp_path / "trees")
+    tsd = TSD(spark, fixture_points, trees_dir=d)
+    http = make_http_server(tsd, 0)
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    try:
+        st, body = _post(http.server_address[1], "/api/tree", {
+            "name": "by dc", "rules": [{"type": "TAGK", "field": "dc"}],
+        })
+        assert st == 200 and json.loads(body)["treeId"] == 1
+    finally:
+        http.shutdown()
+    # fresh daemon on the same dir sees the stored definition
+    tsd2 = TSD(spark, fixture_points, trees_dir=d)
+    http2 = make_http_server(tsd2, 0)
+    threading.Thread(target=http2.serve_forever, daemon=True).start()
+    try:
+        st, ct, body = _get(http2.server_address[1], "/api/tree")
+        [t] = json.loads(body)
+        assert t["name"] == "by dc" and t["rules"][0]["field"] == "dc"
+    finally:
+        http2.shutdown()
+    # and `uid treesync` builds from the SAME definitions
+    from opentsdb_spark.operators.tree import load_tree_defs, treesync
+
+    report = treesync(load_tree_defs(d), fixture_points, d)
+    assert report[1]["leaves"] == 2
+
+
 def test_telnet_diediedie_gated_in_ro_mode(spark, fixture_points):
     """A read-only TSD must refuse diediedie on BOTH listeners — the
     reference's registration block only runs in rw/wo and covers the
