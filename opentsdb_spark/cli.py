@@ -108,6 +108,19 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--fix", action="store_true", help="write a repaired table")
     f.add_argument("--out", default=None, help="output dir for --fix")
 
+    rb = sub.add_parser(
+        "rollup-build",
+        help="materialize sum/count/min/max rollup tables per interval "
+             "(the external batch job the reference expects to feed its "
+             "rollup tables; manifest = tsd.rollups.config analog)",
+    )
+    rb.add_argument("--out", required=True,
+                    help="base directory: one dt-partitioned table per "
+                         "interval + rollups.json manifest")
+    rb.add_argument("--interval", action="append", default=None,
+                    help="rollup interval label, repeatable "
+                         "(default: 1h and 1d)")
+
     rt = sub.add_parser(
         "retention",
         help="drop dt partitions older than a TTL (reference HBase table TTL)",
@@ -175,6 +188,11 @@ def main(argv: list[str] | None = None) -> int:
     td.add_argument("--cors-headers", default=None,
                     help="Access-Control-Allow-Headers value "
                          "(tsd.http.request.cors_headers)")
+    td.add_argument("--rollups-dir", default=None,
+                    help="rollup-build directory (rollups.json + one table "
+                         "per interval): /api/query downsamples matching a "
+                         "built interval read the pre-aggregates "
+                         "(reference tsd.rollups.config registry)")
     td.add_argument("--trees-dir", default=None,
                     help="disk-backed /api/tree storage dir (trees.json + "
                          "built families; shared with `uid treesync`) — "
@@ -407,6 +425,14 @@ def main(argv: list[str] | None = None) -> int:
 
                 for r in dump_series(renamed).limit(20).collect():
                     print(r["line"])
+    elif args.cmd == "rollup-build":
+        from opentsdb_spark.plans.rollup import build_rollup_tables
+
+        spark, points = _spark_and_points(args)
+        intervals = args.interval or ["1h", "1d"]
+        paths = build_rollup_tables(points, args.out, intervals)
+        for label, p in zip(intervals, paths):
+            print(f"built {label} rollup -> {p}")
     elif args.cmd == "retention":
         from opentsdb_spark.sources.points import retention_sweep
 
@@ -504,9 +530,16 @@ def main(argv: list[str] | None = None) -> int:
             msb = int(cfg["tsd.query.limits.bytes.default"]) if args.config else 0
         limits.configure(max_data_points=mdp, max_bytes=msb)
         spark, points = _spark_and_points(args)
+        rdir = args.rollups_dir or (cfg["tsd.rollups.config"] or None)
+        rollup_cfg = None
+        if rdir:
+            from opentsdb_spark.plans.rollup import load_rollup_config
+
+            rollup_cfg = load_rollup_config(spark, rdir)
         serve(
             TSD(
                 spark, points,
+                rollup_cfg=rollup_cfg,
                 static_dir=args.static_dir or (cfg["tsd.http.staticroot"] or None),
                 cache_dir=args.cache_dir or (cfg["tsd.http.cachedir"] or None),
                 mode=args.mode or cfg["tsd.mode"],

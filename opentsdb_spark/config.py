@@ -30,6 +30,10 @@ DEFAULTS: dict[str, str] = {
     "tsd.query.limits.data_points.default": "0",
     "tsd.query.limits.bytes.default": "0",
     "tsd.storage.fix_duplicates": "false",
+    # rollup-build directory to attach at boot (the reference's
+    # tsd.rollups.config names a JSON registry file; ours IS the manifest
+    # dir written by `tsdb rollup-build`)
+    "tsd.rollups.config": "",
 }
 
 # the map most recently applied via apply_config (served by /api/config)

@@ -83,6 +83,7 @@ class TSD:
         cors_headers: str | None = None,
         no_diediedie: bool = False,
         trees_dir: str | None = None,
+        rollup_cfg=None,
     ):
         if mode not in ("rw", "ro", "wo"):
             raise ValueError(f"tsd.mode must be rw|ro|wo, got {mode!r}")
@@ -120,6 +121,10 @@ class TSD:
             annotations = spark.createDataFrame([], ANNOTATION_SCHEMA)
         self.annotations = annotations
         self.rollups = rollups
+        # materialized rollup tables (plans.rollup.load_rollup_config on a
+        # rollup-build directory) — the reference's tsd.rollups.config
+        # registry; merged with live /api/rollup ingest per query
+        self.rollup_cfg = rollup_cfg
         self.histograms = histograms
         self.uid_registry: DataFrame | None = None
         self.uidmeta: DataFrame | None = None
@@ -257,6 +262,54 @@ class TSD:
             )
         return {"success": resp["success"],
                 "failed": len(lines) - resp["success"]}
+
+    def _effective_rollup_cfg(self):
+        """Rollup registry for /api/query routing: the materialized tables
+        (--rollups-dir, reference tsd.rollups.config) extended with any rows
+        ingested via /api/rollup or the telnet ``rollup`` command since boot
+        — the reference equally serves freshly-written rollup cells on the
+        next query (they land in the same HBase tables its RollupQuery
+        reads). Only CONFIGURED intervals route: the reference rejects
+        rollup ingest for unconfigured intervals
+        (src/rollup/NoSuchRollupForIntervalException.java), so a daemon
+        without --rollups-dir stores pushed rows but never routes queries
+        to them — an implicit table built from sparse pushed rows would
+        silently answer ROLLUP_NOFALLBACK queries with near-empty data."""
+        if self.rollup_cfg is None:
+            return None
+        from pyspark.sql import functions as F
+
+        from opentsdb_spark.plans.rollup import RollupConfig, RollupTable
+
+        base = list(self.rollup_cfg.tables)
+        if self.rollups is None:
+            return self.rollup_cfg
+        # distinct ingested labels, cached per frame object — recomputed
+        # only after an ingest swaps self.rollups, not per query
+        cached = getattr(self, "_rollup_label_cache", None)
+        if cached is None or cached[0] is not self.rollups:
+            labels = sorted(
+                r["interval"]
+                for r in self.rollups.select("interval").distinct().collect()
+                if r["interval"]
+            )
+            cached = (self.rollups, labels)
+            self._rollup_label_cache = cached
+        ingested_labels = cached[1]
+        tables = []
+        for t in base:
+            df = t.df
+            if t.interval_label in ingested_labels:
+                extra = self.rollups.where(F.col("interval") == t.interval_label)
+                if "dt" in df.columns:
+                    # materialized tables carry the dt partition column and
+                    # the planner prunes on it — a null dt from
+                    # allowMissingColumns would silently drop every
+                    # freshly-ingested row from pruned scans
+                    extra = extra.withColumn("dt", F.to_date("ts"))
+                df = df.unionByName(extra, allowMissingColumns=True)
+            tables.append(RollupTable(t.interval_ms, t.interval_label, df))
+        return RollupConfig(tables)
 
     def histogram_lines(self, lines: list[str]) -> dict[str, int]:
         """Telnet ``histogram <metric> <ts> [<codec_id>] <value> <tag=v>...``
@@ -641,7 +694,8 @@ class TSD:
             q0 = _time.monotonic()
             started_ms = int(_time.time() * 1000)  # START, not completion
             out = api.handle_query(points, merged, annotations=annotations,
-                                   histograms=self.histograms)
+                                   histograms=self.histograms,
+                                   rollup_cfg=self._effective_rollup_cfg())
             self.completed_queries.append({
                 "queryStart": started_ms,
                 "elapsed": round((_time.monotonic() - q0) * 1000.0, 3),
