@@ -193,6 +193,11 @@ def main(argv: list[str] | None = None) -> int:
                          "per interval): /api/query downsamples matching a "
                          "built interval read the pre-aggregates "
                          "(reference tsd.rollups.config registry)")
+    td.add_argument("--rollup-sla", default=None,
+                    help="rollup generation lag, e.g. '2h': data newer than "
+                         "now-SLA answers from raw and straddling queries "
+                         "split at the boundary (SplitRollupQuery.java); "
+                         "requires --rollups-dir")
     td.add_argument("--trees-dir", default=None,
                     help="disk-backed /api/tree storage dir (trees.json + "
                          "built families; shared with `uid treesync`) — "
@@ -536,6 +541,10 @@ def main(argv: list[str] | None = None) -> int:
             from opentsdb_spark.plans.rollup import load_rollup_config
 
             rollup_cfg = load_rollup_config(spark, rdir)
+            if args.rollup_sla:
+                from opentsdb_spark.timeparse import parse_duration_ms
+
+                rollup_cfg.sla_ms = parse_duration_ms(args.rollup_sla)
         serve(
             TSD(
                 spark, points,

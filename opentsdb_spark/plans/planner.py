@@ -135,6 +135,7 @@ def compile_subquery(
     rollup_cfg=None,
     agg_tag: bool = False,
     strict_none: bool = False,
+    rollup_cutoff_ms: int | None = None,
 ) -> CompiledSubQuery:
     """Compile one m= sub-query against a point frame.
 
@@ -259,7 +260,8 @@ def compile_subquery(
             ])
             try:
                 df = routed_downsample(
-                    df, filtered, q.downsample, q.rollup_usage, start_ms, end_ms
+                    df, filtered, q.downsample, q.rollup_usage, start_ms, end_ms,
+                    cutoff_ms=rollup_cutoff_ms,
                 )
             except ValueError:
                 # no matching interval / non-rewritable aggregator: the
@@ -426,6 +428,15 @@ def compile_query(
         )
     if not tsq.queries:
         raise ValueError("Missing queries")
+    # resolve the rollup SLA against this query's 'now': points newer than
+    # the cutoff are assumed not yet rolled up (SplitRollupQuery.java)
+    rollup_cutoff_ms = None
+    if rollup_cfg is not None and getattr(rollup_cfg, "sla_ms", None):
+        import time
+
+        rollup_cutoff_ms = (
+            now_ms if now_ms is not None else int(time.time() * 1000)
+        ) - rollup_cfg.sla_ms
     out = []
     for q in tsq.queries:
         if q.percentiles or q.show_histogram_buckets:
@@ -442,6 +453,7 @@ def compile_query(
                 compile_subquery(
                     points, q, start_ms, end_ms, tsq.timezone,
                     rollup_cfg=rollup_cfg, agg_tag=agg_tag, strict_none=strict_none,
+                    rollup_cutoff_ms=rollup_cutoff_ms,
                 )
             )
     return out

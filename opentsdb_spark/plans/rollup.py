@@ -70,6 +70,12 @@ class RollupTable:
 @dataclass
 class RollupConfig:
     tables: list[RollupTable] = field(default_factory=list)
+    # rollup generation lag SLA: data newer than (now - sla_ms) is assumed
+    # not yet rolled up and answers from raw via split_rollup_query — the
+    # planner's analog of the reference's last-rollup-timestamp split
+    # (src/core/SplitRollupQuery.java, TsdbQuery.java:819-847). None =
+    # tables assumed complete through query end.
+    sla_ms: int | None = None
 
     def best_match(self, interval_ms: int) -> RollupTable | None:
         """Largest rollup interval that evenly divides the query interval
@@ -104,6 +110,12 @@ def rollup_downsample(
     raising so the planner routes per its ROLLUP_USAGE mode."""
     if spec.calendar or spec.run_all:
         raise ValueError("rollup path supports fixed intervals only")
+    if spec.fill != "none":
+        # rollup re-aggregation produces no fill grid; a filled downsample
+        # must scan raw so the grid/interpolation semantics match the
+        # Downsampler exactly — the planner's ValueError fallback routes it
+        # there (tableToBeScanned, src/core/TsdbQuery.java:1553-1571)
+        raise ValueError("fill policies cannot be answered from rollups")
     b = bucket_col(F.col("ts"), spec.interval_ms)
     df = rollup.df
     if spec.aggregator == "avg":
@@ -142,9 +154,15 @@ def routed_downsample(
     start_ms: int | None = None,
     end_ms: int | None = None,
     series_cols: tuple[str, ...] = ("metric", "tags"),
+    cutoff_ms: int | None = None,
 ) -> DataFrame:
     """Planner rule: choose rollup vs raw per the query's ROLLUP_USAGE
-    (reference src/core/TsdbQuery.java:197-215)."""
+    (reference src/core/TsdbQuery.java:197-215).
+
+    ``cutoff_ms``: the last-rolled-up boundary (RollupConfig.sla_ms resolved
+    against 'now' by the caller). Ranges entirely older answer from the
+    table, entirely newer from raw, straddling ones split at the
+    interval-aligned cutoff (SplitRollupQuery.java, TsdbQuery.java:819-847)."""
     from opentsdb_spark.operators.downsample import downsample
 
     def _raw() -> DataFrame:
@@ -158,6 +176,15 @@ def routed_downsample(
             return _raw()
         raise ValueError(f"no rollup table matches interval {spec.interval_ms}ms")
     try:
+        if cutoff_ms is not None:
+            aligned = cutoff_ms - (cutoff_ms % spec.interval_ms)
+            if start_ms is not None and start_ms >= aligned:
+                return _raw()  # entire range newer than the last rollup
+            if end_ms is None or end_ms > aligned:
+                return split_rollup_query(
+                    raw_points, table, spec, aligned, series_cols,
+                    start_ms=start_ms, end_ms=end_ms,
+                )
         return rollup_downsample(table, spec, series_cols)
     except ValueError:
         if usage in ("ROLLUP_FALLBACK", "ROLLUP_FALLBACK_RAW"):
@@ -171,10 +198,14 @@ def split_rollup_query(
     spec: DownsampleSpec,
     cutoff_ms: int,
     series_cols: tuple[str, ...] = ("metric", "tags"),
+    start_ms: int | None = None,
+    end_ms: int | None = None,
 ) -> DataFrame:
     """Old data from the rollup table + recent data from raw, unioned at a
     cutoff (reference src/core/TsdbQuery.java:819-847, SplitRollupQuery.java).
-    The cutoff must be bucket-aligned so no bucket straddles the seam."""
+    The cutoff must be bucket-aligned so no bucket straddles the seam.
+    ``start_ms``/``end_ms`` bound the raw-side downsample grid when given
+    (the rollup side is bounded by the caller's range predicate)."""
     from opentsdb_spark.operators.downsample import downsample
 
     if cutoff_ms % spec.interval_ms != 0:
@@ -182,8 +213,11 @@ def split_rollup_query(
     old = rollup_downsample(rollup, spec, series_cols).where(
         F.unix_millis("ts") < cutoff_ms
     )
+    recent_start = None if start_ms is None and end_ms is None else (
+        cutoff_ms if start_ms is None else max(start_ms, cutoff_ms))
     recent = downsample(
-        raw_points.where(F.unix_millis("ts") >= cutoff_ms), spec, series_cols=series_cols
+        raw_points.where(F.unix_millis("ts") >= cutoff_ms), spec,
+        recent_start, end_ms, series_cols,
     )
     return old.unionByName(recent)
 

@@ -309,7 +309,7 @@ class TSD:
                     extra = extra.withColumn("dt", F.to_date("ts"))
                 df = df.unionByName(extra, allowMissingColumns=True)
             tables.append(RollupTable(t.interval_ms, t.interval_label, df))
-        return RollupConfig(tables)
+        return RollupConfig(tables, sla_ms=self.rollup_cfg.sla_ms)
 
     def histogram_lines(self, lines: list[str]) -> dict[str, int]:
         """Telnet ``histogram <metric> <ts> [<codec_id>] <value> <tag=v>...``

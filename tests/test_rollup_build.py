@@ -153,3 +153,88 @@ def test_cli_rollup_build(tmp_path, monkeypatch):
     main(["rollup-build", "--out", out, "--interval", "1h"])
     meta = json.load(open(os.path.join(out, ROLLUP_MANIFEST)))
     assert meta["intervals"][0]["interval"] == "1h"
+
+
+def _doctored(cfg, factor=2):
+    from opentsdb_spark.plans.rollup import RollupConfig, RollupTable
+
+    return RollupConfig([
+        RollupTable(t.interval_ms, t.interval_label,
+                    t.df.withColumn("value", F.col("value") * factor))
+        for t in cfg.tables
+    ], sla_ms=cfg.sla_ms)
+
+
+def test_sla_split_old_from_table_recent_from_raw(spark, fixture_points, rollup_dir):
+    """SLA straddle: buckets older than the aligned cutoff come from the
+    (doctored) table, newer ones from raw (SplitRollupQuery.java,
+    TsdbQuery.java:819-847)."""
+    from opentsdb_spark.tsd import TSD
+
+    cfg = _doctored(load_rollup_config(spark, rollup_dir))
+    cfg.sla_ms = 3_600_000  # 1h lag
+    tsd = TSD(spark, fixture_points, rollup_cfg=cfg)
+    now_ms = (EPOCH + 9000) * 1000  # cutoff = EPOCH+5400s -> aligned EPOCH+3600s
+    q = {"start": str(EPOCH), "end": str(EPOCH + 9001),
+         "m": "sum:1h-sum:sys.cpu.user", "_now_ms": now_ms}
+    out, _ = tsd._route("GET", "/api/query", dict(q), None)
+    raw_out, _ = tsd._route(
+        "GET", "/api/query",
+        {**q, "m": "sum:1h-sum:rollup_raw:sys.cpu.user"}, None)
+    dps, raw_dps = out[0]["dps"], raw_out[0]["dps"]
+    assert set(dps) == set(raw_dps) and len(dps) == 3
+    cut = EPOCH + 3600
+    for k, v in raw_dps.items():
+        expected = 2 * v if int(k) < cut else v
+        assert dps[k] == pytest.approx(expected), k
+
+
+def test_sla_entirely_recent_range_scans_raw(spark, fixture_points, rollup_dir):
+    """start >= aligned cutoff: no split, pure raw — doctoring invisible."""
+    from opentsdb_spark.tsd import TSD
+
+    cfg = _doctored(load_rollup_config(spark, rollup_dir))
+    cfg.sla_ms = 3_600_000
+    tsd = TSD(spark, fixture_points, rollup_cfg=cfg)
+    now_ms = (EPOCH + 9000) * 1000
+    q = {"start": str(EPOCH + 3600), "end": str(EPOCH + 9001),
+         "m": "sum:1h-sum:sys.cpu.user", "_now_ms": now_ms}
+    out, _ = tsd._route("GET", "/api/query", dict(q), None)
+    raw_out, _ = tsd._route(
+        "GET", "/api/query",
+        {**q, "m": "sum:1h-sum:rollup_raw:sys.cpu.user"}, None)
+    assert out[0]["dps"] == raw_out[0]["dps"]
+
+
+def test_sla_split_equals_raw_when_table_honest(spark, fixture_points, rollup_dir):
+    """Undoctored table + SLA split == pure-raw answer (seam correctness)."""
+    from opentsdb_spark.tsd import TSD
+
+    cfg = load_rollup_config(spark, rollup_dir)
+    cfg.sla_ms = 3_600_000
+    tsd = TSD(spark, fixture_points, rollup_cfg=cfg)
+    now_ms = (EPOCH + 9000) * 1000
+    q = {"start": str(EPOCH), "end": str(EPOCH + 9001),
+         "m": "sum:1h-sum:sys.cpu.user", "_now_ms": now_ms}
+    out, _ = tsd._route("GET", "/api/query", dict(q), None)
+    raw_out, _ = tsd._route(
+        "GET", "/api/query",
+        {**q, "m": "sum:1h-sum:rollup_raw:sys.cpu.user"}, None)
+    for k, v in raw_out[0]["dps"].items():
+        assert out[0]["dps"][k] == pytest.approx(v)
+
+
+def test_filled_downsample_never_routes_to_rollup(spark, fixture_points, rollup_dir):
+    """fill policies scan raw (rollup re-aggregation has no fill grid):
+    the doctored table must be invisible to 1h-sum-zero."""
+    from opentsdb_spark.tsd import TSD
+
+    cfg = _doctored(load_rollup_config(spark, rollup_dir))
+    tsd = TSD(spark, fixture_points, rollup_cfg=cfg)
+    q = {"start": str(EPOCH), "end": str(EPOCH + 9001),
+         "m": "sum:1h-sum-zero:sys.cpu.user"}
+    out, _ = tsd._route("GET", "/api/query", dict(q), None)
+    raw_out, _ = tsd._route(
+        "GET", "/api/query",
+        {**q, "m": "sum:1h-sum-zero:rollup_raw:sys.cpu.user"}, None)
+    assert out[0]["dps"] == raw_out[0]["dps"]
