@@ -1049,6 +1049,39 @@ def tsdb_ds_1h_ep99r3(spark, sf_dir):
     return _ds_agg_query(spark, sf_dir, "purchase", "ep99r3")
 
 
+# Fixed-bin approximate percentile (operators/downsample.py
+# binned_percentile_downsample): constant per-group state, deterministic —
+# the scale path for p* aggregators. lo=0, hi=512, nbins=256 -> w=2.0.
+_BINNED_KEYS = f"event_type, {U}, {K}, value > 100.0, {H_SEC}"
+_BINNED_P95_SQL = f"""
+WITH b AS (
+  SELECT event_type, {U} AS "user", {K} AS k, {BIG} AS big, {H_SEC} AS ts_sec,
+         CAST(LEAST(GREATEST(CAST(floor(value / 2.0) AS BIGINT), 0), 255) AS INT) AS bin,
+         COUNT(*) AS c
+  FROM events WHERE event_type = 'view'
+  GROUP BY {_BINNED_KEYS}, CAST(LEAST(GREATEST(CAST(floor(value / 2.0) AS BIGINT), 0), 255) AS INT)
+), g AS (
+  SELECT *, SUM(c) OVER (PARTITION BY event_type, "user", k, big, ts_sec
+                         ORDER BY bin) AS cum,
+            SUM(c) OVER (PARTITION BY event_type, "user", k, big, ts_sec) AS n
+  FROM b
+)
+SELECT event_type AS metric, "user", k, big, ts_sec,
+       {RND.format('2.0 * (MIN(CASE WHEN cum >= ceil(0.95 * n) THEN bin END) + 0.5)')} AS value_r
+FROM g GROUP BY event_type, "user", k, big, ts_sec"""
+
+
+@register("tsdb_ds_1h_p95_binned", _BINNED_P95_SQL)
+def tsdb_ds_1h_p95_binned(spark, sf_dir):
+    from opentsdb_spark.operators.downsample import binned_percentile_downsample
+
+    df = _pts(spark, sf_dir).where(F.col("metric") == "view")
+    out = binned_percentile_downsample(df, 3_600_000, 0.95, 0.0, 512.0, 256)
+    return out.select(
+        "metric", _tag("user"), _tag("k"), _tag("big"), _ts_sec(), _vr(F.col("value"))
+    )
+
+
 @register("tsdb_ds_1h_squaresum", _ds_agg_sql("error", "sum(value * value)"))
 def tsdb_ds_1h_squaresum(spark, sf_dir):
     return _ds_agg_query(spark, sf_dir, "error", "squareSum")

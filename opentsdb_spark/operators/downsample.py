@@ -238,3 +238,88 @@ def _fill_grid(
             .agg(F.max("value").alias("value"))
         )
     return grid.withColumn("value", F.coalesce(F.col("value"), fill_val))
+
+
+def binned_percentile_downsample(
+    points: DataFrame,
+    interval_ms: int,
+    q: float,
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+    series_cols: tuple[str, ...] = ("metric", "tags"),
+    value_col: str = "value",
+) -> DataFrame:
+    """Approximate percentile downsample with CONSTANT per-group state —
+    the 100 TB scale path for the p50..p999 aggregators.
+
+    The exact percentile aggregators (functions/aggregators.py, reference
+    src/core/Aggregators.java:124-173 PercentileAgg) buffer every value of
+    a (series, bucket) group; a hot series at second resolution with 1h
+    buckets holds 3600 doubles per group — fine — but pre-downsample
+    grouping over wide tag-filtered sets (or '0all' buckets over months)
+    buffers unboundedly. This estimator bins values into a FIXED grid of
+    ``nbins`` equal-width bins over [lo, hi) and reports the midpoint of
+    the bin containing the rank-ceil(q*n) value: error <= (hi-lo)/nbins/2,
+    memory per group <= nbins counts, and both aggregation levels are
+    map-side combinable. Unlike t-digest / Greenwald-Khanna sketches the
+    result is a pure deterministic function of the value multiset, so any
+    engine reproduces it bit-for-bit (the DuckDB oracle does).
+
+    Out-of-range values clamp into the edge bins (their rank still counts;
+    their position saturates at the grid edge — choose [lo, hi) to cover
+    the expected range, like a histogram codec's bucket plan, cf.
+    operators/histogram.py bucket-midpoint percentiles).
+
+    Plan shape: groupBy(series, bucket, bin) with partial aggregation, then
+    groupBy(series, bucket) folding <= nbins rows per group — no value list
+    ever materializes, no window over an unpartitioned frame.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError("q must be in (0, 1]")
+    if hi <= lo:
+        raise ValueError("hi must exceed lo")
+    if nbins < 2:
+        raise ValueError("nbins must be >= 2")
+    w = (hi - lo) / nbins
+    b = bucket_col(F.col("ts"), interval_ms)
+    binned = (
+        points.withColumn(
+            "__bin",
+            F.least(
+                F.greatest(
+                    F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)), F.lit(0)
+                ),
+                F.lit(nbins - 1),
+            ).cast("int"),
+        )
+        .groupBy(*series_cols, b.alias("ts"), "__bin")
+        .agg(F.count("*").alias("__c"))
+    )
+    per_group = binned.groupBy(*series_cols, "ts").agg(
+        F.sort_array(F.collect_list(F.struct("__bin", "__c"))).alias("__bc"),
+        F.sum("__c").alias("__n"),
+    )
+    # rank of the q-th value (1-based, ceil — the "upper" convention the
+    # reference's median uses, Aggregators.java:397-431)
+    r = F.ceil(F.lit(q) * F.col("__n"))
+    # first bin whose cumulative count reaches the rank: a bounded fold
+    # over <= nbins entries (interpreted HOF, but on nbins elements per
+    # group, not data-sized input)
+    hit = F.aggregate(
+        "__bc",
+        F.struct(F.lit(0).cast("long").alias("cum"), F.lit(-1).alias("bin")),
+        lambda acc, x: F.when(acc["bin"] >= 0, acc).otherwise(
+            F.struct(
+                (acc["cum"] + x["__c"]).alias("cum"),
+                F.when(acc["cum"] + x["__c"] >= r, x["__bin"])
+                .otherwise(F.lit(-1))
+                .alias("bin"),
+            )
+        ),
+    )["bin"]
+    return per_group.select(
+        *series_cols,
+        "ts",
+        (F.lit(lo) + F.lit(w) * (hit.cast("double") + F.lit(0.5))).alias("value"),
+    )

@@ -321,3 +321,52 @@ def test_retention_sweep(spark, tmp_path):
     assert kept.agg(F.max("value")).first()[0] == 2.0
     # idempotent
     assert retention_sweep(path, keep_days=2, now_ms=now_ms) == []
+
+
+def test_binned_percentile_error_bound(spark, fixture_points):
+    """Fixed-bin p95 is within w/2 of the exact estimator on every bucket
+    (operators/downsample.py binned_percentile_downsample)."""
+    from opentsdb_spark.operators.downsample import binned_percentile_downsample
+
+    w = 512.0 / 256
+    approx = binned_percentile_downsample(
+        fixture_points, 3_600_000, 0.95, 0.0, 512.0, 256)
+    exact = downsample(fixture_points, DownsampleSpec(3_600_000, "p95"))
+    a = {(r.metric, str(sorted(r.tags.items())), r.ts): r.value
+         for r in approx.collect()}
+    e = {(r.metric, str(sorted(r.tags.items())), r.ts): r.value
+         for r in exact.collect()}
+    assert set(a) == set(e) and a
+    for k, v in e.items():
+        # bin-midpoint vs interpolated exact: bounded by one bin width
+        # (rank conventions differ by <1 position across a bin edge)
+        assert abs(a[k] - v) <= w, (k, a[k], v)
+
+
+def test_binned_percentile_clamps_and_q1(spark):
+    from opentsdb_spark.operators.downsample import binned_percentile_downsample
+
+    rows = [("m", (EPOCH + i) * 1000, float(v), {"h": "a"})
+            for i, v in enumerate([5.0, 9999.0, -50.0, 5.0])]
+    df = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double, tags map<string,string>"
+    ).select("metric", F.timestamp_millis("ts_ms").alias("ts"), "value", "tags")
+    out = binned_percentile_downsample(df, 3_600_000, 1.0, 0.0, 10.0, 10)
+    [r] = out.collect()
+    # q=1 -> rank 4 -> the 9999 value, clamped into the top bin [9,10)
+    assert r.value == pytest.approx(9.5)
+    out0 = binned_percentile_downsample(df, 3_600_000, 0.25, 0.0, 10.0, 10)
+    [r0] = out0.collect()
+    # rank 1 -> the -50 value, clamped into the bottom bin [0,1)
+    assert r0.value == pytest.approx(0.5)
+
+
+def test_binned_percentile_validation(spark, fixture_points):
+    from opentsdb_spark.operators.downsample import binned_percentile_downsample
+
+    with pytest.raises(ValueError):
+        binned_percentile_downsample(fixture_points, 3_600_000, 0.0, 0.0, 1.0)
+    with pytest.raises(ValueError):
+        binned_percentile_downsample(fixture_points, 3_600_000, 0.5, 2.0, 1.0)
+    with pytest.raises(ValueError):
+        binned_percentile_downsample(fixture_points, 3_600_000, 0.5, 0.0, 1.0, nbins=1)
