@@ -179,6 +179,12 @@ def main() -> None:
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     repeat = max(1, repeat)
+    headline = HEADLINE
+    if "--only" in sys.argv:
+        # substring filter for targeted iteration; the driver never passes
+        # it, so the recorded artifact always covers the full headline set
+        pat = sys.argv[sys.argv.index("--only") + 1]
+        headline = [n for n in HEADLINE if pat in n]
 
     spark = get_spark("opentsdb-spark-bench")
     meter = _CpuMeter()
@@ -197,7 +203,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     cpu: dict[str, float] = {}
     steal: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         if name not in fns:
             continue
         best_wall, best_cpu, best_steal = float("inf"), float("inf"), float("inf")

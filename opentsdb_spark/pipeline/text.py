@@ -935,15 +935,17 @@ def bm25_search(
     idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))      (Robertson/Lucene)
     score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
 
-    100 TB shape: the corpus tokenizes ONCE into a (doc, token, tf, dl)
-    posting frame; the query-term table is tiny and BROADCASTS, so scoring
-    touches only postings of query terms (an index probe, not a corpus
-    scan, after the one posting build). Document frequencies are likewise
-    probed — the posting frame semi-joins to the broadcast term list
-    before aggregating, never a full-vocabulary shuffle; doclen/avgdl are
-    doc-/scalar-sized partial aggregates of the same posting frame. Top-k
-    per query partitions the window by query id — no global sort, and with
-    a handful of queries the ranked frame is tiny.
+    100 TB shape: NOTHING corpus-sized ever shuffles. The tiny query-term
+    table broadcasts down to the token explode itself, so the only
+    groupBy(doc, token) aggregate runs on query-term hits — an index
+    probe's worth of rows, not the corpus vocabulary. Per-doc length rides
+    the explode as a size() column (no doc-keyed join back to a corpus
+    frame), and N/avgdl are a scalar partial aggregate of a narrow
+    (id, dl) projection. Document frequencies aggregate the already
+    filtered posting frame — never a full-vocabulary shuffle. Cost at
+    scale: two narrow corpus scans (one scalar-agg, one probe) + a
+    hit-sized shuffle. Top-k per query partitions the window by query id —
+    no global sort, and with a handful of queries the ranked frame is tiny.
 
     Ties break by doc id ascending for determinism.
     """
@@ -951,17 +953,11 @@ def bm25_search(
 
     from opentsdb_spark.pipeline.dedup import _persist_small
 
-    words = docs.select(
-        F.col(id_col),
-        F.explode(_words(F.col(content_col))).alias("token"),
-    ).where(F.col("token") != "")
-    # the posting frame feeds four branches (scoring, dl, df, avgdl); Spark
-    # shares no common subplans, so persist it or the corpus tokenizes 4x
-    postings = _persist_small(
-        words.groupBy(id_col, "token").agg(F.count("*").alias("tf")), persist)
-    # dl re-aggregates the posting frame, not the corpus — one tokenizer scan
-    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = doclen.agg(
+    # _words is a \S+ extract: it cannot emit '' tokens, so size() == the
+    # old sum-of-tf doc length and the N below counts docs with >= 1 token
+    toks = docs.select(F.col(id_col), _words(F.col(content_col)).alias("__toks"))
+    dl = toks.select(F.col(id_col), F.size("__toks").alias("dl"))
+    stats = dl.where(F.col("dl") > 0).agg(
         F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
     )
 
@@ -974,19 +970,25 @@ def bm25_search(
         ],
         "query_id string, token string",
     )
-    # df is only consumed for QUERY terms: semi-join the posting frame to
-    # the broadcast term list BEFORE aggregating, so df costs a probe of
-    # the query terms' postings — never a full-vocabulary shuffle of the
-    # entire posting frame (at corpus scale that shuffle dwarfs scoring)
-    df = (
-        postings.join(F.broadcast(qterms.select("token").distinct()),
-                      on="token", how="left_semi")
-        .groupBy("token").agg(F.count("*").alias("df"))
+    # broadcast-filter BEFORE the tf aggregate: the exploded corpus never
+    # reaches an exchange — only rows whose token is a query term do
+    hits = (
+        toks.select(
+            F.col(id_col), F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("token"),
+        )
+        .join(F.broadcast(qterms.select("token").distinct()), on="token")
     )
+    # the hit-sized posting frame feeds df + scoring; persist so the probe
+    # scan runs once across both branches
+    postings = _persist_small(
+        hits.groupBy(id_col, "token").agg(
+            F.count("*").alias("tf"), F.first("dl").alias("dl")),
+        persist)
+    df = postings.groupBy("token").agg(F.count("*").alias("df"))
 
     scored = (
         postings.join(F.broadcast(qterms), on="token")
-        .join(doclen, on=id_col)
         .join(F.broadcast(df), on="token")
         .join(F.broadcast(stats))
         .withColumn(

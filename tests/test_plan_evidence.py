@@ -216,9 +216,11 @@ def test_linear_rate_rewrite_keeps_grid_group_level(spark):
 
 def test_bm25_broadcasts_query_terms_and_persists_postings(spark):
     """BM25's scale posture: the query-term probe must be a broadcast hash
-    join (the corpus never shuffles toward the tiny term list), and the
-    posting frame must be an InMemoryRelation so the corpus tokenizes once
-    across the four consuming branches."""
+    join that filters the exploded corpus BEFORE any exchange (nothing
+    corpus-sized shuffles — not the tf aggregate, not df, and there is no
+    doc-keyed corpus join for doc length, which rides the explode), and
+    the hit-sized posting frame must be an InMemoryRelation so the probe
+    scan runs once across the df + scoring branches."""
     from opentsdb_spark.pipeline.text import bm25_search
 
     docs = spark.createDataFrame(
@@ -229,18 +231,23 @@ def test_bm25_broadcasts_query_terms_and_persists_postings(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "InMemoryTableScan" in plan, "posting frame not persisted"
-    # df must be probed, never a full-vocabulary aggregate: every
-    # HashAggregate keyed on the bare token column has to sit above the
-    # broadcast semi-join that filters postings to query terms
+    # every aggregate keyed on token (tf build, df) must sit above either
+    # the persisted (already query-term-filtered) posting frame or the
+    # broadcast join itself — a token-keyed HashAggregate whose input is a
+    # bare corpus scan would be the full-vocabulary shuffle this plan
+    # exists to avoid
     import re
 
-    for m in re.finditer(r"HashAggregate\(keys=\[token[^\]]*\]", plan):
+    for m in re.finditer(r"HashAggregate\(keys=\[(?:doc_id[^\]]*,\s*)?token[^\]]*\]", plan):
         below = plan[m.end():]
-        nxt_scan = below.find("InMemoryTableScan")
-        nxt_semi = below.find("LeftSemi")
-        assert 0 <= nxt_semi < nxt_scan or nxt_scan == -1, (
-            "token-keyed aggregate reads the raw posting frame "
-            "(full-vocabulary df shuffle)")
+        nxt_scan = min(x for x in (below.find("Scan ExistingRDD"),
+                                   below.find("LocalTableScan"),
+                                   len(below)) if x >= 0)
+        nxt_ok = [x for x in (below.find("InMemoryTableScan"),
+                              below.find("BroadcastHashJoin")) if x >= 0]
+        assert nxt_ok and min(nxt_ok) < nxt_scan, (
+            "token-keyed aggregate reads an unfiltered corpus scan "
+            "(full-vocabulary shuffle)")
 
 
 def test_token_budget_no_whole_group_window(spark):
