@@ -3304,6 +3304,51 @@ def embed_covariance(spark, sf_dir):
     return out.select("i", "j", _vr(F.col("cov")).alias("cov_r"))
 
 
+def _pca_oracle() -> str:
+    """Lazy oracle for the full PCA pipeline (the trained-IVF pattern):
+    pca_replica reproduces the distributed covariance -> eigh -> sign-fix
+    axes WITHOUT Spark, and the top-q axes splice into plain per-component
+    dot products — so the whole train+project path is value-checked, not
+    just the covariance input."""
+    from opentsdb_spark.pipeline.similarity import pca_replica
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    comps, _ = pca_replica(f"{sf_dir}/embeddings.parquet", dim=64, q=4)
+    branches = []
+    for c, comp in enumerate(comps):
+        dot = " + ".join(f"v[{k + 1}] * ({comp[k]!r})" for k in range(64))
+        branches.append(
+            f"SELECT vec_id, {c} AS c, {RND.format(dot)} AS proj_r FROM e"
+        )
+    body = "\n  UNION ALL ".join(branches)
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)\n"
+        f"  {body}"
+    )
+
+
+@register("embed_pca_project", _pca_oracle)
+def embed_pca_project(spark, sf_dir):
+    """End-to-end PCA: distributed covariance (batch moment partials), a
+    driver-side d x d eigendecomposition (pipeline.similarity
+    pca_components — deterministic sign convention), then an Arrow-batched
+    matmul projection of every vector onto the top-4 axes. The trained
+    axes are a tiny model like the IVF centroids: they ride the UDF
+    closure, so projection is a narrow map over the corpus — nothing
+    data-sized shuffles after the d^2-row covariance combine."""
+    from opentsdb_spark.pipeline.similarity import (
+        covariance_matrix, pca_components, pca_project,
+    )
+
+    emb = _emb(spark, sf_dir)
+    comps, _ = pca_components(covariance_matrix(emb, dim=64), dim=64, q=4)
+    out = pca_project(emb, comps)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("c", "__p")
+    ).select("vec_id", F.col("c").cast("int").alias("c"),
+             _vr(F.col("__p")).alias("proj_r"))
+
+
 @register(
     "text_ccnet_buckets",
     rf"""WITH w AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS w

@@ -972,6 +972,29 @@ def pca_components(cov_rows, dim: int = 64, q: int = 8):
     return comps.tolist(), vals[order].tolist()
 
 
+def pca_replica(parquet_path: str, dim: int = 64, q: int = 8,
+                vec_col: str = "embedding"):
+    """Spark-free replica of covariance_matrix() -> pca_components() for
+    oracle construction (the trained-IVF pattern, train_centroids_replica
+    above): numpy population covariance straight off the parquet file,
+    then the SAME pca_components eigh + sign-convention code path, so the
+    returned axes match the distributed pipeline to summation-order FP
+    noise (~1e-12 — far inside the catalog's 1e-4 rounding).
+
+    Returns (components [q x dim], explained_variance [q])."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(parquet_path, columns=[vec_col]).column(vec_col)
+    V = np.asarray([np.asarray(v.as_py(), np.float64) for v in col], np.float64)
+    n = len(V)
+    mu = V.sum(0) / n
+    C = (V.T @ V) / n - np.outer(mu, mu)
+    rows = [{"i": i, "j": j, "cov": C[i, j]}
+            for i in range(dim) for j in range(i, dim)]
+    return pca_components(rows, dim=dim, q=q)
+
+
 def pca_project(
     embeddings: DataFrame,
     components: list[list[float]],

@@ -1003,6 +1003,24 @@ def test_covariance_and_pca(spark):
         assert np.allclose(proj[i], want[i], atol=1e-9)
 
 
+def test_pca_replica_matches_distributed(spark):
+    """The Spark-free oracle replica (pca_replica) reproduces the
+    distributed covariance -> pca_components axes to summation-order FP
+    noise — the contract the embed_pca_project catalog oracle rests on."""
+    import numpy as np
+
+    from opentsdb_spark.pipeline.similarity import (
+        covariance_matrix, pca_components, pca_replica,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    comps, ev = pca_components(covariance_matrix(emb, dim=64), dim=64, q=4)
+    rcomps, rev = pca_replica(path, dim=64, q=4)
+    assert np.allclose(ev, rev, rtol=1e-9)
+    assert np.allclose(np.asarray(comps), np.asarray(rcomps), atol=1e-8)
+
+
 def test_quality_classifier(spark):
     from opentsdb_spark.pipeline.classifier import (
         score_quality, train_quality_classifier,
