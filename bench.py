@@ -65,6 +65,10 @@ HEADLINE = [
     "tsdb_sessionize",
     "text_bm25_top5",
     "dedup_bloom_decontaminate",
+    "embed_pca_project",
+    "text_hll_distinct",
+    "text_cms_probe",
+    "tsdb_ds_1h_p95_binned",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

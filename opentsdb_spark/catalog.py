@@ -3349,6 +3349,144 @@ def embed_pca_project(spark, sf_dir):
              _vr(F.col("__p")).alias("proj_r"))
 
 
+# --------- deterministic sketches (pipeline/sketch.py): HLL + count-min
+# --------- over the same xxhash64 the dedup family keys on, so registers,
+# --------- cells AND estimates are value-checked — not an opaque blob.
+
+_HLL_P = 10
+
+
+def _hll_rho_sql(v: str, rest_bits: int) -> str:
+    """floor(log2(v))+1 via integer threshold sums (matches sketch._rank_expr
+    exactly — no libm, no clz)."""
+    hb = " + ".join(
+        f"CAST(({v}) >= {1 << i} AS INT)" for i in range(rest_bits)
+    )
+    return f"({rest_bits} - ({hb}) + 1)"
+
+
+def _hll_oracle() -> str:
+    m = 1 << _HLL_P
+    rest = 64 - _HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rho = _hll_rho_sql(f"(h >> {_HLL_P}) & {(1 << rest) - 1}", rest)
+    # CAST: DuckDB parses bare float literals as DECIMAL, which overflows
+    # on * m * m — force the same double arithmetic Spark runs
+    raw = f"CAST({alpha * m * m!r} AS DOUBLE) / z"
+    est = (f"CASE WHEN ({raw}) <= {2.5 * m!r} AND vz > 0 "
+           f"THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / vz) "
+           f"ELSE ({raw}) END")
+    return f"""WITH RECURSIVE
+        w AS (SELECT lang, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+              FROM documents),
+        strs AS (SELECT DISTINCT token AS s FROM w),
+        {xxh64_str_ctes('strs', ('s',), 's', out='gh')},
+        ht AS (SELECT DISTINCT w.lang, gh.h FROM w JOIN gh ON w.token = gh.s),
+        br AS (SELECT lang, (h & {m - 1}) AS bucket, {rho} AS rho FROM ht),
+        regs AS (SELECT lang, bucket, max(rho) AS r FROM br GROUP BY lang, bucket),
+        grid AS (SELECT l.lang, gs.b AS bucket
+                 FROM (SELECT DISTINCT lang FROM documents) l
+                 CROSS JOIN generate_series(0, {m - 1}) gs(b)),
+        dense AS (SELECT g.lang, g.bucket, coalesce(regs.r, 0) AS r
+                  FROM grid g LEFT JOIN regs USING (lang, bucket)),
+        agg AS (SELECT lang, sum(power(2.0, -r)) AS z,
+                       sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS vz,
+                       sum(r) AS rs
+                FROM dense GROUP BY lang)
+        SELECT lang, {RND.format(est)} AS est_r,
+               CAST(vz AS BIGINT) AS v_zero, CAST(rs AS BIGINT) AS reg_sum
+        FROM agg"""
+
+
+@register("text_hll_distinct", _hll_oracle())
+def text_hll_distinct(spark, sf_dir):
+    """Per-language distinct-token estimate via HyperLogLog
+    (pipeline.sketch): fixed 2^p registers per group, map-side-combinable
+    max updates — the shuffle is bounded by groups x 2^p however large the
+    vocabulary, vs the vocabulary-sized exchange an exact count-distinct
+    pays. Registers, zero-count, and the alpha*m^2/Z estimate are all
+    deterministic, so the whole sketch is hash-checked."""
+    from opentsdb_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    from opentsdb_spark.pipeline.text import _words
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(_words(F.col("text"))).alias("token"))
+    regs = hll_registers(toks, ("lang",), "token", p=_HLL_P)
+    out = hll_estimate(regs, ("lang",), p=_HLL_P)
+    return out.select("lang", _vr(F.col("est")).alias("est_r"),
+                      "v_zero", "reg_sum")
+
+
+_CMS_D, _CMS_W = 4, 1024
+_CMS_PROBES = ("the", "data", "quantum", "zzz-never-in-corpus")
+
+
+def _cms_oracle() -> str:
+    probes = ", ".join(f"({i}, '{t}')" for i, t in enumerate(_CMS_PROBES))
+    useed = ("CAST(CAST(gh2.h AS HUGEINT) + CASE WHEN gh2.h < 0 "
+             f"THEN CAST({1 << 64} AS HUGEINT) ELSE 0 END AS UBIGINT)")
+    useed_c = useed.replace("gh2", "gh")
+    return f"""WITH RECURSIVE
+        w AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+              FROM documents),
+        cagg AS (SELECT token, count(*) AS cnt FROM w GROUP BY token),
+        strs AS (SELECT token AS s FROM cagg),
+        {xxh64_str_ctes('strs', ('s',), 's', out='gh')},
+        hsrc AS (SELECT gh.s AS token, i.r AS r, CAST(i.r AS BIGINT) AS val,
+                        {useed_c} AS seed
+                 FROM gh CROSS JOIN generate_series(0, {_CMS_D - 1}) i(r)),
+        {hash_long_ctes('hsrc', ('token', 'r'), 'val', 'seed', 'rh', '__c')},
+        cells AS (SELECT rh.r, CAST(rh.h % {_CMS_W} AS INT) AS c,
+                         sum(cagg.cnt) AS cnt
+                  FROM rh JOIN cagg ON cagg.token = rh.token
+                  GROUP BY rh.r, c),
+        pstrs AS (SELECT s FROM (VALUES {probes}) p(i, s)),
+        {xxh64_str_ctes('pstrs', ('s',), 's', out='gh2', pfx='__y')},
+        phsrc AS (SELECT gh2.s AS token, i.r AS r, CAST(i.r AS BIGINT) AS val,
+                         {useed} AS seed
+                  FROM gh2 CROSS JOIN generate_series(0, {_CMS_D - 1}) i(r)),
+        {hash_long_ctes('phsrc', ('token', 'r'), 'val', 'seed', 'prh', '__d')},
+        probe AS (SELECT prh.token,
+                         min(coalesce(cells.cnt, 0)) AS est
+                  FROM prh LEFT JOIN cells
+                    ON cells.r = prh.r AND cells.c = CAST(prh.h % {_CMS_W} AS INT)
+                  GROUP BY prh.token)
+        SELECT p.token, CAST(p.est AS BIGINT) AS est,
+               CAST(coalesce(cagg.cnt, 0) AS BIGINT) AS exact
+        FROM probe p LEFT JOIN cagg ON cagg.token = p.token"""
+
+
+@register("text_cms_probe", _cms_oracle)
+def text_cms_probe(spark, sf_dir):
+    """Count-min-sketch word frequencies (pipeline.sketch): additive d x w
+    cell grid — the shuffle key space is the 4x1024 grid, not the
+    vocabulary — probed for a fixed token list with est = min over rows.
+    One-sided by construction (est >= exact, asserted in tests); probe
+    positions come from the driver-side py_xxh64 chain, bit-identical to
+    Spark's multi-arg xxhash64 and to the SQL replica."""
+    from opentsdb_spark.pipeline.sketch import cms_cells, cms_estimate
+
+    from opentsdb_spark.pipeline.text import _words
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(_words(F.col("text"))).alias("token"))
+    cells = cms_cells(toks, "token", d=_CMS_D, w=_CMS_W)
+    est = cms_estimate(cells, list(_CMS_PROBES), d=_CMS_D, w=_CMS_W)
+    exact = (
+        toks.where(F.col("token").isin(list(_CMS_PROBES)))
+        .groupBy("token").agg(F.count("*").alias("exact"))
+    )
+    probes_df = F.broadcast(
+        spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string"))
+    return (
+        probes_df.join(est, on="token", how="left")
+        .join(exact, on="token", how="left")
+        .select("token", F.coalesce(F.col("est"), F.lit(0)).alias("est"),
+                F.coalesce(F.col("exact"), F.lit(0)).alias("exact"))
+    )
+
+
 @register(
     "text_ccnet_buckets",
     rf"""WITH w AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS w

@@ -51,6 +51,10 @@ QUERIES = [
     "dedup_bloom_decontaminate",
     "tsdb_rate_ds_sum",
     "corpus_dedup_pipeline",
+    "embed_pca_project",
+    "tsdb_ds_1h_p95_binned",
+    "text_hll_distinct",
+    "text_cms_probe",
 ]
 
 
