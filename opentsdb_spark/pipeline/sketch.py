@@ -57,36 +57,31 @@ def hll_registers(
     value_col: str,
     p: int = 10,
 ) -> DataFrame:
-    """Dense HLL register array per group: (group_cols..., bucket, r) with
-    exactly 2^p rows per group (absent buckets materialized as r = 0).
+    """SPARSE HLL registers per group: (group_cols..., bucket, r) with one
+    row per OCCUPIED bucket (r >= 1 always; empty buckets are implicit —
+    hll_estimate folds them back in arithmetically, so no 2^p-row grid is
+    ever materialized).
 
     One narrow map computes (bucket, rho) per row; the only shuffle is the
     groupBy(group, bucket) max — partial-aggregated map-side, key space
     bounded by groups x 2^p. Duplicate values are absorbed by max(), so no
-    distinct (= no vocabulary-sized shuffle) ever runs."""
+    distinct (= no vocabulary-sized shuffle) ever runs. The max aggregate
+    is also streaming-legal: this same frame works as a watermarked
+    windowed aggregation."""
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
     m = 1 << p
     rest = 64 - p
     h = F.xxhash64(F.col(value_col))
     v = F.shiftright(h, p).bitwiseAND(F.lit((1 << rest) - 1))
-    regs = (
+    return (
         df.select(
             *group_cols,
-            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("bucket"),
             _rank_expr(v, rest),
         )
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("r"))
-    )
-    grid = (
-        df.select(*group_cols).distinct()
-        .crossJoin(F.broadcast(
-            df.sparkSession.range(m).select(F.col("id").cast("int").alias("bucket"))))
-    )
-    return (
-        grid.join(regs, on=[*group_cols, "bucket"], how="left")
-        .withColumn("r", F.coalesce(F.col("r"), F.lit(0)))
     )
 
 
@@ -95,27 +90,32 @@ def hll_estimate(
     group_cols: tuple[str, ...],
     p: int = 10,
 ) -> DataFrame:
-    """Fold a dense register frame into the HLL cardinality estimate:
-    (group_cols..., est, v_zero, reg_sum). alpha_m for m >= 128, with the
-    small-range linear-counting correction (E <= 2.5m and empty registers
-    present -> m * ln(m / V)); the 32-bit large-range correction does not
-    apply to a 64-bit hash."""
+    """Fold a sparse register frame into the HLL cardinality estimate:
+    (group_cols..., est, v_zero, reg_sum). The 2^p - #occupied empty
+    registers enter the harmonic sum as 2^0 terms and the zero count
+    arithmetically — identical numbers to a dense grid without ever
+    building one. alpha_m for m >= 128, with the small-range
+    linear-counting correction (E <= 2.5m and empty registers present ->
+    m * ln(m / V)); the 32-bit large-range correction does not apply to a
+    64-bit hash."""
     m = 1 << p
     if m < 128:
         raise ValueError("estimate constants assume m >= 128 (p >= 7)")
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = registers.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("__z"),
-        F.sum((F.col("r") == 0).cast("long")).alias("v_zero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("__zo"),
+        F.count("*").alias("__occ"),
         F.sum("r").alias("reg_sum"),
-        F.count("*").alias("__m"),
     )
-    raw = F.lit(alpha * m * m) / F.col("__z")
+    v_zero = F.lit(m) - F.col("__occ")
+    z = F.col("__zo") + v_zero.cast("double")
+    raw = F.lit(alpha * m * m) / z
     est = F.when(
-        (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
     ).otherwise(raw)
-    return agg.select(*group_cols, est.alias("est"), "v_zero", "reg_sum")
+    return agg.select(*group_cols, est.alias("est"),
+                      v_zero.alias("v_zero"), "reg_sum")
 
 
 def cms_cells(

@@ -1383,7 +1383,9 @@ def test_hll_estimate_accuracy_and_idempotence(spark):
     rows = [("g", f"value-{i}") for i in range(n)]
     df = spark.createDataFrame(rows, "g string, v string")
     regs = hll_registers(df, ("g",), "v", p=10)
-    assert regs.count() == 1024  # dense grid
+    # sparse: only occupied buckets, every row rank >= 1
+    assert regs.count() <= 1024
+    assert regs.where("r < 1").count() == 0
     [r] = hll_estimate(regs, ("g",), p=10).collect()
     assert abs(r["est"] - n) / n < 3 * 1.04 / (1024 ** 0.5)
     # feeding every value 3x changes nothing (max is idempotent)
