@@ -683,3 +683,57 @@ def test_streaming_sessions(spark):
         assert s2["n_events"] == 1 and abs(s2["sum_value"] - 5.0) < 1e-9
         # session window = [first_event, last_event + gap)
         assert (s1["session_end"] - s1["last_ts"]).total_seconds() == 1800
+
+
+def test_streaming_hll_registers(spark):
+    """The sparse HLL register build (pipeline.sketch.hll_registers) is a
+    plain watermarked max aggregate, so it runs unchanged as a Structured
+    Streaming windowed aggregation: append mode emits each window's
+    registers once the watermark closes it, and hll_estimate over the
+    materialized sink equals the batch pipeline on the same rows."""
+    import json as _json
+
+    from opentsdb_spark.pipeline.sketch import hll_estimate, hll_registers
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "toks")
+        os.makedirs(src)
+        rows = [{"t": EPOCH + i, "token": f"tok{i % 57}"} for i in range(500)]
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("t long, token string").json(src)
+            .select(F.timestamp_seconds("t").alias("ts"), "token")
+            .withWatermark("ts", "10 seconds")
+            .select(F.window("ts", "1 hour").alias("w"), "token")
+        )
+        regs = hll_registers(stream, ("w",), "token", p=10)
+        q = (
+            regs.writeStream.format("memory").outputMode("append")
+            .queryName("hll_regs")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            with open(os.path.join(src, "b2.json"), "w") as f:
+                f.write(_json.dumps({"t": EPOCH + 7200, "token": "flush"}) + "\n")
+            q.processAllAvailable()
+            sink = spark.sql(
+                f"SELECT w, bucket, r FROM hll_regs "
+                f"WHERE w.start = timestamp_seconds({EPOCH})")
+            [got] = hll_estimate(sink, ("w",), p=10).collect()
+        finally:
+            q.stop()
+        batch = spark.createDataFrame(
+            [(r["token"],) for r in rows], "token string"
+        ).withColumn("g", F.lit("x"))
+        [want] = hll_estimate(
+            hll_registers(batch, ("g",), "token", p=10), ("g",), p=10
+        ).collect()
+        assert got["est"] == want["est"]
+        assert got["v_zero"] == want["v_zero"]
+        assert got["reg_sum"] == want["reg_sum"]
+        # sanity: 57 distinct tokens, estimate in range
+        assert abs(want["est"] - 57) / 57 < 0.15
