@@ -1498,8 +1498,8 @@ from opentsdb_spark.pipeline.dedup import (  # noqa: E402
     ngram_jaccard_pairs, simhash_pairs,
 )
 from opentsdb_spark.pipeline.multimodal import (  # noqa: E402
-    byte_stats, docs_as_media, docs_as_raw_images, docs_as_raw_video, extract_features,
-    resize_images, sample_frames,
+    byte_stats, dhash_dup_pairs, dhash_images, docs_as_media, docs_as_raw_images,
+    docs_as_raw_video, extract_features, resize_images, sample_frames,
 )
 from opentsdb_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk, dequantized_view, embedding_stats, lsh_topk, quantize_embeddings,
@@ -2746,6 +2746,72 @@ def multimodal_frames(spark, sf_dir):
         "media_id", "frame_idx", "frame_ts_ms", "n_bytes",
         _vr(F.col("byte_mean")).alias("byte_mean_r"),
     )
+
+
+def _dhash_ctes() -> str:
+    # Pixel-exact SQL replica of pipeline.multimodal.dhash_images over the
+    # raw gray8 wrapping of documents.text: NN-resize the 24x16 blob to 9x8
+    # with the same floor-index map, set bit r*8+c iff px[r][c] < px[r][c+1],
+    # and fold to a signed 64-bit value (bit 63 is the sign bit — added as
+    # the min-long literal, same trick as the SimHash oracle above).
+    hw, hh = 8, 8
+    ow, oh = hw + 1, hh
+    n = _IMG_W * _IMG_H
+    return f"""
+        grid AS (SELECT r.i AS r, c.i AS c
+                 FROM range({oh}) AS r(i) CROSS JOIN range({ow}) AS c(i)),
+        px AS (SELECT d.doc_id, g.r, g.c,
+                      ord(substr(rpad(substr(d.text, 1, {n}), {n}, ' '),
+                          CAST((g.r * {_IMG_H}) // {oh} AS INT) * {_IMG_W}
+                            + CAST((g.c * {_IMG_W}) // {ow} AS INT) + 1, 1)) AS b
+               FROM documents d CROSS JOIN grid g),
+        bits AS (SELECT l.doc_id, l.r * {hw} + l.c AS bitpos,
+                        CASE WHEN l.b < rt.b THEN 1 ELSE 0 END AS bit
+                 FROM px l JOIN px rt ON l.doc_id = rt.doc_id AND l.r = rt.r
+                                      AND rt.c = l.c + 1
+                 WHERE l.c < {hw}),
+        dh AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN bit = 1 AND bitpos < 63
+                                    THEN (1::BIGINT << bitpos) ELSE 0 END)
+                           + max(CASE WHEN bit = 1 AND bitpos = 63 THEN 1 ELSE 0 END)
+                             * (-9223372036854775807 - 1) AS BIGINT) AS dhash
+               FROM bits GROUP BY doc_id)"""
+
+
+@register(
+    "multimodal_dhash",
+    f"""WITH {_dhash_ctes()}
+        SELECT doc_id AS media_id, dhash FROM dh""",
+)
+def multimodal_dhash(spark, sf_dir):
+    """64-bit perceptual dHash per raw gray8 image, hash-checked bit-for-bit:
+    the oracle recomputes every resized pixel and gradient bit in SQL, so one
+    flipped bit anywhere flips the value hash (pipeline/multimodal.py
+    dhash_images; reference-style media plumbing with decode honestly
+    stubbed)."""
+    media = docs_as_raw_images(_docs(spark, sf_dir), _IMG_W, _IMG_H)
+    return dhash_images(media)
+
+
+@register(
+    "multimodal_dhash_pairs",
+    f"""WITH {_dhash_ctes()},
+        band AS (SELECT doc_id, dhash, t.b, (dhash >> (t.b * 16)) & 65535 AS bh
+                 FROM dh CROSS JOIN generate_series(0, 3) t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.dhash AS ha, b.dhash AS hb
+                 FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                        AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 6""",
+)
+def multimodal_dhash_pairs(spark, sf_dir):
+    """Perceptual near-duplicate image pairs (dHash + 16-bit band LSH + exact
+    Hamming verify). The oracle replicates the banding too, so the candidate
+    recall contract — not just the verify — is value-checked, same shape as
+    dedup_simhash."""
+    media = docs_as_raw_images(_docs(spark, sf_dir), _IMG_W, _IMG_H)
+    return dhash_dup_pairs(media, max_hamming=6)
 
 
 @register(

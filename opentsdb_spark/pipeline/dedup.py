@@ -407,20 +407,37 @@ def simhash_pairs(
     The 8-byte-per-doc simhash frame feeds the bucket-cap semi-join and both
     self-join sides — persisted so tokenize+hash runs once (_persist_small)."""
     sh = _persist_small(simhash(docs, content_col, id_col, hash_fn), persist)
-    banded = sh.select(
-        id_col, "simhash",
+    return band_pairs_64(sh, "simhash", id_col, max_hamming, max_bucket)
+
+
+def band_pairs_64(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Hamming-near pairs over any 64-bit hash column (SimHash, image dHash,
+    ...): candidates collide on one of four 16-bit bands, verified by exact
+    ``bit_count(xor)``. Exhaustive for max_hamming <= 3 (pigeonhole over 4
+    bands). NULL hashes (e.g. malformed media rows) never pair. Shuffle is
+    keyed by 4-byte band buckets over an (id, hash) frame — 16 bytes/doc —
+    so the candidate stage never moves payloads, matching the SimHash scale
+    shape however wide the corpus rows are."""
+    banded = hashes.where(F.col(hash_col).isNotNull()).select(
+        id_col, hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                        F.shiftright(hash_col, b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
                     )
                     for b in range(4)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bh")
+    ).select(id_col, hash_col, "bb.band", "bb.bh")
     if max_bucket is not None:
         keep = (
             banded.groupBy("band", "bh").count()
@@ -428,8 +445,8 @@ def simhash_pairs(
             .select("band", "bh")
         )
         banded = banded.join(keep, on=["band", "bh"], how="leftsemi")
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "band", "bh")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("ha"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("hb"), "band", "bh")
     cands = (
         a.join(b, on=["band", "bh"]).where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "ha", "hb").distinct()

@@ -300,6 +300,97 @@ BYTE_STATS_SCHEMA = T.StructType(
 )
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def dhash_images(media: DataFrame, hash_w: int = 8, hash_h: int = 8,
+                 codec: str = "raw") -> DataFrame:
+    """64-bit perceptual difference-hash (dHash) per raw gray8 image.
+
+    NN-resizes each blob to ``(hash_w+1) x hash_h`` with the same floor-index
+    map as ``resize_images``, then sets bit ``r*hash_w + c`` iff
+    ``px[r][c] < px[r][c+1]`` (strict, row-major). Returns
+    ``(media_id, dhash)`` with dhash as a signed 64-bit two's-complement
+    BIGINT so the hash survives Parquet/SQL round-trips; malformed blobs
+    (NULL media, missing dims, length != w*h) come back with dhash NULL so
+    they are visible, never silently dropped, and never pair downstream.
+
+    codec='real' (JPEG/PNG decode via PIL) is stubbed — not in this
+    container; the raw-codec path is the fully implemented contract.
+
+    Scale shape: one Arrow-batched mapInPandas over (id, blob, dims) — a
+    narrow map stage, no shuffle; output is 16 bytes/image. Near-dup pairing
+    over the hashes (``dhash_dup_pairs``) then works on the tiny hash frame
+    only. Mirrors reference-style media plumbing the same way resize does
+    (decode honestly stubbed, plumbing real)."""
+    if codec == "real":
+        raise NotImplementedError(
+            "encoded-image dhash needs PIL, not shipped in this container; "
+            "use codec='raw' for raw gray8 buffers"
+        )
+    if codec != "raw":
+        raise ValueError(f"unknown codec {codec!r}")
+    out_w, out_h = hash_w + 1, hash_h
+    if hash_w * hash_h > 64:
+        raise ValueError("hash_w*hash_h must fit in 64 bits")
+    sel = media.select("media_id", "media", "meta.width", "meta.height")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (np.uint64(1) << np.arange(hash_w * hash_h, dtype=np.uint64))
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, blob, w, h in zip(
+                pdf["media_id"], pdf["media"], pdf["width"], pdf["height"]
+            ):
+                ids.append(mid)
+                if (
+                    blob is None or pd.isna(w) or pd.isna(h)
+                    or len(blob) != int(w) * int(h)
+                ):
+                    hashes.append(None)
+                    continue
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8).reshape(int(h), int(w))
+                g = _nn_resize(arr, out_w, out_h)
+                bits = (g[:, :-1] < g[:, 1:]).reshape(-1)
+                val = (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+                hashes.append(int(val.astype(np.int64)))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "dhash": pd.Series(hashes, dtype="object")}
+            )
+
+    return sel.mapInPandas(gen, schema=DHASH_SCHEMA)
+
+
+def dhash_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash -> 16-bit band buckets ->
+    exact Hamming verify, sharing the SimHash band machinery
+    (pipeline.dedup.band_pairs_64). Returns (id_a, id_b, hamming).
+
+    Scale shape: the only shuffle is over the 16-byte (id, dhash) frame; the
+    image bytes never leave the hash map stage."""
+    from opentsdb_spark.pipeline.dedup import band_pairs_64
+
+    hashes = dhash_images(media, hash_w=hash_w, hash_h=hash_h)
+    return band_pairs_64(
+        hashes, "dhash", id_col="media_id",
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
 def byte_stats(frames: DataFrame, blob_col: str = "media") -> DataFrame:
     """Per-row byte count + mean of a binary column, keyed by media_id (and
     frame_idx/frame_ts_ms when present — absent key columns come back NULL).

@@ -634,6 +634,60 @@ def test_sample_frames_raw(spark):
         sample_frames(media, 120, codec="real")
 
 
+def test_dhash_images_raw(spark):
+    import numpy as np
+
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, dhash_images
+
+    # 9x8 source == the dHash grid itself: resize is identity, so the
+    # expected bits are directly readable from the source gradient signs.
+    w, h = 9, 8
+    rng = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    rng[:, ::2] = 255 - rng[:, ::2]  # alternate so bits aren't all-ones
+    blob = rng.tobytes()
+    rows = [
+        (0, "image", bytearray(blob), ("image/x-raw-gray8", w, h, None)),
+        (1, "image", bytearray(b"\x01" * 5), ("image/x-raw-gray8", w, h, None)),  # bad len
+        (2, "image", bytearray(blob), (None, None, None, None)),  # no dims
+        (3, "image", None, ("image/x-raw-gray8", w, h, None)),  # null blob
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r["dhash"] for r in dhash_images(media).collect()}
+    bits = (rng[:, :-1] < rng[:, 1:]).reshape(-1)
+    want = int(
+        (bits.astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+        .sum(dtype=np.uint64).astype(np.int64)
+    )
+    assert out[0] == want
+    # malformed rows come back NULL-hashed, visible, never silently dropped
+    assert out[1] is None and out[2] is None and out[3] is None
+    assert len(out) == 4
+    with pytest.raises(NotImplementedError):
+        dhash_images(media, codec="real")
+
+
+def test_dhash_dup_pairs(spark):
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, dhash_dup_pairs
+
+    w, h = 9, 8
+    base = bytes(([0, 255] * 40)[: w * h])  # strong alternating gradient
+    flip = bytearray(base)
+    # flips bit 0 only (255<0 F vs 0<255 T; bit 1 compares px1<px2 = F both
+    # before and after) -> hamming 1
+    flip[0], flip[1] = 255, 0
+    far = bytes(([255, 0] * 40)[: w * h])  # inverse pattern: far from base
+    rows = [
+        (0, "image", bytearray(base), ("image/x-raw-gray8", w, h, None)),
+        (1, "image", bytearray(flip), ("image/x-raw-gray8", w, h, None)),
+        (2, "image", bytearray(far), ("image/x-raw-gray8", w, h, None)),
+        (3, "image", None, ("image/x-raw-gray8", w, h, None)),  # null never pairs
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dhash_dup_pairs(media, max_hamming=3).collect()}
+    assert got == {(0, 1): 1}
+
+
 def test_vocab_topk(spark):
     from opentsdb_spark.pipeline.text import vocab_topk
 
