@@ -1494,8 +1494,9 @@ def ingest_put_roundtrip(spark, sf_dir):
 # ===================================== training-data pipeline operators =====
 
 from opentsdb_spark.pipeline.dedup import (  # noqa: E402
-    embedding_dup_pairs, exact_dedup, md5_hash64, minhash_lsh_pairs, minhash_xor_constant,
-    ngram_jaccard_pairs, simhash_pairs,
+    embedding_dup_pairs, exact_dedup, incremental_dedup_minhash, md5_hash64,
+    minhash_lsh_pairs, minhash_signature, minhash_xor_constant, ngram_jaccard_pairs,
+    simhash_pairs,
 )
 from opentsdb_spark.pipeline.multimodal import (  # noqa: E402
     byte_stats, dhash_dup_pairs, dhash_images, docs_as_media, docs_as_raw_images,
@@ -2159,8 +2160,10 @@ from opentsdb_spark.pipeline.xxh64_sql import (  # noqa: E402
 )
 
 
-def _minhash_xxh_oracle(num_hashes: int, bands: int, shingle_n: int,
-                        threshold: float) -> str:
+def _minhash_sig_band_prefix(num_hashes: int, bands: int, shingle_n: int) -> str:
+    # Shared oracle prefix: XXH64 shingle hashes -> `sig` (doc_id, sig[])
+    # -> `band` (doc_id, b, bh) over ALL documents. Callers append their own
+    # candidate/verify CTEs; must be placed inside a WITH RECURSIVE.
     r = num_hashes // bands
     n1 = shingle_n - 1
     mins = ", ".join(
@@ -2172,7 +2175,7 @@ def _minhash_xxh_oracle(num_hashes: int, bands: int, shingle_n: int,
         fold.append(hash_long_ctes(src, band_ids, f"v{j}", "h", f"__f{j}", f"__p{j}"))
         src = f"__f{j}"
     vcols = ", ".join(f"s.sig[t.b*{r}+{j + 1}] AS v{j}" for j in range(r))
-    return f"""WITH RECURSIVE
+    return f"""
         w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
         g AS (SELECT doc_id, list_distinct(list_transform(
                 generate_series(1, greatest(len(w) - {n1}, 0)),
@@ -2186,18 +2189,85 @@ def _minhash_xxh_oracle(num_hashes: int, bands: int, shingle_n: int,
         bandsrc AS (SELECT s.doc_id, t.b, {vcols}, CAST(42 AS UBIGINT) AS h
                     FROM sig s CROSS JOIN generate_series(0, {bands - 1}) t(b)),
         {','.join(fold)},
-        band AS (SELECT doc_id, b, h AS bh FROM {src}),
+        band AS (SELECT doc_id, b, h AS bh FROM {src})"""
+
+
+def _agree_est(sa: str, sb: str, num_hashes: int) -> str:
+    return (f"CAST(len(list_filter(generate_series(1, {num_hashes}), "
+            f"i -> {sa}.sig[i] = {sb}.sig[i])) AS DOUBLE) / {float(num_hashes)!r}")
+
+
+def _minhash_xxh_oracle(num_hashes: int, bands: int, shingle_n: int,
+                        threshold: float) -> str:
+    return f"""WITH RECURSIVE
+        {_minhash_sig_band_prefix(num_hashes, bands, shingle_n)},
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
                                         AND a.doc_id < b.doc_id),
         est AS (SELECT c.id_a, c.id_b,
-                       CAST(len(list_filter(generate_series(1, {num_hashes}),
-                                            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
-                         / {float(num_hashes)!r} AS est
+                       {_agree_est('sa', 'sb', num_hashes)} AS est
                 FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
                             JOIN sig sb ON sb.doc_id = c.id_b)
         SELECT id_a, id_b, {RND.format('est')} AS est_jaccard_r
         FROM est WHERE est >= {threshold!r}"""
+
+
+def _incremental_xxh_oracle(num_hashes: int, bands: int, shingle_n: int,
+                            threshold: float) -> str:
+    # Batch = doc_id % 5 == 0, corpus = the rest; mirrors the documented
+    # incremental_dedup_minhash contract: best corpus match wins (highest
+    # est, ties to lowest id), else smallest matching smaller-id batch doc.
+    return f"""WITH RECURSIVE
+        {_minhash_sig_band_prefix(num_hashes, bands, shingle_n)},
+        nband AS (SELECT * FROM band WHERE doc_id % 5 = 0),
+        cband AS (SELECT * FROM band WHERE doc_id % 5 <> 0),
+        cand_c AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+                   FROM nband n JOIN cband c ON n.b = c.b AND n.bh = c.bh),
+        ver_c AS (SELECT k.nid, k.cid, {_agree_est('sn', 'sc', num_hashes)} AS est
+                  FROM cand_c k JOIN sig sn ON sn.doc_id = k.nid
+                                JOIN sig sc ON sc.doc_id = k.cid),
+        best_c AS (SELECT nid, cid, est FROM (
+                     SELECT nid, cid, est,
+                            row_number() OVER (PARTITION BY nid
+                                               ORDER BY est DESC, cid) AS rn
+                     FROM ver_c WHERE est >= {threshold!r})
+                   WHERE rn = 1),
+        cand_b AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS nid
+                   FROM nband a JOIN nband b ON a.b = b.b AND a.bh = b.bh
+                                            AND a.doc_id < b.doc_id),
+        ver_b AS (SELECT k.nid, k.bid, {_agree_est('sn', 'sb', num_hashes)} AS est
+                  FROM cand_b k JOIN sig sn ON sn.doc_id = k.nid
+                                JOIN sig sb ON sb.doc_id = k.bid),
+        best_b AS (SELECT nid, min(bid) AS bid FROM ver_b
+                   WHERE est >= {threshold!r} GROUP BY nid)
+        SELECT d.doc_id,
+               (bc.cid IS NULL AND bb.bid IS NULL) AS keep,
+               CASE WHEN bc.cid IS NOT NULL THEN 'corpus'
+                    WHEN bb.bid IS NOT NULL THEN 'batch' END AS dup_kind,
+               CASE WHEN bc.cid IS NOT NULL THEN bc.cid ELSE bb.bid END AS dup_of,
+               CASE WHEN bc.cid IS NOT NULL
+                    THEN {RND.format('bc.est')} END AS est_jaccard_r
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        LEFT JOIN best_c bc ON bc.nid = d.doc_id
+        LEFT JOIN best_b bb ON bb.nid = d.doc_id"""
+
+
+@register("dedup_incremental", _incremental_xxh_oracle(64, 16, 3, 0.35))
+def dedup_incremental(spark, sf_dir):
+    """Incremental batch-vs-corpus MinHash dedup: docs with doc_id % 5 == 0
+    arrive as the new batch, the rest are the already-indexed corpus whose
+    (id, signature) frame is the only corpus input. One verdict row per new
+    doc (keep / corpus-dup / batch-dup), hash-checked end to end against the
+    XXH64 SQL replica including the best-match tie-break."""
+    docs = _docs(spark, sf_dir)
+    corpus_sigs = minhash_signature(docs.where(F.col("doc_id") % 5 != 0))
+    out = incremental_dedup_minhash(
+        docs.where(F.col("doc_id") % 5 == 0), corpus_sigs, threshold=0.35
+    )
+    return out.select(
+        "doc_id", "keep", "dup_kind", "dup_of",
+        _vr(F.col("est_jaccard")).alias("est_jaccard_r"),
+    )
 
 
 @register("dedup_minhash_lsh", _minhash_xxh_oracle(64, 16, 3, 0.35))

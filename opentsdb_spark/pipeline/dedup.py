@@ -16,7 +16,7 @@ survives a 100×  scale-up.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -295,24 +295,7 @@ def minhash_lsh_pairs(
     sigs = _persist_small(
         minhash_signature(docs, content_col, id_col, num_hashes, shingle_n, hash_fn), persist
     )
-
-    def _band_hash(sl):
-        if hash_fn is None:
-            return F.xxhash64(sl)
-        return hash_fn(F.array_join(F.transform(sl, lambda x: x.cast("string")), ","))
-
-    banded = sigs.select(
-        id_col,
-        "signature",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"), _band_hash(F.slice("signature", b * r + 1, r)).alias("bh")
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "signature", "bb.band", "bb.bh")
+    banded = minhash_band_keys(sigs, num_hashes, bands, id_col, hash_fn)
     # dedup candidates on bare id pairs (8B keys), then re-join the
     # signatures — dragging the 64-long signature arrays through the
     # distinct shuffle costs ~64x the row width for nothing
@@ -343,6 +326,133 @@ def minhash_lsh_pairs(
         pairs.withColumn("est_jaccard", _sig_agreement_udf(num_hashes)(F.col("sa"), F.col("sb")))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_band_keys(sigs: DataFrame, num_hashes: int, bands: int,
+                      id_col: str = "doc_id", hash_fn=None) -> DataFrame:
+    """Banded LSH keys (id, band, bh) derived from a signature frame.
+
+    The signature frame IS the persistable dedup index: band keys are a
+    cheap narrow projection (bands slices + hashes per row, no shuffle), so
+    an incremental pipeline saves only (id, signature) parquet and re-derives
+    band keys at join time instead of storing them x bands wide."""
+    r = num_hashes // bands
+
+    def _band_hash(sl):
+        if hash_fn is None:
+            return F.xxhash64(sl)
+        return hash_fn(F.array_join(F.transform(sl, lambda x: x.cast("string")), ","))
+
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), _band_hash(F.slice("signature", b * r + 1, r)).alias("bh")
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+
+
+def incremental_dedup_minhash(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+    persist: bool = True,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus MinHash index plus
+    itself — the production incremental shape: the corpus is never re-read
+    or re-shingled, only its saved (id, signature) frame joins in.
+
+    Per new doc the verdict is deterministic and one row wide:
+      - ``dup_kind='corpus'`` if any corpus signature agrees >= threshold;
+        ``dup_of`` = the best-matching corpus id (highest est_jaccard, ties
+        to the lowest id), ``est_jaccard`` = that match's estimate.
+      - else ``dup_kind='batch'`` if any SMALLER-id batch doc agrees >=
+        threshold (keep-first within the batch, regardless of whether the
+        smaller doc itself got dropped against the corpus — the standard
+        one-pass LSH rule, documented rather than chasing transitive
+        chains); ``dup_of`` = the smallest such id.
+      - else keep: ``keep=true``, kind/dup_of/est NULL. Docs too short to
+        shingle (< shingle_n words) have no signature and always keep.
+
+    Scale shape: batch signatures are computed once and persisted (the
+    batch is the small side — typically << corpus); both candidate joins
+    key on 8-byte (band, bh) pairs with bare ids, signatures re-join only
+    on verified candidates. Corpus cost is one scan of the signature
+    parquet, no text reprocessing."""
+    new_sigs = _persist_small(
+        minhash_signature(new_docs, content_col, id_col, num_hashes, shingle_n, hash_fn),
+        persist,
+    )
+    nb = minhash_band_keys(new_sigs, num_hashes, bands, id_col, hash_fn)
+    cb = minhash_band_keys(corpus_sigs, num_hashes, bands, id_col, hash_fn)
+    agree = _sig_agreement_udf(num_hashes)
+
+    nsig = new_sigs.select(F.col(id_col).alias("__nid"), F.col("signature").alias("__nsig"))
+
+    def _verify(cands: DataFrame, other_sigs: DataFrame, other_id: str) -> DataFrame:
+        osig = other_sigs.select(
+            F.col(id_col).alias(other_id), F.col("signature").alias("__osig")
+        )
+        return (
+            cands.join(nsig, on="__nid").join(osig, on=other_id)
+            .withColumn("est_jaccard", agree(F.col("__nsig"), F.col("__osig")))
+            .where(F.col("est_jaccard") >= threshold)
+        )
+
+    # --- vs corpus: best match per new doc --------------------------------
+    cand_c = (
+        nb.select(F.col(id_col).alias("__nid"), "band", "bh")
+        .join(cb.select(F.col(id_col).alias("__cid"), "band", "bh"), on=["band", "bh"])
+        .select("__nid", "__cid").distinct()
+    )
+    w = Window.partitionBy("__nid").orderBy(F.desc("est_jaccard"), F.asc("__cid"))
+    best_c = (
+        _verify(cand_c, corpus_sigs, "__cid")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__nid", F.col("__cid").alias("__corpus_of"),
+                F.col("est_jaccard").alias("__corpus_est"))
+    )
+    # --- within batch: smallest matching smaller id ------------------------
+    cand_b = (
+        nb.select(F.col(id_col).alias("__bid"), "band", "bh")
+        .join(nb.select(F.col(id_col).alias("__nid"), "band", "bh"), on=["band", "bh"])
+        .where(F.col("__bid") < F.col("__nid"))
+        .select("__nid", "__bid").distinct()
+    )
+    best_b = (
+        _verify(cand_b, new_sigs, "__bid")
+        .groupBy("__nid")
+        .agg(F.min("__bid").alias("__batch_of"))
+    )
+    out = (
+        new_docs.select(F.col(id_col).alias("__nid"))
+        .join(best_c, on="__nid", how="left")
+        .join(best_b, on="__nid", how="left")
+    )
+    kind = (
+        F.when(F.col("__corpus_of").isNotNull(), F.lit("corpus"))
+        .when(F.col("__batch_of").isNotNull(), F.lit("batch"))
+    )
+    return out.select(
+        F.col("__nid").alias(id_col),
+        kind.isNull().alias("keep"),
+        kind.alias("dup_kind"),
+        F.when(F.col("__corpus_of").isNotNull(), F.col("__corpus_of"))
+        .otherwise(F.col("__batch_of")).alias("dup_of"),
+        F.when(F.col("__corpus_of").isNotNull(), F.col("__corpus_est"))
+        .alias("est_jaccard"),
     )
 
 

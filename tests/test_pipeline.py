@@ -634,6 +634,40 @@ def test_sample_frames_raw(spark):
         sample_frames(media, 120, codec="real")
 
 
+def test_incremental_dedup_minhash(spark):
+    from opentsdb_spark.pipeline.dedup import (
+        incremental_dedup_minhash, minhash_signature,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    corpus = spark.createDataFrame(
+        [(100, base), (101, base + " tail tweak"), (102, "utterly different corpus words " * 5)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (5, base),                                # dup of corpus (best match 100)
+            (10, base),                               # dup of corpus too (not chained to 5)
+            (20, "fresh unseen content nothing alike " * 6),
+            (25, "fresh unseen content nothing alike " * 6),  # batch-dup of 20
+            (30, "one two"),                          # too short to shingle -> keep
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signature(corpus)
+    out = {r["doc_id"]: r for r in
+           incremental_dedup_minhash(batch, sigs, threshold=0.5).collect()}
+    assert len(out) == 5
+    assert out[5]["dup_kind"] == "corpus" and out[5]["dup_of"] == 100
+    assert out[5]["est_jaccard"] == 1.0 and not out[5]["keep"]
+    # corpus match wins over the batch match with doc 5
+    assert out[10]["dup_kind"] == "corpus" and out[10]["dup_of"] == 100
+    assert out[20]["keep"] and out[20]["dup_kind"] is None and out[20]["dup_of"] is None
+    assert out[25]["dup_kind"] == "batch" and out[25]["dup_of"] == 20
+    assert out[25]["est_jaccard"] is None  # est only reported for corpus matches
+    assert out[30]["keep"]  # no signature -> never a candidate
+
+
 def test_dhash_images_raw(spark):
     import numpy as np
 
