@@ -4009,6 +4009,42 @@ def text_vocab_top10_lang(spark, sf_dir):
     return vocab_topk_grouped(_docs(spark, sf_dir), k=10, group_col="lang")
 
 
+def _shard_assign_oracle(shard_tokens: int, n_buckets: int) -> str:
+    # One global cumsum over (bucket, h, doc_id) order — the oracle can
+    # afford the global sort the engine's two-phase form avoids; equality
+    # proves the two-phase offsets reproduce the exact global prefix sums.
+    signed = ("CAST(CASE WHEN h >= 9223372036854775808 "
+              "THEN CAST(h AS HUGEINT) - 18446744073709551616 "
+              "ELSE CAST(h AS HUGEINT) END AS BIGINT)")
+    return f"""WITH
+        t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+              FROM documents),
+        {hash_long_ctes('t', ('doc_id', 'n_tokens'), 'doc_id',
+                        'CAST(42 AS UBIGINT)', 'hh', '__sa')},
+        hs AS (SELECT doc_id, n_tokens, {signed} AS sh FROM hh),
+        b AS (SELECT doc_id, n_tokens, sh,
+                     ((sh % {n_buckets}) + {n_buckets}) % {n_buckets} AS bucket
+              FROM hs),
+        c AS (SELECT *, sum(n_tokens) OVER (ORDER BY bucket, sh, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+              FROM b)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(cum_before // {shard_tokens} AS BIGINT) AS shard
+        FROM c"""
+
+
+@register("sample_shard_assign", _shard_assign_oracle(4000, 32))
+def sample_shard_assign(spark, sf_dir):
+    """Token-balanced output sharding (pipeline.sampling.shard_assign): the
+    exact global running sum via per-bucket offsets + within-bucket windows,
+    hash-checked against a single global-cumsum oracle — so the distributed
+    two-phase form is proven identical to the sequential definition."""
+    from opentsdb_spark.pipeline.sampling import shard_assign
+
+    return shard_assign(_docs(spark, sf_dir), shard_tokens=4000, n_buckets=32)
+
+
 def _class_balance_oracle() -> str:
     # Spark's xxhash64(BIGINT) (seed 42) via the hash_long SQL replica; the
     # UBIGINT output reinterprets to Spark's signed BIGINT for ordering.

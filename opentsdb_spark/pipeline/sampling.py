@@ -359,6 +359,94 @@ def token_budget_select(
     )
 
 
+def shard_assign(
+    docs: DataFrame,
+    shard_tokens: int,
+    n_buckets: int = 1024,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document to an output shard of ~``shard_tokens`` tokens,
+    deterministically — the "write the corpus as N balanced training files"
+    step. Docs are laid out in the global order (bucket, xxhash64(id), id)
+    (i.e. hash-shuffled, so shards are unbiased samples of the corpus) and a
+    shard boundary falls every ``shard_tokens`` tokens of running sum; a doc
+    straddling a boundary stays in the shard where it started, so shards
+    overshoot by at most one document.
+
+    100 TB shape: the exact global running sum WITHOUT a global sort. The
+    cumsum splits two-phase like ``token_budget_select``: (1) per-bucket
+    token totals — a map-side-combinable groupBy bounded at ``n_buckets``
+    rows — carry the cross-bucket offsets (the one single-task window runs
+    over that bounded frame only, never over docs); (2) each doc ranks
+    within its own hash bucket (window partitioned by bucket over 24-byte
+    rows), and cum_before = bucket offset + within-bucket prefix. Raise
+    ``n_buckets`` so corpus_tokens / n_buckets stays executor-sized.
+
+    Returns (id, n_tokens, bucket, shard).
+    """
+    from pyspark.sql import Window
+
+    toks = F.coalesce(
+        F.regexp_count(F.col(content_col), F.lit(r"\S+")), F.lit(0)
+    ).cast("long")
+    base = docs.select(
+        id_col,
+        toks.alias("n_tokens"),
+        F.xxhash64(F.col(id_col)).alias("__h"),
+    ).withColumn("bucket", F.pmod(F.col("__h"), F.lit(n_buckets)))
+    per_bucket = base.groupBy("bucket").agg(F.sum("n_tokens").alias("__tok_sum"))
+    wo = Window.orderBy("bucket")  # bounded: exactly n_buckets rows
+    offsets = per_bucket.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__tok_sum").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("bucket", "__offset")
+    wb = Window.partitionBy("bucket").orderBy(F.asc("__h"), F.asc(id_col))
+    cum = (
+        base.join(F.broadcast(offsets), on="bucket")
+        .withColumn(
+            "__within",
+            F.coalesce(
+                F.sum("n_tokens").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__cum_before", F.col("__offset") + F.col("__within"))
+    )
+    return cum.select(
+        id_col, "n_tokens", "bucket",
+        F.expr(f"__cum_before DIV {int(shard_tokens)}").alias("shard"),
+    )
+
+
+def write_token_shards(
+    docs: DataFrame,
+    out_dir: str,
+    shard_tokens: int,
+    n_buckets: int = 1024,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the corpus as token-balanced parquet shards: join the
+    ``shard_assign`` verdicts back to the full rows and write parquet
+    partitioned by ``shard`` (each shard directory is one ~shard_tokens
+    training file set). Returns the shard manifest (shard, n_docs,
+    n_tokens) computed from the SAME assignment frame that was written.
+
+    The assignment frame is 32 bytes/doc; the payload-wide join is the only
+    full-width stage and flows straight into the writer — no extra
+    shuffle beyond the partitioned write itself."""
+    assigned = shard_assign(docs, shard_tokens, n_buckets, content_col, id_col)
+    joined = docs.join(assigned.select(id_col, "shard"), on=id_col)
+    joined.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+
+
 def class_balance(
     df: DataFrame,
     label_col: str = "label",

@@ -634,6 +634,44 @@ def test_sample_frames_raw(spark):
         sample_frames(media, 120, codec="real")
 
 
+def test_shard_assign_and_writer(spark, tmp_path):
+    from opentsdb_spark.pipeline.sampling import shard_assign, write_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, ("tok " * (i % 7 + 1)).strip()) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = shard_assign(docs, shard_tokens=50, n_buckets=8).collect()
+    assert len(out) == 200
+    # the exact running sum is pinned by the sample_shard_assign oracle;
+    # here assert the order-independent invariants: shard token totals
+    # stay within one straddling doc of the budget
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r["shard"], []).append(r["n_tokens"])
+    sizes = {s: sum(v) for s, v in sorted(per_shard.items())}
+    # every shard except the last holds >= budget only via its straddling
+    # doc: size < budget + max_doc_tokens; all non-final shards >= budget
+    last = max(sizes)
+    for s, tot in sizes.items():
+        assert tot < 50 + 7
+        if s != last:
+            assert tot >= 50 - 7  # boundary doc counted in the earlier shard
+    assert sum(sizes.values()) == sum(r["n_tokens"] for r in out)
+    # shards are contiguous 0..last
+    assert sorted(sizes) == list(range(last + 1))
+
+    # writer sink round-trip: partitioned parquet + manifest agree
+    path = str(tmp_path / "shards")
+    manifest = {r["shard"]: (r["n_docs"], r["n_tokens"])
+                for r in write_token_shards(docs, path, 50, n_buckets=8).collect()}
+    back = spark.read.parquet(path)
+    got = {r["shard"]: r["n"] for r in back.groupBy("shard").agg(
+        F.count("*").alias("n")).collect()}
+    assert {s: n for s, (n, _) in manifest.items()} == got
+    assert back.count() == 200 and set(back.columns) == {"doc_id", "text", "shard"}
+
+
 def test_incremental_dedup_minhash(spark):
     from opentsdb_spark.pipeline.dedup import (
         incremental_dedup_minhash, minhash_signature,
