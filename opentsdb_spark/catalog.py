@@ -4234,7 +4234,11 @@ _PRIORITY = [
     # (dedup_embedding_cosine rotates out for dedup_semantic — the SemDeDup
     # entry covers the same pairwise-cosine machinery PLUS cell assignment;
     # the LSH-bucketed variant stays verified by the full-catalog run)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_minhash_md5",
+    # (dedup_minhash_md5 rotates out for dedup_incremental — the incremental
+    # entry runs the same xxhash64 MinHash signature/band/verify machinery
+    # PLUS the batch-vs-corpus verdict logic; the md5 variant stays verified
+    # by the full-catalog oracle run)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_incremental",
     "dedup_semantic", "dedup_substring",
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
     # for the corpus-wide paragraph dedup — token counting is also exercised
@@ -4243,9 +4247,14 @@ _PRIORITY = [
     # langid shares the codegen-signal machinery with text_quality, and the
     # brute-force ANN baseline anchors the LSH/IVF recall tests; both stay
     # verified by the local full-catalog oracle run)
-    "text_quality", "text_paragraph_dedup", "text_fingerprint_md5",
+    # (text_fingerprint_md5 and multimodal_bytes rotate out for the round-6c
+    # families — fingerprinting is pinned by the xxhash64 text_fingerprint
+    # entry in the full-catalog run, and byte-stats decode is a strict
+    # subset of the dhash plumbing; sample_shard_assign pins the two-phase
+    # global-cumsum machinery end to end)
+    "text_quality", "text_paragraph_dedup", "sample_shard_assign",
     "ann_lsh_top5", "ann_ivf_fixed_top5",
-    "multimodal_bytes",
+    "multimodal_dhash_pairs",
     # round-6 families: temporal joins/sessions, CCNet bands, SRP embedding,
     # prototypicality + covariance (rotated in; the displaced i-variant /
     # 0all / movavg / pfsum / simhash_md5 / multimodal_features entries
