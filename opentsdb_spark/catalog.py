@@ -1499,8 +1499,9 @@ from opentsdb_spark.pipeline.dedup import (  # noqa: E402
     simhash_pairs,
 )
 from opentsdb_spark.pipeline.multimodal import (  # noqa: E402
-    byte_stats, dhash_dup_pairs, dhash_images, docs_as_media, docs_as_raw_images,
-    docs_as_raw_video, extract_features, resize_images, sample_frames,
+    audio_stats, byte_stats, dhash_dup_pairs, dhash_images, docs_as_media,
+    docs_as_raw_audio, docs_as_raw_images, docs_as_raw_video, extract_features,
+    resample_audio, resize_images, sample_frames,
 )
 from opentsdb_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk, dequantized_view, embedding_stats, lsh_topk, quantize_embeddings,
@@ -2882,6 +2883,73 @@ def multimodal_dhash_pairs(spark, sf_dir):
     dedup_simhash."""
     media = docs_as_raw_images(_docs(spark, sf_dir), _IMG_W, _IMG_H)
     return dhash_dup_pairs(media, max_hamming=6)
+
+
+# Raw s16le audio geometry shared by the audio entries and their oracles:
+# 256 samples (512 text bytes, space-padded) at a notional 8 kHz, NN-
+# resampled to 5 kHz (out sample j reads input sample j*8000//5000).
+_AUD_N, _AUD_IN, _AUD_OUT = 256, 8000, 5000
+
+
+def _audio_stats_oracle(out_n: int, src: str) -> str:
+    # Per-sample SQL replica of pipeline.multimodal.audio_stats: sample j is
+    # the little-endian int16 at text bytes (2*src, 2*src+1); `src` maps the
+    # output index to a source sample (identity or the resample floor map).
+    nbytes = _AUD_N * 2
+    return f"""WITH
+        t AS (SELECT doc_id, rpad(substr(text, 1, {nbytes}), {nbytes}, ' ') AS t
+              FROM documents),
+        smp AS (SELECT d.doc_id, j.i AS j,
+                       ord(substr(d.t, 2 * ({src}) + 1, 1))
+                       + 256 * ord(substr(d.t, 2 * ({src}) + 2, 1)) AS v
+                FROM t d CROSS JOIN range({out_n}) j(i)),
+        s AS (SELECT doc_id, j,
+                     CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+              FROM smp),
+        zc AS (SELECT a.doc_id,
+                      sum(CASE WHEN a.s * b.s < 0 THEN 1 ELSE 0 END) AS zc
+               FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+               GROUP BY a.doc_id),
+        agg AS (SELECT doc_id, count(*) AS n,
+                       sqrt(avg(CAST(s * s AS DOUBLE))) AS rms,
+                       max(abs(s)) AS peak
+                FROM s GROUP BY doc_id)
+        SELECT agg.doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+               {RND.format('rms')} AS rms_r, CAST(peak AS INT) AS peak,
+               CAST(zc.zc AS BIGINT) AS zero_crossings
+        FROM agg JOIN zc ON agg.doc_id = zc.doc_id"""
+
+
+def _audio_query(spark, sf_dir, resample: bool):
+    media = docs_as_raw_audio(_docs(spark, sf_dir), _AUD_N, _AUD_IN)
+    if resample:
+        media = resample_audio(media, _AUD_IN, _AUD_OUT)
+    return audio_stats(media).select(
+        "media_id", "n_samples", _vr(F.col("rms")).alias("rms_r"),
+        "peak", "zero_crossings",
+    )
+
+
+@register("multimodal_audio_stats", _audio_stats_oracle(_AUD_N, "j.i"))
+def multimodal_audio_stats(spark, sf_dir):
+    """Raw s16le audio signal stats (RMS / peak / strict zero crossings),
+    hash-checked: the oracle rebuilds every int16 sample from the text
+    bytes, so a one-sample disagreement flips the value hash
+    (pipeline/multimodal.py audio_stats; decode honestly stubbed)."""
+    return _audio_query(spark, sf_dir, resample=False)
+
+
+@register(
+    "multimodal_audio_resample",
+    _audio_stats_oracle(_AUD_N * _AUD_OUT // _AUD_IN,
+                        f"(j.i * {_AUD_IN}) // {_AUD_OUT}"),
+)
+def multimodal_audio_resample(spark, sf_dir):
+    """NN sample-rate conversion (8 kHz -> 5 kHz) verified through the
+    signal stats of the RESAMPLED clip: the oracle applies the same
+    floor-index map per output sample, so index-off-by-one anywhere in the
+    resampler flips the hash."""
+    return _audio_query(spark, sf_dir, resample=True)
 
 
 @register(

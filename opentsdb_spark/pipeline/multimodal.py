@@ -171,6 +171,115 @@ def docs_as_raw_video(
     )
 
 
+def docs_as_raw_audio(docs: DataFrame, n_samples: int, sample_rate: int) -> DataFrame:
+    """Raw mono s16le 'audio': the document's text bytes reinterpreted as
+    ``n_samples`` little-endian int16 samples (2 bytes each, truncate /
+    space-pad), ``sample_rate`` Hz. ASCII corpus bytes land in the positive
+    int16 range, so raw-codec audio operators stay DuckDB-oracle-checkable
+    byte for byte; negative-sample behavior is pinned by unit tests."""
+    n = n_samples * 2
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.rpad(F.substring("text", 1, n), n, " "), "utf-8").alias("media"),
+        F.struct(
+            F.lit("audio/x-raw-s16le").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(n_samples * 1000 // sample_rate).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def resample_audio(media: DataFrame, in_rate: int, out_rate: int,
+                   codec: str = "raw") -> DataFrame:
+    """Nearest-neighbor sample-rate conversion of raw s16le mono clips:
+    output sample j reads input sample ``j * in_rate // out_rate`` (the same
+    floor-index map as ``resize_images``), out length =
+    ``n_in * out_rate // in_rate``. Returns MEDIA_SCHEMA rows with the
+    resampled blob; malformed blobs (NULL / odd byte count) surface as NULL
+    media, never silently dropped.
+
+    codec='real' (mp3/flac decode) is stubbed — codec libs are not in this
+    container; the raw path is the fully implemented contract. Scale shape:
+    one Arrow-batched mapInPandas, narrow map over the scan, no shuffle."""
+    if codec == "real":
+        raise NotImplementedError(
+            "encoded-audio resample needs an audio codec library, not shipped "
+            "in this container; use codec='raw' for raw s16le buffers"
+        )
+    if codec != "raw":
+        raise ValueError(f"unknown codec {codec!r}")
+    if in_rate <= 0 or out_rate <= 0:
+        raise ValueError("rates must be positive")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for blob in pdf["media"]:
+                if blob is None or len(blob) % 2:
+                    blobs.append(None)
+                    continue
+                arr = np.frombuffer(bytes(blob), dtype="<i2")
+                out_n = len(arr) * out_rate // in_rate
+                idx = (np.arange(out_n, dtype=np.int64) * in_rate) // out_rate
+                blobs.append(arr[idx].tobytes())
+            out = pdf.copy()
+            out["media"] = blobs
+            yield out
+
+    return media.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-clip s16le signal stats: sample count, RMS, peak |amplitude|, and
+    strict zero crossings (adjacent samples with opposite nonzero signs) —
+    the silence/clipping screens an audio ingest pipeline gates on.
+    Malformed blobs come back with NULL stats. One Arrow-batched
+    mapInPandas; 40-byte output rows regardless of clip length."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, rms, peak, zc = [], [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                ids.append(mid)
+                if blob is None or len(blob) % 2:
+                    ns.append(None); rms.append(None); peak.append(None); zc.append(None)
+                    continue
+                s = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
+                ns.append(len(s))
+                if len(s) == 0:
+                    rms.append(0.0); peak.append(0); zc.append(0)
+                    continue
+                rms.append(float(np.sqrt(np.mean(s.astype(np.float64) ** 2))))
+                peak.append(int(np.abs(s).max()))
+                zc.append(int(np.sum(s[:-1] * s[1:] < 0)))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "n_samples": pd.Series(ns, dtype="object"),
+                 "rms": pd.Series(rms, dtype="object"),
+                 "peak": pd.Series(peak, dtype="object"),
+                 "zero_crossings": pd.Series(zc, dtype="object")}
+            )
+
+    return media.select("media_id", "media").mapInPandas(gen, schema=AUDIO_STATS_SCHEMA)
+
+
 def _nn_resize(arr, out_w: int, out_h: int):
     """Nearest-neighbor index-map resize of an (H, W[, C]) uint8 array —
     output pixel (r, c) takes source pixel (r*H//out_h, c*W//out_w), the

@@ -760,6 +760,43 @@ def test_dhash_dup_pairs(spark):
     assert got == {(0, 1): 1}
 
 
+def test_audio_raw_pcm(spark):
+    import numpy as np
+
+    from opentsdb_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, audio_stats, resample_audio,
+    )
+
+    sig = np.array([100, -200, 300, -400, 0, 0, 500, -32768], dtype="<i2")
+    rows = [
+        (0, "audio", bytearray(sig.tobytes()), ("audio/x-raw-s16le", None, None, 1)),
+        (1, "audio", bytearray(b"\x01\x02\x03"), ("audio/x-raw-s16le", None, None, 1)),  # odd len
+        (2, "audio", None, ("audio/x-raw-s16le", None, None, 1)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in audio_stats(media).collect()}
+    s = sig.astype(np.int64)
+    assert out[0]["n_samples"] == 8
+    assert out[0]["peak"] == 32768  # |-32768| must not wrap int16
+    assert out[0]["rms"] == pytest.approx(float(np.sqrt(np.mean(s.astype(float) ** 2))))
+    # strict crossings: 100/-200, -200/300, 300/-400, 500/-32768 = 4
+    # (-400->0, 0->0, 0->500 are NOT crossings: zero has no sign)
+    assert out[0]["zero_crossings"] == 4
+    assert out[1]["n_samples"] is None and out[2]["rms"] is None  # malformed visible
+
+    # 2:1 downsample keeps every even-index sample
+    res = {r["media_id"]: r["media"] for r in resample_audio(media, 8000, 4000).collect()}
+    assert np.array_equal(np.frombuffer(bytes(res[0]), "<i2"), sig[::2])
+    assert res[1] is None and res[2] is None
+    # meta rides through untouched
+    meta = resample_audio(media, 8000, 4000).where("media_id = 0").collect()[0]["meta"]
+    assert meta["mime"] == "audio/x-raw-s16le" and meta["duration_ms"] == 1
+    with pytest.raises(NotImplementedError):
+        resample_audio(media, 8000, 4000, codec="real")
+    with pytest.raises(ValueError):
+        resample_audio(media, 0, 4000)
+
+
 def test_vocab_topk(spark):
     from opentsdb_spark.pipeline.text import vocab_topk
 
