@@ -69,6 +69,10 @@ HEADLINE = [
     "text_hll_distinct",
     "text_cms_probe",
     "tsdb_ds_1h_p95_binned",
+    "dedup_incremental",
+    "multimodal_dhash_pairs",
+    "multimodal_audio_stats",
+    "sample_shard_assign",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -55,6 +55,9 @@ QUERIES = [
     "tsdb_ds_1h_p95_binned",
     "text_hll_distinct",
     "text_cms_probe",
+    "dedup_incremental",
+    "multimodal_dhash_pairs",
+    "sample_shard_assign",
 ]
 
 
