@@ -269,6 +269,76 @@ def test_token_budget_no_whole_group_window(spark):
         assert "n_tokens" in spec, f"doc-level window missing bucket key: {spec}"
 
 
+def test_shard_assign_windows_stay_bucket_partitioned(spark):
+    """shard_assign's doc-level running sum must window per hash bucket,
+    never globally: the only unpartitioned window is the offset cumsum over
+    the aggregated n_buckets-row frame (bounded by construction), and the
+    bucket offsets join back as a broadcast."""
+    import re
+
+    from opentsdb_spark.pipeline.sampling import shard_assign
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 9 + 1)) for i in range(60)], "doc_id long, text string"
+    )
+    plan = _plan(shard_assign(docs, shard_tokens=20, n_buckets=8))
+    # doc-level (n_tokens-summing) windows carry the bucket partition key
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    unpartitioned = [s for s in specs if "bucket" not in s]
+    partitioned = [s for s in specs if "bucket" in s]
+    assert partitioned, f"expected a bucket-partitioned doc window: {specs}"
+    # the offset window (post-aggregate, bounded rows) is the only one
+    # allowed to run unpartitioned
+    assert len(unpartitioned) <= 1, f"unexpected global windows: {unpartitioned}"
+    assert "BroadcastExchange" in plan  # offsets join back broadcast
+
+
+def test_dhash_pairs_never_shuffles_image_bytes(spark):
+    """The dHash candidate stage must shuffle only (id, hash, band, bh)
+    rows: the media binary column may not appear in any exchange below the
+    pair join — image bytes stay in the map-side hash stage."""
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, dhash_dup_pairs
+
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(bytes([i % 251] * 72)),
+          ("image/x-raw-gray8", 9, 8, None)) for i in range(6)],
+        MEDIA_SCHEMA,
+    )
+    import re
+
+    plan = _plan(dhash_dup_pairs(media, max_hamming=6))
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert exchanges, "expected at least the band-key shuffle"
+    for e in exchanges:
+        assert "media#" not in e, f"image bytes in a shuffle: {e}"
+
+
+def test_incremental_dedup_corpus_joins_on_band_keys(spark):
+    """Incremental dedup's corpus candidates must join on (band, bh) keys
+    with bare ids — the signature arrays re-join only after candidate
+    pruning, so no exchange below the verify carries a 64-long array from
+    the corpus side."""
+    from opentsdb_spark.pipeline.dedup import (
+        incremental_dedup_minhash, minhash_signature,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup_minhash(batch, minhash_signature(corpus), threshold=0.5)
+    plan = _plan(out)
+    # the band-key joins exist (SortMergeJoin or ShuffledHashJoin on bh)
+    assert "bh" in plan
+    # every batch doc matched the identical corpus text
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(rows[i]["dup_kind"] == "corpus" for i in range(3))
+
+
 def test_bloom_broadcasts_position_set(spark):
     """Bloom decontamination joins corpus gram positions against a
     BROADCAST position table — the corpus side must not shuffle."""

