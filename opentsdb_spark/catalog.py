@@ -4077,6 +4077,48 @@ def text_vocab_top10_lang(spark, sf_dir):
     return vocab_topk_grouped(_docs(spark, sf_dir), k=10, group_col="lang")
 
 
+# Epoch-mixture weights for the repeat-upweight entry: four regimes across
+# the 20 sources — drop (0), fractional (0.75), 1-2 copies (1.5), 2-3 (2.25).
+_EPOCH_W = {f"src{i}": [0.0, 0.75, 1.5, 2.25][i % 4] for i in range(20)}
+
+
+def _repeat_epochs_oracle() -> str:
+    signed = ("CAST(CASE WHEN h >= 9223372036854775808 "
+              "THEN CAST(h AS HUGEINT) - 18446744073709551616 "
+              "ELSE CAST(h AS HUGEINT) END AS BIGINT)")
+    vals = ", ".join(
+        f"('{g}', {int(w)}, {int(round((w - int(w)) * (1 << 20)))})"
+        for g, w in _EPOCH_W.items()
+    )
+    return f"""WITH
+        wt(source, base, thr) AS (VALUES {vals}),
+        d AS (SELECT doc_id, source FROM documents),
+        {hash_long_ctes('d', ('doc_id', 'source'), 'doc_id',
+                        'CAST(42 AS UBIGINT)', 'hh', '__ru')},
+        hs AS (SELECT doc_id, source,
+                      (({signed} % 1048576) + 1048576) % 1048576 AS u
+               FROM hh),
+        n AS (SELECT hs.doc_id, hs.source,
+                     wt.base + CASE WHEN hs.u < wt.thr THEN 1 ELSE 0 END AS n
+              FROM hs JOIN wt ON hs.source = wt.source)
+        SELECT doc_id, source, CAST(copy_idx AS INT) AS copy_idx
+        FROM (SELECT doc_id, source,
+                     unnest(generate_series(0, n - 1)) AS copy_idx
+              FROM n)"""
+
+
+@register("sample_repeat_epochs", _repeat_epochs_oracle())
+def sample_repeat_epochs(spark, sf_dir):
+    """Fractional epoch replication (pipeline.sampling.repeat_upweight):
+    per-source mixture weights materialized as copy rows, the fractional
+    part decided by a deterministic per-doc hash draw — hash-checked via
+    the hash_long SQL replica including the integer threshold math."""
+    from opentsdb_spark.pipeline.sampling import repeat_upweight
+
+    out = repeat_upweight(_docs(spark, sf_dir), _EPOCH_W)
+    return out.select("doc_id", "source", "copy_idx")
+
+
 def _shard_assign_oracle(shard_tokens: int, n_buckets: int) -> str:
     # One global cumsum over (bucket, h, doc_id) order — the oracle can
     # afford the global sort the engine's two-phase form avoids; equality

@@ -359,6 +359,50 @@ def token_budget_select(
     )
 
 
+def repeat_upweight(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Epoch-style mixture replication: repeat each group's documents
+    ``weights[group]`` times, with the fractional part resolved per-doc by a
+    deterministic hash draw — the "2.5 epochs of books, 0.5 of web" recipe
+    step that turns mixture weights into a materialized training corpus.
+
+    copies(doc) = floor(w) + 1 if pmod(xxhash64(id), 2^20) < frac_threshold
+    where frac_threshold = round(frac * 2^20) is fixed PER GROUP at plan
+    time (integer, so engines agree exactly). Groups absent from
+    ``weights`` default to weight 1.0 (pass 0.0 to drop a group). Output is
+    one row per copy with ``copy_idx`` 0..n-1 (all original columns kept).
+
+    Scale shape: the weight table broadcasts (a handful of groups);
+    replication is a narrow explode over the scan — no shuffle, and the
+    hash draw needs no RNG state, so replays and retries are idempotent."""
+    spark = docs.sparkSession
+    rows = [(g, int(w), int(round((w - int(w)) * (1 << 20))))
+            for g, w in weights.items()]
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {g!r}")
+    wdf = spark.createDataFrame(rows, f"{group_col} string, __base int, __thr int")
+    u = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
+    n = (
+        F.coalesce(F.col("__base"), F.lit(1))
+        + F.when(u < F.coalesce(F.col("__thr"), F.lit(0)), 1).otherwise(0)
+    )
+    # sequence(0, -1) would yield [0, -1] (Spark infers a negative step):
+    # guard n == 0 with an empty array, which explode drops
+    copies = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        docs.join(F.broadcast(wdf), on=group_col, how="left")
+        .withColumn("copy_idx", F.explode(copies))
+        .drop("__base", "__thr")
+    )
+
+
 def shard_assign(
     docs: DataFrame,
     shard_tokens: int,

@@ -634,6 +634,35 @@ def test_sample_frames_raw(spark):
         sample_frames(media, 120, codec="real")
 
 
+def test_repeat_upweight(spark):
+    from opentsdb_spark.pipeline.sampling import repeat_upweight
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", ["drop", "keep2", "frac", "unlisted"][i % 4])
+         for i in range(80)],
+        "doc_id long, text string, source string",
+    )
+    out = repeat_upweight(docs, {"drop": 0.0, "keep2": 2.0, "frac": 0.5})
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "drop" not in by_src                       # weight 0 removes the group
+    assert len(by_src["keep2"]) == 40                  # 20 docs x exactly 2 copies
+    assert {r["copy_idx"] for r in by_src["keep2"]} == {0, 1}
+    assert len(by_src["unlisted"]) == 20               # absent group defaults to 1.0
+    assert all(r["copy_idx"] == 0 for r in by_src["unlisted"])
+    # fractional: between 0 and 20, deterministic across runs
+    n_frac = len(by_src.get("frac", []))
+    assert 0 < n_frac < 20
+    again = repeat_upweight(docs, {"drop": 0.0, "keep2": 2.0, "frac": 0.5})
+    assert again.where("source = 'frac'").count() == n_frac
+    # original columns survive
+    assert set(rows[0].asDict()) == {"doc_id", "text", "source", "copy_idx"}
+    with pytest.raises(ValueError):
+        repeat_upweight(docs, {"frac": -1.0})
+
+
 def test_shard_assign_and_writer(spark, tmp_path):
     from opentsdb_spark.pipeline.sampling import shard_assign, write_token_shards
 
