@@ -735,6 +735,30 @@ def test_incremental_dedup_minhash(spark):
     assert out[30]["keep"]  # no signature -> never a candidate
 
 
+def test_incremental_dedup_index_roundtrip(spark, tmp_path):
+    """The corpus index really is just the (id, signature) parquet: saving
+    and reloading it yields identical verdicts."""
+    from opentsdb_spark.pipeline.dedup import (
+        incremental_dedup_minhash, minhash_signature,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog " * 4)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 4),
+         (2, "completely different words here entirely " * 4)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sig_index")
+    minhash_signature(corpus).write.parquet(path)
+    loaded = spark.read.parquet(path)
+    got = {r["doc_id"]: (r["keep"], r["dup_kind"], r["dup_of"]) for r in
+           incremental_dedup_minhash(batch, loaded, threshold=0.5).collect()}
+    assert got == {1: (False, "corpus", 100), 2: (True, None, None)}
+
+
 def test_dhash_images_raw(spark):
     import numpy as np
 
