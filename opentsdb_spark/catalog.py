@@ -1501,7 +1501,7 @@ from opentsdb_spark.pipeline.dedup import (  # noqa: E402
 from opentsdb_spark.pipeline.multimodal import (  # noqa: E402
     audio_stats, byte_stats, dhash_dup_pairs, dhash_images, docs_as_media,
     docs_as_raw_audio, docs_as_raw_images, docs_as_raw_video, extract_features,
-    resample_audio, resize_images, sample_frames,
+    frame_dup_pairs, resample_audio, resize_images, sample_frames,
 )
 from opentsdb_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk, dequantized_view, embedding_stats, lsh_topk, quantize_embeddings,
@@ -2883,6 +2883,63 @@ def multimodal_dhash_pairs(spark, sf_dir):
     dedup_simhash."""
     media = docs_as_raw_images(_docs(spark, sf_dir), _IMG_W, _IMG_H)
     return dhash_dup_pairs(media, max_hamming=6)
+
+
+def _frame_dhash_pairs_oracle(max_hamming: int) -> str:
+    # dHash per sampled video frame (fidx slice of the raw blob, NN-resized
+    # 12x8 -> 9x8; src row map r*8//8 = r), flat frames (dhash = 0) dropped,
+    # banding replicated on the packed media*65536+frame key — the exact
+    # frame_dup_pairs contract including candidate recall.
+    hw, hh = 8, 8
+    ow = hw + 1
+    fsz = _VID_W * _VID_H
+    n = fsz * _VID_FRAMES
+    fvals = ", ".join(f"({i})" for i in sorted({i for i, _ in _sampled_frames()}))
+    return f"""WITH
+        fr(fidx) AS (VALUES {fvals}),
+        grid AS (SELECT r.i AS r, c.i AS c
+                 FROM range({hh}) AS r(i) CROSS JOIN range({ow}) AS c(i)),
+        t AS (SELECT doc_id, rpad(substr(text, 1, {n}), {n}, ' ') AS t
+              FROM documents),
+        px AS (SELECT d.doc_id, f.fidx, g.r, g.c,
+                      ord(substr(d.t, f.fidx * {fsz}
+                          + CAST((g.r * {_VID_H}) // {hh} AS INT) * {_VID_W}
+                          + CAST((g.c * {_VID_W}) // {ow} AS INT) + 1, 1)) AS b
+               FROM t d CROSS JOIN fr f CROSS JOIN grid g),
+        bits AS (SELECT l.doc_id, l.fidx, l.r * {hw} + l.c AS bitpos,
+                        CASE WHEN l.b < rt.b THEN 1 ELSE 0 END AS bit
+                 FROM px l JOIN px rt ON l.doc_id = rt.doc_id
+                                      AND l.fidx = rt.fidx AND l.r = rt.r
+                                      AND rt.c = l.c + 1
+                 WHERE l.c < {hw}),
+        dh AS (SELECT doc_id, fidx,
+                      CAST(sum(CASE WHEN bit = 1 AND bitpos < 63
+                                    THEN (1::BIGINT << bitpos) ELSE 0 END)
+                           + max(CASE WHEN bit = 1 AND bitpos = 63 THEN 1 ELSE 0 END)
+                             * (-9223372036854775807 - 1) AS BIGINT) AS dh
+               FROM bits GROUP BY doc_id, fidx),
+        nz AS (SELECT doc_id * 65536 + fidx AS fid, dh FROM dh WHERE dh <> 0),
+        band AS (SELECT fid, dh, tb.b, (dh >> (tb.b * 16)) & 65535 AS bh
+                 FROM nz CROSS JOIN generate_series(0, 3) tb(b)),
+        cand AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb, a.dh AS ha, b.dh AS hb
+                 FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                        AND a.fid < b.fid)
+        SELECT fa // 65536 AS media_a, CAST(fa % 65536 AS INT) AS frame_a,
+               fb // 65536 AS media_b, CAST(fb % 65536 AS INT) AS frame_b,
+               CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+
+
+@register("multimodal_frame_dedup", _frame_dhash_pairs_oracle(3))
+def multimodal_frame_dedup(spark, sf_dir):
+    """Cross-video near-duplicate frame detection (repeated stills/slates):
+    sample -> dHash -> banded Hamming pairs at max_hamming=3 (exhaustive by
+    pigeonhole over 4 bands), flat frames excluded. Hash-checked end to end
+    including the flat-frame filter and the packed-id ordering."""
+    media = docs_as_raw_video(
+        _docs(spark, sf_dir), _VID_W, _VID_H, _VID_FRAMES, _VID_FRAME_MS
+    )
+    return frame_dup_pairs(media, _VID_EVERY_MS, max_hamming=3)
 
 
 # Raw s16le audio geometry shared by the audio entries and their oracles:

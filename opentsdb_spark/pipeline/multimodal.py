@@ -500,6 +500,88 @@ def dhash_dup_pairs(
     )
 
 
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def dhash_frames(frames: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """dHash per sampled video frame (``sample_frames`` output rows):
+    same gradient-bit contract as ``dhash_images``, keyed by
+    (media_id, frame_idx). Malformed frames hash NULL."""
+    if hash_w * hash_h > 64:
+        raise ValueError("hash_w*hash_h must fit in 64 bits")
+    out_w, out_h = hash_w + 1, hash_h
+    sel = frames.select("media_id", "frame_idx", "frame", "width", "height")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (np.uint64(1) << np.arange(hash_w * hash_h, dtype=np.uint64))
+        for pdf in batches:
+            hashes = []
+            for blob, w, h in zip(pdf["frame"], pdf["width"], pdf["height"]):
+                if (blob is None or pd.isna(w) or pd.isna(h)
+                        or len(blob) != int(w) * int(h)):
+                    hashes.append(None)
+                    continue
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8).reshape(int(h), int(w))
+                g = _nn_resize(arr, out_w, out_h)
+                bits = (g[:, :-1] < g[:, 1:]).reshape(-1)
+                val = (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+                hashes.append(int(val.astype(np.int64)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"),
+                 "frame_idx": pdf["frame_idx"].astype("int32"),
+                 "dhash": pd.Series(hashes, dtype="object")}
+            )
+
+    return sel.mapInPandas(gen, schema=FRAME_DHASH_SCHEMA)
+
+
+def frame_dup_pairs(
+    media: DataFrame,
+    every_ms: int,
+    max_hamming: int = 3,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate FRAME pairs across a video corpus (repeated intros,
+    stills, slates): sample frames every ``every_ms``, dHash each, then
+    banded Hamming pairing. Frames whose gradient-sign pattern is all zero
+    (dhash == 0 — uniform/flat frames, e.g. blank padding) carry no
+    perceptual signal and are excluded, as are malformed NULL-hash frames.
+
+    Pairing packs (media_id, frame_idx) into ``media_id * 65536 +
+    frame_idx`` for the shared 64-bit band machinery — frame_idx must stay
+    below 65536 (18 h of video at 1 fps); the packed order equals the
+    lexicographic (media, frame) order, so ``id_a < id_b`` dedup is exact.
+
+    Returns (media_a, frame_a, media_b, frame_b, hamming). Scale shape:
+    video bytes stay in the frame-sample + hash map stages; the pairing
+    shuffle carries 16-byte (packed id, hash) rows only."""
+    from opentsdb_spark.pipeline.dedup import band_pairs_64
+
+    hashes = dhash_frames(sample_frames(media, every_ms), hash_w, hash_h)
+    packed = hashes.where(F.col("dhash") != 0).select(
+        (F.col("media_id") * 65536 + F.col("frame_idx")).alias("fid"), "dhash"
+    )
+    pairs = band_pairs_64(packed, "dhash", id_col="fid",
+                          max_hamming=max_hamming, max_bucket=max_bucket)
+    return pairs.select(
+        F.expr("id_a DIV 65536").alias("media_a"),
+        F.pmod("id_a", F.lit(65536)).cast("int").alias("frame_a"),
+        F.expr("id_b DIV 65536").alias("media_b"),
+        F.pmod("id_b", F.lit(65536)).cast("int").alias("frame_b"),
+        "hamming",
+    )
+
+
 def byte_stats(frames: DataFrame, blob_col: str = "media") -> DataFrame:
     """Per-row byte count + mean of a binary column, keyed by media_id (and
     frame_idx/frame_ts_ms when present — absent key columns come back NULL).

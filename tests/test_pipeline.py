@@ -813,6 +813,27 @@ def test_dhash_dup_pairs(spark):
     assert got == {(0, 1): 1}
 
 
+def test_frame_dup_pairs(spark):
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, frame_dup_pairs
+
+    # 2x2 frames, 100ms each; sample every 100ms -> every frame sampled.
+    # busy/other have rising gradients (nonzero dhash); flat hashes to 0.
+    busy = bytes([10, 200, 30, 90])
+    other = bytes([200, 10, 90, 250])
+    flat = bytes([9] * 4)
+    rows = [
+        (0, "video", bytearray(busy + flat + busy), ("video/x-raw-gray8", 2, 2, 300)),
+        (1, "video", bytearray(busy + flat + other), ("video/x-raw-gray8", 2, 2, 300)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {((r["media_a"], r["frame_a"]), (r["media_b"], r["frame_b"])): r["hamming"]
+           for r in frame_dup_pairs(media, 100, max_hamming=0).collect()}
+    # the repeated still pairs across and within videos; flat frames
+    # (dhash == 0) never pair despite being byte-identical
+    expect_keys = {((0, 0), (0, 2)), ((0, 0), (1, 0)), ((0, 2), (1, 0))}
+    assert set(got) == expect_keys and all(v == 0 for v in got.values())
+
+
 def test_audio_raw_pcm(spark):
     import numpy as np
 
@@ -1086,11 +1107,37 @@ def test_minhash_max_bucket_cap(spark):
     # uncapped: the 6-clone cluster pairs all-to-all (15 pairs) + 1 pair
     full = minhash_lsh_pairs(docs, threshold=0.9)
     assert full.count() == 16
-    # cap below the clone-cluster size: its buckets are skipped in every
-    # band, the small pair survives
-    capped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=4)
+    # cap below the clone-cluster size, collapse OFF: its buckets are
+    # skipped in every band, the small pair survives
+    capped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=4,
+                               collapse_identical=False)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(10, 11)}
+    # with the default clone collapse the cluster is ONE representative, so
+    # the same cap never trips and the full pair set survives — exact-clone
+    # mass no longer needs (or is affected by) the recall-lossy cap
+    collapsed_capped = minhash_lsh_pairs(docs, threshold=0.9, max_bucket=4)
+    assert collapsed_capped.count() == 16
+
+
+def test_minhash_collapse_bitexact(spark):
+    """collapse_identical=True must emit the exact pair set and estimates
+    of the direct path on a corpus mixing exact clones and near-dups."""
+    from opentsdb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    near = base + "lambda mu"
+    rows = [(0, base), (1, base), (2, base), (3, near),
+            (4, "totally different text about nothing shared at all " * 2),
+            (5, "one two")]  # too short to shingle at n=3? (has 2 words)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=32, bands=8, threshold=0.3)
+    direct = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+              for r in minhash_lsh_pairs(docs, collapse_identical=False, **kw).collect()}
+    coll = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(docs, **kw).collect()}
+    assert coll == direct
+    assert coll[(0, 1)] == 1.0 and (0, 3) in coll  # clones + near-dup found
 
 
 def test_substring_dup_spans(spark):

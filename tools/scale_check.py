@@ -114,12 +114,20 @@ def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, float]:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    argv = [a for a in sys.argv[1:] if a != "--reuse-replica"]
+    reuse = "--reuse-replica" in sys.argv
+    k = int(argv[0]) if argv else 10
+    out_json = argv[1] if len(argv) > 1 else None
     spark = get_spark("scale-check")
     big = f"/tmp/scale_check_sf{k}x"
-    print(f"replicating {BASE} x{k} -> {big}")
-    replicate(spark, k, big)
+    # --reuse-replica skips re-writing an existing replica dir (it is a
+    # deterministic function of BASE and k, so reuse within a session is
+    # safe; delete the dir after changing the replication scheme)
+    if reuse and os.path.exists(f"{big}/documents.parquet"):
+        print(f"reusing replica {big}")
+    else:
+        print(f"replicating {BASE} x{k} -> {big}")
+        replicate(spark, k, big)
     # warmup (JVM + python worker pool)
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
