@@ -122,6 +122,49 @@ def _shingle_udf(n: int, distinct: bool = True):
     return shingle
 
 
+def _clone_members(keyed: DataFrame, id_col: str, key_col: str,
+                   persist: bool) -> DataFrame:
+    """(id, __rep) clique tagging: __rep = min id among rows sharing
+    ``key_col`` — one window shuffle keyed by the (possibly wide) clone key,
+    output is 16-byte rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    return _persist_small(
+        keyed.withColumn("__rep", F.min(id_col).over(w)).select(id_col, "__rep"),
+        persist,
+    )
+
+
+def _expand_clone_pairs(rep_pairs: DataFrame, members: DataFrame,
+                        score_col: str, threshold: float,
+                        id_col: str) -> DataFrame:
+    """Expand representative-level verified pairs back to member pairs with
+    id-only joins; within-clique pairs score exactly 1.0 (identical clone
+    keys). Emitted set and values are bit-identical to the uncollapsed
+    pipeline (see minhash_lsh_pairs docstring for the argument)."""
+    ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            score_col,
+        )
+    )
+    if threshold > 1.0:  # nothing can pass, incl. exact clones
+        return cross
+    m1 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_a"))
+    m2 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_b"))
+    within = (
+        m1.join(m2, on="__r")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias(score_col))
+    )
+    return cross.unionByName(within)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -130,6 +173,7 @@ def ngram_jaccard_pairs(
     content_col: str = "text",
     id_col: str = "doc_id",
     persist: bool = True,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard via an inverted-index candidate join.
 
@@ -141,13 +185,37 @@ def ngram_jaccard_pairs(
     exact over full gram sets) — pairs linked solely by ultra-common grams
     are below any useful threshold anyway. Empty documents never pair.
 
+    ``collapse_identical`` (default on) merges documents with identical
+    gram LISTS into one representative before the index join and verify —
+    the same exact-clone guard as minhash_lsh_pairs: clone clusters
+    (mirrors, reprints) otherwise cost |clique|^2 inverted-index candidates
+    and gram-array verifies. Identical lists imply identical sets, so
+    within-clique Jaccard is exactly 1.0 and cross-clique pairs inherit the
+    representative value: the output is bit-identical either way (the
+    hash-checked oracle holds for both settings). Gram-less docs never
+    enter the clique frame, so they still never pair. With collapsing on,
+    ``max_df`` counts distinct-gram-list documents.
+
     The gram frame feeds the inverted index (twice via the self-join) and
     both exact-verify re-joins — persisted so tokenization runs once
     (_persist_small)."""
     g = _persist_small(_gram_frame(docs, content_col, id_col, n), persist)
-    # candidate generation joins on xxhash64(gram), not the (long) gram
-    # string — 8-byte shuffle keys; the exact Jaccard re-rank uses the real
-    # gram sets so a hash collision can only add a candidate, never a result
+    if collapse_identical:
+        members = _clone_members(g, id_col, "grams", persist)
+        rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
+        rep_g = g.join(rep_ids, on=id_col, how="left_semi")
+        rep_pairs = _gram_index_verify(rep_g, threshold, max_df, id_col)
+        return _expand_clone_pairs(rep_pairs, members, "jaccard", threshold, id_col)
+    return _gram_index_verify(g, threshold, max_df, id_col)
+
+
+def _gram_index_verify(g: DataFrame, threshold: float, max_df: int | None,
+                       id_col: str) -> DataFrame:
+    """Inverted-index candidates + exact Jaccard verify over a gram frame.
+    Candidate generation joins on xxhash64(gram), not the (long) gram
+    string — 8-byte shuffle keys; the exact Jaccard re-rank uses the real
+    gram sets so a hash collision can only add a candidate, never a
+    result."""
     e = g.select(id_col, F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("gram"))
     if max_df is not None:
         keep = e.groupBy("gram").count().where(F.col("count") <= max_df).select("gram")
@@ -369,38 +437,13 @@ def _collapsed_lsh_pairs(sigs: DataFrame, num_hashes: int, bands: int,
     Shape: one window shuffle keyed by the signature (clique tagging), one
     id semi-join to pull representative signatures, then the standard
     pipeline over the DEDUPLICATED signature frame."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("signature")
-    members = _persist_small(
-        sigs.withColumn("__rep", F.min(id_col).over(w)).select(id_col, "__rep"),
-        persist,
-    )
+    members = _clone_members(sigs, id_col, "signature", persist)
     rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
     rep_sigs = sigs.join(rep_ids, on=id_col, how="left_semi")
     banded = minhash_band_keys(rep_sigs, num_hashes, bands, id_col, hash_fn)
     rep_pairs = _banded_verify(rep_sigs, banded, num_hashes, threshold,
                                id_col, max_bucket)
-    ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
-    mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
-    cross = (
-        rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
-        .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
-            "est_jaccard",
-        )
-    )
-    if threshold > 1.0:  # nothing can pass, incl. exact clones
-        return cross
-    m1 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_a"))
-    m2 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_b"))
-    within = (
-        m1.join(m2, on="__r")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("est_jaccard"))
-    )
-    return cross.unionByName(within)
+    return _expand_clone_pairs(rep_pairs, members, "est_jaccard", threshold, id_col)
 
 
 def minhash_band_keys(sigs: DataFrame, num_hashes: int, bands: int,
