@@ -137,11 +137,15 @@ def _clone_members(keyed: DataFrame, id_col: str, key_col: str,
 
 
 def _expand_clone_pairs(rep_pairs: DataFrame, members: DataFrame,
-                        score_col: str, threshold: float,
-                        id_col: str) -> DataFrame:
+                        score_col: str, threshold: float, id_col: str,
+                        within_scores: DataFrame | None = None) -> DataFrame:
     """Expand representative-level verified pairs back to member pairs with
-    id-only joins; within-clique pairs score exactly 1.0 (identical clone
-    keys). Emitted set and values are bit-identical to the uncollapsed
+    id-only joins. Within-clique pairs score exactly 1.0 (identical clone
+    keys under an exact score like Jaccard / signature agreement) unless
+    ``within_scores`` supplies the computed self-score per representative
+    ((__rep, score_col) rows, already threshold-filtered) — needed when the
+    score expression is floating-point (cosine) and 1.0 cannot be assumed
+    bit-exact. Emitted set and values are bit-identical to the uncollapsed
     pipeline (see minhash_lsh_pairs docstring for the argument)."""
     ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
@@ -153,14 +157,25 @@ def _expand_clone_pairs(rep_pairs: DataFrame, members: DataFrame,
             score_col,
         )
     )
-    if threshold > 1.0:  # nothing can pass, incl. exact clones
-        return cross
+    if within_scores is None:
+        if threshold > 1.0:  # nothing can pass, incl. exact clones
+            return cross
+        wsc = F.lit(1.0).alias(score_col)
+        m1 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_a"))
+        m2 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_b"))
+        within = (
+            m1.join(m2, on="__r")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", wsc)
+        )
+        return cross.unionByName(within)
     m1 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_a"))
     m2 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_b"))
     within = (
         m1.join(m2, on="__r")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias(score_col))
+        .join(within_scores.withColumnRenamed("__rep", "__r"), on="__r")
+        .select("id_a", "id_b", score_col)
     )
     return cross.unionByName(within)
 
@@ -696,6 +711,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     persist: bool = True,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold, candidates from K
     independent random-hyperplane LSH tables (pipeline.similarity.
@@ -703,6 +719,15 @@ def embedding_dup_pairs(
     in ANY table. For cosine 0.95 pairs the per-plane agreement is
     1 - theta/pi ≈ 0.90, so 8 tables x 8 bits gives ~0.99 recall; exact
     cosine re-rank inside buckets keeps precision at 1.
+
+    ``collapse_identical`` (default on) merges bit-identical vectors into
+    one representative before bucketing and verify — the exact-clone guard
+    shared with the MinHash/n-gram paths. Because cosine is floating-point,
+    within-clique pairs do NOT assume 1.0: the representative's self-cosine
+    is computed with the same kernel and threshold filter, so the output
+    stays bit-identical to the direct path (identical arrays give identical
+    kernel results), including zero-norm vectors whose NaN self-score drops
+    their clique pairs exactly as the direct path drops them.
 
     Shape: corpus explodes ``tables`` (table, bucket) rows per vector (8B
     keys), candidates dedup on bare id pairs, vectors re-join only for the
@@ -714,10 +739,27 @@ def embedding_dup_pairs(
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     vecs = _persist_small(embeddings.select(F.col(id_col), v.alias("v")), persist)
+    banded_src = embeddings.select(F.col(id_col), F.col(vec_col))
+    members = None
+    within_scores = None
+    if collapse_identical:
+        members = _clone_members(vecs, id_col, "v", persist)
+        rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
+        vecs = vecs.join(rep_ids, on=id_col, how="left_semi")
+        banded_src = banded_src.join(rep_ids, on=id_col, how="left_semi")
+        multi = (
+            members.groupBy("__rep").count().where(F.col("count") > 1)
+            .select(F.col("__rep").alias(id_col))
+        )
+        within_scores = (
+            vecs.join(multi, on=id_col, how="left_semi")
+            .withColumn("cosine", _cosine_pairs_udf()(F.col("v"), F.col("v")))
+            .where(F.col("cosine") >= threshold)
+            .select(F.col(id_col).alias("__rep"), "cosine")
+        )
     banded = _persist_small(
         with_hyperplane_buckets(
-            embeddings.select(F.col(id_col), F.col(vec_col)),
-            vec_col, tables, bits, dim, seed,
+            banded_src, vec_col, tables, bits, dim, seed,
         ).select(id_col, "tb.table", "tb.bucket"),
         persist,
     )
@@ -734,11 +776,15 @@ def embedding_dup_pairs(
     pairs = cands.join(va, on="id_a").join(vb, on="id_b")
     # vectorized cosine (similarity._cosine_pairs_udf): dim-sequential numpy,
     # bit-identical to the zip_with/aggregate fold it replaces
-    return (
+    out = (
         pairs.withColumn("cosine", _cosine_pairs_udf()(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    if members is None:
+        return out
+    return _expand_clone_pairs(out, members, "cosine", threshold, id_col,
+                               within_scores=within_scores)
 
 
 def substring_dup_spans(

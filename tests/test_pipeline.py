@@ -1120,6 +1120,28 @@ def test_minhash_max_bucket_cap(spark):
     assert collapsed_capped.count() == 16
 
 
+def test_embedding_collapse_bitexact(spark):
+    """Embedding clone collapse must match the direct path bit for bit —
+    incl. the float self-cosine (not assumed 1.0) and zero-norm clones
+    whose NaN score drops their pairs on both paths."""
+    from opentsdb_spark.pipeline.dedup import embedding_dup_pairs
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    nearby = [1.0, 2.0, 3.0, 4.2]
+    rows = [(0, base), (1, base), (2, base), (3, nearby),
+            (4, [0.0, 0.0, 0.0, 0.0]), (5, [0.0, 0.0, 0.0, 0.0]),
+            (6, [-4.0, 3.0, -2.0, 1.0])]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.9, tables=4, bits=4, dim=4)
+    direct = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in embedding_dup_pairs(vecs, collapse_identical=False, **kw).collect()}
+    coll = {(r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_dup_pairs(vecs, **kw).collect()}
+    assert coll == direct
+    assert (0, 1) in coll and (0, 3) in coll   # clones + near-dup found
+    assert not any(4 in p or 5 in p for p in coll)  # zero vectors never pair
+
+
 def test_minhash_collapse_bitexact(spark):
     """collapse_identical=True must emit the exact pair set and estimates
     of the direct path on a corpus mixing exact clones and near-dups."""
