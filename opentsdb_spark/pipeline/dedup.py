@@ -649,7 +649,8 @@ def simhash_pairs(
     The 8-byte-per-doc simhash frame feeds the bucket-cap semi-join and both
     self-join sides — persisted so tokenize+hash runs once (_persist_small)."""
     sh = _persist_small(simhash(docs, content_col, id_col, hash_fn), persist)
-    return band_pairs_64(sh, "simhash", id_col, max_hamming, max_bucket)
+    return band_pairs_64(sh, "simhash", id_col, max_hamming, max_bucket,
+                         persist=persist)
 
 
 def band_pairs_64(
@@ -658,6 +659,8 @@ def band_pairs_64(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int | None = 10_000,
+    collapse_identical: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Hamming-near pairs over any 64-bit hash column (SimHash, image dHash,
     ...): candidates collide on one of four 16-bit bands, verified by exact
@@ -665,8 +668,54 @@ def band_pairs_64(
     bands). NULL hashes (e.g. malformed media rows) never pair. Shuffle is
     keyed by 4-byte band buckets over an (id, hash) frame — 16 bytes/doc —
     so the candidate stage never moves payloads, matching the SimHash scale
-    shape however wide the corpus rows are."""
-    banded = hashes.where(F.col(hash_col).isNotNull()).select(
+    shape however wide the corpus rows are.
+
+    ``collapse_identical`` (default on) is the exact-clone guard shared
+    with the MinHash/n-gram/embedding paths, keyed here on the 8-byte hash
+    itself: equal hashes run candidates/verify as one representative and
+    expand back with id-only joins — within-clique Hamming is exactly 0,
+    cross-clique pairs inherit the representative distance, so the output
+    is bit-identical either way. With collapsing on, ``max_bucket`` counts
+    distinct hash values per band bucket."""
+    hs = hashes.where(F.col(hash_col).isNotNull()).select(id_col, hash_col)
+    if collapse_identical:
+        members = _clone_members(hs, id_col, hash_col, persist)
+        rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
+        rep_pairs = _band_pairs_direct(
+            hs.join(rep_ids, on=id_col, how="left_semi"),
+            hash_col, id_col, max_hamming, max_bucket,
+        )
+        ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
+        mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
+        cross = (
+            rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
+            .select(
+                F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"),
+                "hamming",
+            )
+        )
+        if max_hamming < 0:  # nothing can pass, incl. exact clones
+            return cross
+        m1 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_a"))
+        m2 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_b"))
+        within = (
+            m1.join(m2, on="__r")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(0).cast("integer").alias("hamming"))
+        )
+        return cross.unionByName(within)
+    return _band_pairs_direct(hs, hash_col, id_col, max_hamming, max_bucket)
+
+
+def _band_pairs_direct(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    banded = hashes.select(
         id_col, hash_col,
         F.explode(
             F.array(
