@@ -500,6 +500,7 @@ def incremental_dedup_minhash(
     id_col: str = "doc_id",
     hash_fn=None,
     persist: bool = True,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus MinHash index plus
     itself — the production incremental shape: the corpus is never re-read
@@ -517,6 +518,16 @@ def incremental_dedup_minhash(
       - else keep: ``keep=true``, kind/dup_of/est NULL. Docs too short to
         shingle (< shingle_n words) have no signature and always keep.
 
+    ``collapse_identical`` (default on) applies the exact-clone guard on
+    BOTH sides: identical signatures run candidates/verify once per clique
+    representative and verdicts broadcast to members through id-only
+    joins. Verdicts stay bit-identical because a representative is its
+    clique's MINIMUM id: the corpus best (max est, ties to lowest id)
+    always lands on a representative, and the smallest matching smaller
+    batch id is either the member's own clique rep or a partner clique's
+    rep below it — both rep-level facts. Clone-heavy streams (replays,
+    mirrored feeds) otherwise pay |clique|^2 signature verifies.
+
     Scale shape: batch signatures are computed once and persisted (the
     batch is the small side — typically << corpus); both candidate joins
     key on 8-byte (band, bh) pairs with bare ids, signatures re-join only
@@ -526,13 +537,12 @@ def incremental_dedup_minhash(
         minhash_signature(new_docs, content_col, id_col, num_hashes, shingle_n, hash_fn),
         persist,
     )
-    nb = minhash_band_keys(new_sigs, num_hashes, bands, id_col, hash_fn)
-    cb = minhash_band_keys(corpus_sigs, num_hashes, bands, id_col, hash_fn)
     agree = _sig_agreement_udf(num_hashes)
 
-    nsig = new_sigs.select(F.col(id_col).alias("__nid"), F.col("signature").alias("__nsig"))
-
-    def _verify(cands: DataFrame, other_sigs: DataFrame, other_id: str) -> DataFrame:
+    def _verify(cands: DataFrame, self_sigs: DataFrame, other_sigs: DataFrame,
+                other_id: str) -> DataFrame:
+        nsig = self_sigs.select(F.col(id_col).alias("__nid"),
+                                F.col("signature").alias("__nsig"))
         osig = other_sigs.select(
             F.col(id_col).alias(other_id), F.col("signature").alias("__osig")
         )
@@ -542,32 +552,85 @@ def incremental_dedup_minhash(
             .where(F.col("est_jaccard") >= threshold)
         )
 
-    # --- vs corpus: best match per new doc --------------------------------
-    cand_c = (
-        nb.select(F.col(id_col).alias("__nid"), "band", "bh")
-        .join(cb.select(F.col(id_col).alias("__cid"), "band", "bh"), on=["band", "bh"])
-        .select("__nid", "__cid").distinct()
-    )
-    w = Window.partitionBy("__nid").orderBy(F.desc("est_jaccard"), F.asc("__cid"))
-    best_c = (
-        _verify(cand_c, corpus_sigs, "__cid")
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("__nid", F.col("__cid").alias("__corpus_of"),
-                F.col("est_jaccard").alias("__corpus_est"))
-    )
-    # --- within batch: smallest matching smaller id ------------------------
-    cand_b = (
-        nb.select(F.col(id_col).alias("__bid"), "band", "bh")
-        .join(nb.select(F.col(id_col).alias("__nid"), "band", "bh"), on=["band", "bh"])
-        .where(F.col("__bid") < F.col("__nid"))
-        .select("__nid", "__bid").distinct()
-    )
-    best_b = (
-        _verify(cand_b, new_sigs, "__bid")
-        .groupBy("__nid")
-        .agg(F.min("__bid").alias("__batch_of"))
-    )
+    def _corpus_best(nsigs: DataFrame, csigs: DataFrame) -> DataFrame:
+        # (__nid, __corpus_of, __corpus_est): best corpus match per new doc
+        nb_ = minhash_band_keys(nsigs, num_hashes, bands, id_col, hash_fn)
+        cb_ = minhash_band_keys(csigs, num_hashes, bands, id_col, hash_fn)
+        cand_c = (
+            nb_.select(F.col(id_col).alias("__nid"), "band", "bh")
+            .join(cb_.select(F.col(id_col).alias("__cid"), "band", "bh"),
+                  on=["band", "bh"])
+            .select("__nid", "__cid").distinct()
+        )
+        w = Window.partitionBy("__nid").orderBy(F.desc("est_jaccard"), F.asc("__cid"))
+        return (
+            _verify(cand_c, nsigs, csigs, "__cid")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("__nid", F.col("__cid").alias("__corpus_of"),
+                    F.col("est_jaccard").alias("__corpus_est"))
+        )
+
+    def _batch_smaller_pairs(nsigs: DataFrame) -> DataFrame:
+        # verified (__nid, __bid) with __bid < __nid
+        nb_ = minhash_band_keys(nsigs, num_hashes, bands, id_col, hash_fn)
+        cand_b = (
+            nb_.select(F.col(id_col).alias("__bid"), "band", "bh")
+            .join(nb_.select(F.col(id_col).alias("__nid"), "band", "bh"),
+                  on=["band", "bh"])
+            .where(F.col("__bid") < F.col("__nid"))
+            .select("__nid", "__bid").distinct()
+        )
+        return _verify(cand_b, nsigs, nsigs, "__bid").select("__nid", "__bid")
+
+    if collapse_identical:
+        cm = _clone_members(corpus_sigs, id_col, "signature", persist)
+        bm = _clone_members(new_sigs, id_col, "signature", persist)
+        c_reps = corpus_sigs.join(
+            cm.where(F.col(id_col) == F.col("__rep")).select(id_col),
+            on=id_col, how="left_semi")
+        b_reps = new_sigs.join(
+            bm.where(F.col(id_col) == F.col("__rep")).select(id_col),
+            on=id_col, how="left_semi")
+        # corpus best lands on corpus reps (max est ties break to the clique
+        # minimum = the rep); every batch clique member inherits its rep's
+        best_c = (
+            bm.join(_corpus_best(b_reps, c_reps)
+                    .withColumnRenamed("__nid", "__rep"), on="__rep", how="inner")
+            .select(F.col(id_col).alias("__nid"), "__corpus_of", "__corpus_est")
+        )
+        # batch keep-first via rep-level pairs: for member b of clique R,
+        # matching smaller ids are exactly {partner reps < b} plus R itself
+        # when b is not the rep (a partner clique with rep > b has ALL
+        # members > b, since the rep is that clique's minimum)
+        pr = _batch_smaller_pairs(b_reps)
+        partners = (
+            pr.select(F.col("__nid").alias("__rep"), F.col("__bid").alias("__p"))
+            .unionByName(
+                pr.select(F.col("__bid").alias("__rep"), F.col("__nid").alias("__p")))
+        )
+        pm = (
+            bm.join(partners, on="__rep")
+            .where(F.col("__p") < F.col(id_col))
+            .groupBy(id_col).agg(F.min("__p").alias("__pmin"))
+            .withColumnRenamed(id_col, "__nid")
+        )
+        own = (
+            bm.where(F.col(id_col) != F.col("__rep"))
+            .select(F.col(id_col).alias("__nid"), F.col("__rep").alias("__own"))
+        )
+        best_b = (
+            own.join(pm, on="__nid", how="full")
+            .select("__nid", F.least("__own", "__pmin").alias("__batch_of"))
+            .where(F.col("__batch_of").isNotNull())
+        )
+    else:
+        best_c = _corpus_best(new_sigs, corpus_sigs)
+        best_b = (
+            _batch_smaller_pairs(new_sigs)
+            .groupBy("__nid")
+            .agg(F.min("__bid").alias("__batch_of"))
+        )
     out = (
         new_docs.select(F.col(id_col).alias("__nid"))
         .join(best_c, on="__nid", how="left")

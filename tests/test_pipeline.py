@@ -735,6 +735,44 @@ def test_incremental_dedup_minhash(spark):
     assert out[30]["keep"]  # no signature -> never a candidate
 
 
+def test_incremental_dedup_collapse_bitexact(spark):
+    """Two-sided clone collapse must reproduce the direct verdicts on a
+    clone-heavy batch/corpus mix (clique reps, tie-breaks, keep-first)."""
+    from opentsdb_spark.pipeline.dedup import (
+        incremental_dedup_minhash, minhash_signature,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    t2 = "one two three four five six seven eight nine ten " * 3
+    t3 = "unrelated corpus content entirely different words " * 3
+    corpus = spark.createDataFrame(
+        [(100, t1), (101, t1), (102, t1), (103, t3), (104, t3)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t2), (4, t2), (5, t2), (6, "zz qq")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signature(corpus)
+    kw = dict(threshold=0.5)
+
+    def snap(collapse):
+        return {r["doc_id"]: (r["keep"], r["dup_kind"], r["dup_of"], r["est_jaccard"])
+                for r in incremental_dedup_minhash(
+                    batch, sigs, collapse_identical=collapse, **kw).collect()}
+
+    direct, coll = snap(False), snap(True)
+    assert coll == direct
+    # clique facts: corpus clones tie-break to clique min 100; batch clique
+    # {3,4,5} keeps 3, drops 4/5 onto 3; short doc keeps
+    assert coll[1] == (False, "corpus", 100, 1.0)
+    assert coll[2] == (False, "corpus", 100, 1.0)
+    assert coll[3][0] is True
+    assert coll[4] == (False, "batch", 3, None)
+    assert coll[5] == (False, "batch", 3, None)
+    assert coll[6][0] is True
+
+
 def test_incremental_dedup_index_roundtrip(spark, tmp_path):
     """The corpus index really is just the (id, signature) parquet: saving
     and reloading it yields identical verdicts."""
