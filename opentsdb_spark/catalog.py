@@ -1499,9 +1499,10 @@ from opentsdb_spark.pipeline.dedup import (  # noqa: E402
     simhash_pairs,
 )
 from opentsdb_spark.pipeline.multimodal import (  # noqa: E402
-    audio_stats, byte_stats, dhash_dup_pairs, dhash_images, docs_as_media,
-    docs_as_raw_audio, docs_as_raw_images, docs_as_raw_video, extract_features,
-    frame_dup_pairs, resample_audio, resize_images, sample_frames,
+    audio_dup_pairs, audio_fingerprint, audio_stats, byte_stats, dhash_dup_pairs,
+    dhash_images, docs_as_media, docs_as_raw_audio, docs_as_raw_images,
+    docs_as_raw_video, extract_features, frame_dup_pairs, resample_audio,
+    resize_images, sample_frames,
 )
 from opentsdb_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk, dequantized_view, embedding_stats, lsh_topk, quantize_embeddings,
@@ -3007,6 +3008,73 @@ def multimodal_audio_resample(spark, sf_dir):
     floor-index map per output sample, so index-off-by-one anywhere in the
     resampler flips the hash."""
     return _audio_query(spark, sf_dir, resample=True)
+
+
+def _audio_fp_ctes() -> str:
+    # SQL replica of pipeline.multimodal.audio_fingerprint over the raw
+    # s16le wrap of documents.text: window w = j*65//256, gradient bit via
+    # integer cross-multiplication of window sums/counts — no float math,
+    # so the comparison is exact on any engine. Bit 63 is the sign bit
+    # (min-long literal trick shared with the dHash oracles).
+    nbytes = _AUD_N * 2
+    nw = 65
+    return f"""
+        t AS (SELECT doc_id, rpad(substr(text, 1, {nbytes}), {nbytes}, ' ') AS t
+              FROM documents),
+        smp AS (SELECT d.doc_id, j.i AS j,
+                       ord(substr(d.t, 2 * j.i + 1, 1))
+                       + 256 * ord(substr(d.t, 2 * j.i + 2, 1)) AS v
+                FROM t d CROSS JOIN range({_AUD_N}) j(i)),
+        s AS (SELECT doc_id, j,
+                     CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+              FROM smp),
+        wnd AS (SELECT doc_id, (j * {nw}) // {_AUD_N} AS w,
+                       sum(s) AS ws, count(*) AS wc
+                FROM s GROUP BY doc_id, (j * {nw}) // {_AUD_N}),
+        bits AS (SELECT l.doc_id, l.w AS bitpos,
+                        CASE WHEN l.ws * r.wc < r.ws * l.wc THEN 1 ELSE 0 END AS bit
+                 FROM wnd l JOIN wnd r ON l.doc_id = r.doc_id AND r.w = l.w + 1),
+        afp AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN bit = 1 AND bitpos < 63
+                                     THEN (1::BIGINT << bitpos) ELSE 0 END)
+                            + max(CASE WHEN bit = 1 AND bitpos = 63 THEN 1 ELSE 0 END)
+                              * (-9223372036854775807 - 1) AS BIGINT) AS afp
+                FROM bits GROUP BY doc_id)"""
+
+
+@register(
+    "multimodal_audio_fp",
+    f"""WITH {_audio_fp_ctes()}
+        SELECT doc_id AS media_id, afp FROM afp""",
+)
+def multimodal_audio_fp(spark, sf_dir):
+    """64-bit envelope-gradient audio fingerprint, hash-checked bit for bit:
+    the oracle rebuilds every window sum/count and gradient comparison from
+    the raw bytes (pipeline/multimodal.py audio_fingerprint)."""
+    media = docs_as_raw_audio(_docs(spark, sf_dir), _AUD_N, _AUD_IN)
+    return audio_fingerprint(media)
+
+
+@register(
+    "multimodal_audio_dedup",
+    f"""WITH {_audio_fp_ctes()},
+        nz AS (SELECT doc_id, afp FROM afp WHERE afp <> 0),
+        band AS (SELECT doc_id, afp, tb.b, (afp >> (tb.b * 16)) & 65535 AS bh
+                 FROM nz CROSS JOIN generate_series(0, 3) tb(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.afp AS ha, b.afp AS hb
+                 FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                        AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
+)
+def multimodal_audio_dedup(spark, sf_dir):
+    """Near-duplicate audio detection at max_hamming=3 (exhaustive banding
+    by pigeonhole), flat envelopes excluded — dedup now covers all three
+    modalities (text MinHash/SimHash, image/video dHash, audio envelope
+    fingerprint) on the same band machinery, each value-checked."""
+    media = docs_as_raw_audio(_docs(spark, sf_dir), _AUD_N, _AUD_IN)
+    return audio_dup_pairs(media, max_hamming=3)
 
 
 @register(

@@ -244,6 +244,73 @@ AUDIO_STATS_SCHEMA = T.StructType(
 )
 
 
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, n_windows: int = 65) -> DataFrame:
+    """64-bit envelope-gradient audio fingerprint (Chromaprint-style, raw
+    s16le): samples split into ``n_windows`` floor-index windows (sample j
+    -> window j*W//n, every window non-empty when n >= W), bit i set iff
+    window mean i < mean i+1. Means compare by integer cross-multiplication
+    (sum_i * count_{i+1} < sum_{i+1} * count_i) so every engine agrees
+    exactly — no float division anywhere. Clips shorter than ``n_windows``
+    samples (or malformed: NULL / odd bytes) fingerprint NULL; a flat
+    envelope hashes to 0 and downstream pairing excludes it.
+
+    Scale shape: one Arrow-batched narrow map, 16-byte output rows."""
+    if n_windows < 2 or n_windows > 65:
+        raise ValueError("n_windows must be in [2, 65] (64 gradient bits max)")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        nb = n_windows - 1
+        weights = (np.uint64(1) << np.arange(nb, dtype=np.uint64))
+        for pdf in batches:
+            fps = []
+            for blob in pdf["media"]:
+                if blob is None or len(blob) % 2 or len(blob) // 2 < n_windows:
+                    fps.append(None)
+                    continue
+                s = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
+                n = len(s)
+                w = (np.arange(n) * n_windows) // n
+                sums = np.bincount(w, weights=s, minlength=n_windows).astype(np.int64)
+                cnts = np.bincount(w, minlength=n_windows).astype(np.int64)
+                bits = sums[:-1] * cnts[1:] < sums[1:] * cnts[:-1]
+                val = (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+                fps.append(int(val.astype(np.int64)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"),
+                 "afp": pd.Series(fps, dtype="object")}
+            )
+
+    return media.select("media_id", "media").mapInPandas(gen, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_windows: int = 65,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Near-duplicate audio clip pairs (re-encodes, replays, silence-padded
+    copies): envelope-gradient fingerprint -> shared 16-bit band machinery
+    (pipeline.dedup.band_pairs_64) -> exact Hamming verify. Flat-envelope
+    clips (afp == 0) carry no signal and are excluded, like flat video
+    frames. Returns (id_a, id_b, hamming); audio bytes never shuffle."""
+    from opentsdb_spark.pipeline.dedup import band_pairs_64
+
+    fp = audio_fingerprint(media, n_windows).where(F.col("afp") != 0)
+    return band_pairs_64(fp, "afp", id_col="media_id",
+                         max_hamming=max_hamming, max_bucket=max_bucket)
+
+
 def audio_stats(media: DataFrame) -> DataFrame:
     """Per-clip s16le signal stats: sample count, RMS, peak |amplitude|, and
     strict zero crossings (adjacent samples with opposite nonzero signs) —

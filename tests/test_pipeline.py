@@ -909,6 +909,46 @@ def test_audio_raw_pcm(spark):
         resample_audio(media, 0, 4000)
 
 
+def test_audio_fingerprint_dedup(spark):
+    import numpy as np
+
+    from opentsdb_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, audio_dup_pairs, audio_fingerprint,
+    )
+
+    rng = np.random.RandomState(3)
+    sig = rng.randint(-3000, 3000, 130, dtype="<i2")
+    # bend the first window's mean DOWN so bit 0 (m0 < m1) flips to True
+    near = sig.copy(); near[:2] -= 20000
+    flat = np.zeros(130, dtype="<i2")
+    rows = [
+        (0, "audio", bytearray(sig.tobytes()), ("audio/x-raw-s16le", None, None, 1)),
+        (1, "audio", bytearray(sig.tobytes()), ("audio/x-raw-s16le", None, None, 1)),
+        (2, "audio", bytearray(near.tobytes()), ("audio/x-raw-s16le", None, None, 1)),
+        (3, "audio", bytearray(flat.tobytes()), ("audio/x-raw-s16le", None, None, 1)),
+        (4, "audio", bytearray(b"\x00\x00" * 10), ("audio/x-raw-s16le", None, None, 1)),  # < 65 samples
+        (5, "audio", None, ("audio/x-raw-s16le", None, None, 1)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fp = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert fp[0] == fp[1] and fp[0] != 0          # clones agree, non-flat
+    assert fp[3] == 0                              # flat envelope -> 0
+    assert fp[4] is None and fp[5] is None         # too short / NULL visible
+    # numpy replica of doc 0's fingerprint
+    s = sig.astype(np.int64); n = len(s)
+    w = (np.arange(n) * 65) // n
+    sums = np.bincount(w, weights=s, minlength=65).astype(np.int64)
+    cnts = np.bincount(w, minlength=65).astype(np.int64)
+    bits = sums[:-1] * cnts[1:] < sums[1:] * cnts[:-1]
+    want = int((bits.astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+               .sum(dtype=np.uint64).astype(np.int64))
+    assert fp[0] == want
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in audio_dup_pairs(media, max_hamming=3).collect()}
+    assert got[(0, 1)] == 0 and not any(3 in p or 4 in p or 5 in p for p in got)
+    assert (0, 2) in got and 0 < got[(0, 2)] <= 3  # near-dup at small hamming
+
+
 def test_vocab_topk(spark):
     from opentsdb_spark.pipeline.text import vocab_topk
 
