@@ -72,7 +72,9 @@ HEADLINE = [
     "dedup_incremental",
     "multimodal_dhash_pairs",
     "multimodal_audio_stats",
+    "multimodal_audio_dedup",
     "sample_shard_assign",
+    "sample_repeat_epochs",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

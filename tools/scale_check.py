@@ -57,6 +57,7 @@ QUERIES = [
     "text_cms_probe",
     "dedup_incremental",
     "multimodal_dhash_pairs",
+    "multimodal_audio_dedup",
     "sample_shard_assign",
 ]
 
