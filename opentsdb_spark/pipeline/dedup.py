@@ -137,16 +137,28 @@ def _clone_members(keyed: DataFrame, id_col: str, key_col: str,
 
 
 def _expand_clone_pairs(rep_pairs: DataFrame, members: DataFrame,
-                        score_col: str, threshold: float, id_col: str,
-                        within_scores: DataFrame | None = None) -> DataFrame:
+                        score_col: str, id_col: str,
+                        within_value=None,
+                        within_scores: DataFrame | None = None,
+                        within_members: DataFrame | None = None) -> DataFrame:
     """Expand representative-level verified pairs back to member pairs with
-    id-only joins. Within-clique pairs score exactly 1.0 (identical clone
-    keys under an exact score like Jaccard / signature agreement) unless
-    ``within_scores`` supplies the computed self-score per representative
-    ((__rep, score_col) rows, already threshold-filtered) — needed when the
-    score expression is floating-point (cosine) and 1.0 cannot be assumed
-    bit-exact. Emitted set and values are bit-identical to the uncollapsed
-    pipeline (see minhash_lsh_pairs docstring for the argument)."""
+    id-only joins — the single implementation shared by every clone-collapse
+    path (MinHash / n-gram / 64-bit bands / embeddings / incremental).
+
+    Within-clique pairs get exactly one of:
+      - ``within_value`` (a Column literal): the score identical clone keys
+        force under an exact metric — 1.0 for Jaccard/agreement, 0 for
+        Hamming. Pass neither value nor scores to skip within pairs
+        entirely (threshold unsatisfiable).
+      - ``within_scores`` ((__rep, score_col) rows, already threshold
+        -filtered): the computed self-score when the metric is
+        floating-point (cosine) and the literal cannot be assumed
+        bit-exact.
+    ``within_members`` restricts which cliques emit within pairs (e.g. the
+    max_df-surviving subset); defaults to all of ``members``. Cross-clique
+    expansion always uses the full membership. Callers must guarantee ids
+    are UNIQUE in ``members`` — duplicate id rows would multiply expanded
+    pairs."""
     ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
     cross = (
@@ -157,26 +169,19 @@ def _expand_clone_pairs(rep_pairs: DataFrame, members: DataFrame,
             score_col,
         )
     )
-    if within_scores is None:
-        if threshold > 1.0:  # nothing can pass, incl. exact clones
-            return cross
-        wsc = F.lit(1.0).alias(score_col)
-        m1 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_a"))
-        m2 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_b"))
+    if within_value is None and within_scores is None:
+        return cross
+    wm = within_members if within_members is not None else members
+    m1 = wm.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_a"))
+    m2 = wm.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_b"))
+    base = m1.join(m2, on="__r").where(F.col("id_a") < F.col("id_b"))
+    if within_scores is not None:
         within = (
-            m1.join(m2, on="__r")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", wsc)
+            base.join(within_scores.withColumnRenamed("__rep", "__r"), on="__r")
+            .select("id_a", "id_b", score_col)
         )
-        return cross.unionByName(within)
-    m1 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_a"))
-    m2 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_b"))
-    within = (
-        m1.join(m2, on="__r")
-        .where(F.col("id_a") < F.col("id_b"))
-        .join(within_scores.withColumnRenamed("__rep", "__r"), on="__r")
-        .select("id_a", "id_b", score_col)
-    )
+    else:
+        within = base.select("id_a", "id_b", within_value.alias(score_col))
     return cross.unionByName(within)
 
 
@@ -206,34 +211,63 @@ def ngram_jaccard_pairs(
     (mirrors, reprints) otherwise cost |clique|^2 inverted-index candidates
     and gram-array verifies. Identical lists imply identical sets, so
     within-clique Jaccard is exactly 1.0 and cross-clique pairs inherit the
-    representative value: the output is bit-identical either way (the
-    hash-checked oracle holds for both settings). Gram-less docs never
-    enter the clique frame, so they still never pair. With collapsing on,
-    ``max_df`` counts distinct-gram-list documents.
+    representative value. ``max_df`` keeps its MEMBER-level doc-frequency
+    semantics under collapsing: each representative gram row carries its
+    clique size into the frequency sum, and a clique whose every gram is
+    pruned emits no within pairs (exactly as its members would never
+    become candidates in the direct path) — so the output is bit-identical
+    either way and the hash-checked oracle holds for both settings.
+    Gram-less docs never enter the clique frame, so they still never pair.
 
     The gram frame feeds the inverted index (twice via the self-join) and
     both exact-verify re-joins — persisted so tokenization runs once
     (_persist_small)."""
     g = _persist_small(_gram_frame(docs, content_col, id_col, n), persist)
-    if collapse_identical:
-        members = _clone_members(g, id_col, "grams", persist)
-        rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
-        rep_g = g.join(rep_ids, on=id_col, how="left_semi")
-        rep_pairs = _gram_index_verify(rep_g, threshold, max_df, id_col)
-        return _expand_clone_pairs(rep_pairs, members, "jaccard", threshold, id_col)
-    return _gram_index_verify(g, threshold, max_df, id_col)
+    if not collapse_identical:
+        return _gram_index_verify(g, threshold, max_df, id_col)
+    members = _clone_members(g, id_col, "grams", persist)
+    rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
+    rep_g = g.join(rep_ids, on=id_col, how="left_semi")
+    df_weights = None
+    if max_df is not None:
+        df_weights = members.groupBy("__rep").agg(F.count("*").alias("__w")) \
+            .withColumnRenamed("__rep", id_col)
+    rep_pairs, e_kept = _gram_index_verify(rep_g, threshold, max_df, id_col,
+                                           df_weights=df_weights,
+                                           return_kept=True)
+    within_members = members
+    if max_df is not None:
+        # a clique whose grams are ALL pruned never pairs in the direct
+        # path — gate its within-expansion on having >= 1 surviving gram
+        surviving = e_kept.select(F.col(id_col).alias("__rep")).distinct()
+        within_members = members.join(surviving, on="__rep", how="left_semi")
+    return _expand_clone_pairs(
+        rep_pairs, members, "jaccard", id_col,
+        within_value=None if threshold > 1.0 else F.lit(1.0),
+        within_members=within_members,
+    )
 
 
 def _gram_index_verify(g: DataFrame, threshold: float, max_df: int | None,
-                       id_col: str) -> DataFrame:
+                       id_col: str, df_weights: DataFrame | None = None,
+                       return_kept: bool = False):
     """Inverted-index candidates + exact Jaccard verify over a gram frame.
     Candidate generation joins on xxhash64(gram), not the (long) gram
     string — 8-byte shuffle keys; the exact Jaccard re-rank uses the real
     gram sets so a hash collision can only add a candidate, never a
-    result."""
+    result. ``df_weights`` ((id, __w) rows) makes the max_df frequency sum
+    count each row as __w documents (clique sizes under clone collapse);
+    ``return_kept`` also returns the pruned exploded gram frame."""
     e = g.select(id_col, F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("gram"))
     if max_df is not None:
-        keep = e.groupBy("gram").count().where(F.col("count") <= max_df).select("gram")
+        if df_weights is not None:
+            freq = (
+                e.join(df_weights, on=id_col)
+                .groupBy("gram").agg(F.sum("__w").alias("__df"))
+            )
+        else:
+            freq = e.groupBy("gram").agg(F.count("*").alias("__df"))
+        keep = freq.where(F.col("__df") <= max_df).select("gram")
         e = e.join(keep, on="gram", how="leftsemi")
     a = e.select(F.col(id_col).alias("id_a"), "gram")
     b = e.select(F.col(id_col).alias("id_b"), "gram")
@@ -244,11 +278,12 @@ def _gram_index_verify(g: DataFrame, threshold: float, max_df: int | None,
     inter = F.size(F.array_intersect("ga", "gb")).cast("double")
     union = (F.size("ga") + F.size("gb")).cast("double") - inter
     jac = inter / union
-    return (
+    out = (
         pairs.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return (out, e) if return_kept else out
 
 
 def decontaminate(
@@ -458,7 +493,10 @@ def _collapsed_lsh_pairs(sigs: DataFrame, num_hashes: int, bands: int,
     banded = minhash_band_keys(rep_sigs, num_hashes, bands, id_col, hash_fn)
     rep_pairs = _banded_verify(rep_sigs, banded, num_hashes, threshold,
                                id_col, max_bucket)
-    return _expand_clone_pairs(rep_pairs, members, "est_jaccard", threshold, id_col)
+    return _expand_clone_pairs(
+        rep_pairs, members, "est_jaccard", id_col,
+        within_value=None if threshold > 1.0 else F.lit(1.0),
+    )
 
 
 def minhash_band_keys(sigs: DataFrame, num_hashes: int, bands: int,
@@ -531,12 +569,17 @@ def incremental_dedup_minhash(
     Scale shape: batch signatures are computed once and persisted (the
     batch is the small side — typically << corpus); both candidate joins
     key on 8-byte (band, bh) pairs with bare ids, signatures re-join only
-    on verified candidates. Corpus cost is one scan of the signature
-    parquet, no text reprocessing."""
+    on verified candidates. The corpus frame feeds several plan references
+    (clique window / band keys / verify re-join), so it is persisted too —
+    one scan of the signature parquet, and a caller that passes freshly
+    COMPUTED signatures is not re-shingled per reference."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
     new_sigs = _persist_small(
         minhash_signature(new_docs, content_col, id_col, num_hashes, shingle_n, hash_fn),
         persist,
     )
+    corpus_sigs = _persist_small(corpus_sigs, persist)
     agree = _sig_agreement_udf(num_hashes)
 
     def _verify(cands: DataFrame, self_sigs: DataFrame, other_sigs: DataFrame,
@@ -709,9 +752,9 @@ def simhash_pairs(
     more docs than the cap — a hot bucket (near-identical corpus slice)
     would otherwise cost |bucket|² at candidate generation.
 
-    The 8-byte-per-doc simhash frame feeds the bucket-cap semi-join and both
-    self-join sides — persisted so tokenize+hash runs once (_persist_small)."""
-    sh = _persist_small(simhash(docs, content_col, id_col, hash_fn), persist)
+    The 8-byte-per-doc simhash frame feeds multiple plan references —
+    band_pairs_64 persists it so tokenize+hash runs once."""
+    sh = simhash(docs, content_col, id_col, hash_fn)
     return band_pairs_64(sh, "simhash", id_col, max_hamming, max_bucket,
                          persist=persist)
 
@@ -739,8 +782,17 @@ def band_pairs_64(
     expand back with id-only joins — within-clique Hamming is exactly 0,
     cross-clique pairs inherit the representative distance, so the output
     is bit-identical either way. With collapsing on, ``max_bucket`` counts
-    distinct hash values per band bucket."""
-    hs = hashes.where(F.col(hash_col).isNotNull()).select(id_col, hash_col)
+    distinct hash values per band bucket. Ids must be UNIQUE per row —
+    callers whose hash stage can emit the same id twice (oversampling)
+    must dedupe first, or expansion multiplies pairs.
+
+    The 16-byte hash frame feeds the clique window plus 3-4 plan
+    references in banding/verify — persisted so an expensive upstream hash
+    stage (per-image dHash, audio fingerprints) runs once."""
+    hs = _persist_small(
+        hashes.where(F.col(hash_col).isNotNull()).select(id_col, hash_col),
+        persist,
+    )
     if collapse_identical:
         members = _clone_members(hs, id_col, hash_col, persist)
         rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
@@ -748,26 +800,10 @@ def band_pairs_64(
             hs.join(rep_ids, on=id_col, how="left_semi"),
             hash_col, id_col, max_hamming, max_bucket,
         )
-        ma = members.select(F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma"))
-        mb = members.select(F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb"))
-        cross = (
-            rep_pairs.join(ma, on="id_a").join(mb, on="id_b")
-            .select(
-                F.least("__ma", "__mb").alias("id_a"),
-                F.greatest("__ma", "__mb").alias("id_b"),
-                "hamming",
-            )
+        return _expand_clone_pairs(
+            rep_pairs, members, "hamming", id_col,
+            within_value=None if max_hamming < 0 else F.lit(0).cast("integer"),
         )
-        if max_hamming < 0:  # nothing can pass, incl. exact clones
-            return cross
-        m1 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_a"))
-        m2 = members.select(F.col("__rep").alias("__r"), F.col(id_col).alias("id_b"))
-        within = (
-            m1.join(m2, on="__r")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", F.lit(0).cast("integer").alias("hamming"))
-        )
-        return cross.unionByName(within)
     return _band_pairs_direct(hs, hash_col, id_col, max_hamming, max_bucket)
 
 
@@ -895,7 +931,7 @@ def embedding_dup_pairs(
     )
     if members is None:
         return out
-    return _expand_clone_pairs(out, members, "cosine", threshold, id_col,
+    return _expand_clone_pairs(out, members, "cosine", id_col,
                                within_scores=within_scores)
 
 

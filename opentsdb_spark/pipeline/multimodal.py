@@ -635,9 +635,12 @@ def frame_dup_pairs(
     from opentsdb_spark.pipeline.dedup import band_pairs_64
 
     hashes = dhash_frames(sample_frames(media, every_ms), hash_w, hash_h)
+    # .distinct(): an every_ms below the frame interval samples the same
+    # frame at several timestamps — duplicate (fid, hash) rows would
+    # multiply band_pairs_64's clone expansion (ids must be unique there)
     packed = hashes.where(F.col("dhash") != 0).select(
         (F.col("media_id") * 65536 + F.col("frame_idx")).alias("fid"), "dhash"
-    )
+    ).distinct()
     pairs = band_pairs_64(packed, "dhash", id_col="fid",
                           max_hamming=max_hamming, max_bucket=max_bucket)
     return pairs.select(

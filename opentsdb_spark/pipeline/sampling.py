@@ -482,8 +482,18 @@ def write_token_shards(
 
     The assignment frame is 32 bytes/doc; the payload-wide join is the only
     full-width stage and flows straight into the writer — no extra
-    shuffle beyond the partitioned write itself."""
-    assigned = shard_assign(docs, shard_tokens, n_buckets, content_col, id_col)
+    shuffle beyond the partitioned write itself. The assignment is
+    persisted (per-thread scratch registry, release_scratch() to unpin in
+    long-lived processes) so the write and the returned manifest share one
+    computation instead of re-scanning the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    from opentsdb_spark.operators.groupby import _register_scratch
+
+    assigned = _register_scratch(
+        shard_assign(docs, shard_tokens, n_buckets, content_col, id_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     joined = docs.join(assigned.select(id_col, "shard"), on=id_col)
     joined.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     return assigned.groupBy("shard").agg(

@@ -872,6 +872,51 @@ def test_frame_dup_pairs(spark):
     assert set(got) == expect_keys and all(v == 0 for v in got.values())
 
 
+def test_frame_dup_pairs_oversampled(spark):
+    """every_ms below the frame interval samples frames repeatedly; pairs
+    must still come out once each (duplicate fids would multiply the
+    clone-collapse expansion)."""
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, frame_dup_pairs
+
+    busy = bytes([10, 200, 30, 90])
+    rows = [
+        (0, "video", bytearray(busy * 3), ("video/x-raw-gray8", 2, 2, 300)),
+        (1, "video", bytearray(busy * 3), ("video/x-raw-gray8", 2, 2, 300)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # 50ms sampling of 100ms frames -> each frame sampled twice
+    over = frame_dup_pairs(media, 50, max_hamming=0).collect()
+    exact = frame_dup_pairs(media, 100, max_hamming=0).collect()
+    key = lambda r: (r["media_a"], r["frame_a"], r["media_b"], r["frame_b"])  # noqa: E731
+    assert sorted(map(key, over)) == sorted(map(key, exact))
+    assert len(over) == len(set(map(key, over)))  # no duplicated rows
+
+
+def test_ngram_max_df_collapse_bitexact(spark):
+    """max_df must keep member-level doc-frequency semantics under clone
+    collapse: a clone cluster larger than the cap stays fully pruned."""
+    from opentsdb_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base) for i in range(6)] + [
+        (10, "completely different words about spark analytics engines here now"),
+        (11, "completely different words about spark analytics engines here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_df in (None, 3, 7):
+        direct = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                  ngram_jaccard_pairs(docs, threshold=0.5, max_df=max_df,
+                                      collapse_identical=False).collect()}
+        coll = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                ngram_jaccard_pairs(docs, threshold=0.5, max_df=max_df).collect()}
+        assert coll == direct, f"max_df={max_df}"
+    # sanity on the semantics themselves: cap 3 prunes the 6-clone cluster's
+    # grams everywhere (df=6), so only the 2-clone pair survives
+    capped = {(r["id_a"], r["id_b"]) for r in
+              ngram_jaccard_pairs(docs, threshold=0.5, max_df=3).collect()}
+    assert capped == {(10, 11)}
+
+
 def test_audio_raw_pcm(spark):
     import numpy as np
 

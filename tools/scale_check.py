@@ -123,12 +123,17 @@ def main() -> None:
     big = f"/tmp/scale_check_sf{k}x"
     # --reuse-replica skips re-writing an existing replica dir (it is a
     # deterministic function of BASE and k, so reuse within a session is
-    # safe; delete the dir after changing the replication scheme)
-    if reuse and os.path.exists(f"{big}/documents.parquet"):
+    # safe; delete the dir after changing the replication scheme). The
+    # marker file is written only after replicate() finishes, so a replica
+    # half-written by a crashed run is never silently reused.
+    marker = f"{big}/.replica_complete"
+    if reuse and os.path.exists(marker):
         print(f"reusing replica {big}")
     else:
         print(f"replicating {BASE} x{k} -> {big}")
         replicate(spark, k, big)
+        with open(marker, "w") as f:
+            f.write("ok\n")
     # warmup (JVM + python worker pool)
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
