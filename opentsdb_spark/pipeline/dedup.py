@@ -225,7 +225,15 @@ def ngram_jaccard_pairs(
     g = _persist_small(_gram_frame(docs, content_col, id_col, n), persist)
     if not collapse_identical:
         return _gram_index_verify(g, threshold, max_df, id_col)
-    members = _clone_members(g, id_col, "grams", persist)
+    # clique key = sha2 of the JSON-serialized gram list (injective
+    # serialization; 256-bit equality is the same identity standard
+    # exact_dedup applies to content) — the clique window then shuffles
+    # 40-byte (id, key) rows instead of whole gram arrays, which measurably
+    # halved the collapse overhead on clone-light corpora
+    keyed = g.select(
+        id_col, F.sha2(F.to_json(F.col("grams")), 256).alias("__k")
+    )
+    members = _clone_members(keyed, id_col, "__k", persist)
     rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
     rep_g = g.join(rep_ids, on=id_col, how="left_semi")
     df_weights = None
@@ -238,8 +246,15 @@ def ngram_jaccard_pairs(
     within_members = members
     if max_df is not None:
         # a clique whose grams are ALL pruned never pairs in the direct
-        # path — gate its within-expansion on having >= 1 surviving gram
-        surviving = e_kept.select(F.col(id_col).alias("__rep")).distinct()
+        # path — gate its within-expansion on having >= 1 surviving gram.
+        # Only MULTI-member cliques have within pairs at all, so the gate
+        # filters e_kept down to those reps BEFORE the distinct (clone
+        # -light corpora: near-empty filter, no corpus-wide aggregation)
+        multi_ids = df_weights.where(F.col("__w") > 1).select(id_col)
+        surviving = (
+            e_kept.join(multi_ids, on=id_col, how="left_semi")
+            .select(F.col(id_col).alias("__rep")).distinct()
+        )
         within_members = members.join(surviving, on="__rep", how="left_semi")
     return _expand_clone_pairs(
         rep_pairs, members, "jaccard", id_col,
@@ -258,15 +273,31 @@ def _gram_index_verify(g: DataFrame, threshold: float, max_df: int | None,
     result. ``df_weights`` ((id, __w) rows) makes the max_df frequency sum
     count each row as __w documents (clique sizes under clone collapse);
     ``return_kept`` also returns the pruned exploded gram frame."""
-    e = g.select(id_col, F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("gram"))
+    e = g.select(
+        id_col, F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("gram")
+    )
     if max_df is not None:
+        base = e.groupBy("gram").agg(F.count("*").alias("__c"))
         if df_weights is not None:
-            freq = (
-                e.join(df_weights, on=id_col)
-                .groupBy("gram").agg(F.sum("__w").alias("__df"))
+            # member-weighted df = rep count + Σ (clique_size - 1) over
+            # MULTI-member cliques only. `multi` is bounded by #reps with
+            # clones (usually tiny, broadcastable), so the correction join
+            # never shuffles the whole exploded frame — joining all of e
+            # with the weights measurably doubled the op.
+            # no broadcast hint: AQE picks broadcast when multi is small
+            # (the normal case) but keeps a shuffle fallback for clone
+            # -saturated corpora where it is not
+            multi = df_weights.where(F.col("__w") > 1)
+            corr = (
+                e.join(multi, on=id_col)
+                .groupBy("gram").agg(F.sum(F.col("__w") - 1).alias("__x"))
+            )
+            freq = base.join(corr, on="gram", how="left").select(
+                "gram",
+                (F.col("__c") + F.coalesce(F.col("__x"), F.lit(0))).alias("__df"),
             )
         else:
-            freq = e.groupBy("gram").agg(F.count("*").alias("__df"))
+            freq = base.withColumnRenamed("__c", "__df")
         keep = freq.where(F.col("__df") <= max_df).select("gram")
         e = e.join(keep, on="gram", how="leftsemi")
     a = e.select(F.col(id_col).alias("id_a"), "gram")
