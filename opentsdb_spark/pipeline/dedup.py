@@ -122,6 +122,45 @@ def _shingle_udf(n: int, distinct: bool = True):
     return shingle
 
 
+_CLONE_PROBE_RSD = 0.01
+_CLONE_PROBE_MARGIN = 4.0  # bypass only when est. distinct >= (1 - 4*rsd) * n
+
+
+def _should_collapse(collapse_identical, keyed: DataFrame, key_expr) -> bool:
+    """Adaptive exact-clone gate shared by every *_pairs collapse path.
+
+    ``collapse_identical`` semantics:
+      - ``False``   -> never collapse.
+      - ``"force"`` -> always collapse (no probe) — what the bit-exactness
+        tests pin against the direct path.
+      - ``True`` / ``"auto"`` -> probe clone mass with ONE map-side
+        -combinable aggregate (count vs approx_count_distinct, HLL++
+        partials — no row shuffle) and collapse only when the estimated
+        distinct-key count falls short of the row count by more than the
+        HLL error margin. Clone-light corpora (the common case) then skip
+        the clique window and the 3 expansion joins entirely; output is
+        bit-identical either way (pinned by test_*_collapse_bitexact), so
+        a borderline probe can only affect cost, never results.
+
+    Safety at 100 TB: a clone-heavy corpus (mirrors, replays — the
+    quadratic failure mode collapse exists for) has distinct << count, far
+    outside the HLL error band, so the probe cannot misread it as
+    clone-free. The marginal band (< ~4% clone mass) is exactly where the
+    direct path's extra clique work is negligible. The probe runs on the
+    already-persisted key frame, so it doubles as the cache warm-up for
+    the downstream plan references rather than an extra corpus scan."""
+    if collapse_identical is False:
+        return False
+    if collapse_identical == "force":
+        return True
+    row = keyed.agg(
+        F.count("*").alias("__n"),
+        F.approx_count_distinct(key_expr, _CLONE_PROBE_RSD).alias("__d"),
+    ).first()
+    n, d = row["__n"], row["__d"]
+    return d < n * (1.0 - _CLONE_PROBE_MARGIN * _CLONE_PROBE_RSD)
+
+
 def _clone_members(keyed: DataFrame, id_col: str, key_col: str,
                    persist: bool) -> DataFrame:
     """(id, __rep) clique tagging: __rep = min id among rows sharing
@@ -193,7 +232,7 @@ def ngram_jaccard_pairs(
     content_col: str = "text",
     id_col: str = "doc_id",
     persist: bool = True,
-    collapse_identical: bool = True,
+    collapse_identical: bool | str = True,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard via an inverted-index candidate join.
 
@@ -205,8 +244,11 @@ def ngram_jaccard_pairs(
     exact over full gram sets) — pairs linked solely by ultra-common grams
     are below any useful threshold anyway. Empty documents never pair.
 
-    ``collapse_identical`` (default on) merges documents with identical
-    gram LISTS into one representative before the index join and verify —
+    ``collapse_identical`` (default ``True`` = adaptive: one HLL probe
+    bypasses the whole collapse on clone-light corpora, ``"force"`` always
+    collapses, ``False`` never — see ``_should_collapse``) merges documents
+    with identical gram LISTS into one representative before the index join
+    and verify —
     the same exact-clone guard as minhash_lsh_pairs: clone clusters
     (mirrors, reprints) otherwise cost |clique|^2 inverted-index candidates
     and gram-array verifies. Identical lists imply identical sets, so
@@ -223,7 +265,7 @@ def ngram_jaccard_pairs(
     both exact-verify re-joins — persisted so tokenization runs once
     (_persist_small)."""
     g = _persist_small(_gram_frame(docs, content_col, id_col, n), persist)
-    if not collapse_identical:
+    if not _should_collapse(collapse_identical, g, F.xxhash64(F.col("grams"))):
         return _gram_index_verify(g, threshold, max_df, id_col)
     # clique key = sha2 of the JSON-serialized gram list (injective
     # serialization; 256-bit equality is the same identity standard
@@ -415,11 +457,12 @@ def minhash_lsh_pairs(
     hash_fn=None,
     persist: bool = True,
     max_bucket: int | None = None,
-    collapse_identical: bool = True,
+    collapse_identical: bool | str = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified on the signature.
 
-    ``collapse_identical`` (default on) first merges documents with
+    ``collapse_identical`` (default ``True`` = adaptive probe / ``"force"``
+    / ``False`` — see ``_should_collapse``) first merges documents with
     BIT-IDENTICAL signatures into one representative node, runs the banded
     candidate/verify machinery on representatives only, then expands
     verdicts back to member pairs with id-only joins. Exact clone clusters
@@ -461,7 +504,7 @@ def minhash_lsh_pairs(
     sigs = _persist_small(
         minhash_signature(docs, content_col, id_col, num_hashes, shingle_n, hash_fn), persist
     )
-    if collapse_identical:
+    if _should_collapse(collapse_identical, sigs, F.xxhash64(F.col("signature"))):
         return _collapsed_lsh_pairs(
             sigs, num_hashes, bands, threshold, id_col, hash_fn, persist, max_bucket
         )
@@ -569,7 +612,7 @@ def incremental_dedup_minhash(
     id_col: str = "doc_id",
     hash_fn=None,
     persist: bool = True,
-    collapse_identical: bool = True,
+    collapse_identical: bool | str = True,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus MinHash index plus
     itself — the production incremental shape: the corpus is never re-read
@@ -587,7 +630,9 @@ def incremental_dedup_minhash(
       - else keep: ``keep=true``, kind/dup_of/est NULL. Docs too short to
         shingle (< shingle_n words) have no signature and always keep.
 
-    ``collapse_identical`` (default on) applies the exact-clone guard on
+    ``collapse_identical`` (default ``True`` = adaptive probe over the
+    UNION of both sides' signatures / ``"force"`` / ``False`` — see
+    ``_should_collapse``) applies the exact-clone guard on
     BOTH sides: identical signatures run candidates/verify once per clique
     representative and verdicts broadcast to members through id-only
     joins. Verdicts stay bit-identical because a representative is its
@@ -657,7 +702,13 @@ def incremental_dedup_minhash(
         )
         return _verify(cand_b, nsigs, nsigs, "__bid").select("__nid", "__bid")
 
-    if collapse_identical:
+    # clone probe over BOTH sides at once: within-corpus, within-batch and
+    # cross-side exact dups all shrink under collapse, and any of them pulls
+    # estimated distinct below the union row count
+    union_keys = corpus_sigs.select(
+        F.xxhash64(F.col("signature")).alias("__k")
+    ).unionByName(new_sigs.select(F.xxhash64(F.col("signature")).alias("__k")))
+    if _should_collapse(collapse_identical, union_keys, F.col("__k")):
         cm = _clone_members(corpus_sigs, id_col, "signature", persist)
         bm = _clone_members(new_sigs, id_col, "signature", persist)
         c_reps = corpus_sigs.join(
@@ -796,7 +847,7 @@ def band_pairs_64(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int | None = 10_000,
-    collapse_identical: bool = True,
+    collapse_identical: bool | str = True,
     persist: bool = True,
 ) -> DataFrame:
     """Hamming-near pairs over any 64-bit hash column (SimHash, image dHash,
@@ -807,7 +858,8 @@ def band_pairs_64(
     so the candidate stage never moves payloads, matching the SimHash scale
     shape however wide the corpus rows are.
 
-    ``collapse_identical`` (default on) is the exact-clone guard shared
+    ``collapse_identical`` (default ``True`` = adaptive probe / ``"force"``
+    / ``False`` — see ``_should_collapse``) is the exact-clone guard shared
     with the MinHash/n-gram/embedding paths, keyed here on the 8-byte hash
     itself: equal hashes run candidates/verify as one representative and
     expand back with id-only joins — within-clique Hamming is exactly 0,
@@ -824,7 +876,7 @@ def band_pairs_64(
         hashes.where(F.col(hash_col).isNotNull()).select(id_col, hash_col),
         persist,
     )
-    if collapse_identical:
+    if _should_collapse(collapse_identical, hs, F.col(hash_col)):
         members = _clone_members(hs, id_col, hash_col, persist)
         rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
         rep_pairs = _band_pairs_direct(
@@ -890,7 +942,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     persist: bool = True,
-    collapse_identical: bool = True,
+    collapse_identical: bool | str = True,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine >= threshold, candidates from K
     independent random-hyperplane LSH tables (pipeline.similarity.
@@ -899,7 +951,8 @@ def embedding_dup_pairs(
     1 - theta/pi ≈ 0.90, so 8 tables x 8 bits gives ~0.99 recall; exact
     cosine re-rank inside buckets keeps precision at 1.
 
-    ``collapse_identical`` (default on) merges bit-identical vectors into
+    ``collapse_identical`` (default ``True`` = adaptive probe / ``"force"``
+    / ``False`` — see ``_should_collapse``) merges bit-identical vectors into
     one representative before bucketing and verify — the exact-clone guard
     shared with the MinHash/n-gram paths. Because cosine is floating-point,
     within-clique pairs do NOT assume 1.0: the representative's self-cosine
@@ -921,7 +974,7 @@ def embedding_dup_pairs(
     banded_src = embeddings.select(F.col(id_col), F.col(vec_col))
     members = None
     within_scores = None
-    if collapse_identical:
+    if _should_collapse(collapse_identical, vecs, F.xxhash64(F.col("v"))):
         members = _clone_members(vecs, id_col, "v", persist)
         rep_ids = members.where(F.col(id_col) == F.col("__rep")).select(id_col)
         vecs = vecs.join(rep_ids, on=id_col, how="left_semi")

@@ -761,8 +761,10 @@ def test_incremental_dedup_collapse_bitexact(spark):
                 for r in incremental_dedup_minhash(
                     batch, sigs, collapse_identical=collapse, **kw).collect()}
 
-    direct, coll = snap(False), snap(True)
+    direct, coll = snap(False), snap("force")
     assert coll == direct
+    # adaptive default: the union probe sees 3+2 clone cliques and collapses
+    assert snap(True) == direct
     # clique facts: corpus clones tie-break to clique min 100; batch clique
     # {3,4,5} keeps 3, drops 4/5 onto 3; short doc keeps
     assert coll[1] == (False, "corpus", 100, 1.0)
@@ -908,7 +910,8 @@ def test_ngram_max_df_collapse_bitexact(spark):
                   ngram_jaccard_pairs(docs, threshold=0.5, max_df=max_df,
                                       collapse_identical=False).collect()}
         coll = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
-                ngram_jaccard_pairs(docs, threshold=0.5, max_df=max_df).collect()}
+                ngram_jaccard_pairs(docs, threshold=0.5, max_df=max_df,
+                                    collapse_identical="force").collect()}
         assert coll == direct, f"max_df={max_df}"
     # sanity on the semantics themselves: cap 3 prunes the 6-clone cluster's
     # grams everywhere (df=6), so only the 2-clone pair survives
@@ -1259,7 +1262,8 @@ def test_embedding_collapse_bitexact(spark):
     direct = {(r["id_a"], r["id_b"]): r["cosine"]
               for r in embedding_dup_pairs(vecs, collapse_identical=False, **kw).collect()}
     coll = {(r["id_a"], r["id_b"]): r["cosine"]
-            for r in embedding_dup_pairs(vecs, **kw).collect()}
+            for r in embedding_dup_pairs(vecs, collapse_identical="force",
+                                         **kw).collect()}
     assert coll == direct
     assert (0, 1) in coll and (0, 3) in coll   # clones + near-dup found
     assert not any(4 in p or 5 in p for p in coll)  # zero vectors never pair
@@ -1280,9 +1284,46 @@ def test_minhash_collapse_bitexact(spark):
     direct = {(r["id_a"], r["id_b"]): r["est_jaccard"]
               for r in minhash_lsh_pairs(docs, collapse_identical=False, **kw).collect()}
     coll = {(r["id_a"], r["id_b"]): r["est_jaccard"]
-            for r in minhash_lsh_pairs(docs, **kw).collect()}
+            for r in minhash_lsh_pairs(docs, collapse_identical="force",
+                                       **kw).collect()}
     assert coll == direct
     assert coll[(0, 1)] == 1.0 and (0, 3) in coll  # clones + near-dup found
+    # adaptive default: clone mass (3-clique of 5 sigs) trips the probe and
+    # still matches bit for bit
+    adaptive = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+                for r in minhash_lsh_pairs(docs, **kw).collect()}
+    assert adaptive == direct
+
+
+def test_clone_probe_gate(spark):
+    """The adaptive clone gate: clone-free frames bypass collapse, clone
+    mass triggers it, and False/'force' never run the probe."""
+    from opentsdb_spark.pipeline.dedup import (
+        _should_collapse, ngram_jaccard_pairs,
+    )
+
+    unique = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)], "id long, t string")
+    cloned = spark.createDataFrame(
+        [(i, f"doc number {i % 4}") for i in range(200)], "id long, t string")
+    assert _should_collapse(True, unique, F.col("t")) is False
+    assert _should_collapse(True, cloned, F.col("t")) is True
+    # no-probe fast paths (frame contents irrelevant)
+    assert _should_collapse(False, unique, F.col("t")) is False
+    assert _should_collapse("force", unique, F.col("t")) is True
+    # end-to-end: a clone-free corpus takes the direct path under the
+    # default and the output still matches collapse_identical=False
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i} zeta eta theta")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, threshold=0.5)
+    direct = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              ngram_jaccard_pairs(docs, collapse_identical=False, **kw).collect()}
+    adaptive = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                ngram_jaccard_pairs(docs, **kw).collect()}
+    assert adaptive == direct
 
 
 def test_substring_dup_spans(spark):
