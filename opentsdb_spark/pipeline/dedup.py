@@ -430,20 +430,43 @@ def minhash_signature(docs: DataFrame, content_col: str = "text", id_col: str = 
     transform-over-transform formulation recomputes the tokenizer per
     element and is ~20× slower again.)"""
 
-    _c = minhash_xor_constant
     hash_fn = hash_fn or F.xxhash64
     g = _gram_frame(docs, content_col, id_col, shingle_n)
-    exploded = g.select(
-        id_col, F.explode(F.transform("grams", lambda s: hash_fn(s))).alias("__h")
+    # NARROW MAP, no shuffle: grams are hashed JVM-side (oracle-parity
+    # xxhash64/md5), then the 64 XOR-min folds run per Arrow batch in numpy.
+    # The previous explode + 64-min-aggregate groupBy shuffled every gram
+    # hash AND generated an aggregate method big enough that janino-compiled
+    # code ran interpreted — re-JITed per bench query, it dominated the
+    # dedup family's CPU bill (measured ~7s of the 9s incremental cold run
+    # in signatures alone at sf0.1). Signed-int64 XOR and min are
+    # bit-identical between numpy and the JVM expressions, so every
+    # hash-checked oracle is unaffected.
+    hashed = g.select(
+        id_col, F.transform("grams", lambda s: hash_fn(s)).alias("__hs")
     )
-    mins = [
-        F.min(F.col("__h").bitwiseXOR(F.lit(_c(i)))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    sums = exploded.groupBy(id_col).agg(*mins)
-    return sums.select(
-        id_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature")
+    return hashed.select(
+        id_col, _minhash_fold_udf(num_hashes)(F.col("__hs")).alias("signature")
     )
+
+
+def _minhash_fold_udf(num_hashes: int):
+    """signature[i] = min over the doc's gram hashes of (h XOR c_i) — one
+    (n_grams x num_hashes) numpy broadcast per doc, Arrow-batched."""
+    import numpy as np
+
+    consts = np.array(
+        [minhash_xor_constant(i) for i in range(num_hashes)], dtype=np.int64
+    )
+
+    @F.pandas_udf("array<bigint>")
+    def fold(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            a = np.asarray(h, dtype=np.int64)
+            out.append((a[:, None] ^ consts[None, :]).min(0))
+        return pd.Series(out)
+
+    return fold
 
 
 def minhash_lsh_pairs(
@@ -671,9 +694,9 @@ def incremental_dedup_minhash(
             .where(F.col("est_jaccard") >= threshold)
         )
 
-    def _corpus_best(nsigs: DataFrame, csigs: DataFrame) -> DataFrame:
+    def _corpus_best(nsigs: DataFrame, csigs: DataFrame,
+                     nb_: DataFrame) -> DataFrame:
         # (__nid, __corpus_of, __corpus_est): best corpus match per new doc
-        nb_ = minhash_band_keys(nsigs, num_hashes, bands, id_col, hash_fn)
         cb_ = minhash_band_keys(csigs, num_hashes, bands, id_col, hash_fn)
         cand_c = (
             nb_.select(F.col(id_col).alias("__nid"), "band", "bh")
@@ -690,9 +713,9 @@ def incremental_dedup_minhash(
                     F.col("est_jaccard").alias("__corpus_est"))
         )
 
-    def _batch_smaller_pairs(nsigs: DataFrame) -> DataFrame:
-        # verified (__nid, __bid) with __bid < __nid
-        nb_ = minhash_band_keys(nsigs, num_hashes, bands, id_col, hash_fn)
+    def _batch_smaller_pairs(nsigs: DataFrame, nb_: DataFrame) -> DataFrame:
+        # verified (__nid, __bid) with __bid < __nid — shares the batch-side
+        # band frame with _corpus_best (derived once per branch below)
         cand_b = (
             nb_.select(F.col(id_col).alias("__bid"), "band", "bh")
             .join(nb_.select(F.col(id_col).alias("__nid"), "band", "bh"),
@@ -719,8 +742,9 @@ def incremental_dedup_minhash(
             on=id_col, how="left_semi")
         # corpus best lands on corpus reps (max est ties break to the clique
         # minimum = the rep); every batch clique member inherits its rep's
+        rep_nb = minhash_band_keys(b_reps, num_hashes, bands, id_col, hash_fn)
         best_c = (
-            bm.join(_corpus_best(b_reps, c_reps)
+            bm.join(_corpus_best(b_reps, c_reps, rep_nb)
                     .withColumnRenamed("__nid", "__rep"), on="__rep", how="inner")
             .select(F.col(id_col).alias("__nid"), "__corpus_of", "__corpus_est")
         )
@@ -728,7 +752,7 @@ def incremental_dedup_minhash(
         # matching smaller ids are exactly {partner reps < b} plus R itself
         # when b is not the rep (a partner clique with rep > b has ALL
         # members > b, since the rep is that clique's minimum)
-        pr = _batch_smaller_pairs(b_reps)
+        pr = _batch_smaller_pairs(b_reps, rep_nb)
         partners = (
             pr.select(F.col("__nid").alias("__rep"), F.col("__bid").alias("__p"))
             .unionByName(
@@ -750,9 +774,10 @@ def incremental_dedup_minhash(
             .where(F.col("__batch_of").isNotNull())
         )
     else:
-        best_c = _corpus_best(new_sigs, corpus_sigs)
+        nb = minhash_band_keys(new_sigs, num_hashes, bands, id_col, hash_fn)
+        best_c = _corpus_best(new_sigs, corpus_sigs, nb)
         best_b = (
-            _batch_smaller_pairs(new_sigs)
+            _batch_smaller_pairs(new_sigs, nb)
             .groupBy("__nid")
             .agg(F.min("__bid").alias("__batch_of"))
         )
@@ -799,22 +824,42 @@ def simhash(docs: DataFrame, content_col: str = "text", id_col: str = "doc_id",
     """64-bit SimHash over words: bit b of the hash is the sign of the sum
     over tokens of (+1 if bit b of xxhash64(token) else -1)."""
     hash_fn = hash_fn or F.xxhash64
-    tok = docs.select(
+    # NARROW MAP, no shuffle — same rationale as minhash_signature: tokens
+    # hash JVM-side (oracle parity), the 64 sign-sums fold per Arrow batch
+    # in numpy instead of a 64-sum groupBy whose generated aggregate ran
+    # interpreted and re-JITed per query. Empty docs drop exactly as the
+    # explode+groupBy dropped them (no tokens -> no group).
+    words = docs.select(
         id_col,
-        F.explode(F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0))).alias("w"),
+        F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)).alias("__w"),
+    ).where(F.size("__w") > 0)
+    hashed = words.select(
+        id_col, F.transform("__w", lambda w: hash_fn(w)).alias("__hs")
     )
-    tok = tok.withColumn("h", hash_fn("w"))
-    # F.expr strings, not builder chains: 64 aggs + the 64-term reassembly
-    # built call-by-call cost ~2.5s of py4j round-trips per plan; one parse
-    # call per expression brings construction to ~0.1s. '|' == '^' here —
-    # the shifted terms occupy disjoint bits.
-    aggs = [
-        F.expr(f"sum((shiftright(h, {b}) & 1) * 2 - 1)").alias(f"b{b}")
-        for b in range(64)
-    ]
-    sums = tok.groupBy(id_col).agg(*aggs)
-    sh = F.expr(" | ".join(f"shiftleft(if(b{b} > 0, 1L, 0L), {b})" for b in range(64)))
-    return sums.select(id_col, sh.alias("simhash"))
+    return hashed.select(id_col, _simhash_fold_udf()(F.col("__hs")).alias("simhash"))
+
+
+def _simhash_fold_udf():
+    """64-bit SimHash fold over a doc's token hashes: bit b is set when
+    sum over tokens of ((h>>b & 1) * 2 - 1) is > 0 — bit-identical to the
+    shiftright/shiftleft SQL expressions it replaces (arithmetic shift and
+    &1 agree on the sign bit; ties (sum == 0) leave the bit clear)."""
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def fold(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            a = np.asarray(h, dtype=np.int64)
+            bits = ((a[:, None] >> shifts[None, :]) & 1) * 2 - 1
+            pos = (bits.sum(0) > 0).astype(np.uint64)
+            v = int((pos << shifts.astype(np.uint64)).sum())
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return fold
 
 
 def simhash_pairs(
