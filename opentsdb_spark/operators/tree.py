@@ -365,19 +365,35 @@ def treesync(store: TreeStore, points: DataFrame, dir_path: str) -> dict:
     report: dict[int, dict[str, int]] = {}
     for tid, t in sorted(store.trees.items()):
         built_dir = os.path.join(dir_path, f"tree_{tid}")
-        # stale state never survives a sweep: a tree toggled to disabled
-        # (or one whose store_failures was switched off) must not keep
-        # serving last sync's families next to fresh leaves
-        if os.path.isdir(built_dir):
-            shutil.rmtree(built_dir)
         if not t.enabled:
+            # stale state never survives a sweep: a tree toggled to disabled
+            # (or one whose store_failures was switched off) must not keep
+            # serving last sync's families next to fresh leaves
+            if os.path.isdir(built_dir):
+                shutil.rmtree(built_dir)
             continue
+        # build into a temp sibling and swap in only after EVERY family
+        # wrote successfully — destroying the previous build first left a
+        # no-families window (and nothing at all on a failed rebuild) for
+        # any concurrently-serving TSD sharing --trees-dir; same
+        # tmp+replace discipline as save_tree_defs' trees.json
+        tmp_dir = os.path.join(dir_path, f".tree_{tid}.building")
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
         state = store.rebuild(tid, points)
         counts = {}
         for family, df in state.items():
-            out = os.path.join(built_dir, family)
+            out = os.path.join(tmp_dir, family)
             df.write.mode("overwrite").parquet(out)
             counts[family] = df.sparkSession.read.parquet(out).count()
+        old_dir = os.path.join(dir_path, f".tree_{tid}.old")
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
+        if os.path.isdir(built_dir):
+            os.rename(built_dir, old_dir)
+        os.rename(tmp_dir, built_dir)
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
         report[tid] = counts
     return report
 

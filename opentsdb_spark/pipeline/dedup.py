@@ -1206,8 +1206,14 @@ def bloom_decontaminate(
     hits = (
         positions(corpus, [id_col, "gh"])
         .join(F.broadcast(bench_pos), on="pos")
+        # count DISTINCT slice indexes, not rows: two distinct grams in one
+        # doc colliding to the same xxhash64 duplicate the (id, gh) rows,
+        # and count(*) would then need 2k matches to flag a fully-set gram —
+        # silently missing contamination and breaking the one-sided
+        # "false negatives impossible" guarantee. distinct-i is immune to
+        # both that and a gram whose k slices land on the same position.
         .groupBy(id_col, "gh")
-        .agg(F.count("*").alias("set_bits"))
+        .agg(F.count_distinct("i").alias("set_bits"))
         .where(F.col("set_bits") == k_hashes)
         .groupBy(id_col)
         .agg(F.count_distinct("gh").alias("bloom_grams"))

@@ -638,8 +638,19 @@ def frame_dup_pairs(
     # .distinct(): an every_ms below the frame interval samples the same
     # frame at several timestamps — duplicate (fid, hash) rows would
     # multiply band_pairs_64's clone expansion (ids must be unique there)
+    # hard guard on the packing domain: a frame_idx >= 65536 or a negative
+    # media_id would silently collide packed ids (corrupting attribution and
+    # the id_a < id_b order), so such rows abort the job instead. raise_error
+    # costs nothing on valid data — it rides the same projection.
+    valid = (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 65536) & \
+        (F.col("media_id") >= 0)
     packed = hashes.where(F.col("dhash") != 0).select(
-        (F.col("media_id") * 65536 + F.col("frame_idx")).alias("fid"), "dhash"
+        F.when(valid, F.col("media_id") * 65536 + F.col("frame_idx"))
+        .otherwise(F.raise_error(F.format_string(
+            "frame_dup_pairs: unpackable (media_id=%s, frame_idx=%s) — "
+            "media_id must be >= 0 and frame_idx in [0, 65536)",
+            F.col("media_id"), F.col("frame_idx")))).alias("fid"),
+        "dhash",
     ).distinct()
     pairs = band_pairs_64(packed, "dhash", id_col="fid",
                           max_hamming=max_hamming, max_bucket=max_bucket)

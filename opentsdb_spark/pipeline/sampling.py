@@ -431,6 +431,14 @@ def shard_assign(
     """
     from pyspark.sql import Window
 
+    # fail fast: shard_tokens=0 would make the shard DIV yield NULL shards
+    # silently (and write_token_shards a null partition); same guard style
+    # as binned_percentile_downsample / bloom_decontaminate
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
     toks = F.coalesce(
         F.regexp_count(F.col(content_col), F.lit(r"\S+")), F.lit(0)
     ).cast("long")

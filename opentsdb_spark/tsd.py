@@ -282,25 +282,33 @@ class TSD:
         from opentsdb_spark.plans.rollup import RollupConfig, RollupTable
 
         base = list(self.rollup_cfg.tables)
-        if self.rollups is None:
+        # ONE snapshot of the live frame, under the ingest lock: reading
+        # self.rollups repeatedly races a concurrent ingest swapping it,
+        # pairing a stale label list with a newer frame for one request.
+        # The label cache is keyed on (and always recomputed from) the same
+        # snapshot object, so labels and the unioned frame always agree.
+        with self.lock:
+            rollups = self.rollups
+            cached = getattr(self, "_rollup_label_cache", None)
+        if rollups is None:
             return self.rollup_cfg
         # distinct ingested labels, cached per frame object — recomputed
         # only after an ingest swaps self.rollups, not per query
-        cached = getattr(self, "_rollup_label_cache", None)
-        if cached is None or cached[0] is not self.rollups:
+        if cached is None or cached[0] is not rollups:
             labels = sorted(
                 r["interval"]
-                for r in self.rollups.select("interval").distinct().collect()
+                for r in rollups.select("interval").distinct().collect()
                 if r["interval"]
             )
-            cached = (self.rollups, labels)
-            self._rollup_label_cache = cached
+            cached = (rollups, labels)
+            with self.lock:
+                self._rollup_label_cache = cached
         ingested_labels = cached[1]
         tables = []
         for t in base:
             df = t.df
             if t.interval_label in ingested_labels:
-                extra = self.rollups.where(F.col("interval") == t.interval_label)
+                extra = rollups.where(F.col("interval") == t.interval_label)
                 if "dt" in df.columns:
                     # materialized tables carry the dt partition column and
                     # the planner prunes on it — a null dt from

@@ -664,12 +664,19 @@ def test_repeat_upweight(spark):
 
 
 def test_shard_assign_and_writer(spark, tmp_path):
+    import pytest
+
     from opentsdb_spark.pipeline.sampling import shard_assign, write_token_shards
 
     docs = spark.createDataFrame(
         [(i, ("tok " * (i % 7 + 1)).strip()) for i in range(200)],
         "doc_id long, text string",
     )
+    # invalid budgets fail fast instead of emitting NULL shards silently
+    with pytest.raises(ValueError, match="shard_tokens"):
+        shard_assign(docs, shard_tokens=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        shard_assign(docs, shard_tokens=50, n_buckets=0)
     out = shard_assign(docs, shard_tokens=50, n_buckets=8).collect()
     assert len(out) == 200
     # the exact running sum is pinned by the sample_shard_assign oracle;
@@ -892,6 +899,21 @@ def test_frame_dup_pairs_oversampled(spark):
     key = lambda r: (r["media_a"], r["frame_a"], r["media_b"], r["frame_b"])  # noqa: E731
     assert sorted(map(key, over)) == sorted(map(key, exact))
     assert len(over) == len(set(map(key, over)))  # no duplicated rows
+
+
+def test_frame_dup_pairs_pack_guard(spark):
+    """Rows outside the packing domain (negative media_id / frame_idx >=
+    65536) must abort loudly — silent id collisions corrupt attribution."""
+    import pytest
+
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, frame_dup_pairs
+
+    busy = bytes([10, 200, 30, 90])
+    rows = [(-1, "video", bytearray(busy * 3), ("video/x-raw-gray8", 2, 2, 300)),
+            (1, "video", bytearray(busy * 3), ("video/x-raw-gray8", 2, 2, 300))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="unpackable"):
+        frame_dup_pairs(media, 100, max_hamming=0).collect()
 
 
 def test_ngram_max_df_collapse_bitexact(spark):
