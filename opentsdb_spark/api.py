@@ -126,7 +126,6 @@ def handle_query(
 
     check_query(request, tsq)  # no-op unless an auth plugin is installed
     out: list[dict[str, Any]] = []
-    limit = request_limit(request)
     # _now_ms pins 'now' for the DATA range too, not just the annotation
     # window / scan budget below — otherwise a caller-pinned clock reads
     # data and annotations from different windows
@@ -148,10 +147,16 @@ def handle_query(
     # budget enforcement runs FIRST — before the annotation semi-join below,
     # which executes a real scan over each sub-query's source frame; an
     # over-budget query must be rejected before ANY range-sized job runs
-    byte_limit = request_byte_limit(request)
     for q, res in zip(tsq.queries, compiled):
         if res.source_df is None:
             continue
+        # ceilings resolve PER SUB-QUERY: a per-metric override
+        # (tsd.query.limits.overrides, QueryLimitOverride.java — regex on
+        # the metric name) beats the process default, and an explicit
+        # per-request max_* beats both
+        q_metric = getattr(q, "metric", None)
+        byte_limit = request_byte_limit(request, q_metric)
+        q_limit = request_limit(request, q_metric)
         if byte_limit > 0:
             # byte ceiling first: it prices the scan from plan statistics
             # alone (tsd.query.limits.bytes, SaltScanner.java:560-605) —
@@ -159,14 +164,14 @@ def handle_query(
             from opentsdb_spark.plans.limits import enforce_byte_budget
 
             enforce_byte_budget(res.source_df, byte_limit)
-        if limit > 0:
+        if q_limit > 0:
             # price the query BEFORE the expensive plan runs (the reference
             # aborts mid-scan, TsdbQuery.java:527-536; see enforce_scan_budget)
             from opentsdb_spark.plans.limits import enforce_scan_budget
 
             s_ms = parse_datetime_ms(tsq.start, tsq.timezone, request.get("_now_ms"))
             e_ms = parse_datetime_ms(tsq.end, tsq.timezone, request.get("_now_ms"))
-            enforce_scan_budget(res.source_df, q.downsample, s_ms, e_ms, limit)
+            enforce_scan_budget(res.source_df, q.downsample, s_ms, e_ms, q_limit)
     ann_map: dict[str, list[dict[str, Any]]] | None = None
     globals_list: list[dict[str, Any]] | None = None
     if annotations is not None and not tsq.no_annotations:
@@ -227,7 +232,8 @@ def handle_query(
         echo = subquery_echo(q) if tsq.show_query else None
         ts0 = time.monotonic()
         series = serialize_subquery(
-            res, tsq.ms_resolution, limit,
+            res, tsq.ms_resolution,
+            request_limit(request, getattr(q, "metric", None)),
             show_tsuids=tsq.show_tsuids, query_echo=echo,
             # per-query stats are attached after serialization timing is known
             stats=None,
@@ -335,6 +341,29 @@ def handle_graph(
             raise ValueError(
                 f"'smooth' was invalid. Must be one of {sorted(SMOOTH_KINDS)}"
             )
+    # range / printf-format / legend-key validators
+    # (GraphHandler.java:78-88 RANGE/FORMAT/KEY_VALIDATOR, applied at
+    # :758-826 for yrange/y2range, yformat/y2format/xformat and key)
+    _comp = r'"?-?\d*\.?(\d+)?([eE]-?\d+)?"?'
+    for rp in ("yrange", "y2range"):
+        v = request.get(rp)
+        if isinstance(v, str) and v and not _re.fullmatch(
+                rf"\[{_comp}:{_comp}\]", v):
+            raise ValueError(
+                f"'{rp}' was invalid. Must be in the format [min:max].")
+    for fp in ("yformat", "y2format", "xformat"):
+        v = request.get(fp)
+        if isinstance(v, str) and v and not _re.fullmatch(
+                r"[%0-9.a-zA-Z \-]+", v):
+            raise ValueError(f"'{fp}' was invalid.")
+    kv = request.get("key")
+    if isinstance(kv, str) and kv:
+        for tok in kv.split():
+            if tok not in ("out", "left", "top", "center", "right",
+                           "horiz", "box", "bottom"):
+                raise ValueError(
+                    "'key' was invalid. Must be a combination of "
+                    "out|left|top|center|right|horiz|box|bottom")
     # per-sub-query plot options: one o= per m= (GraphHandler.java:213-232
     # — mismatched counts are a 400), appended to each series' plot spec
     # (Plot.java:380-389); "axis x1y2" routes the series to a right-hand
@@ -352,6 +381,7 @@ def handle_graph(
     graph_params = (
         "png", "ascii", "json", "wxh", "title", "ylabel", "ylog", "yrange",
         "nokey", "style", "bgcolor", "fgcolor", "smooth", "yformat", "xformat",
+        "y2range", "y2label", "y2log", "y2format", "key",
         "o",
         # graph modes consume dps as dicts — strip the arrays output option
         "arrays",

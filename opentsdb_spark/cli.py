@@ -217,6 +217,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="reject queries whose pruned Parquet scan exceeds "
                          "this many bytes (tsd.query.limits.bytes; "
                          "0 = unlimited, the reference default)")
+    td.add_argument("--query-limit-overrides", default=None,
+                    help="JSON file of per-metric limit overrides: a list "
+                         "of {regex, dataPointsLimit, byteLimit} items "
+                         "(tsd.query.limits.overrides.config, reference "
+                         "src/query/QueryLimitOverride.java)")
 
     ms = sub.add_parser(
         "metasync",
@@ -533,7 +538,8 @@ def main(argv: list[str] | None = None) -> int:
         msb = args.max_scan_bytes
         if msb is None:
             msb = int(cfg["tsd.query.limits.bytes.default"]) if args.config else 0
-        limits.configure(max_data_points=mdp, max_bytes=msb)
+        limits.configure(max_data_points=mdp, max_bytes=msb,
+                         overrides_file=args.query_limit_overrides)
         spark, points = _spark_and_points(args)
         rdir = args.rollups_dir or (cfg["tsd.rollups.config"] or None)
         rollup_cfg = None

@@ -29,6 +29,9 @@ DEFAULTS: dict[str, str] = {
     "tsd.query.filter.expansion_limit": "4096",
     "tsd.query.limits.data_points.default": "0",
     "tsd.query.limits.bytes.default": "0",
+    # JSON file of per-metric {regex, dataPointsLimit, byteLimit} overrides
+    # (src/query/QueryLimitOverride.java, tsd.query.limits.overrides.config)
+    "tsd.query.limits.overrides.config": "",
     "tsd.storage.fix_duplicates": "false",
     # rollup-build directory to attach at boot (the reference's
     # tsd.rollups.config names a JSON registry file; ours IS the manifest
@@ -92,6 +95,7 @@ def apply_config(cfg: dict[str, str]) -> None:
     limits.configure(
         max_data_points=int(cfg.get("tsd.query.limits.data_points.default", 0)),
         max_bytes=int(cfg.get("tsd.query.limits.bytes.default", 0)),
+        overrides_file=cfg.get("tsd.query.limits.overrides.config") or None,
     )
     api.ALLOW_DELETE = as_bool(cfg.get("tsd.http.query.allow_delete", "false"))
     filters.EXPANSION_LIMIT = int(

@@ -11,7 +11,16 @@ Parameter parity with GraphHandler.parseHttpGraph / Plot.java:
   title      graph title (GraphHandler.java:828-835)
   ylabel     y-axis label (GraphHandler.java:774-781)
   ylog       log-scale y axis (GraphHandler.java:814-816)
+  y2log      log-scale right y2 axis (GraphHandler.java:817-819)
   yrange     "[min:max]" with either side empty (GraphHandler.java:758-765)
+  y2range    "[min:max]" for the right y2 axis (GraphHandler.java:766-773)
+  y2label    right-axis label (GraphHandler.java:782-789)
+  yformat    printf-style y tick format (GraphHandler.java:790-797)
+  y2format   printf-style y2 tick format (GraphHandler.java:798-805)
+  xformat    strftime x tick format (GraphHandler.java:806-813; xdata is
+             time, so the codes are time specifiers)
+  key        legend position tokens out|left|top|center|right|horiz|box|
+             bottom (GraphHandler.java:820-826 KEY_VALIDATOR)
   nokey      suppress the legend; default is gnuplot "set key right box"
              (Plot.java:316-318)
   bgcolor    "xRRGGBB" background (GraphHandler.java:836-843)
@@ -292,6 +301,36 @@ def parse_yrange(yrange: str | None) -> tuple[float | None, float | None]:
     return (float(lo) if lo.strip() else None, float(hi) if hi.strip() else None)
 
 
+def _gp_num_format(fmt: str, v: float) -> str:
+    """Apply a gnuplot 'set format y' printf-style string to a tick value
+    (GraphHandler.java:790-814 forwards yformat/y2format verbatim into the
+    gnuplot script). Literal text is preserved; %f/%e/%g families format
+    the value, %d casts it, %% is a literal percent."""
+    import re
+
+    def sub(m):
+        spec = m.group(0)
+        if spec == "%%":
+            return "%"
+        conv = spec[-1]
+        if conv in "diouxX":
+            return ("%" + spec[1:-1] + conv) % int(v)
+        if conv in "feEgG":
+            return spec % v
+        if conv == "s":
+            return _fmt_num(v)
+        return spec  # unknown conversion: left verbatim, like gnuplot
+
+    return re.sub(r"%%|%[#0\- +]*\d*(?:\.\d+)?[a-zA-Z]", sub, fmt)
+
+
+# legend-position token set (GraphHandler.java:82-83 KEY_VALIDATOR; the
+# default with no key param is gnuplot "set key right box", Plot.java:316)
+KEY_TOKENS = frozenset({
+    "out", "left", "top", "center", "right", "horiz", "box", "bottom",
+})
+
+
 # the reference's SMOOTH_VALIDATOR token set (GraphHandler.java:86)
 SMOOTH_KINDS = frozenset({
     "unique", "frequency", "fnormal", "cumulative", "cnormal", "bins",
@@ -407,9 +446,17 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
     fg = _parse_color(params.get("fgcolor"), (0x00, 0x00, 0x00))
     grid_c = tuple(min(255, c + 200) if c < 128 else max(0, c - 40) for c in bg)
     ylog = "ylog" in params
+    y2log = "y2log" in params
     style = params.get("style", "linespoint")
     smooth = params.get("smooth") or None
     y_lo_req, y_hi_req = parse_yrange(params.get("yrange"))
+    y2_lo_req, y2_hi_req = parse_yrange(params.get("y2range"))
+    yformat = params.get("yformat") or None
+    y2format = params.get("y2format") or None
+    xformat = params.get("xformat") or None
+    key_tokens = set()
+    if params.get("key"):
+        key_tokens = {t for t in str(params["key"]).split() if t in KEY_TOKENS}
 
     cv = Canvas(width, height, bg)
 
@@ -435,6 +482,14 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
 
     has_y2 = any(y2 for _, _, y2 in data)
     ml, mr, mt, mb = 64, 64 if has_y2 else 16, 28, 40  # margins
+    # "set key out": reserve a strip above the plot for the legend
+    # (gnuplot shrinks the plot area to fit an outside key)
+    if "out" in key_tokens and "nokey" not in params and data:
+        labels_h = (
+            GLYPH_H + 8 if "horiz" in key_tokens
+            else len(data) * (GLYPH_H + 3) + 10
+        )
+        mt += labels_h
     px0, px1 = ml, width - 1 - mr
     py0, py1 = mt, height - 1 - mb
 
@@ -460,9 +515,16 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
         vmin = y_lo_req
     if y_hi_req is not None:
         vmax = y_hi_req
+    if y2_lo_req is not None:
+        v2min = y2_lo_req
+    if y2_hi_req is not None:
+        v2max = y2_hi_req
     if ylog:
         vmin = max(vmin, 1e-300)
         vmax = max(vmax, vmin * 10)
+    if y2log:
+        v2min = max(v2min, 1e-300)
+        v2max = max(v2max, v2min * 10)
     if vmax <= vmin:
         vmax = vmin + (abs(vmin) or 1.0)
     if tmax <= tmin:
@@ -485,8 +547,15 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
         v2max = v2min + (abs(v2min) or 1.0)
 
     def sy2(v: float) -> int:
-        # linear right-hand scale (gnuplot's ylog applies to y1 only)
-        f = (v - v2min) / (v2max - v2min)
+        # right-hand scale; "y2log" gives it its own log mapping
+        # ("set logscale y2", GraphHandler.java:817-819)
+        if y2log:
+            v = max(v, v2min)
+            f = (math.log10(v) - math.log10(v2min)) / (
+                math.log10(v2max) - math.log10(v2min)
+            )
+        else:
+            f = (v - v2min) / (v2max - v2min)
         return py1 - int(round(max(0.0, min(1.0, f)) * (py1 - py0)))
 
     # grid + tics ("set grid", Plot.java:312)
@@ -495,23 +564,33 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
         yticks = [10.0 ** d for d in range(int(d0), int(d1) + 1)]
     else:
         yticks = _nice_ticks(vmin, vmax)
+    ylab = (lambda v: _gp_num_format(yformat, v)) if yformat else _fmt_num
     for v in yticks:
         if not (vmin <= v <= vmax):
             continue
         y = sy(v)
         cv.hline(px0 + 1, px1 - 1, y, grid_c)
         cv.hline(px0 - 3, px0, y, fg)
-        cv.text_right(px0 - 5, y - GLYPH_H // 2, _fmt_num(v), fg)
+        cv.text_right(px0 - 5, y - GLYPH_H // 2, ylab(v), fg)
 
     if has_y2:  # "set y2tics border" (Plot.java:338-341)
-        for v in _nice_ticks(v2min, v2max):
+        if y2log:
+            e0 = math.floor(math.log10(v2min))
+            e1 = math.ceil(math.log10(v2max))
+            y2ticks = [10.0 ** d for d in range(int(e0), int(e1) + 1)]
+        else:
+            y2ticks = _nice_ticks(v2min, v2max)
+        y2lab = (lambda v: _gp_num_format(y2format, v)) if y2format else _fmt_num
+        for v in y2ticks:
             if not (v2min <= v <= v2max):
                 continue
             y = sy2(v)
             cv.hline(px1, px1 + 3, y, fg)
-            cv.text(px1 + 5, y - GLYPH_H // 2, _fmt_num(v), fg)
+            cv.text(px1 + 5, y - GLYPH_H // 2, y2lab(v), fg)
 
-    fmt = _x_format(tmax - tmin)
+    # xformat overrides the span-chosen strftime pattern ("set format x",
+    # GraphHandler.java:806-814 — time specifiers, since xdata is time)
+    fmt = xformat or _x_format(tmax - tmin)
     for t in _nice_ticks(tmin, tmax, 6):
         if not (tmin <= t <= tmax):
             continue
@@ -524,6 +603,9 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
     ylabel = params.get("ylabel")
     if ylabel:  # horizontal at top-left of the axis (no rotation in 5x7 raster)
         cv.text(4, py0 - GLYPH_H - 4, ylabel, fg)
+    y2label = params.get("y2label")
+    if y2label and has_y2:  # right-axis label (Plot.java "set y2label")
+        cv.text_right(width - 4, py0 - GLYPH_H - 4, y2label, fg)
 
     cv.rect(px0, py0, px1, py1, fg)
 
@@ -570,21 +652,57 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
                 cv.hline(lx - 2, min(lx + w + 2, px1 - 1), yy, bg)
             cv.text(lx, py1 - GLYPH_H - 3, desc, fg)
 
-    # legend ("set key right box", Plot.java:316-318)
+    # legend — default "set key right box" (Plot.java:316-318); a key=
+    # param repositions it with gnuplot's tokens (GraphHandler.java:820-826;
+    # out|left|top|center|right|horiz|box|bottom). 'box' draws the border —
+    # implied by the default, opt-in once any key= is given, as in gnuplot.
     if "nokey" not in params:
         labels = [lbl for lbl, _, _y in data]
-        kw = max(len(x) for x in labels) * GLYPH_W + 30
-        kh = len(labels) * (GLYPH_H + 3) + 6
-        kx1, ky0 = px1 - 6, py0 + 6
-        kx0, ky1 = kx1 - kw, ky0 + kh
+        horiz = "horiz" in key_tokens
+        if horiz:
+            items_w = [len(x) * GLYPH_W + 26 for x in labels]
+            kw = sum(items_w) + 8
+            kh = GLYPH_H + 8
+        else:
+            kw = max(len(x) for x in labels) * GLYPH_W + 30
+            kh = len(labels) * (GLYPH_H + 3) + 6
+        # horizontal anchor: left | center | right (default right)
+        if "left" in key_tokens:
+            kx0 = px0 + 6
+        elif "center" in key_tokens:
+            kx0 = (px0 + px1 - kw) // 2
+        else:
+            kx0 = px1 - 6 - kw
+        # vertical anchor: top | center | bottom (default top); "out" uses
+        # the strip reserved above the plot
+        if "out" in key_tokens:
+            ky0 = py0 - kh - 4
+        elif "bottom" in key_tokens:
+            ky0 = py1 - 6 - kh
+        elif "center" in key_tokens and not ("top" in key_tokens or
+                                             "bottom" in key_tokens):
+            ky0 = (py0 + py1 - kh) // 2
+        else:
+            ky0 = py0 + 6
+        kx1, ky1 = kx0 + kw, ky0 + kh
         for y in range(ky0, ky1 + 1):  # opaque backing so lines don't bleed through
             cv.hline(kx0, kx1, y, bg)
-        cv.rect(kx0, ky0, kx1, ky1, fg)
-        for i, lbl in enumerate(labels):
-            color = PALETTE[i % len(PALETTE)]
-            y = ky0 + 5 + i * (GLYPH_H + 3)
-            cv.hline(kx0 + 4, kx0 + 20, y + GLYPH_H // 2, color)
-            cv.text(kx0 + 24, y, lbl, fg)
+        if "box" in key_tokens or not key_tokens:
+            cv.rect(kx0, ky0, kx1, ky1, fg)
+        if horiz:
+            x = kx0 + 4
+            for i, lbl in enumerate(labels):
+                color = PALETTE[i % len(PALETTE)]
+                y = ky0 + 4
+                cv.hline(x, x + 16, y + GLYPH_H // 2, color)
+                cv.text(x + 20, y, lbl, fg)
+                x += items_w[i]
+        else:
+            for i, lbl in enumerate(labels):
+                color = PALETTE[i % len(PALETTE)]
+                y = ky0 + 5 + i * (GLYPH_H + 3)
+                cv.hline(kx0 + 4, kx0 + 20, y + GLYPH_H // 2, color)
+                cv.text(kx0 + 24, y, lbl, fg)
 
     return cv.to_png()
 

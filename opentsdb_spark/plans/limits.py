@@ -31,20 +31,93 @@ DEFAULT_MAX_DATA_POINTS = 0
 DEFAULT_MAX_BYTES = 0
 
 
-def configure(max_data_points: int | None = None, max_bytes: int | None = None) -> None:
-    global DEFAULT_MAX_DATA_POINTS, DEFAULT_MAX_BYTES
+class QueryLimitOverrides:
+    """Per-metric regex -> ceiling overrides — tsd.query.limits.overrides
+    (src/query/QueryLimitOverride.java): the FIRST item whose regex finds a
+    match in the metric name supplies BOTH ceilings verbatim (a matched 0
+    means unlimited for that metric, exactly as the reference's
+    getByteLimit/getDataPointLimit return the item value); no match falls
+    through to the process defaults. The reference's set is unordered
+    ("indeterministic" on overlap, per its own javadoc) — here file order
+    wins, a strictly more predictable superset of that contract."""
+
+    def __init__(self, items: list[dict]) -> None:
+        import re
+
+        self.items = []
+        for it in items:
+            rx = it.get("regex")
+            if not rx:
+                raise ValueError("query limit override requires a 'regex'")
+            dp = int(it.get("dataPointsLimit", it.get("data_points", 0)))
+            by = int(it.get("byteLimit", it.get("bytes", 0)))
+            if dp < 0 or by < 0:
+                raise ValueError("override limits must be 0 or greater")
+            self.items.append((re.compile(rx), dp, by))
+
+    @classmethod
+    def load(cls, path: str) -> "QueryLimitOverrides":
+        """JSON file: a list of {"regex", "dataPointsLimit", "byteLimit"}
+        items (the reference's TR_OVERRIDES serialization,
+        QueryLimitOverride.java:246-307)."""
+        import json
+
+        with open(path) as fh:
+            return cls(json.load(fh))
+
+    def _match(self, metric: str | None):
+        if not metric:  # null/empty never matches (matches() contract)
+            return None
+        for pat, dp, by in self.items:
+            if pat.search(metric):
+                return dp, by
+        return None
+
+    def data_point_limit(self, metric: str | None, default: int) -> int:
+        m = self._match(metric)
+        return m[0] if m is not None else default
+
+    def byte_limit(self, metric: str | None, default: int) -> int:
+        m = self._match(metric)
+        return m[1] if m is not None else default
+
+
+# installed via configure(overrides_file=...) / configure(overrides=...)
+OVERRIDES: QueryLimitOverrides | None = None
+
+
+def configure(max_data_points: int | None = None, max_bytes: int | None = None,
+              overrides_file: str | None = None,
+              overrides: QueryLimitOverrides | None = None) -> None:
+    global DEFAULT_MAX_DATA_POINTS, DEFAULT_MAX_BYTES, OVERRIDES
     if max_data_points is not None:
         DEFAULT_MAX_DATA_POINTS = int(max_data_points)
     if max_bytes is not None:
         DEFAULT_MAX_BYTES = int(max_bytes)
+    if overrides_file is not None:
+        OVERRIDES = QueryLimitOverrides.load(overrides_file)
+    if overrides is not None:
+        OVERRIDES = overrides
 
 
-def request_limit(request: dict) -> int:
-    return int(request.get("max_data_points", DEFAULT_MAX_DATA_POINTS))
+def request_limit(request: dict, metric: str | None = None) -> int:
+    """Data-point ceiling for one (sub-)query: an explicit per-request
+    max_data_points wins, then a per-metric override, then the default."""
+    if "max_data_points" in request:
+        return int(request["max_data_points"])
+    base = DEFAULT_MAX_DATA_POINTS
+    if OVERRIDES is not None:
+        return OVERRIDES.data_point_limit(metric, base)
+    return base
 
 
-def request_byte_limit(request: dict) -> int:
-    return int(request.get("max_bytes", DEFAULT_MAX_BYTES))
+def request_byte_limit(request: dict, metric: str | None = None) -> int:
+    if "max_bytes" in request:
+        return int(request["max_bytes"])
+    base = DEFAULT_MAX_BYTES
+    if OVERRIDES is not None:
+        return OVERRIDES.byte_limit(metric, base)
+    return base
 
 
 def enforce_data_point_limit(df: DataFrame, max_data_points: int) -> DataFrame:

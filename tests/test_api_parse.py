@@ -116,6 +116,48 @@ def test_handle_query_data_point_limit(fixture_points):
         limits.configure(0)
 
 
+def test_per_metric_limit_override(fixture_points, tmp_path):
+    """tsd.query.limits.overrides (QueryLimitOverride.java): a regex-matched
+    metric gets ITS OWN ceiling — one metric over-budget rejects while a
+    sibling query passes under the (unlimited) global default, and an
+    explicit per-request max_data_points still beats the override."""
+    import json
+
+    from opentsdb_spark.plans import limits
+    from opentsdb_spark.plans.limits import QueryLimitExceeded, QueryLimitOverrides
+
+    req = {"start": EPOCH, "end": EPOCH + 9000 * 1000}
+    ov = QueryLimitOverrides([
+        {"regex": "^noisy\\..*", "dataPointsLimit": 10, "byteLimit": 0},
+        {"regex": "^sys\\.cpu\\..*", "dataPointsLimit": 10, "byteLimit": 0},
+    ])
+    try:
+        # only the unmatched-pattern override installed: query passes
+        # under the unlimited global default
+        limits.configure(overrides=QueryLimitOverrides(
+            [{"regex": "^noisy\\..*", "dataPointsLimit": 10}]))
+        assert api.handle_query(fixture_points, {**req, "m": "sum:sys.cpu.user"})
+        # matched metric: its 10-point ceiling trips while the global
+        # default stays unlimited
+        limits.configure(overrides=ov)
+        with pytest.raises(QueryLimitExceeded):
+            api.handle_query(fixture_points, {**req, "m": "sum:sys.cpu.user"})
+        # explicit per-request ceiling beats the override
+        assert api.handle_query(
+            fixture_points,
+            {**req, "m": "sum:sys.cpu.user", "max_data_points": 100_000})
+        # file loader accepts the reference's item serialization
+        p = tmp_path / "overrides.json"
+        p.write_text(json.dumps(
+            [{"regex": "noisy.*", "dataPointsLimit": 5, "byteLimit": 123}]))
+        limits.configure(overrides_file=str(p))
+        assert limits.request_limit({}, "noisy.metric") == 5
+        assert limits.request_byte_limit({}, "noisy.metric") == 123
+        assert limits.request_limit({}, "other") == limits.DEFAULT_MAX_DATA_POINTS
+    finally:
+        limits.OVERRIDES = None
+
+
 def test_handle_query_post(fixture_points):
     out = api.handle_query(
         fixture_points,

@@ -192,6 +192,69 @@ def test_ylog_and_empty_series():
     assert decode_png_size(png) == (150, 120)
 
 
+Y2_SERIES = [SERIES[0], {**SERIES[1], "__opts": "axis x1y2"}]
+
+
+def test_y2_axis_params():
+    """y2range / y2log / y2label each change the rendered y2 axis
+    (GraphHandler.java:766-773, 782-789, 817-819): every variant renders
+    and differs pixel-wise from the plain dual-axis image."""
+    base = render_png(Y2_SERIES, {"wxh": "400x300", "nokey": ""})
+    for extra in ({"y2range": "[0:100]"}, {"y2log": ""},
+                  {"y2label": "reqs"}):
+        png = render_png(Y2_SERIES, {"wxh": "400x300", "nokey": "", **extra})
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png != base, extra
+
+
+def test_tick_format_params():
+    """yformat / y2format / xformat rewrite tick labels (printf-style for
+    the value axes, strftime for time) — visibly different pixels."""
+    base = render_png(Y2_SERIES, {"wxh": "400x300", "nokey": ""})
+    for extra in ({"yformat": "%.3f ms"}, {"y2format": "%d qps"},
+                  {"xformat": "%Hh%M"}):
+        png = render_png(Y2_SERIES, {"wxh": "400x300", "nokey": "", **extra})
+        assert png != base, extra
+    from opentsdb_spark.graph import _gp_num_format
+
+    assert _gp_num_format("%.2f ms", 1.5) == "1.50 ms"
+    assert _gp_num_format("%d%%", 42.0) == "42%"
+    assert _gp_num_format("%g", 1000.0) == "1000"
+
+
+def test_key_position_param():
+    """key= repositions the legend (KEY_VALIDATOR tokens,
+    GraphHandler.java:820-826): each placement renders differently from
+    the default right-box legend, and bad tokens 400."""
+    base = render_png(SERIES, {"wxh": "400x300"})
+    seen = {base}
+    for key in ("left top box", "bottom right box", "out horiz", "center",
+                "left horiz"):
+        png = render_png(SERIES, {"wxh": "400x300", "key": key})
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png not in seen, key
+        seen.add(png)
+
+
+def test_graph_param_validation_round7(fixture_points):
+    """y2range / formats / key validate like the reference
+    (GraphHandler.java:758-826) — bad values 400, good ones render."""
+    req = {"start": 1356998400, "end": 1356998800, "m": ["sum:sys.cpu.user"],
+           "png": ""}
+    for bad in ({"y2range": "0:100"}, {"yrange": "[1:2:3]"},
+                {"yformat": "%.2f;rm"}, {"xformat": "a`b"},
+                {"key": "upper left"}):
+        with pytest.raises(ValueError):
+            api.handle_graph(fixture_points, {**req, **bad})
+    # NB the reference's FORMAT_VALIDATOR ([%0-9.a-zA-Z \-]) excludes ':' —
+    # "%H %M" is the valid spelling of an hour-minute x format
+    out = api.handle_graph(fixture_points, {
+        **req, "y2range": "[0:100]", "yformat": "%.1f", "xformat": "%H %M",
+        "key": "left top box", "y2label": "rate", "y2log": "",
+    })
+    assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_handle_graph_png(fixture_points):
     out = api.handle_graph(
         fixture_points,
