@@ -4430,16 +4430,19 @@ def dedup_bloom_decontaminate(spark, sf_dir):
 # last. Registration order above stays grouped by topic for readability;
 # this list is the single source of driver-facing order.
 _PRIORITY = [
-    # tag filters (§2.2; the i-variants are gate-redundant with their
-    # case-sensitive siblings and verify via the local full-catalog run)
+    # tag filters (§2.2; regexp / not_literal_or / not_key rotate out for
+    # the round-7 gate additions below — every remaining gate query still
+    # exercises the filter parser, and the rotated-out variants plus the
+    # i-variants stay verified by the local full-catalog oracle run)
     "tsdb_filter_literal_or",
-    "tsdb_filter_regexp", "tsdb_filter_not_literal_or", "tsdb_filter_not_key",
     "tsdb_explicit_tags",
     # downsample (§2.5; 1h_max_fill_zero rotates out — calendar_max_zero_tz
     # already pins the fill machinery, and the fixed-grid variant stays
-    # verified by the local full-catalog oracle run)
+    # verified by the local full-catalog oracle run). p95_binned pins the
+    # fixed-bin approximate percentile scale path (round-6 family, now in
+    # the driver gate)
     "tsdb_ds_10m_avg",
-    "tsdb_ds_1d_calendar_max_zero_tz",
+    "tsdb_ds_1d_calendar_max_zero_tz", "tsdb_ds_1h_p95_binned",
     # rate (§2.5) + the canonical production composite downsample->rate->
     # aggregate (rate_counter rotates out — its reset machinery is pinned
     # by reference parity vectors and the local full-catalog oracle run)
@@ -4454,8 +4457,9 @@ _PRIORITY = [
     # metadata / uid / tree / annotations (§2.11)
     "tsdb_last", "uid_metrics_listing", "tree_branches",
     "annotations_overlap",
-    # gexp functions (§2.8a)
-    "gexp_absolute_scale", "gexp_sumseries", "gexp_highest_max",
+    # gexp functions (§2.8a; absolute_scale rotates out — plain per-point
+    # arithmetic also exercised by the exp entries and the full-catalog run)
+    "gexp_sumseries", "gexp_highest_max",
     # exp/v2 expressions (§2.8b)
     "exp_intersection_arith", "exp_union_fill_zero",
     # rollups / histograms / ingest (§2.1/2.9, §4)
@@ -4501,7 +4505,12 @@ _PRIORITY = [
     "sample_temperature", "sample_pack_sequences",
     # round-6b families: BM25 lexical retrieval, token-budget selection,
     # Bloom-filter benchmark hygiene
-    "text_bm25_top5", "sample_token_budget", "dedup_bloom_decontaminate",
+    "text_bm25_top5",
+    # round-6c/7 families in the gate: HLL sketch cardinality, raw-PCM
+    # audio near-dup, fractional epoch replication (CMS shares the sketch
+    # machinery with HLL and stays verified by the full-catalog run)
+    "text_hll_distinct", "multimodal_audio_dedup", "sample_repeat_epochs",
+    "sample_token_budget", "dedup_bloom_decontaminate",
 ]
 assert len(_PRIORITY) == 52  # one driver-gate slot per family; the tail
 # entries past the driver's 50-query prefix stay covered by the

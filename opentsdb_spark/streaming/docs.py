@@ -162,6 +162,96 @@ def neardup_filter_batch(
     return kept
 
 
+def incremental_dedup_batch(
+    batch: DataFrame,
+    sig_index_path: str,
+    batch_id: int | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One micro-batch of VERIFIED incremental dedup — the streaming face
+    of ``pipeline.dedup.incremental_dedup_minhash``: the batch operator
+    itself runs against a persistent (id, signature) parquet index, so the
+    stream and the batch pipeline produce the SAME verdict schema
+    (keep / dup_kind / dup_of / est_jaccard), the same threshold-verified
+    decisions, and share the exact-clone collapse machinery.
+
+    Contrast with ``neardup_filter_batch``: that one keeps only 8-byte
+    (band, bh) keys as state and decides on a collision-count heuristic —
+    cheaper state, no verify. This one stores one signature row per kept
+    doc (8*num_hashes bytes) and pays the signature re-join for exact
+    est_jaccard agreement — the choice is state size vs verdict fidelity.
+
+    Kept docs' signatures append to the index tagged with ``batch_id``; on
+    a foreachBatch REPLAY the same batch_id's rows are excluded from the
+    corpus side, so recomputed verdicts are identical (rows may duplicate
+    in downstream parquet on replay — standard at-least-once — but
+    verdicts never flip). Eager (writes the index): a sink building block,
+    not a lazy operator."""
+    import os
+
+    from opentsdb_spark.pipeline.dedup import (
+        incremental_dedup_minhash, minhash_signature,
+    )
+
+    spark = batch.sparkSession
+    if os.path.exists(sig_index_path):
+        corpus_sigs = spark.read.parquet(sig_index_path)
+        if batch_id is not None and "__batch_id" in corpus_sigs.columns:
+            corpus_sigs = corpus_sigs.where(
+                F.col("__batch_id").isNull() | (F.col("__batch_id") != batch_id)
+            )
+        corpus_sigs = corpus_sigs.select(id_col, "signature")
+    else:
+        corpus_sigs = minhash_signature(
+            batch.limit(0), content_col, id_col, num_hashes, shingle_n)
+    verdicts = incremental_dedup_minhash(
+        batch, corpus_sigs, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, threshold=threshold,
+        content_col=content_col, id_col=id_col,
+    ).localCheckpoint()  # materialize: the index write below must not
+    #                      re-run the verdict plan, nor the caller's write
+    kept_ids = verdicts.where(F.col("keep")).select(id_col)
+    # only KEPT docs join the corpus (dropped dups must not become dedup
+    # targets themselves — same rule as the batch funnel's canonical set);
+    # short docs have no signature row, so the semi-join skips them
+    minhash_signature(batch, content_col, id_col, num_hashes, shingle_n) \
+        .join(kept_ids, on=id_col, how="left_semi") \
+        .select(id_col, "signature",
+                F.lit(batch_id).cast("long").alias("__batch_id")) \
+        .write.mode("append").parquet(sig_index_path)
+    return verdicts
+
+
+def streaming_incremental_dedup_sink(
+    docs: DataFrame,
+    out_path: str,
+    sig_index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    **kwargs,
+):
+    """writeStream.foreachBatch wiring for incremental_dedup_batch: each
+    micro-batch is verdict-filtered against the shared signature index;
+    kept documents append to the output parquet. Returns the
+    DataStreamWriter (caller picks the trigger and calls start())."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        verdicts = incremental_dedup_batch(
+            batch, sig_index_path, batch_id=batch_id, id_col=id_col, **kwargs)
+        kept = batch.join(verdicts.where(F.col("keep")).select(id_col),
+                          on=id_col, how="left_semi")
+        kept.write.mode("append").parquet(out_path)
+
+    return docs.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+
+
 def streaming_neardup_sink(
     docs: DataFrame,
     out_path: str,

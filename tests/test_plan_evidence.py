@@ -313,6 +313,47 @@ def test_dhash_pairs_never_shuffles_image_bytes(spark):
         assert "media#" not in e, f"image bytes in a shuffle: {e}"
 
 
+def test_audio_pairs_never_shuffle_audio_bytes(spark):
+    """audio_fingerprint -> audio_dup_pairs: the candidate stage shuffles
+    only (id, afp, band, bh) rows — the media binary may not appear in any
+    exchange (same pin as the dHash image path)."""
+    import re
+
+    import numpy as np
+
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, audio_dup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, "audio",
+         bytearray(rng.integers(-3000, 3000, 400, dtype=np.int64)
+                   .astype("<i2").tobytes()),
+         ("audio/x-raw-s16le", None, None, 1))
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    plan = _plan(audio_dup_pairs(media, max_hamming=6))
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert exchanges, "expected at least the band-key shuffle"
+    for e in exchanges:
+        assert "media#" not in e, f"audio bytes in a shuffle: {e}"
+
+
+def test_resample_audio_is_narrow_map(spark):
+    """resample_audio must stay a shuffle-free Arrow map over the scan —
+    no exchange anywhere in its plan."""
+    from opentsdb_spark.pipeline.multimodal import MEDIA_SCHEMA, resample_audio
+
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(b"\x01\x00" * 64),
+          ("audio/x-raw-s16le", None, None, 1))],
+        MEDIA_SCHEMA,
+    )
+    plan = _plan(resample_audio(media, 16000, 8000))
+    assert "Exchange" not in plan, "resample_audio grew a shuffle"
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
 def test_incremental_dedup_corpus_joins_on_band_keys(spark):
     """Incremental dedup's corpus candidates must join on (band, bh) keys
     with bare ids — the signature arrays re-join only after candidate

@@ -630,6 +630,59 @@ def test_neardup_batch_replay_and_short_docs(spark):
         assert kept3 == set()
 
 
+def test_streaming_incremental_dedup_parity(spark):
+    """The signature-index streaming path must reproduce the batch
+    operator's verdicts exactly on a two-batch replay: batch 2's verdicts
+    equal incremental_dedup_minhash(batch2, kept-batch1 signatures) row for
+    row, replaying batch 2 flips nothing, and the sink keeps only
+    keep=true docs."""
+    import tempfile as _tf
+
+    from opentsdb_spark.pipeline.dedup import (
+        incremental_dedup_minhash, minhash_signature,
+    )
+    from opentsdb_spark.streaming.docs import incremental_dedup_batch
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    t2 = "one two three four five six seven eight nine ten eleven " * 2
+    with _tf.TemporaryDirectory() as d:
+        idx = os.path.join(d, "sig_idx")
+        b1 = spark.createDataFrame(
+            [(0, t1), (1, t1), (2, "hi")],  # 1 dups 0 in-batch; 2 short
+            "doc_id long, text string",
+        )
+        v1 = {r["doc_id"]: (r["keep"], r["dup_kind"], r["dup_of"]) for r in
+              incremental_dedup_batch(b1, idx, batch_id=1,
+                                      threshold=0.5).collect()}
+        assert v1 == {0: (True, None, None), 1: (False, "batch", 0),
+                      2: (True, None, None)}
+        b2 = spark.createDataFrame(
+            [(3, t1), (4, t2), (5, t2)],  # 3 dups corpus; 5 dups 4 in-batch
+            "doc_id long, text string",
+        )
+
+        def snap():
+            return {r["doc_id"]: (r["keep"], r["dup_kind"], r["dup_of"],
+                                  r["est_jaccard"]) for r in
+                    incremental_dedup_batch(b2, idx, batch_id=2,
+                                            threshold=0.5).collect()}
+
+        got = snap()
+        # the pure batch operator against the same corpus state (kept docs
+        # of batch 1 = doc 0 only; doc 2 is short and never indexed)
+        want = {r["doc_id"]: (r["keep"], r["dup_kind"], r["dup_of"],
+                              r["est_jaccard"]) for r in
+                incremental_dedup_minhash(
+                    b2, minhash_signature(b1.where("doc_id = 0")),
+                    threshold=0.5).collect()}
+        assert got == want
+        assert got[3] == (False, "corpus", 0, 1.0)
+        assert got[4][0] is True and got[5][:3] == (False, "batch", 4)
+        # crash-replay of batch 2: identical verdicts (its own index rows
+        # are excluded from the corpus side)
+        assert snap() == got
+
+
 def test_neardup_null_batch_id_index_rows_still_collide(spark):
     """Index rows written without a batch_id (NULL) must still count as
     collisions for batched runs (NULL != id is NULL, not true)."""
