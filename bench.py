@@ -75,6 +75,8 @@ HEADLINE = [
     "multimodal_audio_dedup",
     "sample_shard_assign",
     "sample_repeat_epochs",
+    "sample_interleave",
+    "text_strip_boilerplate",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -1788,6 +1788,31 @@ def text_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(docs, chunk_words=5)
 
 
+@register(
+    "text_strip_boilerplate",
+    f"""WITH {_CHUNKS_SQL},
+        df AS (SELECT chunk, count(DISTINCT doc_id) AS d FROM c GROUP BY chunk),
+        kept AS (SELECT c.* FROM c JOIN df USING (chunk) WHERE df.d <= 2),
+        tot AS (SELECT doc_id, count(*) AS t FROM c GROUP BY doc_id)
+        SELECT kept.doc_id,
+               string_agg(chunk, ' ' ORDER BY chunk_pos) AS text,
+               CAST(count(*) AS INT) AS n_kept,
+               CAST(any_value(t) - count(*) AS INT) AS n_dropped
+        FROM kept JOIN tot ON kept.doc_id = tot.doc_id
+        GROUP BY kept.doc_id""",
+)
+def text_strip_boilerplate(spark, sf_dir):
+    """RefinedWeb-style boilerplate strike-out
+    (pipeline.text.strip_boilerplate_chunks): every copy of a chunk seen in
+    more than max_df distinct docs is removed (vs paragraph_dedup's
+    keep-first) and docs are rebuilt from survivors — hash-checked against
+    the string-keyed DuckDB replica."""
+    from opentsdb_spark.pipeline.text import strip_boilerplate_chunks
+
+    return strip_boilerplate_chunks(_docs(spark, sf_dir), max_df=2,
+                                    chunk_words=5)
+
+
 _GOPHER_Q = rf"""q AS (SELECT doc_id, source,
                  {_NW} AS nw,
                  length(regexp_replace(text, '\s+', '', 'g')) / {_NW} AS mwl,
@@ -4242,6 +4267,50 @@ def sample_repeat_epochs(spark, sf_dir):
 
     out = repeat_upweight(_docs(spark, sf_dir), _EPOCH_W)
     return out.select("doc_id", "source", "copy_idx")
+
+
+_INTERLEAVE_W = {f"src{i}": [0.5, 1.0, 2.0, 3.5][i % 4] for i in range(20)}
+
+
+def _interleave_oracle() -> str:
+    # single per-source row_number (the oracle can afford the per-source
+    # global sort the engine's two-phase bucket-offset form avoids);
+    # equality proves the distributed rank reproduces the sequential one
+    signed = ("CAST(CASE WHEN h >= 9223372036854775808 "
+              "THEN CAST(h AS HUGEINT) - 18446744073709551616 "
+              "ELSE CAST(h AS HUGEINT) END AS BIGINT)")
+    vals = ", ".join(
+        f"('{g}', {max(1, int(round(w * (1 << 20))))})"
+        for g, w in _INTERLEAVE_W.items()
+    )
+    return f"""WITH
+        wt(source, w20) AS (VALUES {vals}),
+        d AS (SELECT doc_id, source FROM documents),
+        {hash_long_ctes('d', ('doc_id', 'source'), 'doc_id',
+                        'CAST(42 AS UBIGINT)', 'hh', '__il')},
+        hs AS (SELECT doc_id, source, {signed} AS sh FROM hh),
+        r AS (SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY ((sh % 32) + 32) % 32 ASC,
+                                                 sh ASC, doc_id ASC) AS n_rank
+              FROM hs)
+        SELECT r.doc_id, r.source, CAST(n_rank AS BIGINT) AS n_rank,
+               CAST((n_rank * 1048576) // coalesce(wt.w20, 1048576)
+                    AS BIGINT) AS interleave_key
+        FROM r LEFT JOIN wt ON r.source = wt.source"""
+
+
+@register("sample_interleave", _interleave_oracle())
+def sample_interleave(spark, sf_dir):
+    """Proportional source interleaving (pipeline.sampling.
+    interleave_sources): fixed-point weight keys over a two-phase
+    (bucket-offset + within-bucket window) per-source rank — hash-checked
+    against a sequential per-source row_number oracle, proving the
+    distributed rank identical to the sequential definition."""
+    from opentsdb_spark.pipeline.sampling import interleave_sources
+
+    return interleave_sources(_docs(spark, sf_dir), _INTERLEAVE_W,
+                              n_buckets=32)
 
 
 def _shard_assign_oracle(shard_tokens: int, n_buckets: int) -> str:

@@ -541,3 +541,74 @@ def class_balance(
         .select(label_col, id_col)
     )
     return df.join(kept, on=[label_col, id_col], how="leftsemi")
+
+
+def interleave_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    n_buckets: int = 1024,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic proportional source interleaving — the "mix the
+    curated sources at these rates" step between a corpus and its training
+    shards. Every doc gets an ``interleave_key`` such that sorting (or
+    range-sharding) by (interleave_key, group, id) yields a stream whose
+    every prefix contains each source in ~proportion to its weight: doc
+    rank r within source s (1-based, hash-shuffled order) lands at key
+    floor(r * 2^20 / w20(s)) with w20 = round(weight * 2^20), i.e. a
+    weight-2 source emits twice as often as a weight-1 source. Integer
+    arithmetic end to end — the key is reproducible in any engine, and a
+    fixed-point weight cannot drift between the planner and a SQL replica.
+    Sources absent from ``weights`` default to weight 1.0; weights must be
+    > 0 (a 0-rate source should be filtered out, not divided by).
+
+    Scale shape — NO per-source global sort: rank-within-source uses the
+    same two-phase trick as ``shard_assign``: docs hash into ``n_buckets``,
+    per-(source, bucket) counts (a map-side-combinable groupBy bounded at
+    sources x n_buckets rows) carry cross-bucket offsets via a window over
+    that bounded frame only, and each doc ranks inside its own (source,
+    bucket) window — so a source with 10^11 docs never lands in one task,
+    which a naive Window.partitionBy(source).row_number() would force.
+
+    Returns (id, group, n_rank, interleave_key)."""
+    from pyspark.sql import Window
+
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    w20 = {}
+    for g, w in weights.items():
+        if not w > 0:
+            raise ValueError(f"weight for {g!r} must be > 0, got {w}")
+        w20[g] = max(1, int(round(float(w) * (1 << 20))))
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, v) for g, v in sorted(w20.items())], f"{group_col} string, __w20 long"
+    )
+    base = docs.select(
+        group_col, id_col, F.xxhash64(F.col(id_col)).alias("__h")
+    ).withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)))
+    counts = base.groupBy(group_col, "__b").agg(F.count("*").alias("__n"))
+    wo = Window.partitionBy(group_col).orderBy("__b")  # bounded: n_buckets rows/source
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(group_col, "__b", "__off")
+    wb = Window.partitionBy(group_col, "__b").orderBy(F.asc("__h"), F.asc(id_col))
+    ranked = (
+        base.join(F.broadcast(offsets), on=[group_col, "__b"])
+        .withColumn("__rn", F.row_number().over(wb))
+        .withColumn("n_rank", F.col("__off") + F.col("__rn"))
+    )
+    return (
+        ranked.join(F.broadcast(wdf), on=group_col, how="left")
+        .select(
+            id_col, group_col,
+            F.col("n_rank").cast("long").alias("n_rank"),
+            F.expr(f"(n_rank * {1 << 20}) div coalesce(__w20, {1 << 20})")
+            .cast("long").alias("interleave_key"),
+        )
+    )

@@ -244,6 +244,58 @@ def paragraph_dedup(
     )
 
 
+def strip_boilerplate_chunks(
+    docs: DataFrame,
+    max_df: int = 2,
+    chunk_words: int = 5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RefinedWeb-style repetition REMOVAL (Penedo et al., arXiv:2306.01116
+    — line-wise filters strike duplicated lines outright; MassiveWeb's
+    repetition gates are the doc-level cousin): a chunk appearing in MORE
+    than ``max_df`` distinct documents is boilerplate (navbars, cookie
+    banners, license blurbs) and EVERY copy is dropped — unlike
+    ``paragraph_dedup``'s keep-first, which keeps one canonical copy.
+    Chunks are the same ``chunk_docs`` windows (newline-free corpora);
+    swap the splitter for split('\\n') on real text.
+
+    Scale shape: doc frequency runs on the 8-byte chunk hash — distinct
+    (id, hash) then a map-side-combinable count, so a boilerplate chunk
+    with 10^9 copies is one aggregation key; the raw chunk string never
+    enters the df shuffle, and survivors semi-join back on the hash.
+
+    Returns (id, text = surviving chunks rejoined in order, n_kept,
+    n_dropped) for docs keeping >= 1 chunk."""
+    if max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    chunks = chunk_docs(docs, chunk_words, content_col, id_col).select(
+        id_col, "chunk_pos", "chunk", F.xxhash64("chunk").alias("__ch")
+    )
+    df = (
+        chunks.select(id_col, "__ch").distinct()
+        .groupBy("__ch").agg(F.count("*").alias("__df"))
+    )
+    keep_keys = df.where(F.col("__df") <= max_df).select("__ch")
+    kept = chunks.join(keep_keys, on="__ch", how="left_semi")
+    totals = chunks.groupBy(id_col).agg(F.count("*").alias("__tot"))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_pos", "chunk"))
+            ).alias("__kc")
+        )
+        .join(totals, on=id_col)
+        .select(
+            id_col,
+            F.array_join(F.transform("__kc", lambda s: s["chunk"]), " ").alias("text"),
+            F.size("__kc").alias("n_kept"),
+            (F.col("__tot") - F.size("__kc")).cast("int").alias("n_dropped"),
+        )
+    )
+
+
 def corpus_funnel(
     docs: DataFrame,
     content_col: str = "text",

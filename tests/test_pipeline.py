@@ -1317,6 +1317,79 @@ def test_minhash_collapse_bitexact(spark):
     assert adaptive == direct
 
 
+def test_interleave_sources(spark):
+    """Proportional mixing: a weight-2 source emits ~2x as often as a
+    weight-1 source in every prefix of the interleave order; ranks are
+    dense per source; unknown sources default to weight 1; weights
+    validate."""
+    import pytest
+
+    from opentsdb_spark.pipeline.sampling import interleave_sources
+
+    rows = [(i, "a") for i in range(200)] + \
+           [(1000 + i, "b") for i in range(200)] + \
+           [(5000 + i, "c") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_sources(docs, {"a": 2.0, "b": 1.0}, n_buckets=8,
+                             group_col="source").collect()
+    assert len(out) == 450
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # dense 1..n ranks per source
+    for s, rs in by_src.items():
+        assert sorted(r["n_rank"] for r in rs) == list(range(1, len(rs) + 1))
+    # weight-2 'a': key(rank r) = r*2^20 // (2*2^20) = r//2 -> in any key
+    # prefix 'a' has ~2x the docs of weight-1 'b'
+    ordered = sorted(out, key=lambda r: (r["interleave_key"], r["source"],
+                                         r["doc_id"]))
+    prefix = ordered[:150]
+    na = sum(1 for r in prefix if r["source"] == "a")
+    nb = sum(1 for r in prefix if r["source"] == "b")
+    assert 1.7 <= na / nb <= 2.3, (na, nb)
+    # unknown source 'c' got default weight 1: key == rank for every doc
+    for r in by_src["c"]:
+        assert r["interleave_key"] == r["n_rank"]
+    # determinism across recomputation
+    again = interleave_sources(docs, {"a": 2.0, "b": 1.0}, n_buckets=8,
+                               group_col="source").collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+    with pytest.raises(ValueError, match="> 0"):
+        interleave_sources(docs, {"a": 0.0})
+    with pytest.raises(ValueError, match="at least one"):
+        interleave_sources(docs, {})
+
+
+def test_strip_boilerplate_chunks(spark):
+    """A chunk in more than max_df docs is struck from EVERY doc (including
+    the first); docs losing all chunks vanish; counts are right."""
+    from opentsdb_spark.pipeline.text import strip_boilerplate_chunks
+
+    boiler = "all rights reserved by us"  # 5 words = 1 chunk
+    uniq = ["alpha beta gamma delta epsilon", "one two three four five",
+            "red green blue cyan magenta"]
+    docs = spark.createDataFrame(
+        [(0, f"{boiler} {uniq[0]}"), (1, f"{boiler} {uniq[1]}"),
+         (2, f"{boiler} {uniq[2]}"), (3, boiler)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           strip_boilerplate_chunks(docs, max_df=2, chunk_words=5).collect()}
+    # boiler chunk df=4 > 2: removed everywhere; doc 3 (all boiler) vanishes
+    assert set(out) == {0, 1, 2}
+    for i in range(3):
+        assert out[i]["text"] == uniq[i]
+        assert out[i]["n_kept"] == 1 and out[i]["n_dropped"] == 1
+    # df <= max_df chunks survive untouched
+    ok = {r["doc_id"]: r for r in
+          strip_boilerplate_chunks(docs, max_df=4, chunk_words=5).collect()}
+    assert ok[3]["text"] == boiler and ok[0]["n_dropped"] == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="max_df"):
+        strip_boilerplate_chunks(docs, max_df=0)
+
+
 def test_clone_probe_gate(spark):
     """The adaptive clone gate: clone-free frames bypass collapse, clone
     mass triggers it, and False/'force' never run the probe."""

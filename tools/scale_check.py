@@ -59,6 +59,8 @@ QUERIES = [
     "multimodal_dhash_pairs",
     "multimodal_audio_dedup",
     "sample_shard_assign",
+    "sample_interleave",
+    "text_strip_boilerplate",
 ]
 
 
