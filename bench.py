@@ -77,6 +77,7 @@ HEADLINE = [
     "sample_repeat_epochs",
     "sample_interleave",
     "text_strip_boilerplate",
+    "dedup_substring_removal",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

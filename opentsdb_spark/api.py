@@ -356,6 +356,15 @@ def handle_graph(
         if isinstance(v, str) and v and not _re.fullmatch(
                 r"[%0-9.a-zA-Z \-]+", v):
             raise ValueError(f"'{fp}' was invalid.")
+    sv = request.get("style")
+    if isinstance(sv, str) and sv and not _re.search(
+            r"^linespoint|points|circles|dots$", sv):
+        # the reference's STYLE_VALIDATOR verbatim (GraphHandler.java:84) —
+        # including its loose alternation binding, so exactly the strings
+        # the reference accepts pass here
+        raise ValueError(
+            "'style' was invalid. Must satisfy the pattern "
+            "^linespoint|points|circles|dots$")
     kv = request.get("key")
     if isinstance(kv, str) and kv:
         for tok in kv.split():

@@ -3587,6 +3587,43 @@ def dedup_substring(spark, sf_dir):
                       "dup_tokens", _vr(F.col("dup_frac")).alias("dup_frac_r"))
 
 
+@register(
+    "dedup_substring_removal",
+    r"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                   FROM documents),
+        tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS tok
+                FROM w, unnest(generate_series(1, CAST(len(ws) AS INT))) t(i)),
+        win AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                       array_to_string(ws[i+1:i+5], ' ') AS g
+                FROM w, unnest(generate_series(0, CAST(len(ws) AS INT) - 5)) t(i)),
+        dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                               FROM win GROUP BY g) WHERE nd >= 2),
+        cov AS (SELECT DISTINCT win.doc_id, win.pos + u.j AS t
+                FROM win JOIN dup USING (g),
+                     unnest(generate_series(0, 4)) u(j)),
+        kept AS (SELECT tok.* FROM tok LEFT JOIN cov
+                   ON tok.doc_id = cov.doc_id AND tok.pos = cov.t
+                 WHERE cov.t IS NULL),
+        tot AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+        SELECT kept.doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS text,
+               CAST(count(*) AS INT) AS n_kept_tokens,
+               CAST(any_value(tot.n) - count(*) AS INT) AS n_cut_tokens
+        FROM kept JOIN tot ON kept.doc_id = tot.doc_id
+        GROUP BY kept.doc_id""",
+)
+def dedup_substring_removal(spark, sf_dir):
+    """The ExactSubstr removal transform (pipeline.dedup.
+    remove_duplicate_spans): tokens covered by cross-doc-duplicated
+    5-token windows struck from every doc, docs rebuilt from survivors —
+    hash-checked against the string-keyed window replica (the engine's
+    xxhash64 window keys can only merge distinct windows on a collision,
+    which the value compare would expose)."""
+    from opentsdb_spark.pipeline.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), k=5)
+
+
 def _prototypicality_oracle(n_centroids: int = 16) -> str:
     from opentsdb_spark.pipeline.similarity import seeded_centroids
 

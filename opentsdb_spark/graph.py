@@ -25,8 +25,9 @@ Parameter parity with GraphHandler.parseHttpGraph / Plot.java:
              (Plot.java:316-318)
   bgcolor    "xRRGGBB" background (GraphHandler.java:836-843)
   fgcolor    "xRRGGBB" foreground (GraphHandler.java:844-851)
-  style      data style; "lines", "points" or the default "linespoint"
-             (Plot.java:312-314)
+  style      data style; "points", "circles", "dots" or the default
+             "linespoint" (Plot.java:312-314; STYLE_VALIDATOR
+             GraphHandler.java:84 — "lines" kept as an engine extension)
   smooth     gnuplot "smooth <kind>" (GraphHandler.java:852-858 validator,
              Plot.java:376-378 forwards to the plot command). Data-transform
              kinds (unique/frequency/fnormal/cumulative/cnormal/bins/unwrap)
@@ -185,6 +186,13 @@ class Canvas:
             self.put(x + d, y, color)
             self.put(x, y + d, color)
         self.put(x, y, color)
+
+    def circle(self, x: int, y: int, color) -> None:
+        """gnuplot 'circles' hollow ring, radius 3."""
+        for dx, dy in ((0, 3), (1, 3), (2, 2), (3, 1), (3, 0)):
+            for sx in (1, -1):
+                for sy in (1, -1):
+                    self.put(x + sx * dx, y + sy * dy, color)
 
     def text(self, x: int, y: int, s: str, color) -> None:
         """5x7 bitmap text; lowercase folds to uppercase glyphs."""
@@ -624,6 +632,12 @@ def render_png(series: list[dict[str, Any]], params: dict[str, Any] | None = Non
         if style in ("points", "linespoint"):
             for x, y in xy:  # markers stay on the DATA points
                 cv.marker(x, y, color)
+        if style == "circles":  # STYLE_VALIDATOR token (GraphHandler.java:84)
+            for x, y in xy:
+                cv.circle(x, y, color)
+        if style == "dots":  # single-pixel points, as gnuplot draws them
+            for x, y in xy:
+                cv.put(x, y, color)
 
     # annotations: a vertical marker at each note's startTime plus a
     # white-backed label along the bottom of the plot (Plot.java:345-370:

@@ -1133,6 +1133,75 @@ def substring_dup_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """The ExactSubstr REMOVAL transform (Lee et al., arXiv:2107.06499 §4
+    reports then cuts duplicated spans): every token position covered by a
+    k-token window that appears verbatim in >= 2 distinct documents is
+    struck from ALL of them, and documents are rebuilt from the surviving
+    tokens. Same window discovery as ``substring_dup_spans`` (which stays
+    the report/threshold side of the pair); the strike-every-copy policy
+    matches ``strip_boilerplate_chunks`` — the paper's keep-one-occurrence
+    variant needs a global occurrence order, which is exactly the suffix
+    -array machinery this formulation exists to avoid, and for training
+    -data hygiene striking both copies of cross-doc boilerplate is the
+    conservative choice.
+
+    Scale shape: windows shrink to (xxhash64, id, pos) before any shuffle;
+    dup discovery is distinct + a map-side-combinable count per 8-byte
+    hash; coverage re-explodes k positions for DUPLICATED windows only;
+    the rebuild groups 16-byte (pos, token-ref) rows per doc. Text enters
+    a shuffle only in the final per-doc rebuild of SURVIVING tokens.
+
+    Returns (id, text, n_kept_tokens, n_cut_tokens) for docs keeping >= 1
+    token; fully-duplicated docs vanish (their n_cut shows in the report
+    op). Docs shorter than k tokens have no window identity and pass
+    through whole."""
+    words = docs.select(
+        id_col,
+        F.posexplode(
+            F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0))
+        ).alias("__t", "__tok"),
+    )
+    win = _persist_small(
+        _gram_frame(docs, content_col, id_col, k, distinct=False)
+        .select(id_col, F.posexplode("grams").alias("pos", "g"))
+        .select(id_col, "pos", F.xxhash64("g").alias("__h")),
+        persist,
+    )
+    dup_h = (
+        win.select("__h", id_col).distinct()
+        .groupBy("__h").agg(F.count("*").alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    covered = (
+        win.join(dup_h, on="__h", how="left_semi")
+        .select(id_col,
+                F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
+                .alias("__t"))
+        .distinct()
+    )
+    kept = words.join(covered, on=[id_col, "__t"], how="left_anti")
+    totals = words.groupBy(id_col).agg(F.count("*").alias("__tot"))
+    return (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__t", "__tok"))).alias("__kt"))
+        .join(totals, on=id_col)
+        .select(
+            id_col,
+            F.array_join(F.transform("__kt", lambda s: s["__tok"]), " ").alias("text"),
+            F.size("__kt").alias("n_kept_tokens"),
+            (F.col("__tot") - F.size("__kt")).cast("int").alias("n_cut_tokens"),
+        )
+    )
+
+
 def bloom_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

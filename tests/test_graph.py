@@ -222,6 +222,25 @@ def test_tick_format_params():
     assert _gp_num_format("%g", 1000.0) == "1000"
 
 
+def test_style_circles_and_dots(fixture_points):
+    """circles/dots render distinct pixels (STYLE_VALIDATOR tokens,
+    GraphHandler.java:84); bad styles 400 with the reference's loose
+    alternation semantics."""
+    seen = set()
+    for style in ("linespoint", "points", "circles", "dots"):
+        png = render_png(SERIES, {"wxh": "300x200", "nokey": "",
+                                  "style": style})
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png not in seen, style
+        seen.add(png)
+    req = {"start": 1356998400, "end": 1356998800,
+           "m": ["sum:sys.cpu.user"], "png": ""}
+    with pytest.raises(ValueError, match="style"):
+        api.handle_graph(fixture_points, {**req, "style": "stars"})
+    out = api.handle_graph(fixture_points, {**req, "style": "circles"})
+    assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_key_position_param():
     """key= repositions the legend (KEY_VALIDATOR tokens,
     GraphHandler.java:820-826): each placement renders differently from

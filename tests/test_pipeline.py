@@ -1317,6 +1317,30 @@ def test_minhash_collapse_bitexact(spark):
     assert adaptive == direct
 
 
+def test_remove_duplicate_spans(spark):
+    """Cross-doc duplicated k-token spans are struck from EVERY doc; unique
+    remainders survive in order; sub-k docs pass through whole; fully
+    duplicated docs vanish."""
+    from opentsdb_spark.pipeline.dedup import remove_duplicate_spans
+
+    shared = "one two three four five six"  # 6 tokens -> two 5-windows
+    docs = spark.createDataFrame(
+        [(0, f"{shared} alpha beta gamma delta epsilon"),
+         (1, f"intro {shared} tail words here now"),
+         (2, shared),           # fully covered -> vanishes
+         (3, "tiny doc")],      # < k tokens -> passes whole
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, k=5).collect()}
+    assert set(out) == {0, 1, 3}
+    assert out[0]["text"] == "alpha beta gamma delta epsilon"
+    assert out[0]["n_kept_tokens"] == 5 and out[0]["n_cut_tokens"] == 6
+    # doc 1: 'intro' and the tail survive, the shared run is cut
+    assert out[1]["text"] == "intro tail words here now"
+    assert out[3]["text"] == "tiny doc" and out[3]["n_cut_tokens"] == 0
+
+
 def test_interleave_sources(spark):
     """Proportional mixing: a weight-2 source emits ~2x as often as a
     weight-1 source in every prefix of the interleave order; ranks are

@@ -61,6 +61,7 @@ QUERIES = [
     "sample_shard_assign",
     "sample_interleave",
     "text_strip_boilerplate",
+    "dedup_substring_removal",
 ]
 
 
