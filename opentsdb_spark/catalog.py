@@ -4309,10 +4309,12 @@ def sample_repeat_epochs(spark, sf_dir):
 _INTERLEAVE_W = {f"src{i}": [0.5, 1.0, 2.0, 3.5][i % 4] for i in range(20)}
 
 
-def _interleave_oracle() -> str:
+def _interleave_ctes() -> str:
     # single per-source row_number (the oracle can afford the per-source
-    # global sort the engine's two-phase bucket-offset form avoids);
-    # equality proves the distributed rank reproduces the sequential one
+    # global sort the engine's two-phase bucket-offset form avoids) over
+    # the SAME (bucket, hash, id) order; equality proves the distributed
+    # rank reproduces the sequential one. Shared by the interleave entry
+    # and the mix-audit composition.
     signed = ("CAST(CASE WHEN h >= 9223372036854775808 "
               "THEN CAST(h AS HUGEINT) - 18446744073709551616 "
               "ELSE CAST(h AS HUGEINT) END AS BIGINT)")
@@ -4320,8 +4322,7 @@ def _interleave_oracle() -> str:
         f"('{g}', {max(1, int(round(w * (1 << 20))))})"
         for g, w in _INTERLEAVE_W.items()
     )
-    return f"""WITH
-        wt(source, w20) AS (VALUES {vals}),
+    return f"""wt(source, w20) AS (VALUES {vals}),
         d AS (SELECT doc_id, source FROM documents),
         {hash_long_ctes('d', ('doc_id', 'source'), 'doc_id',
                         'CAST(42 AS UBIGINT)', 'hh', '__il')},
@@ -4330,11 +4331,16 @@ def _interleave_oracle() -> str:
                      row_number() OVER (PARTITION BY source
                                         ORDER BY ((sh % 32) + 32) % 32 ASC,
                                                  sh ASC, doc_id ASC) AS n_rank
-              FROM hs)
-        SELECT r.doc_id, r.source, CAST(n_rank AS BIGINT) AS n_rank,
-               CAST((n_rank * 1048576) // coalesce(wt.w20, 1048576)
-                    AS BIGINT) AS interleave_key
-        FROM r LEFT JOIN wt ON r.source = wt.source"""
+              FROM hs),
+        il AS (SELECT r.doc_id, r.source, CAST(n_rank AS BIGINT) AS n_rank,
+                      CAST((n_rank * 1048576) // coalesce(wt.w20, 1048576)
+                           AS BIGINT) AS interleave_key
+               FROM r LEFT JOIN wt ON r.source = wt.source)"""
+
+
+def _interleave_oracle() -> str:
+    return (f"WITH {_interleave_ctes()} "
+            "SELECT doc_id, source, n_rank, interleave_key FROM il")
 
 
 @register("sample_interleave", _interleave_oracle())
@@ -4348,6 +4354,29 @@ def sample_interleave(spark, sf_dir):
 
     return interleave_sources(_docs(spark, sf_dir), _INTERLEAVE_W,
                               n_buckets=32)
+
+
+def _mix_audit_oracle() -> str:
+    return f"""WITH {_interleave_ctes()}
+        SELECT CAST(interleave_key // 64 AS BIGINT) AS shard, source,
+               CAST(count(*) AS BIGINT) AS n
+        FROM il GROUP BY 1, 2"""
+
+
+@register("sample_mix_audit", _mix_audit_oracle())
+def sample_mix_audit(spark, sf_dir):
+    """Mixing audit — the contract check a training pipeline runs after
+    interleaving: range-shard the interleave order into fixed key windows
+    and count docs per (shard, source). Proportional mixing means every
+    shard's histogram tracks the configured weights; the oracle pins the
+    whole interleave -> shard -> histogram composition end to end."""
+    from opentsdb_spark.pipeline.sampling import interleave_sources
+
+    out = interleave_sources(_docs(spark, sf_dir), _INTERLEAVE_W,
+                             n_buckets=32)
+    return out.groupBy(
+        F.expr("interleave_key div 64").cast("long").alias("shard"), "source"
+    ).agg(F.count("*").alias("n"))
 
 
 def _shard_assign_oracle(shard_tokens: int, n_buckets: int) -> str:
