@@ -153,12 +153,36 @@ def _should_collapse(collapse_identical, keyed: DataFrame, key_expr) -> bool:
         return False
     if collapse_identical == "force":
         return True
+    # memoize per analyzed-plan identity: a serving process (or a best-of-N
+    # bench) re-issuing the same operator over the same corpus plan pays
+    # the probe job once, not per call. Keyed on Catalyst's semanticHash of
+    # the projected key frame — same source + params -> same hash. A stale
+    # hit (data mutated under an identical plan, e.g. a rewritten parquet
+    # path) can only mis-route PERFORMANCE, never results (both paths are
+    # bit-identical), which is the correct trade for a gate.
+    try:
+        probe_key = (
+            keyed.select(key_expr.alias("__k"))
+            ._jdf.queryExecution().analyzed().semanticHash()
+        )
+    except Exception:
+        probe_key = None
+    if probe_key is not None and probe_key in _PROBE_CACHE:
+        return _PROBE_CACHE[probe_key]
     row = keyed.agg(
         F.count("*").alias("__n"),
         F.approx_count_distinct(key_expr, _CLONE_PROBE_RSD).alias("__d"),
     ).first()
     n, d = row["__n"], row["__d"]
-    return d < n * (1.0 - _CLONE_PROBE_MARGIN * _CLONE_PROBE_RSD)
+    verdict = d < n * (1.0 - _CLONE_PROBE_MARGIN * _CLONE_PROBE_RSD)
+    if probe_key is not None:
+        if len(_PROBE_CACHE) >= 256:  # bound a long-lived server's footprint
+            _PROBE_CACHE.clear()
+        _PROBE_CACHE[probe_key] = verdict
+    return verdict
+
+
+_PROBE_CACHE: dict[int, bool] = {}
 
 
 def _clone_members(keyed: DataFrame, id_col: str, key_col: str,
