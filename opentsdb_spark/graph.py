@@ -301,12 +301,28 @@ def parse_wxh(wxh: str | None) -> tuple[int, int]:
 
 
 def parse_yrange(yrange: str | None) -> tuple[float | None, float | None]:
-    """gnuplot "[min:max]" with either side optional (GraphHandler.java:758)."""
+    """gnuplot "[min:max]" with either side optional (GraphHandler.java:758).
+
+    The reference's RANGE_VALIDATOR also admits quoted components and
+    degenerate exponent-only strings ('"1"', 'e5') which it forwards to
+    gnuplot; here quotes strip and anything float() cannot parse falls
+    back to autoscale for that side rather than failing a request the
+    validator already accepted."""
     if not yrange:
         return None, None
     s = yrange.strip().lstrip("[").rstrip("]")
     lo, _, hi = s.partition(":")
-    return (float(lo) if lo.strip() else None, float(hi) if hi.strip() else None)
+
+    def side(v: str) -> float | None:
+        v = v.strip().strip('"')
+        if not v:
+            return None
+        try:
+            return float(v)
+        except ValueError:
+            return None
+
+    return side(lo), side(hi)
 
 
 def _gp_num_format(fmt: str, v: float) -> str:

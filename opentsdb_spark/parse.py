@@ -322,6 +322,29 @@ def _split_args(s: str) -> list[str]:
 _GEXP_FN = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\((.*)\)$", re.S)
 
 
+def gexp_metrics(expr: str, timezone: str = "UTC") -> list[str]:
+    """Metric names of every m= leaf in a gexp expression — what per-metric
+    query-limit overrides resolve against (QueryLimitOverride applies to
+    each scanned metric). Non-query function args (scalars, durations)
+    simply don't parse as sub-queries and are skipped."""
+    out: list[str] = []
+
+    def _walk(e: str) -> None:
+        e = e.strip()
+        m = _GEXP_FN.match(e)
+        if not m or (m.group(1) not in _GEXP_DISPATCH):
+            try:
+                out.append(parse_m_subquery(e, timezone).metric)
+            except Exception:
+                pass
+            return
+        for a in _split_args(m.group(2)):
+            _walk(a)
+
+    _walk(expr)
+    return out
+
+
 def parse_gexp(
     expr: str,
     points: DataFrame,

@@ -660,6 +660,7 @@ def incremental_dedup_minhash(
     hash_fn=None,
     persist: bool = True,
     collapse_identical: bool | str = True,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus MinHash index plus
     itself — the production incremental shape: the corpus is never re-read
@@ -698,7 +699,12 @@ def incremental_dedup_minhash(
     COMPUTED signatures is not re-shingled per reference."""
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
+    # ``new_sigs`` lets a caller that already computed the batch signatures
+    # (e.g. the streaming sink, which also appends them to its index) pass
+    # them in — otherwise the tokenize + shingle + fold pass would run
+    # twice per micro-batch
     new_sigs = _persist_small(
+        new_sigs if new_sigs is not None else
         minhash_signature(new_docs, content_col, id_col, num_hashes, shingle_n, hash_fn),
         persist,
     )

@@ -642,13 +642,15 @@ def frame_dup_pairs(
     # media_id would silently collide packed ids (corrupting attribution and
     # the id_a < id_b order), so such rows abort the job instead. raise_error
     # costs nothing on valid data — it rides the same projection.
+    # media_id also needs an UPPER bound: at >= 2^47 the *65536 multiply
+    # wraps the long and distinct frames could silently share a fid
     valid = (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 65536) & \
-        (F.col("media_id") >= 0)
+        (F.col("media_id") >= 0) & (F.col("media_id") < (1 << 47))
     packed = hashes.where(F.col("dhash") != 0).select(
         F.when(valid, F.col("media_id") * 65536 + F.col("frame_idx"))
         .otherwise(F.raise_error(F.format_string(
             "frame_dup_pairs: unpackable (media_id=%s, frame_idx=%s) — "
-            "media_id must be >= 0 and frame_idx in [0, 65536)",
+            "media_id must be in [0, 2^47) and frame_idx in [0, 65536)",
             F.col("media_id"), F.col("frame_idx")))).alias("fid"),
         "dhash",
     ).distinct()

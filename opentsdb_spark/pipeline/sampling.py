@@ -576,6 +576,10 @@ def interleave_sources(
 
     if not weights:
         raise ValueError("weights must name at least one source")
+    if n_buckets < 1:
+        # pmod(_, 0) yields NULL buckets and the offsets equi-join would
+        # silently drop every row (same null-key trap shard_assign guards)
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     w20 = {}
     for g, w in weights.items():
         if not w > 0:

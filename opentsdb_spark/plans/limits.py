@@ -111,6 +111,22 @@ def request_limit(request: dict, metric: str | None = None) -> int:
     return base
 
 
+def strictest_limit(request: dict, metrics) -> int:
+    """Data-point ceiling for a query touching SEVERAL metrics (gexp / exp
+    expressions, multi-metric lookups): an explicit per-request
+    max_data_points wins; otherwise each metric resolves through the
+    override map and the STRICTEST positive ceiling governs the combined
+    result (the reference enforces per-scanner, i.e. per metric — on a
+    single combined result set the tightest involved ceiling is the
+    conservative equivalent). No positive ceiling anywhere -> the global
+    default."""
+    if "max_data_points" in request:
+        return int(request["max_data_points"])
+    resolved = [request_limit({}, m) for m in metrics if m]
+    positive = [v for v in resolved if v > 0]
+    return min(positive) if positive else DEFAULT_MAX_DATA_POINTS
+
+
 def request_byte_limit(request: dict, metric: str | None = None) -> int:
     if "max_bytes" in request:
         return int(request["max_bytes"])

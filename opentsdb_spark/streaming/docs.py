@@ -209,18 +209,23 @@ def incremental_dedup_batch(
     else:
         corpus_sigs = minhash_signature(
             batch.limit(0), content_col, id_col, num_hashes, shingle_n)
+    # signatures computed ONCE per micro-batch: the verdict pass and the
+    # index append below share this frame (the dominant per-batch cost is
+    # the tokenize + shingle + fold pass — running it twice doubled it)
+    batch_sigs = minhash_signature(
+        batch, content_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint()
     verdicts = incremental_dedup_minhash(
         batch, corpus_sigs, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, threshold=threshold,
-        content_col=content_col, id_col=id_col,
+        content_col=content_col, id_col=id_col, new_sigs=batch_sigs,
     ).localCheckpoint()  # materialize: the index write below must not
     #                      re-run the verdict plan, nor the caller's write
     kept_ids = verdicts.where(F.col("keep")).select(id_col)
     # only KEPT docs join the corpus (dropped dups must not become dedup
     # targets themselves — same rule as the batch funnel's canonical set);
     # short docs have no signature row, so the semi-join skips them
-    minhash_signature(batch, content_col, id_col, num_hashes, shingle_n) \
-        .join(kept_ids, on=id_col, how="left_semi") \
+    batch_sigs.join(kept_ids, on=id_col, how="left_semi") \
         .select(id_col, "signature",
                 F.lit(batch_id).cast("long").alias("__batch_id")) \
         .write.mode("append").parquet(sig_index_path)

@@ -146,6 +146,17 @@ def test_per_metric_limit_override(fixture_points, tmp_path):
         assert api.handle_query(
             fixture_points,
             {**req, "m": "sum:sys.cpu.user", "max_data_points": 100_000})
+        # overrides reach the OTHER query surfaces too: gexp resolves the
+        # metrics inside the expression, last/lookup resolve request.metric
+        with pytest.raises(QueryLimitExceeded):
+            api.handle_gexp(fixture_points,
+                            {**req, "exp": "scale(sum:sys.cpu.user,2)"})
+        from opentsdb_spark.parse import gexp_metrics
+        assert gexp_metrics("scale(sum:sys.cpu.user,2)") == ["sys.cpu.user"]
+        from opentsdb_spark.plans.limits import strictest_limit
+        assert strictest_limit({}, ["sys.cpu.user", "other"]) == 10
+        assert strictest_limit({"max_data_points": 7}, ["sys.cpu.user"]) == 7
+        assert strictest_limit({}, ["other"]) == 0
         # file loader accepts the reference's item serialization
         p = tmp_path / "overrides.json"
         p.write_text(json.dumps(

@@ -227,7 +227,7 @@ def test_style_circles_and_dots(fixture_points):
     GraphHandler.java:84); bad styles 400 with the reference's loose
     alternation semantics."""
     seen = set()
-    for style in ("linespoint", "points", "circles", "dots"):
+    for style in ("linespoint", "points", "circles", "dots", "lines"):
         png = render_png(SERIES, {"wxh": "300x200", "nokey": "",
                                   "style": style})
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
@@ -239,6 +239,17 @@ def test_style_circles_and_dots(fixture_points):
         api.handle_graph(fixture_points, {**req, "style": "stars"})
     out = api.handle_graph(fixture_points, {**req, "style": "circles"})
     assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    # 'lines' is a documented engine extension and must keep working
+    out = api.handle_graph(fixture_points, {**req, "style": "lines"})
+    assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    # quoted / exponent-only range components the reference validator
+    # admits must not crash the renderer (autoscale fallback)
+    out = api.handle_graph(fixture_points,
+                           {**req, "yrange": '["1":"2"]', "y2range": "[e5:]"})
+    assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    from opentsdb_spark.graph import parse_yrange
+    assert parse_yrange('["1":"2"]') == (1.0, 2.0)
+    assert parse_yrange("[e5:10]") == (None, 10.0)
 
 
 def test_key_position_param():
