@@ -4585,9 +4585,11 @@ _PRIORITY = [
     # cross-series aggregation + interpolation (§2.3/2.4) incl. the
     # raw-resolution line-sweep strategy (the 100TB-scale stress path);
     # avg_raw exercises the sweep's sum+count decomposition with grouping
-    # (mimmax_by_user rotates out — now a trivial direct groupBy, still
-    # verified by the full-catalog oracle run)
-    "tsdb_agg_zimsum_by_user", "tsdb_agg_avg_raw", "tsdb_agg_sum_aligned_1h",
+    # (mimmax_by_user rotates out — now a trivial direct groupBy;
+    # sum_aligned_1h rotates out for the round-7 flagship families below —
+    # the aligned-grid machinery stays pinned by zimsum/lerp and the
+    # full-catalog oracle run)
+    "tsdb_agg_zimsum_by_user", "tsdb_agg_avg_raw",
     "tsdb_agg_lerp_sum", "tsdb_agg_sum_raw_full",
     # metadata / uid / tree / annotations (§2.11)
     "tsdb_last", "uid_metrics_listing", "tree_branches",
@@ -4595,8 +4597,11 @@ _PRIORITY = [
     # gexp functions (§2.8a; absolute_scale rotates out — plain per-point
     # arithmetic also exercised by the exp entries and the full-catalog run)
     "gexp_sumseries", "gexp_highest_max",
-    # exp/v2 expressions (§2.8b)
-    "exp_intersection_arith", "exp_union_fill_zero",
+    # exp/v2 expressions (§2.8b; union_fill_zero rotates out for the
+    # round-7 flagship families — intersection_arith pins the exp parser,
+    # join and arithmetic; the UNION+fill variant stays verified by the
+    # full-catalog oracle run)
+    "exp_intersection_arith",
     # rollups / histograms / ingest (§2.1/2.9, §4)
     "rollup_avg_rewrite_2h", "rollup_split_seam", "hist_query_pct_daily",
     "ingest_put_roundtrip",
@@ -4612,8 +4617,12 @@ _PRIORITY = [
     # entry runs the same xxhash64 MinHash signature/band/verify machinery
     # PLUS the batch-vs-corpus verdict logic; the md5 variant stays verified
     # by the full-catalog oracle run)
+    # (dedup_substring rotates out for dedup_substring_removal — the
+    # removal entry runs the same window-hash span detection PLUS the
+    # strike-every-copy document rebuild; the detection-only variant stays
+    # verified by the full-catalog oracle run)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_incremental",
-    "dedup_semantic", "dedup_substring",
+    "dedup_semantic", "dedup_substring_removal",
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
     # for the corpus-wide paragraph dedup — token counting is also exercised
     # by text_quality and stays verified by the full-catalog run)
@@ -4637,7 +4646,10 @@ _PRIORITY = [
     "text_ccnet_buckets", "text_hash_embedding",
     "embed_prototypicality", "embed_covariance",
     # LLM-pipeline: mixture sampling + sequence packing
-    "sample_temperature", "sample_pack_sequences",
+    # (sample_temperature rotates out for the round-7 interleave/audit
+    # rows — the temperature-reweight arithmetic stays verified by the
+    # full-catalog oracle run, and the sample family keeps five gate rows)
+    "sample_pack_sequences",
     # round-6b families: BM25 lexical retrieval, token-budget selection,
     # Bloom-filter benchmark hygiene
     "text_bm25_top5",
@@ -4645,6 +4657,10 @@ _PRIORITY = [
     # audio near-dup, fractional epoch replication (CMS shares the sketch
     # machinery with HLL and stays verified by the full-catalog run)
     "text_hll_distinct", "multimodal_audio_dedup", "sample_repeat_epochs",
+    # round-7 flagship families (rotated in this round): proportional
+    # source interleaving + its end-to-end mixing audit, RefinedWeb-style
+    # boilerplate chunk strike-out
+    "sample_interleave", "sample_mix_audit", "text_strip_boilerplate",
     "sample_token_budget", "dedup_bloom_decontaminate",
 ]
 assert len(_PRIORITY) == 52  # one driver-gate slot per family; the tail

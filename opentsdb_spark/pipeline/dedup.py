@@ -284,6 +284,10 @@ def ngram_jaccard_pairs(
     become candidates in the direct path) — so the output is bit-identical
     either way and the hash-checked oracle holds for both settings.
     Gram-less docs never enter the clique frame, so they still never pair.
+    NOTE: the default adaptive gate runs one small Spark job (the clone-
+    mass probe) at operator-CONSTRUCTION time, making this builder eager;
+    pass ``collapse_identical="force"``/``False`` where plan construction
+    must stay lazy.
 
     The gram frame feeds the inverted index (twice via the self-join) and
     both exact-verify re-joins — persisted so tokenization runs once
@@ -512,7 +516,11 @@ def minhash_lsh_pairs(
     / ``False`` — see ``_should_collapse``) first merges documents with
     BIT-IDENTICAL signatures into one representative node, runs the banded
     candidate/verify machinery on representatives only, then expands
-    verdicts back to member pairs with id-only joins. Exact clone clusters
+    verdicts back to member pairs with id-only joins. NOTE: the default
+    adaptive gate runs one small Spark job (the clone-mass probe) at
+    operator-CONSTRUCTION time, making this builder eager; pass
+    ``collapse_identical="force"``/``False`` where plan construction must
+    stay lazy. Exact clone clusters
     (mirrors, boilerplate reprints, replicated shards) otherwise cost
     |clique|^2 VERIFY work with two 64-long arrays per pair — measured 2x
     end-to-end on a 100x-replicated corpus — while the collapsed form pays
@@ -687,7 +695,11 @@ def incremental_dedup_minhash(
     clique's MINIMUM id: the corpus best (max est, ties to lowest id)
     always lands on a representative, and the smallest matching smaller
     batch id is either the member's own clique rep or a partner clique's
-    rep below it — both rep-level facts. Clone-heavy streams (replays,
+    rep below it — both rep-level facts. NOTE: the default adaptive gate
+    runs one small Spark job (the clone-mass probe) at operator-
+    CONSTRUCTION time, making this builder eager; pass
+    ``collapse_identical="force"``/``False`` where plan construction must
+    stay lazy. Clone-heavy streams (replays,
     mirrored feeds) otherwise pay |clique|^2 signature verifies.
 
     Scale shape: batch signatures are computed once and persisted (the
@@ -937,7 +949,10 @@ def band_pairs_64(
     / ``False`` — see ``_should_collapse``) is the exact-clone guard shared
     with the MinHash/n-gram/embedding paths, keyed here on the 8-byte hash
     itself: equal hashes run candidates/verify as one representative and
-    expand back with id-only joins — within-clique Hamming is exactly 0,
+    expand back with id-only joins (NOTE: the default adaptive gate runs
+    one small Spark job — the clone-mass probe — at operator-CONSTRUCTION
+    time; pass ``collapse_identical="force"``/``False`` where plan
+    construction must stay lazy) — within-clique Hamming is exactly 0,
     cross-clique pairs inherit the representative distance, so the output
     is bit-identical either way. With collapsing on, ``max_bucket`` counts
     distinct hash values per band bucket. Ids must be UNIQUE per row —
@@ -1029,7 +1044,10 @@ def embedding_dup_pairs(
     ``collapse_identical`` (default ``True`` = adaptive probe / ``"force"``
     / ``False`` — see ``_should_collapse``) merges bit-identical vectors into
     one representative before bucketing and verify — the exact-clone guard
-    shared with the MinHash/n-gram paths. Because cosine is floating-point,
+    shared with the MinHash/n-gram paths (NOTE: the default adaptive gate
+    runs one small Spark job — the clone-mass probe — at operator-
+    CONSTRUCTION time; pass ``collapse_identical="force"``/``False`` where
+    plan construction must stay lazy). Because cosine is floating-point,
     within-clique pairs do NOT assume 1.0: the representative's self-cosine
     is computed with the same kernel and threshold filter, so the output
     stays bit-identical to the direct path (identical arrays give identical
@@ -1184,20 +1202,17 @@ def remove_duplicate_spans(
 
     Scale shape: windows shrink to (xxhash64, id, pos) before any shuffle;
     dup discovery is distinct + a map-side-combinable count per 8-byte
-    hash; coverage re-explodes k positions for DUPLICATED windows only;
-    the rebuild groups 16-byte (pos, token-ref) rows per doc. Text enters
-    a shuffle only in the final per-doc rebuild of SURVIVING tokens.
+    hash; coverage re-explodes k positions for DUPLICATED windows only and
+    folds to ONE int-array row per affected doc. The rebuild then strikes
+    positions doc-locally (array_except on the position sequence — hash
+    -set semantics, no per-token join): text enters a shuffle only as the
+    docs side of the final per-doc join against those covered arrays (and
+    not even there when AQE broadcasts the array side).
 
     Returns (id, text, n_kept_tokens, n_cut_tokens) for docs keeping >= 1
     token; fully-duplicated docs vanish (their n_cut shows in the report
     op). Docs shorter than k tokens have no window identity and pass
     through whole."""
-    words = docs.select(
-        id_col,
-        F.posexplode(
-            F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0))
-        ).alias("__t", "__tok"),
-    )
     win = _persist_small(
         _gram_frame(docs, content_col, id_col, k, distinct=False)
         .select(id_col, F.posexplode("grams").alias("pos", "g"))
@@ -1217,15 +1232,28 @@ def remove_duplicate_spans(
                 .alias("__t"))
         .distinct()
     )
-    kept = words.join(covered, on=[id_col, "__t"], how="left_anti")
-    totals = words.groupBy(id_col).agg(F.count("*").alias("__tot"))
+    cov = covered.groupBy(id_col).agg(F.collect_list("__t").alias("__cov"))
+    toks = F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0))
+    keep_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("__toks") - 1),
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
+    )
     return (
-        kept.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("__t", "__tok"))).alias("__kt"))
-        .join(totals, on=id_col)
+        docs.select(id_col, toks.alias("__toks"))
+        .where(F.size("__toks") > 0)  # empty docs vanish (no token rows);
+        #                               also guards sequence(0, -1)
+        .join(cov, on=id_col, how="left")
         .select(
             id_col,
-            F.array_join(F.transform("__kt", lambda s: s["__tok"]), " ").alias("text"),
+            F.transform(
+                keep_pos, lambda i: F.element_at(F.col("__toks"), i + 1)
+            ).alias("__kt"),
+            F.size("__toks").alias("__tot"),
+        )
+        .where(F.size("__kt") >= 1)
+        .select(
+            id_col,
+            F.array_join("__kt", " ").alias("text"),
             F.size("__kt").alias("n_kept_tokens"),
             (F.col("__tot") - F.size("__kt")).cast("int").alias("n_cut_tokens"),
         )

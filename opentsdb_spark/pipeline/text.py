@@ -262,34 +262,59 @@ def strip_boilerplate_chunks(
 
     Scale shape: doc frequency runs on the 8-byte chunk hash — distinct
     (id, hash) then a map-side-combinable count, so a boilerplate chunk
-    with 10^9 copies is one aggregation key; the raw chunk string never
-    enters the df shuffle, and survivors semi-join back on the hash.
+    with 10^9 copies is one aggregation key; the chunk string never enters
+    ANY hash-keyed shuffle (the id/pos key frame drops it before the df
+    aggregation and the strike-out semi-join). The strike-out joins the
+    SMALL side — the boilerplate keys with df > max_df (the heavy-hitter
+    set, broadcastable at any corpus size), not the ~all-distinct keep
+    set — folds struck positions to one int-array row per affected doc,
+    and rebuilds each document locally (array_except over the chunk
+    positions): text shuffles only as the docs side of that final per-doc
+    join, and not even there when AQE broadcasts the array side.
 
     Returns (id, text = surviving chunks rejoined in order, n_kept,
     n_dropped) for docs keeping >= 1 chunk."""
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
-    chunks = chunk_docs(docs, chunk_words, content_col, id_col).select(
-        id_col, "chunk_pos", "chunk", F.xxhash64("chunk").alias("__ch")
+    keys = chunk_docs(docs, chunk_words, content_col, id_col).select(
+        id_col, "chunk_pos", F.xxhash64("chunk").alias("__ch")
     )
     df = (
-        chunks.select(id_col, "__ch").distinct()
+        keys.select(id_col, "__ch").distinct()
         .groupBy("__ch").agg(F.count("*").alias("__df"))
     )
-    keep_keys = df.where(F.col("__df") <= max_df).select("__ch")
-    kept = chunks.join(keep_keys, on="__ch", how="left_semi")
-    totals = chunks.groupBy(id_col).agg(F.count("*").alias("__tot"))
+    drop_keys = df.where(F.col("__df") > max_df).select("__ch")
+    cov = (
+        keys.join(drop_keys, on="__ch", how="left_semi")
+        .groupBy(id_col).agg(F.collect_list("chunk_pos").alias("__cov"))
+    )
+    # rebuild doc-locally from the same codegen chunk expression chunk_docs
+    # scans (one extra narrow pass over the text, no exploded-string joins)
+    words = _words(F.col(content_col))
+    n_chunks = F.floor(F.size(words) / chunk_words).cast("int")
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " "),
+    )
+    keep_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("__chunks") - 1),
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
+    )
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("chunk_pos", "chunk"))
-            ).alias("__kc")
-        )
-        .join(totals, on=id_col)
+        docs.where(n_chunks > 0)
+        .select(id_col, chunks_arr.alias("__chunks"))
+        .join(cov, on=id_col, how="left")
         .select(
             id_col,
-            F.array_join(F.transform("__kc", lambda s: s["chunk"]), " ").alias("text"),
+            F.transform(
+                keep_pos, lambda i: F.element_at(F.col("__chunks"), i + 1)
+            ).alias("__kc"),
+            F.size("__chunks").alias("__tot"),
+        )
+        .where(F.size("__kc") >= 1)
+        .select(
+            id_col,
+            F.array_join("__kc", " ").alias("text"),
             F.size("__kc").alias("n_kept"),
             (F.col("__tot") - F.size("__kc")).cast("int").alias("n_dropped"),
         )

@@ -118,13 +118,18 @@ def strictest_limit(request: dict, metrics) -> int:
     override map and the STRICTEST positive ceiling governs the combined
     result (the reference enforces per-scanner, i.e. per metric — on a
     single combined result set the tightest involved ceiling is the
-    conservative equivalent). No positive ceiling anywhere -> the global
-    default."""
+    conservative equivalent). Overrides may resolve a metric to 0 =
+    unlimited (QueryLimitOverride.getDataPointLimit returns the matched
+    value verbatim); when EVERY involved metric resolves unlimited the
+    combined query is unlimited too — only when no metric resolves at all
+    does the global default apply."""
     if "max_data_points" in request:
         return int(request["max_data_points"])
     resolved = [request_limit({}, m) for m in metrics if m]
+    if not resolved:
+        return DEFAULT_MAX_DATA_POINTS
     positive = [v for v in resolved if v > 0]
-    return min(positive) if positive else DEFAULT_MAX_DATA_POINTS
+    return min(positive) if positive else 0
 
 
 def request_byte_limit(request: dict, metric: str | None = None) -> int:

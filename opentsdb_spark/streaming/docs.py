@@ -13,6 +13,91 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _read_index_if_exists(spark, path: str) -> DataFrame | None:
+    """Read a parquet state index, or None if it does not exist yet.
+
+    Probes by attempting the read instead of os.path.exists so an index on
+    HDFS/S3 (any filesystem Spark can read) is found — a local-only stat
+    would silently see an empty corpus every micro-batch and disable
+    cross-batch dedup with no error."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
+def _append_index_rows(df: DataFrame, path: str) -> None:
+    """Append one micro-batch's index rows, idempotently under replay.
+
+    The index is partitioned by ``__batch_id`` and written with DYNAMIC
+    partition overwrite: a foreachBatch replay of batch N rewrites the
+    ``__batch_id=N`` partition in place instead of appending a second copy,
+    so the index does not accumulate duplicate rows (and collapse/candidate
+    cost) across crash replays. One file per batch (coalesce) keeps the
+    fragment count equal to the batch count until compaction."""
+    df.coalesce(1).write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("__batch_id").parquet(path)
+    # a replay overwrite rewrites files under an already-read path — drop
+    # the cached file listing so the next corpus read sees the new files
+    df.sparkSession.catalog.refreshByPath(path)
+
+
+def compact_index(
+    spark,
+    path: str,
+    keep_batch_id: int | None = None,
+    max_partitions: int = 64,
+) -> bool:
+    """Compact a streaming state index once it has grown past
+    ``max_partitions`` batch partitions (one parquet fragment per
+    micro-batch otherwise grows forever).
+
+    All committed batches' rows are folded into a single ``__batch_id=-1``
+    partition; ``keep_batch_id`` (the CURRENT, possibly-uncommitted batch)
+    keeps its own partition so a foreachBatch replay of it can still
+    exclude its own rows — only the latest uncommitted batch can replay,
+    so folding older ids is safe. Verdicts are unchanged by compaction
+    (the corpus row SET is identical; only the partition layout moves).
+
+    Swap discipline: build the compacted index in a tmp dir, then
+    rename-swap (same pattern as operators.tree.treesync) — readers see
+    either the old or the new index, never a partial one. The swap uses
+    os.rename, so compaction itself is LOCAL-FILESYSTEM-ONLY; on object
+    stores run an external compaction job instead. Returns True if a
+    compaction ran."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):  # non-local or missing: caller compacts
+        return False             # externally (rename-swap needs a local dir)
+    parts = [d for d in os.listdir(path) if d.startswith("__batch_id=")]
+    if len(parts) <= max_partitions:
+        return False
+    idx = spark.read.parquet(path)
+    fold = F.col("__batch_id").cast("long")
+    if keep_batch_id is not None:
+        fold = F.when(F.col("__batch_id") == keep_batch_id, fold).otherwise(-1)
+    else:
+        fold = F.lit(-1)
+    compacted = idx.withColumn("__batch_id", fold)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    for stale in (tmp, old):  # debris from a crashed prior compaction
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    compacted.coalesce(1).write.mode("overwrite") \
+        .partitionBy("__batch_id").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)  # drop the stale file-listing cache
+    return True
+
+
 def streaming_exact_dedup(
     docs: DataFrame,
     content_col: str = "text",
@@ -96,8 +181,6 @@ def neardup_filter_batch(
     a broadcast-free equijoin on those keys and the index only ever grows
     by survivors' bands. This function runs eager jobs (it writes the
     index) — it is a sink building block, not a lazy operator."""
-    import os
-
     from pyspark.sql import Window
 
     from opentsdb_spark.pipeline.dedup import minhash_signature
@@ -120,8 +203,8 @@ def neardup_filter_batch(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bh").persist()
     try:
-        if os.path.exists(index_path):
-            index = spark.read.parquet(index_path)
+        index = _read_index_if_exists(spark, index_path)
+        if index is not None:
             if batch_id is not None and "__batch_id" in index.columns:
                 # replay safety: this batch's previously-appended bands must
                 # not count as collisions against itself. NULL batch ids
@@ -153,10 +236,14 @@ def neardup_filter_batch(
             .localCheckpoint()  # materialize: caller's write must not
         )                        # re-run the signature pipeline
         # append the SURVIVORS' full band sets (not just the fresh keys) so
-        # a future near-identical doc collides on every band
-        banded.join(kept_ids, on=id_col, how="left_semi").select(
-            "band", "bh", F.lit(batch_id).cast("long").alias("__batch_id")
-        ).write.mode("append").parquet(index_path)
+        # a future near-identical doc collides on every band; replay-
+        # idempotent dynamic overwrite of this batch's partition
+        _append_index_rows(
+            banded.join(kept_ids, on=id_col, how="left_semi").select(
+                "band", "bh", F.lit(batch_id).cast("long").alias("__batch_id")
+            ),
+            index_path,
+        )
     finally:
         banded.unpersist()
     return kept
@@ -190,17 +277,18 @@ def incremental_dedup_batch(
     a foreachBatch REPLAY the same batch_id's rows are excluded from the
     corpus side, so recomputed verdicts are identical (rows may duplicate
     in downstream parquet on replay — standard at-least-once — but
-    verdicts never flip). Eager (writes the index): a sink building block,
-    not a lazy operator."""
-    import os
-
+    verdicts never flip; the index write itself is a dynamic partition
+    overwrite of this batch's partition, so replays do not duplicate index
+    rows either). Eager (writes the index): a sink building block, not a
+    lazy operator."""
     from opentsdb_spark.pipeline.dedup import (
         incremental_dedup_minhash, minhash_signature,
     )
 
     spark = batch.sparkSession
-    if os.path.exists(sig_index_path):
-        corpus_sigs = spark.read.parquet(sig_index_path)
+    idx = _read_index_if_exists(spark, sig_index_path)
+    if idx is not None:
+        corpus_sigs = idx
         if batch_id is not None and "__batch_id" in corpus_sigs.columns:
             corpus_sigs = corpus_sigs.where(
                 F.col("__batch_id").isNull() | (F.col("__batch_id") != batch_id)
@@ -225,10 +313,12 @@ def incremental_dedup_batch(
     # only KEPT docs join the corpus (dropped dups must not become dedup
     # targets themselves — same rule as the batch funnel's canonical set);
     # short docs have no signature row, so the semi-join skips them
-    batch_sigs.join(kept_ids, on=id_col, how="left_semi") \
+    _append_index_rows(
+        batch_sigs.join(kept_ids, on=id_col, how="left_semi")
         .select(id_col, "signature",
-                F.lit(batch_id).cast("long").alias("__batch_id")) \
-        .write.mode("append").parquet(sig_index_path)
+                F.lit(batch_id).cast("long").alias("__batch_id")),
+        sig_index_path,
+    )
     return verdicts
 
 
@@ -238,11 +328,14 @@ def streaming_incremental_dedup_sink(
     sig_index_path: str,
     checkpoint: str,
     id_col: str = "doc_id",
+    compact_after: int | None = 64,
     **kwargs,
 ):
     """writeStream.foreachBatch wiring for incremental_dedup_batch: each
     micro-batch is verdict-filtered against the shared signature index;
-    kept documents append to the output parquet. Returns the
+    kept documents append to the output parquet. Once the index exceeds
+    ``compact_after`` batch partitions it is compacted in place (verdicts
+    unchanged — see compact_index; None disables). Returns the
     DataStreamWriter (caller picks the trigger and calls start())."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -251,6 +344,9 @@ def streaming_incremental_dedup_sink(
         kept = batch.join(verdicts.where(F.col("keep")).select(id_col),
                           on=id_col, how="left_semi")
         kept.write.mode("append").parquet(out_path)
+        if compact_after is not None:
+            compact_index(batch.sparkSession, sig_index_path,
+                          keep_batch_id=batch_id, max_partitions=compact_after)
 
     return docs.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
@@ -262,16 +358,21 @@ def streaming_neardup_sink(
     out_path: str,
     index_path: str,
     checkpoint: str,
+    compact_after: int | None = 64,
     **kwargs,
 ):
     """writeStream.foreachBatch wiring for neardup_filter_batch: each
     micro-batch is near-dup-filtered against the shared index and survivors
-    append to the output parquet. Returns the DataStreamWriter (caller
-    picks the trigger and calls start())."""
+    append to the output parquet. Once the index exceeds ``compact_after``
+    batch partitions it is compacted in place (None disables). Returns the
+    DataStreamWriter (caller picks the trigger and calls start())."""
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         kept = neardup_filter_batch(batch, index_path, batch_id=batch_id, **kwargs)
         kept.write.mode("append").parquet(out_path)
+        if compact_after is not None:
+            compact_index(batch.sparkSession, index_path,
+                          keep_batch_id=batch_id, max_partitions=compact_after)
 
     return docs.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint

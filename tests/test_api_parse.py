@@ -157,6 +157,15 @@ def test_per_metric_limit_override(fixture_points, tmp_path):
         assert strictest_limit({}, ["sys.cpu.user", "other"]) == 10
         assert strictest_limit({"max_data_points": 7}, ["sys.cpu.user"]) == 7
         assert strictest_limit({}, ["other"]) == 0
+        # metrics ALL resolved unlimited (a matched 0, which the reference's
+        # getDataPointLimit returns verbatim) stay unlimited even under a
+        # positive global default; only "no metrics at all" falls back
+        limits.configure(max_data_points=100, overrides=QueryLimitOverrides(
+            [{"regex": "^free\\..*", "dataPointsLimit": 0}]))
+        assert strictest_limit({}, ["free.a", "free.b"]) == 0
+        assert strictest_limit({}, []) == 100
+        assert strictest_limit({}, ["free.a", "sys.x"]) == 100  # sys.x -> default
+        limits.configure(max_data_points=0, overrides=ov)
         # file loader accepts the reference's item serialization
         p = tmp_path / "overrides.json"
         p.write_text(json.dumps(

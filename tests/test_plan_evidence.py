@@ -392,3 +392,73 @@ def test_bloom_broadcasts_position_set(spark):
         "doc_id long, text string")
     plan = _plan(bloom_decontaminate(train, bench, n=4))
     assert "BroadcastExchange" in plan
+
+
+def _exchange_blocks(plan: str):
+    """(Input-line, Arguments-line) for every Exchange node of a FORMATTED
+    plan — the Input list names exactly the columns the shuffle carries."""
+    import re
+
+    out = []
+    for block in re.split(r"\n\n", plan):
+        lines = block.splitlines()
+        if lines and re.match(r"\(\d+\) Exchange", lines[0]):
+            inp = next((ln for ln in lines if ln.startswith("Input")), "")
+            args = next((ln for ln in lines if ln.startswith("Arguments")), "")
+            out.append((inp, args))
+    return out
+
+
+_TEXT_MARKERS = ("text#", " chunk#", "[chunk#", "__chunks#", "__toks#",
+                 "__tok#", "__kt#", "__kc#", " g#", "[g#")
+
+
+def _assert_text_only_in_doc_rebuild(plan: str, hash_keys: tuple):
+    """Shared pin for the strike-out/rebuild text ops: (a) no hash-keyed
+    exchange (dup discovery / strike-out join) carries a text column —
+    those shuffles move only 8-byte keys + int positions; (b) text appears
+    in AT MOST ONE exchange, the docs side of the per-doc rebuild join,
+    and that one is partitioned by doc_id alone."""
+    exchanges = _exchange_blocks(plan)
+    assert exchanges, "expected shuffles in the plan"
+    texty = [(i, a) for i, a in exchanges
+             if any(m in i for m in _TEXT_MARKERS)]
+    assert len(texty) <= 1, f"text in more than one shuffle: {texty}"
+    for inp, args in texty:
+        assert "hashpartitioning(doc_id#" in args, (inp, args)
+        assert not any(k in args for k in hash_keys), (inp, args)
+    for inp, args in exchanges:
+        if any(k in args for k in hash_keys):
+            assert not any(m in inp for m in _TEXT_MARKERS), (inp, args)
+
+
+def test_strip_boilerplate_never_shuffles_chunk_strings(spark):
+    """strip_boilerplate_chunks: doc-frequency and strike-out exchanges run
+    on the 8-byte __ch key only; chunk strings reach exactly one exchange
+    (the docs side of the per-doc rebuild join, keyed by doc_id)."""
+    from opentsdb_spark.pipeline.text import strip_boilerplate_chunks
+
+    docs = spark.createDataFrame(
+        [(i, "common header words here then body %d text flows onward" % i)
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    plan = _plan(strip_boilerplate_chunks(docs, max_df=2))
+    _assert_text_only_in_doc_rebuild(plan, hash_keys=("__ch#",))
+
+
+def test_remove_duplicate_spans_dup_discovery_shuffles_keys_only(spark):
+    """remove_duplicate_spans: window dup discovery shuffles only
+    (xxhash64, id, pos) rows — gram/token strings reach exactly one
+    exchange (the docs side of the per-doc rebuild join, keyed by
+    doc_id)."""
+    from opentsdb_spark.pipeline.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "shared prefix of many tokens here tail one"),
+         (2, "shared prefix of many tokens here tail two"),
+         (3, "completely different words in this document body")],
+        "doc_id long, text string",
+    )
+    plan = _plan(remove_duplicate_spans(docs, k=5, persist=False))
+    _assert_text_only_in_doc_rebuild(plan, hash_keys=("__h#",))

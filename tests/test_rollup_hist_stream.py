@@ -683,6 +683,57 @@ def test_streaming_incremental_dedup_parity(spark):
         assert snap() == got
 
 
+def test_index_replay_is_idempotent_and_compaction_preserves_verdicts(spark):
+    """(a) Replaying a batch must not grow the signature index (dynamic
+    partition overwrite rewrites the batch's partition in place); (b)
+    compacting the index folds committed batches into one partition
+    without changing any later verdict; (c) a replay of the kept
+    (uncommitted) batch still excludes its own rows after compaction."""
+    import tempfile as _tf
+
+    from opentsdb_spark.streaming.docs import (
+        compact_index, incremental_dedup_batch,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    t2 = "one two three four five six seven eight nine ten eleven " * 2
+    t3 = "red orange yellow green blue indigo violet pink brown black " * 2
+    b1 = spark.createDataFrame([(0, t1), (1, t2)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, t3)], "doc_id long, text string")
+    b3 = spark.createDataFrame(  # 3 dups corpus-batch-1; 4 novel
+        [(3, t1), (4, "totally fresh words about ships sailing oceans "
+                      "under starry skies tonight forever")],
+        "doc_id long, text string")
+
+    def run(idx, compact_after_b2):
+        incremental_dedup_batch(b1, idx, batch_id=1, threshold=0.5)
+        incremental_dedup_batch(b2, idx, batch_id=2, threshold=0.5)
+        n_before = spark.read.parquet(idx).count()
+        # replay of batch 2 (at-least-once): index must NOT grow
+        incremental_dedup_batch(b2, idx, batch_id=2, threshold=0.5)
+        assert spark.read.parquet(idx).count() == n_before
+        if compact_after_b2:
+            assert compact_index(spark, idx, keep_batch_id=2,
+                                 max_partitions=1)
+            parts = {r["__batch_id"] for r in
+                     spark.read.parquet(idx).select("__batch_id").collect()}
+            assert parts == {-1, 2}  # batch 1 folded; current batch kept
+            assert spark.read.parquet(idx).count() == n_before
+            # replay of the KEPT batch post-compaction: own rows excluded
+            incremental_dedup_batch(b2, idx, batch_id=2, threshold=0.5)
+        v = {r["doc_id"]: (r["keep"], r["dup_kind"], r["dup_of"],
+                           r["est_jaccard"]) for r in
+             incremental_dedup_batch(b3, idx, batch_id=3,
+                                     threshold=0.5).collect()}
+        return v
+
+    with _tf.TemporaryDirectory() as d:
+        plain = run(os.path.join(d, "idx_plain"), compact_after_b2=False)
+        compacted = run(os.path.join(d, "idx_compact"), compact_after_b2=True)
+    assert compacted == plain
+    assert plain[3][:3] == (False, "corpus", 0) and plain[4][0] is True
+
+
 def test_neardup_null_batch_id_index_rows_still_collide(spark):
     """Index rows written without a batch_id (NULL) must still count as
     collisions for batched runs (NULL != id is NULL, not true)."""
