@@ -1012,17 +1012,23 @@ def bm25_search(
     idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))      (Robertson/Lucene)
     score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
 
-    100 TB shape: NOTHING corpus-sized ever shuffles. The tiny query-term
-    table broadcasts down to the token explode itself, so the only
-    groupBy(doc, token) aggregate runs on query-term hits — an index
-    probe's worth of rows, not the corpus vocabulary. Per-doc length rides
-    the explode as a size() column (no doc-keyed join back to a corpus
-    frame), and N/avgdl are a scalar partial aggregate of a narrow
-    (id, dl) projection. Document frequencies aggregate the already
-    filtered posting frame — never a full-vocabulary shuffle. Cost at
-    scale: two narrow corpus scans (one scalar-agg, one probe) + a
-    hit-sized shuffle. Top-k per query partitions the window by query id —
-    no global sort, and with a handful of queries the ranked frame is tiny.
+    100 TB shape: NOTHING corpus-sized ever shuffles, and nothing joins.
+    Every term-level statistic is BOUNDED BY THE QUERY (<= |terms| rows):
+    document frequencies and the corpus N/avgdl scalars are collected to
+    the driver and embedded as literal maps, so the scoring plan is two
+    narrow corpus scans (one scalar-agg for dl stats, one probe) + one
+    hit-sized groupBy(doc, term) shuffle + one tiny groupBy(query, doc) —
+    no broadcast exchanges, no join stages at all. Query terms filter the
+    token ARRAY before the explode (an In-set predicate), so non-hit
+    tokens never materialize as rows. Top-k per query partitions the
+    window by query id — no global sort, and with a handful of queries
+    the ranked frame is tiny.
+
+    NOTE: collecting df/N/avgdl makes this operator EAGER — it runs two
+    small Spark jobs at call time (the collected frames are query-bounded,
+    never corpus-bounded). The join-free shape exists because re-JITing
+    the three join stages dominated warm CPU at small scale; at 100 TB the
+    same shape simply removes three exchanges.
 
     Ties break by doc id ascending for determinism.
     """
@@ -1030,53 +1036,67 @@ def bm25_search(
 
     from opentsdb_spark.pipeline.dedup import _persist_small
 
+    # token -> [query ids] (a term may serve several queries)
+    qmap: dict[str, list[str]] = {}
+    for qid, qtext in queries:
+        for tok in dict.fromkeys(qtext.lower().split()):
+            qmap.setdefault(tok, []).append(qid)
+    empty = docs.limit(0).select(
+        F.lit("").alias("query_id"), F.lit(0).alias("rank"), F.col(id_col),
+        F.lit(0).cast("long").alias("matched_terms"),
+        F.lit(0.0).alias("score"))
+    if not qmap:
+        return empty
+
     # _words is a \S+ extract: it cannot emit '' tokens, so size() == the
     # old sum-of-tf doc length and the N below counts docs with >= 1 token
     toks = docs.select(F.col(id_col), _words(F.col(content_col)).alias("__toks"))
-    dl = toks.select(F.col(id_col), F.size("__toks").alias("dl"))
-    stats = dl.where(F.col("dl") > 0).agg(
-        F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")
-    )
+    # regexp_count(\S+) == size(regexp_extract_all(\S+)): the stats scan
+    # never materializes the token strings
+    dl_only = docs.select(
+        F.regexp_count(F.col(content_col), F.lit(r"\S+")).alias("dl"))
+    n_row = dl_only.where(F.col("dl") > 0).agg(
+        F.count("*").alias("__n"), F.avg("dl").alias("__avgdl")).first()
+    n_docs, avgdl = int(n_row["__n"]), n_row["__avgdl"]
+    if avgdl is None:  # empty corpus
+        return empty
 
-    spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        [
-            (qid, tok)
-            for qid, qtext in queries
-            for tok in dict.fromkeys(qtext.lower().split())
-        ],
-        "query_id string, token string",
+    # query-term hits only: filter the token array BEFORE exploding, so
+    # non-matching tokens never become rows and nothing joins
+    term_set = list(qmap)
+    hits = toks.select(
+        F.col(id_col), F.size("__toks").alias("dl"),
+        F.explode(
+            F.filter("__toks", lambda x: x.isin(*term_set))
+        ).alias("token"),
     )
-    # broadcast-filter BEFORE the tf aggregate: the exploded corpus never
-    # reaches an exchange — only rows whose token is a query term do
-    hits = (
-        toks.select(
-            F.col(id_col), F.size("__toks").alias("dl"),
-            F.explode("__toks").alias("token"),
-        )
-        .join(F.broadcast(qterms.select("token").distinct()), on="token")
-    )
-    # the hit-sized posting frame feeds df + scoring; persist so the probe
-    # scan runs once across both branches
     postings = _persist_small(
         hits.groupBy(id_col, "token").agg(
             F.count("*").alias("tf"), F.first("dl").alias("dl")),
         persist)
-    df = postings.groupBy("token").agg(F.count("*").alias("df"))
+    # df is bounded by |terms|: collect and fold into a literal map (the
+    # same expression tree as the old join form, so doubles are identical)
+    dfs = {r["token"]: r["df"] for r in
+           postings.groupBy("token").agg(F.count("*").alias("df")).collect()}
+    df_map = F.create_map(
+        *[F.lit(v) for t in dfs for v in (t, int(dfs[t]))])
+    qid_map = F.create_map(
+        *[F.lit(v) if not isinstance(v, list) else F.array(*map(F.lit, v))
+          for t in term_set for v in (t, qmap[t])])
 
     scored = (
-        postings.join(F.broadcast(qterms), on="token")
-        .join(F.broadcast(df), on="token")
-        .join(F.broadcast(stats))
+        postings
+        .withColumn("query_id", F.explode(F.element_at(qid_map, F.col("token"))))
+        .withColumn("df", F.element_at(df_map, F.col("token")))
         .withColumn(
             "idf",
-            F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
         )
         .withColumn(
             "w",
             F.col("idf")
             * F.col("tf") * (k1 + 1.0)
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))),
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))),
         )
         .groupBy("query_id", id_col)
         .agg(F.sum("w").alias("score"), F.count("*").alias("matched_terms"))
