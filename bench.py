@@ -78,9 +78,78 @@ HEADLINE = [
     "sample_interleave",
     "text_strip_boilerplate",
     "dedup_substring_removal",
+    "dedup_substring_keep_first",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")
+
+# the driver's stdout capture keeps only the last ~2000 chars of this
+# process's output; the one-line JSON must stay under this or the recorded
+# BENCH_r{N}.json artifact gets "parsed": null (it did in round 6)
+_STDOUT_BUDGET = 1900
+
+
+def compact_line(timings: dict, total: float, cpu_total: float,
+                 steal_total: float, repeat: int, sf: float) -> str:
+    """The one JSON line for the driver's stdout capture.
+
+    Tier 1 (preferred, and what every round so far has emitted): a FLAT
+    {query: wall} map at 1-decimal precision. Tier 2, entered
+    deterministically the moment tier 1 would overflow _STDOUT_BUDGET
+    (~70+ headline queries): the same walls as a PREFIX TREE on the
+    underscore-separated name segments ("fmt": "prefix_tree") — decode by
+    walking the tree joining keys with "_" (a number is a leaf = the full
+    query name; an "" key is a leaf AT its prefix; single-child subtrees
+    stay collapsed into one key). Shared family prefixes are the bulk of
+    the name bytes, so the tree holds 100+ queries in the budget. Either
+    way the FULL payload (3dp walls + per-query cpu/steal) is always in
+    BENCH_LOCAL.json; "fmt" says which tier the line used."""
+    base = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(v, 1) for n, v in timings.items()},
+        "fmt": "flat",
+        "cpu_total": cpu_total,
+        "steal_total": steal_total,
+        "repeat": repeat,
+        "sf": sf,
+        "detail": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(base, separators=(",", ":"))
+    if len(line) <= _STDOUT_BUDGET:
+        return line
+    base["queries"] = _prefix_tree({n: round(v, 1) for n, v in timings.items()})
+    base["fmt"] = "prefix_tree"
+    line = json.dumps(base, separators=(",", ":"))
+    if len(line) <= _STDOUT_BUDGET:
+        return line
+    # last-ditch: never exceed the driver's window
+    base.pop("queries")
+    base["note"] = "queries map exceeded stdout budget; see detail file"
+    return json.dumps(base, separators=(",", ":"))
+
+
+def _prefix_tree(items: dict) -> dict:
+    """Group {underscore_name: wall} into a nested prefix tree (see
+    compact_line). Exact inverse: walk the tree, joining non-empty keys
+    with '_'; numbers are leaves."""
+    g: dict = {}
+    for n, v in items.items():
+        fam, _, rest = n.partition("_")
+        g.setdefault(fam, {})[rest] = v
+    out: dict = {}
+    for fam, sub in g.items():
+        if len(sub) == 1:
+            rest, v = next(iter(sub.items()))
+            out[fam if not rest else f"{fam}_{rest}"] = v
+        else:
+            leaf = sub.pop("", None)
+            inner = _prefix_tree(sub)
+            if leaf is not None:
+                inner[""] = leaf
+            out[fam] = inner
+    return out
 
 
 def _scan_tree_cpu() -> dict[int, float]:
@@ -266,23 +335,8 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass
-    compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": {n: round(v, 2) for n, v in timings.items()},
-        "cpu_total": full["cpu_total"],
-        "steal_total": full["steal_total"],
-        "repeat": repeat,
-        "sf": sf,
-        "detail": "BENCH_LOCAL.json",
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # last-ditch: never exceed the driver's window
-        compact.pop("queries")
-        compact["note"] = "queries map exceeded stdout budget; see detail file"
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(compact_line(timings, total, full["cpu_total"],
+                       full["steal_total"], repeat, sf))
 
 
 if __name__ == "__main__":

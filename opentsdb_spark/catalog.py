@@ -3624,6 +3624,47 @@ def dedup_substring_removal(spark, sf_dir):
     return remove_duplicate_spans(_docs(spark, sf_dir), k=5)
 
 
+@register(
+    "dedup_substring_keep_first",
+    r"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                   FROM documents),
+        tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS tok
+                FROM w, unnest(generate_series(1, CAST(len(ws) AS INT))) t(i)),
+        win AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                       array_to_string(ws[i+1:i+5], ' ') AS g
+                FROM w, unnest(generate_series(0, CAST(len(ws) AS INT) - 5)) t(i)),
+        occ AS (SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY doc_id, pos) AS rn
+                FROM win),
+        cov AS (SELECT DISTINCT occ.doc_id, occ.pos + u.j AS t
+                FROM occ, unnest(generate_series(0, 4)) u(j)
+                WHERE occ.rn >= 2),
+        kept AS (SELECT tok.* FROM tok LEFT JOIN cov
+                   ON tok.doc_id = cov.doc_id AND tok.pos = cov.t
+                 WHERE cov.t IS NULL),
+        tot AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+        SELECT kept.doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS text,
+               CAST(count(*) AS INT) AS n_kept_tokens,
+               CAST(any_value(tot.n) - count(*) AS INT) AS n_cut_tokens
+        FROM kept JOIN tot ON kept.doc_id = tot.doc_id
+        GROUP BY kept.doc_id""",
+)
+def dedup_substring_keep_first(spark, sf_dir):
+    """The Lee et al. keep-ONE-occurrence ExactSubstr policy
+    (pipeline.dedup.remove_duplicate_spans_keep_first): each duplicated
+    5-token window survives at its globally first (doc, pos) occurrence
+    and is struck everywhere else. The oracle is a SEQUENTIAL replica —
+    row_number over the string-keyed windows in (doc_id, pos) order — so
+    the hash match proves the engine's min-struct-per-hash formulation
+    EQUALS the paper's global occurrence order without a global sort
+    (same proof pattern as sample_interleave)."""
+    from opentsdb_spark.pipeline.dedup import remove_duplicate_spans_keep_first
+
+    return remove_duplicate_spans_keep_first(_docs(spark, sf_dir), k=5)
+
+
 def _prototypicality_oracle(n_centroids: int = 16) -> str:
     from opentsdb_spark.pipeline.similarity import seeded_centroids
 

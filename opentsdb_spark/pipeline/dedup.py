@@ -168,7 +168,9 @@ def _should_collapse(collapse_identical, keyed: DataFrame, key_expr) -> bool:
     except Exception:
         probe_key = None
     if probe_key is not None and probe_key in _PROBE_CACHE:
-        return _PROBE_CACHE[probe_key]
+        verdict = _PROBE_CACHE[probe_key]
+        PROBE_EVENTS.append(verdict)
+        return verdict
     row = keyed.agg(
         F.count("*").alias("__n"),
         F.approx_count_distinct(key_expr, _CLONE_PROBE_RSD).alias("__d"),
@@ -179,10 +181,17 @@ def _should_collapse(collapse_identical, keyed: DataFrame, key_expr) -> bool:
         if len(_PROBE_CACHE) >= 256:  # bound a long-lived server's footprint
             _PROBE_CACHE.clear()
         _PROBE_CACHE[probe_key] = verdict
+    PROBE_EVENTS.append(verdict)
     return verdict
 
 
 _PROBE_CACHE: dict[int, bool] = {}
+
+# observability tap for the adaptive gate: every probe DECISION (fresh or
+# memoized; True = collapse, False = bypass) appends here, so a harness
+# (tools/scale_check.py) can attribute verdicts to the query it just built.
+# Bounded by the consumer clearing it; it only ever holds booleans.
+PROBE_EVENTS: list[bool] = []
 
 
 def _clone_members(keyed: DataFrame, id_col: str, key_col: str,
@@ -1232,6 +1241,19 @@ def remove_duplicate_spans(
                 .alias("__t"))
         .distinct()
     )
+    return _strike_rebuild(docs, covered, content_col, id_col)
+
+
+def _strike_rebuild(docs: DataFrame, covered: DataFrame, content_col: str,
+                    id_col: str) -> DataFrame:
+    """Rebuild documents WITHOUT the ``covered`` (id, __t) token positions
+    — shared by the strike-every-copy and keep-first span-removal ops.
+
+    Covered positions fold to one int-array row per affected doc; each doc
+    then strikes them locally (array_except over its position sequence —
+    hash-set semantics, no per-token join), so text enters a shuffle only
+    as the docs side of the per-doc join (and not even there when AQE
+    broadcasts the array side)."""
     cov = covered.groupBy(id_col).agg(F.collect_list("__t").alias("__cov"))
     toks = F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0))
     keep_pos = F.array_except(
@@ -1258,6 +1280,62 @@ def remove_duplicate_spans(
             (F.col("__tot") - F.size("__kt")).cast("int").alias("n_cut_tokens"),
         )
     )
+
+
+def remove_duplicate_spans_keep_first(
+    docs: DataFrame,
+    k: int = 5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """The Lee et al. (arXiv:2107.06499 §4) keep-ONE-occurrence ExactSubstr
+    removal: a k-token window occurring >= 2 times ANYWHERE in the corpus
+    (cross-doc or repeated within one doc) keeps its globally FIRST
+    occurrence — lowest (doc id, position) — and every later occurrence's
+    k token positions are struck; documents are rebuilt from surviving
+    tokens. Contrast ``remove_duplicate_spans``: that op strikes EVERY
+    copy of cross-doc-duplicated windows (the conservative hygiene
+    default); this one preserves exactly one copy of the duplicated
+    content, the paper's original policy.
+
+    Scale shape: the paper's suffix array imposes a global occurrence
+    order; here that order needs NO global sort — the first occurrence per
+    window is a map-side-combinable min(struct(id, pos)) per 8-byte window
+    hash, later occurrences fall out of one equi-join on the hash against
+    the dup-window frame (so a 10^9-occurrence boilerplate window costs
+    one combiner cell, never a hot row_number partition), and the rebuild
+    is the shared covered-position strike (text shuffles only as the docs
+    side of the per-doc join).
+
+    Returns (id, text, n_kept_tokens, n_cut_tokens) for docs keeping >= 1
+    token. Docs shorter than k tokens have no window identity and pass
+    through whole."""
+    win = _persist_small(
+        _gram_frame(docs, content_col, id_col, k, distinct=False)
+        .select(id_col, F.posexplode("grams").alias("pos", "g"))
+        .select(id_col, "pos", F.xxhash64("g").alias("__h")),
+        persist,
+    )
+    first = (
+        win.groupBy("__h")
+        .agg(F.min(F.struct(id_col, "pos")).alias("__first"),
+             F.count("*").alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("__h", "__first")
+    )
+    struck = (
+        win.join(first, on="__h")
+        .where(F.struct(F.col(id_col), F.col("pos")) != F.col("__first"))
+    )
+    covered = (
+        struck.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
+            .alias("__t"))
+        .distinct()
+    )
+    return _strike_rebuild(docs, covered, content_col, id_col)
 
 
 def bloom_decontaminate(

@@ -71,3 +71,50 @@ def test_cpu_meter_monotonic_under_churn():
         last = cur
     time.sleep(0.3)  # one sampler tick with no work
     assert meter.total() >= last
+
+
+def test_bench_compact_line_budget_at_80_queries():
+    """The one-line bench JSON must fit the driver's ~2000-char stdout
+    capture even at 80 headline queries (round 6's artifact went
+    "parsed": null when the line outgrew the window). Projected with
+    names drawn from the real HEADLINE list cycled with suffixes — the
+    grouped-by-family tier must absorb what the flat tier cannot."""
+    import itertools
+    import json as _json
+
+    import bench
+
+    # 80 plausible names: the real list plus suffixed variants of it
+    names = list(bench.HEADLINE)
+    for i in itertools.count():
+        if len(names) >= 80:
+            break
+        names.append(f"{bench.HEADLINE[i % len(bench.HEADLINE)]}_v{i}")
+    timings = {n: 12.345 for n in names[:80]}
+    line = bench.compact_line(timings, total=987.654, cpu_total=1234.567,
+                              steal_total=12.345, repeat=2, sf=0.1)
+    assert len(line) < 1900, len(line)
+    parsed = _json.loads(line)
+    assert parsed["queries"], "queries map must survive at 80 entries"
+    # every query's wall must be recoverable from the line in either tier
+    def _flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            name = f"{prefix}_{k}" if prefix and k else (prefix or k)
+            if isinstance(v, dict):
+                out.update(_flatten(v, name))
+            else:
+                out[name] = v
+        return out
+
+    if parsed["fmt"] == "flat":
+        got = parsed["queries"]
+    else:
+        assert parsed["fmt"] == "prefix_tree"
+        got = _flatten(parsed["queries"])
+    assert set(got) == set(timings)
+    # and the current real headline still fits the preferred FLAT tier
+    line_now = bench.compact_line({n: 1.23 for n in bench.HEADLINE},
+                                  1.0, 2.0, 0.0, 2, 0.1)
+    assert len(line_now) < 1900
+    assert _json.loads(line_now)["fmt"] == "flat"

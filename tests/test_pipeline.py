@@ -1341,6 +1341,36 @@ def test_remove_duplicate_spans(spark):
     assert out[3]["text"] == "tiny doc" and out[3]["n_cut_tokens"] == 0
 
 
+def test_remove_duplicate_spans_keep_first(spark):
+    """Keep-first policy: the globally FIRST (doc, pos) occurrence of each
+    duplicated window survives, later copies are struck — including
+    repeats WITHIN one doc; sub-k docs pass through whole."""
+    from opentsdb_spark.pipeline.dedup import remove_duplicate_spans_keep_first
+
+    shared = "one two three four five six"  # 6 tokens -> two 5-windows
+    docs = spark.createDataFrame(
+        [(0, f"{shared} alpha beta gamma delta epsilon"),
+         (1, f"intro {shared} tail words here now"),
+         (2, shared),            # later copy -> fully struck -> vanishes
+         (3, "tiny doc"),        # < k tokens -> passes whole
+         # within-doc repeat: the SECOND 'p q r s t' run is struck
+         (4, "p q r s t filler p q r s t")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans_keep_first(docs, k=5).collect()}
+    assert set(out) == {0, 1, 3, 4}
+    # doc 0 holds the first occurrence of the shared run: kept WHOLE
+    assert out[0]["text"] == f"{shared} alpha beta gamma delta epsilon"
+    assert out[0]["n_cut_tokens"] == 0
+    # doc 1's copy is a later occurrence: struck
+    assert out[1]["text"] == "intro tail words here now"
+    assert out[1]["n_cut_tokens"] == 6
+    assert out[3]["text"] == "tiny doc" and out[3]["n_cut_tokens"] == 0
+    assert out[4]["text"] == "p q r s t filler"
+    assert out[4]["n_cut_tokens"] == 5
+
+
 def test_interleave_sources(spark):
     """Proportional mixing: a weight-2 source emits ~2x as often as a
     weight-1 source in every prefix of the interleave order; ranks are

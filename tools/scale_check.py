@@ -62,6 +62,7 @@ QUERIES = [
     "sample_interleave",
     "text_strip_boilerplate",
     "dedup_substring_removal",
+    "dedup_substring_keep_first",
 ]
 
 
@@ -98,22 +99,32 @@ def replicate(spark, k: int, out_dir: str) -> None:
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
-def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, dict]:
     """Best-of-``repeat`` per query (same policy as bench.py): the first
     execution of a fresh plan shape pays JIT/codegen compilation that can
     dwarf the steady-state cost, and a ratio built on one cold and one
-    warm run reads as a fake (anti-)scaling signal."""
+    warm run reads as a fake (anti-)scaling signal.
+
+    Each entry also records the adaptive clone-gate's probe verdict for
+    the query ("collapsed": True = exact-clone collapse engaged, False =
+    probe bypassed it, None = no adaptive probe in the plan) — the gate
+    changes which code path a sweep measured, so the artifact must say
+    which (round-7 ratios were unreadable without it)."""
     from opentsdb_spark import catalog
+    from opentsdb_spark.pipeline import dedup as _dedup
 
     out = {}
     for name in QUERIES:
         fn = catalog.CATALOG[name].fn
-        best = float("inf")
+        best, collapsed = float("inf"), None
         for _ in range(repeat):
+            _dedup.PROBE_EVENTS.clear()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        out[name] = round(best, 3)
+            if _dedup.PROBE_EVENTS:
+                collapsed = any(_dedup.PROBE_EVENTS)
+        out[name] = {"best_s": round(best, 3), "collapsed": collapsed}
     return out
 
 
@@ -143,11 +154,17 @@ def main() -> None:
     base_t = time_queries(spark, BASE)
     big_t = time_queries(spark, big)
     report = {}
-    print(f"\n{'query':28s} {'1x':>8s} {f'{k}x':>8s} {'ratio':>7s}")
+    print(f"\n{'query':28s} {'1x':>8s} {f'{k}x':>8s} {'ratio':>7s} collapse(1x/Kx)")
     for name in QUERIES:
-        ratio = round(big_t[name] / max(base_t[name], 1e-9), 2)
-        report[name] = {"base_s": base_t[name], "big_s": big_t[name], "ratio": ratio}
-        print(f"{name:28s} {base_t[name]:8.2f} {big_t[name]:8.2f} {ratio:7.2f}")
+        b, g = base_t[name], big_t[name]
+        ratio = round(g["best_s"] / max(b["best_s"], 1e-9), 2)
+        report[name] = {
+            "base_s": b["best_s"], "big_s": g["best_s"], "ratio": ratio,
+            "collapsed_base": b["collapsed"], "collapsed": g["collapsed"],
+        }
+        cb = {True: "coll", False: "pass", None: "-"}
+        print(f"{name:28s} {b['best_s']:8.2f} {g['best_s']:8.2f} {ratio:7.2f}"
+              f" {cb[b['collapsed']]}/{cb[g['collapsed']]}")
     if out_json:
         with open(out_json, "w") as f:
             json.dump({"k": k, "queries": report}, f, indent=1, sort_keys=True)
