@@ -4420,6 +4420,94 @@ def sample_mix_audit(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
+_SIGNED_H = ("CAST(CASE WHEN h >= 9223372036854775808 "
+             "THEN CAST(h AS HUGEINT) - 18446744073709551616 "
+             "ELSE CAST(h AS HUGEINT) END AS BIGINT)")
+
+
+def _global_shuffle_oracle(seed: int = 7, nb: int = 32) -> str:
+    # the engine hashes with xxhash64(lit(seed), id) = hashLong(id,
+    # hashLong(seed, 42)); fold the constant outer seed in python and the
+    # sequential oracle ranks the SAME (bucket, h, id) order globally
+    from opentsdb_spark.pipeline.xxh64_sql import py_hash_long
+
+    s1 = py_hash_long(seed, 42) & ((1 << 64) - 1)
+    return f"""WITH d AS (SELECT doc_id FROM documents),
+        {hash_long_ctes('d', ('doc_id',), 'doc_id',
+                        f'CAST({s1} AS UBIGINT)', 'hh', '__gs')},
+        hs AS (SELECT doc_id, {_SIGNED_H} AS sh FROM hh)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY ((sh % {nb}) + {nb}) % {nb},
+                                       sh ASC, doc_id ASC) AS BIGINT) AS pos
+        FROM hs"""
+
+
+@register("sample_global_shuffle", _global_shuffle_oracle())
+def sample_global_shuffle(spark, sf_dir):
+    """Deterministic seeded corpus shuffle (pipeline.sampling.
+    global_shuffle): dense global training positions in xxhash64(seed, id)
+    order via the two-phase bucket-offset rank — the sequential
+    row_number oracle over the same (bucket, hash, id) order proves the
+    distributed rank equals a global sort's, same proof pattern as
+    sample_interleave/shard_assign."""
+    from opentsdb_spark.pipeline.sampling import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir), seed=7, n_buckets=32)
+
+
+def _cap_per_source_oracle(cap: int = 10) -> str:
+    return f"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        {hash_long_ctes('d', ('doc_id', 'source', 'n_chars'), 'doc_id',
+                        'CAST(42 AS UBIGINT)', 'hh', '__cp')},
+        hs AS (SELECT doc_id, source, n_chars, {_SIGNED_H} AS sh FROM hh),
+        r AS (SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY sh ASC, doc_id ASC) AS rk
+              FROM hs)
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(rk AS INT) AS group_rank
+        FROM r WHERE rk <= {cap}"""
+
+
+@register("sample_cap_per_source", _cap_per_source_oracle())
+def sample_cap_per_source(spark, sf_dir):
+    """Per-domain/source document cap (pipeline.sampling.cap_per_group):
+    keep the 10 hash-selected docs of each source — the crawl-hygiene
+    stage that stops mega-domains dominating the mixture. Rank runs on the
+    narrow key projection and survivors join the corpus back by id; the
+    oracle replays the xxhash64 selection order per source."""
+    from opentsdb_spark.pipeline.sampling import cap_per_group
+
+    out = cap_per_group(_docs(spark, sf_dir), max_per_group=10)
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      "group_rank")
+
+
+@register(
+    "text_token_entropy",
+    rf"""WITH w AS (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+                    FROM documents),
+        c AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok),
+        e AS (SELECT doc_id, sum(c) AS dl,
+                     sum(c * log2(c::DOUBLE)) AS s
+              FROM c GROUP BY doc_id)
+        SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+               {RND.format('log2(dl::DOUBLE) - s / dl')} AS entropy_r
+        FROM e""",
+)
+def text_token_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per doc (pipeline.text.
+    token_entropy) — the compression-proxy repetition/quality signal. The
+    engine keys counts on xxhash64(token) (8-byte shuffle rows); the
+    string-keyed oracle would expose any collision in the rounded value."""
+    from opentsdb_spark.pipeline.text import token_entropy
+
+    out = token_entropy(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_tokens", _vr(F.col("entropy")).alias("entropy_r"))
+
+
 def _shard_assign_oracle(shard_tokens: int, n_buckets: int) -> str:
     # One global cumsum over (bucket, h, doc_id) order — the oracle can
     # afford the global sort the engine's two-phase form avoids; equality

@@ -616,3 +616,98 @@ def interleave_sources(
             .cast("long").alias("interleave_key"),
         )
     )
+
+
+def global_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seeded corpus shuffle — the "randomize the training
+    order" step before sharding: every row gets a DENSE global position
+    1..N in a pseudo-random but fully reproducible order. The order is
+    (bucket, h, id) where h = xxhash64(seed, id) — changing ``seed`` gives
+    an independent permutation, and any engine (or a re-run after a crash)
+    reproduces the same order bit for bit, which a `rand()`-based shuffle
+    cannot promise across retries.
+
+    100 TB shape: a dense global rank with NO global sort — the same
+    two-phase trick as ``shard_assign``: per-bucket counts (map-side
+    -combinable, bounded at ``n_buckets`` rows) carry cross-bucket offsets
+    through one bounded window, and each row ranks inside its own hash
+    bucket. Shuffled payload is the 24-byte (id, h, bucket) frame; join
+    positions back to the wide corpus by id.
+
+    Returns (id, pos) with pos in [1, N]."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    base = docs.select(
+        id_col,
+        F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col)).alias("__h"),
+    ).withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)))
+    counts = base.groupBy("__b").agg(F.count("*").alias("__n"))
+    wo = Window.orderBy("__b")  # bounded: exactly n_buckets rows
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("__b", "__off")
+    wb = Window.partitionBy("__b").orderBy(F.asc("__h"), F.asc(id_col))
+    return (
+        base.join(F.broadcast(offsets), on="__b")
+        .withColumn("__rn", F.row_number().over(wb))
+        .select(
+            id_col,
+            (F.col("__off") + F.col("__rn")).cast("long").alias("pos"),
+        )
+    )
+
+
+def cap_per_group(
+    docs: DataFrame,
+    max_per_group: int,
+    group_col: str = "source",
+    order_by=None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain/source document cap — the classic crawl-hygiene stage: a
+    handful of mega-domains (link farms, mirror hosts) otherwise dominate
+    the corpus. Keeps the ``max_per_group`` best documents of each group
+    under a DETERMINISTIC order (default: xxhash64(id) asc, id asc — an
+    unbiased reproducible sample; pass ``order_by`` as a list of Columns
+    for quality-ranked selection instead) and returns the capped corpus
+    with the group's selection rank alongside.
+
+    100 TB shape: ranking runs on the narrow (group, order-key, id)
+    projection — a window partitioned by group over ~24-byte rows — and
+    survivors left-semi join the wide corpus by id, so document text never
+    enters the rank shuffle. A mega-group's rank partition is one task
+    over its (still narrow) rows; with caps in the 10^3-10^6 range the
+    survivor set is bounded at groups x max_per_group however large the
+    crawl. Same rank-the-keys/join-the-payload pattern as
+    ``class_balance``."""
+    from pyspark.sql import Window
+
+    if max_per_group < 1:
+        raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    if order_by is None:
+        order = [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
+        keys = docs.select(group_col, id_col)
+    else:
+        # a custom quality order may reference any column, so the rank
+        # window runs over the full frame — prefer computing the quality
+        # key into a narrow projection upstream for very wide corpora
+        order = list(order_by)
+        keys = docs
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = (
+        keys.withColumn("group_rank", F.row_number().over(w))
+        .where(F.col("group_rank") <= max_per_group)
+        .select(id_col, F.col("group_rank").cast("int").alias("group_rank"))
+    )
+    return docs.join(ranked, on=id_col)

@@ -1144,3 +1144,40 @@ def vocab_topk_grouped(
         .where(F.col("rank") <= k)
         .select(group_col, "rank", "token", "tf", "df")
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (bits) — the
+    compression-proxy quality signal: near-zero entropy means a repetitive
+    or templated document (the failure mode Gopher's repetition gates
+    target), unusually high entropy for its length flags token soup. For
+    counts c_t over dl tokens, H = log2(dl) - sum(c_t*log2(c_t))/dl.
+
+    100 TB shape: tokens never shuffle as strings — counts key on
+    xxhash64(token) (a collision could only merge two counts, changing a
+    rounded value the oracle compare would expose), the (id, hash) count
+    is map-side-combinable, and the per-doc fold is one more combinable
+    aggregation. All codegen; no UDF, no window.
+
+    Returns (id, n_tokens, entropy) for docs with >= 1 token."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(_words(F.col(content_col))).alias("__t"),
+    ).select(id_col, F.xxhash64("__t").alias("__th"))
+    cnt = tok.groupBy(id_col, "__th").agg(F.count("*").alias("__c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("__dl"),
+            F.sum(F.col("__c") * F.log2("__c")).alias("__s"),
+        )
+        .select(
+            id_col,
+            F.col("__dl").cast("long").alias("n_tokens"),
+            (F.log2("__dl") - F.col("__s") / F.col("__dl")).alias("entropy"),
+        )
+    )

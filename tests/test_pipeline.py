@@ -2072,3 +2072,84 @@ def test_sketch_bounded_shuffle_plan(spark):
     plan2 = cms_cells(df, "v")._jdf.queryExecution().executedPlan().toString()
     for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan2):
         assert "v#" not in m.group(1), plan2
+
+
+def test_global_shuffle_dense_and_seeded(spark):
+    """Positions are a dense 1..N permutation, reproducible across calls,
+    and a different seed yields a different (but also dense) order."""
+    import pytest
+
+    from opentsdb_spark.pipeline.sampling import global_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+    a = {r["doc_id"]: r["pos"] for r in
+         global_shuffle(docs, seed=1, n_buckets=8).collect()}
+    assert sorted(a.values()) == list(range(1, 98))
+    again = {r["doc_id"]: r["pos"] for r in
+             global_shuffle(docs, seed=1, n_buckets=8).collect()}
+    assert again == a  # reproducible
+    b = {r["doc_id"]: r["pos"] for r in
+         global_shuffle(docs, seed=2, n_buckets=8).collect()}
+    assert sorted(b.values()) == list(range(1, 98))
+    assert b != a  # an independent permutation
+    # bucket count must not change the ORDER, only the plan shape
+    c = {r["doc_id"]: r["pos"] for r in
+         global_shuffle(docs, seed=1, n_buckets=1).collect()}
+    assert sorted(c.values()) == list(range(1, 98))
+    with pytest.raises(ValueError):
+        global_shuffle(docs, n_buckets=0)
+
+
+def test_cap_per_group_deterministic_and_quality_order(spark):
+    """Default cap keeps a reproducible hash-selected subset per group;
+    a custom quality order keeps the top-quality docs instead."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.pipeline.sampling import cap_per_group
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(30)],
+        "doc_id long, source string, quality double",
+    )
+    out = cap_per_group(docs, max_per_group=4).collect()
+    assert len(out) == 12  # 3 groups x 4
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["group_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4] for v in per.values())
+    # reproducible
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, cap_per_group(docs, max_per_group=4).collect()))
+    # quality order: keep the 2 HIGHEST-quality docs per group
+    q = cap_per_group(docs, 2, order_by=[F.desc("quality"), F.asc("doc_id")])
+    kept = {r["doc_id"] for r in q.collect()}
+    assert kept == {29, 26, 28, 25, 27, 24}
+    # a group smaller than the cap survives whole
+    small = cap_per_group(docs.where("doc_id < 2"), max_per_group=4)
+    assert small.count() == 2
+    with pytest.raises(ValueError):
+        cap_per_group(docs, 0)
+
+
+def test_token_entropy_values(spark):
+    """Uniform tokens -> log2(n) bits; single repeated token -> 0; empty
+    docs vanish."""
+    import math
+
+    from opentsdb_spark.pipeline.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "x x x x x"), (2, "a a b b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    assert abs(out[0]["entropy"] - 2.0) < 1e-12 and out[0]["n_tokens"] == 4
+    assert out[1]["entropy"] == 0.0
+    assert abs(out[2]["entropy"] - 1.0) < 1e-12
+    # mixed case folds through the shared lowercasing tokenizer
+    mixed = spark.createDataFrame([(9, "The the THE")], "doc_id long, text string")
+    assert token_entropy(mixed).collect()[0]["entropy"] == 0.0
+    assert math.isfinite(out[2]["entropy"])

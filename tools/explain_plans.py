@@ -103,7 +103,8 @@ def main() -> None:
             # bounded single-task window is the intended plan there; the
             # doc-level windows stay bucket-partitioned (pinned by
             # tests/test_plan_evidence.py).
-            bounded_window_ok = name == "sample_shard_assign"
+            bounded_window_ok = name in ("sample_shard_assign",
+                                         "sample_global_shuffle")
             if (not bounded_window_ok
                     and re.search(r"Arguments:.*\[\], \[[^\]]*ASC", plan)
                     and "Window" in plan):

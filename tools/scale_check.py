@@ -63,6 +63,9 @@ QUERIES = [
     "text_strip_boilerplate",
     "dedup_substring_removal",
     "dedup_substring_keep_first",
+    "sample_global_shuffle",
+    "sample_cap_per_source",
+    "text_token_entropy",
 ]
 
 
