@@ -357,15 +357,18 @@ def handle_graph(
                 r"[%0-9.a-zA-Z \-]+", v):
             raise ValueError(f"'{fp}' was invalid.")
     sv = request.get("style")
-    if isinstance(sv, str) and sv and sv != "lines" and not _re.search(
-            r"^linespoint|points|circles|dots$", sv):
+    if isinstance(sv, str) and sv and not (sv == "lines" and not STRICT_STYLE) \
+            and not _re.search(r"^linespoint|points|circles|dots$", sv):
         # the reference's STYLE_VALIDATOR verbatim (GraphHandler.java:84),
         # including its loose alternation binding — plus "lines", which this
         # renderer has always supported (a documented engine extension;
-        # rejecting it would break previously-working requests)
+        # rejecting it would break previously-working requests). Parity
+        # harnesses set tsd.http.graph.strict_style=true to reject "lines"
+        # exactly like the reference.
         raise ValueError(
             "'style' was invalid. Must satisfy the pattern "
-            "^linespoint|points|circles|dots$ (or 'lines')")
+            "^linespoint|points|circles|dots$"
+            + ("" if STRICT_STYLE else " (or 'lines')"))
     kv = request.get("key")
     if isinstance(kv, str) and kv:
         from opentsdb_spark.graph import KEY_TOKENS
@@ -457,6 +460,11 @@ def handle_graph(
 # analog of tsd.http.query.allow_delete (reference QueryRpc.java:96-99:
 # DELETE /api/query is rejected unless explicitly enabled)
 ALLOW_DELETE = False
+
+# strict reference parity for /q style validation (config
+# tsd.http.graph.strict_style): reject style=lines like the reference's
+# STYLE_VALIDATOR instead of honoring the engine's documented extension
+STRICT_STYLE = False
 
 
 def handle_query_delete(

@@ -33,6 +33,11 @@ DEFAULTS: dict[str, str] = {
     # (src/query/QueryLimitOverride.java, tsd.query.limits.overrides.config)
     "tsd.query.limits.overrides.config": "",
     "tsd.storage.fix_duplicates": "false",
+    # strict reference parity for /q style validation: the reference's
+    # STYLE_VALIDATOR (src/tsd/GraphHandler.java:84) rejects style=lines;
+    # this engine accepts it as a documented extension. Set true to reject
+    # it verbatim like the reference (for parity harnesses).
+    "tsd.http.graph.strict_style": "false",
     # rollup-build directory to attach at boot (the reference's
     # tsd.rollups.config names a JSON registry file; ours IS the manifest
     # dir written by `tsdb rollup-build`)
@@ -103,6 +108,9 @@ def apply_config(cfg: dict[str, str]) -> None:
     )
     planner.FIX_DUPLICATES = as_bool(
         cfg.get("tsd.storage.fix_duplicates", "false")
+    )
+    api.STRICT_STYLE = as_bool(
+        cfg.get("tsd.http.graph.strict_style", "false")
     )
     LOADED.clear()
     LOADED.update(cfg)

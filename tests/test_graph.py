@@ -242,6 +242,16 @@ def test_style_circles_and_dots(fixture_points):
     # 'lines' is a documented engine extension and must keep working
     out = api.handle_graph(fixture_points, {**req, "style": "lines"})
     assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    # strict-parity mode (tsd.http.graph.strict_style) rejects 'lines'
+    # verbatim like the reference's STYLE_VALIDATOR
+    api.STRICT_STYLE = True
+    try:
+        with pytest.raises(ValueError, match="style"):
+            api.handle_graph(fixture_points, {**req, "style": "lines"})
+        out = api.handle_graph(fixture_points, {**req, "style": "dots"})
+        assert out["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        api.STRICT_STYLE = False
     # quoted / exponent-only range components the reference validator
     # admits must not crash the renderer (autoscale fallback)
     out = api.handle_graph(fixture_points,
