@@ -169,7 +169,7 @@ def _should_collapse(collapse_identical, keyed: DataFrame, key_expr) -> bool:
         probe_key = None
     if probe_key is not None and probe_key in _PROBE_CACHE:
         verdict = _PROBE_CACHE[probe_key]
-        PROBE_EVENTS.append(verdict)
+        _record_probe(verdict)
         return verdict
     row = keyed.agg(
         F.count("*").alias("__n"),
@@ -181,7 +181,7 @@ def _should_collapse(collapse_identical, keyed: DataFrame, key_expr) -> bool:
         if len(_PROBE_CACHE) >= 256:  # bound a long-lived server's footprint
             _PROBE_CACHE.clear()
         _PROBE_CACHE[probe_key] = verdict
-    PROBE_EVENTS.append(verdict)
+    _record_probe(verdict)
     return verdict
 
 
@@ -189,9 +189,16 @@ _PROBE_CACHE: dict[int, bool] = {}
 
 # observability tap for the adaptive gate: every probe DECISION (fresh or
 # memoized; True = collapse, False = bypass) appends here, so a harness
-# (tools/scale_check.py) can attribute verdicts to the query it just built.
-# Bounded by the consumer clearing it; it only ever holds booleans.
+# (tools/scale_check.py) can attribute verdicts to the query it just built
+# by clearing before and reading after. Self-bounded so a long-lived
+# server that never reads it cannot grow it past ~1024 entries.
 PROBE_EVENTS: list[bool] = []
+
+
+def _record_probe(verdict: bool) -> None:
+    if len(PROBE_EVENTS) >= 1024:
+        del PROBE_EVENTS[:512]
+    PROBE_EVENTS.append(verdict)
 
 
 def _clone_members(keyed: DataFrame, id_col: str, key_col: str,
@@ -1241,43 +1248,49 @@ def remove_duplicate_spans(
                 .alias("__t"))
         .distinct()
     )
-    return _strike_rebuild(docs, covered, content_col, id_col)
+    return _strike_rebuild(
+        docs, covered,
+        F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)),
+        id_col, "n_kept_tokens", "n_cut_tokens")
 
 
-def _strike_rebuild(docs: DataFrame, covered: DataFrame, content_col: str,
-                    id_col: str) -> DataFrame:
-    """Rebuild documents WITHOUT the ``covered`` (id, __t) token positions
-    — shared by the strike-every-copy and keep-first span-removal ops.
+def _strike_rebuild(docs: DataFrame, covered: DataFrame, items_expr,
+                    id_col: str, kept_name: str, cut_name: str) -> DataFrame:
+    """Rebuild documents WITHOUT the ``covered`` (id, __t) item positions —
+    shared by the span-removal ops (items = tokens) and the boilerplate
+    strike-out (items = chunks).
 
     Covered positions fold to one int-array row per affected doc; each doc
     then strikes them locally (array_except over its position sequence —
-    hash-set semantics, no per-token join), so text enters a shuffle only
+    hash-set semantics, no per-item join), so text enters a shuffle only
     as the docs side of the per-doc join (and not even there when AQE
-    broadcasts the array side)."""
+    broadcasts the array side). ``items_expr`` is the per-doc item array
+    (positions are its 0-based indices); surviving items rejoin with a
+    single space. Returns (id, text, kept_name, cut_name) for docs keeping
+    >= 1 item; item-less docs vanish."""
     cov = covered.groupBy(id_col).agg(F.collect_list("__t").alias("__cov"))
-    toks = F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0))
     keep_pos = F.array_except(
-        F.sequence(F.lit(0), F.size("__toks") - 1),
+        F.sequence(F.lit(0), F.size("__items") - 1),
         F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
     )
     return (
-        docs.select(id_col, toks.alias("__toks"))
-        .where(F.size("__toks") > 0)  # empty docs vanish (no token rows);
-        #                               also guards sequence(0, -1)
+        docs.select(id_col, items_expr.alias("__items"))
+        .where(F.size("__items") > 0)  # item-less docs vanish (no covered
+        #                                rows); also guards sequence(0, -1)
         .join(cov, on=id_col, how="left")
         .select(
             id_col,
             F.transform(
-                keep_pos, lambda i: F.element_at(F.col("__toks"), i + 1)
+                keep_pos, lambda i: F.element_at(F.col("__items"), i + 1)
             ).alias("__kt"),
-            F.size("__toks").alias("__tot"),
+            F.size("__items").alias("__tot"),
         )
         .where(F.size("__kt") >= 1)
         .select(
             id_col,
             F.array_join("__kt", " ").alias("text"),
-            F.size("__kt").alias("n_kept_tokens"),
-            (F.col("__tot") - F.size("__kt")).cast("int").alias("n_cut_tokens"),
+            F.size("__kt").alias(kept_name),
+            (F.col("__tot") - F.size("__kt")).cast("int").alias(cut_name),
         )
     )
 
@@ -1335,7 +1348,10 @@ def remove_duplicate_spans_keep_first(
             .alias("__t"))
         .distinct()
     )
-    return _strike_rebuild(docs, covered, content_col, id_col)
+    return _strike_rebuild(
+        docs, covered,
+        F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)),
+        id_col, "n_kept_tokens", "n_cut_tokens")
 
 
 def bloom_decontaminate(

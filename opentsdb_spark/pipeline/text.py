@@ -284,41 +284,29 @@ def strip_boilerplate_chunks(
         .groupBy("__ch").agg(F.count("*").alias("__df"))
     )
     drop_keys = df.where(F.col("__df") > max_df).select("__ch")
-    cov = (
+    covered = (
         keys.join(drop_keys, on="__ch", how="left_semi")
-        .groupBy(id_col).agg(F.collect_list("chunk_pos").alias("__cov"))
+        .select(id_col, F.col("chunk_pos").alias("__t"))
     )
     # rebuild doc-locally from the same codegen chunk expression chunk_docs
     # scans (one extra narrow pass over the text, no exploded-string joins)
+    # — the shared covered-position strike helper of the span-removal ops
+    from opentsdb_spark.pipeline.dedup import _strike_rebuild
+
     words = _words(F.col(content_col))
     n_chunks = F.floor(F.size(words) / chunk_words).cast("int")
-    chunks_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " "),
-    )
-    keep_pos = F.array_except(
-        F.sequence(F.lit(0), F.size("__chunks") - 1),
-        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
-    )
-    return (
-        docs.where(n_chunks > 0)
-        .select(id_col, chunks_arr.alias("__chunks"))
-        .join(cov, on=id_col, how="left")
-        .select(
-            id_col,
-            F.transform(
-                keep_pos, lambda i: F.element_at(F.col("__chunks"), i + 1)
-            ).alias("__kc"),
-            F.size("__chunks").alias("__tot"),
-        )
-        .where(F.size("__kc") >= 1)
-        .select(
-            id_col,
-            F.array_join("__kc", " ").alias("text"),
-            F.size("__kc").alias("n_kept"),
-            (F.col("__tot") - F.size("__kc")).cast("int").alias("n_dropped"),
-        )
-    )
+    # guard the sequence: n_chunks == 0 would yield the DESCENDING [0,-1]
+    # index list and fabricate two phantom chunks for a sub-window doc
+    chunks_arr = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * chunk_words + 1, chunk_words), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return _strike_rebuild(docs, covered, chunks_arr, id_col,
+                           "n_kept", "n_dropped")
 
 
 def corpus_funnel(

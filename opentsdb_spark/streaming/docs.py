@@ -9,6 +9,8 @@ narrow expressions plus (for dedup) watermark-bounded state.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -19,28 +21,58 @@ def _read_index_if_exists(spark, path: str) -> DataFrame | None:
     Probes by attempting the read instead of os.path.exists so an index on
     HDFS/S3 (any filesystem Spark can read) is found — a local-only stat
     would silently see an empty corpus every micro-batch and disable
-    cross-batch dedup with no error."""
+    cross-batch dedup with no error. A local index left half-swapped by a
+    compaction crash (old dir present, live path missing) is recovered
+    before answering."""
     try:
         return spark.read.parquet(path)
     except Exception as e:  # AnalysisException: PATH_NOT_FOUND
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            old = path.rstrip("/") + ".__compact_old"
+            if os.path.isdir(old):  # crashed between the compaction renames
+                os.rename(old, path)
+                return spark.read.parquet(path)
             return None
         raise
 
 
-def _append_index_rows(df: DataFrame, path: str) -> None:
+def _legacy_flat_index(path: str) -> bool:
+    """True when a LOCAL index dir still has the pre-partitioned layout
+    (root-level part files from the old mode('append') writer) — mixing
+    partition subdirectories into it would make partition discovery fail
+    on every later read ('Conflicting directory structures')."""
+    try:
+        return os.path.isdir(path) and any(
+            f.startswith("part-") for f in os.listdir(path))
+    except OSError:
+        return False
+
+
+def _append_index_rows(df: DataFrame, path: str,
+                       batch_id: int | None) -> None:
     """Append one micro-batch's index rows, idempotently under replay.
 
-    The index is partitioned by ``__batch_id`` and written with DYNAMIC
-    partition overwrite: a foreachBatch replay of batch N rewrites the
-    ``__batch_id=N`` partition in place instead of appending a second copy,
-    so the index does not accumulate duplicate rows (and collapse/candidate
-    cost) across crash replays. One file per batch (coalesce) keeps the
-    fragment count equal to the batch count until compaction."""
-    df.coalesce(1).write.mode("overwrite") \
-        .option("partitionOverwriteMode", "dynamic") \
-        .partitionBy("__batch_id").parquet(path)
+    The index is partitioned by ``__batch_id``; a numbered batch writes
+    with DYNAMIC partition overwrite, so a foreachBatch replay of batch N
+    rewrites the ``__batch_id=N`` partition in place instead of appending
+    a second copy — the index never accumulates duplicate rows (or
+    collapse/candidate cost) across crash replays. Direct calls with no
+    batch_id APPEND into the null partition instead (an overwrite there
+    would wipe every earlier no-batch-id call's rows). A legacy
+    pre-partitioned index keeps the old flat-append behavior (and its
+    duplicate-on-replay semantics) rather than corrupting its layout. One
+    file per batch (coalesce) keeps the fragment count equal to the batch
+    count until compaction."""
+    if _legacy_flat_index(path):
+        df.coalesce(1).write.mode("append").parquet(path)
+    elif batch_id is None:
+        df.coalesce(1).write.mode("append") \
+            .partitionBy("__batch_id").parquet(path)
+    else:
+        df.coalesce(1).write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("__batch_id").parquet(path)
     # a replay overwrite rewrites files under an already-read path — drop
     # the cached file listing so the next corpus read sees the new files
     df.sparkSession.catalog.refreshByPath(path)
@@ -65,13 +97,24 @@ def compact_index(
 
     Swap discipline: build the compacted index in a tmp dir, then
     rename-swap (same pattern as operators.tree.treesync) — readers see
-    either the old or the new index, never a partial one. The swap uses
-    os.rename, so compaction itself is LOCAL-FILESYSTEM-ONLY; on object
-    stores run an external compaction job instead. Returns True if a
-    compaction ran."""
-    import os
+    either the old or the new index, never a partial one. A crash BETWEEN
+    the two renames leaves the index at ``path + '.__compact_old'``; both
+    the next read (_read_index_if_exists) and the next compaction restore
+    it before proceeding, so no state is lost. The swap uses os.rename,
+    so compaction itself is LOCAL-FILESYSTEM-ONLY; on object stores run
+    an external compaction job instead. Returns True if a compaction
+    ran."""
     import shutil
 
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    if os.path.exists(tmp):  # debris from a crashed prior compaction
+        shutil.rmtree(tmp)
+    if os.path.isdir(old):
+        if not os.path.isdir(path):  # crashed between the renames: the
+            os.rename(old, path)     # old dir IS the live index — recover
+        else:
+            shutil.rmtree(old)       # swap completed, cleanup died
     if not os.path.isdir(path):  # non-local or missing: caller compacts
         return False             # externally (rename-swap needs a local dir)
     parts = [d for d in os.listdir(path) if d.startswith("__batch_id=")]
@@ -84,11 +127,6 @@ def compact_index(
     else:
         fold = F.lit(-1)
     compacted = idx.withColumn("__batch_id", fold)
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    old = path.rstrip("/") + ".__compact_old"
-    for stale in (tmp, old):  # debris from a crashed prior compaction
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
     compacted.coalesce(1).write.mode("overwrite") \
         .partitionBy("__batch_id").parquet(tmp)
     os.rename(path, old)
@@ -242,7 +280,7 @@ def neardup_filter_batch(
             banded.join(kept_ids, on=id_col, how="left_semi").select(
                 "band", "bh", F.lit(batch_id).cast("long").alias("__batch_id")
             ),
-            index_path,
+            index_path, batch_id,
         )
     finally:
         banded.unpersist()
@@ -317,7 +355,7 @@ def incremental_dedup_batch(
         batch_sigs.join(kept_ids, on=id_col, how="left_semi")
         .select(id_col, "signature",
                 F.lit(batch_id).cast("long").alias("__batch_id")),
-        sig_index_path,
+        sig_index_path, batch_id,
     )
     return verdicts
 

@@ -214,13 +214,13 @@ def test_linear_rate_rewrite_keeps_grid_group_level(spark):
     assert "__sid" in _plan(rc.df)
 
 
-def test_bm25_broadcasts_query_terms_and_persists_postings(spark):
-    """BM25's scale posture: the query-term probe must be a broadcast hash
-    join that filters the exploded corpus BEFORE any exchange (nothing
-    corpus-sized shuffles — not the tf aggregate, not df, and there is no
-    doc-keyed corpus join for doc length, which rides the explode), and
-    the hit-sized posting frame must be an InMemoryRelation so the probe
-    scan runs once across the df + scoring branches."""
+def test_bm25_join_free_and_filter_before_explode(spark):
+    """BM25's scale posture after the join-free rewrite: the scoring plan
+    has NO join at all (df/N/avgdl/query-map are query-bounded literals),
+    query terms filter the token ARRAY below the explode so non-hit
+    tokens never materialize as rows, the hit-sized posting frame is an
+    InMemoryRelation shared by the df + scoring branches, and no exchange
+    carries the corpus text or token arrays."""
     from opentsdb_spark.pipeline.text import bm25_search
 
     docs = spark.createDataFrame(
@@ -229,25 +229,13 @@ def test_bm25_broadcasts_query_terms_and_persists_postings(spark):
     )
     out = bm25_search(docs, [("q1", "common tok1")], k=3)
     plan = _plan(out)
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in plan, "scoring plan must be join-free"
     assert "InMemoryTableScan" in plan, "posting frame not persisted"
-    # every aggregate keyed on token (tf build, df) must sit above either
-    # the persisted (already query-term-filtered) posting frame or the
-    # broadcast join itself — a token-keyed HashAggregate whose input is a
-    # bare corpus scan would be the full-vocabulary shuffle this plan
-    # exists to avoid
-    import re
-
-    for m in re.finditer(r"HashAggregate\(keys=\[(?:doc_id[^\]]*,\s*)?token[^\]]*\]", plan):
-        below = plan[m.end():]
-        nxt_scan = min(x for x in (below.find("Scan ExistingRDD"),
-                                   below.find("LocalTableScan"),
-                                   len(below)) if x >= 0)
-        nxt_ok = [x for x in (below.find("InMemoryTableScan"),
-                              below.find("BroadcastHashJoin")) if x >= 0]
-        assert nxt_ok and min(nxt_ok) < nxt_scan, (
-            "token-keyed aggregate reads an unfiltered corpus scan "
-            "(full-vocabulary shuffle)")
+    # the array filter sits INSIDE the explode generator: non-hit tokens
+    # never materialize as rows
+    assert "explode(filter(__toks" in plan
+    for inp, _args in _exchange_blocks(plan):
+        assert "text#" not in inp and "__toks#" not in inp, inp
 
 
 def test_token_budget_no_whole_group_window(spark):

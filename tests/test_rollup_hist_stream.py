@@ -742,13 +742,20 @@ def test_neardup_null_batch_id_index_rows_still_collide(spark):
     from opentsdb_spark.streaming.docs import neardup_filter_batch
 
     text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
     with _tf.TemporaryDirectory() as d:
         idx = os.path.join(d, "idx")
         seed = spark.createDataFrame([(0, text)], "doc_id long, text string")
         neardup_filter_batch(seed, idx)  # batch_id=None -> NULL rows
-        b = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        # a SECOND no-batch-id call must ACCUMULATE into the null
+        # partition, not overwrite it (dynamic overwrite would silently
+        # wipe doc 0's bands here)
+        seed2 = spark.createDataFrame([(5, other)], "doc_id long, text string")
+        neardup_filter_batch(seed2, idx)
+        b = spark.createDataFrame([(1, text), (6, other)],
+                                  "doc_id long, text string")
         kept = neardup_filter_batch(b, idx, batch_id=3).collect()
-        assert kept == []  # the seeded index must suppress the clone
+        assert kept == []  # BOTH seeded calls must suppress their clones
 
 
 def test_streaming_sessions(spark):
