@@ -4455,14 +4455,17 @@ def sample_global_shuffle(spark, sf_dir):
     return global_shuffle(_docs(spark, sf_dir), seed=7, n_buckets=32)
 
 
-def _cap_per_source_oracle(cap: int = 10) -> str:
+def _cap_per_source_oracle(cap: int = 10, nb: int = 1024) -> str:
+    # same (bucket, hash, id) order as the engine's shared two-phase rank
+    # (the sequential row_number here proves the distributed rank equal)
     return f"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
         {hash_long_ctes('d', ('doc_id', 'source', 'n_chars'), 'doc_id',
                         'CAST(42 AS UBIGINT)', 'hh', '__cp')},
         hs AS (SELECT doc_id, source, n_chars, {_SIGNED_H} AS sh FROM hh),
         r AS (SELECT doc_id, source, n_chars,
                      row_number() OVER (PARTITION BY source
-                                        ORDER BY sh ASC, doc_id ASC) AS rk
+                                        ORDER BY ((sh % {nb}) + {nb}) % {nb},
+                                                 sh ASC, doc_id ASC) AS rk
               FROM hs)
         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
                CAST(rk AS INT) AS group_rank

@@ -543,6 +543,43 @@ def class_balance(
     return df.join(kept, on=[label_col, id_col], how="leftsemi")
 
 
+def _two_phase_group_rank(base: DataFrame, group_cols: list[str],
+                          id_col: str, n_buckets: int) -> DataFrame:
+    """Dense 1-based rank within each group in (bucket, __h, id) order,
+    with NO per-group global sort — the shared two-phase machinery of
+    interleave_sources / global_shuffle / cap_per_group (and the token
+    cumsum variant in shard_assign): per-(group, bucket) counts are a
+    map-side-combinable groupBy bounded at groups x n_buckets rows,
+    cross-bucket offsets ride one window over that bounded frame only,
+    and each row ranks inside its own (group, bucket) window — a group
+    with 10^11 rows never lands in one task. ``base`` must already carry
+    the hash column ``__h``; adds ``__b``/``__off``/``__rn`` scratch and
+    ``n_rank``. group_cols may be empty (one global rank)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        # pmod(_, 0) yields NULL buckets and the offsets equi-join would
+        # silently drop every row (the null-key join trap)
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    base = base.withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)))
+    counts = base.groupBy(*group_cols, "__b").agg(F.count("*").alias("__n"))
+    wo = Window.partitionBy(*group_cols).orderBy("__b")  # bounded frame
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(*group_cols, "__b", "__off")
+    wb = Window.partitionBy(*group_cols, "__b").orderBy(
+        F.asc("__h"), F.asc(id_col))
+    return (
+        base.join(F.broadcast(offsets), on=[*group_cols, "__b"])
+        .withColumn("__rn", F.row_number().over(wb))
+        .withColumn("n_rank", F.col("__off") + F.col("__rn"))
+    )
+
+
 def interleave_sources(
     docs: DataFrame,
     weights: dict[str, float],
@@ -576,10 +613,6 @@ def interleave_sources(
 
     if not weights:
         raise ValueError("weights must name at least one source")
-    if n_buckets < 1:
-        # pmod(_, 0) yields NULL buckets and the offsets equi-join would
-        # silently drop every row (same null-key trap shard_assign guards)
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     w20 = {}
     for g, w in weights.items():
         if not w > 0:
@@ -591,22 +624,8 @@ def interleave_sources(
     )
     base = docs.select(
         group_col, id_col, F.xxhash64(F.col(id_col)).alias("__h")
-    ).withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)))
-    counts = base.groupBy(group_col, "__b").agg(F.count("*").alias("__n"))
-    wo = Window.partitionBy(group_col).orderBy("__b")  # bounded: n_buckets rows/source
-    offsets = counts.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__n").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).select(group_col, "__b", "__off")
-    wb = Window.partitionBy(group_col, "__b").orderBy(F.asc("__h"), F.asc(id_col))
-    ranked = (
-        base.join(F.broadcast(offsets), on=[group_col, "__b"])
-        .withColumn("__rn", F.row_number().over(wb))
-        .withColumn("n_rank", F.col("__off") + F.col("__rn"))
     )
+    ranked = _two_phase_group_rank(base, [group_col], id_col, n_buckets)
     return (
         ranked.join(F.broadcast(wdf), on=group_col, how="left")
         .select(
@@ -640,32 +659,12 @@ def global_shuffle(
     positions back to the wide corpus by id.
 
     Returns (id, pos) with pos in [1, N]."""
-    from pyspark.sql import Window
-
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     base = docs.select(
         id_col,
         F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col)).alias("__h"),
-    ).withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)))
-    counts = base.groupBy("__b").agg(F.count("*").alias("__n"))
-    wo = Window.orderBy("__b")  # bounded: exactly n_buckets rows
-    offsets = counts.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__n").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).select("__b", "__off")
-    wb = Window.partitionBy("__b").orderBy(F.asc("__h"), F.asc(id_col))
-    return (
-        base.join(F.broadcast(offsets), on="__b")
-        .withColumn("__rn", F.row_number().over(wb))
-        .select(
-            id_col,
-            (F.col("__off") + F.col("__rn")).cast("long").alias("pos"),
-        )
     )
+    return _two_phase_group_rank(base, [], id_col, n_buckets).select(
+        id_col, F.col("n_rank").cast("long").alias("pos"))
 
 
 def cap_per_group(
@@ -683,31 +682,31 @@ def cap_per_group(
     for quality-ranked selection instead) and returns the capped corpus
     with the group's selection rank alongside.
 
-    100 TB shape: ranking runs on the narrow (group, order-key, id)
-    projection — a window partitioned by group over ~24-byte rows — and
-    survivors left-semi join the wide corpus by id, so document text never
-    enters the rank shuffle. A mega-group's rank partition is one task
-    over its (still narrow) rows; with caps in the 10^3-10^6 range the
-    survivor set is bounded at groups x max_per_group however large the
-    crawl. Same rank-the-keys/join-the-payload pattern as
-    ``class_balance``."""
+    100 TB shape: the default hash order ranks through the shared
+    two-phase machinery (``_two_phase_group_rank``) — per-(group, bucket)
+    counts + bounded offset windows — so a mega-group NEVER lands in one
+    rank task, and the shuffled payload is the 24-byte (group, hash, id)
+    frame; survivors left-semi join the wide corpus by id, so document
+    text never enters the rank shuffle, and the survivor set is bounded
+    at groups x max_per_group however large the crawl. A custom
+    ``order_by`` falls back to a per-group window over the full frame
+    (the order key is arbitrary, so it cannot bucket) — prefer computing
+    the quality key into a narrow projection upstream for very wide
+    corpora."""
     from pyspark.sql import Window
 
     if max_per_group < 1:
         raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
     if order_by is None:
-        order = [F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc()]
-        keys = docs.select(group_col, id_col)
+        base = docs.select(group_col, id_col,
+                           F.xxhash64(F.col(id_col)).alias("__h"))
+        ranked = _two_phase_group_rank(base, [group_col], id_col, 1024)
+        ranked = ranked.withColumn("group_rank", F.col("n_rank"))
     else:
-        # a custom quality order may reference any column, so the rank
-        # window runs over the full frame — prefer computing the quality
-        # key into a narrow projection upstream for very wide corpora
-        order = list(order_by)
-        keys = docs
-    w = Window.partitionBy(group_col).orderBy(*order)
+        w = Window.partitionBy(group_col).orderBy(*list(order_by))
+        ranked = docs.withColumn("group_rank", F.row_number().over(w))
     ranked = (
-        keys.withColumn("group_rank", F.row_number().over(w))
-        .where(F.col("group_rank") <= max_per_group)
+        ranked.where(F.col("group_rank") <= max_per_group)
         .select(id_col, F.col("group_rank").cast("int").alias("group_rank"))
     )
     return docs.join(ranked, on=id_col)
