@@ -250,6 +250,7 @@ def strip_boilerplate_chunks(
     chunk_words: int = 5,
     content_col: str = "text",
     id_col: str = "doc_id",
+    persist: bool = True,
 ) -> DataFrame:
     """RefinedWeb-style repetition REMOVAL (Penedo et al., arXiv:2306.01116
     — line-wise filters strike duplicated lines outright; MassiveWeb's
@@ -284,14 +285,18 @@ def strip_boilerplate_chunks(
         .groupBy("__ch").agg(F.count("*").alias("__df"))
     )
     drop_keys = df.where(F.col("__df") > max_df).select("__ch")
-    covered = (
-        keys.join(drop_keys, on="__ch", how="left_semi")
-        .select(id_col, F.col("chunk_pos").alias("__t"))
-    )
     # rebuild doc-locally from the same codegen chunk expression chunk_docs
     # scans (one extra narrow pass over the text, no exploded-string joins)
-    # — the shared covered-position strike helper of the span-removal ops
-    from opentsdb_spark.pipeline.dedup import _strike_rebuild
+    # — the shared covered-position strike helper of the span-removal ops.
+    # The df aggregation dominates; persist the small (id, int) coverage
+    # frame so repeated actions pay it once.
+    from opentsdb_spark.pipeline.dedup import _persist_small, _strike_rebuild
+
+    covered = _persist_small(
+        keys.join(drop_keys, on="__ch", how="left_semi")
+        .select(id_col, F.col("chunk_pos").alias("__t")),
+        persist,
+    )
 
     words = _words(F.col(content_col))
     n_chunks = F.floor(F.size(words) / chunk_words).cast("int")
