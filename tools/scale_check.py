@@ -118,6 +118,13 @@ def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, dict]:
 
     out = {}
     for name in QUERIES:
+        # clear scratch BETWEEN queries (not between repeats): at Kx the
+        # accumulated _persist_small frames reach executor-memory scale and
+        # the resulting eviction/GC churn made unchanged queries swing 2x+
+        # between sweeps (bench.py at sf0.1 keeps the opposite policy — the
+        # scratch is small there and sibling reuse is the measured
+        # contract). Each query still warms ITSELF across its repeats.
+        spark.catalog.clearCache()
         fn = catalog.CATALOG[name].fn
         best, collapsed = float("inf"), None
         for _ in range(repeat):
@@ -170,7 +177,8 @@ def main() -> None:
               f" {cb[b['collapsed']]}/{cb[g['collapsed']]}")
     if out_json:
         with open(out_json, "w") as f:
-            json.dump({"k": k, "queries": report}, f, indent=1, sort_keys=True)
+            json.dump({"k": k, "cache_cleared_between_queries": True,
+                       "queries": report}, f, indent=1, sort_keys=True)
         print(f"wrote {out_json}")
 
 
