@@ -82,6 +82,7 @@ HEADLINE = [
     "sample_global_shuffle",
     "sample_cap_per_source",
     "text_token_entropy",
+    "text_source_overlap",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -4511,6 +4511,40 @@ def text_token_entropy(spark, sf_dir):
     return out.select("doc_id", "n_tokens", _vr(F.col("entropy")).alias("entropy_r"))
 
 
+@register(
+    "text_source_overlap",
+    r"""WITH w AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS ws
+                   FROM documents),
+        g AS (SELECT DISTINCT source, array_to_string(ws[i+1:i+3], ' ') AS g
+              FROM w, unnest(generate_series(0, CAST(len(ws) AS INT) - 3)) t(i)),
+        tot AS (SELECT source, count(*) AS tot FROM g GROUP BY source),
+        inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                         count(*) AS shared
+                  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT source_a, source_b,
+               CAST(ta.tot AS BIGINT) AS grams_a,
+               CAST(tb.tot AS BIGINT) AS grams_b,
+               CAST(shared AS BIGINT) AS shared_grams,
+               {rnd} AS jaccard_r
+        FROM inter
+        JOIN tot ta ON source_a = ta.source
+        JOIN tot tb ON source_b = tb.source""".format(
+        rnd=RND.format("shared / (ta.tot + tb.tot - shared)")),
+)
+def text_source_overlap(spark, sf_dir):
+    """Cross-source 3-gram contamination matrix (pipeline.text.
+    source_ngram_overlap): Jaccard over distinct gram sets per source
+    pair — the double-counting audit before mixture weighting. The engine
+    joins on 8-byte gram hashes; the string-keyed oracle's value compare
+    would expose any collision."""
+    from opentsdb_spark.pipeline.text import source_ngram_overlap
+
+    out = source_ngram_overlap(_docs(spark, sf_dir), n=3)
+    return out.select("source_a", "source_b", "grams_a", "grams_b",
+                      "shared_grams", _vr(F.col("jaccard")).alias("jaccard_r"))
+
+
 def _shard_assign_oracle(shard_tokens: int, n_buckets: int) -> str:
     # One global cumsum over (bucket, h, doc_id) order — the oracle can
     # afford the global sort the engine's two-phase form avoids; equality

@@ -1174,3 +1174,63 @@ def token_entropy(
             (F.log2("__dl") - F.col("__s") / F.col("__dl")).alias("entropy"),
         )
     )
+
+
+def source_ngram_overlap(
+    docs: DataFrame,
+    n: int = 3,
+    group_col: str = "source",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source n-gram contamination matrix — the audit a mixture
+    designer runs before weighting sources: for every source pair, how
+    much of their n-gram vocabulary is SHARED (Jaccard over distinct
+    n-gram sets). High overlap between a "curated" and a "crawl" source
+    means the crawl already contains the curated data (double-counting
+    risk); near-zero overlap across shards of one provider flags a
+    partitioning bug.
+
+    100 TB shape: each source's gram set collapses to DISTINCT (source,
+    xxhash64(gram)) rows first — map-side-combinable, bounded by
+    sources x vocabulary however many times a gram repeats; the pair join
+    is an equi-join of that frame with itself on the 8-byte hash, and a
+    gram contributes at most C(sources, 2) pair rows, so stop-grams
+    cannot blow up the join. Output is one row per source pair. A hash
+    collision could only merge two grams; the string-keyed oracle's value
+    compare would expose it.
+
+    Returns (source_a, source_b, grams_a, grams_b, shared_grams, jaccard)
+    for pairs sharing >= 1 gram, source_a < source_b."""
+    from opentsdb_spark.pipeline.dedup import _gram_frame
+
+    sg = (
+        _gram_frame(docs, content_col, id_col, n, distinct=True,
+                    extra_cols=(group_col,))
+        .select(group_col, F.explode("grams").alias("__g"))
+        .select(group_col, F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    tot = sg.groupBy(group_col).agg(F.count("*").alias("__tot"))
+    a = sg.select(F.col(group_col).alias("source_a"), "__gh")
+    b = sg.select(F.col(group_col).alias("source_b"), "__gh")
+    inter = (
+        a.join(b, on="__gh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    ta = tot.select(F.col(group_col).alias("source_a"),
+                    F.col("__tot").alias("grams_a"))
+    tb = tot.select(F.col(group_col).alias("source_b"),
+                    F.col("__tot").alias("grams_b"))
+    return (
+        inter.join(F.broadcast(ta), on="source_a")
+        .join(F.broadcast(tb), on="source_b")
+        .select(
+            "source_a", "source_b", "grams_a", "grams_b", "shared_grams",
+            (F.col("shared_grams")
+             / (F.col("grams_a") + F.col("grams_b") - F.col("shared_grams"))
+             ).alias("jaccard"),
+        )
+    )

@@ -2153,3 +2153,22 @@ def test_token_entropy_values(spark):
     mixed = spark.createDataFrame([(9, "The the THE")], "doc_id long, text string")
     assert token_entropy(mixed).collect()[0]["entropy"] == 0.0
     assert math.isfinite(out[2]["entropy"])
+
+
+def test_source_ngram_overlap(spark):
+    """Identical sources share everything (jaccard 1); disjoint sources
+    emit no pair row; counts are distinct-gram counts."""
+    from opentsdb_spark.pipeline.text import source_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e", "s1"), (1, "a b c d e", "s2"),
+         (2, "x y z w v", "s3"), (3, "a b c q r", "s1")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r for r in
+            source_ngram_overlap(docs, n=3).collect()}
+    assert set(rows) == {("s1", "s2")}  # s3 shares nothing -> no row
+    r = rows[("s1", "s2")]
+    # s1 grams: {abc,bcd,cde} U {abc,bcq,cqr} = 5 distinct; s2: 3; shared 3
+    assert (r["grams_a"], r["grams_b"], r["shared_grams"]) == (5, 3, 3)
+    assert abs(r["jaccard"] - 3 / 5) < 1e-12

@@ -66,6 +66,7 @@ QUERIES = [
     "sample_global_shuffle",
     "sample_cap_per_source",
     "text_token_entropy",
+    "text_source_overlap",
 ]
 
 
