@@ -83,6 +83,7 @@ HEADLINE = [
     "sample_cap_per_source",
     "text_token_entropy",
     "text_source_overlap",
+    "sample_fixed_n",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -4511,6 +4511,36 @@ def text_token_entropy(spark, sf_dir):
     return out.select("doc_id", "n_tokens", _vr(F.col("entropy")).alias("entropy_r"))
 
 
+def _fixed_n_oracle(n: int = 25, seed: int = 3) -> str:
+    from opentsdb_spark.pipeline.xxh64_sql import py_hash_long
+
+    s1 = py_hash_long(seed, 42) & ((1 << 64) - 1)
+    return f"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        {hash_long_ctes('d', ('doc_id', 'source', 'n_chars'), 'doc_id',
+                        f'CAST({s1} AS UBIGINT)', 'hh', '__fx')},
+        hs AS (SELECT doc_id, source, n_chars, {_SIGNED_H} AS sh FROM hh),
+        r AS (SELECT doc_id, source, n_chars,
+                     row_number() OVER (ORDER BY sh ASC, doc_id ASC) AS rk
+              FROM hs)
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(rk AS INT) AS sample_rank
+        FROM r WHERE rk <= {n}"""
+
+
+@register("sample_fixed_n", _fixed_n_oracle())
+def sample_fixed_n_q(spark, sf_dir):
+    """Deterministic exact-N corpus sample (pipeline.sampling.
+    sample_fixed_n): the 25 lowest xxhash64(seed, id) docs — compiles to
+    TakeOrderedAndProject (per-partition bounded heaps, no global sort,
+    plan-pinned); the oracle replays the hash order sequentially."""
+    from opentsdb_spark.pipeline.sampling import sample_fixed_n
+
+    out = sample_fixed_n(_docs(spark, sf_dir), n=25, seed=3)
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      "sample_rank")
+
+
 @register(
     "text_source_overlap",
     r"""WITH w AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS ws

@@ -710,3 +710,42 @@ def cap_per_group(
         .select(id_col, F.col("group_rank").cast("int").alias("group_rank"))
     )
     return docs.join(ranked, on=id_col)
+
+
+def sample_fixed_n(
+    docs: DataFrame,
+    n: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size corpus sample: exactly ``n`` rows (fewer
+    only if the corpus is smaller), selected as the lowest values of
+    xxhash64(seed, id) — an unbiased, seed-reproducible spot-check sample
+    (eyeballing, labeling batches, quick evals) where rand()-based
+    sampling changes members on every retry and fraction-based sampling
+    cannot promise an exact count.
+
+    100 TB shape: orderBy(...).limit(n) compiles to TakeOrderedAndProject
+    — each partition keeps only its local top-n (a bounded heap), and the
+    driver merges #partitions x n candidate rows; there is NO global sort
+    and no shuffle of the corpus (plan-pinned in tests). sample_rank is
+    the 1-based rank within the sample.
+
+    Returns the sampled docs' rows + sample_rank."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col))
+    out = (
+        docs.withColumn("__h", h)
+        .orderBy(F.asc("__h"), F.asc(id_col))
+        .limit(n)
+    )
+    # the sample is at most n rows: rank it with a tiny single-partition
+    # window (bounded by n, never by the corpus)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("__h"), F.asc(id_col))
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .drop("__h")
+    )

@@ -2172,3 +2172,27 @@ def test_source_ngram_overlap(spark):
     # s1 grams: {abc,bcd,cde} U {abc,bcq,cqr} = 5 distinct; s2: 3; shared 3
     assert (r["grams_a"], r["grams_b"], r["shared_grams"]) == (5, 3, 3)
     assert abs(r["jaccard"] - 3 / 5) < 1e-12
+
+
+def test_sample_fixed_n_exact_and_seeded(spark):
+    """Exactly n rows, reproducible, seed-independent permutations, and the
+    corpus-smaller-than-n edge; the plan must be a TakeOrderedAndProject
+    (bounded per-partition heaps), never a global sort exchange."""
+    import pytest
+
+    from opentsdb_spark.pipeline.sampling import sample_fixed_n
+
+    docs = spark.createDataFrame([(i, f"s{i % 3}") for i in range(200)],
+                                 "doc_id long, source string")
+    out = sample_fixed_n(docs, n=10, seed=1)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert sorted(r["sample_rank"] for r in rows) == list(range(1, 11))
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in rows}
+    other = {r["doc_id"] for r in sample_fixed_n(docs, n=10, seed=2).collect()}
+    assert other != {r["doc_id"] for r in rows}
+    assert sample_fixed_n(docs, n=500).count() == 200  # corpus smaller
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        sample_fixed_n(docs, n=0)

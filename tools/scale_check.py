@@ -67,6 +67,7 @@ QUERIES = [
     "sample_cap_per_source",
     "text_token_entropy",
     "text_source_overlap",
+    "sample_fixed_n",
 ]
 
 
