@@ -95,7 +95,8 @@ _STDOUT_BUDGET = 1900
 
 
 def compact_line(timings: dict, total: float, cpu_total: float,
-                 steal_total: float, repeat: int, sf: float) -> str:
+                 steal_total: float, repeat: int, sf: float,
+                 extra: dict | None = None) -> str:
     """The one JSON line for the driver's stdout capture.
 
     Tier 1 (preferred, and what every round so far has emitted): a FLAT
@@ -121,14 +122,22 @@ def compact_line(timings: dict, total: float, cpu_total: float,
         "sf": sf,
         "detail": "BENCH_LOCAL.json",
     }
+    if extra:
+        base.update(extra)
     line = json.dumps(base, separators=(",", ":"))
     if len(line) <= _STDOUT_BUDGET:
         return line
-    base["queries"] = _prefix_tree({n: round(v, 1) for n, v in timings.items()})
-    base["fmt"] = "prefix_tree"
-    line = json.dumps(base, separators=(",", ":"))
-    if len(line) <= _STDOUT_BUDGET:
-        return line
+    # the prefix tree's documented decode joins non-empty keys with "_";
+    # a name with an EMPTY segment ("a__b", "_a", "a_") would collide with
+    # the ""-leaf-at-prefix marker and decode to a different name — refuse
+    # the lossy tier rather than silently mislabeling the artifact
+    if all(n and all(seg for seg in n.split("_")) for n in timings):
+        base["queries"] = _prefix_tree(
+            {n: round(v, 1) for n, v in timings.items()})
+        base["fmt"] = "prefix_tree"
+        line = json.dumps(base, separators=(",", ":"))
+        if len(line) <= _STDOUT_BUDGET:
+            return line
     # last-ditch: never exceed the driver's window
     base.pop("queries")
     base["note"] = "queries map exceeded stdout budget; see detail file"
@@ -154,6 +163,29 @@ def _prefix_tree(items: dict) -> dict:
             if leaf is not None:
                 inner[""] = leaf
             out[fam] = inner
+    return out
+
+
+def _steal_retry_set(steal: dict, budget: float) -> list[str]:
+    """Queries to re-run when the sweep's steal_total exceeds ``budget``
+    seconds: the committed BENCH_r08.json carried 16.85 s of hypervisor
+    steal and three phantom "regressions" that an idle re-run erased, so a
+    contaminated sweep must retry itself instead of shipping noise.
+
+    Picks the largest-steal queries first, greedily, until the steal mass
+    of the UNPICKED remainder drops under budget/2 (retrying a query whose
+    own steal is ~0 cannot clean anything, so sub-50ms entries never
+    queue). Returns [] when the sweep is already clean."""
+    total = sum(steal.values())
+    if total <= budget:
+        return []
+    out = []
+    remaining = total
+    for n, v in sorted(steal.items(), key=lambda kv: (-kv[1], kv[0])):
+        if remaining <= budget / 2 or v <= 0.05:
+            break
+        out.append(n)
+        remaining -= v
     return out
 
 
@@ -287,6 +319,12 @@ def main() -> None:
     catalog.flagship(spark, sf_dir).count()
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
+    def _run_once(name: str) -> tuple[float, float, float]:
+        s0, c0, t0 = _steal_seconds(), meter.total(), time.time()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall, dcpu = time.time() - t0, meter.total() - c0
+        return wall, dcpu, _steal_seconds() - s0
+
     timings: dict[str, float] = {}
     cpu: dict[str, float] = {}
     steal: dict[str, float] = {}
@@ -295,10 +333,7 @@ def main() -> None:
             continue
         best_wall, best_cpu, best_steal = float("inf"), float("inf"), float("inf")
         for _ in range(repeat):
-            s0, c0, t0 = _steal_seconds(), meter.total(), time.time()
-            fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            wall, dcpu = time.time() - t0, meter.total() - c0
-            dsteal = _steal_seconds() - s0
+            wall, dcpu, dsteal = _run_once(name)
             if wall < best_wall:
                 best_wall, best_cpu, best_steal = wall, dcpu, dsteal
         # scratch persists are deliberately NOT cleared between queries:
@@ -314,6 +349,30 @@ def main() -> None:
         cpu[name] = round(best_cpu, 3)
         steal[name] = round(best_steal, 3)
 
+    # steal guard: a sweep whose best-run steal exceeds the budget is a
+    # host-noise artifact, not a measurement — re-run the stolen-from
+    # queries (warm, so a clean host wins on wall and replaces the entry)
+    # instead of committing phantom regressions
+    steal_budget = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_BUDGET", "2.0"))
+    steal_retried = 0
+    for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "2"))):
+        dirty = _steal_retry_set(steal, steal_budget)
+        if not dirty:
+            break
+        for name in dirty:
+            wall, dcpu, dsteal = _run_once(name)
+            steal_retried += 1
+            if wall < timings[name]:
+                timings[name] = round(wall, 3)
+                cpu[name] = round(dcpu, 3)
+                steal[name] = round(dsteal, 3)
+            elif dsteal < steal[name]:
+                # slower but cleaner: the old entry's wall stands (best-of
+                # contract) but its steal is re-attributed to the clean run
+                # so the guard converges instead of retrying forever
+                steal[name] = round(dsteal, 3)
+    steal_contaminated = sum(steal.values()) > steal_budget
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total",
@@ -324,6 +383,9 @@ def main() -> None:
         "cpu_total": round(sum(cpu.values()), 3),
         "steal_queries": steal,
         "steal_total": round(sum(steal.values()), 3),
+        "steal_budget": steal_budget,
+        "steal_retried": steal_retried,
+        "steal_contaminated": steal_contaminated,
         "repeat": repeat,
         "sf": sf,
     }
@@ -340,8 +402,11 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass
+    extra = {"steal_retried": steal_retried} if steal_retried else {}
+    if steal_contaminated:  # loud mark: this artifact is host-noise-suspect
+        extra["steal_contaminated"] = True
     print(compact_line(timings, total, full["cpu_total"],
-                       full["steal_total"], repeat, sf))
+                       full["steal_total"], repeat, sf, extra=extra))
 
 
 if __name__ == "__main__":

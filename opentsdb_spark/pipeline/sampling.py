@@ -741,10 +741,16 @@ def sample_fixed_n(
         .limit(n)
     )
     # the sample is at most n rows: rank it with a tiny single-partition
-    # window (bounded by n, never by the corpus)
+    # window (bounded by n, never by the corpus). Partitioning on a
+    # constant-VALUED but non-foldable expression (id*0 — a plain literal
+    # gets constant-folded back to an empty spec) is semantically the same
+    # single partition but keeps WindowExec's "No Partition Defined"
+    # warning out of the logs: the warning flags unbounded single-task
+    # windows, and this one is bounded by n rows post-limit
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.asc("__h"), F.asc(id_col))
+    w = Window.partitionBy(F.col(id_col) * F.lit(0)).orderBy(
+        F.asc("__h"), F.asc(id_col))
     return (
         out.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .drop("__h")

@@ -118,3 +118,49 @@ def test_bench_compact_line_budget_at_80_queries():
                                   1.0, 2.0, 0.0, 2, 0.1)
     assert len(line_now) < 1900
     assert _json.loads(line_now)["fmt"] == "flat"
+
+
+def test_bench_steal_retry_set():
+    """The steal guard must queue re-runs exactly when a sweep's total
+    steal exceeds the budget (round 8's committed artifact carried 16.85 s
+    of steal and three phantom regressions), largest thieves first, and
+    never queue sub-noise entries it cannot clean."""
+    import bench
+
+    # clean sweep: nothing to retry
+    assert bench._steal_retry_set({"a": 0.3, "b": 0.4}, budget=2.0) == []
+    # contaminated: the big-steal queries queue, biggest first, until the
+    # unpicked remainder is comfortably under budget
+    steal = {"big": 3.5, "mid": 1.2, "tiny": 0.02, "small": 0.3}
+    picked = bench._steal_retry_set(steal, budget=2.0)
+    assert picked[0] == "big"
+    assert "tiny" not in picked  # <= 50ms: retrying cannot clean anything
+    rest = sum(v for n, v in steal.items() if n not in picked)
+    assert rest <= 2.0
+    # many-tiny contamination: nothing retryable -> empty, caller marks
+    # the artifact steal_contaminated instead of looping forever
+    many = {f"q{i}": 0.04 for i in range(100)}
+    assert bench._steal_retry_set(many, budget=2.0) == []
+
+
+def test_bench_compact_line_refuses_lossy_prefix_tree():
+    """Names with empty underscore segments ('a__b') decode wrongly from
+    the prefix tree ('a_b'); compact_line must skip tier 2 for such a
+    catalog rather than ship a mislabeled artifact."""
+    import json as _json
+
+    import bench
+
+    # enough long names with a '__' offender to overflow the flat tier
+    timings = {f"family_{i}_very_long_query_name_segment": 1.0
+               for i in range(120)}
+    timings["dedup__double_underscore"] = 1.0
+    line = bench.compact_line(timings, 1.0, 2.0, 0.0, 2, 0.1)
+    parsed = _json.loads(line)
+    assert len(line) < 1900
+    assert parsed["fmt"] == "flat"  # tier downgraded, never prefix_tree
+    assert "queries" not in parsed and "note" in parsed
+    # extra flags ride the line when passed
+    line2 = bench.compact_line({"q": 1.0}, 1.0, 2.0, 9.9, 2, 0.1,
+                               extra={"steal_contaminated": True})
+    assert _json.loads(line2)["steal_contaminated"] is True

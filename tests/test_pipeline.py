@@ -2194,5 +2194,11 @@ def test_sample_fixed_n_exact_and_seeded(spark):
     assert sample_fixed_n(docs, n=500).count() == 200  # corpus smaller
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+    # the post-limit rank window must carry a (constant) partition spec —
+    # an empty one ("], [], [" in the node text) makes WindowExec log "No
+    # Partition Defined" on every bench run, burning the driver's
+    # 2000-char stdout tail capture on warnings
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("], [], [" not in ln for ln in win_lines), plan[:2000]
     with pytest.raises(ValueError):
         sample_fixed_n(docs, n=0)
