@@ -9,43 +9,74 @@ narrow expressions plus (for dedup) watermark-bounded state.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FileSystem API —
+    resolves bare local paths, file:/ URIs, and hdfs://, s3a://, ... alike
+    (any filesystem whose connector is on Spark's classpath), so every
+    index-maintenance operation below works wherever the index parquet
+    itself is readable. Replaces the round-8 os.* calls, which silently
+    degraded (no compaction, no legacy detection, no crash recovery) the
+    moment the index left the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop rename returns False instead of raising (e.g. dst's parent
+    missing, cross-filesystem move) — a silent False at a compaction swap
+    point would corrupt the index, so fail loudly; foreachBatch retries
+    the batch and the crash-recovery paths clean up the debris."""
+    if not fs.rename(src, dst):
+        raise RuntimeError(f"rename failed: {src} -> {dst}")
 
 
 def _read_index_if_exists(spark, path: str) -> DataFrame | None:
     """Read a parquet state index, or None if it does not exist yet.
 
-    Probes by attempting the read instead of os.path.exists so an index on
-    HDFS/S3 (any filesystem Spark can read) is found — a local-only stat
-    would silently see an empty corpus every micro-batch and disable
-    cross-batch dedup with no error. A local index left half-swapped by a
+    Probes by attempting the read instead of a filesystem stat so an index
+    on HDFS/S3 (any filesystem Spark can read) is found — a local-only
+    stat would silently see an empty corpus every micro-batch and disable
+    cross-batch dedup with no error. An index left half-swapped by a
     compaction crash (old dir present, live path missing) is recovered
-    before answering."""
+    before answering — via the Hadoop FileSystem API, so the recovery too
+    works on any filesystem."""
     try:
         return spark.read.parquet(path)
     except Exception as e:  # AnalysisException: PATH_NOT_FOUND
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            old = path.rstrip("/") + ".__compact_old"
-            if os.path.isdir(old):  # crashed between the compaction renames
-                os.rename(old, path)
+            fs, live = _hadoop_fs(spark, path)
+            old_p = spark._jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + ".__compact_old")
+            if fs.exists(old_p):  # crashed between the compaction renames
+                _rename_or_raise(fs, old_p, live)
                 return spark.read.parquet(path)
             return None
         raise
 
 
-def _legacy_flat_index(path: str) -> bool:
-    """True when a LOCAL index dir still has the pre-partitioned layout
+def _legacy_flat_index(spark, path: str) -> bool:
+    """True when an index dir still has the pre-partitioned layout
     (root-level part files from the old mode('append') writer) — mixing
     partition subdirectories into it would make partition discovery fail
-    on every later read ('Conflicting directory structures')."""
+    on every later read ('Conflicting directory structures'). Detection
+    goes through the Hadoop FileSystem API so a legacy index on a REMOTE
+    filesystem is recognized too (an os.listdir probe saw only local dirs
+    and would have written partition subdirs into a remote flat root)."""
     try:
-        return os.path.isdir(path) and any(
-            f.startswith("part-") for f in os.listdir(path))
-    except OSError:
+        fs, root = _hadoop_fs(spark, path)
+        if not fs.exists(root) or not fs.getFileStatus(root).isDirectory():
+            return False
+        return any(
+            st.getPath().getName().startswith("part-")
+            for st in fs.listStatus(root))
+    except Exception:
         return False
 
 
@@ -64,7 +95,7 @@ def _append_index_rows(df: DataFrame, path: str,
     duplicate-on-replay semantics) rather than corrupting its layout. One
     file per batch (coalesce) keeps the fragment count equal to the batch
     count until compaction."""
-    if _legacy_flat_index(path):
+    if _legacy_flat_index(df.sparkSession, path):
         df.coalesce(1).write.mode("append").parquet(path)
     elif batch_id is None:
         df.coalesce(1).write.mode("append") \
@@ -100,24 +131,30 @@ def compact_index(
     either the old or the new index, never a partial one. A crash BETWEEN
     the two renames leaves the index at ``path + '.__compact_old'``; both
     the next read (_read_index_if_exists) and the next compaction restore
-    it before proceeding, so no state is lost. The swap uses os.rename,
-    so compaction itself is LOCAL-FILESYSTEM-ONLY; on object stores run
-    an external compaction job instead. Returns True if a compaction
-    ran."""
-    import shutil
-
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    old = path.rstrip("/") + ".__compact_old"
-    if os.path.exists(tmp):  # debris from a crashed prior compaction
-        shutil.rmtree(tmp)
-    if os.path.isdir(old):
-        if not os.path.isdir(path):  # crashed between the renames: the
-            os.rename(old, path)     # old dir IS the live index — recover
+    it before proceeding, so no state is lost. All filesystem operations
+    go through the Hadoop FileSystem API, so compaction works wherever
+    the index lives — local disk, file:/ URIs, HDFS, object stores. On
+    S3-style stores a directory rename is copy+delete (not atomic), but
+    the two-rename discipline still recovers every crash point: the live
+    path and the old path never both hold partial state. Returns True if
+    a compaction ran."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs, live = _hadoop_fs(spark, path)
+    tmp = jpath(path.rstrip("/") + ".__compact_tmp")
+    old = jpath(path.rstrip("/") + ".__compact_old")
+    if fs.exists(tmp):  # debris from a crashed prior compaction
+        fs.delete(tmp, True)
+    if fs.exists(old):
+        if not fs.exists(live):          # crashed between the renames: the
+            _rename_or_raise(fs, old, live)  # old dir IS the live index
         else:
-            shutil.rmtree(old)       # swap completed, cleanup died
-    if not os.path.isdir(path):  # non-local or missing: caller compacts
-        return False             # externally (rename-swap needs a local dir)
-    parts = [d for d in os.listdir(path) if d.startswith("__batch_id=")]
+            fs.delete(old, True)         # swap completed, cleanup died
+    if not fs.exists(live) or not fs.getFileStatus(live).isDirectory():
+        return False  # no index yet — nothing to compact
+    parts = [
+        st.getPath().getName() for st in fs.listStatus(live)
+        if st.getPath().getName().startswith("__batch_id=")
+    ]
     if len(parts) <= max_partitions:
         return False
     idx = spark.read.parquet(path)
@@ -128,10 +165,10 @@ def compact_index(
         fold = F.lit(-1)
     compacted = idx.withColumn("__batch_id", fold)
     compacted.coalesce(1).write.mode("overwrite") \
-        .partitionBy("__batch_id").parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+        .partitionBy("__batch_id").parquet(path.rstrip("/") + ".__compact_tmp")
+    _rename_or_raise(fs, live, old)
+    _rename_or_raise(fs, tmp, live)
+    fs.delete(old, True)
     spark.catalog.refreshByPath(path)  # drop the stale file-listing cache
     return True
 

@@ -683,12 +683,18 @@ def test_streaming_incremental_dedup_parity(spark):
         assert snap() == got
 
 
-def test_index_replay_is_idempotent_and_compaction_preserves_verdicts(spark):
+@pytest.mark.parametrize("uri_prefix", ["", "file:"])
+def test_index_replay_is_idempotent_and_compaction_preserves_verdicts(
+        spark, uri_prefix):
     """(a) Replaying a batch must not grow the signature index (dynamic
     partition overwrite rewrites the batch's partition in place); (b)
     compacting the index folds committed batches into one partition
     without changing any later verdict; (c) a replay of the kept
-    (uncommitted) batch still excludes its own rows after compaction."""
+    (uncommitted) batch still excludes its own rows after compaction.
+    Parameterized over a bare local path AND a file: URI — the compaction
+    swap goes through the Hadoop FileSystem API (round-8's os.rename
+    silently skipped compaction for anything but bare local paths), so
+    the URI form exercises the exact code path an HDFS/S3 index takes."""
     import tempfile as _tf
 
     from opentsdb_spark.streaming.docs import (
@@ -728,10 +734,41 @@ def test_index_replay_is_idempotent_and_compaction_preserves_verdicts(spark):
         return v
 
     with _tf.TemporaryDirectory() as d:
-        plain = run(os.path.join(d, "idx_plain"), compact_after_b2=False)
-        compacted = run(os.path.join(d, "idx_compact"), compact_after_b2=True)
+        plain = run(uri_prefix + os.path.join(d, "idx_plain"),
+                    compact_after_b2=False)
+        compacted = run(uri_prefix + os.path.join(d, "idx_compact"),
+                        compact_after_b2=True)
     assert compacted == plain
     assert plain[3][:3] == (False, "corpus", 0) and plain[4][0] is True
+
+
+def test_legacy_flat_index_detected_through_hadoop_fs(spark):
+    """A pre-partitioned (flat) index must be detected via the Hadoop
+    FileSystem API — including through a file: URI, the stand-in for any
+    remote filesystem — so _append_index_rows keeps flat-appending instead
+    of writing __batch_id= subdirectories into the flat root (which would
+    fail every later read with 'Conflicting directory structures')."""
+    import tempfile as _tf
+
+    from opentsdb_spark.streaming.docs import (
+        _append_index_rows, _legacy_flat_index,
+    )
+
+    with _tf.TemporaryDirectory() as d:
+        idx = os.path.join(d, "flat_idx")
+        rows = spark.createDataFrame([(0, 1, 1)],
+                                     "band int, bh long, __batch_id long")
+        rows.coalesce(1).write.mode("append").parquet(idx)  # legacy layout
+        assert _legacy_flat_index(spark, idx)
+        assert _legacy_flat_index(spark, "file:" + idx)  # remote-style URI
+        assert not _legacy_flat_index(spark, os.path.join(d, "nope"))
+        # an append into a legacy index (addressed by URI) must stay flat:
+        # no __batch_id= partition subdirectory may appear in the root
+        more = spark.createDataFrame([(1, 2, 7)],
+                                     "band int, bh long, __batch_id long")
+        _append_index_rows(more, "file:" + idx, batch_id=7)
+        assert not any(f.startswith("__batch_id=") for f in os.listdir(idx))
+        assert spark.read.parquet(idx).count() == 2  # read still works
 
 
 def test_neardup_null_batch_id_index_rows_still_collide(spark):
