@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_substring_keep_first",
     "sample_global_shuffle",
     "sample_cap_per_source",
+    "sample_cap_quality",
     "text_token_entropy",
     "text_source_overlap",
     "sample_fixed_n",

@@ -4488,6 +4488,32 @@ def sample_cap_per_source(spark, sf_dir):
 
 
 @register(
+    "sample_cap_quality",
+    """WITH r AS (SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id ASC) AS rk
+           FROM documents)
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(rk AS INT) AS group_rank
+        FROM r WHERE rk <= 10""",
+)
+def sample_cap_quality(spark, sf_dir):
+    """QUALITY-ordered per-source cap (pipeline.sampling.cap_per_group
+    quality path): keep each source's 10 longest documents via the
+    two-phase rank over QUANTIZED quality buckets — no whole-group window
+    anywhere in the plan (pinned in tests), yet bit-equal to this
+    sequential per-group sort oracle. The crawl-hygiene op's primary real
+    use (quality-capped mega-domains), scale-safe since round 9."""
+    from opentsdb_spark.pipeline.sampling import cap_per_group
+
+    out = cap_per_group(_docs(spark, sf_dir), max_per_group=10,
+                        quality_col="n_chars")
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      "group_rank")
+
+
+@register(
     "text_token_entropy",
     rf"""WITH w AS (SELECT doc_id,
                            unnest(regexp_extract_all(lower(text), '\S+')) AS tok

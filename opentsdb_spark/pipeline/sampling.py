@@ -544,39 +544,73 @@ def class_balance(
 
 
 def _two_phase_group_rank(base: DataFrame, group_cols: list[str],
-                          id_col: str, n_buckets: int) -> DataFrame:
-    """Dense 1-based rank within each group in (bucket, __h, id) order,
+                          id_col: str, n_buckets: int,
+                          bucket: Column | None = None,
+                          order: list[Column] | None = None,
+                          bucket_desc: bool = False,
+                          broadcast_offsets: bool = True) -> DataFrame:
+    """Dense 1-based rank within each group in (bucket, order...) order,
     with NO per-group global sort — the shared two-phase machinery of
     interleave_sources / global_shuffle / cap_per_group (and the token
     cumsum variant in shard_assign): per-(group, bucket) counts are a
     map-side-combinable groupBy bounded at groups x n_buckets rows,
     cross-bucket offsets ride one window over that bounded frame only,
     and each row ranks inside its own (group, bucket) window — a group
-    with 10^11 rows never lands in one task. ``base`` must already carry
-    the hash column ``__h``; adds ``__b``/``__off``/``__rn`` scratch and
-    ``n_rank``. group_cols may be empty (one global rank)."""
+    with 10^11 rows never lands in one task.
+
+    Default order is (pmod(__h, n_buckets), __h asc, id asc) — ``base``
+    must then carry the hash column ``__h``. Pass ``bucket`` (a NON-NULL
+    integer Column that is a monotone coarsening of ``order``) plus
+    ``order`` for a custom total order, e.g. quantized-quality buckets
+    with (quality desc, id asc) inside; set ``bucket_desc`` when higher
+    buckets rank first. Adds ``__b``/``__off``/``__rn`` scratch and
+    ``n_rank``. group_cols may be empty (one global rank).
+
+    ``broadcast_offsets``: the offsets frame is groups x n_buckets rows —
+    broadcast-safe when the group count is known small (interleave's
+    sources, global_shuffle's single group) but a per-DOMAIN cap can see
+    millions of groups, where a forced broadcast is a driver OOM at
+    exactly the scale the op targets; pass False there for a plain equi-
+    join (AQE still upgrades it to broadcast at runtime when the frame is
+    actually small).
+
+    Null-group safety: the offsets come back via an equi-JOIN, and a join
+    treats NULL != NULL (unlike the GROUP BY that built the counts) — so
+    grouping runs on non-null surrogate keys and null-group rows rank in
+    their own group instead of silently vanishing."""
     from pyspark.sql import Window
 
     if n_buckets < 1:
         # pmod(_, 0) yields NULL buckets and the offsets equi-join would
         # silently drop every row (the null-key join trap)
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    base = base.withColumn("__b", F.pmod(F.col("__h"), F.lit(n_buckets)))
-    counts = base.groupBy(*group_cols, "__b").agg(F.count("*").alias("__n"))
-    wo = Window.partitionBy(*group_cols).orderBy("__b")  # bounded frame
+    if bucket is None:
+        bucket = F.pmod(F.col("__h"), F.lit(n_buckets))
+    if order is None:
+        order = [F.asc("__h"), F.asc(id_col)]
+    gkeys = [f"__gk{i}" for i in range(len(group_cols))]
+    base = base.withColumn("__b", bucket)
+    for gk, c in zip(gkeys, group_cols):
+        base = base.withColumn(
+            gk, F.coalesce(F.col(c).cast("string"), F.lit("\x00__null__")))
+    counts = base.groupBy(*gkeys, "__b").agg(F.count("*").alias("__n"))
+    wo = Window.partitionBy(*gkeys).orderBy(
+        F.desc("__b") if bucket_desc else F.asc("__b"))  # bounded frame
     offsets = counts.withColumn(
         "__off",
         F.coalesce(
             F.sum("__n").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
             F.lit(0),
         ),
-    ).select(*group_cols, "__b", "__off")
-    wb = Window.partitionBy(*group_cols, "__b").orderBy(
-        F.asc("__h"), F.asc(id_col))
+    ).select(*gkeys, "__b", "__off")
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    wb = Window.partitionBy(*gkeys, "__b").orderBy(*order)
     return (
-        base.join(F.broadcast(offsets), on=[*group_cols, "__b"])
+        base.join(offsets, on=[*gkeys, "__b"])
         .withColumn("__rn", F.row_number().over(wb))
         .withColumn("n_rank", F.col("__off") + F.col("__rn"))
+        .drop(*gkeys)
     )
 
 
@@ -672,35 +706,76 @@ def cap_per_group(
     max_per_group: int,
     group_col: str = "source",
     order_by=None,
+    quality_col: str | Column | None = None,
+    quality_desc: bool = True,
+    n_buckets: int = 1024,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-domain/source document cap — the classic crawl-hygiene stage: a
     handful of mega-domains (link farms, mirror hosts) otherwise dominate
     the corpus. Keeps the ``max_per_group`` best documents of each group
-    under a DETERMINISTIC order (default: xxhash64(id) asc, id asc — an
-    unbiased reproducible sample; pass ``order_by`` as a list of Columns
-    for quality-ranked selection instead) and returns the capped corpus
-    with the group's selection rank alongside.
+    under a DETERMINISTIC order and returns the capped corpus with the
+    group's selection rank alongside. Orders, in priority:
+      * ``quality_col`` (+ ``quality_desc``): keep the top-quality docs
+        per group under (quality, id asc) — THE real use (quality-capped
+        crawls), scale-safe (see below);
+      * ``order_by`` (list of Columns): arbitrary per-group window order —
+        single-task per group, small/medium groups only;
+      * default: xxhash64(id) asc, id asc — an unbiased reproducible
+        sample.
 
-    100 TB shape: the default hash order ranks through the shared
-    two-phase machinery (``_two_phase_group_rank``) — per-(group, bucket)
-    counts + bounded offset windows — so a mega-group NEVER lands in one
-    rank task, and the shuffled payload is the 24-byte (group, hash, id)
-    frame; survivors left-semi join the wide corpus by id, so document
-    text never enters the rank shuffle, and the survivor set is bounded
-    at groups x max_per_group however large the crawl. A custom
-    ``order_by`` falls back to a per-group window over the full frame
-    (the order key is arbitrary, so it cannot bucket) — prefer computing
-    the quality key into a narrow projection upstream for very wide
-    corpora."""
+    100 TB shape: both the default hash order AND the quality order rank
+    through the shared two-phase machinery (``_two_phase_group_rank``) —
+    per-(group, bucket) counts + bounded offset windows — so a mega-group
+    NEVER lands in one rank task. The quality path buckets on a QUANTIZED
+    quality key: one tiny min/max aggregate maps the score monotonically
+    onto ``n_buckets`` integer buckets (equal scores share a bucket, so
+    lexicographic (bucket, score, id) equals (score, id) exactly and the
+    distributed rank is bit-equal to the sequential per-group sort); NULL
+    scores rank last in their own sentinel bucket. The rank shuffles only
+    the narrow (group, key, id) projection; survivors join the wide
+    corpus back by id, so document text never enters the rank shuffle,
+    and the survivor set is bounded at groups x max_per_group however
+    large the crawl. The offsets frame is bounded at groups x n_buckets
+    rows and is deliberately NOT force-broadcast here (group cardinality
+    is unbounded for per-domain caps — AQE upgrades the join at runtime
+    when the frame is actually small). A constant-quality corpus
+    degenerates to one bucket per group (the honest limit: there is no
+    order to split on). A custom ``order_by`` still falls back to a
+    per-group window over the full frame (the order key is arbitrary, so
+    it cannot bucket) — prefer ``quality_col`` for very wide corpora."""
     from pyspark.sql import Window
 
     if max_per_group < 1:
         raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
-    if order_by is None:
+    if quality_col is not None:
+        q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+        base = docs.select(group_col, id_col, q.cast("double").alias("__q"))
+        stats = base.agg(F.min("__q").alias("__mn"), F.max("__q").alias("__mx"))
+        span = F.col("__mx") - F.col("__mn")
+        # monotone integer coarsening of the quality order: equal scores
+        # never straddle a bucket boundary, so the bucket-major rank
+        # reproduces the exact (quality, id) order
+        frac = F.when(span > 0, (F.col("__q") - F.col("__mn")) / span) \
+            .otherwise(F.lit(0.0))
+        qb = F.least(F.floor(frac * n_buckets).cast("long"),
+                     F.lit(n_buckets - 1))
+        # NULL quality ranks last: a sentinel bucket beyond every real one
+        # in the chosen direction (and it keeps the join key non-null)
+        sentinel = F.lit(-1 if quality_desc else n_buckets).cast("long")
+        bucket = F.when(F.col("__q").isNull(), sentinel).otherwise(qb)
+        order = [F.col("__q").desc_nulls_last() if quality_desc
+                 else F.col("__q").asc_nulls_last(), F.asc(id_col)]
+        ranked = _two_phase_group_rank(
+            base.crossJoin(F.broadcast(stats)), [group_col], id_col,
+            n_buckets, bucket=bucket, order=order, bucket_desc=quality_desc,
+            broadcast_offsets=False)
+        ranked = ranked.withColumn("group_rank", F.col("n_rank"))
+    elif order_by is None:
         base = docs.select(group_col, id_col,
                            F.xxhash64(F.col(id_col)).alias("__h"))
-        ranked = _two_phase_group_rank(base, [group_col], id_col, 1024)
+        ranked = _two_phase_group_rank(base, [group_col], id_col, 1024,
+                                       broadcast_offsets=False)
         ranked = ranked.withColumn("group_rank", F.col("n_rank"))
     else:
         w = Window.partitionBy(group_col).orderBy(*list(order_by))

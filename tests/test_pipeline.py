@@ -2133,6 +2133,55 @@ def test_cap_per_group_deterministic_and_quality_order(spark):
         cap_per_group(docs, 0)
 
 
+def test_cap_per_group_quality_path_scale_safe(spark):
+    """The quality_col path must be BIT-EQUAL to a sequential per-group
+    (quality, id) sort — in both directions, with NULL scores ranked last
+    and NULL groups kept — while its plan contains NO whole-group window
+    (every Window node carries the quantized bucket __b, either as a
+    partition key or, for the bounded offsets cumsum, as the order key)."""
+    from pyspark.sql import Window
+
+    from opentsdb_spark.pipeline.sampling import cap_per_group
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}" if i % 7 else None,
+          None if i % 5 == 0 else float((i * 37) % 11)) for i in range(60)],
+        "doc_id long, source string, quality double")
+
+    def seq(desc, cap):
+        o = (F.col("quality").desc_nulls_last() if desc
+             else F.col("quality").asc_nulls_last())
+        w = Window.partitionBy("source").orderBy(o, F.asc("doc_id"))
+        return sorted(map(tuple, docs.withColumn(
+            "group_rank", F.row_number().over(w))
+            .where(F.col("group_rank") <= cap)
+            .select("doc_id", "group_rank").collect()))
+
+    got_d = cap_per_group(docs, 4, quality_col="quality")
+    assert sorted(map(tuple, got_d.select("doc_id", "group_rank").collect())) \
+        == seq(True, 4)
+    got_a = cap_per_group(docs, 4, quality_col="quality", quality_desc=False)
+    assert sorted(map(tuple, got_a.select("doc_id", "group_rank").collect())) \
+        == seq(False, 4)
+    # null-group rows rank in their own group instead of vanishing in the
+    # offsets equi-join (null != null — the null-key join trap)
+    n_null = docs.where("source is null").count()
+    assert got_d.where("source is null").count() > 0
+    assert cap_per_group(docs, 100, quality_col="quality") \
+        .where("source is null").count() == n_null
+    assert cap_per_group(docs, 100).where("source is null").count() == n_null
+    # plan pin: no whole-group window — a mega-domain never lands in one
+    # task; the only windows are (group, __b)-partitioned ranks and the
+    # bounded offsets cumsum ORDERED by __b
+    plan = got_d._jdf.queryExecution().executedPlan().toString()
+    wins = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert wins and all("__b" in ln for ln in wins), plan[:3000]
+    # constant quality degenerates to one bucket but still caps correctly
+    const = cap_per_group(docs.withColumn("quality", F.lit(1.0)), 2,
+                          quality_col="quality")
+    assert const.count() == 2 * 4  # 3 named groups + the null group
+
+
 def test_token_entropy_values(spark):
     """Uniform tokens -> log2(n) bits; single repeated token -> 0; empty
     docs vanish."""
