@@ -64,6 +64,7 @@ HEADLINE = [
     "tsdb_interval_join",
     "tsdb_sessionize",
     "text_bm25_top5",
+    "text_bm25_fallback",
     "dedup_bloom_decontaminate",
     "embed_pca_project",
     "text_hll_distinct",

@@ -4144,9 +4144,7 @@ _BM25_VALUES = ", ".join(
     for tok in dict.fromkeys(qtext.split())
 )
 
-@register(
-    "text_bm25_top5",
-    f"""WITH w AS (SELECT doc_id,
+_BM25_ORACLE = f"""WITH w AS (SELECT doc_id,
                           unnest(regexp_extract_all(lower(text), '\\S+')) AS token
                    FROM documents),
         p AS (SELECT doc_id, token, count(*) AS tf
@@ -4170,8 +4168,10 @@ _BM25_VALUES = ", ".join(
                         ORDER BY score_r DESC, doc_id ASC) AS rank FROM agg)
         SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
                CAST(matched_terms AS BIGINT) AS matched_terms, score_r
-        FROM r WHERE rank <= 5""",
-)
+        FROM r WHERE rank <= 5"""
+
+
+@register("text_bm25_top5", _BM25_ORACLE)
 def text_bm25_top5(spark, sf_dir):
     """Okapi BM25 top-5 per query (pipeline.text.bm25_search): broadcast
     query-term probe of a build-once posting frame; ranks on the ROUNDED
@@ -4181,6 +4181,12 @@ def text_bm25_top5(spark, sf_dir):
     from opentsdb_spark.pipeline.text import bm25_search
 
     out = bm25_search(_docs(spark, sf_dir), _BM25_QUERIES, k=500)
+    return _bm25_rank_top5(out)
+
+
+def _bm25_rank_top5(out):
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_r"), F.asc("doc_id"))
     return (
@@ -4190,6 +4196,21 @@ def text_bm25_top5(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("query_id", "rank", "doc_id", "matched_terms", "score_r")
     )
+
+
+@register("text_bm25_fallback", _BM25_ORACLE)
+def text_bm25_fallback(spark, sf_dir):
+    """The SAME BM25 retrieval through the large-query-set BROADCAST-JOIN
+    fallback (literal_map_max_terms=0 forces it): above ~512 distinct
+    query terms the literal-map plan would bloat the driver, so the
+    postings probe and the df/query-id association ride broadcast hash
+    joins instead. Hash-checked against the identical oracle as
+    text_bm25_top5 — the two plans must produce byte-identical ranks."""
+    from opentsdb_spark.pipeline.text import bm25_search
+
+    out = bm25_search(_docs(spark, sf_dir), _BM25_QUERIES, k=500,
+                      literal_map_max_terms=0)
+    return _bm25_rank_top5(out)
 
 
 @register(

@@ -995,6 +995,7 @@ def bm25_search(
     content_col: str = "text",
     id_col: str = "doc_id",
     persist: bool = True,
+    literal_map_max_terms: int = 512,
 ) -> DataFrame:
     """Okapi BM25 lexical retrieval: score every document against each
     query string, return the top-``k`` docs per query — the sparse
@@ -1022,6 +1023,17 @@ def bm25_search(
     never corpus-bounded). The join-free shape exists because re-JITing
     the three join stages dominated warm CPU at small scale; at 100 TB the
     same shape simply removes three exchanges.
+
+    LARGE QUERY SETS: the literal-map plan grows with the term count
+    (create_map over 2*|terms| literals, an In-list of |terms| in the
+    pre-explode filter) — fine for interactive retrieval, but a 10k-term
+    batch query set would bloat the analyzed plan and the driver. Above
+    ``literal_map_max_terms`` distinct terms the operator falls back to
+    the BROADCAST-JOIN form: the term/query and df tables ride as
+    broadcast frames (still query-bounded build sides) and token hits
+    come from an explode + broadcast semi-probe instead of the In-list.
+    Same expression tree after the join, so doubles — and therefore
+    ranks — are identical between the two plans (pinned by tests).
 
     Ties break by doc id ascending for determinism.
     """
@@ -1054,33 +1066,65 @@ def bm25_search(
     if avgdl is None:  # empty corpus
         return empty
 
-    # query-term hits only: filter the token array BEFORE exploding, so
-    # non-matching tokens never become rows and nothing joins
     term_set = list(qmap)
-    hits = toks.select(
-        F.col(id_col), F.size("__toks").alias("dl"),
-        F.explode(
-            F.filter("__toks", lambda x: x.isin(*term_set))
-        ).alias("token"),
-    )
+    use_literal = len(term_set) <= literal_map_max_terms
+    spark = docs.sparkSession
+    if use_literal:
+        # query-term hits only: filter the token array BEFORE exploding, so
+        # non-matching tokens never become rows and nothing joins
+        hits = toks.select(
+            F.col(id_col), F.size("__toks").alias("dl"),
+            F.explode(
+                F.filter("__toks", lambda x: x.isin(*term_set))
+            ).alias("token"),
+        )
+    else:
+        # broadcast semi-probe: the In-list would put |terms| literal nodes
+        # in the plan; a broadcast hash probe of the term table keeps the
+        # plan size constant while still dropping non-hit tokens before
+        # anything corpus-sized shuffles
+        tdf = spark.createDataFrame([(t,) for t in sorted(term_set)],
+                                    "token string")
+        hits = toks.select(
+            F.col(id_col), F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("token"),
+        ).join(F.broadcast(tdf), on="token", how="left_semi")
     postings = _persist_small(
         hits.groupBy(id_col, "token").agg(
             F.count("*").alias("tf"), F.first("dl").alias("dl")),
         persist)
-    # df is bounded by |terms|: collect and fold into a literal map (the
-    # same expression tree as the old join form, so doubles are identical)
-    dfs = {r["token"]: r["df"] for r in
-           postings.groupBy("token").agg(F.count("*").alias("df")).collect()}
-    df_map = F.create_map(
-        *[F.lit(v) for t in dfs for v in (t, int(dfs[t]))])
-    qid_map = F.create_map(
-        *[F.lit(v) if not isinstance(v, list) else F.array(*map(F.lit, v))
-          for t in term_set for v in (t, qmap[t])])
-
+    if use_literal:
+        # df is bounded by |terms|: collect and fold into a literal map
+        # (the same expression tree as the join form, so doubles are
+        # identical)
+        dfs = {r["token"]: r["df"] for r in
+               postings.groupBy("token").agg(F.count("*").alias("df")).collect()}
+        df_map = F.create_map(
+            *[F.lit(v) for t in dfs for v in (t, int(dfs[t]))])
+        qid_map = F.create_map(
+            *[F.lit(v) if not isinstance(v, list) else F.array(*map(F.lit, v))
+              for t in term_set for v in (t, qmap[t])])
+        scored = (
+            postings
+            .withColumn("query_id",
+                        F.explode(F.element_at(qid_map, F.col("token"))))
+            .withColumn("df", F.element_at(df_map, F.col("token")))
+        )
+    else:
+        # both build sides stay query-bounded: df is the |terms|-row
+        # aggregate of the postings, the (term, query) table is the parsed
+        # query set itself — broadcast hash joins, never a shuffle
+        df_tbl = postings.groupBy("token").agg(F.count("*").alias("df"))
+        q_tbl = spark.createDataFrame(
+            [(t, q) for t in sorted(term_set) for q in qmap[t]],
+            "token string, query_id string")
+        scored = (
+            postings
+            .join(F.broadcast(q_tbl), on="token")
+            .join(F.broadcast(df_tbl), on="token")
+        )
     scored = (
-        postings
-        .withColumn("query_id", F.explode(F.element_at(qid_map, F.col("token"))))
-        .withColumn("df", F.element_at(df_map, F.col("token")))
+        scored
         .withColumn(
             "idf",
             F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),

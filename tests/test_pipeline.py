@@ -1806,6 +1806,32 @@ def test_bm25_search(spark, docs):
     assert rows[1][3] == rows[2][3]
 
 
+def test_bm25_broadcast_fallback_identical_above_term_threshold(spark, docs):
+    """Above literal_map_max_terms the plan falls back from literal maps
+    to broadcast joins (bounding plan size for 10k-term batch query sets);
+    scores must be BIT-identical between the two plans, the fallback plan
+    must carry broadcast joins and no literal map, and the literal plan
+    must stay join-free."""
+    from opentsdb_spark.pipeline.text import bm25_search
+
+    queries = [("q1", "fox engines"), ("q2", "quick brown fox"),
+               ("q3", "maintenance steam")]
+    d = docs.select("doc_id", "text")
+    lit = bm25_search(d, queries, k=10, persist=False)
+    fb = bm25_search(d, queries, k=10, persist=False,
+                     literal_map_max_terms=0)  # force the fallback
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    lit_rows = sorted(map(tuple, lit.collect()))
+    fb_rows = sorted(map(tuple, fb.collect()))
+    assert lit_rows == fb_rows and lit_rows  # bit-identical incl. doubles
+    lit_plan = lit._jdf.queryExecution().executedPlan().toString()
+    fb_plan = fb._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in lit_plan and "map(keys" in lit_plan
+    assert "BroadcastHashJoin" in fb_plan and "map(keys" not in fb_plan
+    # no corpus-sized shuffle joins: every join in the fallback broadcasts
+    assert "SortMergeJoin" not in fb_plan and "ShuffledHashJoin" not in fb_plan
+
+
 def test_token_budget_select(spark):
     """Greedy budget contract: keep in priority order while tokens BEFORE
     the doc are under budget — each group overshoots by at most one doc."""

@@ -48,6 +48,7 @@ QUERIES = [
     "embed_covariance",
     "text_hash_embedding",
     "text_bm25_top5",
+    "text_bm25_fallback",
     "dedup_bloom_decontaminate",
     "tsdb_rate_ds_sum",
     "corpus_dedup_pipeline",
