@@ -555,7 +555,8 @@ def lm_score(
         bound on the per-context branching factor; the DuckDB oracle
         mirrors exactly this V);
       * output: (id, n_grams, avg_logp) with avg_logp = mean log-prob per
-        gram (higher = more typical). Docs shorter than n words score NULL.
+        gram OCCURRENCE (higher = more typical). Docs shorter than n
+        words score NULL.
 
     The probability table is a frame JOIN, never a broadcast of the
     vocabulary (unbounded at corpus scale). n=1 degenerates to unigram
@@ -566,6 +567,18 @@ def lm_score(
     per language (what CCNet's per-language KenLM does, Wenzek et al.
     arXiv:1911.00359 §3.3). The per-group V becomes a count aggregate
     joined on the group key instead of a driver scalar.
+
+    Shape (the round-9 warm-CPU rework — ccnet_buckets burned 15.5 CPU-s
+    for 1.6 s wall through this path): every LM statistic — gram counts
+    (one map-side-combinable groupBy off the scan), context counts (a
+    rollup OF the gram counts, never a second occurrence pass), V — and
+    the per-gram log-probability table are VOCABULARY-sized; the only
+    occurrence-sized operation left is ONE score join against that table
+    (the old plan ran two occurrence-sized stat joins plus a per-
+    occurrence context regex). The context is the gram minus its last
+    word: grams are " "-joined \\S+ tokens, so substring_index(g, ' ',
+    n-1) — a plain byte scan per DISTINCT gram — replaces the old
+    per-occurrence regexp_replace.
     """
     from opentsdb_spark.pipeline.dedup import _gram_frame, _persist_small
 
@@ -575,24 +588,21 @@ def lm_score(
     # must weigh repeatedly in both the fit counts and the score. The gram
     # stream feeds both the fit aggregation and the score join — persisted
     # so tokenize+shingle runs once (Spark shares no common subplans).
-    exploded = _gram_frame(docs, content_col, id_col, n, distinct=False,
-                           extra_cols=tuple(gcols)).select(
-        id_col, *gcols, F.explode("grams").alias("g"))
+    grams = _persist_small(
+        _gram_frame(docs, content_col, id_col, n, distinct=False,
+                    extra_cols=tuple(gcols)).select(
+            id_col, *gcols, F.explode("grams").alias("g")),
+        True)
+    counts = grams.groupBy(*gcols, "g").agg(F.count("*").alias("c_n"))
     if n > 1:
-        # context (the gram minus its last word) is computed INTO the
-        # persisted frame: it feeds both the ctx-count fit and the score
-        # join, and leaving it lazy re-runs the regex once per consumer
-        exploded = exploded.withColumn("ctx", F.regexp_replace("g", r"\s?\S+$", ""))
-    grams = _persist_small(exploded, True)
-    ngram_counts = grams.groupBy(*gcols, "g").agg(F.count("*").alias("c_n"))
-    if n > 1:
-        with_ctx = grams
-        ctx_counts = with_ctx.groupBy(*gcols, "ctx").agg(F.count("*").alias("c_ctx"))
+        wctx = counts.withColumn(
+            "ctx", F.substring_index(F.col("g"), " ", n - 1))
+        ctx_counts = wctx.groupBy(*gcols, "ctx").agg(
+            F.sum("c_n").alias("c_ctx"))
         if group_col:
-            vgrp = ngram_counts.groupBy(group_col).agg(F.count("*").alias("__v"))
-            scored = (
-                with_ctx.join(ngram_counts, on=[*gcols, "g"])
-                .join(ctx_counts, on=[*gcols, "ctx"])
+            vgrp = counts.groupBy(group_col).agg(F.count("*").alias("__v"))
+            wt = (
+                wctx.join(ctx_counts, on=[*gcols, "ctx"])
                 .join(vgrp, on=group_col)
                 .withColumn(
                     "logp",
@@ -601,34 +611,32 @@ def lm_score(
                 )
             )
         else:
-            vocab = ngram_counts.agg(F.count("*").alias("v")).first()["v"]
-            scored = (
-                with_ctx.join(ngram_counts, on="g")
-                .join(ctx_counts, on="ctx")
+            vocab = counts.count()
+            wt = (
+                wctx.join(ctx_counts, on="ctx")
                 .withColumn(
                     "logp",
-                    F.log((F.col("c_n") + add_k) / (F.col("c_ctx") + add_k * vocab)),
+                    F.log((F.col("c_n") + add_k)
+                          / (F.col("c_ctx") + add_k * vocab)),
                 )
             )
     else:
         if group_col:
-            tot = grams.groupBy(group_col).agg(F.count("*").alias("__t"))
-            vgrp = ngram_counts.groupBy(group_col).agg(F.count("*").alias("__v"))
-            scored = (
-                grams.join(ngram_counts, on=[*gcols, "g"])
-                .join(tot, on=group_col).join(vgrp, on=group_col)
-                .withColumn(
-                    "logp",
-                    F.log((F.col("c_n") + add_k)
-                          / (F.col("__t") + add_k * F.col("__v"))),
-                )
+            gtot = counts.groupBy(group_col).agg(
+                F.sum("c_n").alias("__t"), F.count("*").alias("__v"))
+            wt = counts.join(gtot, on=group_col).withColumn(
+                "logp",
+                F.log((F.col("c_n") + add_k)
+                      / (F.col("__t") + add_k * F.col("__v"))),
             )
         else:
-            total = grams.count()
-            vocab = ngram_counts.count()
-            scored = grams.join(ngram_counts, on="g").withColumn(
+            row = counts.agg(F.sum("c_n").alias("t"),
+                             F.count("*").alias("v")).first()
+            total, vocab = row["t"] or 0, row["v"]
+            wt = counts.withColumn(
                 "logp", F.log((F.col("c_n") + add_k) / (total + add_k * vocab))
             )
+    scored = grams.join(wt.select(*gcols, "g", "logp"), on=[*gcols, "g"])
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_grams"), F.avg("logp").alias("avg_logp")
     )
