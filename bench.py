@@ -86,6 +86,7 @@ HEADLINE = [
     "text_token_entropy",
     "text_source_overlap",
     "sample_fixed_n",
+    "pipeline_end_to_end",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

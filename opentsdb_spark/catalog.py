@@ -4800,6 +4800,101 @@ def dedup_bloom_decontaminate(spark, sf_dir):
     return bloom_decontaminate(train, bench, n=5)
 
 
+def _pipeline_e2e_oracle() -> str:
+    # the full training-data path, replayed sequentially: exact dedup
+    # (keep-min-id per sha256) -> Gopher gate (catalog-default thresholds,
+    # same expressions as _GOPHER_Q) -> per-source interleave rank (the
+    # sequential row_number replica of the engine's two-phase rank, same
+    # (bucket, hash, id) order) -> fixed-point interleave keys -> range
+    # shards of 64 keys -> greedy 512-token bin packing in interleave
+    # order. One seam anywhere and the hash check fails.
+    vals = ", ".join(
+        f"('{g}', {max(1, int(round(w * (1 << 20))))})"
+        for g, w in _INTERLEAVE_W.items()
+    )
+    return f"""WITH win AS (SELECT min(doc_id) AS doc_id FROM documents
+                            GROUP BY sha256(text)),
+        surv AS (SELECT d.doc_id, d.source, d.text FROM documents d
+                 SEMI JOIN win ON d.doc_id = win.doc_id),
+        q AS (SELECT doc_id, source, {_NW} AS nw,
+                     length(regexp_replace(text, '\\s+', '', 'g')) / {_NW} AS mwl,
+                     len(list_filter({_WORDS}, w -> list_contains({_STOP_SQL}, w))) AS nstop,
+                     CAST(len(list_distinct({_WORDS})) AS DOUBLE) / {_NW} AS dr
+              FROM surv),
+        kept AS (SELECT doc_id, source, nw FROM q
+                 WHERE (nw BETWEEN 20 AND 90) AND mwl >= 3.0 AND mwl <= 10.0
+                   AND nstop >= 1 AND dr >= 0.4),
+        {hash_long_ctes('kept', ('doc_id', 'source', 'nw'), 'doc_id',
+                        'CAST(42 AS UBIGINT)', 'hh', '__pe')},
+        hs AS (SELECT doc_id, source, nw, {_SIGNED_H} AS sh FROM hh),
+        r AS (SELECT doc_id, source, nw,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY ((sh % 32) + 32) % 32 ASC,
+                                                 sh ASC, doc_id ASC) AS n_rank
+              FROM hs),
+        wt(source, w20) AS (VALUES {vals}),
+        il AS (SELECT r.doc_id, r.source, r.nw,
+                      CAST((n_rank * 1048576) // coalesce(wt.w20, 1048576)
+                           AS BIGINT) AS interleave_key
+               FROM r LEFT JOIN wt ON r.source = wt.source),
+        sh AS (SELECT *, CAST(interleave_key // 64 AS BIGINT) AS shard
+               FROM il),
+        c AS (SELECT *, sum(nw) OVER (PARTITION BY shard
+                        ORDER BY interleave_key, source, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sh)
+        SELECT doc_id, source, CAST(nw AS BIGINT) AS n_tokens,
+               interleave_key, shard,
+               CAST(floor((cum - nw) / 512.0) AS BIGINT) AS bin
+        FROM c"""
+
+
+@register("pipeline_end_to_end", _pipeline_e2e_oracle())
+def pipeline_end_to_end(spark, sf_dir):
+    """The WHOLE training-data path as one composed query — the charter's
+    actual product, proven seam-free by a single hash check: exact dedup
+    (keep min id per sha256, corpus_funnel's winner rule) -> Gopher
+    quality gate (pipeline.text.gopher_filter, default thresholds) ->
+    proportional source interleaving (pipeline.sampling.interleave_sources,
+    two-phase rank) -> range shards of 64 interleave keys (the mix_audit
+    sharding) -> greedy 512-token sequence packing IN INTERLEAVE ORDER
+    (pipeline.sampling.pack_sequences with shard_col/order_cols), so the
+    packed bins preserve the mixture proportions the interleave set up.
+    The oracle replays every stage sequentially in DuckDB; the row hash
+    pins doc membership, interleave keys, shard assignment, token counts
+    and bin boundaries all at once.
+
+    100 TB shape: dedup is a map-side-combinable min over 32-byte hashes;
+    the gate is codegen flags; the interleave rank is the shared two-phase
+    bucket-offset machinery (no per-source global sort); packing windows
+    are bounded per range shard (~64 x sum(weights) docs each)."""
+    from opentsdb_spark.pipeline.sampling import (
+        interleave_sources, pack_sequences,
+    )
+    from opentsdb_spark.pipeline.text import gopher_filter
+
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", "source", "text",
+        F.sha2(F.col("text").cast("binary"), 256).alias("__k"))
+    winners = hashed.groupBy("__k").agg(F.min("doc_id").alias("doc_id"))
+    surv = hashed.join(winners, on=["__k", "doc_id"], how="left_semi") \
+        .drop("__k")
+    gate = gopher_filter(surv).where(F.col("kept")) \
+        .select("doc_id", F.col("n_words").cast("long").alias("n_tokens"))
+    kept = surv.join(gate, on="doc_id")
+    il = interleave_sources(kept, _INTERLEAVE_W, n_buckets=32)
+    staged = il.join(kept.select("doc_id", "n_tokens"), on="doc_id")
+    packed = pack_sequences(
+        staged, max_tokens=512,
+        token_col=F.col("n_tokens"),
+        shard_col=F.expr("interleave_key div 64").cast("long"),
+        order_cols=["interleave_key", "source", "doc_id"],
+    )
+    return packed.select("doc_id", "source", "n_tokens",
+                         "interleave_key", "shard", "bin")
+
+
 # ==================================================== driver-check ordering =
 # The verify driver cross-checks a PREFIX of this catalog (round 1 sampled
 # the first 50 of 77, leaving whole operator families unchecked). Reorder so

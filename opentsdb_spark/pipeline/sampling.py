@@ -141,21 +141,30 @@ def pack_sequences(
     id_col: str = "doc_id",
     content_col: str = "text",
     bucket: Column | None = None,
+    shard_col: Column | None = None,
+    order_cols: list | None = None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing for LM training batches.
 
     Assigns each document a (shard, bin) so that consecutive documents in a
     shard accumulate into ~``max_tokens``-token training sequences:
     bin = floor((running_token_total - own_tokens) / max_tokens) over the
-    shard's deterministic id order. A document whose tokens straddle a bin
+    shard's deterministic order. A document whose tokens straddle a bin
     boundary starts in its computed bin (the packer downstream truncates or
     pads — this operator only decides grouping).
 
-    Scale shape: sharding is the same deterministic id-hash (so a document
-    always lands in the same shard regardless of cluster layout), and the
-    cumulative sum is a window PARTITIONED BY shard — shards bound window
-    state, so no single-partition global window at any corpus size. Output
-    adds shard, n_tokens, and bin columns."""
+    By default documents shard by a deterministic id-hash and pack in id
+    order. Pass ``shard_col`` + ``order_cols`` to pack in an UPSTREAM
+    order instead — e.g. range-sharded on an interleave key and packed in
+    (interleave_key, source, id) order, so the training sequences preserve
+    the mixture proportions the interleave stage established (the
+    pipeline_end_to_end composition).
+
+    Scale shape: sharding is deterministic (a document always lands in the
+    same shard regardless of cluster layout), and the cumulative sum is a
+    window PARTITIONED BY shard — shards bound window state, so no
+    single-partition global window at any corpus size. Output adds shard,
+    n_tokens, and bin columns."""
     from pyspark.sql import Window
 
     tok = (
@@ -164,11 +173,13 @@ def pack_sequences(
         # \S+ runs: trim+split miscounted trailing-\n and empty docs
         else F.size(F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)))
     )
-    b = bucket if bucket is not None else _default_hash_bucket(F.col(id_col), 1)
-    out = docs.withColumn("shard", (b % shards).cast("int")).withColumn(
-        "n_tokens", tok.cast("long")
-    )
-    w = Window.partitionBy("shard").orderBy(id_col)
+    if shard_col is not None:
+        out = docs.withColumn("shard", shard_col)
+    else:
+        b = bucket if bucket is not None else _default_hash_bucket(F.col(id_col), 1)
+        out = docs.withColumn("shard", (b % shards).cast("int"))
+    out = out.withColumn("n_tokens", tok.cast("long"))
+    w = Window.partitionBy("shard").orderBy(*(order_cols or [id_col]))
     running = F.sum("n_tokens").over(w)
     return out.withColumn(
         "bin", F.floor((running - F.col("n_tokens")) / F.lit(max_tokens))

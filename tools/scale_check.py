@@ -70,6 +70,7 @@ QUERIES = [
     "text_token_entropy",
     "text_source_overlap",
     "sample_fixed_n",
+    "pipeline_end_to_end",
 ]
 
 
