@@ -4959,8 +4959,13 @@ _PRIORITY = [
     # removal entry runs the same window-hash span detection PLUS the
     # strike-every-copy document rebuild; the detection-only variant stays
     # verified by the full-catalog oracle run)
+    # (round 9: dedup_substring_removal rotates out for
+    # dedup_substring_keep_first — the keep-first entry runs the same span
+    # detection + strike/rebuild machinery PLUS the min-struct global
+    # occurrence order proof; the strike-every-copy variant stays verified
+    # by the full-catalog oracle run)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_incremental",
-    "dedup_semantic", "dedup_substring_removal",
+    "dedup_semantic", "dedup_substring_keep_first",
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
     # for the corpus-wide paragraph dedup — token counting is also exercised
     # by text_quality and stays verified by the full-catalog run)
@@ -4976,29 +4981,41 @@ _PRIORITY = [
     "text_quality", "text_paragraph_dedup", "sample_shard_assign",
     "ann_lsh_top5", "ann_ivf_fixed_top5",
     "multimodal_dhash_pairs",
-    # round-6 families: temporal joins/sessions, CCNet bands, SRP embedding,
+    # round-6 families: temporal joins/sessions, CCNet bands,
     # prototypicality + covariance (rotated in; the displaced i-variant /
     # 0all / movavg / pfsum / simhash_md5 / multimodal_features entries
     # stay verified by the local full-catalog oracle run)
+    # (round 9: text_hash_embedding rotates out for text_source_overlap —
+    # the SRP embedding is a narrow codegen map pinned by the full-catalog
+    # run; the cross-source n-gram contamination matrix is a flagship
+    # bounded-frame proof)
     "tsdb_asof_join", "tsdb_interval_join", "tsdb_sessionize",
-    "text_ccnet_buckets", "text_hash_embedding",
+    "text_ccnet_buckets", "text_source_overlap",
     "embed_prototypicality", "embed_covariance",
-    # LLM-pipeline: mixture sampling + sequence packing
+    # LLM-pipeline: mixture sampling
     # (sample_temperature rotates out for the round-7 interleave/audit
-    # rows — the temperature-reweight arithmetic stays verified by the
-    # full-catalog oracle run, and the sample family keeps five gate rows)
-    "sample_pack_sequences",
+    # rows; round 9: sample_pack_sequences rotates out for
+    # sample_cap_per_source — the two-phase cumsum stays pinned by
+    # sample_shard_assign AND packing is exercised inside
+    # pipeline_end_to_end, while the per-domain cap is a new family)
+    "sample_cap_per_source",
     # round-6b families: BM25 lexical retrieval, token-budget selection,
     # Bloom-filter benchmark hygiene
     "text_bm25_top5",
     # round-6c/7 families in the gate: HLL sketch cardinality, raw-PCM
-    # audio near-dup, fractional epoch replication (CMS shares the sketch
-    # machinery with HLL and stays verified by the full-catalog run)
-    "text_hll_distinct", "multimodal_audio_dedup", "sample_repeat_epochs",
-    # round-7 flagship families (rotated in this round): proportional
-    # source interleaving + its end-to-end mixing audit, RefinedWeb-style
-    # boilerplate chunk strike-out
-    "sample_interleave", "sample_mix_audit", "text_strip_boilerplate",
+    # audio near-dup (CMS shares the sketch machinery with HLL and stays
+    # verified by the full-catalog run; round 9: sample_repeat_epochs
+    # rotates out for sample_global_shuffle — fractional replication is a
+    # simple broadcast+explode pinned by the full-catalog run, while the
+    # seeded dense-position shuffle carries a sequential-order proof)
+    "text_hll_distinct", "multimodal_audio_dedup", "sample_global_shuffle",
+    # round-7 flagship families: proportional source interleaving,
+    # RefinedWeb-style boilerplate chunk strike-out (round 9:
+    # sample_mix_audit rotates out for pipeline_end_to_end — the e2e row
+    # REPLAYS the same interleave -> range-shard composition and extends
+    # it through dedup/gate/packing; the audit histogram stays verified by
+    # the full-catalog oracle run)
+    "sample_interleave", "pipeline_end_to_end", "text_strip_boilerplate",
     "sample_token_budget", "dedup_bloom_decontaminate",
 ]
 assert len(_PRIORITY) == 52  # one driver-gate slot per family; the tail
