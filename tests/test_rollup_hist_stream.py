@@ -742,6 +742,42 @@ def test_index_replay_is_idempotent_and_compaction_preserves_verdicts(
     assert plain[3][:3] == (False, "corpus", 0) and plain[4][0] is True
 
 
+def test_compaction_crash_recovery_restores_half_swapped_index(spark):
+    """A crash BETWEEN the two compaction renames leaves the live index at
+    path + '.__compact_old' (and possibly tmp debris). Both the next read
+    and the next compaction must restore it — through the Hadoop
+    FileSystem API, so the same recovery works beyond local disk."""
+    import shutil
+    import tempfile as _tf
+
+    from opentsdb_spark.streaming.docs import (
+        _read_index_if_exists, compact_index,
+    )
+
+    rows = spark.createDataFrame([(0, 11, 1), (1, 22, 2)],
+                                 "band int, bh long, __batch_id long")
+    with _tf.TemporaryDirectory() as d:
+        # recovery via the READ path
+        idx = os.path.join(d, "idx")
+        rows.write.partitionBy("__batch_id").parquet(idx)
+        shutil.move(idx, idx + ".__compact_old")  # simulate the crash point
+        got = _read_index_if_exists(spark, "file:" + idx)
+        assert got is not None and got.count() == 2
+        assert os.path.isdir(idx)  # live path restored on disk
+        assert not os.path.isdir(idx + ".__compact_old")
+        # recovery via the COMPACTION path (with tmp debris on top)
+        idx2 = os.path.join(d, "idx2")
+        rows.write.partitionBy("__batch_id").parquet(idx2)
+        shutil.move(idx2, idx2 + ".__compact_old")
+        os.makedirs(idx2 + ".__compact_tmp")  # crashed mid-write debris
+        # under max_partitions: returns False but must still have recovered
+        assert compact_index(spark, idx2, max_partitions=64) is False
+        assert os.path.isdir(idx2)
+        assert not os.path.isdir(idx2 + ".__compact_old")
+        assert not os.path.isdir(idx2 + ".__compact_tmp")
+        assert spark.read.parquet(idx2).count() == 2
+
+
 def test_legacy_flat_index_detected_through_hadoop_fs(spark):
     """A pre-partitioned (flat) index must be detected via the Hadoop
     FileSystem API — including through a file: URI, the stand-in for any
