@@ -169,6 +169,19 @@ def _prefix_tree(items: dict) -> dict:
     return out
 
 
+def _steal_budget(raw: str, total_wall: float) -> float:
+    """Resolve the steal budget. 'auto' (the default) scales with the
+    sweep: max(2 s, 8% of total wall) — this guest measures ~4 of 32
+    vCPUs stolen under a full burn even at host BASELINE, so a 60 s
+    fully-loaded sweep legitimately accrues a few seconds of steal; a
+    fixed 2 s budget would flag every long sweep forever. Genuine
+    contamination is an order of magnitude above the baseline rate
+    (round 8's noisy artifact ran at 26% steal-to-wall)."""
+    if raw == "auto":
+        return max(2.0, 0.08 * total_wall)
+    return float(raw)
+
+
 def _steal_retry_set(steal: dict, budget: float) -> list[str]:
     """Queries to re-run when the sweep's steal_total exceeds ``budget``
     seconds: the committed BENCH_r08.json carried 16.85 s of hypervisor
@@ -356,9 +369,11 @@ def main() -> None:
     # host-noise artifact, not a measurement — re-run the stolen-from
     # queries (warm, so a clean host wins on wall and replaces the entry)
     # instead of committing phantom regressions
-    steal_budget = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_BUDGET", "2.0"))
+    budget_raw = os.environ.get("SPARK_GRAFT_BENCH_STEAL_BUDGET", "auto")
+    steal_budget = _steal_budget(budget_raw, sum(timings.values()))
     steal_retried = 0
     for _pass in range(int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "2"))):
+        steal_budget = _steal_budget(budget_raw, sum(timings.values()))
         dirty = _steal_retry_set(steal, steal_budget)
         if not dirty:
             break

@@ -120,6 +120,19 @@ def test_bench_compact_line_budget_at_80_queries():
     assert _json.loads(line_now)["fmt"] == "flat"
 
 
+def test_bench_steal_budget_auto_scales_with_sweep():
+    """'auto' budget = max(2 s, 8% of total wall): a 60 s fully-loaded
+    sweep legitimately accrues a few seconds of baseline burn-steal on
+    this guest, so the threshold must scale with sweep length (a fixed
+    2 s would flag every long sweep forever), while short sweeps keep the
+    2 s floor. Explicit numeric overrides pass through."""
+    import bench
+
+    assert bench._steal_budget("auto", 10.0) == 2.0          # floor
+    assert bench._steal_budget("auto", 100.0) == 8.0         # 8% of wall
+    assert bench._steal_budget("3.5", 100.0) == 3.5          # explicit
+
+
 def test_bench_steal_retry_set():
     """The steal guard must queue re-runs exactly when a sweep's total
     steal exceeds the budget (round 8's committed artifact carried 16.85 s
