@@ -2675,6 +2675,53 @@ def ann_ivf_fixed_top5(spark, sf_dir):
                       _vr(F.col("cosine")).alias("cosine_r"))
 
 
+def _knn_graph_oracle(k: int, n_centroids: int) -> str:
+    from opentsdb_spark.pipeline.similarity import seeded_centroids
+
+    cents = seeded_centroids(n_centroids, 64)
+    rows = ",\n".join(
+        "(%d, [%s])" % (i, ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c))
+        for i, c in enumerate(cents)
+    )
+    cos_cell = f"{_vecdot_sql('v', 'cvec')} / ({_vecnorm_sql('v')} * {_vecnorm_sql('cvec')})"
+    pair_cos = f"{_vecdot_sql('a.cv', 'b.cv')} / (a.n * b.n)"
+    return f"""WITH cent(cell, cvec) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (SELECT vec_id, arg_max(cell, {cos_cell}) AS cell,
+                            any_value(v) AS cv
+                     FROM emb CROSS JOIN cent GROUP BY vec_id),
+        an AS (SELECT vec_id, cell, cv, {_vecnorm_sql('cv')} AS n FROM assigned),
+        pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+                         CAST(a.cell AS INT) AS cell, {pair_cos} AS cosine
+                  FROM an a JOIN an b
+                    ON a.cell = b.cell AND a.vec_id != b.vec_id)
+        SELECT vec_id, nbr_id, cell,
+               {RND.format('cosine')} AS cosine_r,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, nbr_id ASC)
+                    AS INT) AS nbr_rank
+        FROM pairs
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, nbr_id ASC) <= {k}"""
+
+
+@register("embed_knn_graph", _knn_graph_oracle(3, 16))
+def embed_knn_graph(spark, sf_dir):
+    """Corpus k-NN graph (pipeline.similarity.knn_graph): every vector's
+    top-3 cosine neighbors within its deterministic seeded k-means cell —
+    the corpus x corpus companion to the ann_* query ops and the input to
+    density/diversity curation. Hash-checked end to end: the oracle
+    recomputes the identical cell partition, pairwise cosines
+    (dim-sequential IEEE fold = bit_exact kernel) and the
+    (cosine DESC, id ASC) neighbor ranks in SQL."""
+    from opentsdb_spark.pipeline.similarity import knn_graph, seeded_centroids
+
+    out = knn_graph(_emb(spark, sf_dir), k=3,
+                    centroids=seeded_centroids(16, 64), bit_exact=True)
+    return out.select("vec_id", "nbr_id", "cell",
+                      _vr(F.col("cosine")).alias("cosine_r"), "nbr_rank")
+
+
 @register(
     "text_fingerprint_md5",
     f"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
@@ -4585,6 +4632,49 @@ def sample_fixed_n_q(spark, sf_dir):
     out = sample_fixed_n(_docs(spark, sf_dir), n=25, seed=3)
     return out.select("doc_id", "source",
                       F.col("n_chars").cast("long").alias("n_chars"),
+                      "sample_rank")
+
+
+def _weighted_reservoir_oracle(n: int = 25, seed: int = 11) -> str:
+    from opentsdb_spark.pipeline.xxh64_sql import py_hash_long
+
+    s1 = py_hash_long(seed, 42) & ((1 << 64) - 1)
+    m = 1 << 53
+    return f"""WITH d AS (SELECT doc_id, source, n_chars FROM documents
+                          WHERE n_chars IS NOT NULL AND n_chars > 0),
+        {hash_long_ctes('d', ('doc_id', 'source', 'n_chars'), 'doc_id',
+                        f'CAST({s1} AS UBIGINT)', 'hh', '__wr')},
+        hs AS (SELECT doc_id, source, n_chars, {_SIGNED_H} AS sh FROM hh),
+        pr AS (SELECT doc_id, source, n_chars,
+                      (((sh % {m}) + {m}) % {m}) / CAST({m} AS DOUBLE)
+                        / CAST(n_chars AS DOUBLE) AS priority
+               FROM hs),
+        r AS (SELECT doc_id, source, n_chars, priority,
+                     row_number() OVER (ORDER BY priority ASC, doc_id ASC) AS rk
+              FROM pr)
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               {RND.format('priority')} AS priority_r,
+               CAST(rk AS INT) AS sample_rank
+        FROM r WHERE rk <= {n}"""
+
+
+@register("sample_weighted_reservoir", _weighted_reservoir_oracle())
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted sample without replacement (pipeline.sampling.
+    weighted_sample): sequential Poisson / order sampling — priority
+    u/weight from the low 53 bits of xxhash64(seed, id), keep the 25
+    smallest, so longer docs win proportionally more often yet the draw
+    replays bit-identically (pure integer-mod + IEEE division, no
+    transcendentals). Compiles to TakeOrderedAndProject like
+    sample_fixed_n (plan-pinned); the oracle replays hash, priority and
+    rank sequentially."""
+    from opentsdb_spark.pipeline.sampling import weighted_sample
+
+    out = weighted_sample(_docs(spark, sf_dir), n=25, weight_col="n_chars",
+                          seed=11)
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      _vr(F.col("priority")).alias("priority_r"),
                       "sample_rank")
 
 

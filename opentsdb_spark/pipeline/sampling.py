@@ -841,3 +841,60 @@ def sample_fixed_n(
         out.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .drop("__h")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str | Column = "n_chars",
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement — sequential
+    Poisson / order sampling (Ohlsson, "Sequential Poisson Sampling",
+    J. Official Statistics 14(2), 1998): each row gets priority
+    q_i = u_i / w_i and the ``n`` SMALLEST priorities win, which draws
+    rows with probability approximately proportional to weight (pi-ps).
+    The classic use: sample a fixed-size eval/inspection set where long
+    or high-quality documents should be proportionally more likely, yet
+    the draw must replay bit-identically across reruns and engines.
+
+    u_i is a deterministic uniform in [0, 1): the low 53 bits of
+    xxhash64(seed, id) divided by 2^53 — integer mod plus ONE IEEE
+    division, no transcendentals, so the priority (and therefore the
+    selected set and its order) is bit-identical in any engine that
+    reproduces xxhash64 (the DuckDB oracle does, via xxh64_sql). A
+    weight-aware A-ES key (u^(1/w)) would need pow/log, whose libm
+    rounding differs across engines; sequential Poisson gives the same
+    inclusion probabilities to first order from pure mul/div.
+
+    Rows with NULL or non-positive weight are zero-probability units and
+    are excluded (standard pi-ps convention).
+
+    100 TB shape: identical to sample_fixed_n — the priority is a narrow
+    map expression and orderBy(...).limit(n) compiles to
+    TakeOrderedAndProject (bounded per-partition heaps + a driver merge
+    of #partitions x n candidates); the corpus never shuffles and never
+    sorts globally. Returns the winning rows + (priority, sample_rank).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    m = F.lit(1 << 53).cast("long")
+    h = F.xxhash64(F.lit(int(seed)).cast("long"), F.col(id_col))
+    u = (((h % m) + m) % m).cast("double") / F.lit(float(1 << 53))
+    out = (
+        docs.where(w.isNotNull() & (w > 0))
+        .withColumn("priority", u / w)
+        .orderBy(F.asc("priority"), F.asc(id_col))
+        .limit(n)
+    )
+    from pyspark.sql import Window
+
+    # bounded post-limit rank; constant-valued non-foldable partition spec
+    # keeps WindowExec's "No Partition Defined" warning out of the logs
+    # (see sample_fixed_n)
+    rw = Window.partitionBy(F.col(id_col) * F.lit(0)).orderBy(
+        F.asc("priority"), F.asc(id_col))
+    return out.withColumn("sample_rank", F.row_number().over(rw).cast("int"))

@@ -515,6 +515,72 @@ def _subdiv_sig_udf(planes: list[list[float]]):
     return sig
 
 
+def _subdivide_cells(
+    assigned: DataFrame,
+    embeddings: DataFrame,
+    dim: int,
+    max_cell: int | None,
+    seed: int,
+) -> DataFrame:
+    """Quadratic-kernel guard shared by semdedup and knn_graph: pair work
+    per cell is |cell|^2, so a cell past ``max_cell`` is SUBDIVIDED by
+    extra random-hyperplane sign bits (ceil(log2(size/max_cell)) bits,
+    deterministic planes disjoint from the ANN tables) before the pairwise
+    kernel — adds the ``__sub`` subcell column. Proper SemDeDup raises
+    n_centroids with the corpus (the paper runs ~100k clusters); the cap
+    is the safety net when centroids are fixed — pairs never cross a
+    subcell, the standard LSH recall trade (measured: 30x-replicated
+    sf0.1 at 8 fixed cells went 136s -> bounded without it)."""
+    assigned = assigned.withColumn("__sub", F.lit(0))
+    # cheap pre-gate: a metadata-level row count (no UDF) skips the whole
+    # probe when no cell can possibly exceed the cap
+    if max_cell is not None and embeddings.count() <= max_cell:
+        max_cell = None
+    if max_cell is not None:
+        # persisted: the size probe and the kernel otherwise each run the
+        # assignment UDF over the corpus. Registered as per-thread scratch
+        # so a serving layer can unpin it after the query completes.
+        from pyspark.storagelevel import StorageLevel
+
+        from opentsdb_spark.operators.groupby import _register_scratch
+
+        assigned = _register_scratch(assigned.persist(StorageLevel.MEMORY_AND_DISK))
+        sizes = {r["cell"]: r["n"] for r in
+                 assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+        import math as _math
+
+        bits = {c: max(0, _math.ceil(_math.log2(n / max_cell))) if n > max_cell else 0
+                for c, n in sizes.items()}
+        maxbits = max(bits.values(), default=0)
+        if maxbits > 0:
+            maxbits = min(maxbits, 16)
+            planes = [
+                _plane_coeffs(2_000_000, j, dim, seed)
+                for j in range(maxbits)
+            ]
+            # ONE matmul per Arrow batch for all sign planes — the
+            # expression fold (_dot per bit) is CodegenFallback: 4 bits x
+            # 64 interpreted lambdas per row dominated the subdivided
+            # path at 100x scale. Sign margins are ~1e-6 (the ANN
+            # measurement) vs ~1e-15 reassociation noise, and subdivision
+            # only exists past max_cell — the oracle gate (500 rows)
+            # never enters this branch.
+            sig = _subdiv_sig_udf(planes)(F.col("cv"))
+            bits_map = F.create_map(*[
+                F.lit(x) for kv in bits.items() for x in kv
+            ])
+            nb = bits_map[F.col("cell")]
+            # per-cell right shift: shiftright() takes only a literal shift,
+            # so divide by 2^(maxbits-nb) instead (exact: sig < 2^16)
+            shifted = F.floor(
+                sig.cast("double") / F.pow(F.lit(2.0), (F.lit(maxbits) - nb).cast("double"))
+            ).cast("long")
+            assigned = assigned.withColumn(
+                "__sub", F.when(nb > 0, shifted).otherwise(F.lit(0)).cast("long")
+            )
+    return assigned
+
+
 def semdedup(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -564,62 +630,8 @@ def semdedup(
     )
     corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
     assigned = _assign_cells(corpus, cent_arr, "cv")
-
-    # Guard the quadratic: pair work per cell is |cell|^2, so a cell past
-    # ``max_cell`` is SUBDIVIDED by extra random-hyperplane sign bits
-    # (ceil(log2(size/max_cell)) bits, deterministic planes disjoint from
-    # the ANN tables) before the pairwise kernel. Proper SemDeDup raises
-    # n_centroids with the corpus (the paper runs ~100k clusters); the cap
-    # is the safety net when centroids are fixed — pairs never cross a
-    # subcell, the standard LSH recall trade (measured: 30x-replicated
-    # sf0.1 at 8 fixed cells went 136s -> bounded without it).
-    assigned = assigned.withColumn("__sub", F.lit(0))
-    # cheap pre-gate: a metadata-level row count (no UDF) skips the whole
-    # probe when no cell can possibly exceed the cap
-    if max_cell is not None and embeddings.count() <= max_cell:
-        max_cell = None
-    if max_cell is not None:
-        # persisted: the size probe and the kernel otherwise each run the
-        # assignment UDF over the corpus. Registered as per-thread scratch
-        # so a serving layer can unpin it after the query completes.
-        from pyspark.storagelevel import StorageLevel
-
-        from opentsdb_spark.operators.groupby import _register_scratch
-
-        assigned = _register_scratch(assigned.persist(StorageLevel.MEMORY_AND_DISK))
-        sizes = {r["cell"]: r["n"] for r in
-                 assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()}
-        import math as _math
-
-        bits = {c: max(0, _math.ceil(_math.log2(n / max_cell))) if n > max_cell else 0
-                for c, n in sizes.items()}
-        maxbits = max(bits.values(), default=0)
-        if maxbits > 0:
-            maxbits = min(maxbits, 16)
-            planes = [
-                _plane_coeffs(2_000_000, j, len(cent_arr[0]), seed)
-                for j in range(maxbits)
-            ]
-            # ONE matmul per Arrow batch for all sign planes — the
-            # expression fold (_dot per bit) is CodegenFallback: 4 bits x
-            # 64 interpreted lambdas per row dominated the subdivided
-            # path at 100x scale. Sign margins are ~1e-6 (the ANN
-            # measurement) vs ~1e-15 reassociation noise, and subdivision
-            # only exists past max_cell — the oracle gate (500 rows)
-            # never enters this branch.
-            sig = _subdiv_sig_udf(planes)(F.col("cv"))
-            bits_map = F.create_map(*[
-                F.lit(x) for kv in bits.items() for x in kv
-            ])
-            nb = bits_map[F.col("cell")]
-            # per-cell right shift: shiftright() takes only a literal shift,
-            # so divide by 2^(maxbits-nb) instead (exact: sig < 2^16)
-            shifted = F.floor(
-                sig.cast("double") / F.pow(F.lit(2.0), (F.lit(maxbits) - nb).cast("double"))
-            ).cast("long")
-            assigned = assigned.withColumn(
-                "__sub", F.when(nb > 0, shifted).otherwise(F.lit(0)).cast("long")
-            )
+    assigned = _subdivide_cells(assigned, embeddings, len(cent_arr[0]),
+                                max_cell, seed)
 
     # Within-cell scoring as ONE Arrow batch per cell: the pair-join form
     # (self-join on cell + per-pair cosine UDF) ships two dim-length arrays
@@ -689,6 +701,112 @@ def semdedup(
             F.col("dup_cosine")
         ).alias("dup_cosine"),
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    train_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: int | None = 2048,
+    bit_exact: bool = False,
+) -> DataFrame:
+    """Corpus k-NN graph: each vector's top-``k`` cosine neighbors, with
+    candidates bounded to the vector's k-means cell (the clustered-kNN
+    standard — same cell machinery as semdedup/IVF). The graph is the
+    input to density estimation, graph-based diversity selection, and
+    cluster-quality audits over a training corpus; unlike the ann_* ops
+    (few queries vs the corpus) this is corpus x corpus, so candidates
+    MUST be bucket-bounded — an exact all-pairs kNN does not exist at
+    100 TB.
+
+    Neighbors are ranked (cosine DESC, neighbor id ASC); self-matches are
+    excluded; vectors alone in their cell emit no rows. Cells past
+    ``max_cell`` subdivide by hyperplane sign bits (see _subdivide_cells)
+    — neighbors split across subcells are missed, the standard LSH recall
+    trade; raise n_centroids with the corpus instead of leaning on the
+    cap. NaN cosines (zero-norm vectors) rank last and are emitted only
+    when a cell has fewer than k finite candidates.
+
+    Scale shape: assignment is a narrow map (centroids ride the UDF
+    closure); the only shuffle is the applyInPandas repartition on the
+    int (cell, __sub) key; per-cell work is |cell| x dim one matmul +
+    an O(|cell| log k) selection, memory O(|cell|^2) doubles per task.
+    Returns (id, nbr_id, cell, cosine, nbr_rank)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cent_arr = (
+        [[float(x) for x in c] for c in centroids]
+        if centroids is not None
+        else _train_kmeans(embeddings, n_centroids, train_size, iters, seed,
+                           vec_col, id_col=id_col)
+    )
+    corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    assigned = _assign_cells(corpus, cent_arr, "cv")
+    assigned = _subdivide_cells(assigned, embeddings, len(cent_arr[0]),
+                                max_cell, seed)
+
+    out_schema = (f"{id_col} long, nbr_id long, cell int, "
+                  "cosine double, nbr_rank int")
+
+    def _cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(id_col)
+        n = len(pdf)
+        if n <= 1:
+            return pd.DataFrame(
+                {id_col: [], "nbr_id": [], "cell": [], "cosine": [],
+                 "nbr_rank": []}
+            ).astype({id_col: "int64", "nbr_id": "int64", "cell": "int32",
+                      "cosine": "float64", "nbr_rank": "int32"})
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray([np.asarray(v, np.float64) for v in pdf["cv"]])
+        if bit_exact:
+            # dim-sequential accumulation replays the SQL fold's IEEE op
+            # order — bit-identical cosines for the hash-checked oracle
+            dot = np.zeros((n, n))
+            nn = np.zeros(n)
+            for d in range(V.shape[1]):
+                c = V[:, d]
+                dot = dot + np.multiply.outer(c, c)
+                nn = nn + c * c
+        else:
+            dot = V @ V.T
+            nn = np.einsum("ij,ij->i", V, V)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rt = np.sqrt(nn)
+            cos = dot / (rt[:, None] * rt[None, :])
+        # rank key: NaN (zero-norm partner) sorts last; self is dropped by
+        # INDEX below (a -inf diagonal alone could tie with NaN partners
+        # and survive the slice on the id tiebreak)
+        key = np.where(np.isnan(cos), -np.inf, cos)
+        kk = min(k, n - 1)
+        src, nbr, cval, rk = [], [], [], []
+        for i in range(n):
+            row = key[i]
+            # top-kk by (cosine desc, id asc): lexsort is ascending-stable,
+            # so sort on (-cosine) primary, id secondary
+            order = np.lexsort((ids, -row))
+            order = order[order != i][:kk]
+            src.extend([ids[i]] * len(order))
+            nbr.extend(ids[order])
+            cval.extend(cos[i, order])
+            rk.extend(range(1, len(order) + 1))
+        return pd.DataFrame({
+            id_col: np.asarray(src, "int64"),
+            "nbr_id": np.asarray(nbr, "int64"),
+            "cell": np.full(len(src), pdf["cell"].iloc[0], "int32"),
+            "cosine": np.asarray(cval, "float64"),
+            "nbr_rank": np.asarray(rk, "int32"),
+        })
+
+    return assigned.groupBy("cell", "__sub").applyInPandas(_cell_kernel, out_schema)
 
 
 def ivf_topk(

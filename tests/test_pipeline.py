@@ -2277,3 +2277,121 @@ def test_sample_fixed_n_exact_and_seeded(spark):
     assert win_lines and all("], [], [" not in ln for ln in win_lines), plan[:2000]
     with pytest.raises(ValueError):
         sample_fixed_n(docs, n=0)
+
+
+def test_weighted_sample_bias_determinism_and_plan(spark):
+    """Sequential Poisson sampling: exact n, reproducible, heavier rows win
+    more often than a uniform draw, zero/NULL weights excluded, and the
+    plan is a TakeOrderedAndProject (no global sort / corpus shuffle)."""
+    import pytest
+
+    from opentsdb_spark.pipeline.sampling import weighted_sample
+
+    # weights: doc 0..99 weight 1, doc 100..199 weight 100
+    docs = spark.createDataFrame(
+        [(i, 1 if i < 100 else 100) for i in range(200)]
+        + [(200, 0), (201, None)],
+        "doc_id long, w int",
+    )
+    out = weighted_sample(docs, n=50, weight_col="w", seed=5)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert sorted(r["sample_rank"] for r in rows) == list(range(1, 51))
+    assert all(r["doc_id"] < 200 for r in rows)  # zero/NULL weight excluded
+    # replay identical
+    assert {tuple(r) for r in weighted_sample(
+        docs, n=50, weight_col="w", seed=5).collect()} == {tuple(r) for r in rows}
+    # 100x heavier rows should dominate: expect >= 40 of 50 from the heavy
+    # half (uniform would give ~25; P[>=40 under uniform] is astronomically
+    # small, and the draw is deterministic so this never flakes)
+    heavy = sum(1 for r in rows if r["doc_id"] >= 100)
+    assert heavy >= 40, heavy
+    # a different seed permutes the light-half members it picks up
+    other = {r["doc_id"] for r in weighted_sample(docs, n=50, weight_col="w",
+                                                  seed=6).collect()}
+    assert other != {r["doc_id"] for r in rows}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("], [], [" not in ln for ln in win_lines), plan[:2000]
+    with pytest.raises(ValueError):
+        weighted_sample(docs, n=0)
+    # constant weights degenerate to an unbiased uniform draw: scaling the
+    # weight leaves the priority ORDER unchanged (u/w monotone in u), so
+    # the member set is weight-scale-invariant
+    const7 = spark.createDataFrame([(i, 7) for i in range(100)],
+                                   "doc_id long, w int")
+    const9 = spark.createDataFrame([(i, 9) for i in range(100)],
+                                   "doc_id long, w int")
+    w7 = {r["doc_id"] for r in weighted_sample(const7, n=10, weight_col="w",
+                                               seed=3).collect()}
+    w9 = {r["doc_id"] for r in weighted_sample(const9, n=10, weight_col="w",
+                                               seed=3).collect()}
+    assert w7 == w9
+
+
+def test_knn_graph_ranks_self_exclusion_and_edges(spark):
+    """Top-k neighbors per vector within its cell: self never appears,
+    ranks are (cosine desc, id asc), a vector alone in its cell emits no
+    rows, k > cell size degrades to cell size - 1, and the fast BLAS
+    kernel matches the bit-exact fold after rounding."""
+    import pytest
+
+    from opentsdb_spark.pipeline.similarity import knn_graph
+
+    # two well-separated cells via explicit centroids: e1-ish and e2-ish
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1, 0.0]),   # cell 0
+            (2, [1.0, 0.2, 0.0]),   # cell 0
+            (3, [0.9, 0.0, 0.1]),   # cell 0
+            (4, [0.0, 1.0, 0.0]),   # cell 1 — alone
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_graph(emb, k=2, centroids=cents, bit_exact=True)
+    rows = {(r["vec_id"], r["nbr_rank"]): r for r in out.collect()}
+    # vec 4 alone in cell 1 -> no rows; cell 0 has 3 vectors -> 2 nbrs each
+    assert len(rows) == 6
+    assert all(vid != rows[(vid, rk)]["nbr_id"] for vid, rk in rows)
+    # 1 and 2 are near-parallel; both rank each other first
+    assert rows[(1, 1)]["nbr_id"] == 2
+    assert rows[(2, 1)]["nbr_id"] == 1
+    assert all(r["cell"] == 0 for r in rows.values())
+    # rank order is strictly decreasing cosine (ties broken by id asc)
+    for vid in (1, 2, 3):
+        assert rows[(vid, 1)]["cosine"] >= rows[(vid, 2)]["cosine"]
+    # k larger than any cell: every vector still emits cell_size-1 rows
+    assert knn_graph(emb, k=10, centroids=cents, bit_exact=True).count() == 6
+    # fast kernel == bit-exact kernel after the catalog's 4-decimal round
+    fast = {(r["vec_id"], r["nbr_rank"], r["nbr_id"], round(r["cosine"], 4))
+            for r in knn_graph(emb, k=2, centroids=cents).collect()}
+    exact = {(r["vec_id"], r["nbr_rank"], r["nbr_id"], round(r["cosine"], 4))
+             for r in out.collect()}
+    assert fast == exact
+    with pytest.raises(ValueError):
+        knn_graph(emb, k=0, centroids=cents)
+
+
+def test_knn_graph_subdivision_bounds_cells(spark):
+    """Past max_cell the cell subdivides on hyperplane sign bits: pairs
+    never cross a subcell, so every neighbor row's endpoints share a
+    subcell — and the graph still covers (almost) every vector."""
+    from opentsdb_spark.pipeline.similarity import knn_graph
+
+    # 64 vectors, ONE centroid -> one cell of 64 > max_cell=16 -> subdivide
+    import random
+
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = [[1.0] + [0.0] * 7]
+    out = knn_graph(emb, k=2, centroids=cents, max_cell=16).collect()
+    assert out  # graph non-empty
+    # k-NN lists are per-subcell: at most 2 rows per vector, all cell 0
+    from collections import Counter
+
+    per_vec = Counter(r["vec_id"] for r in out)
+    assert all(c <= 2 for c in per_vec.values())
+    assert all(r["cell"] == 0 for r in out)
