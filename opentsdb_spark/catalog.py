@@ -4099,6 +4099,73 @@ def tsdb_asof_join(spark, sf_dir):
     )
 
 
+_FUNNEL_W = 72 * 3600 * 1000  # 72h windowFunnel deadline
+
+
+@register(
+    "events_funnel",
+    f"""WITH u1 AS (SELECT user_id, min(epoch_ms(ts)) AS t1
+                    FROM events WHERE event_type = 'view' GROUP BY user_id),
+        u2 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+               FROM events e JOIN u1 ON e.user_id = u1.user_id
+               WHERE e.event_type = 'click'
+                 AND epoch_ms(e.ts) >= u1.t1
+                 AND epoch_ms(e.ts) <= u1.t1 + {_FUNNEL_W}
+               GROUP BY e.user_id),
+        u3 AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+               FROM events e
+               JOIN u2 ON e.user_id = u2.user_id
+               JOIN u1 ON e.user_id = u1.user_id
+               WHERE e.event_type = 'purchase'
+                 AND epoch_ms(e.ts) >= u2.t2
+                 AND epoch_ms(e.ts) <= u1.t1 + {_FUNNEL_W}
+               GROUP BY e.user_id)
+        SELECT u1.user_id,
+               CAST(1 + CAST(t2 IS NOT NULL AS INT)
+                      + CAST(t3 IS NOT NULL AS INT) AS INT) AS stage,
+               CAST(t1 AS BIGINT) AS step_ts_1,
+               CAST(t2 AS BIGINT) AS step_ts_2,
+               CAST(t3 AS BIGINT) AS step_ts_3
+        FROM u1
+        LEFT JOIN u2 ON u1.user_id = u2.user_id
+        LEFT JOIN u3 ON u1.user_id = u3.user_id""",
+)
+def events_funnel(spark, sf_dir):
+    """Windowed step funnel (operators/funnel.py funnel_steps): how far
+    each user gets through view -> click -> purchase, each step
+    at-or-after the previous and all within 72h of entry. The engine
+    resolves the whole chain in ONE groupBy(user) (sorted step arrays +
+    higher-order filter/element_at); the oracle is the classical
+    per-step join chain — hash equality proves the single-shuffle
+    formulation implements the sequential definition."""
+    from opentsdb_spark.operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"],
+                        window_ms=_FUNNEL_W)
+
+
+@register(
+    "events_retention_cohort",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        c AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id)
+        SELECT c.cohort AS cohort_date,
+               CAST(date_diff('day', c.cohort, ud.d) AS INT) AS day_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM ud JOIN c ON ud.user_id = c.user_id
+        GROUP BY 1, 2""",
+)
+def events_retention_cohort(spark, sf_dir):
+    """Daily retention triangle (operators/funnel.py retention_cohorts):
+    users cohorted by first-seen day, counted per (cohort, day offset).
+    The engine's per-user day-SET aggregation (two bounded shuffles, no
+    user x day self-join and no distinct over the raw feed) must hash-match
+    the oracle's classical distinct-join-groupby formulation."""
+    from opentsdb_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "tsdb_sessionize",
     f"""WITH e AS (SELECT user_id, ts, value,

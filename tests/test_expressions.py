@@ -304,3 +304,110 @@ def test_asof_join_null_right_payload(spark):
     [t] = asof_join(left, right, on=["k"], right_cols=["v"],
                     tolerance_ms=150_000).collect()
     assert t["v_right"] is None and t["ts_right"] is not None
+
+
+# ---------------------------------------------------------------- funnels
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_steps_sequential_semantics(spark):
+    """Each step must land at-or-after the previous step's completion;
+    events before funnel entry never count; ties (equal timestamps)
+    satisfy the '>=' contract; users without the entry step emit no row."""
+    import datetime as dt
+
+    import pytest
+
+    from opentsdb_spark.operators.funnel import funnel_steps
+
+    E = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return E + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: click@5 precedes view@10 and must NOT count; the valid
+        # chain is view@10 -> click@20 -> purchase@30 (purchase@15 is
+        # before the click completion)
+        (1, t(10), "view"), (1, t(5), "click"), (1, t(20), "click"),
+        (1, t(15), "purchase"), (1, t(30), "purchase"),
+        # user 2: only a pre-entry click -> stalls at stage 1
+        (2, t(10), "view"), (2, t(5), "click"),
+        # user 3: never enters (no view) -> no row
+        (3, t(10), "click"),
+        # user 4: simultaneous view+click+purchase -> ties satisfy >=
+        (4, t(7), "view"), (4, t(7), "click"), (4, t(7), "purchase"),
+    ]
+    out = {r["user_id"]: r for r in
+           funnel_steps(_ev(spark, rows), ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4}
+
+    def ms(s):
+        return int(t(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    assert (out[1]["stage"], out[1]["step_ts_1"], out[1]["step_ts_2"],
+            out[1]["step_ts_3"]) == (3, ms(10), ms(20), ms(30))
+    assert (out[2]["stage"], out[2]["step_ts_2"]) == (1, None)
+    assert (out[4]["stage"], out[4]["step_ts_3"]) == (3, ms(7))
+    with pytest.raises(ValueError):
+        funnel_steps(_ev(spark, rows), ["view"])
+    with pytest.raises(ValueError):
+        funnel_steps(_ev(spark, rows), ["view", "view"])
+
+
+def test_funnel_steps_window_deadline(spark):
+    """With window_ms every completion must fall within the window of the
+    ENTRY step — a late purchase drops the user back a stage."""
+    import datetime as dt
+
+    from opentsdb_spark.operators.funnel import funnel_steps
+
+    E = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return E + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(100), "purchase"),
+        (2, t(0), "view"), (2, t(5), "click"), (2, t(9), "purchase"),
+    ]
+    out = {r["user_id"]: r for r in
+           funnel_steps(_ev(spark, rows), ["view", "click", "purchase"],
+                        window_ms=10_000).collect()}
+    assert out[1]["stage"] == 2 and out[1]["step_ts_3"] is None
+    assert out[2]["stage"] == 3
+    # the plan is ONE aggregate over user -- a single shuffle, no joins
+    plan = funnel_steps(_ev(spark, rows), ["view", "click", "purchase"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_retention_cohorts_triangle(spark):
+    """Cohort by first-seen day; offset-0 cell equals cohort size; a user
+    active on k distinct days appears in exactly k cells of their cohort
+    row; no joins over the raw feed."""
+    import datetime as dt
+
+    from opentsdb_spark.operators.funnel import retention_cohorts
+
+    def d(day, h=0):
+        return dt.datetime(2024, 1, day, h)
+
+    rows = [
+        # cohort Jan 1: users 1, 2. user 1 returns day 2 and 3 (twice on
+        # day 3 -> still one cell); user 2 never returns.
+        (1, d(1), "view"), (1, d(2), "click"), (1, d(3), "view"),
+        (1, d(3, 12), "click"),
+        (2, d(1, 5), "view"),
+        # cohort Jan 2: user 3, returns day 4 (offset 2)
+        (3, d(2), "view"), (3, d(4), "purchase"),
+    ]
+    out = {(str(r["cohort_date"]), r["day_offset"]): r["n_users"]
+           for r in retention_cohorts(_ev(spark, rows)).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
+    }
