@@ -4099,6 +4099,58 @@ def tsdb_asof_join(spark, sf_dir):
     )
 
 
+_ZV = "(ss - n * (s / n) * (s / n)) / (n - 1.0)"  # trailing sample variance
+
+
+@register(
+    "tsdb_anomaly_zscore",
+    f"""WITH g AS (SELECT event_type AS metric, {H_SEC} AS ts_sec,
+                          sum(value) AS v
+                   FROM events GROUP BY 1, 2),
+        w AS (SELECT metric, ts_sec, v,
+                     count(v) OVER fr AS n, sum(v) OVER fr AS s,
+                     sum(v * v) OVER fr AS ss
+              FROM g
+              WINDOW fr AS (PARTITION BY metric ORDER BY ts_sec
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        m AS (SELECT metric, ts_sec, v,
+                     CASE WHEN n >= 3 AND {_ZV} > 0
+                          THEN (v - s / n) / sqrt({_ZV}) END AS z
+              FROM w)
+        SELECT metric, ts_sec, {RND.format('v')} AS value_r,
+               {RND.format('z')} AS zscore_r,
+               COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
+        FROM m""",
+)
+def tsdb_anomaly_zscore(spark, sf_dir):
+    """Trailing z-score anomaly flags (operators/expressions.py
+    anomaly_zscore) over the hourly per-metric sum grid: each bucket
+    scored against the mean/sample-stddev of its previous 24 buckets
+    (self excluded), |z| > 2 flagged. The moments are explicit
+    sum/sumsq window aggregates — the same IEEE formula the oracle runs,
+    so scores AND flags hash-check; warm-up rows (<3 trailing points)
+    stay NULL/false on both sides."""
+    from opentsdb_spark.operators.expressions import anomaly_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.groupBy(
+            F.col("event_type").alias("metric"),
+            (F.unix_millis("ts") / 3600000).cast("long").alias("__hb"),
+        )
+        .agg(F.sum("value").alias("value"))
+        .select("metric", (F.col("__hb") * 3600).alias("ts"), "value")
+    )
+    out = anomaly_zscore(grid, series_cols=("metric",), lookback=24,
+                         threshold=2.0, min_points=3)
+    return out.select(
+        "metric", F.col("ts").alias("ts_sec"),
+        _vr(F.col("value")).alias("value_r"),
+        _vr(F.col("zscore")).alias("zscore_r"),
+        "is_anomaly",
+    )
+
+
 _FUNNEL_W = 72 * 3600 * 1000  # 72h windowFunnel deadline
 
 

@@ -131,3 +131,55 @@ def divide_series(frames: list[DataFrame], series_cols: tuple[str, ...] = ()) ->
     semantics: x/0 -> +-Infinity, 0/0 -> NaN (ExpressionIterator.java:346
     executes the script on doubles)."""
     return _nary(frames, series_cols, "/", FillPolicy("zero"))
+
+
+def anomaly_zscore(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    lookback: int = 24,
+    threshold: float = 2.0,
+    min_points: int = 3,
+) -> DataFrame:
+    """Trailing z-score anomaly detection per series — the alerting-side
+    companion to moving_average: each point is scored against the mean and
+    sample-stddev of the PREVIOUS ``lookback`` points of its own series
+    (the point itself excluded, so a spike cannot mask itself), and
+    flagged when |z| exceeds ``threshold``. Points whose trailing window
+    holds fewer than ``min_points`` values, or whose window variance is
+    zero, get NULL zscore / false flag (warm-up and flat-line are not
+    anomalies).
+
+    The moments are computed from explicit sum / sum-of-squares window
+    aggregates — var = (sumsq - n*mean^2) / (n-1) — rather than
+    stddev_samp(), so the arithmetic is plain IEEE mul/add/div/sqrt that
+    any engine replays bit-identically in frame order (the catalog
+    hash-checks this against DuckDB running the SAME formula; Welford-ish
+    built-in stddevs differ in low bits across engines).
+
+    Scale shape: one shuffle (the per-series window partition), bounded
+    O(1) running state per frame step. Feed it the DOWNSAMPLED grid, not
+    raw points — the window is per-series, so skew follows the largest
+    single series, same exposure as every per-series operator."""
+    if lookback < 2:
+        raise ValueError(f"lookback must be >= 2, got {lookback}")
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2, got {min_points}")
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("ts")
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col("value").cast("double")
+    n = F.count("value").over(w).cast("double")
+    s = F.sum(v).over(w)
+    ss = F.sum(v * v).over(w)
+    mean = s / n
+    var = (ss - n * mean * mean) / (n - F.lit(1.0))
+    z = F.when(
+        (n >= F.lit(float(min_points))) & (var > 0),
+        (v - mean) / F.sqrt(var),
+    )
+    return df.withColumn("zscore", z).withColumn(
+        "is_anomaly",
+        F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))).otherwise(F.lit(False)),
+    )

@@ -411,3 +411,41 @@ def test_retention_cohorts_triangle(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 1, ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1, ("2024-01-02", 2): 1,
     }
+
+
+def test_anomaly_zscore_flags_and_warmup(spark):
+    """A clear spike is flagged, steady points are not, the first
+    min_points rows stay NULL/false (warm-up), the scored point is
+    excluded from its own window, and flat windows yield NULL z."""
+    import pytest
+
+    from opentsdb_spark.operators.expressions import anomaly_zscore
+
+    vals = [10.0, 11.0, 10.5, 10.2, 10.8, 10.4, 100.0, 10.6, 10.3]
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)],
+        "metric string, ts long, value double",
+    )
+    out = {r["ts"]: r for r in
+           anomaly_zscore(df, ("metric",), lookback=5, threshold=2.0,
+                          min_points=3).collect()}
+    assert out[0]["zscore"] is None and out[0]["is_anomaly"] is False
+    assert out[1]["zscore"] is None  # only 1 trailing point
+    assert out[2]["zscore"] is None  # only 2 trailing points < min_points=3
+    assert out[3]["zscore"] is not None
+    assert out[6]["is_anomaly"] is True and out[6]["zscore"] > 2
+    # the spike sits in ts=7..8's trailing window, inflating sigma — but
+    # they are not anomalies themselves
+    assert out[7]["is_anomaly"] is False
+    assert out[8]["is_anomaly"] is False
+    # normal points before the spike: not flagged
+    assert all(out[i]["is_anomaly"] is False for i in (3, 4, 5))
+    # flat series: zero variance -> NULL z, never flagged
+    flat = spark.createDataFrame([("m", i, 5.0) for i in range(10)],
+                                 "metric string, ts long, value double")
+    fo = anomaly_zscore(flat, ("metric",), lookback=5).collect()
+    assert all(r["zscore"] is None and r["is_anomaly"] is False for r in fo)
+    with pytest.raises(ValueError):
+        anomaly_zscore(df, ("metric",), lookback=1)
+    with pytest.raises(ValueError):
+        anomaly_zscore(df, ("metric",), min_points=1)
