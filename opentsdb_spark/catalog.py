@@ -2705,6 +2705,34 @@ def _knn_graph_oracle(k: int, n_centroids: int) -> str:
                                    ORDER BY cosine DESC, nbr_id ASC) <= {k}"""
 
 
+def _knn_density_oracle(k: int, n_centroids: int) -> str:
+    return f"""WITH base AS ({_knn_graph_oracle(k, n_centroids)})
+        SELECT vec_id, cell,
+               {RND.format('avg(cosine_r)')} AS knn_density_r,
+               CAST(count(*) AS INT) AS n_neighbors
+        FROM base GROUP BY vec_id, cell"""
+
+
+@register("embed_knn_density", _knn_density_oracle(3, 16))
+def embed_knn_density(spark, sf_dir):
+    """k-NN density / outlier score (pipeline.similarity.knn_density):
+    mean cosine to the 3 nearest within-cell neighbors — the data-pruning
+    signal complementary to prototypicality (crowded regions downsample,
+    isolated vectors are rare-content candidates). The oracle averages
+    the knn-graph oracle's ROUNDED cosines, so the engine mirrors that
+    (rounding before the mean keeps both sides on identical inputs)."""
+    from opentsdb_spark.pipeline.similarity import knn_graph, seeded_centroids
+
+    g = knn_graph(_emb(spark, sf_dir), k=3,
+                  centroids=seeded_centroids(16, 64), bit_exact=True)
+    return (
+        g.withColumn("__cr", _vr(F.col("cosine")))
+        .groupBy("vec_id", "cell")
+        .agg(_vr(F.avg("__cr")).alias("knn_density_r"),
+             F.count("*").cast("int").alias("n_neighbors"))
+    )
+
+
 @register("embed_knn_graph", _knn_graph_oracle(3, 16))
 def embed_knn_graph(spark, sf_dir):
     """Corpus k-NN graph (pipeline.similarity.knn_graph): every vector's
@@ -2958,17 +2986,16 @@ def multimodal_dhash_pairs(spark, sf_dir):
     return dhash_dup_pairs(media, max_hamming=6)
 
 
-def _frame_dhash_pairs_oracle(max_hamming: int) -> str:
+def _frame_dh_ctes() -> str:
     # dHash per sampled video frame (fidx slice of the raw blob, NN-resized
-    # 12x8 -> 9x8; src row map r*8//8 = r), flat frames (dhash = 0) dropped,
-    # banding replicated on the packed media*65536+frame key — the exact
-    # frame_dup_pairs contract including candidate recall.
+    # 12x8 -> 9x8; src row map r*8//8 = r) — the shared `dh` CTE chain for
+    # the frame-dedup and scene-cut oracles.
     hw, hh = 8, 8
     ow = hw + 1
     fsz = _VID_W * _VID_H
     n = fsz * _VID_FRAMES
     fvals = ", ".join(f"({i})" for i in sorted({i for i, _ in _sampled_frames()}))
-    return f"""WITH
+    return f"""
         fr(fidx) AS (VALUES {fvals}),
         grid AS (SELECT r.i AS r, c.i AS c
                  FROM range({hh}) AS r(i) CROSS JOIN range({ow}) AS c(i)),
@@ -2990,7 +3017,14 @@ def _frame_dhash_pairs_oracle(max_hamming: int) -> str:
                                     THEN (1::BIGINT << bitpos) ELSE 0 END)
                            + max(CASE WHEN bit = 1 AND bitpos = 63 THEN 1 ELSE 0 END)
                              * (-9223372036854775807 - 1) AS BIGINT) AS dh
-               FROM bits GROUP BY doc_id, fidx),
+               FROM bits GROUP BY doc_id, fidx)"""
+
+
+def _frame_dhash_pairs_oracle(max_hamming: int) -> str:
+    # flat frames (dhash = 0) dropped, banding replicated on the packed
+    # media*65536+frame key — the exact frame_dup_pairs contract
+    # including candidate recall.
+    return f"""WITH {_frame_dh_ctes()},
         nz AS (SELECT doc_id * 65536 + fidx AS fid, dh FROM dh WHERE dh <> 0),
         band AS (SELECT fid, dh, tb.b, (dh >> (tb.b * 16)) & 65535 AS bh
                  FROM nz CROSS JOIN generate_series(0, 3) tb(b)),
@@ -3001,6 +3035,40 @@ def _frame_dhash_pairs_oracle(max_hamming: int) -> str:
                fb // 65536 AS media_b, CAST(fb % 65536 AS INT) AS frame_b,
                CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+
+
+def _scene_cuts_oracle(threshold: int) -> str:
+    cut = f"COALESCE(hamming_prev >= {threshold}, FALSE)"
+    return f"""WITH {_frame_dh_ctes()},
+        l AS (SELECT doc_id, fidx, dh,
+                     lag(dh) OVER (PARTITION BY doc_id ORDER BY fidx) AS pdh
+              FROM dh),
+        c AS (SELECT doc_id, fidx, dh,
+                     CASE WHEN pdh IS NOT NULL
+                          THEN CAST(bit_count(xor(dh, pdh)) AS INT)
+                     END AS hamming_prev
+              FROM l)
+        SELECT doc_id AS media_id, CAST(fidx AS INT) AS frame_idx,
+               dh AS dhash, hamming_prev, {cut} AS is_cut,
+               CAST(sum(CASE WHEN {cut} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY fidx
+                          ROWS UNBOUNDED PRECEDING) AS INT) AS shot_id
+        FROM c"""
+
+
+@register("multimodal_scene_cuts", _scene_cuts_oracle(16))
+def multimodal_scene_cuts(spark, sf_dir):
+    """Shot/scene-change detection (pipeline.multimodal.scene_cuts):
+    consecutive sampled-frame dHash Hamming deltas per video, cuts at
+    >= 16 bits, cumulative shot ids. The oracle replays every pixel,
+    gradient bit, lag, flag and running shot count in SQL — pure-integer
+    end to end, so the whole temporal segmentation is hash-checked."""
+    from opentsdb_spark.pipeline.multimodal import scene_cuts
+
+    media = docs_as_raw_video(
+        _docs(spark, sf_dir), _VID_W, _VID_H, _VID_FRAMES, _VID_FRAME_MS
+    )
+    return scene_cuts(media, _VID_EVERY_MS, threshold=16)
 
 
 @register("multimodal_frame_dedup", _frame_dhash_pairs_oracle(3))
@@ -4490,6 +4558,50 @@ def text_vocab_top10_lang(spark, sf_dir):
     from opentsdb_spark.pipeline.text import vocab_topk_grouped
 
     return vocab_topk_grouped(_docs(spark, sf_dir), k=10, group_col="lang")
+
+
+_ZIPF_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+
+
+@register(
+    "text_zipf_alpha",
+    rf"""WITH w AS (SELECT lang,
+                           unnest(regexp_extract_all(lower(text), '\S+')) AS token
+                    FROM documents),
+        c AS (SELECT lang, token, count(*) AS tf
+              FROM w WHERE token <> '' GROUP BY lang, token),
+        r AS (SELECT lang, tf,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY tf DESC, token ASC) AS rank
+              FROM c
+              QUALIFY row_number() OVER (PARTITION BY lang
+                      ORDER BY tf DESC, token ASC) <= 100),
+        s AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+                     sum(ln(rank::DOUBLE)) AS sx, sum(ln(tf::DOUBLE)) AS sy,
+                     sum(ln(rank::DOUBLE) * ln(tf::DOUBLE)) AS sxy,
+                     sum(ln(rank::DOUBLE) * ln(rank::DOUBLE)) AS sxx
+              FROM r GROUP BY lang)
+        SELECT lang, CAST(n AS INT) AS n_ranks,
+               {RND.format(f'-({_ZIPF_SLOPE})')} AS alpha_r,
+               {RND.format(f'(sy - ({_ZIPF_SLOPE}) * sx) / n')} AS intercept_r
+        FROM s WHERE n >= 3""",
+)
+def text_zipf_alpha(spark, sf_dir):
+    """Zipf rank-frequency exponent per language (pipeline.text
+    .zipf_alpha): OLS ln(tf) on ln(rank) over each language's top-100
+    tokens, alpha = -slope — the distribution-level corpus-health audit
+    (flat alpha = templated text, steep = token monoculture). Counts,
+    ranks and the five regression sums all replay in SQL; ln is the one
+    transcendental, identical within rounding on both engines (the
+    lm_score precedent)."""
+    from opentsdb_spark.pipeline.text import zipf_alpha
+
+    out = zipf_alpha(_docs(spark, sf_dir), k=100, group_col="lang")
+    return out.where(F.col("alpha").isNotNull()).select(
+        "lang", "n_ranks",
+        _vr(F.col("alpha")).alias("alpha_r"),
+        _vr(F.col("intercept")).alias("intercept_r"),
+    )
 
 
 # Epoch-mixture weights for the repeat-upweight entry: four regimes across

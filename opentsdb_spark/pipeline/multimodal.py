@@ -665,6 +665,59 @@ def frame_dup_pairs(
     )
 
 
+def scene_cuts(
+    media: DataFrame,
+    every_ms: int,
+    threshold: int = 16,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Shot/scene-change detection per video: sample frames every
+    ``every_ms``, dHash each, and measure the perceptual delta between
+    CONSECUTIVE sampled frames as Hamming distance — a frame at or past
+    ``threshold`` bits from its predecessor starts a new shot. The
+    training-data use: segment videos into shots before per-shot frame
+    selection/captioning, and spot hard cuts vs static slates (delta 0).
+
+    Returns one row per sampled frame:
+      (media_id, frame_idx, dhash, hamming_prev, is_cut, shot_id)
+    where hamming_prev is NULL on each video's first frame (never a cut)
+    and shot_id counts cuts cumulatively from 0. An ``every_ms`` below
+    the frame interval resamples the same frame at several instants —
+    duplicates collapse so deltas compare distinct frames. Malformed
+    (NULL-hash) frames are dropped; flat frames (dhash 0) are kept — a
+    content->flat transition is a real cut.
+
+    Scale shape: video bytes never leave the frame-sample + hash narrow
+    maps; the ONE shuffle carries 12-byte (media, frame, hash) rows into
+    a per-video window (a video's sampled-frame count bounds the task,
+    the sessionizer's skew exposure). Pure integer ops after the hash —
+    the catalog oracle replays every pixel, bit, lag and cut in SQL."""
+    from pyspark.sql import Window
+
+    hashes = dhash_frames(sample_frames(media, every_ms), hash_w, hash_h)
+    hashes = hashes.where(F.col("dhash").isNotNull()).dropDuplicates(
+        ["media_id", "frame_idx"]
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("dhash").over(w)
+    ham = F.when(
+        prev.isNotNull(), F.bit_count(F.col("dhash").bitwiseXOR(prev))
+    ).cast("int")
+    is_cut = F.coalesce(ham >= F.lit(int(threshold)), F.lit(False))
+    shot = (
+        F.sum(is_cut.cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+    )
+    return hashes.select(
+        "media_id", "frame_idx", "dhash",
+        ham.alias("hamming_prev"),
+        is_cut.alias("is_cut"),
+        shot.alias("shot_id"),
+    )
+
+
 def byte_stats(frames: DataFrame, blob_col: str = "media") -> DataFrame:
     """Per-row byte count + mean of a binary column, keyed by media_id (and
     frame_idx/frame_ts_ms when present — absent key columns come back NULL).

@@ -809,6 +809,30 @@ def knn_graph(
     return assigned.groupBy("cell", "__sub").applyInPandas(_cell_kernel, out_schema)
 
 
+def knn_density(
+    embeddings: DataFrame,
+    k: int = 3,
+    **knn_kwargs,
+) -> DataFrame:
+    """k-NN density score per vector: the mean cosine to its ``k``
+    nearest within-cell neighbors (knn_graph). High density = the vector
+    sits in a crowded semantic region (aggressive-dedup / downsampling
+    candidate); low density = isolated (outlier / rare-content candidate
+    worth keeping — the data-pruning signal complementary to
+    prototypicality's distance-to-centroid). Vectors alone in their cell
+    have no neighbors and emit no row (undefined density, not zero).
+
+    Scale shape: knn_graph's (one narrow assignment map + one bounded
+    per-cell kernel shuffle) plus an 8-byte-key aggregation of at most
+    corpus x k rows, map-side combinable."""
+    g = knn_graph(embeddings, k=k, **knn_kwargs)
+    id_col = g.columns[0]
+    return g.groupBy(id_col, "cell").agg(
+        F.avg("cosine").alias("knn_density"),
+        F.count("*").cast("int").alias("n_neighbors"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1286,3 +1286,61 @@ def source_ngram_overlap(
              ).alias("jaccard"),
         )
     )
+
+
+def zipf_alpha(
+    docs: DataFrame,
+    k: int = 100,
+    group_col: str = "lang",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf rank-frequency exponent per group (language/source): OLS fit
+    of ln(tf) on ln(rank) over the group's top-``k`` tokens; alpha is the
+    NEGATED slope (natural text sits near alpha ~ 1). The corpus-health
+    audit behind tokenizer/mixture decisions: a source whose alpha
+    collapses toward 0 is templated/boilerplate-heavy (flat frequencies),
+    one far above ~1.2 is dominated by a few tokens (spam, log dumps) —
+    the distribution-level complement of the per-document entropy gate.
+
+    Scale shape: classic wordcount (map-side-combined (group, token)
+    counts), a per-group top-k window over the AGGREGATED vocabulary
+    (groups x distinct-token rows, two-long payload — never documents),
+    then the regression folds as five combinable sum() aggregates over at
+    most groups x k rows: slope = (n*sxy - sx*sy) / (n*sxx - sx^2). Pure
+    ln/mul/add — the catalog oracle replays the identical formula.
+
+    Returns (group, n_ranks, alpha, intercept): intercept = the fitted
+    ln-frequency at rank 1. Groups with < 3 ranked tokens yield NULL
+    alpha (a 2-point fit is not a law)."""
+    from pyspark.sql import Window
+
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    words = docs.select(
+        F.col(group_col),
+        F.explode(_words(F.col(content_col))).alias("token"),
+    ).where(F.col("token") != "")
+    counts = words.groupBy(group_col, "token").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("tf"), F.asc("token"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("tf").cast("double"))
+    fit = ranked.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    slope = (n * F.col("__sxy") - sx * sy) / (n * F.col("__sxx") - sx * sx)
+    return fit.select(
+        group_col,
+        n.cast("int").alias("n_ranks"),
+        F.when(n >= 3, -slope).alias("alpha"),
+        F.when(n >= 3, (sy - slope * sx) / n).alias("intercept"),
+    )

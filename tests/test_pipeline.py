@@ -2395,3 +2395,86 @@ def test_knn_graph_subdivision_bounds_cells(spark):
     per_vec = Counter(r["vec_id"] for r in out)
     assert all(c <= 2 for c in per_vec.values())
     assert all(r["cell"] == 0 for r in out)
+
+
+def test_scene_cuts_detects_transitions(spark):
+    """Repeated frames give zero delta (no cut); a content flip past the
+    threshold starts a new shot; first frame is never a cut; shot ids
+    accumulate per video."""
+    from opentsdb_spark.pipeline.multimodal import docs_as_raw_video, scene_cuts
+
+    w, h, nf = 12, 8, 4
+    # frame A: strong left-to-right ascending gradient per row;
+    # frame B: descending — dHash bit patterns are near-complements
+    row_a = "".join(chr(32 + c * 7) for c in range(w))
+    row_b = "".join(chr(32 + (w - 1 - c) * 7) for c in range(w))
+    fa, fb = row_a * h, row_b * h
+    text = fa + fa + fb + fa  # A A B A -> cuts at frames 2 and 3
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    media = docs_as_raw_video(docs, w, h, nf, frame_ms=100)
+    out = {r["frame_idx"]: r for r in
+           scene_cuts(media, every_ms=100, threshold=16).collect()}
+    assert len(out) == nf
+    assert out[0]["hamming_prev"] is None and out[0]["is_cut"] is False
+    assert out[1]["hamming_prev"] == 0 and out[1]["is_cut"] is False
+    assert out[2]["hamming_prev"] >= 16 and out[2]["is_cut"] is True
+    assert out[3]["is_cut"] is True
+    assert [out[i]["shot_id"] for i in range(4)] == [0, 0, 1, 2]
+
+
+def test_knn_density_mean_of_neighbor_cosines(spark):
+    """knn_density = mean cosine over the vector's knn_graph rows; lone
+    vectors emit no row; crowded vectors score higher than isolated ones."""
+    from opentsdb_spark.pipeline.similarity import knn_density, knn_graph
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.01, 0.0]), (2, [1.0, 0.02, 0.0]),  # tight pair
+            (3, [0.6, 0.0, 0.8]),                          # same cell, far
+            (4, [0.0, 1.0, 0.0]),                          # alone in cell 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    dens = {r["vec_id"]: r for r in
+            knn_density(emb, k=2, centroids=cents, bit_exact=True).collect()}
+    assert set(dens) == {1, 2, 3}
+    g = knn_graph(emb, k=2, centroids=cents, bit_exact=True).collect()
+    import statistics
+
+    for vid in (1, 2, 3):
+        manual = statistics.mean(r["cosine"] for r in g if r["vec_id"] == vid)
+        assert abs(dens[vid]["knn_density"] - manual) < 1e-12
+        assert dens[vid]["n_neighbors"] == 2
+    # the tight pair is denser than the outlier
+    assert dens[1]["knn_density"] > dens[3]["knn_density"]
+
+
+def test_zipf_alpha_fits_known_distribution(spark):
+    """A corpus manufactured to follow tf(rank) = C * rank^-alpha recovers
+    alpha from the OLS fit; a flat-frequency corpus fits alpha ~ 0; groups
+    below 3 ranked tokens yield NULL."""
+    import pytest
+
+    from opentsdb_spark.pipeline.text import zipf_alpha
+
+    # exact power law, alpha = 1: token t_r appears round(1200/r) times
+    toks = []
+    for r in range(1, 21):
+        toks.extend([f"t{r:02d}"] * round(1200 / r))
+    docs = spark.createDataFrame(
+        [(1, "zipf", " ".join(toks)), (2, "flat", "a b c d e f g h"),
+         (3, "tiny", "x y")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in zipf_alpha(docs, k=20).collect()}
+    assert out["zipf"]["n_ranks"] == 20
+    assert abs(out["zipf"]["alpha"] - 1.0) < 0.02  # rounding of counts only
+    assert abs(out["flat"]["alpha"]) < 1e-9
+    assert out["tiny"]["alpha"] is None and out["tiny"]["n_ranks"] == 2
+    # intercept ~ ln(1200) for the power-law corpus
+    import math
+
+    assert abs(out["zipf"]["intercept"] - math.log(1200)) < 0.05
+    with pytest.raises(ValueError):
+        zipf_alpha(docs, k=2)
