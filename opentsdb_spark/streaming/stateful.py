@@ -121,3 +121,112 @@ def streaming_sessions(
             "n_events", "sum_value", "first_ts", "last_ts",
         )
     )
+
+
+ZSCORE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("zscore", T.DoubleType(), True),
+        T.StructField("is_anomaly", T.BooleanType(), False),
+    ]
+)
+
+_ZSCORE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("window", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _make_zscore_fn(lookback: int, threshold: float, min_points: int):
+    def _zscore_fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            last_ts, window = state.get
+            window = list(window)
+        else:
+            last_ts, window = None, []
+        out_rows: list[tuple[Any, ...]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values("ts_ms")
+            for ts_ms, v in zip(pdf["ts_ms"], pdf["value"]):
+                if last_ts is not None and ts_ms <= last_ts:
+                    continue  # cursor never regresses (see _rate_fn)
+                v = float(v)
+                # moments accumulate SEQUENTIALLY over the trailing
+                # window, the same left-to-right IEEE order the batch
+                # operator's window sum uses — the streaming==batch test
+                # pins exact equality, not approximate
+                n = float(len(window))
+                z = None
+                if n >= min_points:
+                    s = ss = 0.0
+                    for w in window:
+                        s += w
+                        ss += w * w
+                    mean = s / n
+                    var = (ss - n * mean * mean) / (n - 1.0)
+                    if var > 0:
+                        z = (v - mean) / var**0.5
+                out_rows.append(
+                    (series_id, pd.Timestamp(ts_ms, unit="ms"), v, z,
+                     bool(z is not None and abs(z) > threshold))
+                )
+                window.append(v)
+                if len(window) > lookback:
+                    window = window[-lookback:]
+                last_ts = int(ts_ms)
+        if last_ts is not None:
+            state.update((last_ts, window))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["series_id", "ts", "value", "zscore", "is_anomaly"],
+        )
+
+    return _zscore_fn
+
+
+def streaming_zscore(
+    points: DataFrame,
+    lookback: int = 24,
+    threshold: float = 2.0,
+    min_points: int = 3,
+) -> DataFrame:
+    """Continuous per-series trailing z-score anomaly flags — the
+    streaming twin of operators/expressions.anomaly_zscore, for alerting
+    on the live (typically pre-downsampled) point stream instead of a
+    stored grid. Same contract: each arriving point is scored against the
+    mean/sample-stddev of the series' previous ``lookback`` in-order
+    points (itself excluded); warm-up (< min_points) and zero-variance
+    windows emit NULL zscore / false flag. Late points (event time at or
+    before the cursor) are dropped without touching state, like the
+    streaming rate.
+
+    The state is O(#live series x lookback) doubles, and the moment
+    accumulation replays the batch window-sum's sequential IEEE order —
+    tests pin the streamed output EXACTLY equal to the batch operator on
+    the same in-order feed, the same streaming==batch proof the HLL
+    register build uses."""
+    if lookback < 2:
+        raise ValueError(f"lookback must be >= 2, got {lookback}")
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2, got {min_points}")
+    from opentsdb_spark.sources.points import series_id_col
+
+    keyed = points.select(
+        series_id_col().alias("series_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value"),
+    )
+    return keyed.groupBy("series_id").applyInPandasWithState(
+        _make_zscore_fn(int(lookback), float(threshold), int(min_points)),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -921,3 +921,101 @@ def test_streaming_hll_registers(spark):
         assert got["reg_sum"] == want["reg_sum"]
         # sanity: 57 distinct tokens, estimate in range
         assert abs(want["est"] - 57) / 57 < 0.15
+
+
+def test_streaming_zscore_equals_batch(spark):
+    """The streamed trailing z-score must equal the BATCH anomaly_zscore
+    bit-for-bit on the same in-order feed (the streaming==batch proof
+    pattern), including warm-up NULLs and flags — across a micro-batch
+    boundary so state round-trips through the store."""
+    from opentsdb_spark.operators.expressions import anomaly_zscore
+    from opentsdb_spark.streaming.ingest import read_put_stream
+    from opentsdb_spark.streaming.stateful import streaming_zscore
+
+    vals = [10.0, 11.0, 10.5, 10.2, 10.8, 10.4, 100.0, 10.6, 10.3, 10.7]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        # two files written AROUND a processAllAvailable -> two
+        # micro-batches: state crosses the boundary through the store
+        with open(os.path.join(src, "b1.txt"), "w") as f:
+            for i, v in enumerate(vals[:6]):
+                f.write(f"put m.lat {EPOCH + 60 * i} {v} host=web01\n")
+        stream = streaming_zscore(
+            read_put_stream(spark, path=src),
+            lookback=5, threshold=2.0, min_points=3,
+        )
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("szscore")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            with open(os.path.join(src, "b2.txt"), "w") as f:
+                for i, v in enumerate(vals[6:], start=6):
+                    f.write(f"put m.lat {EPOCH + 60 * i} {v} host=web01\n")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            int(r["ts"].timestamp()): r
+            for r in spark.sql("select * from szscore").collect()
+        }
+    batch_df = spark.createDataFrame(
+        [("s", EPOCH + 60 * i, v) for i, v in enumerate(vals)],
+        "series_id string, ts long, value double",
+    )
+    want = {
+        int(r["ts"]): r
+        for r in anomaly_zscore(batch_df, ("series_id",), lookback=5,
+                                threshold=2.0, min_points=3).collect()
+    }
+    assert set(got) == set(want) and len(got) == len(vals)
+    for ts, w in want.items():
+        g = got[ts]
+        assert g["is_anomaly"] == w["is_anomaly"], ts
+        if w["zscore"] is None:
+            assert g["zscore"] is None, ts
+        else:
+            assert g["zscore"] == w["zscore"], (ts, g["zscore"], w["zscore"])
+    # the spike got flagged somewhere
+    assert any(r["is_anomaly"] for r in got.values())
+
+
+def test_streaming_zscore_late_point_state():
+    """Late points emit nothing and never regress the cursor or window."""
+    import pandas as pd
+
+    from opentsdb_spark.streaming.stateful import _make_zscore_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    fn = _make_zscore_fn(3, 2.0, 2)
+    st = FakeState()
+    b1 = pd.DataFrame({"ts_ms": [60_000, 120_000, 180_000],
+                       "value": [1.0, 2.0, 3.0]})
+    [out] = list(fn(("s",), iter([b1]), st))
+    assert len(out) == 3 and st.get[0] == 180_000
+    assert list(st.get[1]) == [1.0, 2.0, 3.0]
+    late = pd.DataFrame({"ts_ms": [120_000], "value": [99.0]})
+    [out] = list(fn(("s",), iter([late]), st))
+    assert len(out) == 0 and st.get[0] == 180_000
+    assert list(st.get[1]) == [1.0, 2.0, 3.0]
+    # window trims to lookback on the next in-order point
+    nxt = pd.DataFrame({"ts_ms": [240_000], "value": [4.0]})
+    [out] = list(fn(("s",), iter([nxt]), st))
+    assert len(out) == 1 and list(st.get[1]) == [2.0, 3.0, 4.0]
+    assert out["zscore"][0] == (4.0 - 2.0) / 1.0  # mean 2, var 1 over [1,2,3]
