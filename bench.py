@@ -87,6 +87,13 @@ HEADLINE = [
     "text_source_overlap",
     "sample_fixed_n",
     "pipeline_end_to_end",
+    "sample_weighted_reservoir",
+    "embed_knn_graph",
+    "events_funnel",
+    "events_retention_cohort",
+    "tsdb_anomaly_zscore",
+    "multimodal_scene_cuts",
+    "text_zipf_alpha",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

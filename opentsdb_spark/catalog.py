@@ -5240,7 +5240,12 @@ _PRIORITY = [
     # rate (§2.5) + the canonical production composite downsample->rate->
     # aggregate (rate_counter rotates out — its reset machinery is pinned
     # by reference parity vectors and the local full-catalog oracle run)
-    "tsdb_rate", "tsdb_rate_ds_sum",
+    # (round 9 late: tsdb_rate rotates out for tsdb_anomaly_zscore —
+    # rate_ds_sum runs the full rate machinery inside the linear-rate
+    # rewrite, while the trailing z-score is a new alerting family with an
+    # explicit-moment IEEE proof; plain rate stays verified by the
+    # full-catalog oracle run)
+    "tsdb_anomaly_zscore", "tsdb_rate_ds_sum",
     # cross-series aggregation + interpolation (§2.3/2.4) incl. the
     # raw-resolution line-sweep strategy (the 100TB-scale stress path);
     # avg_raw exercises the sweep's sum+count decomposition with grouping
@@ -5300,7 +5305,12 @@ _PRIORITY = [
     # subset of the dhash plumbing; sample_shard_assign pins the two-phase
     # global-cumsum machinery end to end)
     "text_quality", "text_paragraph_dedup", "sample_shard_assign",
-    "ann_lsh_top5", "ann_ivf_fixed_top5",
+    # (round 9 late: ann_ivf_fixed_top5 rotates out for embed_knn_graph —
+    # both replay the seeded-cell assignment + cosine-rank machinery in
+    # SQL, and the corpus x corpus bounded k-NN graph additionally pins
+    # the per-cell pairwise kernel; the IVF probe path stays verified by
+    # the full-catalog oracle run + the trained-IVF entry)
+    "ann_lsh_top5", "embed_knn_graph",
     "multimodal_dhash_pairs",
     # round-6 families: temporal joins/sessions, CCNet bands,
     # prototypicality + covariance (rotated in; the displaced i-variant /
@@ -5310,7 +5320,11 @@ _PRIORITY = [
     # the SRP embedding is a narrow codegen map pinned by the full-catalog
     # run; the cross-source n-gram contamination matrix is a flagship
     # bounded-frame proof)
-    "tsdb_asof_join", "tsdb_interval_join", "tsdb_sessionize",
+    # (round 9 late: tsdb_interval_join rotates out for events_funnel —
+    # the binned containment equi-join stays pinned by the full-catalog
+    # run; the windowFunnel sequential-chain-in-one-groupBy proof is a new
+    # events-analytics family)
+    "tsdb_asof_join", "events_funnel", "tsdb_sessionize",
     "text_ccnet_buckets", "text_source_overlap",
     "embed_prototypicality", "embed_covariance",
     # LLM-pipeline: mixture sampling
@@ -5329,7 +5343,12 @@ _PRIORITY = [
     # rotates out for sample_global_shuffle — fractional replication is a
     # simple broadcast+explode pinned by the full-catalog run, while the
     # seeded dense-position shuffle carries a sequential-order proof)
-    "text_hll_distinct", "multimodal_audio_dedup", "sample_global_shuffle",
+    # (round 9 late: multimodal_audio_dedup rotates out for
+    # multimodal_scene_cuts — the 64-bit band pairing is also pinned by
+    # multimodal_dhash_pairs in the gate, while the per-video temporal
+    # lag/cut/shot segmentation is a new family; audio stays verified by
+    # the full-catalog oracle run)
+    "text_hll_distinct", "multimodal_scene_cuts", "sample_global_shuffle",
     # round-7 flagship families: proportional source interleaving,
     # RefinedWeb-style boilerplate chunk strike-out (round 9:
     # sample_mix_audit rotates out for pipeline_end_to_end — the e2e row
