@@ -459,7 +459,12 @@ def shard_assign(
         F.xxhash64(F.col(id_col)).alias("__h"),
     ).withColumn("bucket", F.pmod(F.col("__h"), F.lit(n_buckets)))
     per_bucket = base.groupBy("bucket").agg(F.sum("n_tokens").alias("__tok_sum"))
-    wo = Window.orderBy("bucket")  # bounded: exactly n_buckets rows
+    # bounded: exactly n_buckets rows. The constant-VALUED non-foldable
+    # partition spec (bucket*0) is the same single partition but keeps
+    # WindowExec's "No Partition Defined" warning out of bench/driver logs
+    # (see sample_fixed_n) — the warning flags unbounded one-task windows,
+    # and this one is n_buckets rows by construction
+    wo = Window.partitionBy(F.col("bucket") * F.lit(0)).orderBy("bucket")
     offsets = per_bucket.withColumn(
         "__offset",
         F.coalesce(
@@ -605,8 +610,14 @@ def _two_phase_group_rank(base: DataFrame, group_cols: list[str],
         base = base.withColumn(
             gk, F.coalesce(F.col(c).cast("string"), F.lit("\x00__null__")))
     counts = base.groupBy(*gkeys, "__b").agg(F.count("*").alias("__n"))
-    wo = Window.partitionBy(*gkeys).orderBy(
-        F.desc("__b") if bucket_desc else F.asc("__b"))  # bounded frame
+    # bounded frame (groups x n_buckets rows). With NO group keys (the
+    # global-shuffle form) an empty spec would make WindowExec log "No
+    # Partition Defined" on every run — partition on a constant-valued
+    # non-foldable expression instead (same single partition, see
+    # sample_fixed_n)
+    wo_keys = gkeys if gkeys else [F.col("__b") * F.lit(0)]
+    wo = Window.partitionBy(*wo_keys).orderBy(
+        F.desc("__b") if bucket_desc else F.asc("__b"))
     offsets = counts.withColumn(
         "__off",
         F.coalesce(

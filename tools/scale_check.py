@@ -71,6 +71,13 @@ QUERIES = [
     "text_source_overlap",
     "sample_fixed_n",
     "pipeline_end_to_end",
+    "sample_weighted_reservoir",
+    "embed_knn_graph",
+    "events_funnel",
+    "events_retention_cohort",
+    "tsdb_anomaly_zscore",
+    "multimodal_scene_cuts",
+    "text_zipf_alpha",
 ]
 
 
