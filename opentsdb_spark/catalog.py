@@ -4174,7 +4174,9 @@ _ZV = "(ss - n * (s / n) * (s / n)) / (n - 1.0)"  # trailing sample variance
     "tsdb_anomaly_zscore",
     f"""WITH g AS (SELECT event_type AS metric, {H_SEC} AS ts_sec,
                           sum(value) AS v
-                   FROM events GROUP BY 1, 2),
+                   FROM events
+                   WHERE epoch_ms(ts) >= {START_MS} AND epoch_ms(ts) < {END_MS}
+                   GROUP BY 1, 2),
         w AS (SELECT metric, ts_sec, v,
                      count(v) OVER fr AS n, sum(v) OVER fr AS s,
                      sum(v * v) OVER fr AS ss
@@ -4197,10 +4199,14 @@ def tsdb_anomaly_zscore(spark, sf_dir):
     (self excluded), |z| > 2 flagged. The moments are explicit
     sum/sumsq window aggregates — the same IEEE formula the oracle runs,
     so scores AND flags hash-check; warm-up rows (<3 trailing points)
-    stay NULL/false on both sides."""
+    stay NULL/false on both sides. The query window (the span an alert
+    evaluation would scan) is pushed to the parquet scan."""
     from opentsdb_spark.operators.expressions import anomaly_zscore
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.timestamp_seconds(F.lit(START_SEC)))
+        & (F.col("ts") < F.timestamp_seconds(F.lit(END_SEC)))
+    )
     grid = (
         ev.groupBy(
             F.col("event_type").alias("metric"),
