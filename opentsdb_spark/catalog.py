@@ -2724,7 +2724,7 @@ def embed_knn_density(spark, sf_dir):
     from opentsdb_spark.pipeline.similarity import knn_graph, seeded_centroids
 
     g = knn_graph(_emb(spark, sf_dir), k=3,
-                  centroids=seeded_centroids(16, 64), bit_exact=True)
+                  centroids=seeded_centroids(16, 64))
     return (
         g.withColumn("__cr", _vr(F.col("cosine")))
         .groupBy("vec_id", "cell")
@@ -2739,13 +2739,16 @@ def embed_knn_graph(spark, sf_dir):
     top-3 cosine neighbors within its deterministic seeded k-means cell —
     the corpus x corpus companion to the ann_* query ops and the input to
     density/diversity curation. Hash-checked end to end: the oracle
-    recomputes the identical cell partition, pairwise cosines
-    (dim-sequential IEEE fold = bit_exact kernel) and the
-    (cosine DESC, id ASC) neighbor ranks in SQL."""
+    recomputes the identical cell partition, pairwise cosines and the
+    (cosine DESC, id ASC) neighbor ranks in SQL. The default BLAS gram
+    kernel's ~1e-15 reassociation noise is absorbed by the 4-decimal
+    rounding and cannot flip a rank outside a measure-zero tie (the
+    dedup_semantic precedent); the dim-sequential bit_exact variant stays
+    available and is pinned equal by tests."""
     from opentsdb_spark.pipeline.similarity import knn_graph, seeded_centroids
 
     out = knn_graph(_emb(spark, sf_dir), k=3,
-                    centroids=seeded_centroids(16, 64), bit_exact=True)
+                    centroids=seeded_centroids(16, 64))
     return out.select("vec_id", "nbr_id", "cell",
                       _vr(F.col("cosine")).alias("cosine_r"), "nbr_rank")
 
