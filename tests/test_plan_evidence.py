@@ -450,3 +450,75 @@ def test_remove_duplicate_spans_dup_discovery_shuffles_keys_only(spark):
     )
     plan = _plan(remove_duplicate_spans(docs, k=5, persist=False))
     _assert_text_only_in_doc_rebuild(plan, hash_keys=("__h#",))
+
+
+def test_scene_cuts_never_shuffles_frame_bytes(spark):
+    """scene_cuts' one shuffle is the per-video window partition over
+    (media_id, frame_idx, dhash) rows — neither the media blob nor the
+    sampled frame bytes may appear in any exchange."""
+    import re
+
+    from opentsdb_spark.pipeline.multimodal import docs_as_raw_video, scene_cuts
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 400) for i in range(4)], "doc_id long, text string"
+    )
+    media = docs_as_raw_video(docs, 12, 8, 4, frame_ms=100)
+    plan = _plan(scene_cuts(media, every_ms=100))
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert exchanges, "expected the per-video window shuffle"
+    for e in exchanges:
+        assert "media#" not in e and "frame#" not in e, \
+            f"video/frame bytes in a shuffle: {e}"
+
+
+def test_funnel_single_aggregation_no_joins(spark):
+    """funnel_steps must plan as ONE aggregation over user_id (two
+    exchanges max: partial->final of the same groupBy) with NO join
+    operator anywhere — the per-step join chain is exactly what the
+    operator exists to avoid."""
+    import re
+
+    from opentsdb_spark.operators.funnel import funnel_steps
+
+    ev = spark.createDataFrame(
+        [(1, EPOCH * 1000, "view")],
+        "user_id long, ts_ms long, event_type string",
+    ).select("user_id", F.timestamp_millis("ts_ms").alias("ts"), "event_type")
+    plan = _plan(funnel_steps(ev, ["view", "click", "purchase"]))
+    assert "Join" not in plan, plan[:1500]
+    headers = re.findall(r"\) Exchange\b", plan)
+    assert len(headers) == 1, plan[:1500]
+    assert "hashpartitioning(user_id" in plan, plan[:1500]
+
+
+def test_anomaly_zscore_single_series_partition_shuffle(spark):
+    """anomaly_zscore is one window over the per-series partition: exactly
+    one exchange, partitioned by the series columns, and no join."""
+    import re
+
+    from opentsdb_spark.operators.expressions import anomaly_zscore
+
+    df = spark.createDataFrame(
+        [("m", i, float(i)) for i in range(30)],
+        "metric string, ts long, value double",
+    )
+    plan = _plan(anomaly_zscore(df, ("metric",), lookback=5))
+    assert "Join" not in plan
+    headers = re.findall(r"\) Exchange\b", plan)
+    assert len(headers) == 1, plan[:1500]
+    assert "hashpartitioning(metric" in plan, plan[:1500]
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """weighted_sample compiles to TakeOrderedAndProject — bounded
+    per-partition heaps, no corpus shuffle before the limit (the
+    sample_fixed_n contract extended to the weighted draw)."""
+    from opentsdb_spark.pipeline.sampling import weighted_sample
+
+    docs = spark.createDataFrame([(i, i + 1) for i in range(50)],
+                                 "doc_id long, w int")
+    out = weighted_sample(docs, n=5, weight_col="w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan.split("TakeOrderedAndProject")[0]
