@@ -2705,6 +2705,79 @@ def _knn_graph_oracle(k: int, n_centroids: int) -> str:
                                    ORDER BY cosine DESC, nbr_id ASC) <= {k}"""
 
 
+def _embed_drift_oracle(n_centroids: int) -> str:
+    from opentsdb_spark.pipeline.similarity import seeded_centroids
+
+    cents = seeded_centroids(n_centroids, 64)
+    rows = ",\n".join(
+        "(%d, [%s])" % (i, ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c))
+        for i, c in enumerate(cents)
+    )
+    cos_cell = f"{_vecdot_sql('v', 'cvec')} / ({_vecnorm_sql('v')} * {_vecnorm_sql('cvec')})"
+    return f"""WITH cent(cell, cvec) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (SELECT vec_id, arg_max(cell, {cos_cell}) AS cell,
+                            any_value(v) AS cv
+                     FROM emb CROSS JOIN cent GROUP BY vec_id),
+        d AS (SELECT unnest(generate_series(1, 64)) AS k),
+        sa AS (SELECT cell, k, sum(cv[k]) AS s FROM assigned CROSS JOIN d
+               WHERE vec_id % 2 = 0 GROUP BY cell, k),
+        sb AS (SELECT cell, k, sum(cv[k]) AS s FROM assigned CROSS JOIN d
+               WHERE vec_id % 2 = 1 GROUP BY cell, k),
+        na AS (SELECT cell, count(*) AS n FROM assigned
+               WHERE vec_id % 2 = 0 GROUP BY cell),
+        nb AS (SELECT cell, count(*) AS n FROM assigned
+               WHERE vec_id % 2 = 1 GROUP BY cell),
+        m AS (SELECT sa.cell, sa.k, sa.s / na.n AS ma, sb.s / nb.n AS mb
+              FROM sa JOIN sb ON sa.cell = sb.cell AND sa.k = sb.k
+              JOIN na ON na.cell = sa.cell JOIN nb ON nb.cell = sa.cell),
+        cd AS (SELECT cell, sum(ma * mb) AS dot,
+                      sqrt(sum(ma * ma)) AS la, sqrt(sum(mb * mb)) AS lb
+               FROM m GROUP BY cell),
+        tot AS (SELECT
+                 (SELECT count(*) FROM assigned WHERE vec_id % 2 = 0) AS ta,
+                 (SELECT count(*) FROM assigned WHERE vec_id % 2 = 1) AS tb),
+        cells AS (SELECT cell FROM na UNION SELECT cell FROM nb)
+        SELECT c.cell,
+               CAST(COALESCE(na.n, 0) AS BIGINT) AS n_a,
+               CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_b,
+               {RND.format('COALESCE(na.n, 0) / CAST(tot.ta AS DOUBLE)')} AS share_a_r,
+               {RND.format('COALESCE(nb.n, 0) / CAST(tot.tb AS DOUBLE)')} AS share_b_r,
+               {RND.format('COALESCE(nb.n, 0) / CAST(tot.tb AS DOUBLE)'
+                           ' - COALESCE(na.n, 0) / CAST(tot.ta AS DOUBLE)')} AS share_delta_r,
+               {RND.format('cd.dot / (cd.la * cd.lb)')} AS mean_cosine_r
+        FROM cells c
+        LEFT JOIN na ON na.cell = c.cell
+        LEFT JOIN nb ON nb.cell = c.cell
+        LEFT JOIN cd ON cd.cell = c.cell
+        CROSS JOIN tot"""
+
+
+@register("embed_drift", _embed_drift_oracle(16))
+def embed_drift(spark, sf_dir):
+    """Embedding-distribution drift audit (pipeline.similarity
+    .embedding_drift): the id-parity halves of the embeddings table stand
+    in for two crawl snapshots sharing the deterministic seeded cells —
+    per-cell occupancy shares, share deltas and mean-direction cosines,
+    all hash-checked (the per-dim sums fold as d codegen aggregates; the
+    oracle replays assignment, sums, means and the cosine in SQL)."""
+    from opentsdb_spark.pipeline.similarity import embedding_drift, seeded_centroids
+
+    emb = _emb(spark, sf_dir)
+    out = embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        centroids=seeded_centroids(16, 64),
+    )
+    return out.select(
+        "cell", "n_a", "n_b",
+        _vr(F.col("share_a")).alias("share_a_r"),
+        _vr(F.col("share_b")).alias("share_b_r"),
+        _vr(F.col("share_delta")).alias("share_delta_r"),
+        _vr(F.col("mean_cosine")).alias("mean_cosine_r"),
+    )
+
+
 def _knn_density_oracle(k: int, n_centroids: int) -> str:
     return f"""WITH base AS ({_knn_graph_oracle(k, n_centroids)})
         SELECT vec_id, cell,

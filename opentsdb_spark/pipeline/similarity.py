@@ -833,6 +833,83 @@ def knn_density(
     )
 
 
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    n_centroids: int = 16,
+    centroids: list[list[float]] | None = None,
+    dim: int = 64,
+    train_size: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots (crawl
+    N vs crawl N+1, or corpus vs incoming batch): partition the space
+    with ONE shared set of k-means cells (trained on snapshot A when
+    ``centroids`` is None — the reference frame), then compare per cell
+      * occupancy: n_a, n_b and the share delta (share_b - share_a) —
+        which regions grew or shrank;
+      * direction: cosine(mean_a, mean_b) — whether the region's content
+        moved even where occupancy held (NULL when either side is empty).
+    A healthy recrawl shows share deltas near 0 and mean cosines near 1;
+    a topic shift shows up as mass moving between cells, a pipeline
+    regression (embedder change, encoding bug) as low mean cosines
+    everywhere. This is the distribution-level audit run BEFORE pointwise
+    dedup/curation of a new snapshot.
+
+    Scale shape: assignment is the narrow _assign_cells map on each side;
+    each side folds to (cell, count, per-dim sums) via d codegen sum()
+    aggregates — map-side combinable, shuffle bounded at cells x (d+2)
+    DOUBLEs however large the snapshots; the final outer join and cosine
+    fold run on the n_centroids-row frame. Returns one row per observed
+    cell: (cell, n_a, n_b, share_a, share_b, share_delta, mean_cosine)."""
+    cent_arr = (
+        [[float(x) for x in c] for c in centroids]
+        if centroids is not None
+        else _train_kmeans(emb_a, n_centroids, train_size, iters, seed,
+                           vec_col, id_col=id_col)
+    )
+
+    def _side(emb: DataFrame, tag: str) -> DataFrame:
+        corpus = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+        assigned = _assign_cells(corpus, cent_arr, "cv")
+        return assigned.groupBy("cell").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.array(*[F.sum(F.col("cv")[d]) for d in range(dim)]).alias(f"s_{tag}"),
+        )
+    a = _side(emb_a, "a")
+    b = _side(emb_b, "b")
+    joined = a.join(b, on="cell", how="full")
+    na = F.coalesce(F.col("n_a"), F.lit(0)).cast("long")
+    nb = F.coalesce(F.col("n_b"), F.lit(0)).cast("long")
+    # totals over the tiny cells frame; the constant-valued non-foldable
+    # partition spec avoids the WindowExec warning (see sample_fixed_n)
+    wtot = Window.partitionBy(F.lit(0) * F.col("cell"))
+    tot_a = F.sum(na).over(wtot)
+    tot_b = F.sum(nb).over(wtot)
+    ma = F.transform("s_a", lambda x: x / na.cast("double"))
+    mb = F.transform("s_b", lambda x: x / nb.cast("double"))
+    # dim-sequential folds (same IEEE order as the SQL oracle's k-ordered
+    # accumulation up to reassociation absorbed by rounding)
+    dot = F.aggregate(F.zip_with(ma, mb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = (
+        lambda m: F.sqrt(F.aggregate(F.transform(m, lambda x: x * x),
+                                     F.lit(0.0), lambda acc, x: acc + x))
+    )
+    share_a = na.cast("double") / tot_a.cast("double")
+    share_b = nb.cast("double") / tot_b.cast("double")
+    return joined.select(
+        "cell", na.alias("n_a"), nb.alias("n_b"),
+        share_a.alias("share_a"), share_b.alias("share_b"),
+        (share_b - share_a).alias("share_delta"),
+        F.when((na > 0) & (nb > 0), dot / (nrm(ma) * nrm(mb)))
+        .alias("mean_cosine"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

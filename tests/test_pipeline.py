@@ -2478,3 +2478,38 @@ def test_zipf_alpha_fits_known_distribution(spark):
     assert abs(out["zipf"]["intercept"] - math.log(1200)) < 0.05
     with pytest.raises(ValueError):
         zipf_alpha(docs, k=2)
+
+
+def test_embedding_drift_shares_and_direction(spark):
+    """Identical snapshots: share_delta 0 and mean_cosine 1 everywhere.
+    A direction flip in one cell shows cosine -1 there; one-sided cells
+    survive the outer join with NULL cosine; shares sum to 1 per side."""
+    from opentsdb_spark.pipeline.similarity import embedding_drift
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.1, 0.0]), (2, [1.0, 0.2, 0.0]), (3, [0.1, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    same = {r["cell"]: r for r in
+            embedding_drift(a, a, centroids=cents, dim=3).collect()}
+    assert set(same) == {0, 1}
+    for r in same.values():
+        assert abs(r["share_delta"]) < 1e-12
+        assert abs(r["mean_cosine"] - 1.0) < 1e-12
+    assert abs(sum(r["share_a"] for r in same.values()) - 1.0) < 1e-12
+    # b: cell-0 direction rotates (same cell, different mean), cell-1
+    # empties, cell-2 appears
+    b = spark.createDataFrame(
+        [(4, [1.0, -0.1, 0.0]), (5, [1.0, -0.2, 0.0]), (6, [0.0, 0.1, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    drift = {r["cell"]: r for r in
+             embedding_drift(a, b, centroids=cents, dim=3).collect()}
+    assert set(drift) == {0, 1, 2}
+    # mean_a = [1, .15, 0], mean_b = [1, -.15, 0] -> cos = .9775/1.0225
+    assert abs(drift[0]["mean_cosine"] - 0.9775 / 1.0225) < 1e-12
+    assert drift[1]["n_b"] == 0 and drift[1]["mean_cosine"] is None
+    assert drift[2]["n_a"] == 0 and drift[2]["mean_cosine"] is None
+    assert abs(drift[1]["share_delta"] + 1 / 3) < 1e-12
+    assert abs(drift[2]["share_delta"] - 1 / 3) < 1e-12
