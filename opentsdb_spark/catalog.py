@@ -4642,6 +4642,47 @@ def text_vocab_top10_lang(spark, sf_dir):
     return vocab_topk_grouped(_docs(spark, sf_dir), k=10, group_col="lang")
 
 
+@register(
+    "text_pmi_top20",
+    rf"""WITH w AS (SELECT regexp_extract_all(lower(text), '\S+') AS ws
+                    FROM documents),
+        uc AS (SELECT w, count(*) AS n_uni
+               FROM (SELECT unnest(ws) AS w FROM w) WHERE w <> ''
+               GROUP BY w),
+        b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+              FROM w, unnest(generate_series(1, CAST(len(ws) AS INT) - 1)) t(i)
+              WHERE len(ws) >= 2),
+        bc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY w1, w2),
+        tb AS (SELECT sum(n_pair) AS t FROM bc),
+        tu AS (SELECT sum(n_uni) AS u FROM uc),
+        j AS (SELECT bc.w1, bc.w2, n_pair, a.n_uni AS n_w1, c.n_uni AS n_w2,
+                     ln((n_pair / CAST(t AS DOUBLE))
+                        / ((a.n_uni / CAST(u AS DOUBLE))
+                           * (c.n_uni / CAST(u AS DOUBLE)))) AS pmi
+              FROM bc
+              JOIN uc a ON a.w = bc.w1
+              JOIN uc c ON c.w = bc.w2
+              CROSS JOIN tb CROSS JOIN tu
+              WHERE n_pair >= 5)
+        SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+               CAST(n_w1 AS BIGINT) AS n_w1, CAST(n_w2 AS BIGINT) AS n_w2,
+               {RND.format('pmi')} AS pmi_r
+        FROM j
+        QUALIFY row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) <= 20""",
+)
+def text_pmi_top20(spark, sf_dir):
+    """PMI collocation mining (pipeline.text.pmi_collocations): the top-20
+    adjacent-bigram collocations above chance co-occurrence (min_count 5)
+    — phrase-mining for tokenizer vocab extension / template detection.
+    Counts, joins and the PMI arithmetic replay in SQL; ln is the one
+    transcendental (the lm_score precedent)."""
+    from opentsdb_spark.pipeline.text import pmi_collocations
+
+    out = pmi_collocations(_docs(spark, sf_dir), k=20, min_count=5)
+    return out.select("w1", "w2", "n_pair", "n_w1", "n_w2",
+                      _vr(F.col("pmi")).alias("pmi_r"))
+
+
 _ZIPF_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
 
 

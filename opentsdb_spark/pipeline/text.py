@@ -1344,3 +1344,76 @@ def zipf_alpha(
         F.when(n >= 3, -slope).alias("alpha"),
         F.when(n >= 3, (sy - slope * sx) / n).alias("intercept"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information over
+    ADJACENT word bigrams (Church & Hanks 1990): with unigram counts c_x
+    over U total tokens and bigram counts c_xy over T total bigrams,
+    PMI = ln( (c_xy / T) / ((c_x / U) * (c_y / U)) ) — pairs that co-occur
+    far above chance. The phrase-mining signal behind tokenizer vocab
+    extensions ("new york", "machine learning") and template detection
+    (boilerplate word pairs score high too — inspect, don't auto-trust).
+    ``min_count`` drops hapax pairs whose PMI is pure noise (the classic
+    guard); ordering is (PMI desc, pair asc).
+
+    Scale shape: unigram counts are wordcount (map-side combined,
+    vocabulary-sized); bigrams explode one struct per adjacent token pair
+    (O(corpus tokens) narrow rows) and partial-aggregate to the bigram
+    vocabulary; the two count joins run at vocabulary granularity on
+    token keys (AQE broadcasts when small); the final top-k is
+    TakeOrderedAndProject. No window over occurrence-sized data.
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    ws = docs.select(_words(F.col(content_col)).alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    uni = (
+        docs.select(F.explode(_words(F.col(content_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n_uni"))
+    )
+    # adjacent pairs; size >= 2 is guaranteed above (sequence(1, 0) would
+    # COUNT DOWN — Spark infers step -1 when start > stop)
+    big = ws.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    tot_b = bc.agg(F.sum("n_pair").alias("__t"))
+    tot_u = uni.agg(F.sum("n_uni").alias("__u"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_uni").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_uni").alias("n_w2"))
+    joined = (
+        bc.where(F.col("n_pair") >= min_count)
+        .join(u1, on="w1")
+        .join(u2, on="w2")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_u))
+    )
+    t = F.col("__t").cast("double")
+    u = F.col("__u").cast("double")
+    pmi = F.log(
+        (F.col("n_pair").cast("double") / t)
+        / ((F.col("n_w1").cast("double") / u) * (F.col("n_w2").cast("double") / u))
+    )
+    return (
+        joined.select("w1", "w2", "n_pair", "n_w1", "n_w2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -2513,3 +2513,48 @@ def test_embedding_drift_shares_and_direction(spark):
     assert drift[2]["n_a"] == 0 and drift[2]["mean_cosine"] is None
     assert abs(drift[1]["share_delta"] + 1 / 3) < 1e-12
     assert abs(drift[2]["share_delta"] - 1 / 3) < 1e-12
+
+
+def test_pmi_collocations_rank_strong_pairs_first(spark):
+    """A bigram that always co-occurs outranks frequent-but-independent
+    pairs; min_count filters hapax pairs; ordering and counts are exact."""
+    import math
+
+    import pytest
+
+    from opentsdb_spark.pipeline.text import pmi_collocations
+
+    # 'new york' always adjacent (8x); 'the cat'/'the dog' frequent but
+    # 'the' is promiscuous; 'rare gem' appears once (dropped by min_count)
+    docs = spark.createDataFrame(
+        [(i, "new york the cat the dog rare" if i == 0 else "new york the cat the dog")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, k=10, min_count=2).collect()
+    assert out[0]["w1"] == "new" and out[0]["w2"] == "york"
+    assert out[0]["n_pair"] == 8 and out[0]["n_w1"] == 8
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("dog", "rare") not in pairs  # hapax pair dropped by min_count
+    assert all(out[i]["pmi"] >= out[i + 1]["pmi"] for i in range(len(out) - 1))
+    # verify the exact formula on the top row against a python recount
+    r = out[0]
+    from collections import Counter
+
+    toks = []
+    for i in range(8):
+        toks.extend(("new york the cat the dog rare" if i == 0
+                     else "new york the cat the dog").split())
+    U = len(toks)
+    c = Counter(toks)
+    bigs = Counter()
+    docs_toks = [("new york the cat the dog rare" if i == 0
+                  else "new york the cat the dog").split() for i in range(8)]
+    for dt in docs_toks:
+        for a, b in zip(dt, dt[1:]):
+            bigs[(a, b)] += 1
+    Tm = sum(bigs.values())
+    want = math.log((8 / Tm) / ((c["new"] / U) * (c["york"] / U)))
+    assert abs(r["pmi"] - want) < 1e-12
+    with pytest.raises(ValueError):
+        pmi_collocations(docs, k=0)
