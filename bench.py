@@ -94,6 +94,8 @@ HEADLINE = [
     "tsdb_anomaly_zscore",
     "multimodal_scene_cuts",
     "text_zipf_alpha",
+    "embed_drift",
+    "text_pmi_top20",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -78,6 +78,8 @@ QUERIES = [
     "tsdb_anomaly_zscore",
     "multimodal_scene_cuts",
     "text_zipf_alpha",
+    "embed_drift",
+    "text_pmi_top20",
 ]
 
 
