@@ -96,6 +96,7 @@ HEADLINE = [
     "text_zipf_alpha",
     "embed_drift",
     "text_pmi_top20",
+    "multimodal_audio_segments",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -3204,6 +3204,60 @@ def _audio_query(spark, sf_dir, resample: bool):
     )
 
 
+def _audio_segments_oracle(nw: int) -> str:
+    # Per-sample replica of pipeline.multimodal.audio_activity_segments:
+    # window k = (j * nw) // n, active iff the integer cross-multiply
+    # sumsq_w * cnt_total >= sumsq_total * cnt_w, islands via lag/cumsum.
+    nbytes = _AUD_N * 2
+    return f"""WITH
+        t AS (SELECT doc_id, rpad(substr(text, 1, {nbytes}), {nbytes}, ' ') AS t
+              FROM documents),
+        smp AS (SELECT d.doc_id, j.i AS j,
+                       ord(substr(d.t, 2 * j.i + 1, 1))
+                       + 256 * ord(substr(d.t, 2 * j.i + 2, 1)) AS v
+                FROM t d CROSS JOIN range({_AUD_N}) j(i)),
+        s AS (SELECT doc_id, j,
+                     CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+              FROM smp),
+        w AS (SELECT doc_id, CAST((j * {nw}) // {_AUD_N} AS INT) AS win,
+                     count(*) AS cnt, sum(s * s) AS sumsq
+              FROM s GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(cnt) AS tc, sum(sumsq) AS ts
+                FROM w GROUP BY doc_id),
+        f AS (SELECT w.doc_id, w.win, w.cnt, w.sumsq,
+                     (w.sumsq * tot.tc >= tot.ts * w.cnt) AS act
+              FROM w JOIN tot ON w.doc_id = tot.doc_id),
+        l AS (SELECT *, lag(act) OVER (PARTITION BY doc_id ORDER BY win) AS pact
+              FROM f),
+        i AS (SELECT *, sum(CASE WHEN act AND (pact IS NULL OR NOT pact)
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY win
+                              ROWS UNBOUNDED PRECEDING) AS seg
+              FROM l)
+        SELECT doc_id AS media_id, CAST(seg AS INT) AS segment_id,
+               CAST(min(win) AS INT) AS start_win,
+               CAST(max(win) AS INT) AS end_win,
+               CAST(count(*) AS INT) AS n_win,
+               {RND.format('sum(sumsq) / CAST(sum(cnt) AS DOUBLE)')} AS mean_sq_r
+        FROM i WHERE act GROUP BY doc_id, seg"""
+
+
+@register("multimodal_audio_segments", _audio_segments_oracle(16))
+def multimodal_audio_segments(spark, sf_dir):
+    """Audio activity segmentation (pipeline.multimodal
+    .audio_activity_segments): self-calibrating VAD proxy — windows at or
+    above the clip's own mean energy merge into active segments
+    (gaps-and-islands). Integer cross-multiply activity test + integer
+    window energies mean the whole segmentation is engine-exact; only the
+    per-segment mean square rounds."""
+    from opentsdb_spark.pipeline.multimodal import audio_activity_segments
+
+    media = docs_as_raw_audio(_docs(spark, sf_dir), _AUD_N, _AUD_IN)
+    out = audio_activity_segments(media, n_windows=16)
+    return out.select("media_id", "segment_id", "start_win", "end_win",
+                      "n_win", _vr(F.col("mean_sq")).alias("mean_sq_r"))
+
+
 @register("multimodal_audio_stats", _audio_stats_oracle(_AUD_N, "j.i"))
 def multimodal_audio_stats(spark, sf_dir):
     """Raw s16le audio signal stats (RMS / peak / strict zero crossings),

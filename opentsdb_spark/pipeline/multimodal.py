@@ -718,6 +718,97 @@ def scene_cuts(
     )
 
 
+AUDIO_WIN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win", T.IntegerType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("sumsq", T.LongType(), False),
+    ]
+)
+
+
+def audio_activity_segments(media: DataFrame, n_windows: int = 16) -> DataFrame:
+    """Activity segmentation of raw s16le audio (the VAD proxy, and the
+    temporal complement of the video ``scene_cuts``): split each clip into
+    ``n_windows`` floor-index windows (the fingerprint's map), call a
+    window ACTIVE iff its mean energy (mean square) is at or above the
+    CLIP's OWN mean energy — self-calibrating, no absolute threshold to
+    tune per corpus — and merge consecutive active windows into segments
+    (the classic gaps-and-islands). The training-data use: drop silence
+    before transcription/captioning, and measure speech/music density per
+    clip. Clips shorter than ``n_windows`` samples (or malformed) emit no
+    rows; a flat clip is wall-to-wall "active" (every window equals the
+    mean) — one segment, the honest degenerate.
+
+    All comparisons are INTEGER cross-multiplications
+    (sumsq_w * cnt_total >= sumsq_total * cnt_w) — engine-exact, no float
+    division; exactness needs sumsq_total * max(cnt_w) < 2^63, i.e.
+    n_samples^2 * 2^30 / n_windows < 2^63 (~700k samples per clip at 16
+    windows) — chunk longer clips upstream or raise n_windows, as real
+    VAD pipelines do anyway.
+
+    Scale shape: per-window energies are one Arrow narrow map emitting
+    n_windows 28-byte rows per clip (audio bytes never shuffle); clip
+    totals and the island numbering run per-media over the
+    n_windows-bounded frame. Returns one row per segment:
+    (media_id, segment_id, start_win, end_win, n_win, mean_sq)."""
+    if n_windows < 2:
+        raise ValueError(f"n_windows must be >= 2, got {n_windows}")
+    from pyspark.sql import Window
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mids, wins, cnts, sqs = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                if blob is None or len(blob) % 2 or len(blob) // 2 < n_windows:
+                    continue
+                s = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
+                n = len(s)
+                w = (np.arange(n) * n_windows) // n
+                sumsq = np.bincount(w, weights=s * s, minlength=n_windows).astype(np.int64)
+                cnt = np.bincount(w, minlength=n_windows).astype(np.int64)
+                mids.extend([int(mid)] * n_windows)
+                wins.extend(range(n_windows))
+                cnts.extend(cnt.tolist())
+                sqs.extend(sumsq.tolist())
+            yield pd.DataFrame(
+                {"media_id": pd.Series(mids, dtype="int64"),
+                 "win": pd.Series(wins, dtype="int32"),
+                 "cnt": pd.Series(cnts, dtype="int64"),
+                 "sumsq": pd.Series(sqs, dtype="int64")}
+            )
+
+    wins = media.select("media_id", "media").mapInPandas(gen, schema=AUDIO_WIN_SCHEMA)
+    wm = Window.partitionBy("media_id")
+    tot_cnt = F.sum("cnt").over(wm)
+    tot_sq = F.sum("sumsq").over(wm)
+    flagged = wins.withColumn(
+        "__active", F.col("sumsq") * tot_cnt >= tot_sq * F.col("cnt")
+    )
+    ws = Window.partitionBy("media_id").orderBy("win")
+    prev = F.lag("__active").over(ws)
+    start = F.col("__active") & (prev.isNull() | ~prev)
+    islands = flagged.withColumn(
+        "__seg",
+        F.sum(start.cast("int")).over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    ).where(F.col("__active"))
+    return (
+        islands.groupBy("media_id", F.col("__seg").alias("segment_id"))
+        .agg(
+            F.min("win").alias("start_win"),
+            F.max("win").alias("end_win"),
+            F.count("*").cast("int").alias("n_win"),
+            (F.sum("sumsq").cast("double") / F.sum("cnt").cast("double"))
+            .alias("mean_sq"),
+        )
+        .select("media_id", F.col("segment_id").cast("int").alias("segment_id"),
+                "start_win", "end_win", "n_win", "mean_sq")
+    )
+
+
 def byte_stats(frames: DataFrame, blob_col: str = "media") -> DataFrame:
     """Per-row byte count + mean of a binary column, keyed by media_id (and
     frame_idx/frame_ts_ms when present — absent key columns come back NULL).

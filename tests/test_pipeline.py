@@ -2558,3 +2558,46 @@ def test_pmi_collocations_rank_strong_pairs_first(spark):
     assert abs(r["pmi"] - want) < 1e-12
     with pytest.raises(ValueError):
         pmi_collocations(docs, k=0)
+
+
+def test_audio_activity_segments_islands(spark):
+    """Loud-quiet-loud clip yields two segments at the right windows; a
+    flat clip is one wall-to-wall segment; short/malformed clips emit
+    nothing; segment stats are exact."""
+    import numpy as np
+    import pytest
+
+    from opentsdb_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, audio_activity_segments,
+    )
+
+    def clip(vals):
+        return bytearray(np.asarray(vals, dtype="<i2").tobytes())
+
+    # 64 samples, 8 windows of 8: windows 0-2 loud (1000), 3-5 quiet (10),
+    # 6-7 loud again -> clip mean-square between the two levels
+    loud, quiet = [1000] * 8, [10] * 8
+    v = loud * 3 + quiet * 3 + loud * 2
+    rows = [
+        (1, "audio", clip(v), ("audio/x-raw-s16le", None, None, 1)),
+        (2, "audio", clip([7] * 64), ("audio/x-raw-s16le", None, None, 1)),
+        (3, "audio", clip([1, 2, 3]), ("audio/x-raw-s16le", None, None, 1)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_activity_segments(media, n_windows=8).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # clip 1: two islands, windows 0-2 and 6-7
+    segs = sorted(by_media[1], key=lambda r: r["start_win"])
+    assert len(segs) == 2
+    assert (segs[0]["start_win"], segs[0]["end_win"], segs[0]["n_win"]) == (0, 2, 3)
+    assert (segs[1]["start_win"], segs[1]["end_win"], segs[1]["n_win"]) == (6, 7, 2)
+    assert abs(segs[0]["mean_sq"] - 1000.0 ** 2) < 1e-9
+    # flat clip: every window equals the mean -> one full-width segment
+    flat = by_media[2]
+    assert len(flat) == 1 and (flat[0]["start_win"], flat[0]["end_win"]) == (0, 7)
+    # clip shorter than n_windows: no rows
+    assert 3 not in by_media
+    with pytest.raises(ValueError):
+        audio_activity_segments(media, n_windows=1)

@@ -80,6 +80,7 @@ QUERIES = [
     "text_zipf_alpha",
     "embed_drift",
     "text_pmi_top20",
+    "multimodal_audio_segments",
 ]
 
 
