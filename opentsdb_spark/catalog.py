@@ -2793,11 +2793,13 @@ def embed_knn_density(spark, sf_dir):
     signal complementary to prototypicality (crowded regions downsample,
     isolated vectors are rare-content candidates). The oracle averages
     the knn-graph oracle's ROUNDED cosines, so the engine mirrors that
-    (rounding before the mean keeps both sides on identical inputs)."""
+    (rounding before the mean keeps both sides on identical inputs).
+    bit_exact=True makes the underlying ranks deterministic by
+    construction (see embed_knn_graph)."""
     from opentsdb_spark.pipeline.similarity import knn_graph, seeded_centroids
 
     g = knn_graph(_emb(spark, sf_dir), k=3,
-                  centroids=seeded_centroids(16, 64))
+                  centroids=seeded_centroids(16, 64), bit_exact=True)
     return (
         g.withColumn("__cr", _vr(F.col("cosine")))
         .groupBy("vec_id", "cell")
@@ -2813,15 +2815,15 @@ def embed_knn_graph(spark, sf_dir):
     the corpus x corpus companion to the ann_* query ops and the input to
     density/diversity curation. Hash-checked end to end: the oracle
     recomputes the identical cell partition, pairwise cosines and the
-    (cosine DESC, id ASC) neighbor ranks in SQL. The default BLAS gram
-    kernel's ~1e-15 reassociation noise is absorbed by the 4-decimal
-    rounding and cannot flip a rank outside a measure-zero tie (the
-    dedup_semantic precedent); the dim-sequential bit_exact variant stays
-    available and is pinned equal by tests."""
+    (cosine DESC, id ASC) neighbor ranks in SQL. bit_exact=True replays
+    the SQL fold's dim-sequential IEEE order so the hash check is
+    deterministic BY CONSTRUCTION (not just measure-zero-safe) — gate
+    sizes are tiny, and the default BLAS gram kernel stays exercised by
+    the scale sweeps and the tests pinning both kernels equal."""
     from opentsdb_spark.pipeline.similarity import knn_graph, seeded_centroids
 
     out = knn_graph(_emb(spark, sf_dir), k=3,
-                    centroids=seeded_centroids(16, 64))
+                    centroids=seeded_centroids(16, 64), bit_exact=True)
     return out.select("vec_id", "nbr_id", "cell",
                       _vr(F.col("cosine")).alias("cosine_r"), "nbr_rank")
 

@@ -838,7 +838,7 @@ def embedding_drift(
     emb_b: DataFrame,
     n_centroids: int = 16,
     centroids: list[list[float]] | None = None,
-    dim: int = 64,
+    dim: int | None = None,
     train_size: int = 10_000,
     iters: int = 5,
     seed: int = 42,
@@ -871,6 +871,15 @@ def embedding_drift(
         else _train_kmeans(emb_a, n_centroids, train_size, iters, seed,
                            vec_col, id_col=id_col)
     )
+    # vector width comes from the centroids themselves (like knn_graph /
+    # _subdivide_cells) — an explicit dim must agree or the per-dim sum
+    # columns would silently truncate / NULL-pad the mean direction
+    if dim is None:
+        dim = len(cent_arr[0])
+    elif dim != len(cent_arr[0]):
+        raise ValueError(
+            f"dim={dim} does not match centroid width {len(cent_arr[0])}"
+        )
 
     def _side(emb: DataFrame, tag: str) -> DataFrame:
         corpus = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))

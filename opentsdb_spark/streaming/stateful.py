@@ -211,7 +211,15 @@ def streaming_zscore(
     accumulation replays the batch window-sum's sequential IEEE order —
     tests pin the streamed output EXACTLY equal to the batch operator on
     the same in-order feed, the same streaming==batch proof the HLL
-    register build uses."""
+    register build uses.
+
+    NULL/NaN-valued points are dropped at the keyed select — they can
+    neither be scored nor contribute moments, and appending them would
+    poison the trailing window. The equivalence contract on feeds with
+    gaps is therefore streamed == batch ON THE PRE-FILTERED feed (pinned
+    by test): a NULL row left in place batch-side would still occupy a
+    rows-window SLOT even though count/sum skip it, and a NaN would
+    propagate through the batch window sums for ``lookback`` rows."""
     if lookback < 2:
         raise ValueError(f"lookback must be >= 2, got {lookback}")
     if min_points < 2:
@@ -222,6 +230,8 @@ def streaming_zscore(
         series_id_col().alias("series_id"),
         F.unix_millis("ts").alias("ts_ms"),
         F.col("value"),
+    ).filter(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value").cast("double"))
     )
     return keyed.groupBy("series_id").applyInPandasWithState(
         _make_zscore_fn(int(lookback), float(threshold), int(min_points)),

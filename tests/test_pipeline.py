@@ -2513,6 +2513,14 @@ def test_embedding_drift_shares_and_direction(spark):
     assert drift[2]["n_a"] == 0 and drift[2]["mean_cosine"] is None
     assert abs(drift[1]["share_delta"] + 1 / 3) < 1e-12
     assert abs(drift[2]["share_delta"] - 1 / 3) < 1e-12
+    # dim derives from the centroid width; an explicit mismatch raises
+    # instead of silently truncating / NULL-padding (ADVICE r9)
+    derived = {r["cell"]: r for r in
+               embedding_drift(a, b, centroids=cents).collect()}
+    assert {c: r["mean_cosine"] for c, r in derived.items()} == \
+           {c: r["mean_cosine"] for c, r in drift.items()}
+    with pytest.raises(ValueError, match="centroid width"):
+        embedding_drift(a, b, centroids=cents, dim=64)
 
 
 def test_pmi_collocations_rank_strong_pairs_first(spark):

@@ -984,6 +984,69 @@ def test_streaming_zscore_equals_batch(spark):
     assert any(r["is_anomaly"] for r in got.values())
 
 
+def test_streaming_zscore_null_nan_points_dropped(spark):
+    """NULL/NaN-valued points must be dropped at the keyed select — they
+    neither emit a row nor enter the trailing window nor occupy a window
+    SLOT — so streamed == batch-on-the-prefiltered-feed holds on feeds
+    with gaps (ADVICE r9; batch's rows-window would count a NULL row as a
+    frame slot, so pre-filtering is the equivalence contract)."""
+    import json as _json
+
+    from opentsdb_spark.operators.expressions import anomaly_zscore
+    from opentsdb_spark.streaming.stateful import streaming_zscore
+
+    vals = [10.0, 11.0, None, 10.2, float("nan"), 10.4, 50.0, 10.6]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for i, v in enumerate(vals):
+                rec = {"metric": "m.lat", "tags": {"host": "web01"},
+                       "ts": EPOCH + 60 * i,
+                       "value": "NaN" if v is not None and v != v else v}
+                f.write(_json.dumps(rec) + "\n")
+        pts = (
+            spark.readStream.schema(
+                "metric string, tags map<string,string>, ts long, value double"
+            )
+            .json(src)
+            .withColumn("ts", F.timestamp_seconds("ts"))
+        )
+        stream = streaming_zscore(pts, lookback=4, threshold=2.0, min_points=2)
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("szscore_null")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            int(r["ts"].timestamp()): r
+            for r in spark.sql("select * from szscore_null").collect()
+        }
+    # batch on the PRE-FILTERED feed (null/NaN removed before the
+    # operator — the documented equivalence contract; a NULL row left in
+    # place would still occupy a rows-window slot batch-side)
+    batch_df = spark.createDataFrame(
+        [("s", EPOCH + 60 * i, v) for i, v in enumerate(vals)
+         if v is not None and v == v],
+        "series_id string, ts long, value double",
+    )
+    want = {
+        int(r["ts"]): r
+        for r in anomaly_zscore(batch_df, ("series_id",), lookback=4,
+                                threshold=2.0, min_points=2).collect()
+    }
+    assert set(got) == set(want) and len(got) == 6  # 8 points - None - NaN
+    for ts, w in want.items():
+        assert got[ts]["zscore"] == w["zscore"], ts
+        assert got[ts]["is_anomaly"] == w["is_anomaly"], ts
+    assert any(r["is_anomaly"] for r in got.values())
+
+
 def test_streaming_zscore_late_point_state():
     """Late points emit nothing and never regress the cursor or window."""
     import pandas as pd
