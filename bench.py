@@ -97,6 +97,11 @@ HEADLINE = [
     "embed_drift",
     "text_pmi_top20",
     "multimodal_audio_segments",
+    # round 10: unigram vocab drift (text twin of embed_drift). The
+    # streaming rows (tsdb_anomaly_zscore_stream, ann_incremental) are
+    # deliberately NOT headline queries — they drive eager foreachBatch
+    # index writes, a sink benchmark, not a scan/shuffle plan
+    "text_vocab_drift",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")
@@ -345,23 +350,34 @@ def main() -> None:
     catalog.flagship(spark, sf_dir).count()
     spark.range(1000).mapInPandas(lambda it: it, schema="id long").count()
 
-    def _run_once(name: str) -> tuple[float, float, float]:
+    # per-query JVM JIT-compile delta (ms): makes cross-round deltas on
+    # UNTOUCHED queries attributable — a 0.3s wall uptick that arrives
+    # with a matching jit_ms spike is compilation pressure from elsewhere
+    # in the sweep, not an engine regression (r9 verdict #3)
+    _jit_bean = spark._jvm.java.lang.management.ManagementFactory \
+        .getCompilationMXBean()
+
+    def _run_once(name: str) -> tuple[float, float, float, int]:
+        j0 = _jit_bean.getTotalCompilationTime()
         s0, c0, t0 = _steal_seconds(), meter.total(), time.time()
         fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         wall, dcpu = time.time() - t0, meter.total() - c0
-        return wall, dcpu, _steal_seconds() - s0
+        return (wall, dcpu, _steal_seconds() - s0,
+                _jit_bean.getTotalCompilationTime() - j0)
 
     timings: dict[str, float] = {}
     cpu: dict[str, float] = {}
     steal: dict[str, float] = {}
+    jit: dict[str, int] = {}
     for name in headline:
         if name not in fns:
             continue
         best_wall, best_cpu, best_steal = float("inf"), float("inf"), float("inf")
         for _ in range(repeat):
-            wall, dcpu, dsteal = _run_once(name)
+            wall, dcpu, dsteal, djit = _run_once(name)
             if wall < best_wall:
                 best_wall, best_cpu, best_steal = wall, dcpu, dsteal
+                jit[name] = int(djit)
         # scratch persists are deliberately NOT cleared between queries:
         # repeat-2 (and sibling queries sharing sub-plans, e.g. the dedup
         # family's gram frames) legitimately reuse persisted scratch via
@@ -388,12 +404,13 @@ def main() -> None:
         if not dirty:
             break
         for name in dirty:
-            wall, dcpu, dsteal = _run_once(name)
+            wall, dcpu, dsteal, djit = _run_once(name)
             steal_retried += 1
             if wall < timings[name]:
                 timings[name] = round(wall, 3)
                 cpu[name] = round(dcpu, 3)
                 steal[name] = round(dsteal, 3)
+                jit[name] = int(djit)
             elif dsteal < steal[name]:
                 # slower but cleaner: the old entry's wall stands (best-of
                 # contract) but its steal is re-attributed to the clean run
@@ -411,6 +428,8 @@ def main() -> None:
         "cpu_total": round(sum(cpu.values()), 3),
         "steal_queries": steal,
         "steal_total": round(sum(steal.values()), 3),
+        "jit_queries_ms": jit,
+        "jit_total_ms": int(sum(jit.values())),
         "steal_budget": steal_budget,
         "steal_retried": steal_retried,
         "steal_contaminated": steal_contaminated,

@@ -29,6 +29,7 @@ from opentsdb_spark.operators.join import ieee_div_sql as _ieee_div_sql
 from opentsdb_spark.operators.metadata import last_points, suggest
 from opentsdb_spark.operators.rate import rate
 from opentsdb_spark.plans.planner import compile_query
+from opentsdb_spark.session import tiny_df
 from opentsdb_spark.sources.points import load_points, load_table
 
 # January 2024 — the events table's full span at every sf (TESTDATA.md)
@@ -2591,6 +2592,72 @@ def ann_lsh_top5(spark, sf_dir):
                       _vr(F.col("cosine")).alias("cosine_r"))
 
 
+def _ann_incremental_oracle(k: int, tables: int, bits: int) -> str:
+    """Sequential replay of the STREAMING ANN index: arrival batch =
+    vec_id % 3 (sf-independent), and a query's candidate corpus is every
+    vector that ARRIVED EARLIER (e.arr < q.arr) — exactly what
+    streaming.embeddings.ann_index_batch sees after batches 0..b-1 were
+    appended to the persistent index. Bucket/candidate/scoring arithmetic
+    is the lsh_topk oracle's, with the batch-order predicate added to the
+    collision join."""
+    buckets = ",\n".join(f"{_bucket_sql('v', t, bits)} AS b{t}" for t in range(tables))
+    any_collide = " OR ".join(f"e.b{t} = q.b{t}" for t in range(tables))
+    return f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, vec_id % 3 AS arr, v, {_vecnorm_sql('v')} AS n, {buckets} FROM emb),
+        q AS (SELECT vec_id AS query_id, arr AS qarr, v AS qv, n AS qn,
+                     {', '.join(f'b{t}' for t in range(tables))}
+              FROM b WHERE arr > 0),
+        cand AS (SELECT DISTINCT q.query_id, e.vec_id
+                 FROM b e JOIN q ON e.arr < q.qarr AND ({any_collide})),
+        scored AS (SELECT c.query_id, c.vec_id,
+                          {_vecdot_sql('q.qv', 'e.v')} / (q.qn * e.n) AS cosine
+                   FROM cand c
+                   JOIN q ON q.query_id = c.query_id
+                   JOIN b e ON e.vec_id = c.vec_id)
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+               {RND.format('cosine')} AS cosine_r
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= {k}"""
+
+
+@register("ann_incremental", _ann_incremental_oracle(5, tables=10, bits=6))
+def ann_incremental(spark, sf_dir):
+    """STREAMING ANN index maintenance (streaming/embeddings.py
+    ann_index_batch) through the driver's lens: the corpus arrives as
+    three micro-batches (arrival order = vec_id % 3), each batch's
+    vectors are top-5-scored against the persistent parquet index built
+    by the EARLIER batches, then join it — the similarity twin of
+    dedup_incremental, sharing the same Hadoop-FS index discipline
+    (__batch_id partitions, replay-idempotent appends, compaction). The
+    oracle replays the whole sequence as one SQL query (candidate corpus
+    = strictly-earlier arrivals); bit_exact bucket folds make the
+    candidate sets deterministic by construction, and the 4-decimal
+    rounding absorbs the einsum scoring kernel's ~1e-15 noise (the
+    ann_lsh_top5 precedent). Batch 0 sees an empty corpus and emits
+    nothing, exactly like the SQL's arr > 0 filter."""
+    import tempfile
+
+    from opentsdb_spark.streaming.embeddings import ann_index_batch
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    outs = []
+    with tempfile.TemporaryDirectory() as d:
+        bidx, vidx = os.path.join(d, "b"), os.path.join(d, "v")
+        for arr in range(3):
+            batch = emb.where(F.col("vec_id") % 3 == arr)
+            v = ann_index_batch(batch, bidx, vidx, batch_id=arr, k=5,
+                                tables=10, bits=6, bit_exact=True)
+            if arr > 0:
+                outs.append(v.collect())
+    rows = [tuple(r) for batch_rows in outs for r in batch_rows]
+    got = tiny_df(spark, rows,
+                  "query_id long, vec_id long, cosine double, rank int")
+    return got.select("query_id", "vec_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      _vr(F.col("cosine")).alias("cosine_r"))
+
+
 def _ivf_trained_sql() -> str:
     """Oracle for the TRAINED IVF path, built lazily at oracle-resolution
     time: training is deterministic (hash-ordered sample + fixed-seed numpy
@@ -4143,21 +4210,32 @@ def text_cms_probe(spark, sf_dir):
     vocabulary — probed for a fixed token list with est = min over rows.
     One-sided by construction (est >= exact, asserted in tests); probe
     positions come from the driver-side py_xxh64 chain, bit-identical to
-    Spark's multi-arg xxhash64 and to the SQL replica."""
+    Spark's multi-arg xxhash64 and to the SQL replica.
+
+    Round-10 warm-CPU rework (the ccnet method): the cell grid rolls up
+    from the VOCABULARY-sized wordcount via cms_cells' weight path, so
+    the d hashes + cell emits run once per DISTINCT token, not per
+    occurrence — additive counts make the grids identical. The exact leg
+    filters the SAME wordcount aggregate, so its exchange is REUSED
+    (one occurrence-sized pass total, plan-pinned in tests) instead of
+    re-tokenizing the corpus a second time."""
     from opentsdb_spark.pipeline.sketch import cms_cells, cms_estimate
 
     from opentsdb_spark.pipeline.text import _words
 
-    toks = _docs(spark, sf_dir).select(
-        F.explode(_words(F.col("text"))).alias("token"))
-    cells = cms_cells(toks, "token", d=_CMS_D, w=_CMS_W)
+    wc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_words(F.col("text"))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("cnt"))
+    )
+    cells = cms_cells(wc, "token", d=_CMS_D, w=_CMS_W, weight_col="cnt")
     est = cms_estimate(cells, list(_CMS_PROBES), d=_CMS_D, w=_CMS_W)
     exact = (
-        toks.where(F.col("token").isin(list(_CMS_PROBES)))
-        .groupBy("token").agg(F.count("*").alias("exact"))
+        wc.where(F.col("token").isin(list(_CMS_PROBES)))
+        .select("token", F.col("cnt").alias("exact"))
     )
     probes_df = F.broadcast(
-        spark.createDataFrame([(t,) for t in _CMS_PROBES], "token string"))
+        tiny_df(spark, [(t,) for t in _CMS_PROBES], "token string"))
     return (
         probes_df.join(est, on="token", how="left")
         .join(exact, on="token", how="left")
@@ -4301,10 +4379,7 @@ def tsdb_asof_join(spark, sf_dir):
 
 _ZV = "(ss - n * (s / n) * (s / n)) / (n - 1.0)"  # trailing sample variance
 
-
-@register(
-    "tsdb_anomaly_zscore",
-    f"""WITH g AS (SELECT event_type AS metric, {H_SEC} AS ts_sec,
+_ZSCORE_GRID_ORACLE = f"""WITH g AS (SELECT event_type AS metric, {H_SEC} AS ts_sec,
                           sum(value) AS v
                    FROM events
                    WHERE epoch_ms(ts) >= {START_MS} AND epoch_ms(ts) < {END_MS}
@@ -4322,8 +4397,10 @@ _ZV = "(ss - n * (s / n) * (s / n)) / (n - 1.0)"  # trailing sample variance
         SELECT metric, ts_sec, {RND.format('v')} AS value_r,
                {RND.format('z')} AS zscore_r,
                COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
-        FROM m""",
-)
+        FROM m"""
+
+
+@register("tsdb_anomaly_zscore", _ZSCORE_GRID_ORACLE)
 def tsdb_anomaly_zscore(spark, sf_dir):
     """Trailing z-score anomaly flags (operators/expressions.py
     anomaly_zscore) over the hourly per-metric sum grid: each bucket
@@ -4335,11 +4412,25 @@ def tsdb_anomaly_zscore(spark, sf_dir):
     evaluation would scan) is pushed to the parquet scan."""
     from opentsdb_spark.operators.expressions import anomaly_zscore
 
+    out = anomaly_zscore(_hourly_metric_grid(spark, sf_dir),
+                         series_cols=("metric",), lookback=24,
+                         threshold=2.0, min_points=3)
+    return out.select(
+        "metric", F.col("ts").alias("ts_sec"),
+        _vr(F.col("value")).alias("value_r"),
+        _vr(F.col("zscore")).alias("zscore_r"),
+        "is_anomaly",
+    )
+
+
+def _hourly_metric_grid(spark, sf_dir):
+    """Hourly per-metric sum grid over the gate window — the shared feed
+    of the batch and streamed z-score entries."""
     ev = load_table(spark, sf_dir, "events").where(
         (F.col("ts") >= F.timestamp_seconds(F.lit(START_SEC)))
         & (F.col("ts") < F.timestamp_seconds(F.lit(END_SEC)))
     )
-    grid = (
+    return (
         ev.groupBy(
             F.col("event_type").alias("metric"),
             (F.unix_millis("ts") / 3600000).cast("long").alias("__hb"),
@@ -4347,10 +4438,76 @@ def tsdb_anomaly_zscore(spark, sf_dir):
         .agg(F.sum("value").alias("value"))
         .select("metric", (F.col("__hb") * 3600).alias("ts"), "value")
     )
-    out = anomaly_zscore(grid, series_cols=("metric",), lookback=24,
-                         threshold=2.0, min_points=3)
+
+
+@register("tsdb_anomaly_zscore_stream", _ZSCORE_GRID_ORACLE)
+def tsdb_anomaly_zscore_stream(spark, sf_dir):
+    """The STREAMING trailing z-score (streaming/stateful.py
+    streaming_zscore) driven through a real micro-batch sequence and
+    hash-checked against the same sequential DuckDB replay as the batch
+    entry — the streaming==batch bitwise pin promoted from pytest into
+    the driver's lens. The hourly grid (bounded: #metrics x gate-window
+    hours, a few thousand rows — the alerting feed, not raw points) is
+    split into three time-sliced micro-batches fed through a file-source
+    stream with processAllAvailable barriers between writes, so per-series
+    state crosses TWO real micro-batch boundaries through the state
+    store. The streamed rows are then re-shaped to the batch entry's
+    exact output contract; because the stateful operator replays the
+    batch window-sum's sequential IEEE order, scores AND flags
+    hash-match the oracle bit-for-bit."""
+    import json as _json
+    import tempfile
+
+    from opentsdb_spark.streaming.stateful import streaming_zscore
+
+    # grid collect is query-bounded (metrics x hours) — the same frame
+    # every TSD alert evaluation materializes
+    rows = sorted(
+        _hourly_metric_grid(spark, sf_dir).collect(),
+        key=lambda r: (int(r["ts"]), r["metric"]),
+    )
+    cuts = [int(len(rows) * i / 3) for i in (1, 2, 3)]
+    got = None
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        pts = (
+            spark.readStream.schema(
+                "metric string, tags map<string,string>, ts long, value double"
+            )
+            .json(src)
+            .withColumn("ts", F.timestamp_seconds("ts"))
+        )
+        stream = streaming_zscore(pts, lookback=24, threshold=2.0,
+                                  min_points=3)
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("zscore_stream_gate")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            lo = 0
+            for i, hi in enumerate(cuts):
+                with open(os.path.join(src, f"b{i}.json"), "w") as f:
+                    for r in rows[lo:hi]:
+                        f.write(_json.dumps(
+                            {"metric": r["metric"], "tags": {},
+                             "ts": int(r["ts"]),
+                             "value": float(r["value"])}) + "\n")
+                lo = hi
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("select * from zscore_stream_gate").collect()
+    spark.catalog.dropTempView("zscore_stream_gate")
+    out = tiny_df(
+        spark, got, "series_id string, ts timestamp, value double, "
+                    "zscore double, is_anomaly boolean",
+    )
     return out.select(
-        "metric", F.col("ts").alias("ts_sec"),
+        F.substring_index("series_id", "{", 1).alias("metric"),
+        (F.unix_millis("ts") / 1000).cast("long").alias("ts_sec"),
         _vr(F.col("value")).alias("value_r"),
         _vr(F.col("zscore")).alias("zscore_r"),
         "is_anomaly",
@@ -4780,6 +4937,57 @@ def text_zipf_alpha(spark, sf_dir):
         "lang", "n_ranks",
         _vr(F.col("alpha")).alias("alpha_r"),
         _vr(F.col("intercept")).alias("intercept_r"),
+    )
+
+
+@register(
+    "text_vocab_drift",
+    rf"""WITH wa AS (SELECT token, count(*) AS cnt_a
+                     FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+                           FROM documents WHERE doc_id % 2 = 0) GROUP BY token),
+        wb AS (SELECT token, count(*) AS cnt_b
+               FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+                     FROM documents WHERE doc_id % 2 = 1) GROUP BY token),
+        j AS (SELECT coalesce(wa.token, wb.token) AS token,
+                     coalesce(cnt_a, 0)::BIGINT AS cnt_a,
+                     coalesce(cnt_b, 0)::BIGINT AS cnt_b
+              FROM wa FULL JOIN wb ON wa.token = wb.token),
+        t AS (SELECT sum(cnt_a)::DOUBLE AS ta, sum(cnt_b)::DOUBLE AS tb FROM j),
+        s AS (SELECT token, cnt_a, cnt_b,
+                     cnt_a / ta AS p_a, cnt_b / tb AS p_b,
+                     cnt_b / tb - cnt_a / ta AS delta,
+                     CASE WHEN cnt_a > 0 THEN 0.5 * (cnt_a / ta)
+                          * ln((cnt_a / ta) / ((cnt_a / ta + cnt_b / tb) / 2.0))
+                          ELSE 0.0 END
+                     + CASE WHEN cnt_b > 0 THEN 0.5 * (cnt_b / tb)
+                          * ln((cnt_b / tb) / ((cnt_a / ta + cnt_b / tb) / 2.0))
+                          ELSE 0.0 END AS c
+              FROM j CROSS JOIN t),
+        jsd AS (SELECT sum(c) AS jsd FROM s)
+        SELECT token, cnt_a, cnt_b,
+               {RND.format('p_a')} AS p_a_r, {RND.format('p_b_r0')} AS p_b_r,
+               {RND.format('delta')} AS delta_r, {RND.format('jsd')} AS jsd_r
+        FROM (SELECT *, p_b AS p_b_r0 FROM s ORDER BY abs(delta) DESC, token ASC LIMIT 20)
+        CROSS JOIN jsd""",
+)
+def text_vocab_drift(spark, sf_dir):
+    """Unigram-distribution drift between two corpus snapshots
+    (pipeline.text.vocab_drift — the TEXT twin of embed_drift): even
+    doc_ids are snapshot A, odd are snapshot B; output is the top-20
+    share movers by |p_b - p_a| plus the corpus-level Jensen-Shannon
+    divergence as a constant column. Counts and shares are exact-integer
+    divisions (bit-identical ordering keys in any engine); ln appears
+    only inside the rounded JSD output, whose ~1e-11 cross-engine
+    summation noise is absorbed by the 4-decimal rounding."""
+    from opentsdb_spark.pipeline.text import vocab_drift
+
+    docs = _docs(spark, sf_dir)
+    out = vocab_drift(docs.where(F.col("doc_id") % 2 == 0),
+                      docs.where(F.col("doc_id") % 2 == 1), top_n=20)
+    return out.select(
+        "token", "cnt_a", "cnt_b",
+        _vr(F.col("p_a")).alias("p_a_r"), _vr(F.col("p_b")).alias("p_b_r"),
+        _vr(F.col("delta")).alias("delta_r"), _vr(F.col("jsd")).alias("jsd_r"),
     )
 
 
@@ -5414,7 +5622,10 @@ _PRIORITY = [
     # verified by the local full-catalog oracle run). p95_binned pins the
     # fixed-bin approximate percentile scale path (round-6 family, now in
     # the driver gate)
-    "tsdb_ds_10m_avg",
+    # (round 10: tsdb_ds_10m_avg rotates out for the round-9/10 families
+    # below — the fixed-grid avg downsample is a strict subset of the
+    # machinery calendar_max_zero_tz and p95_binned pin, and it stays
+    # verified by the full-catalog oracle run)
     "tsdb_ds_1d_calendar_max_zero_tz", "tsdb_ds_1h_p95_binned",
     # rate (§2.5) + the canonical production composite downsample->rate->
     # aggregate (rate_counter rotates out — its reset machinery is pinned
@@ -5424,7 +5635,12 @@ _PRIORITY = [
     # rewrite, while the trailing z-score is a new alerting family with an
     # explicit-moment IEEE proof; plain rate stays verified by the
     # full-catalog oracle run)
-    "tsdb_anomaly_zscore", "tsdb_rate_ds_sum",
+    # (round 10: the BATCH tsdb_anomaly_zscore rotates out for its
+    # STREAMING twin — same grid, same sequential-DuckDB oracle, same
+    # IEEE moment formula, PLUS a real three-micro-batch drive through
+    # the state store; the batch entry stays verified by the full-catalog
+    # oracle run and the streaming==batch pytest pin)
+    "tsdb_anomaly_zscore_stream", "tsdb_rate_ds_sum",
     # cross-series aggregation + interpolation (§2.3/2.4) incl. the
     # raw-resolution line-sweep strategy (the 100TB-scale stress path);
     # avg_raw exercises the sweep's sum+count decomposition with grouping
@@ -5432,14 +5648,20 @@ _PRIORITY = [
     # sum_aligned_1h rotates out for the round-7 flagship families below —
     # the aligned-grid machinery stays pinned by zimsum/lerp and the
     # full-catalog oracle run)
-    "tsdb_agg_zimsum_by_user", "tsdb_agg_avg_raw",
+    # (round 10: tsdb_agg_avg_raw rotates out — the line-sweep strategy
+    # incl. its sum+count decomposition is pinned by sum_raw_full and the
+    # full-catalog oracle run)
+    "tsdb_agg_zimsum_by_user",
     "tsdb_agg_lerp_sum", "tsdb_agg_sum_raw_full",
     # metadata / uid / tree / annotations (§2.11)
     "tsdb_last", "uid_metrics_listing", "tree_branches",
     "annotations_overlap",
     # gexp functions (§2.8a; absolute_scale rotates out — plain per-point
     # arithmetic also exercised by the exp entries and the full-catalog run)
-    "gexp_sumseries", "gexp_highest_max",
+    # (round 10: gexp_sumseries rotates out — the nested-call parser and
+    # topk routing stay pinned by gexp_highest_max, per-point arithmetic
+    # by exp_intersection_arith; sumseries stays in the full-catalog run)
+    "gexp_highest_max",
     # exp/v2 expressions (§2.8b; union_fill_zero rotates out for the
     # round-7 flagship families — intersection_arith pins the exp parser,
     # join and arithmetic; the UNION+fill variant stays verified by the
@@ -5483,7 +5705,11 @@ _PRIORITY = [
     # entry in the full-catalog run, and byte-stats decode is a strict
     # subset of the dhash plumbing; sample_shard_assign pins the two-phase
     # global-cumsum machinery end to end)
-    "text_quality", "text_paragraph_dedup", "sample_shard_assign",
+    # (round 10: sample_shard_assign rotates out — the two-phase
+    # global-cumsum machinery is pinned by sample_interleave AND inside
+    # pipeline_end_to_end's range-shard stage; it stays verified by the
+    # full-catalog oracle run)
+    "text_quality", "text_paragraph_dedup",
     # (round 9 late: ann_ivf_fixed_top5 rotates out for embed_knn_graph —
     # both replay the seeded-cell assignment + cosine-rank machinery in
     # SQL, and the corpus x corpus bounded k-NN graph additionally pins
@@ -5503,16 +5729,31 @@ _PRIORITY = [
     # the binned containment equi-join stays pinned by the full-catalog
     # run; the windowFunnel sequential-chain-in-one-groupBy proof is a new
     # events-analytics family)
-    "tsdb_asof_join", "events_funnel", "tsdb_sessionize",
+    # (round 10: tsdb_sessionize rotates out — its gaps-and-islands
+    # machinery is now pinned in-gate by multimodal_audio_segments below,
+    # and the sessionize entry stays verified by the full-catalog run +
+    # streaming twin tests; events_retention_cohort joins events_funnel
+    # as the second events-analytics family)
+    "tsdb_asof_join", "events_funnel", "events_retention_cohort",
     "text_ccnet_buckets", "text_source_overlap",
-    "embed_prototypicality", "embed_covariance",
+    # (round 10: embed_covariance rotates out — per-dim moment sums are
+    # pinned by embed_prototypicality AND the new embed_drift entry's
+    # per-cell mean directions; covariance stays in the full-catalog run.
+    # embed_drift adds the two-snapshot distribution-audit family)
+    "embed_prototypicality", "embed_drift",
     # LLM-pipeline: mixture sampling
     # (sample_temperature rotates out for the round-7 interleave/audit
     # rows; round 9: sample_pack_sequences rotates out for
     # sample_cap_per_source — the two-phase cumsum stays pinned by
     # sample_shard_assign AND packing is exercised inside
     # pipeline_end_to_end, while the per-domain cap is a new family)
-    "sample_cap_per_source",
+    # (round 10: sample_cap_quality joins — the QUALITY-ordered cap is the
+    # round-9 flagship scale proof (quantized-bucket two-phase rank), and
+    # the gate previously saw only the hash-order sibling;
+    # sample_weighted_reservoir adds the sequential-Poisson weighted
+    # sample family)
+    "sample_cap_per_source", "sample_cap_quality",
+    "sample_weighted_reservoir",
     # round-6b families: BM25 lexical retrieval, token-budget selection,
     # Bloom-filter benchmark hygiene
     "text_bm25_top5",
@@ -5527,7 +5768,13 @@ _PRIORITY = [
     # multimodal_dhash_pairs in the gate, while the per-video temporal
     # lag/cut/shot segmentation is a new family; audio stays verified by
     # the full-catalog oracle run)
-    "text_hll_distinct", "multimodal_scene_cuts", "sample_global_shuffle",
+    # (round 10: multimodal_audio_segments joins — self-calibrating VAD
+    # gaps-and-islands, the in-gate heir of tsdb_sessionize's machinery;
+    # text_pmi_top20 joins as the vocabulary-granularity collocation
+    # family with its TakeOrderedAndProject top-k proof)
+    "text_hll_distinct", "multimodal_scene_cuts",
+    "multimodal_audio_segments", "text_pmi_top20",
+    "sample_global_shuffle",
     # round-7 flagship families: proportional source interleaving,
     # RefinedWeb-style boilerplate chunk strike-out (round 9:
     # sample_mix_audit rotates out for pipeline_end_to_end — the e2e row

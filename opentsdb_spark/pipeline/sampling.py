@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from opentsdb_spark.session import tiny_df
+
 _BUCKETS = 10_000
 
 
@@ -396,7 +398,7 @@ def repeat_upweight(
     for g, w in weights.items():
         if w < 0:
             raise ValueError(f"negative weight for {g!r}")
-    wdf = spark.createDataFrame(rows, f"{group_col} string, __base int, __thr int")
+    wdf = tiny_df(spark, rows, f"{group_col} string, __base int, __thr int")
     u = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 20))
     n = (
         F.coalesce(F.col("__base"), F.lit(1))
@@ -675,9 +677,9 @@ def interleave_sources(
             raise ValueError(f"weight for {g!r} must be > 0, got {w}")
         w20[g] = max(1, int(round(float(w) * (1 << 20))))
     spark = docs.sparkSession
-    wdf = spark.createDataFrame(
-        [(g, v) for g, v in sorted(w20.items())], f"{group_col} string, __w20 long"
-    )
+    wdf = tiny_df(
+        spark, [(g, v) for g, v in sorted(w20.items())],
+        f"{group_col} string, __w20 long")
     base = docs.select(
         group_col, id_col, F.xxhash64(F.col(id_col)).alias("__h")
     )
@@ -723,6 +725,88 @@ def global_shuffle(
         id_col, F.col("n_rank").cast("long").alias("pos"))
 
 
+def _quality_rank_frame(docs: DataFrame, group_col: str, id_col: str,
+                        quality_col, quality_desc: bool,
+                        n_buckets: int) -> DataFrame:
+    """The narrow quality-ordered rank frame behind cap_per_group's scale
+    path: (group, id, __q, __b, ..., n_rank) with the dense per-group
+    (quality, id) rank computed through quantized buckets. Factored out so
+    tests can assert the per-(group, __b) partition bound directly.
+
+    The quantization bounds are PER GROUP (one tiny groupBy(group)
+    min/max, joined back on the group key — AQE broadcasts it when
+    small): a mega-group whose scores occupy a sliver of the global range
+    still spreads over its own n_buckets, so the no-single-task-window
+    guarantee holds for every group, not just on globally-spread scores.
+    Equal scores never straddle a bucket boundary (the coarsening is
+    monotone within the group), so the bucket-major rank reproduces the
+    exact sequential (quality, id) order bit for bit."""
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    base = docs.select(group_col, id_col, q.cast("double").alias("__q"))
+    # non-null surrogate key for the stats join: an equi-join treats
+    # NULL != NULL, which would silently drop null-group rows (the same
+    # trap _two_phase_group_rank guards its offsets join against)
+    base = base.withColumn(
+        "__gq", F.coalesce(F.col(group_col).cast("string"),
+                           F.lit("\x00__null__")))
+    stats = base.groupBy("__gq").agg(
+        F.min("__q").alias("__mn"), F.max("__q").alias("__mx"))
+    span = F.col("__mx") - F.col("__mn")
+    frac = F.when(span > 0, (F.col("__q") - F.col("__mn")) / span) \
+        .otherwise(F.lit(0.0))
+    qb = F.least(F.floor(frac * n_buckets).cast("long"),
+                 F.lit(n_buckets - 1))
+    # NULL quality ranks last: a sentinel bucket beyond every real one
+    # in the chosen direction (and it keeps the join key non-null)
+    sentinel = F.lit(-1 if quality_desc else n_buckets).cast("long")
+    bucket = F.when(F.col("__q").isNull(), sentinel).otherwise(qb)
+    order = [F.col("__q").desc_nulls_last() if quality_desc
+             else F.col("__q").asc_nulls_last(), F.asc(id_col)]
+    return _two_phase_group_rank(
+        base.join(stats, on="__gq").drop("__gq"), [group_col], id_col,
+        n_buckets, bucket=bucket, order=order, bucket_desc=quality_desc,
+        broadcast_offsets=False)
+
+
+_SIMPLE_SORT_RE = None  # compiled lazily
+
+
+def _route_order_by_to_quality(order_by) -> tuple[str, bool] | None:
+    """Detect a ``cap_per_group(order_by=...)`` that is really just a
+    single-column sort the scale-safe quality path can serve, and return
+    (quality_col, quality_desc) — else None.
+
+    Routable: exactly one entry naming a bare column whose NULL placement
+    matches the quality path's nulls-LAST sentinel — ``F.desc(c)`` /
+    ``"c DESC"`` (DESC defaults to NULLS LAST) and the explicit
+    ``asc_nulls_last`` / ``desc_nulls_last`` forms. A bare string /
+    ``F.col(c)`` / ``F.asc(c)`` is ASC NULLS FIRST and would change where
+    NULL scores land, so it is NOT routed (the caller keeps the
+    documented window semantics and gets the warning instead); computed
+    expressions are never routed."""
+    global _SIMPLE_SORT_RE
+    if _SIMPLE_SORT_RE is None:
+        import re
+
+        _SIMPLE_SORT_RE = re.compile(
+            r"^(?:Column<')?([A-Za-z_][A-Za-z0-9_]*)"
+            r"(?: (ASC|DESC))?(?: NULLS (FIRST|LAST))?(?:'>)?$"
+        )
+    entries = list(order_by)
+    if len(entries) != 1:
+        return None
+    ob = entries[0]
+    m = _SIMPLE_SORT_RE.match(ob if isinstance(ob, str) else str(ob))
+    if m is None:
+        return None
+    name, direction, nulls = m.group(1), m.group(2) or "ASC", m.group(3)
+    if nulls is None:
+        nulls = "LAST" if direction == "DESC" else "FIRST"
+    if nulls != "LAST":
+        return None
+    return name, direction == "DESC"
+
+
 def cap_per_group(
     docs: DataFrame,
     max_per_group: int,
@@ -750,48 +834,46 @@ def cap_per_group(
     through the shared two-phase machinery (``_two_phase_group_rank``) —
     per-(group, bucket) counts + bounded offset windows — so a mega-group
     NEVER lands in one rank task. The quality path buckets on a QUANTIZED
-    quality key: one tiny min/max aggregate maps the score monotonically
-    onto ``n_buckets`` integer buckets (equal scores share a bucket, so
-    lexicographic (bucket, score, id) equals (score, id) exactly and the
-    distributed rank is bit-equal to the sequential per-group sort); NULL
-    scores rank last in their own sentinel bucket. The rank shuffles only
-    the narrow (group, key, id) projection; survivors join the wide
-    corpus back by id, so document text never enters the rank shuffle,
-    and the survivor set is bounded at groups x max_per_group however
-    large the crawl. The offsets frame is bounded at groups x n_buckets
-    rows and is deliberately NOT force-broadcast here (group cardinality
-    is unbounded for per-domain caps — AQE upgrades the join at runtime
-    when the frame is actually small). A constant-quality corpus
-    degenerates to one bucket per group (the honest limit: there is no
-    order to split on). A custom ``order_by`` still falls back to a
-    per-group window over the full frame (the order key is arbitrary, so
-    it cannot bucket) — prefer ``quality_col`` for very wide corpora."""
+    quality key: a tiny PER-GROUP min/max aggregate maps each group's
+    scores monotonically onto ``n_buckets`` integer buckets over that
+    group's own range (equal scores share a bucket, so lexicographic
+    (bucket, score, id) equals (score, id) exactly and the distributed
+    rank is bit-equal to the sequential per-group sort); NULL scores rank
+    last in their own sentinel bucket. Per-group bounds (not global ones)
+    make the no-single-task-window guarantee hold for EVERY group: a
+    mega-domain whose scores cluster in a sliver of the global range
+    still spreads across its own n_buckets (pinned by a skewed-score
+    partition test). The rank shuffles only the narrow (group, key, id)
+    projection; survivors join the wide corpus back by id, so document
+    text never enters the rank shuffle, and the survivor set is bounded
+    at groups x max_per_group however large the crawl. The per-group
+    stats and offsets frames are bounded at groups / groups x n_buckets
+    rows and are deliberately NOT force-broadcast (group cardinality is
+    unbounded for per-domain caps — AQE upgrades the joins at runtime
+    when the frames are actually small). A constant-quality group
+    degenerates to one bucket (the honest limit: there is no order to
+    split on).
+
+    A custom ``order_by`` cannot bucket (the key is arbitrary) and falls
+    back to a per-group window over the full frame — fine for
+    small/medium groups, an anti-pattern for crawl-scale corpora, so:
+    a single-column ``order_by`` with NULLS-LAST placement (e.g.
+    ``[F.desc("score")]``) is routed through the scale-safe quality path
+    automatically (gaining the deterministic id tie-break), and any
+    genuinely arbitrary order warns once that the plan contains a
+    whole-group single-task window."""
     from pyspark.sql import Window
 
     if max_per_group < 1:
         raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    if quality_col is None and order_by is not None:
+        routed = _route_order_by_to_quality(order_by)
+        if routed is not None:
+            quality_col, quality_desc = routed
+            order_by = None
     if quality_col is not None:
-        q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
-        base = docs.select(group_col, id_col, q.cast("double").alias("__q"))
-        stats = base.agg(F.min("__q").alias("__mn"), F.max("__q").alias("__mx"))
-        span = F.col("__mx") - F.col("__mn")
-        # monotone integer coarsening of the quality order: equal scores
-        # never straddle a bucket boundary, so the bucket-major rank
-        # reproduces the exact (quality, id) order
-        frac = F.when(span > 0, (F.col("__q") - F.col("__mn")) / span) \
-            .otherwise(F.lit(0.0))
-        qb = F.least(F.floor(frac * n_buckets).cast("long"),
-                     F.lit(n_buckets - 1))
-        # NULL quality ranks last: a sentinel bucket beyond every real one
-        # in the chosen direction (and it keeps the join key non-null)
-        sentinel = F.lit(-1 if quality_desc else n_buckets).cast("long")
-        bucket = F.when(F.col("__q").isNull(), sentinel).otherwise(qb)
-        order = [F.col("__q").desc_nulls_last() if quality_desc
-                 else F.col("__q").asc_nulls_last(), F.asc(id_col)]
-        ranked = _two_phase_group_rank(
-            base.crossJoin(F.broadcast(stats)), [group_col], id_col,
-            n_buckets, bucket=bucket, order=order, bucket_desc=quality_desc,
-            broadcast_offsets=False)
+        ranked = _quality_rank_frame(docs, group_col, id_col, quality_col,
+                                     quality_desc, n_buckets)
         ranked = ranked.withColumn("group_rank", F.col("n_rank"))
     elif order_by is None:
         base = docs.select(group_col, id_col,
@@ -800,6 +882,15 @@ def cap_per_group(
                                        broadcast_offsets=False)
         ranked = ranked.withColumn("group_rank", F.col("n_rank"))
     else:
+        import warnings
+
+        warnings.warn(
+            "cap_per_group(order_by=...) with a non-routable order runs a "
+            "whole-group single-task window — unscalable for crawl-sized "
+            "groups; pass quality_col= (or a single nulls-last column) "
+            "for the bucketed scale-safe rank",
+            stacklevel=2,
+        )
         w = Window.partitionBy(group_col).orderBy(*list(order_by))
         ranked = docs.withColumn("group_rank", F.row_number().over(w))
     ranked = (

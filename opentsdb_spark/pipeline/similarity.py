@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from opentsdb_spark.session import tiny_df
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -295,9 +297,8 @@ def with_hyperplane_buckets_expr(
     for environments where Python workers are unavailable; interpreted
     higher-order functions make it ~50x slower on the corpus hot path."""
     planes = [[_plane_coeffs(t, j, dim, seed) for j in range(bits)] for t in range(tables)]
-    pdf = df.sparkSession.createDataFrame(
-        [(planes,)], "__planes array<array<array<double>>>"
-    )
+    pdf = tiny_df(df.sparkSession,
+                  [(planes,)], "__planes array<array<array<double>>>")
     bcol = _bucket_fold(_as_double(F.col(vec_col)), F.col("__planes"), tables, bits)
     return (
         df.crossJoin(F.broadcast(pdf))

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from opentsdb_spark.session import tiny_df
+
 from opentsdb_spark.pipeline.xxh64_sql import M64, py_hash_long, py_xxh64
 
 
@@ -175,7 +177,7 @@ def cms_estimate(
     probe_rows = [
         (tok, r, c) for tok in probes for r, c in cms_probe_positions(tok, d, w)
     ]
-    pdf = spark.createDataFrame(probe_rows, "token string, r int, c int")
+    pdf = tiny_df(spark, probe_rows, "token string, r int, c int")
     return (
         F.broadcast(pdf)
         .join(cells, on=["r", "c"], how="left")

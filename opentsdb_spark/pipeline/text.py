@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from opentsdb_spark.session import tiny_df
+
 # tiny marker profiles: deterministic, explainable, good enough to route
 # obvious cases; swap in real profiles per deployment
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -994,6 +996,31 @@ def bpe_encode(
     ).withColumn("n_tokens", F.size("tokens"))
 
 
+def _jvm_long_array_lit(spark, values: list[int]):
+    """ONE ArrayType(LongType) Literal Column from a Python long list.
+
+    ``F.lit(list)`` lowers to CreateArray over len(values) literal nodes —
+    rebuilt PER ROW in generated code (a measured 10x regression for the
+    BM25 bloom bitmap) — whereas ``functions.lit(long[])`` on the JVM side
+    is a single constant reference. The values cross the gateway as one
+    byte[] (py4j per-element array writes are ~ms each). Returns None
+    when no JVM gateway is reachable (Spark Connect) — callers treat the
+    literal as an optional fast path."""
+    import struct
+
+    sc = getattr(spark, "sparkContext", None)
+    jvm = getattr(spark, "_jvm", None)
+    if sc is None or jvm is None:
+        return None
+    from pyspark.sql.column import Column as _PyCol
+
+    n = len(values)
+    jarr = sc._gateway.new_array(jvm.long, n)
+    jvm.java.nio.ByteBuffer.wrap(
+        struct.pack(f">{n}q", *values)).asLongBuffer().get(jarr)
+    return _PyCol(jvm.org.apache.spark.sql.functions.lit(jarr))
+
+
 def bm25_search(
     docs: DataFrame,
     queries: list[tuple[str, str]],
@@ -1090,13 +1117,71 @@ def bm25_search(
         # broadcast semi-probe: the In-list would put |terms| literal nodes
         # in the plan; a broadcast hash probe of the term table keeps the
         # plan size constant while still dropping non-hit tokens before
-        # anything corpus-sized shuffles
-        tdf = spark.createDataFrame([(t,) for t in sorted(term_set)],
-                                    "token string")
-        hits = toks.select(
+        # anything corpus-sized shuffles. A Bloom bitmap of the term set
+        # (k=2 disjoint 17-bit slices of ONE xxhash64 — the
+        # bloom_decontaminate construction — over a 2^17-bit array packed
+        # into ONE 2048-long array Literal) is the ONLY per-token gate:
+        # a codegen .where() right after the explode. It REPLACES the
+        # broadcast semi-probe rather than preceding it (the r9 warm-CPU
+        # autopsy measured the probe itself — per-token murmur + build-
+        # side lookup + row copy — at ~60% of the fallback's CPU over the
+        # literal plan): the (token, query_id) INNER join downstream
+        # already drops every bloom false positive exactly — an FP is by
+        # definition not a query term, so it cannot match q_tbl — and FP
+        # df rows are dropped with them, so results stay bit-identical to
+        # the literal plan. FPs (~(2n/2^17)^2 of the non-term stream,
+        # <3% even for a 10k-term batch set) only pad the hit-sized
+        # postings groupBy. Two further deliberate shapes:
+        #   * NOT inside an array-filter lambda — HOF lambdas evaluate
+        #     INTERPRETED (no whole-stage codegen), measured 4x slower
+        #     than this exploded codegen pipeline (the explode itself is
+        #     pipelined-narrow generated code);
+        #   * ONE JVM-side Literal, not F.lit(list) — the Python list
+        #     form lowers to CreateArray over 2048 literal nodes, which
+        #     re-builds the array PER ROW (measured 10x regression);
+        #     functions.lit(long[]) through the gateway is a single
+        #     constant reference in generated code. 2^17 bits (16 KiB)
+        #     keeps plan dumps bounded — the constraint this fallback
+        #     exists to honor.
+        m_bits, k_hashes, wbits = 1 << 17, 2, 17
+        mask = m_bits - 1
+        words = [0] * (m_bits >> 6)
+        from opentsdb_spark.pipeline.xxh64_sql import py_xxh64
+
+        for t in term_set:
+            h = py_xxh64(t.encode("utf-8")) & ((1 << 64) - 1)
+            for i in range(k_hashes):
+                p = (h >> (wbits * i)) & mask
+                words[p >> 6] |= 1 << (p & 63)
+        bitmap = _jvm_long_array_lit(spark, [
+            wd - (1 << 64) if wd >= (1 << 63) else wd for wd in words])
+
+        def _bloom_hit(tok):
+            h = F.xxhash64(tok)
+            tests = []
+            for i in range(k_hashes):
+                p = F.shiftrightunsigned(h, wbits * i).bitwiseAND(F.lit(mask))
+                word = F.element_at(
+                    bitmap, (F.shiftrightunsigned(p, 6) + 1).cast("int"))
+                tests.append(
+                    F.bit_get(word, p.bitwiseAND(F.lit(63))) == 1)
+            out = tests[0]
+            for t_ in tests[1:]:
+                out = out & t_
+            return out
+
+        exploded = toks.select(
             F.col(id_col), F.size("__toks").alias("dl"),
             F.explode("__toks").alias("token"),
-        ).join(F.broadcast(tdf), on="token", how="left_semi")
+        )
+        if bitmap is not None:
+            hits = exploded.where(_bloom_hit(F.col("token")))
+        else:
+            # no JVM gateway (Spark Connect): exact broadcast semi-probe
+            tdf = tiny_df(spark, [(t,) for t in sorted(term_set)],
+                          "token string")
+            hits = exploded.join(F.broadcast(tdf), on="token",
+                                 how="left_semi")
     postings = _persist_small(
         hits.groupBy(id_col, "token").agg(
             F.count("*").alias("tf"), F.first("dl").alias("dl")),
@@ -1123,8 +1208,8 @@ def bm25_search(
         # aggregate of the postings, the (term, query) table is the parsed
         # query set itself — broadcast hash joins, never a shuffle
         df_tbl = postings.groupBy("token").agg(F.count("*").alias("df"))
-        q_tbl = spark.createDataFrame(
-            [(t, q) for t in sorted(term_set) for q in qmap[t]],
+        q_tbl = tiny_df(
+            spark, [(t, q) for t in sorted(term_set) for q in qmap[t]],
             "token string, query_id string")
         scored = (
             postings
@@ -1225,6 +1310,76 @@ def token_entropy(
             F.col("__dl").cast("long").alias("n_tokens"),
             (F.log2("__dl") - F.col("__s") / F.col("__dl")).alias("entropy"),
         )
+    )
+
+
+def vocab_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    top_n: int = 20,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-distribution drift between two corpus snapshots — the TEXT
+    twin of similarity.embedding_drift (crawl N vs crawl N+1, corpus vs
+    incoming feed): compare each side's token relative frequencies and
+    report
+      * the ``top_n`` movers by absolute share delta (p_b - p_a), the
+        tokens whose prevalence changed most — new spam vocabularies,
+        boilerplate surges, language-mix shifts show up here by name;
+      * the corpus-level Jensen-Shannon divergence (natural log) between
+        the two unigram distributions as a constant ``jsd`` column — a
+        healthy recrawl sits near 0, an encoding/pipeline regression
+        jumps it.
+
+    100 TB shape: classic wordcount on each side (map-side partial
+    aggregation — the shuffle is vocabulary-sized, never occurrences),
+    one full-outer vocab join, totals as two 1-row broadcast cross joins,
+    and the JSD fold is one more combinable aggregate over the vocab
+    frame. The mover selection is TakeOrderedAndProject (bounded heaps) —
+    the vocabulary never globally sorts. Share/delta doubles are pure
+    divisions of exact integer counts, so ordering keys are bit-identical
+    in any engine; ln appears only inside the (rounded) JSD output, never
+    in an ordering key (the lm_score rule).
+
+    Returns top_n rows (token, cnt_a, cnt_b, p_a, p_b, delta, jsd),
+    delta DESC-by-|.|, ties by token ASC."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+
+    def wc(d: DataFrame, tag: str) -> DataFrame:
+        return (
+            d.select(F.explode(_words(F.col(content_col))).alias("token"))
+            .groupBy("token").agg(F.count("*").alias(f"cnt_{tag}"))
+        )
+
+    j = wc(docs_a, "a").join(wc(docs_b, "b"), on="token", how="full")
+    ca = F.coalesce(F.col("cnt_a"), F.lit(0)).cast("long")
+    cb = F.coalesce(F.col("cnt_b"), F.lit(0)).cast("long")
+    tot = j.agg(F.sum(ca).alias("__ta"), F.sum(cb).alias("__tb"))
+    j = j.select("token", ca.alias("cnt_a"), cb.alias("cnt_b")) \
+        .crossJoin(F.broadcast(tot))
+    pa = F.col("cnt_a").cast("double") / F.col("__ta").cast("double")
+    pb = F.col("cnt_b").cast("double") / F.col("__tb").cast("double")
+    m = (pa + pb) / F.lit(2.0)
+    # 0*ln(0/m) := 0 (absent-side tokens contribute only on their side)
+    contrib = (
+        F.when(F.col("cnt_a") > 0, F.lit(0.5) * pa * F.log(pa / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("cnt_b") > 0, F.lit(0.5) * pb * F.log(pb / m))
+        .otherwise(F.lit(0.0))
+    )
+    scored = j.select(
+        "token", "cnt_a", "cnt_b",
+        pa.alias("p_a"), pb.alias("p_b"), (pb - pa).alias("delta"),
+        contrib.alias("__c"),
+    )
+    jsd = scored.agg(F.sum("__c").alias("jsd"))
+    return (
+        scored.orderBy(F.abs(F.col("delta")).desc(), F.asc("token"))
+        .limit(top_n)
+        .crossJoin(F.broadcast(jsd))
+        .select("token", "cnt_a", "cnt_b", "p_a", "p_b", "delta", "jsd")
     )
 
 

@@ -45,6 +45,33 @@ def get_spark(app_name: str = "opentsdb-spark", cpus: int | None = None) -> Spar
         # once a session accumulated a few persisted sf0.1 frames (GC churn
         # inflated late-session queries ~10x); the target box has 128 GiB
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # the default 100-entry generated-class cache thrashes on a
+        # many-query session (the 69-query bench sweep compiles several
+        # hundred WholeStageCodegen classes): evicted classes re-compile
+        # AND re-JIT on every repeat, which surfaced as phantom 0.1-0.6s
+        # cross-round drift on untouched queries and a 2x warm-CPU tax on
+        # late-sweep entries (r9 verdict #3). 2000 entries is ~tens of MB
+        # of class metadata — nothing at the 16g heap (static conf, must
+        # be set at session build)
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def tiny_df(spark: SparkSession, rows, schema):
+    """Small literal DataFrame WITHOUT the default createDataFrame tax.
+
+    PySpark's ``createDataFrame(list)`` parallelizes even a 12-row probe
+    table into ``defaultParallelism`` Python-RDD partitions — 32 Python-
+    worker round-trips PER ACTION on this box (measured 6.3 CPU-s per run
+    for a 48-row frame; the r9 verdict's text_cms_probe "worst CPU:wall"
+    finding was ~entirely this). A single-slice parallelize keeps one
+    Python partition (0.3 CPU-s) while accepting every Python value type
+    unchanged. Use for query/probe/stat literal frames — anything
+    driver-built and small; falls back to plain createDataFrame where no
+    SparkContext is reachable (Spark Connect)."""
+    sc = getattr(spark, "sparkContext", None)
+    if not rows or sc is None:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(sc.parallelize(rows, 1), schema)

@@ -1832,6 +1832,53 @@ def test_bm25_broadcast_fallback_identical_above_term_threshold(spark, docs):
     assert "SortMergeJoin" not in fb_plan and "ShuffledHashJoin" not in fb_plan
 
 
+def test_bm25_fallback_bloom_false_positive_dropped(spark):
+    """The fallback's Bloom bitmap is its ONLY per-token gate (no semi-
+    probe), so a non-term token whose two hash slices land on set bits
+    reaches the postings stage — the (token, query_id) inner join must
+    drop it exactly: it never scores, never counts as a matched term, and
+    the fallback stays bit-identical to the literal plan on the same
+    corpus. The FP token is FOUND, not assumed: we search candidate
+    strings until one passes the bitmap without being a term."""
+    from opentsdb_spark.pipeline.text import bm25_search
+    from opentsdb_spark.pipeline.xxh64_sql import py_xxh64
+
+    terms = [f"term{i}" for i in range(600)]
+    m_bits, k_hashes, wbits = 1 << 17, 2, 17
+    mask = m_bits - 1
+    bits = set()
+    for t in terms:
+        h = py_xxh64(t.encode()) & ((1 << 64) - 1)
+        for i in range(k_hashes):
+            bits.add((h >> (wbits * i)) & mask)
+
+    fp = None
+    for j in range(3_000_000):
+        cand = f"fp{j}"
+        if cand in terms:
+            continue
+        h = py_xxh64(cand.encode()) & ((1 << 64) - 1)
+        if all(((h >> (wbits * i)) & mask) in bits for i in range(k_hashes)):
+            fp = cand
+            break
+    assert fp is not None, "no bloom false positive found in 3M candidates"
+
+    docs = spark.createDataFrame(
+        [(0, f"term1 term2 {fp} {fp}"), (1, f"term1 {fp} other words"),
+         (2, "unrelated text entirely")],
+        "doc_id long, text string")
+    queries = [("q1", " ".join(terms))]
+    fb = sorted(map(tuple, bm25_search(
+        docs, queries, k=10, persist=False,
+        literal_map_max_terms=0).collect()))
+    lit = sorted(map(tuple, bm25_search(
+        docs, queries, k=10, persist=False).collect()))
+    assert fb == lit and fb
+    by_id = {r[2]: r for r in fb}  # (query_id, rank, doc_id, matched, score)
+    assert set(by_id) == {0, 1}  # doc 2 matches nothing
+    assert by_id[0][3] == 2 and by_id[1][3] == 1  # FP never a matched term
+
+
 def test_token_budget_select(spark):
     """Greedy budget contract: keep in priority order while tokens BEFORE
     the doc are under budget — each group overshoots by at most one doc."""
@@ -2208,6 +2255,84 @@ def test_cap_per_group_quality_path_scale_safe(spark):
     assert const.count() == 2 * 4  # 3 named groups + the null group
 
 
+def test_cap_per_group_quantization_bounds_are_per_group(spark):
+    """A mega-group whose scores cluster in a SLIVER of the global score
+    range must still spread across its own quantization buckets — the
+    round-9 finding: global min/max bounds would land the whole group in
+    ~one bucket and degenerate its rank to a single task. The per-group
+    bounds cap every (group, __b) rank partition, and the rank stays
+    bit-equal to the sequential per-group sort."""
+    from pyspark.sql import Window
+
+    from opentsdb_spark.pipeline.sampling import (
+        _quality_rank_frame, cap_per_group)
+
+    n_mega, n_buckets = 3000, 64
+    rows = [(i, "mega", 0.999 + (i % 997) * 1e-9) for i in range(n_mega)]
+    rows += [(10_000 + i, "wide", float(i) * 1000.0) for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, quality double")
+    frame = _quality_rank_frame(docs, "source", "doc_id", "quality",
+                                True, n_buckets)
+    per_bucket = (frame.groupBy("source", "__b").count()
+                  .groupBy("source").agg(
+                      F.max("count").alias("mx"),
+                      F.count("*").alias("nb")).collect())
+    stats = {r["source"]: r for r in per_bucket}
+    # under GLOBAL bounds the mega sliver maps to one bucket (mx = 3000);
+    # per-group bounds keep every rank partition near n/n_buckets
+    assert stats["mega"]["nb"] > n_buckets // 2
+    assert stats["mega"]["mx"] <= 4 * (n_mega // n_buckets)
+    # equality with the sequential per-group sort is retained
+    got = sorted(map(tuple, cap_per_group(
+        docs, 5, quality_col="quality")
+        .select("doc_id", "group_rank").collect()))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc_nulls_last(), F.asc("doc_id"))
+    want = sorted(map(tuple, docs.withColumn(
+        "group_rank", F.row_number().over(w))
+        .where("group_rank <= 5").select("doc_id", "group_rank").collect()))
+    assert got == want
+
+
+def test_cap_per_group_order_by_routing_and_warning(spark):
+    """A single-column nulls-last order_by routes through the scale-safe
+    quality path (same survivors/ranks, plan has NO whole-group window);
+    a genuinely arbitrary order warns about the single-task window."""
+    import warnings
+
+    from opentsdb_spark.pipeline.sampling import cap_per_group
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", float((i * 37) % 11)) for i in range(60)],
+        "doc_id long, source string, quality double")
+    routed = cap_per_group(docs, 3, order_by=[F.desc("quality")])
+    direct = cap_per_group(docs, 3, quality_col="quality")
+    assert sorted(map(tuple, routed.select("doc_id", "group_rank").collect())) \
+        == sorted(map(tuple, direct.select("doc_id", "group_rank").collect()))
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    wins = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert wins and all("__b" in ln for ln in wins)
+    asc_routed = cap_per_group(docs, 3,
+                               order_by=[F.col("quality").asc_nulls_last()])
+    asc_direct = cap_per_group(docs, 3, quality_col="quality",
+                               quality_desc=False)
+    assert sorted(map(tuple, asc_routed.select("doc_id", "group_rank").collect())) \
+        == sorted(map(tuple, asc_direct.select("doc_id", "group_rank").collect()))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cap_per_group(docs, 3, order_by=[F.desc("quality"), F.asc("doc_id")])
+        cap_per_group(docs, 3, order_by=[(F.col("quality") * 2).desc()])
+    msgs = [str(c.message) for c in caught]
+    assert sum("single-task window" in m for m in msgs) == 2
+    # ASC-nulls-first (the bare-column default) keeps its documented
+    # window semantics — not routed, warned
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cap_per_group(docs, 3, order_by=[F.asc("quality")])
+    assert any("single-task window" in str(c.message) for c in caught)
+
+
 def test_token_entropy_values(spark):
     """Uniform tokens -> log2(n) bits; single repeated token -> 0; empty
     docs vanish."""
@@ -2228,6 +2353,42 @@ def test_token_entropy_values(spark):
     mixed = spark.createDataFrame([(9, "The the THE")], "doc_id long, text string")
     assert token_entropy(mixed).collect()[0]["entropy"] == 0.0
     assert math.isfinite(out[2]["entropy"])
+
+
+def test_vocab_drift_movers_and_jsd(spark):
+    """Identical snapshots: all deltas 0 and JSD 0. A vocabulary swap in
+    one snapshot surfaces the swapped tokens as the top movers with exact
+    shares, and JSD matches the hand-computed divergence."""
+    import math
+
+    from opentsdb_spark.pipeline.text import vocab_drift
+
+    a = spark.createDataFrame(
+        [(0, "x x x y"), (2, "x y z")], "doc_id long, text string")
+    same = vocab_drift(a, a, top_n=10).collect()
+    assert len(same) == 3
+    for r in same:
+        assert r["delta"] == 0.0 and r["jsd"] == 0.0
+        assert r["p_a"] == r["p_b"]
+    # b drops z, adds w twice: totals a=7, b=8
+    b = spark.createDataFrame(
+        [(1, "x x x y"), (3, "x y w w")], "doc_id long, text string")
+    out = {r["token"]: r for r in vocab_drift(a, b, top_n=10).collect()}
+    assert set(out) == {"x", "y", "z", "w"}
+    assert out["w"]["cnt_a"] == 0 and out["w"]["cnt_b"] == 2
+    assert abs(out["w"]["delta"] - 2 / 8) < 1e-15
+    assert abs(out["z"]["delta"] + 1 / 7) < 1e-15
+    # movers rank by |delta|: w (0.25) first, z (~0.143) beats x
+    ordered = sorted(out.values(), key=lambda r: (-abs(r["delta"]), r["token"]))
+    assert [r["token"] for r in ordered][0] == "w"
+    want_jsd = 0.0
+    for pa, pb in [(4 / 7, 4 / 8), (2 / 7, 2 / 8), (1 / 7, 0.0), (0.0, 2 / 8)]:
+        m = (pa + pb) / 2
+        want_jsd += (0.5 * pa * math.log(pa / m) if pa else 0.0) \
+            + (0.5 * pb * math.log(pb / m) if pb else 0.0)
+    assert abs(out["x"]["jsd"] - want_jsd) < 1e-12
+    # top_n bounds the output
+    assert vocab_drift(a, b, top_n=2).count() == 2
 
 
 def test_source_ngram_overlap(spark):

@@ -923,6 +923,142 @@ def test_streaming_hll_registers(spark):
         assert abs(want["est"] - 57) / 57 < 0.15
 
 
+def _ann_vecs(n0: int, n1: int, dim: int = 8, seed: int = 5):
+    """Deterministic pseudo-random vectors [(id, vec)] for ids n0..n1-1."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n0, n1):
+        rows.append((i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)]))
+    return rows
+
+
+_ANN_KW = dict(k=3, tables=4, bits=4, dim=8, seed=11, bit_exact=True)
+
+
+def test_streaming_ann_matches_batch_lsh_topk(spark):
+    """Streamed per-batch ANN verdicts must equal the batch lsh_topk run
+    against the prefix corpus (same tables/bits/seed -> same candidates,
+    same exact cosines, same id tie-breaks); the first batch sees an
+    empty corpus; a crash-replay of a batch flips nothing and does not
+    grow either index."""
+    import tempfile as _tf
+
+    from opentsdb_spark.pipeline.similarity import lsh_topk
+    from opentsdb_spark.streaming.embeddings import ann_index_batch
+
+    b1 = spark.createDataFrame(_ann_vecs(0, 6),
+                               "vec_id long, embedding array<double>")
+    b2 = spark.createDataFrame(_ann_vecs(6, 10),
+                               "vec_id long, embedding array<double>")
+    b3 = spark.createDataFrame(_ann_vecs(10, 14),
+                               "vec_id long, embedding array<double>")
+
+    def batch_want(corpus_df, batch_df):
+        return sorted(map(tuple, lsh_topk(
+            corpus_df,
+            batch_df.select(F.col("vec_id").alias("query_id"), "embedding"),
+            **_ANN_KW).collect()))
+
+    with _tf.TemporaryDirectory() as d:
+        bidx = os.path.join(d, "buckets")
+        vidx = os.path.join(d, "vecs")
+
+        def stream_got(batch_df, bid):
+            return sorted(map(tuple, ann_index_batch(
+                batch_df, bidx, vidx, batch_id=bid, **_ANN_KW).collect()))
+
+        assert stream_got(b1, 1) == []  # empty corpus: novel by definition
+        got2 = stream_got(b2, 2)
+        assert got2 == batch_want(b1, b2) and got2
+        nb = spark.read.parquet(bidx).count()
+        nv = spark.read.parquet(vidx).count()
+        # crash-replay of batch 2: identical verdicts, indexes unchanged
+        assert stream_got(b2, 2) == got2
+        assert spark.read.parquet(bidx).count() == nb
+        assert spark.read.parquet(vidx).count() == nv
+        got3 = stream_got(b3, 3)
+        assert got3 == batch_want(b1.unionByName(b2), b3) and got3
+
+
+def test_streaming_ann_compaction_preserves_verdicts(spark):
+    """Folding committed batches into one index partition must not change
+    any later verdict (the row SET is identical), for BOTH indexes."""
+    import tempfile as _tf
+
+    from opentsdb_spark.streaming.docs import compact_index
+    from opentsdb_spark.streaming.embeddings import ann_index_batch
+
+    b1 = spark.createDataFrame(_ann_vecs(0, 6),
+                               "vec_id long, embedding array<double>")
+    b2 = spark.createDataFrame(_ann_vecs(6, 10),
+                               "vec_id long, embedding array<double>")
+    b3 = spark.createDataFrame(_ann_vecs(10, 14),
+                               "vec_id long, embedding array<double>")
+
+    def run(d, compact):
+        bidx, vidx = os.path.join(d, "b"), os.path.join(d, "v")
+        ann_index_batch(b1, bidx, vidx, batch_id=1, **_ANN_KW)
+        ann_index_batch(b2, bidx, vidx, batch_id=2, **_ANN_KW)
+        if compact:
+            assert compact_index(spark, bidx, keep_batch_id=2,
+                                 max_partitions=1)
+            assert compact_index(spark, vidx, keep_batch_id=2,
+                                 max_partitions=1)
+            # replay of the kept batch post-compaction still excludes
+            # its own rows
+            ann_index_batch(b2, bidx, vidx, batch_id=2, **_ANN_KW)
+        return sorted(map(tuple, ann_index_batch(
+            b3, bidx, vidx, batch_id=3, **_ANN_KW).collect()))
+
+    with _tf.TemporaryDirectory() as d1, _tf.TemporaryDirectory() as d2:
+        assert run(d1, False) == run(d2, True)
+
+
+def test_streaming_ann_sink_end_to_end(spark):
+    """foreachBatch wiring: verdicts land in the output parquet batch by
+    batch through a real file-source stream."""
+    import json as _json
+
+    from opentsdb_spark.pipeline.similarity import lsh_topk
+    from opentsdb_spark.streaming.embeddings import streaming_ann_sink
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "emb")
+        os.makedirs(src)
+        out = os.path.join(d, "out")
+
+        def feed(name, rows):
+            with open(os.path.join(src, name), "w") as f:
+                for vid, vec in rows:
+                    f.write(_json.dumps(
+                        {"vec_id": vid, "embedding": vec}) + "\n")
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "vec_id long, embedding array<double>").json(src)
+            q = streaming_ann_sink(
+                stream, out, os.path.join(d, "b"), os.path.join(d, "v"),
+                os.path.join(d, "ck"), **_ANN_KW,
+            ).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+
+        feed("b1.json", _ann_vecs(0, 6))
+        run_once()
+        feed("b2.json", _ann_vecs(6, 10))
+        run_once()
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        want = sorted(map(tuple, lsh_topk(
+            spark.createDataFrame(_ann_vecs(0, 6),
+                                  "vec_id long, embedding array<double>"),
+            spark.createDataFrame(_ann_vecs(6, 10),
+                                  "vec_id long, embedding array<double>")
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            **_ANN_KW).collect()))
+        assert got == want and got
+
+
 def test_streaming_zscore_equals_batch(spark):
     """The streamed trailing z-score must equal the BATCH anomaly_zscore
     bit-for-bit on the same in-order feed (the streaming==batch proof

@@ -81,6 +81,7 @@ QUERIES = [
     "embed_drift",
     "text_pmi_top20",
     "multimodal_audio_segments",
+    "text_vocab_drift",
 ]
 
 
