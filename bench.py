@@ -102,6 +102,8 @@ HEADLINE = [
     # deliberately NOT headline queries — they drive eager foreachBatch
     # index writes, a sink benchmark, not a scan/shuffle plan
     "text_vocab_drift",
+    "corpus_snapshot_diff",
+    "text_length_quantiles",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -2298,6 +2298,40 @@ def dedup_incremental(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_snapshot_diff",
+    """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        b AS (SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN text || ' [recrawl]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0)
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.text = b.text THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL JOIN b ON a.doc_id = b.doc_id""",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Content-level snapshot diff (pipeline.dedup.snapshot_diff): crawl A
+    drops doc_id % 7 == 0, recrawl B drops doc_id % 5 == 0 and rewrites
+    every doc_id % 3 == 0 document — added/removed/changed/unchanged per
+    id. The engine diffs 40-byte (id, sha2) rows so text never shuffles;
+    the oracle compares the raw text column, so a hash collision would
+    surface as a value mismatch instead of passing silently."""
+    from opentsdb_spark.pipeline.dedup import snapshot_diff
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 7 != 0)
+    b = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" [recrawl]")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(a, b)
+
+
 @register("dedup_minhash_lsh", _minhash_xxh_oracle(64, 16, 3, 0.35))
 def dedup_minhash_lsh(spark, sf_dir):
     """Production-default MinHash+LSH (xxhash64 shingle hash, native
@@ -4938,6 +4972,38 @@ def text_zipf_alpha(spark, sf_dir):
         _vr(F.col("alpha")).alias("alpha_r"),
         _vr(F.col("intercept")).alias("intercept_r"),
     )
+
+
+@register(
+    "text_length_quantiles",
+    r"""WITH l AS (SELECT source,
+                          len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS ln
+                   FROM documents),
+        c AS (SELECT source, ln, count(*) AS c FROM l GROUP BY source, ln),
+        cum AS (SELECT source, ln, c,
+                       sum(c) OVER (PARTITION BY source ORDER BY ln
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(c) OVER (PARTITION BY source) AS n
+                FROM c),
+        q(q) AS (VALUES (0.5), (0.9), (0.99))
+        SELECT source, q, CAST(max(n) AS BIGINT) AS n_docs,
+               min(ln) AS q_len
+        FROM cum CROSS JOIN q
+        WHERE cum >= ceil(q * n)
+        GROUP BY source, q""",
+)
+def text_length_quantiles(spark, sf_dir):
+    """EXACT per-source document-length percentiles (pipeline.text
+    .doc_length_quantiles): p50/p90/p99 token counts per source under the
+    rank-ceil(q*n) convention — integer lengths mean per-(source, length)
+    counts lose nothing, so the estimate IS the exact percentile with
+    state bounded by distinct lengths, and every value replays in SQL
+    (no opaque percentile sketch)."""
+    from opentsdb_spark.pipeline.text import doc_length_quantiles
+
+    return doc_length_quantiles(
+        _docs(spark, sf_dir), qs=(0.5, 0.9, 0.99), group_col="source",
+    ).select("source", "q", "n_docs", "q_len")
 
 
 @register(

@@ -1313,6 +1313,59 @@ def token_entropy(
     )
 
 
+def doc_length_quantiles(
+    docs: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_col: str = "source",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT per-group document-length percentiles — the corpus-shape
+    audit a mixture designer reads before setting packing lengths, chunk
+    sizes and per-source caps (a source whose p99 token count collapses
+    between crawls usually broke at extraction). Percentile convention is
+    rank-ceil(q*n), 1-based — the reference's "upper" median rule
+    (Aggregators.java:397-431), same as binned_percentile_downsample.
+
+    Unlike percentile_approx (an opaque sketch) this is a pure
+    deterministic function of the length multiset, SQL-replicable: token
+    counts are INTEGERS, so per-(group, length) counts lose nothing —
+    state is bounded by groups x DISTINCT lengths (<= the longest
+    document, not the corpus), both aggregations are map-side
+    combinable, and the cumulative scan is a window over that bounded
+    frame ordered by length. No value list ever materializes.
+
+    Returns one row per (group, q): (group, q, n_docs, q_len)."""
+    from pyspark.sql import Window
+
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"each q must be in (0, 1], got {qs!r}")
+    lens = docs.select(
+        F.coalesce(F.col(group_col).cast("string"),
+                   F.lit("\x00__null__")).alias("__g"),
+        F.size(_words(F.col(content_col))).cast("long").alias("__len"),
+    )
+    cnt = lens.groupBy("__g", "__len").agg(F.count("*").alias("__c"))
+    w = Window.partitionBy("__g").orderBy("__len") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy("__g")
+    cum = cnt.withColumn("__cum", F.sum("__c").over(w)) \
+             .withColumn("__n", F.sum("__c").over(wn))
+    qdf = tiny_df(docs.sparkSession, [(float(q),) for q in sorted(qs)],
+                  "q double")
+    hit = cum.crossJoin(F.broadcast(qdf)).where(
+        F.col("__cum") >= F.ceil(F.col("q") * F.col("__n")))
+    return (
+        hit.groupBy("__g", "q")
+        .agg(F.min("__len").alias("q_len"), F.first("__n").alias("n_docs"))
+        .select(
+            F.when(F.col("__g") == "\x00__null__", F.lit(None))
+            .otherwise(F.col("__g")).alias(group_col),
+            "q", F.col("n_docs").cast("long").alias("n_docs"), "q_len",
+        )
+    )
+
+
 def vocab_drift(
     docs_a: DataFrame,
     docs_b: DataFrame,

@@ -2355,6 +2355,52 @@ def test_token_entropy_values(spark):
     assert math.isfinite(out[2]["entropy"])
 
 
+def test_snapshot_diff_statuses(spark):
+    """added/removed/changed/unchanged per id; ids absent from both sides
+    emit nothing; text itself never decides via the id join (content
+    equality does)."""
+    from opentsdb_spark.pipeline.dedup import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "same"), (2, "old"), (3, "gone")], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (4, "fresh")], "doc_id long, text string")
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(a, b).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # identical snapshots: all unchanged
+    same = {r["status"] for r in snapshot_diff(a, a).collect()}
+    assert same == {"unchanged"}
+
+
+def test_doc_length_quantiles_exact(spark):
+    """Rank-ceil(q*n) percentiles over integer token counts: exact per
+    group, NULL groups kept, q validation; matches a sorted-list replay."""
+    import math
+
+    import pytest
+
+    from opentsdb_spark.pipeline.text import doc_length_quantiles
+
+    rows, lens = [], {}
+    for i in range(40):
+        g = ["s1", "s2", None][i % 3]
+        n = (i * 7) % 13 + 1
+        rows.append((i, g, "w " * n))
+        lens.setdefault(g, []).append(n)
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["source"], r["q"]): r for r in
+           doc_length_quantiles(docs, qs=(0.5, 0.9, 1.0)).collect()}
+    for g, ls in lens.items():
+        ls = sorted(ls)
+        for q in (0.5, 0.9, 1.0):
+            r = out[(g, q)]
+            assert r["n_docs"] == len(ls)
+            assert r["q_len"] == ls[math.ceil(q * len(ls)) - 1], (g, q)
+    assert (None, 0.5) in out  # NULL source kept as its own group
+    with pytest.raises(ValueError):
+        doc_length_quantiles(docs, qs=(0.0,))
+
+
 def test_vocab_drift_movers_and_jsd(spark):
     """Identical snapshots: all deltas 0 and JSD 0. A vocabulary swap in
     one snapshot surfaces the swapped tokens as the top movers with exact

@@ -82,6 +82,8 @@ QUERIES = [
     "text_pmi_top20",
     "multimodal_audio_segments",
     "text_vocab_drift",
+    "corpus_snapshot_diff",
+    "text_length_quantiles",
 ]
 
 
