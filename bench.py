@@ -104,6 +104,7 @@ HEADLINE = [
     "text_vocab_drift",
     "corpus_snapshot_diff",
     "text_length_quantiles",
+    "multimodal_shot_keyframes",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -29,6 +29,8 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame
+
+from opentsdb_spark.session import tiny_df
 from pyspark.sql import functions as F
 
 import opentsdb_spark
@@ -651,7 +653,7 @@ def _json_lines_frame(spark, body) -> tuple[DataFrame, int]:
     import json as _json
 
     dps = body if isinstance(body, list) else [body]
-    lines = spark.createDataFrame([(_json.dumps(dp),) for dp in dps], "value string")
+    lines = tiny_df(spark, [(_json.dumps(dp),) for dp in dps], "value string")
     return lines, len(dps)
 
 

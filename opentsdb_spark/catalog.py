@@ -3250,6 +3250,54 @@ def multimodal_scene_cuts(spark, sf_dir):
     return scene_cuts(media, _VID_EVERY_MS, threshold=16)
 
 
+def _shot_keyframes_oracle(threshold: int) -> str:
+    cut = f"COALESCE(hamming_prev >= {threshold}, FALSE)"
+    return f"""WITH {_frame_dh_ctes()},
+        l AS (SELECT doc_id, fidx, dh,
+                     lag(dh) OVER (PARTITION BY doc_id ORDER BY fidx) AS pdh
+              FROM dh),
+        c AS (SELECT doc_id, fidx, dh,
+                     CASE WHEN pdh IS NOT NULL
+                          THEN CAST(bit_count(xor(dh, pdh)) AS INT)
+                     END AS hamming_prev
+              FROM l),
+        s AS (SELECT doc_id AS media_id, CAST(fidx AS INT) AS frame_idx, dh,
+                     CAST(sum(CASE WHEN {cut} THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY fidx
+                                ROWS UNBOUNDED PRECEDING) AS INT) AS shot_id
+              FROM c),
+        k AS (SELECT media_id, shot_id, frame_idx AS key_frame,
+                     CAST(bit_count(dh) AS INT) AS key_detail,
+                     row_number() OVER (PARTITION BY media_id, shot_id
+                                        ORDER BY bit_count(dh) DESC,
+                                                 frame_idx ASC) AS rn
+              FROM s),
+        a AS (SELECT media_id, shot_id, CAST(count(*) AS INT) AS n_frames,
+                     min(frame_idx) AS start_frame,
+                     max(frame_idx) AS end_frame
+              FROM s GROUP BY media_id, shot_id)
+        SELECT a.media_id, a.shot_id, a.n_frames, a.start_frame,
+               a.end_frame, k.key_frame, k.key_detail
+        FROM a JOIN k ON k.media_id = a.media_id AND k.shot_id = a.shot_id
+        WHERE k.rn = 1"""
+
+
+@register("multimodal_shot_keyframes", _shot_keyframes_oracle(16))
+def multimodal_shot_keyframes(spark, sf_dir):
+    """Per-shot keyframe selection (pipeline.multimodal.shot_keyframes):
+    scene_cuts' shots reduced to one representative frame each — the
+    max-gradient-detail (dHash popcount) frame, ties to the earliest —
+    via a map-side-combinable packed-struct argmax (no per-shot sort).
+    The oracle replays pixels, hashes, shot segmentation AND the argmax
+    tie-break in SQL."""
+    from opentsdb_spark.pipeline.multimodal import shot_keyframes
+
+    media = docs_as_raw_video(
+        _docs(spark, sf_dir), _VID_W, _VID_H, _VID_FRAMES, _VID_FRAME_MS
+    )
+    return shot_keyframes(media, _VID_EVERY_MS, threshold=16)
+
+
 @register("multimodal_frame_dedup", _frame_dhash_pairs_oracle(3))
 def multimodal_frame_dedup(spark, sf_dir):
     """Cross-video near-duplicate frame detection (repeated stills/slates):
@@ -5757,7 +5805,13 @@ _PRIORITY = [
     # detection + strike/rebuild machinery PLUS the min-struct global
     # occurrence order proof; the strike-every-copy variant stays verified
     # by the full-catalog oracle run)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_incremental",
+    # (round 10: dedup_exact rotates out for corpus_snapshot_diff — the
+    # sha2 exact-dedup machinery ALSO runs as pipeline_end_to_end's first
+    # stage (in-gate), while the snapshot diff adds the full-outer
+    # added/removed/changed verdict family; exact_dedup stays verified by
+    # the full-catalog oracle run)
+    "corpus_snapshot_diff", "dedup_ngram_jaccard", "dedup_cluster_cc",
+    "dedup_incremental",
     "dedup_semantic", "dedup_substring_keep_first",
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
     # for the corpus-wide paragraph dedup — token counting is also exercised
@@ -5774,8 +5828,11 @@ _PRIORITY = [
     # (round 10: sample_shard_assign rotates out — the two-phase
     # global-cumsum machinery is pinned by sample_interleave AND inside
     # pipeline_end_to_end's range-shard stage; it stays verified by the
-    # full-catalog oracle run)
-    "text_quality", "text_paragraph_dedup",
+    # full-catalog oracle run. text_paragraph_dedup also rotates out —
+    # the 8-byte paragraph-hash keep-first machinery is pinned in-gate by
+    # text_strip_boilerplate's chunk-hash df + strike-out and the ccnet
+    # entry; it stays verified by the full-catalog oracle run)
+    "text_quality",
     # (round 9 late: ann_ivf_fixed_top5 rotates out for embed_knn_graph —
     # both replay the seeded-cell assignment + cosine-rank machinery in
     # SQL, and the corpus x corpus bounded k-NN graph additionally pins
@@ -5805,8 +5862,10 @@ _PRIORITY = [
     # (round 10: embed_covariance rotates out — per-dim moment sums are
     # pinned by embed_prototypicality AND the new embed_drift entry's
     # per-cell mean directions; covariance stays in the full-catalog run.
-    # embed_drift adds the two-snapshot distribution-audit family)
-    "embed_prototypicality", "embed_drift",
+    # embed_drift adds the two-snapshot distribution-audit family, and
+    # text_vocab_drift is its TEXT twin — the unigram JS-divergence
+    # snapshot audit, a distinct vocabulary-granularity proof)
+    "embed_prototypicality", "embed_drift", "text_vocab_drift",
     # LLM-pipeline: mixture sampling
     # (sample_temperature rotates out for the round-7 interleave/audit
     # rows; round 9: sample_pack_sequences rotates out for

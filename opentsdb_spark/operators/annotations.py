@@ -11,6 +11,8 @@ serialization layer (matching how HttpJsonSerializer attaches them).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from opentsdb_spark.session import tiny_df
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -51,8 +53,8 @@ def upsert_annotation(
     most one) old row left-joins onto the new values for field coalescing.
     Annotation frames are metadata-sized — this is not a data-path op."""
     spark = annotations.sparkSession
-    new = spark.createDataFrame(
-        [(tsuid, start_ms, end_ms, description, notes, custom)],
+    new = tiny_df(
+        spark, [(tsuid, start_ms, end_ms, description, notes, custom)],
         "tsuid string, __start_ms long, __end_ms long, description string, "
         "notes string, custom map<string,string>",
     ).select(

@@ -15,6 +15,8 @@ via src/tsd/UniqueIdRpc.java. A columnar engine needs no UID dictionary
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from opentsdb_spark.session import tiny_df
 from pyspark.sql import functions as F
 
 
@@ -139,7 +141,7 @@ def uid_assign(
             response[f"{kind}_errors"] = dict(sorted(errors.items()))
     if new_rows:
         registry = registry.unionByName(
-            spark.createDataFrame(new_rows, UID_REGISTRY_SCHEMA)
+            tiny_df(spark, new_rows, UID_REGISTRY_SCHEMA)
         )
     return response, registry
 
@@ -173,9 +175,9 @@ def uidmeta_upsert(
     if kind not in ("metrics", "tagk", "tagv"):
         raise ValueError("kind must be metrics|tagk|tagv")
     spark = spark or (meta.sparkSession if meta is not None else None)
-    new = spark.createDataFrame(
-        [(kind, name, description, notes, display_name, custom)], UIDMETA_SCHEMA
-    )
+    new = tiny_df(
+        spark, [(kind, name, description, notes, display_name, custom)],
+        UIDMETA_SCHEMA)
     if meta is None:
         return new
     key = (F.col("kind") == kind) & (F.col("name") == name)
@@ -225,7 +227,7 @@ def tsmeta_upsert(
         raise ValueError(f"unknown TSMeta fields: {sorted(bad)}")
     row = (tsuid, *[fields.get(c) for c in cols])
     spark = spark or (meta.sparkSession if meta is not None else None)
-    new = spark.createDataFrame([row], TSMETA_SCHEMA)
+    new = tiny_df(spark, [row], TSMETA_SCHEMA)
     if meta is None:
         return new
     key = F.col("tsuid") == tsuid

@@ -718,6 +718,50 @@ def scene_cuts(
     )
 
 
+def shot_keyframes(
+    media: DataFrame,
+    every_ms: int,
+    threshold: int = 16,
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Representative-frame (keyframe) selection per detected shot — the
+    curation step after ``scene_cuts``: of each shot's sampled frames,
+    keep the one with the most gradient DETAIL, measured as the dHash
+    popcount (each set bit is a horizontal luminance gradient, so a flat
+    slate scores 0 and a busy frame scores high) — the frame worth
+    captioning/embedding/thumbnailing for that shot. Ties break toward
+    the EARLIEST frame (deterministic).
+
+    Scale shape: scene_cuts' one per-video window shuffle, then ONE
+    map-side-combinable groupBy(media, shot) — the argmax is a packed
+    struct max (detail, -frame_idx), the canonical-selection trick, so
+    no second window and no per-shot sort. Frame bytes never shuffle
+    (they stay in scene_cuts' narrow sample+hash maps).
+
+    Returns (media_id, shot_id, n_frames, start_frame, end_frame,
+    key_frame, key_detail)."""
+    cuts = scene_cuts(media, every_ms, threshold, hash_w, hash_h)
+    packed = F.struct(
+        F.bit_count("dhash").cast("int").alias("d"),
+        (-F.col("frame_idx")).cast("int").alias("nf"),
+    )
+    return (
+        cuts.groupBy("media_id", "shot_id")
+        .agg(
+            F.count("*").cast("int").alias("n_frames"),
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.max(packed).alias("__k"),
+        )
+        .select(
+            "media_id", "shot_id", "n_frames", "start_frame", "end_frame",
+            (-F.col("__k.nf")).cast("int").alias("key_frame"),
+            F.col("__k.d").alias("key_detail"),
+        )
+    )
+
+
 AUDIO_WIN_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -39,6 +39,8 @@ from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame
 
+from opentsdb_spark.session import tiny_df
+
 from opentsdb_spark import api
 from opentsdb_spark.plans.limits import QueryLimitExceeded
 
@@ -226,7 +228,7 @@ class TSD:
         from opentsdb_spark.sources.points import parse_put_lines
         from opentsdb_spark.streaming.ingest import apply_ingest_filters
 
-        ldf = self.spark.createDataFrame([(x,) for x in lines], "value string")
+        ldf = tiny_df(self.spark, [(x,) for x in lines], "value string")
         pts = apply_ingest_filters(parse_put_lines(ldf))
         # the count depends only on this batch — run the Spark job OUTSIDE
         # the lock so a big telnet flush doesn't stall every other request
@@ -389,8 +391,8 @@ class TSD:
         if raw_rows:
             from pyspark.sql import functions as F
 
-            raw_df = self.spark.createDataFrame(
-                raw_rows,
+            raw_df = tiny_df(
+                self.spark, raw_rows,
                 "metric string, ts_s long, tags map<string,string>, "
                 "codec_id int, raw binary",
             )

@@ -2629,6 +2629,41 @@ def test_scene_cuts_detects_transitions(spark):
     assert [out[i]["shot_id"] for i in range(4)] == [0, 0, 1, 2]
 
 
+def test_shot_keyframes_argmax_detail_ties_earliest(spark):
+    """Each shot reduces to its max-gradient-detail (dHash popcount)
+    frame; equal-detail ties break toward the EARLIEST frame; shot spans
+    and frame counts are exact."""
+    from opentsdb_spark.pipeline.multimodal import (
+        docs_as_raw_video, shot_keyframes)
+
+    w, h, nf = 12, 8, 4
+    # busy: full ascending gradient (many dhash bits); mild: only the
+    # first column steps (few bits); flip: descending (a cut vs both)
+    busy = "".join(chr(32 + c * 7) for c in range(w)) * h
+    mild = ("".join(chr(40 if c == 0 else 50) for c in range(w))) * h
+    flip = "".join(chr(32 + (w - 1 - c) * 7) for c in range(w)) * h
+    # shots: [mild, busy] (delta below threshold? no — mild->busy is a
+    # big flip too). Use [busy, busy] then [flip, flip]: shot 0 has an
+    # exact detail TIE (earliest wins), shot 1 likewise.
+    docs = spark.createDataFrame(
+        [(1, busy + busy + flip + flip), (2, mild + busy + busy + busy)],
+        "doc_id long, text string")
+    media = docs_as_raw_video(docs, w, h, nf, frame_ms=100)
+    out = {(r["media_id"], r["shot_id"]): r for r in
+           shot_keyframes(media, every_ms=100, threshold=16).collect()}
+    v1s0, v1s1 = out[(1, 0)], out[(1, 1)]
+    assert (v1s0["n_frames"], v1s0["start_frame"], v1s0["end_frame"]) == (2, 0, 1)
+    assert v1s0["key_frame"] == 0  # tie -> earliest
+    assert (v1s1["n_frames"], v1s1["key_frame"]) == (2, 2)
+    # video 2: mild then busy busy busy — mild->busy is a cut, so shot 1
+    # holds the three busy frames and its keyframe is the earliest busy
+    # frame with max detail
+    assert out[(2, 0)]["key_frame"] == 0 and out[(2, 0)]["n_frames"] == 1
+    s21 = out[(2, 1)]
+    assert s21["n_frames"] == 3 and s21["key_frame"] == 1
+    assert s21["key_detail"] > out[(2, 0)]["key_detail"]
+
+
 def test_knn_density_mean_of_neighbor_cosines(spark):
     """knn_density = mean cosine over the vector's knn_graph rows; lone
     vectors emit no row; crowded vectors score higher than isolated ones."""

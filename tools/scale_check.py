@@ -84,6 +84,7 @@ QUERIES = [
     "text_vocab_drift",
     "corpus_snapshot_diff",
     "text_length_quantiles",
+    "multimodal_shot_keyframes",
 ]
 
 
