@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "text_length_quantiles",
     "multimodal_shot_keyframes",
+    "text_gram_novelty",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -5023,6 +5023,36 @@ def text_zipf_alpha(spark, sf_dir):
 
 
 @register(
+    "text_gram_novelty",
+    rf"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                    FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         generate_series(0, len(w) - 3),
+                         i -> array_to_string(w[i+1:i+3], ' ')))) AS g
+              FROM w WHERE len(w) >= 3),
+        df AS (SELECT g, count(*) AS df FROM g GROUP BY g)
+        SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS novel_grams,
+               {RND.format('sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE')} AS novelty_r
+        FROM g JOIN df ON df.g = g.g
+        GROUP BY g.doc_id""",
+)
+def text_gram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty (pipeline.text.gram_novelty): the
+    fraction of a doc's distinct 3-grams with corpus document frequency
+    1 — the inverse of dup_frac (near-0 = corpus-common phrasing /
+    template content, near-1 = fresh text). Engine counts on 8-byte
+    xxhash64 gram keys; the string-keyed oracle would expose any
+    collision as a value mismatch."""
+    from opentsdb_spark.pipeline.text import gram_novelty
+
+    out = gram_novelty(_docs(spark, sf_dir), n=3)
+    return out.select("doc_id", "n_grams", "novel_grams",
+                      _vr(F.col("novelty")).alias("novelty_r"))
+
+
+@register(
     "text_length_quantiles",
     r"""WITH l AS (SELECT source,
                           len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS ln

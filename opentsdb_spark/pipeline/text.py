@@ -1313,6 +1313,55 @@ def token_entropy(
     )
 
 
+def gram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's DISTINCT
+    n-grams that appear in no other document (corpus document frequency
+    1) — the inverse signal to dup_frac: near-0 novelty means the doc is
+    assembled from corpus-common phrasing (template/boilerplate/spun
+    content), near-1 means genuinely fresh text worth keeping even when
+    other quality signals are borderline. The complement of the
+    decontaminate/overlap family: those find WHAT is shared, this scores
+    each doc by HOW MUCH of it is shared.
+
+    Scale shape: per-doc distinct grams collapse to (id, xxhash64) rows
+    (text never shuffles); corpus df is one map-side-combinable count on
+    the 8-byte hash; the novelty join runs at gram-vocabulary granularity
+    and folds back to one combinable per-doc aggregate. A hash collision
+    could only merge two grams' df — the string-keyed oracle's value
+    compare would expose it.
+
+    Returns (id, n_grams, novel_grams, novelty) for docs with >= n
+    words."""
+    from opentsdb_spark.pipeline.dedup import _gram_frame
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    grams = (
+        _gram_frame(docs, content_col, id_col, n, distinct=True)
+        .select(id_col, F.explode("grams").alias("g"))
+        .select(id_col, F.xxhash64("g").alias("__h"))
+    )
+    df = grams.groupBy("__h").agg(F.count("*").alias("__df"))
+    return (
+        grams.join(df, on="__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("novel_grams"),
+        )
+        .select(
+            id_col, "n_grams", "novel_grams",
+            (F.col("novel_grams").cast("double")
+             / F.col("n_grams").cast("double")).alias("novelty"),
+        )
+    )
+
+
 def doc_length_quantiles(
     docs: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),

@@ -2355,6 +2355,32 @@ def test_token_entropy_values(spark):
     assert math.isfinite(out[2]["entropy"])
 
 
+def test_gram_novelty_fractions(spark):
+    """A doc sharing every 3-gram with another scores 0; a fully unique
+    doc scores 1; partial overlap gives the exact distinct-gram fraction;
+    sub-n docs emit no row."""
+    from opentsdb_spark.pipeline.text import gram_novelty
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"),          # grams {abc, bcd}
+         (1, "a b c d"),          # exact copy -> both score 0
+         (2, "a b c x y"),        # {abc, bcx, cxy}: abc shared -> 2/3
+         (3, "p q r s"),          # unique -> 1.0
+         (4, "too short")],       # < 3 words: no row
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gram_novelty(docs, n=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["novelty"] == 0.0 and out[1]["novelty"] == 0.0
+    assert out[2]["n_grams"] == 3 and out[2]["novel_grams"] == 2
+    assert abs(out[2]["novelty"] - 2 / 3) < 1e-15
+    assert out[3]["novelty"] == 1.0
+    # repeated gram INSIDE one doc is distinct-per-doc: df stays 1
+    solo = spark.createDataFrame([(9, "m n o m n o m n o")],
+                                 "doc_id long, text string")
+    [r] = gram_novelty(solo, n=3).collect()
+    assert r["novelty"] == 1.0 and r["n_grams"] == 3  # mno, nom, onm
+
+
 def test_snapshot_diff_statuses(spark):
     """added/removed/changed/unchanged per id; ids absent from both sides
     emit nothing; text itself never decides via the id join (content

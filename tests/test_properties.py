@@ -567,3 +567,44 @@ def test_token_budget_two_phase_matches_greedy(spark, docs, budget):
                 expect.add((i, cum + n))
             cum += n
     assert got == expect
+
+
+_cap_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9999),           # doc id
+        st.sampled_from(["s1", "s2", "s3", None]),          # group
+        st.one_of(st.none(),
+                  st.floats(-1e6, 1e6, allow_nan=False)),   # quality
+    ),
+    min_size=1, max_size=50,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_cap_docs, cap=st.integers(min_value=1, max_value=6),
+       desc=st.booleans(), n_buckets=st.sampled_from([1, 4, 64]))
+def test_cap_per_group_quality_rank_matches_sequential_property(
+        spark, docs, cap, desc, n_buckets):
+    """The quantized-bucket two-phase quality rank must equal the
+    sequential per-group (quality nulls-last, id) row_number on ARBITRARY
+    inputs — any group mix, NULL groups, NULL/duplicate/constant scores,
+    any bucket count (n_buckets=1 is the degenerate one-bucket limit)."""
+    from opentsdb_spark.pipeline.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, source string, quality double")
+    got = sorted(map(tuple, cap_per_group(
+        df, cap, quality_col="quality", quality_desc=desc,
+        n_buckets=n_buckets).select("doc_id", "group_rank").collect()))
+    expect = []
+    for grp in {d[1] for d in docs}:
+        members = [d for d in docs if d[1] == grp]
+        members.sort(key=lambda d: (
+            d[2] is None,
+            (-d[2] if desc else d[2]) if d[2] is not None else 0.0,
+            d[0]))
+        expect.extend((d[0], rk) for rk, d in enumerate(members, 1)
+                      if rk <= cap)
+    assert got == sorted(expect)

@@ -85,6 +85,7 @@ QUERIES = [
     "corpus_snapshot_diff",
     "text_length_quantiles",
     "multimodal_shot_keyframes",
+    "text_gram_novelty",
 ]
 
 
