@@ -106,6 +106,7 @@ HEADLINE = [
     "text_length_quantiles",
     "multimodal_shot_keyframes",
     "text_gram_novelty",
+    "sample_quality_percentile",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -5023,6 +5023,40 @@ def text_zipf_alpha(spark, sf_dir):
 
 
 @register(
+    "sample_quality_percentile",
+    f"""WITH d AS (SELECT doc_id, source, len(text)::DOUBLE AS q
+                   FROM documents),
+        r AS (SELECT doc_id, source, q,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY q ASC, doc_id ASC) AS rk,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM d)
+        SELECT doc_id, source, CAST(rk AS INT) AS group_rank,
+               {RND.format('CASE WHEN n = 1 THEN 0.5 '
+                           'ELSE (rk - 1)::DOUBLE / (n - 1)::DOUBLE END')} AS pct_r
+        FROM r""",
+)
+def sample_quality_percentile(spark, sf_dir):
+    """Per-source score calibration (pipeline.sampling.quality_percentile):
+    each document's within-source percentile rank of a quality score
+    (here the deterministic char-length proxy) — pct 0 = the source's
+    worst doc, 1 = its best — so mixture thresholds compare like with
+    like across sources. The rank runs through cap_per_group's
+    quantized-bucket two-phase machinery (per-group bounds, no
+    whole-source window) and the oracle replays the sequential
+    row_number definition, so the scale-safe rank is proven equal to the
+    textbook one."""
+    from opentsdb_spark.pipeline.sampling import quality_percentile
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "__score", F.length("text").cast("double"))
+    out = quality_percentile(docs, quality_col="__score",
+                             group_col="source")
+    return out.select("doc_id", "source", "group_rank",
+                      _vr(F.col("pct")).alias("pct_r"))
+
+
+@register(
     "text_gram_novelty",
     rf"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
                     FROM documents),

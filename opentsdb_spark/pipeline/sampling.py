@@ -807,6 +807,52 @@ def _route_order_by_to_quality(order_by) -> tuple[str, bool] | None:
     return name, direction == "DESC"
 
 
+def quality_percentile(
+    docs: DataFrame,
+    quality_col: str | Column = "quality",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-group PERCENTILE RANK of a quality score — the calibration
+    step before cross-source mixing: raw quality scores are not
+    comparable across sources (a classifier score of 0.7 can be p20 in a
+    curated source and p95 in a crawl), so mixture policies threshold on
+    each doc's WITHIN-SOURCE percentile instead. pct = (rank - 1) /
+    (n - 1) under the deterministic (score asc, id asc) order — 0 for the
+    group's worst doc, 1 for its best, 0.5 for the single-member group
+    (no order to place it in). NULL scores keep a NULL pct (they cannot
+    be calibrated; gate them upstream).
+
+    100 TB shape: the rank is cap_per_group's quantized-bucket two-phase
+    machinery (per-group min/max quantization -> per-(group, bucket)
+    windows — a mega-source never lands in one rank task); group sizes
+    ride the same bounded count frame. Only the narrow (group, id, score)
+    projection shuffles; the wide corpus joins back by id.
+
+    Returns docs + (group_rank, pct)."""
+    ranked = _quality_rank_frame(docs, group_col, id_col, quality_col,
+                                 False, n_buckets)
+    # non-null surrogate for the sizes join (NULL != NULL in equi-joins)
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00__null__"))
+    ranked = ranked.withColumn("__gq", gk)
+    sizes = ranked.groupBy("__gq").agg(
+        F.sum(F.col("__q").isNotNull().cast("long")).alias("__n"))
+    pct = F.when(
+        F.col("__q").isNull(), F.lit(None).cast("double")
+    ).when(
+        F.col("__n") == 1, F.lit(0.5)
+    ).otherwise(
+        (F.col("n_rank") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    )
+    narrow = ranked.join(sizes, on="__gq").select(
+        id_col,
+        F.col("n_rank").cast("int").alias("group_rank"),
+        pct.alias("pct"),
+    )
+    return docs.join(narrow, on=id_col)
+
+
 def cap_per_group(
     docs: DataFrame,
     max_per_group: int,

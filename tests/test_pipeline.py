@@ -2295,6 +2295,30 @@ def test_cap_per_group_quantization_bounds_are_per_group(spark):
     assert got == want
 
 
+def test_quality_percentile_calibration(spark):
+    """pct = (rank-1)/(n-1) within each group under (score asc, id asc);
+    singles get 0.5; NULL scores keep NULL pct; NULL groups calibrate as
+    their own group; ties rank deterministically by id."""
+    from opentsdb_spark.pipeline.sampling import quality_percentile
+
+    docs = spark.createDataFrame(
+        [(0, "a", 10.0), (1, "a", 30.0), (2, "a", 20.0), (3, "a", 20.0),
+         (4, "b", 7.0),                      # single-member group
+         (5, None, 1.0), (6, None, 2.0),     # NULL group
+         (7, "a", None)],                    # NULL score
+        "doc_id long, source string, quality double")
+    out = {r["doc_id"]: r for r in quality_percentile(docs).collect()}
+    assert len(out) == 8
+    # group a non-null order: 10 < 20(id2) < 20(id3) < 30 -> pct /3
+    assert out[0]["pct"] == 0.0 and out[1]["pct"] == 1.0
+    assert abs(out[2]["pct"] - 1 / 3) < 1e-15
+    assert abs(out[3]["pct"] - 2 / 3) < 1e-15
+    assert out[4]["pct"] == 0.5                # single
+    assert out[5]["pct"] == 0.0 and out[6]["pct"] == 1.0  # null group
+    assert out[7]["pct"] is None               # null score
+    assert out[7]["group_rank"] == 5           # ranks after scored docs
+
+
 def test_cap_per_group_order_by_routing_and_warning(spark):
     """A single-column nulls-last order_by routes through the scale-safe
     quality path (same survivors/ranks, plan has NO whole-group window);

@@ -86,6 +86,7 @@ QUERIES = [
     "text_length_quantiles",
     "multimodal_shot_keyframes",
     "text_gram_novelty",
+    "sample_quality_percentile",
 ]
 
 
