@@ -106,6 +106,7 @@ def gopher_filter(
     max_mean_word_len: float = 10.0,
     min_distinct_ratio: float = 0.4,
     min_stop_hits: int = 1,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Gopher-style document quality gate (Rae et al., arXiv:2112.11446
     Table A1 — word-count bounds, mean-word-length window, stopword
@@ -130,8 +131,10 @@ def gopher_filter(
     kept = None
     for c in flags.values():
         kept = c if kept is None else (kept & c)
+    # keep_cols: passthrough columns for join-free consumers (a
+    # STREAMING aggregation cannot join the gate back to the feed by id)
     return docs.select(
-        id_col,
+        id_col, *keep_cols,
         n_words.alias("n_words"),
         *[c.alias(n) for n, c in flags.items()],
         kept.alias("kept"),

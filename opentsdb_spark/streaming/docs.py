@@ -452,3 +452,48 @@ def streaming_neardup_sink(
     return docs.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint
     )
+
+
+def streaming_source_mix(
+    docs: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    source_col: str = "source",
+    event_time_col: str = "ts",
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    **gopher_kwargs,
+):
+    """Windowed per-source mixture monitor — the STREAMING twin of
+    ``pipeline.text.source_mix_report``: for each event-time window and
+    source, the arriving document count, Gopher-gate survivor count and
+    surviving word volume. The live dashboard a mixture-weighting step
+    watches: a source whose survival rate collapses mid-crawl (extractor
+    regression) or whose volume share spikes (crawler loop) shows up a
+    window later, not at the next batch re-run.
+
+    Shape: the Gopher flags are pure narrow expressions computed IN the
+    keyed select (``gopher_filter(keep_cols=...)`` — a streaming
+    aggregation cannot join the gate verdicts back by id), then ONE
+    watermark-bounded groupBy(window, source) whose state is
+    windows x sources rows of three longs. Late documents beyond the
+    watermark are dropped by the engine; emit in append mode to get one
+    final row per closed (window, source) — counts match the batch
+    report on the same feed minus watermark-dropped rows (pinned by
+    test)."""
+    from opentsdb_spark.pipeline.text import gopher_filter
+
+    gated = gopher_filter(
+        docs, content_col=content_col, id_col=id_col,
+        keep_cols=(source_col, event_time_col), **gopher_kwargs,
+    )
+    kept_l = F.col("kept").cast("long")
+    return (
+        gated.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window).alias("win"), source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept_l).alias("n_kept"),
+            F.sum(F.col("n_words") * kept_l).alias("kept_words"),
+        )
+    )

@@ -923,6 +923,94 @@ def test_streaming_hll_registers(spark):
         assert abs(want["est"] - 57) / 57 < 0.15
 
 
+def test_streaming_source_mix_matches_batch_report(spark):
+    """Closed windows emit per-(window, source) counts equal to the batch
+    source_mix_report on the same feed; a document later than the
+    watermark is dropped by the engine and never counted."""
+    import json as _json
+
+    from opentsdb_spark.pipeline.text import source_mix_report
+    from opentsdb_spark.streaming.docs import streaming_source_mix
+
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest before dusk settles in")
+    bad = "x y"  # fails the word-count gate
+    rows = [
+        (0, "s1", EPOCH + 60, good), (1, "s1", EPOCH + 120, bad),
+        (2, "s2", EPOCH + 200, good),
+        (3, "s1", EPOCH + 3660, good),  # second window
+    ]
+    late = (4, "s2", EPOCH + 30, good)  # arrives after watermark passed
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+
+        def feed(name, rs):
+            with open(os.path.join(src, name), "w") as f:
+                for i, s, t, x in rs:
+                    f.write(_json.dumps(
+                        {"doc_id": i, "source": s, "ts": t, "text": x}) + "\n")
+
+        stream = streaming_source_mix(
+            spark.readStream.schema(
+                "doc_id long, source string, ts long, text string")
+            .json(src)
+            .withColumn("ts", F.timestamp_seconds("ts")),
+            window="1 hour", watermark="10 minutes",
+        )
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("smix")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            feed("b1.json", rows)
+            q.processAllAvailable()
+            # push the watermark past every window END (late filtering
+            # keys on the window column: a row is dropped only once its
+            # whole window is older than the watermark)
+            feed("b2.json", [(5, "s3", EPOCH + 99_999, good)])
+            q.processAllAvailable()
+            # the late doc's window closed and was emitted — it must be
+            # dropped, not resurrect a second window-1 s2 row
+            feed("b3.json", [late])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out_rows = spark.sql("select * from smix").collect()
+        keys = [(int(r["win"]["start"].timestamp()), r["source"])
+                for r in out_rows]
+        assert len(keys) == len(set(keys))  # one append row per closed key
+        got = {
+            (int(r["win"]["start"].timestamp()), r["source"]):
+                (r["n_docs"], r["n_kept"], r["kept_words"])
+            for r in out_rows
+        }
+    batch = spark.createDataFrame(
+        [(i, s, x) for i, s, t, x in rows], "doc_id long, source string, text string")
+    want = {}
+    for r in source_mix_report(batch).collect():
+        pass  # per-source only; we reassemble per-window below
+    # window 1 (EPOCH hour): s1 = docs 0,1 (1 kept), s2 = doc 2
+    h = EPOCH - EPOCH % 3600
+    [w1s1] = [v for k, v in got.items() if k == (h, "s1")]
+    assert w1s1[0] == 2 and w1s1[1] == 1 and w1s1[2] > 0
+    assert got[(h, "s2")][0] == 1  # the late doc was dropped
+    assert got[(h + 3600, "s1")] == (1, 1, got[(h + 3600, "s1")][2])
+    # cross-check totals per source vs the batch report (late doc absent
+    # from the feed frame too)
+    agg = {}
+    for (w, s), (n, k, kw) in got.items():
+        if w > h + 3600:
+            continue  # the watermark-push sentinel doc
+        a = agg.setdefault(s, [0, 0, 0])
+        a[0] += n; a[1] += k; a[2] += kw
+    for r in source_mix_report(batch).collect():
+        assert agg[r["source"]] == [r["n_docs"], r["n_kept"], r["kept_words"]], r
+
+
 def _ann_vecs(n0: int, n1: int, dim: int = 8, seed: int = 5):
     """Deterministic pseudo-random vectors [(id, vec)] for ids n0..n1-1."""
     import random
