@@ -107,6 +107,7 @@ HEADLINE = [
     "multimodal_shot_keyframes",
     "text_gram_novelty",
     "sample_quality_percentile",
+    "sample_leakage_safe_split",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

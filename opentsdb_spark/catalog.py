@@ -1659,6 +1659,46 @@ def dedup_cluster_cc(spark, sf_dir):
 
 
 @register(
+    "sample_leakage_safe_split",
+    f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+        cc AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+        comp AS (SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        b AS (SELECT doc_id, component,
+                     ((component % 100003) * 2654435761 % 1000003) % 10000 AS bk
+              FROM comp)
+        SELECT doc_id, component,
+               CASE WHEN bk < 8000 THEN 'train'
+                    WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split
+        FROM b""",
+)
+def sample_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware 80/10/10 split (pipeline.sampling.leakage_safe_split):
+    split buckets key on the near-dup connected-component representative
+    (jaccard >= 0.5 pairs), so a clique can never straddle train/val —
+    the contamination a plain doc-id hash split bakes into every eval.
+    Knuth-bucket keyed for the SQL replica; the oracle recomputes the
+    components with the recursive transitive-closure CTE and replays the
+    identical integer bucket arithmetic."""
+    from opentsdb_spark.pipeline.sampling import (
+        knuth_hash_bucket, leakage_safe_split)
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_df=50)
+    out = leakage_safe_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, pairs,
+        bucket_fn=knuth_hash_bucket)
+    return out.select("doc_id", "component", "split")
+
+
+@register(
     "dedup_canonical_quality",
     f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
         pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),

@@ -807,6 +807,44 @@ def _route_order_by_to_quality(order_by) -> tuple[str, bool] | None:
     return name, direction == "DESC"
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    bucket_fn=None,
+) -> DataFrame:
+    """Dedup-aware train/val/test split: near-duplicate documents NEVER
+    straddle a split boundary. A plain hash_split leaks — a val doc's
+    near-duplicate lands in train with probability train_frac, and the
+    eval measures memorization of the duplicate, not generalization. Here
+    every document's split bucket keys on its near-dup CLUSTER
+    representative (connected-component min id over the ``pairs`` graph;
+    singletons key on themselves), so a whole clique moves as one unit
+    and the leak cannot exist by construction. Expected split sizes hold
+    at the CLUSTER level (exactly what you want: measuring them at the
+    doc level would double-count clique mass).
+
+    ``pairs`` is any near-dup pair frame (ngram_jaccard_pairs,
+    minhash_lsh_pairs, embedding_dup_pairs...). ``bucket_fn`` maps the
+    component id Column to a [0, 10000) bucket — default the seeded
+    xxhash64 bucket; pass ``knuth_hash_bucket`` for a SQL-replicable
+    split (the hash_split contract).
+
+    100 TB shape: connected_components' degree-bounded large-star/
+    small-star rounds + one id equi-join; the split itself stays a
+    narrow map on the component key. Returns docs + (component, split)."""
+    from opentsdb_spark.pipeline.cluster import dedup_assign_clusters
+
+    comp = dedup_assign_clusters(docs, pairs, id_col=id_col) \
+        .select(id_col, "component")
+    keyed = docs.join(comp, on=id_col)
+    b = (bucket_fn(F.col("component")) if bucket_fn is not None
+         else _default_hash_bucket(F.col("component"), seed))
+    return hash_split(keyed, weights, id_col=id_col, bucket=b)
+
+
 def quality_percentile(
     docs: DataFrame,
     quality_col: str | Column = "quality",

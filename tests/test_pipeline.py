@@ -2295,6 +2295,36 @@ def test_cap_per_group_quantization_bounds_are_per_group(spark):
     assert got == want
 
 
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every near-dup component lands wholly in one split; singletons key
+    on themselves (== plain hash_split); the no-straddle property holds
+    by construction on a multi-clique graph."""
+    from opentsdb_spark.pipeline.sampling import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(60)], "doc_id long, text string")
+    # cliques: {0..4}, {10,11}, chain {20-21-22}; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in leakage_safe_split(
+        docs, {"train": 0.6, "val": 0.4}, pairs).collect()}
+    assert len(out) == 60
+    for clique in [{0, 1, 2, 3, 4}, {10, 11}, {20, 21, 22}]:
+        comps = {out[i]["component"] for i in clique}
+        splits = {out[i]["split"] for i in clique}
+        assert comps == {min(clique)} and len(splits) == 1, clique
+    # singleton docs match the plain hash_split decision exactly
+    singles = [i for i in range(60)
+               if i not in {0, 1, 2, 3, 4, 10, 11, 20, 21, 22}]
+    plain = {r["doc_id"]: r["split"] for r in hash_split(
+        docs, {"train": 0.6, "val": 0.4}).collect()}
+    for i in singles:
+        assert out[i]["split"] == plain[i]
+    # both splits actually occur somewhere
+    assert {r["split"] for r in out.values()} == {"train", "val"}
+
+
 def test_quality_percentile_calibration(spark):
     """pct = (rank-1)/(n-1) within each group under (score asc, id asc);
     singles get 0.5; NULL scores keep NULL pct; NULL groups calibrate as

@@ -87,6 +87,7 @@ QUERIES = [
     "multimodal_shot_keyframes",
     "text_gram_novelty",
     "sample_quality_percentile",
+    "sample_leakage_safe_split",
 ]
 
 
