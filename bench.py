@@ -108,6 +108,7 @@ HEADLINE = [
     "text_gram_novelty",
     "sample_quality_percentile",
     "sample_leakage_safe_split",
+    "text_intra_repetition",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -5097,6 +5097,34 @@ def sample_quality_percentile(spark, sf_dir):
 
 
 @register(
+    "text_intra_repetition",
+    rf"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+                    FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(0, len(w) - 5),
+                         i -> array_to_string(w[i+1:i+5], ' '))) AS g
+              FROM w WHERE len(w) >= 5),
+        c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        SELECT doc_id, sum(c)::BIGINT AS n_windows,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS repeated_windows,
+               {RND.format('sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)::DOUBLE')} AS rep_frac_r
+        FROM c GROUP BY doc_id""",
+)
+def text_intra_repetition(spark, sf_dir):
+    """Intra-document 5-token window repetition (pipeline.text
+    .intra_doc_repetition): the generation-loop / scraper-stutter signal —
+    fraction of window occurrences whose exact window recurs within the
+    same doc. Engine counts on 8-byte window hashes; the string-keyed
+    oracle exposes any collision."""
+    from opentsdb_spark.pipeline.text import intra_doc_repetition
+
+    out = intra_doc_repetition(_docs(spark, sf_dir), k=5)
+    return out.select("doc_id", "n_windows", "repeated_windows",
+                      _vr(F.col("rep_frac")).alias("rep_frac_r"))
+
+
+@register(
     "text_gram_novelty",
     rf"""WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
                     FROM documents),

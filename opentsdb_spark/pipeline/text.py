@@ -1316,6 +1316,56 @@ def token_entropy(
     )
 
 
+def intra_doc_repetition(
+    docs: DataFrame,
+    k: int = 5,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document k-token window repetition — the generation-loop /
+    template detector: the fraction of a doc's k-token windows whose
+    exact window recurs WITHIN THE SAME document. Complements the other
+    repetition signals at a finer grain: Gopher's distinct-token ratio
+    catches token-level monotony, dup_frac catches cross-document
+    copying; this catches the "same 20-word block pasted 50 times"
+    failure (scraper loops, boilerplate stutter, LLM decode loops) that
+    both can miss.
+
+    Scale shape: windows collapse immediately to (id, xxhash64) — text
+    never shuffles — then TWO map-side-combinable aggregations: counts
+    per (id, hash), then the per-doc fold. A collision could only merge
+    two windows in the same doc; the string-keyed oracle would expose it.
+
+    Returns (id, n_windows, repeated_windows, rep_frac) for docs with
+    >= k words — repeated_windows counts window OCCURRENCES that are part
+    of any within-doc repeat (so a block pasted 3 times contributes all
+    3 occurrences)."""
+    from opentsdb_spark.pipeline.dedup import _gram_frame
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    win = (
+        _gram_frame(docs, content_col, id_col, k, distinct=False)
+        .select(id_col, F.explode("grams").alias("g"))
+        .select(id_col, F.xxhash64("g").alias("__h"))
+    )
+    cnt = win.groupBy(id_col, "__h").agg(F.count("*").alias("__c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("__c") >= 2, F.col("__c"))
+                  .otherwise(F.lit(0))).cast("long")
+            .alias("repeated_windows"),
+        )
+        .select(
+            id_col, "n_windows", "repeated_windows",
+            (F.col("repeated_windows").cast("double")
+             / F.col("n_windows").cast("double")).alias("rep_frac"),
+        )
+    )
+
+
 def gram_novelty(
     docs: DataFrame,
     n: int = 3,

@@ -2409,6 +2409,28 @@ def test_token_entropy_values(spark):
     assert math.isfinite(out[2]["entropy"])
 
 
+def test_intra_doc_repetition_loop_detection(spark):
+    """A block pasted N times counts all its occurrences as repeated; a
+    no-repeat doc scores 0; sub-k docs emit no row; cross-doc copies do
+    NOT count (intra-doc only)."""
+    from opentsdb_spark.pipeline.text import intra_doc_repetition
+
+    loop = ("alpha beta gamma delta epsilon " * 3).strip()  # 15 words
+    docs = spark.createDataFrame(
+        [(0, loop),                         # every window recurs
+         (1, "one two three four five six seven"),  # no repeats
+         (2, "one two three four five six seven"),  # cross-doc copy of 1
+         (3, "tiny doc")],                  # < 5 words
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in intra_doc_repetition(docs, k=5).collect()}
+    assert set(out) == {0, 1, 2}
+    # doc 0: 11 windows over 15 words; the 5 distinct rotations each
+    # appear 2-3 times -> every occurrence is repeated
+    assert out[0]["n_windows"] == 11 and out[0]["rep_frac"] == 1.0
+    assert out[1]["rep_frac"] == 0.0 and out[2]["rep_frac"] == 0.0
+    assert out[1]["n_windows"] == 3
+
+
 def test_gram_novelty_fractions(spark):
     """A doc sharing every 3-gram with another scores 0; a fully unique
     doc scores 1; partial overlap gives the exact distinct-gram fraction;

@@ -88,6 +88,7 @@ QUERIES = [
     "text_gram_novelty",
     "sample_quality_percentile",
     "sample_leakage_safe_split",
+    "text_intra_repetition",
 ]
 
 
