@@ -113,11 +113,16 @@ def test_bench_compact_line_budget_at_80_queries():
         assert parsed["fmt"] == "prefix_tree"
         got = _flatten(parsed["queries"])
     assert set(got) == set(timings)
-    # and the current real headline still fits the preferred FLAT tier
+    # and the current real headline fits the budget in whichever tier
+    # engages (77+ queries legitimately overflow flat into the documented
+    # prefix tree) with every wall recoverable
     line_now = bench.compact_line({n: 1.23 for n in bench.HEADLINE},
                                   1.0, 2.0, 0.0, 2, 0.1)
     assert len(line_now) < 1900
-    assert _json.loads(line_now)["fmt"] == "flat"
+    parsed_now = _json.loads(line_now)
+    got_now = (parsed_now["queries"] if parsed_now["fmt"] == "flat"
+               else _flatten(parsed_now["queries"]))
+    assert set(got_now) == set(bench.HEADLINE)
 
 
 def test_bench_steal_budget_auto_scales_with_sweep():

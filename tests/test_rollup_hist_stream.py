@@ -990,9 +990,6 @@ def test_streaming_source_mix_matches_batch_report(spark):
         }
     batch = spark.createDataFrame(
         [(i, s, x) for i, s, t, x in rows], "doc_id long, source string, text string")
-    want = {}
-    for r in source_mix_report(batch).collect():
-        pass  # per-source only; we reassemble per-window below
     # window 1 (EPOCH hour): s1 = docs 0,1 (1 kept), s2 = doc 2
     h = EPOCH - EPOCH % 3600
     [w1s1] = [v for k, v in got.items() if k == (h, "s1")]
