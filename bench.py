@@ -109,6 +109,7 @@ HEADLINE = [
     "sample_quality_percentile",
     "sample_leakage_safe_split",
     "text_intra_repetition",
+    "multimodal_audio_keyclips",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -3433,6 +3433,69 @@ def _audio_segments_oracle(nw: int) -> str:
         FROM i WHERE act GROUP BY doc_id, seg"""
 
 
+def _audio_keyclips_oracle(nw: int) -> str:
+    nbytes = _AUD_N * 2
+    return f"""WITH
+        t AS (SELECT doc_id, rpad(substr(text, 1, {nbytes}), {nbytes}, ' ') AS t
+              FROM documents),
+        smp AS (SELECT d.doc_id, j.i AS j,
+                       ord(substr(d.t, 2 * j.i + 1, 1))
+                       + 256 * ord(substr(d.t, 2 * j.i + 2, 1)) AS v
+                FROM t d CROSS JOIN range({_AUD_N}) j(i)),
+        s AS (SELECT doc_id, j,
+                     CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+              FROM smp),
+        w AS (SELECT doc_id, CAST((j * {nw}) // {_AUD_N} AS INT) AS win,
+                     count(*) AS cnt, sum(s * s) AS sumsq
+              FROM s GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(cnt) AS tc, sum(sumsq) AS ts
+                FROM w GROUP BY doc_id),
+        f AS (SELECT w.doc_id, w.win, w.cnt, w.sumsq,
+                     (w.sumsq * tot.tc >= tot.ts * w.cnt) AS act
+              FROM w JOIN tot ON w.doc_id = tot.doc_id),
+        l AS (SELECT *, lag(act) OVER (PARTITION BY doc_id ORDER BY win) AS pact
+              FROM f),
+        i AS (SELECT *, sum(CASE WHEN act AND (pact IS NULL OR NOT pact)
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY win
+                              ROWS UNBOUNDED PRECEDING) AS seg
+              FROM l),
+        a AS (SELECT doc_id, seg, CAST(count(*) AS INT) AS n_win,
+                     CAST(min(win) AS INT) AS start_win,
+                     CAST(max(win) AS INT) AS end_win
+              FROM i WHERE act GROUP BY doc_id, seg),
+        k AS (SELECT doc_id, seg, win AS key_win,
+                     sumsq / CAST(cnt AS DOUBLE) AS ke,
+                     row_number() OVER (PARTITION BY doc_id, seg
+                                        ORDER BY sumsq / CAST(cnt AS DOUBLE) DESC,
+                                                 win ASC) AS rn
+              FROM i WHERE act)
+        SELECT a.doc_id AS media_id, CAST(a.seg AS INT) AS segment_id,
+               a.n_win, a.start_win, a.end_win,
+               CAST(k.key_win AS INT) AS key_win,
+               {RND.format('k.ke')} AS key_mean_sq_r
+        FROM a JOIN k ON k.doc_id = a.doc_id AND k.seg = a.seg
+        WHERE k.rn = 1"""
+
+
+@register("multimodal_audio_keyclips", _audio_keyclips_oracle(16))
+def multimodal_audio_keyclips(spark, sf_dir):
+    """Per-segment representative audio window (pipeline.multimodal
+    .audio_keyclips — the audio twin of shot_keyframes): the loudest
+    (max mean-square) window of each activity segment, ties to the
+    earliest, via a map-side-combinable packed-struct argmax. The
+    ordering key is one IEEE division of exact integers — bit-identical
+    cross-engine — and the oracle replays samples, windows, segmentation
+    AND the argmax tie-break."""
+    from opentsdb_spark.pipeline.multimodal import audio_keyclips
+
+    media = docs_as_raw_audio(_docs(spark, sf_dir), _AUD_N, _AUD_IN)
+    out = audio_keyclips(media, n_windows=16)
+    return out.select("media_id", "segment_id", "n_win", "start_win",
+                      "end_win", "key_win",
+                      _vr(F.col("key_mean_sq")).alias("key_mean_sq_r"))
+
+
 @register("multimodal_audio_segments", _audio_segments_oracle(16))
 def multimodal_audio_segments(spark, sf_dir):
     """Audio activity segmentation (pipeline.multimodal

@@ -772,6 +772,98 @@ AUDIO_WIN_SCHEMA = T.StructType(
 )
 
 
+def _audio_window_gen(n_windows: int):
+    """Arrow batch generator: per-clip floor-index window energies
+    (cnt, sum-of-squares) — the shared narrow map of the audio
+    segmentation family; audio bytes never leave this stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mids, wins, cnts, sqs = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                if blob is None or len(blob) % 2 or len(blob) // 2 < n_windows:
+                    continue
+                s = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
+                n = len(s)
+                w = (np.arange(n) * n_windows) // n
+                sumsq = np.bincount(w, weights=s * s, minlength=n_windows).astype(np.int64)
+                cnt = np.bincount(w, minlength=n_windows).astype(np.int64)
+                mids.extend([int(mid)] * n_windows)
+                wins.extend(range(n_windows))
+                cnts.extend(cnt.tolist())
+                sqs.extend(sumsq.tolist())
+            yield pd.DataFrame(
+                {"media_id": pd.Series(mids, dtype="int64"),
+                 "win": pd.Series(wins, dtype="int32"),
+                 "cnt": pd.Series(cnts, dtype="int64"),
+                 "sumsq": pd.Series(sqs, dtype="int64")}
+            )
+
+    return gen
+
+
+def audio_keyclips(media: DataFrame, n_windows: int = 16) -> DataFrame:
+    """Representative (max mean-energy) window per activity segment — the
+    AUDIO twin of shot_keyframes: of each active segment's windows, keep
+    the loudest one (ties to the EARLIEST window) — the slice worth
+    transcribing/embedding/auditioning for that segment. Window mean
+    energy is sumsq/cnt as ONE IEEE division of exact integers, so the
+    ordering key is bit-identical in any engine (no transcendentals, no
+    accumulated float state).
+
+    Scale shape: audio_activity_segments' narrow Arrow window map + the
+    same bounded per-clip island windows, then ONE map-side-combinable
+    packed-struct argmax groupBy — no per-segment sort, audio bytes never
+    shuffle. Returns (media_id, segment_id, n_win, start_win, end_win,
+    key_win, key_mean_sq)."""
+    if n_windows < 2:
+        raise ValueError(f"n_windows must be >= 2, got {n_windows}")
+    wins = media.select("media_id", "media").mapInPandas(
+        _audio_window_gen(n_windows), schema=AUDIO_WIN_SCHEMA)
+    islands = _audio_islands(wins)
+    energy = F.col("sumsq").cast("double") / F.col("cnt").cast("double")
+    packed = F.struct(energy.alias("e"),
+                      (-F.col("win")).cast("int").alias("nw"))
+    return (
+        islands.groupBy("media_id", F.col("__seg").alias("segment_id"))
+        .agg(
+            F.count("*").cast("int").alias("n_win"),
+            F.min("win").alias("start_win"),
+            F.max("win").alias("end_win"),
+            F.max(packed).alias("__k"),
+        )
+        .select(
+            "media_id", "segment_id", "n_win", "start_win", "end_win",
+            (-F.col("__k.nw")).cast("int").alias("key_win"),
+            F.col("__k.e").alias("key_mean_sq"),
+        )
+    )
+
+
+def _audio_islands(wins: "DataFrame") -> "DataFrame":
+    """ACTIVE window rows with their island ids — the shared core of
+    audio_activity_segments and audio_keyclips: activity = integer
+    cross-multiply vs the clip's own mean energy, islands via lag/cumsum
+    over the n_windows-bounded per-clip frame."""
+    from pyspark.sql import Window
+
+    wm = Window.partitionBy("media_id")
+    tot_cnt = F.sum("cnt").over(wm)
+    tot_sq = F.sum("sumsq").over(wm)
+    flagged = wins.withColumn(
+        "__active", F.col("sumsq") * tot_cnt >= tot_sq * F.col("cnt")
+    )
+    ws = Window.partitionBy("media_id").orderBy("win")
+    prev = F.lag("__active").over(ws)
+    start = F.col("__active") & (prev.isNull() | ~prev)
+    return flagged.withColumn(
+        "__seg",
+        F.sum(start.cast("int")).over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    ).where(F.col("__active"))
+
+
 def audio_activity_segments(media: DataFrame, n_windows: int = 16) -> DataFrame:
     """Activity segmentation of raw s16le audio (the VAD proxy, and the
     temporal complement of the video ``scene_cuts``): split each clip into
@@ -799,46 +891,9 @@ def audio_activity_segments(media: DataFrame, n_windows: int = 16) -> DataFrame:
     (media_id, segment_id, start_win, end_win, n_win, mean_sq)."""
     if n_windows < 2:
         raise ValueError(f"n_windows must be >= 2, got {n_windows}")
-    from pyspark.sql import Window
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            mids, wins, cnts, sqs = [], [], [], []
-            for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                if blob is None or len(blob) % 2 or len(blob) // 2 < n_windows:
-                    continue
-                s = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
-                n = len(s)
-                w = (np.arange(n) * n_windows) // n
-                sumsq = np.bincount(w, weights=s * s, minlength=n_windows).astype(np.int64)
-                cnt = np.bincount(w, minlength=n_windows).astype(np.int64)
-                mids.extend([int(mid)] * n_windows)
-                wins.extend(range(n_windows))
-                cnts.extend(cnt.tolist())
-                sqs.extend(sumsq.tolist())
-            yield pd.DataFrame(
-                {"media_id": pd.Series(mids, dtype="int64"),
-                 "win": pd.Series(wins, dtype="int32"),
-                 "cnt": pd.Series(cnts, dtype="int64"),
-                 "sumsq": pd.Series(sqs, dtype="int64")}
-            )
-
-    wins = media.select("media_id", "media").mapInPandas(gen, schema=AUDIO_WIN_SCHEMA)
-    wm = Window.partitionBy("media_id")
-    tot_cnt = F.sum("cnt").over(wm)
-    tot_sq = F.sum("sumsq").over(wm)
-    flagged = wins.withColumn(
-        "__active", F.col("sumsq") * tot_cnt >= tot_sq * F.col("cnt")
-    )
-    ws = Window.partitionBy("media_id").orderBy("win")
-    prev = F.lag("__active").over(ws)
-    start = F.col("__active") & (prev.isNull() | ~prev)
-    islands = flagged.withColumn(
-        "__seg",
-        F.sum(start.cast("int")).over(ws.rowsBetween(Window.unboundedPreceding, 0)),
-    ).where(F.col("__active"))
+    wins = media.select("media_id", "media").mapInPandas(
+        _audio_window_gen(n_windows), schema=AUDIO_WIN_SCHEMA)
+    islands = _audio_islands(wins)
     return (
         islands.groupBy("media_id", F.col("__seg").alias("segment_id"))
         .agg(

@@ -2766,6 +2766,40 @@ def test_shot_keyframes_argmax_detail_ties_earliest(spark):
     assert s21["key_detail"] > out[(2, 0)]["key_detail"]
 
 
+def test_audio_keyclips_loudest_window_per_segment(spark):
+    """Each activity segment reduces to its max mean-energy window, ties
+    to the earliest; spans and counts match audio_activity_segments."""
+    import struct as _struct
+
+    from opentsdb_spark.pipeline.multimodal import (
+        audio_activity_segments, audio_keyclips)
+
+    # 16 samples -> 8 windows of 2: quiet(1) x2 | loud(100,200) | loud
+    # (200,100) | quiet x2 | loud(300) | quiet x2
+    samples = [1, 1, 1, 1, 100, 200, 200, 100, 1, 1, 1, 1, 300, 300, 1, 1]
+    blob = _struct.pack("<16h", *samples)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(blob))],
+        "media_id long, kind string, media binary")
+    segs = {r["segment_id"]: r for r in
+            audio_activity_segments(media, n_windows=8).collect()}
+    keys = {r["segment_id"]: r for r in
+            audio_keyclips(media, n_windows=8).collect()}
+    assert set(keys) == set(segs)
+    for sid, k in keys.items():
+        s = segs[sid]
+        assert (k["n_win"], k["start_win"], k["end_win"]) == \
+            (s["n_win"], s["start_win"], s["end_win"])
+        assert s["start_win"] <= k["key_win"] <= s["end_win"]
+    # segment over windows 2-3: energies (100^2+200^2)/2 == (200^2+100^2)/2
+    # -> exact tie, earliest window (2) wins
+    two = [k for k in keys.values() if k["start_win"] == 2]
+    assert two and two[0]["key_win"] == 2
+    # the lone loud window 6 is its own keyclip
+    lone = [k for k in keys.values() if k["start_win"] == 6]
+    assert lone and lone[0]["key_win"] == 6 and lone[0]["key_mean_sq"] == 300.0 ** 2
+
+
 def test_knn_density_mean_of_neighbor_cosines(spark):
     """knn_density = mean cosine over the vector's knn_graph rows; lone
     vectors emit no row; crowded vectors score higher than isolated ones."""

@@ -608,3 +608,61 @@ def test_cap_per_group_quality_rank_matches_sequential_property(
         expect.extend((d[0], rk) for rk, d in enumerate(members, 1)
                       if rk <= cap)
     assert got == sorted(expect)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)),
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges, n_docs=st.integers(1, 30))
+def test_connected_components_match_union_find_property(spark, edges, n_docs):
+    """large-star/small-star components equal a reference union-find on
+    ARBITRARY random graphs (self-loops, duplicate and reversed edges,
+    nodes outside the doc set), and leakage_safe_split keyed on them
+    never splits a component."""
+    from opentsdb_spark.pipeline.cluster import dedup_assign_clusters
+    from opentsdb_spark.pipeline.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(n_docs)], "doc_id long, text string")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long") \
+        if edges else docs.limit(0).selectExpr(
+            "doc_id as id_a", "doc_id as id_b")
+    got = {r["doc_id"]: r["component"] for r in
+           dedup_assign_clusters(docs, pairs).collect()}
+    # reference union-find over the same universe
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical = min member of the component
+    members: dict[int, list[int]] = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    want = {}
+    for i in range(n_docs):
+        r = find(i) if i in parent else i
+        want[i] = min(members.get(r, [i]) + [r])
+    assert got == want
+    split = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        docs, {"a": 0.5, "b": 0.5}, pairs).collect()}
+    comp_splits: dict[int, set] = {}
+    for i in range(n_docs):
+        comp_splits.setdefault(want[i], set()).add(split[i])
+    assert all(len(s) == 1 for s in comp_splits.values())

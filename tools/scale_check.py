@@ -89,6 +89,7 @@ QUERIES = [
     "sample_quality_percentile",
     "sample_leakage_safe_split",
     "text_intra_repetition",
+    "multimodal_audio_keyclips",
 ]
 
 
