@@ -1931,6 +1931,101 @@ def corpus_source_mix(spark, sf_dir):
     return source_mix_report(docs)
 
 
+_SMIX_BASE = 8_640_000  # synthetic event-time epoch base (100 days)
+
+
+@register(
+    "streaming_source_mix",
+    f"""WITH {_GOPHER_Q}
+        SELECT ({_SMIX_BASE} + doc_id * 40) // 3600 * 3600 AS win_start,
+               source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN flag_word_count AND flag_mean_word_len
+                              AND flag_stopwords AND flag_repetition
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN flag_word_count AND flag_mean_word_len
+                              AND flag_stopwords AND flag_repetition
+                             THEN n_words ELSE 0 END) AS BIGINT) AS kept_words
+        FROM g GROUP BY 1, 2""",
+)
+def streaming_source_mix_q(spark, sf_dir):
+    """The STREAMING windowed source-mix monitor (streaming/docs.py
+    streaming_source_mix) driven through a real micro-batch sequence —
+    the corpus_source_mix twin promoted from pytest into the driver's
+    lens. Each document gets a synthetic event time (base + doc_id * 40 s,
+    so windows span many hours and straddle batch cuts), the corpus is
+    split into three CONTIGUOUS time slabs fed through a file-source
+    stream with processAllAvailable barriers (so hour windows that
+    straddle a cut accumulate across batches through the state store,
+    and the 10-minute watermark never drops an in-order row), and a
+    far-future sentinel closes every real window for the append-mode
+    emit (its own window never closes, so it is never emitted). The
+    oracle replays the same Gopher gate + hour bucketing as one batch
+    SQL — counts match because no feed row is late."""
+    import json as _json
+    import tempfile
+
+    from opentsdb_spark.streaming.docs import streaming_source_mix
+
+    # feed collect is corpus-row-bounded at gate/bench sf (the replay
+    # harness materializes the micro-batch files driver-side by design)
+    rows = sorted(
+        _docs(spark, sf_dir).select("doc_id", "source", "text").collect(),
+        key=lambda r: int(r["doc_id"]),
+    )
+    cuts = [int(len(rows) * i / 3) for i in (1, 2, 3)]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        feed = (
+            spark.readStream.schema(
+                "doc_id long, source string, ts long, text string")
+            .json(src)
+            .withColumn("ts", F.timestamp_seconds("ts"))
+        )
+        stream = streaming_source_mix(feed, window="1 hour",
+                                      watermark="10 minutes")
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("smix_gate")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            lo = 0
+            for i, hi in enumerate(cuts):
+                with open(os.path.join(src, f"b{i}.json"), "w") as f:
+                    for r in rows[lo:hi]:
+                        f.write(_json.dumps(
+                            {"doc_id": int(r["doc_id"]),
+                             "source": r["source"],
+                             "ts": _SMIX_BASE + int(r["doc_id"]) * 40,
+                             "text": r["text"]}) + "\n")
+                lo = hi
+                q.processAllAvailable()
+            # watermark push: closes every real window; the sentinel's own
+            # window never closes, so it never reaches the append output
+            with open(os.path.join(src, "wm.json"), "w") as f:
+                f.write(_json.dumps(
+                    {"doc_id": -1, "source": "__wm__",
+                     "ts": _SMIX_BASE + (len(rows) + 100_000) * 40,
+                     "text": "watermark push sentinel"}) + "\n")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("select * from smix_gate").collect()
+    spark.catalog.dropTempView("smix_gate")
+    out = tiny_df(
+        spark, got,
+        "win struct<start:timestamp,end:timestamp>, source string, "
+        "n_docs long, n_kept long, kept_words long",
+    )
+    return out.select(
+        (F.unix_millis(F.col("win.start")) / 1000).cast("long")
+        .alias("win_start"),
+        "source", "n_docs", "n_kept", "kept_words",
+    )
+
+
 @register(
     "text_tokens",
     r"""SELECT doc_id,
@@ -2348,7 +2443,7 @@ def dedup_incremental(spark, sf_dir):
         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
                CASE WHEN a.doc_id IS NULL THEN 'added'
                     WHEN b.doc_id IS NULL THEN 'removed'
-                    WHEN a.text = b.text THEN 'unchanged'
+                    WHEN a.text IS NOT DISTINCT FROM b.text THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM a FULL JOIN b ON a.doc_id = b.doc_id""",
 )
@@ -6005,9 +6100,18 @@ _PRIORITY = [
     # stage (in-gate), while the snapshot diff adds the full-outer
     # added/removed/changed verdict family; exact_dedup stays verified by
     # the full-catalog oracle run)
+    # (round 11: dedup_incremental rotates out for streaming_source_mix —
+    # the Hadoop-FS append/compact/crash-recovery index discipline it
+    # pinned is now in-gate via ann_incremental (same _append_index_rows /
+    # _read_index / compact_index machinery plus the LSH+cosine verdict
+    # path), and the MinHash batch-vs-corpus verdict logic stays verified
+    # by the full-catalog oracle run. dedup_semantic rotates out for
+    # ann_incremental — the cell-bounded pairwise-cosine machinery stays
+    # pinned in-gate by embed_knn_graph + ann_lsh_top5 and by the
+    # full-catalog run)
     "corpus_snapshot_diff", "dedup_ngram_jaccard", "dedup_cluster_cc",
-    "dedup_incremental",
-    "dedup_semantic", "dedup_substring_keep_first",
+    "ann_incremental", "streaming_source_mix",
+    "dedup_substring_keep_first",
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
     # for the corpus-wide paragraph dedup — token counting is also exercised
     # by text_quality and stays verified by the full-catalog run)
@@ -6052,8 +6156,17 @@ _PRIORITY = [
     # and the sessionize entry stays verified by the full-catalog run +
     # streaming twin tests; events_retention_cohort joins events_funnel
     # as the second events-analytics family)
+    # (round 11: text_ccnet_buckets rotates out for text_intra_repetition —
+    # the paragraph-hash keep-first machinery stays pinned in-gate by
+    # text_strip_boilerplate's chunk-hash strike-out, and the LM-band
+    # bucketing stays verified by the full-catalog run; the intra-document
+    # window-repetition detector is the new dup-signal family.
+    # text_source_overlap rotates out for text_length_quantiles — the
+    # bounded cross-source n-gram matrix stays verified by the
+    # full-catalog run, and the per-source exact-percentile entry pins the
+    # bounded cumulative-window machinery in-gate)
     "tsdb_asof_join", "events_funnel", "events_retention_cohort",
-    "text_ccnet_buckets", "text_source_overlap",
+    "text_intra_repetition", "text_length_quantiles",
     # (round 10: embed_covariance rotates out — per-dim moment sums are
     # pinned by embed_prototypicality AND the new embed_drift entry's
     # per-cell mean directions; covariance stays in the full-catalog run.
@@ -6072,7 +6185,15 @@ _PRIORITY = [
     # the gate previously saw only the hash-order sibling;
     # sample_weighted_reservoir adds the sequential-Poisson weighted
     # sample family)
-    "sample_cap_per_source", "sample_cap_quality",
+    # (round 11: sample_cap_per_source rotates out for
+    # sample_leakage_safe_split — the hash-ordered cap shares the
+    # two-phase rank machinery with the in-gate quality cap, while the
+    # CC-keyed leakage-safe split is the new split-hygiene family;
+    # sample_global_shuffle rotates out for sample_quality_percentile —
+    # the seeded dense-position rank is the same shared
+    # _two_phase_group_rank path the percentile calibration pins, and the
+    # shuffle's sequential-order proof stays in the full-catalog run)
+    "sample_leakage_safe_split", "sample_cap_quality",
     "sample_weighted_reservoir",
     # round-6b families: BM25 lexical retrieval, token-budget selection,
     # Bloom-filter benchmark hygiene
@@ -6092,9 +6213,19 @@ _PRIORITY = [
     # gaps-and-islands, the in-gate heir of tsdb_sessionize's machinery;
     # text_pmi_top20 joins as the vocabulary-granularity collocation
     # family with its TakeOrderedAndProject top-k proof)
-    "text_hll_distinct", "multimodal_scene_cuts",
-    "multimodal_audio_segments", "text_pmi_top20",
-    "sample_global_shuffle",
+    # (round 11: multimodal_scene_cuts and multimodal_audio_segments
+    # rotate out for their strict SUPERSETS — shot_keyframes replays the
+    # same lag/cut segmentation and adds the packed-struct per-shot
+    # argmax, audio_keyclips replays the same self-calibrating VAD
+    # gaps-and-islands and adds the loudest-window selection; both
+    # segment-only entries stay verified by the full-catalog run.
+    # text_pmi_top20 rotates out for text_gram_novelty — the
+    # vocabulary-granularity count machinery stays pinned in-gate by
+    # text_vocab_drift, and the per-doc df-join novelty share is the new
+    # family; PMI stays verified by the full-catalog run)
+    "text_hll_distinct", "multimodal_shot_keyframes",
+    "multimodal_audio_keyclips", "text_gram_novelty",
+    "sample_quality_percentile",
     # round-7 flagship families: proportional source interleaving,
     # RefinedWeb-style boilerplate chunk strike-out (round 9:
     # sample_mix_audit rotates out for pipeline_end_to_end — the e2e row

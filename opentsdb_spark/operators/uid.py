@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from opentsdb_spark.session import tiny_df
+from opentsdb_spark.session import empty_df, tiny_df
 from pyspark.sql import functions as F
 
 
@@ -94,7 +94,7 @@ def uid_assign(
         raise ValueError(f"unknown UID kinds: {sorted(bad)}")
     spark = spark or (registry.sparkSession if registry is not None else None)
     if registry is None:
-        registry = spark.createDataFrame([], UID_REGISTRY_SCHEMA)
+        registry = empty_df(spark, UID_REGISTRY_SCHEMA)
 
     wanted = [(k, n) for k, names in requests.items() for n in names]
     key_pred = None
@@ -311,14 +311,14 @@ def meta_sync(
         part = uid_listing(points, kind).select(F.lit(kind).alias("kind"), "name")
         live_uid = part if live_uid is None else live_uid.unionByName(part)
     if uidmeta is None:
-        uidmeta = spark.createDataFrame([], UIDMETA_SCHEMA)
+        uidmeta = empty_df(spark, UIDMETA_SCHEMA)
     synced_uid = live_uid.join(uidmeta, on=["kind", "name"], how="left").select(
         "kind", "name", "description", "notes", "display_name", "custom"
     )
 
     live_ts = tsmeta_frame(points).select("tsuid")
     if tsmeta is None:
-        tsmeta = spark.createDataFrame([], TSMETA_SCHEMA)
+        tsmeta = empty_df(spark, TSMETA_SCHEMA)
     synced_ts = live_ts.join(tsmeta, on="tsuid", how="left").select(
         "tsuid", "description", "notes", "units", "data_type", "retention",
         "max", "min", "custom"
@@ -338,6 +338,6 @@ def meta_purge(spark) -> tuple[DataFrame, DataFrame]:
     reference mutates storage directly and does not notify plugins —
     neither does this."""
     return (
-        spark.createDataFrame([], UIDMETA_SCHEMA),
-        spark.createDataFrame([], TSMETA_SCHEMA),
+        empty_df(spark, UIDMETA_SCHEMA),
+        empty_df(spark, TSMETA_SCHEMA),
     )

@@ -86,18 +86,26 @@ def snapshot_diff(
     id; document text never shuffles. SHA-256 collisions are
     cryptographically negligible (the exact_dedup argument), and the
     catalog oracle compares raw text server-side, so a collision would
-    surface as a value mismatch rather than pass silently."""
+    surface as a value mismatch rather than pass silently.
+
+    Presence is carried by explicit per-side markers, NOT by hash
+    nullity: sha2(NULL content) is NULL, so a hash-nullity proxy would
+    misreport a present-with-NULL-text document as added/removed. With
+    the markers, NULL-content rows diff like any other value
+    (NULL <=> NULL is unchanged, NULL vs text is changed)."""
     a = docs_a.select(
         F.col(id_col),
-        F.sha2(F.col(content_col).cast("binary"), 256).alias("__ha"))
+        F.sha2(F.col(content_col).cast("binary"), 256).alias("__ha"),
+        F.lit(True).alias("__in_a"))
     b = docs_b.select(
         F.col(id_col),
-        F.sha2(F.col(content_col).cast("binary"), 256).alias("__hb"))
+        F.sha2(F.col(content_col).cast("binary"), 256).alias("__hb"),
+        F.lit(True).alias("__in_b"))
     j = a.join(b, on=id_col, how="full")
     status = (
-        F.when(F.col("__ha").isNull(), F.lit("added"))
-        .when(F.col("__hb").isNull(), F.lit("removed"))
-        .when(F.col("__ha") == F.col("__hb"), F.lit("unchanged"))
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
+        .when(F.col("__ha").eqNullSafe(F.col("__hb")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return j.select(id_col, status.alias("status"))

@@ -771,7 +771,43 @@ def _quality_rank_frame(docs: DataFrame, group_col: str, id_col: str,
 _SIMPLE_SORT_RE = None  # compiled lazily
 
 
-def _route_order_by_to_quality(order_by) -> tuple[str, bool] | None:
+def _sort_spec_from_jvm(ob) -> tuple[str, str, str] | None:
+    """(name, direction, null_ordering) read off the column's JVM
+    expression tree — the authoritative source (a SortOrder node carries
+    its direction and nullOrdering as typed fields). Returns None for
+    non-Column inputs, computed expressions, multi-part names, or when no
+    JVM column is available (e.g. Spark Connect), in which case the
+    caller falls back to the repr regex (whose assumption is pinned by
+    test_route_order_by_repr_assumption so a PySpark repr change fails
+    loudly instead of silently re-routing callers)."""
+    def _bare_name(attr) -> str | None:
+        if attr.getClass().getSimpleName() != "UnresolvedAttribute":
+            return None  # computed expression — never routable
+        parts = attr.nameParts()
+        if parts.size() != 1:
+            return None  # multi-part (a.b) — not a bare top-level column
+        return str(parts.head())
+
+    try:
+        node = ob._jc.node()  # classic PySpark 4.x ColumnNode
+        cls = node.getClass().getSimpleName()
+        if cls != "SortOrder":
+            # a bare Column sorts ASC NULLS FIRST — never routable, but
+            # report it so the caller need not fall back to the regex
+            name = _bare_name(node)
+            return None if name is None else (name, "ASC", "NULLS FIRST")
+        name = _bare_name(node.child())
+        if name is None:
+            return None
+        desc = "Descending" in node.sortDirection().getClass().getSimpleName()
+        last = "NullsLast" in node.nullOrdering().getClass().getSimpleName()
+        return (name, "DESC" if desc else "ASC",
+                "NULLS LAST" if last else "NULLS FIRST")
+    except Exception:
+        return None
+
+
+def _route_order_by_to_quality(order_by, schema=None) -> tuple[str, bool] | None:
     """Detect a ``cap_per_group(order_by=...)`` that is really just a
     single-column sort the scale-safe quality path can serve, and return
     (quality_col, quality_desc) — else None.
@@ -779,11 +815,17 @@ def _route_order_by_to_quality(order_by) -> tuple[str, bool] | None:
     Routable: exactly one entry naming a bare column whose NULL placement
     matches the quality path's nulls-LAST sentinel — ``F.desc(c)`` /
     ``"c DESC"`` (DESC defaults to NULLS LAST) and the explicit
-    ``asc_nulls_last`` / ``desc_nulls_last`` forms. A bare string /
+    ``asc_nulls_last`` / ``desc_nulls_last`` forms — AND whose resolved
+    type survives the quality path's cast to double order-faithfully
+    (numeric / timestamp / boolean). A string or date order column would
+    cast to NULL (every row in the sentinel bucket, rank degenerating to
+    id-ASC), so when ``schema`` is given and the column is missing or
+    non-numeric the sort is NOT routed and the caller keeps the exact
+    window semantics (with the scale warning). A bare string /
     ``F.col(c)`` / ``F.asc(c)`` is ASC NULLS FIRST and would change where
-    NULL scores land, so it is NOT routed (the caller keeps the
-    documented window semantics and gets the warning instead); computed
-    expressions are never routed."""
+    NULL scores land, so it is likewise not routed; computed expressions
+    are never routed. The sort spec is read from the JVM SortOrder
+    expression when available; the repr regex is only a fallback."""
     global _SIMPLE_SORT_RE
     if _SIMPLE_SORT_RE is None:
         import re
@@ -796,15 +838,41 @@ def _route_order_by_to_quality(order_by) -> tuple[str, bool] | None:
     if len(entries) != 1:
         return None
     ob = entries[0]
-    m = _SIMPLE_SORT_RE.match(ob if isinstance(ob, str) else str(ob))
-    if m is None:
-        return None
-    name, direction, nulls = m.group(1), m.group(2) or "ASC", m.group(3)
-    if nulls is None:
-        nulls = "LAST" if direction == "DESC" else "FIRST"
+    spec = None if isinstance(ob, str) else _sort_spec_from_jvm(ob)
+    if spec is not None:
+        name, direction, nulls = spec
+        nulls = nulls.replace("NULLS ", "")
+        if "." in name or "`" in name:
+            return None  # multi-part / quoted — not a bare top-level column
+    else:
+        m = _SIMPLE_SORT_RE.match(ob if isinstance(ob, str) else str(ob))
+        if m is None:
+            return None
+        name, direction, nulls = m.group(1), m.group(2) or "ASC", m.group(3)
+        if nulls is None:
+            nulls = "LAST" if direction == "DESC" else "FIRST"
     if nulls != "LAST":
         return None
+    if schema is not None and not _cast_to_double_is_order_faithful(schema, name):
+        return None
     return name, direction == "DESC"
+
+
+def _cast_to_double_is_order_faithful(schema, name: str) -> bool:
+    """True when ``cast(col AS double)`` is a monotone, null-preserving
+    image of the column's native order — the precondition for routing an
+    order_by through the quantized quality rank. Numeric types and
+    timestamps (epoch seconds) qualify; boolean (false<true → 0.0<1.0)
+    qualifies; strings/dates/binary cast to NULL or reorder, so they must
+    keep the exact window path."""
+    from pyspark.sql import types as T
+
+    field = next((f for f in schema.fields if f.name == name), None)
+    if field is None:
+        return False
+    return isinstance(field.dataType,
+                      (T.NumericType, T.TimestampType, T.TimestampNTZType,
+                       T.BooleanType))
 
 
 def leakage_safe_split(
@@ -951,7 +1019,7 @@ def cap_per_group(
     if max_per_group < 1:
         raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
     if quality_col is None and order_by is not None:
-        routed = _route_order_by_to_quality(order_by)
+        routed = _route_order_by_to_quality(order_by, schema=docs.schema)
         if routed is not None:
             quality_col, quality_desc = routed
             order_by = None

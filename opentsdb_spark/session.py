@@ -72,6 +72,16 @@ def tiny_df(spark: SparkSession, rows, schema):
     driver-built and small; falls back to plain createDataFrame where no
     SparkContext is reachable (Spark Connect)."""
     sc = getattr(spark, "sparkContext", None)
-    if not rows or sc is None:
+    if sc is None:
         return spark.createDataFrame(rows, schema)
     return spark.createDataFrame(sc.parallelize(rows, 1), schema)
+
+
+def empty_df(spark: SparkSession, schema):
+    """Empty DataFrame with ``schema`` at single-partition cost.
+
+    ``createDataFrame([], schema)`` still parallelizes the empty list
+    into defaultParallelism Python partitions — 32 empty Python-worker
+    round-trips per action on this box (~2× slower even for the trivial
+    count). One empty partition does the same job."""
+    return tiny_df(spark, [], schema)

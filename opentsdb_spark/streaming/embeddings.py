@@ -94,8 +94,14 @@ def ann_index_batch(
     bidx = _live(bucket_index_path)
     vidx = _live(vec_index_path)
     if bidx is None or vidx is None:
-        empty = spark.createDataFrame(
-            [], f"query_id long, {id_col} long, cosine double, rank int")
+        # JVM-side empty frame: createDataFrame([]) parallelizes into
+        # defaultParallelism Python partitions (~6 CPU-s per action on
+        # local[32] — the cms_probe autopsy), range(0) costs nothing
+        empty = spark.range(0).select(
+            F.col("id").alias("query_id"),
+            F.col("id").alias(id_col),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).cast("int").alias("rank"))
         verdicts = empty.localCheckpoint()
     else:
         # candidate = collision in any table. The batch bucket set is the
@@ -132,14 +138,33 @@ def ann_index_batch(
         )
     # every arriving vector joins the corpus (similarity search indexes
     # the whole stream — unlike dedup, a near-duplicate is still a valid
-    # future neighbor; callers wanting dedup semantics filter upstream)
+    # future neighbor; callers wanting dedup semantics filter upstream).
+    # First write wins ACROSS batches: a vec_id re-arriving later must
+    # not append a second index row — the candidate-scoring join would
+    # return two embedding rows for that id and the duplicate would
+    # occupy two of the k top-k slots, diverging from batch lsh_topk.
+    # The already-indexed ids WITHIN this batch's id set are batch-
+    # bounded (semi-join of the corpus ids against the broadcast batch
+    # ids — an id-only pruned scan), so the anti-join's build side stays
+    # broadcastable however large the corpus. Replay-safe: _live already
+    # excludes this batch's own partitions, so a replayed batch sees the
+    # same prior corpus and overwrites its partition with identical rows.
+    fresh = bb
+    if vidx is not None:
+        already = (
+            vidx.select(id_col)
+            .join(F.broadcast(bb.select(id_col).dropDuplicates([id_col])),
+                  on=id_col, how="left_semi")
+            .dropDuplicates([id_col])
+        )
+        fresh = bb.join(F.broadcast(already), on=id_col, how="left_anti")
     _append_index_rows(
-        bb.select(id_col, "table", "bucket",
-                  F.lit(batch_id).cast("long").alias("__batch_id")),
+        fresh.select(id_col, "table", "bucket",
+                     F.lit(batch_id).cast("long").alias("__batch_id")),
         bucket_index_path, batch_id,
     )
     _append_index_rows(
-        bb.select(id_col, F.col("v").alias("embedding"))
+        fresh.select(id_col, F.col("v").alias("embedding"))
         .dropDuplicates([id_col])
         .withColumn("__batch_id", F.lit(batch_id).cast("long")),
         vec_index_path, batch_id,

@@ -39,7 +39,7 @@ from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame
 
-from opentsdb_spark.session import tiny_df
+from opentsdb_spark.session import empty_df, tiny_df
 
 from opentsdb_spark import api
 from opentsdb_spark.plans.limits import QueryLimitExceeded
@@ -120,7 +120,7 @@ class TSD:
         if annotations is None:
             from opentsdb_spark.operators.annotations import ANNOTATION_SCHEMA
 
-            annotations = spark.createDataFrame([], ANNOTATION_SCHEMA)
+            annotations = empty_df(spark, ANNOTATION_SCHEMA)
         self.annotations = annotations
         self.rollups = rollups
         # materialized rollup tables (plans.rollup.load_rollup_config on a

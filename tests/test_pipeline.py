@@ -2387,6 +2387,66 @@ def test_cap_per_group_order_by_routing_and_warning(spark):
     assert any("single-task window" in str(c.message) for c in caught)
 
 
+def test_cap_per_group_order_by_non_numeric_not_routed(spark):
+    """A string order column must NOT route into the quality path (its
+    cast to double is NULL — every row would land in the sentinel bucket
+    and the rank would silently degenerate to id-ASC). It keeps the exact
+    window semantics (with the scale warning); numeric and timestamp
+    columns route."""
+    import itertools
+    import warnings
+
+    from opentsdb_spark.pipeline.sampling import (
+        _route_order_by_to_quality, cap_per_group)
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", chr(65 + (i * 7) % 26)) for i in range(20)],
+        "doc_id long, source string, name string")
+    assert _route_order_by_to_quality(
+        [F.desc("name")], schema=docs.schema) is None
+    assert _route_order_by_to_quality(
+        [F.desc("doc_id")], schema=docs.schema) == ("doc_id", True)
+    assert _route_order_by_to_quality(
+        [F.desc("missing")], schema=docs.schema) is None
+    ts = docs.withColumn("ts", F.timestamp_seconds(F.col("doc_id")))
+    assert _route_order_by_to_quality(
+        [F.desc("ts")], schema=ts.schema) == ("ts", True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = sorted(
+            (r["doc_id"], r["group_rank"])
+            for r in cap_per_group(docs, 3, order_by=[F.desc("name")])
+            .select("doc_id", "group_rank").collect())
+    assert any("single-task window" in str(c.message) for c in caught)
+    want = []
+    for _, grp in itertools.groupby(
+            sorted(docs.collect(), key=lambda r: r.source),
+            key=lambda r: r.source):
+        top = sorted(grp, key=lambda r: r.name, reverse=True)[:3]
+        want += [(r.doc_id, i + 1) for i, r in enumerate(top)]
+    assert got == sorted(want)
+
+
+def test_route_order_by_jvm_spec_and_repr_assumption(spark):
+    """The sort spec comes from the JVM SortOrder node; the repr regex is
+    only a fallback. Pin BOTH — the JVM readings and the Column repr
+    format the regex assumes — so a PySpark upgrade that changes either
+    fails loudly instead of silently re-routing callers."""
+    from opentsdb_spark.pipeline.sampling import _sort_spec_from_jvm
+
+    assert _sort_spec_from_jvm(F.desc("q")) == ("q", "DESC", "NULLS LAST")
+    assert _sort_spec_from_jvm(F.col("q").asc_nulls_last()) == \
+        ("q", "ASC", "NULLS LAST")
+    assert _sort_spec_from_jvm(F.col("q")) == ("q", "ASC", "NULLS FIRST")
+    assert _sort_spec_from_jvm((F.col("q") * 2).desc()) is None
+    assert _sort_spec_from_jvm(F.asc("a.b")) is None
+    assert _sort_spec_from_jvm("q DESC") is None  # strings go to the regex
+    # the regex fallback's repr assumption
+    assert str(F.desc("q")) == "Column<'q DESC NULLS LAST'>"
+    assert str(F.col("q").asc_nulls_last()) == "Column<'q ASC NULLS LAST'>"
+    assert str(F.col("q")) == "Column<'q'>"
+
+
 def test_token_entropy_values(spark):
     """Uniform tokens -> log2(n) bits; single repeated token -> 0; empty
     docs vanish."""
@@ -2472,6 +2532,29 @@ def test_snapshot_diff_statuses(spark):
     # identical snapshots: all unchanged
     same = {r["status"] for r in snapshot_diff(a, a).collect()}
     assert same == {"unchanged"}
+
+
+def test_snapshot_diff_null_content_is_presence_not_hash(spark):
+    """Presence comes from explicit side markers, not hash nullity:
+    sha2(NULL text) is NULL, so a present-with-NULL-content document must
+    still diff as present (changed vs text, unchanged vs NULL), never as
+    added/removed."""
+    from opentsdb_spark.pipeline.dedup import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, None), (2, "txt"), (3, None), (5, None)],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "txt"), (2, None), (3, None), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(a, b).collect()}
+    assert out == {
+        1: "changed",    # NULL -> text (present both sides)
+        2: "changed",    # text -> NULL
+        3: "unchanged",  # NULL on both sides, same (absent) content
+        4: "added",      # only in B, even with NULL content
+        5: "removed",    # only in A, even with NULL content
+    }
 
 
 def test_doc_length_quantiles_exact(spark):

@@ -1101,6 +1101,49 @@ def test_streaming_ann_compaction_preserves_verdicts(spark):
         assert run(d1, False) == run(d2, True)
 
 
+def test_streaming_ann_rearriving_id_first_write_wins(spark):
+    """A vec_id re-arriving in a later batch must NOT append a second
+    index row: the duplicate would join twice at candidate scoring and
+    occupy two of the k top-k slots, diverging from batch lsh_topk.
+    First write wins — the index keeps the original embedding, and later
+    verdicts equal the batch run on the first-write corpus."""
+    import tempfile as _tf
+
+    from opentsdb_spark.pipeline.similarity import lsh_topk
+    from opentsdb_spark.streaming.embeddings import ann_index_batch
+
+    b1 = spark.createDataFrame(_ann_vecs(0, 6),
+                               "vec_id long, embedding array<double>")
+    # batch 2 re-sends id 2 with a DIFFERENT embedding alongside new ids
+    b2 = spark.createDataFrame(
+        _ann_vecs(6, 10) + [(2, [9.0] * 8)],
+        "vec_id long, embedding array<double>")
+    b3 = spark.createDataFrame(_ann_vecs(10, 14),
+                               "vec_id long, embedding array<double>")
+    with _tf.TemporaryDirectory() as d:
+        bidx, vidx = os.path.join(d, "b"), os.path.join(d, "v")
+        ann_index_batch(b1, bidx, vidx, batch_id=1, **_ANN_KW)
+        ann_index_batch(b2, bidx, vidx, batch_id=2, **_ANN_KW)
+        vid = spark.read.parquet(vidx)
+        assert vid.count() == vid.select("vec_id").distinct().count() == 10
+        [kept] = vid.where("vec_id = 2").collect()
+        [orig] = [v for i, v in _ann_vecs(0, 6) if i == 2]
+        assert list(kept["embedding"]) == orig  # first write won
+        # bucket index carries each id's keys exactly once per table
+        bkt = spark.read.parquet(bidx).where("vec_id = 2")
+        assert bkt.count() == _ANN_KW["tables"]
+        # and batch-3 verdicts equal batch lsh_topk on the first-write
+        # corpus (b1 + b2's genuinely-new ids)
+        corpus = b1.unionByName(b2.where("vec_id >= 6"))
+        want = sorted(map(tuple, lsh_topk(
+            corpus,
+            b3.select(F.col("vec_id").alias("query_id"), "embedding"),
+            **_ANN_KW).collect()))
+        got = sorted(map(tuple, ann_index_batch(
+            b3, bidx, vidx, batch_id=3, **_ANN_KW).collect()))
+        assert got == want and got
+
+
 def test_streaming_ann_sink_end_to_end(spark):
     """foreachBatch wiring: verdicts land in the output parquet batch by
     batch through a real file-source stream."""
