@@ -890,48 +890,42 @@ def hash_embed_docs(
     IEEE op on exact ints); the DuckDB oracle replays the same xxhash64
     via the pure-SQL XXH64 replica.
 
-    Scale shape: narrow gram explode -> pmod bucket -> dim explode (a
-    constant x``dim`` multiplier), one (id, d)-keyed partial-agg shuffle,
-    one tiny per-id norm aggregate joined back. Returns (id, embedding
-    array<double>[dim]) when ``packed``, else (id, d, val) rows."""
+    Scale shape: narrow gram explode -> pmod bucket -> ONE groupBy(id)
+    whose ``dim`` signed sums are all map-side combinable, so the single
+    shuffle carries one (id, dim x int64) row per doc per task — the doc
+    embedding folds WIDE (a packed row), never TALL (no per-(doc, dim)
+    row fan-out, no second norm aggregate, no join; the embed_drift
+    cells x (d+2) precedent). The norm is a plain expression over the
+    folded row: the sum of squares stays exact int64 before the one
+    float op, preserving cross-engine bit-equality. Returns (id,
+    embedding array<double>[dim]) when ``packed``, else (id, d, val)
+    rows."""
     from opentsdb_spark.pipeline.sampling import _hashed_ngram_feats
 
     feats = _hashed_ngram_feats(docs, content_col, id_col, n_buckets, F.xxhash64)
-    counts = feats.groupBy(id_col, "bucket").agg(F.count("*").alias("c"))
-    proj = (
-        counts.select(
-            id_col, "bucket", "c",
-            F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d"),
-        )
-        .withColumn(
-            "sgn",
-            F.when(
-                F.xxhash64((F.col("bucket") * dim + F.col("d")).cast("long"))
-                .bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
-        .groupBy(id_col, "d")
-        .agg(F.sum(F.col("c") * F.col("sgn")).alias("v"))
-    )
-    norms = proj.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("__n")
-    )
-    rows = proj.join(norms, on=id_col).select(
-        id_col, "d",
-        F.when(F.col("__n") > 0, F.col("v") / F.col("__n"))
-        .otherwise(F.lit(0.0)).alias("val"),
-    )
-    if not packed:
-        return rows
-    return (
-        rows.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("d", "val"))).alias("__dv"))
-        .select(
-            id_col,
-            F.transform("__dv", lambda s: s["val"]).alias("embedding"),
-        )
-    )
+
+    def term(d: int):
+        # coefficient(bucket, d) = +/-1 from bit 0 of xxhash64(bucket*dim+d);
+        # summing the coefficient per occurrence equals summing
+        # count(bucket) * coefficient per distinct bucket
+        h = F.xxhash64((F.col("bucket") * dim + F.lit(d)).cast("long"))
+        return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1)) \
+            .otherwise(F.lit(-1)).cast("long")
+
+    proj = feats.groupBy(id_col).agg(
+        *[F.sum(term(d)).alias(f"__v{d}") for d in range(dim)])
+    ssq = None
+    for d in range(dim):
+        sq = F.col(f"__v{d}") * F.col(f"__v{d}")
+        ssq = sq if ssq is None else ssq + sq
+    nrm = F.sqrt(ssq.cast("double"))
+    vec = F.array(*[
+        F.when(nrm > 0, F.col(f"__v{d}").cast("double") / nrm)
+        .otherwise(F.lit(0.0)) for d in range(dim)
+    ])
+    if packed:
+        return proj.select(id_col, vec.alias("embedding"))
+    return proj.select(id_col, F.posexplode(vec).alias("d", "val"))
 
 
 def bpe_encode(
