@@ -736,9 +736,12 @@ def knn_graph(
 
     Scale shape: assignment is a narrow map (centroids ride the UDF
     closure); the only shuffle is the applyInPandas repartition on the
-    int (cell, __sub) key; per-cell work is |cell| x dim one matmul +
-    an O(|cell| log k) selection, memory O(|cell|^2) doubles per task.
-    Returns (id, nbr_id, cell, cosine, nbr_rank)."""
+    int (cell, __sub) key; per-cell work is one |distinct| x dim matmul
+    (bit-identical vectors collapse to one kernel row and expand after —
+    hyperplane subdivision cannot split a clone clique, so without the
+    collapse a clone-heavy cell pays |members|^2) plus an O(k)-bounded
+    merge per clique; memory O(|distinct|^2 + |cell| x dim) doubles per
+    task. Returns (id, nbr_id, cell, cosine, nbr_rank)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     cent_arr = (
@@ -768,37 +771,72 @@ def knn_graph(
                       "cosine": "float64", "nbr_rank": "int32"})
         ids = pdf[id_col].to_numpy()
         V = np.asarray([np.asarray(v, np.float64) for v in pdf["cv"]])
+        # Collapse bit-identical vectors before the quadratic kernel: a
+        # corpus with exact-duplicate embeddings (deduped text often still
+        # carries cloned vectors; replicated benchmark corpora always do)
+        # otherwise pays |members|^2 for scores that are all equal to the
+        # distinct-pair scores. The kernel runs on the DISTINCT rows and
+        # the clone cliques expand afterwards — measured x256 pair-work
+        # cut at 100x-replicated sf0.1 with the output unchanged. The
+        # clique's internal cosine is the matrix DIAGONAL (same IEEE ops
+        # as any other pair, ~1.0 up to rounding), never an assumed 1.0,
+        # so expanded values stay bit-identical to the uncollapsed kernel.
+        Vd, inv = np.unique(V, axis=0, return_inverse=True)
+        nd = len(Vd)
+        members = [ids[inv == j] for j in range(nd)]  # ids asc per clique
         if bit_exact:
             # dim-sequential accumulation replays the SQL fold's IEEE op
             # order — bit-identical cosines for the hash-checked oracle
-            dot = np.zeros((n, n))
-            nn = np.zeros(n)
-            for d in range(V.shape[1]):
-                c = V[:, d]
+            dot = np.zeros((nd, nd))
+            nn = np.zeros(nd)
+            for d in range(Vd.shape[1]):
+                c = Vd[:, d]
                 dot = dot + np.multiply.outer(c, c)
                 nn = nn + c * c
         else:
-            dot = V @ V.T
-            nn = np.einsum("ij,ij->i", V, V)
+            dot = Vd @ Vd.T
+            nn = np.einsum("ij,ij->i", Vd, Vd)
         with np.errstate(divide="ignore", invalid="ignore"):
             rt = np.sqrt(nn)
             cos = dot / (rt[:, None] * rt[None, :])
         # rank key: NaN (zero-norm partner) sorts last; self is dropped by
-        # INDEX below (a -inf diagonal alone could tie with NaN partners
-        # and survive the slice on the id tiebreak)
+        # member ID below (the diagonal block holds a member's own clique,
+        # including itself)
         key = np.where(np.isnan(cos), -np.inf, cos)
         kk = min(k, n - 1)
         src, nbr, cval, rk = [], [], [], []
-        for i in range(n):
-            row = key[i]
-            # top-kk by (cosine desc, id asc): lexsort is ascending-stable,
-            # so sort on (-cosine) primary, id secondary
-            order = np.lexsort((ids, -row))
-            order = order[order != i][:kk]
-            src.extend([ids[i]] * len(order))
-            nbr.extend(ids[order])
-            cval.extend(cos[i, order])
-            rk.extend(range(1, len(order) + 1))
+        for j in range(nd):
+            row_key, row_cos = key[j], cos[j]
+            # Walk clique blocks in key-desc order, collecting candidate
+            # members until kk+1 are in hand (+ every block TIED with the
+            # last collected one, so the member-id tiebreak below sees the
+            # full tie group). Each block contributes at most its kk+1
+            # lowest ids — later ones can never rank.
+            order = np.argsort(-row_key, kind="stable")
+            cid_b, ccos_b = [], []
+            cnt, last_key = 0, None
+            for jj in order:
+                bk = row_key[jj]
+                if cnt >= kk + 1 and bk != last_key:
+                    break
+                blk = members[jj][: kk + 1]
+                cid_b.append(blk)
+                ccos_b.append(np.full(len(blk), row_cos[jj]))
+                cnt += len(blk)
+                last_key = bk
+            cid = np.concatenate(cid_b)
+            ccos = np.concatenate(ccos_b)
+            ckey = np.where(np.isnan(ccos), -np.inf, ccos)
+            # top kk+1 by (cosine desc, id asc); per member drop itself
+            # and take kk — exactly the uncollapsed per-row ordering
+            sel = np.lexsort((cid, -ckey))[: kk + 1]
+            cid, ccos = cid[sel], ccos[sel]
+            for m in members[j]:
+                take = np.nonzero(cid != m)[0][:kk]
+                src.extend([m] * len(take))
+                nbr.extend(cid[take])
+                cval.extend(ccos[take])
+                rk.extend(range(1, len(take) + 1))
         return pd.DataFrame({
             id_col: np.asarray(src, "int64"),
             "nbr_id": np.asarray(nbr, "int64"),

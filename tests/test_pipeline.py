@@ -2766,6 +2766,61 @@ def test_knn_graph_ranks_self_exclusion_and_edges(spark):
         knn_graph(emb, k=0, centroids=cents)
 
 
+def test_knn_graph_clone_collapse_matches_bruteforce(spark):
+    """Bit-identical vectors collapse to one kernel row and expand after:
+    the output must equal a per-member brute-force (cosine desc, id asc)
+    top-k over the whole cell — clique-internal neighbors (diagonal
+    cosine), cross-clique ties interleaved by member id, zero-norm NaN
+    partners ranking last, and k spilling past a clique boundary."""
+    import math
+
+    from opentsdb_spark.pipeline.similarity import knn_graph
+
+    base = [
+        [1.0, 0.0, 0.0],
+        [1.0, 0.1, 0.0],
+        [0.9, 0.0, 0.1],
+        [0.0, 0.0, 0.0],   # zero-norm: its own sentinel cell, NaN cosines
+    ]
+    # 3 exact clones of each vector, interleaved ids so clique ids are
+    # NOT contiguous (id tiebreaks must interleave across cliques)
+    rows = [(j * 4 + b, v) for b, v in enumerate(base) for j in range(3)]
+    emb = spark.createDataFrame(sorted(rows),
+                                "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0]]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na * nb > 0 else float("nan")
+
+    # candidates are per CELL: zero-norm vectors sit in their own
+    # sentinel cell (NaN argmax), everything else in cell 0
+    def cell_of(v):
+        return 0 if any(v) else -1
+
+    for k in (2, 5, 11):
+        got = sorted(
+            (r["vec_id"], r["nbr_rank"], r["nbr_id"],
+             # NaN cosines surface as NULL through the Arrow batch (pandas
+             # float64 NaN = missing) — the operator's long-standing shape
+             None if r["cosine"] is None or math.isnan(r["cosine"])
+             else round(r["cosine"], 9))
+            for r in knn_graph(emb, k=k, centroids=cents,
+                               bit_exact=True).collect())
+        want = []
+        for i, vi in sorted(rows):
+            cands = sorted(
+                ((j, cos(vi, vj)) for j, vj in sorted(rows)
+                 if j != i and cell_of(vj) == cell_of(vi)),
+                key=lambda t: (-(t[1] if t[1] == t[1] else float("-inf")),
+                               t[0]))
+            for rk, (j, c) in enumerate(cands[:k], 1):
+                want.append((i, rk, j, None if c != c else round(c, 9)))
+        assert got == sorted(want), f"k={k}"
+
+
 def test_knn_graph_subdivision_bounds_cells(spark):
     """Past max_cell the cell subdivides on hyperplane sign bits: pairs
     never cross a subcell, so every neighbor row's endpoints share a
