@@ -1742,6 +1742,99 @@ def dedup_canonical_quality(spark, sf_dir):
     )
 
 
+def _jaccard_pairs_scoped(suffix: str, where: str) -> str:
+    """The _JACCARD_PAIRS_CTE chain re-scoped to a document subset —
+    the df cap (max_df) is computed WITHIN the subset, exactly like
+    running ngram_jaccard_pairs on that corpus slice."""
+    return f"""e{suffix} AS (SELECT doc_id, unnest(grams) AS gram FROM g
+                  WHERE {where}),
+        keep{suffix} AS (SELECT gram FROM e{suffix} GROUP BY gram
+                         HAVING count(*) <= 50),
+        ee{suffix} AS (SELECT e.doc_id, e.gram FROM e{suffix} e
+                       SEMI JOIN keep{suffix} k ON e.gram = k.gram),
+        cand{suffix} AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                         FROM ee{suffix} a JOIN ee{suffix} b
+                           ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        j{suffix} AS (SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                       / (len(ga.grams) + len(gb.grams)
+                          - len(list_intersect(ga.grams, gb.grams))) AS jac
+              FROM cand{suffix} c JOIN g ga ON c.id_a = ga.doc_id
+              JOIN g gb ON c.id_b = gb.doc_id)"""
+
+
+_GRAMS_CTE = """g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(regexp_extract_all(text, '\\S+')) - 4, 0)),
+                   i -> array_to_string(regexp_extract_all(text, '\\S+')[i:i+4], ' ')
+                 )) AS grams
+          FROM documents)"""
+
+
+@register(
+    "dedup_incremental_cc",
+    f"""WITH RECURSIVE {_GRAMS_CTE},
+        {_jaccard_pairs_scoped('p', 'doc_id % 3 <> 0')},
+        pairsp AS (SELECT id_a, id_b FROM jp WHERE jac >= 0.5),
+        edgesp AS (SELECT id_a AS u, id_b AS v FROM pairsp
+                   UNION SELECT id_b, id_a FROM pairsp),
+        reachp(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edgesp)
+          UNION
+          SELECT e.u, reachp.r FROM edgesp e JOIN reachp ON reachp.u = e.v),
+        ccp AS (SELECT u AS doc_id, min(r) AS component FROM reachp GROUP BY u),
+        prev AS (SELECT d.doc_id, coalesce(ccp.component, d.doc_id) AS component
+                 FROM documents d LEFT JOIN ccp ON d.doc_id = ccp.doc_id
+                 WHERE d.doc_id % 3 <> 0),
+        {_jaccard_pairs_scoped('f', 'TRUE')},
+        pairsn AS (SELECT id_a, id_b FROM jf
+                   WHERE jac >= 0.5 AND (id_a % 3 = 0 OR id_b % 3 = 0)),
+        star AS (SELECT doc_id AS u, component AS v FROM prev
+                 WHERE doc_id <> component),
+        all0 AS (SELECT u, v FROM star
+                 UNION SELECT id_a, id_b FROM pairsn),
+        edges2 AS (SELECT u, v FROM all0 UNION SELECT v, u FROM all0),
+        reach2(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges2)
+          UNION
+          SELECT e.u, reach2.r FROM edges2 e JOIN reach2 ON reach2.u = e.v),
+        cc2 AS (SELECT u AS doc_id, min(r) AS component FROM reach2 GROUP BY u)
+        SELECT d.doc_id,
+               coalesce(cc2.component, prev.component, d.doc_id) AS component
+        FROM documents d
+        LEFT JOIN cc2 ON d.doc_id = cc2.doc_id
+        LEFT JOIN prev ON d.doc_id = prev.doc_id""",
+)
+def dedup_incremental_cc(spark, sf_dir):
+    """Incremental connected-component maintenance
+    (pipeline.cluster.incremental_components): yesterday's corpus
+    (doc_id % 3 != 0) already carries CC labels from its own
+    jaccard-pair run; today's batch (doc_id % 3 == 0) contributes only
+    the NEW pairs (>= 1 new endpoint, df caps over the full corpus —
+    what incremental candidate generation emits), and labels update by
+    re-running CC over (star edges of the TOUCHED components ∪ new
+    pairs) only. Untouched components never re-shuffle — the
+    batch-bounded nightly shape, where recomputing the full historical
+    pair closure is exactly what a 100 TB pipeline cannot afford. The
+    oracle replays the same two-phase construction: prev closure,
+    star-edge union, incremental closure, coalesced singletons."""
+    from opentsdb_spark.pipeline.cluster import (
+        dedup_assign_clusters, incremental_components)
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    prev_pairs = ngram_jaccard_pairs(old, n=5, threshold=0.5, max_df=50)
+    prev = dedup_assign_clusters(old, prev_pairs, id_col="doc_id") \
+        .select("doc_id", "component")
+    full_pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_df=50)
+    new_pairs = full_pairs.where(
+        (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
+    inc = incremental_components(prev, new_pairs, id_col="doc_id")
+    out = docs.select("doc_id").join(inc, on="doc_id", how="left")
+    return out.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"))
 
 
 @register(
@@ -2212,6 +2305,72 @@ def embed_quantize(spark, sf_dir):
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("q_l1"),
     )
+
+
+def _pq_oracle(topk: int, m: int, nc: int, dim: int, seed: int) -> str:
+    """PQ encode + ADC replica with the codebooks as literals: per
+    subspace the distance list folds left-to-right exactly like the
+    Arrow encode kernel and the Spark ADC expressions, so codes, ADC
+    sums, and therefore ranks are bit-identical cross-engine."""
+    from opentsdb_spark.pipeline.similarity import pq_codebooks
+
+    C = pq_codebooks(m, nc, dim, seed)
+    sub = dim // m
+
+    def dcell(vexpr: str, j: int, c: int) -> str:
+        terms = " ".join(
+            f"+ ({vexpr}[{j * sub + d + 1}] - CAST('{C[j][c][d]!r}' AS DOUBLE))"
+            f" * ({vexpr}[{j * sub + d + 1}] - CAST('{C[j][c][d]!r}' AS DOUBLE))"
+            for d in range(sub))
+        return f"(0.0 {terms})"
+
+    code_cols = ", ".join(
+        f"list_position(dl{j}, list_min(dl{j})) - 1 AS c{j}" for j in range(m))
+    dls = ", ".join(
+        "[" + ", ".join(dcell("v", j, c) for c in range(nc)) + f"] AS dl{j}"
+        for j in range(m))
+    qts = ", ".join(
+        "[" + ", ".join(dcell("qv", j, c) for c in range(nc)) + f"] AS dt{j}"
+        for j in range(m))
+    adc = "0.0 " + " ".join(f"+ qt.dt{j}[codes.c{j} + 1]" for j in range(m))
+    return f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dl AS (SELECT vec_id, {dls} FROM emb),
+        codes AS (SELECT vec_id, {code_cols} FROM dl),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+        qt AS (SELECT query_id, {qts} FROM q),
+        scored AS (SELECT qt.query_id, codes.vec_id, ({adc}) AS adc
+                   FROM codes CROSS JOIN qt)
+        SELECT query_id, vec_id, {RND.format('adc')} AS adc_r,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, vec_id ASC) <= {topk}"""
+
+
+@register("ann_pq_adc_top5", lambda: _pq_oracle(5, m=8, nc=16, dim=64, seed=42))
+def ann_pq_adc_top5(spark, sf_dir):
+    """Product-quantization ANN (pipeline.similarity.pq_encode +
+    pq_adc_topk): the corpus compresses to 8 one-byte-scale codes per
+    vector and queries rank candidates via asymmetric distance — m table
+    lookups per row against the query's per-subspace distance tables,
+    never touching the original vectors. The billion-vector memory path
+    (IVF-PQ's second half; the IVF cells are the first). Codebooks are
+    the seeded deterministic family (the ivf_fixed precedent), encode
+    argmins and ADC sums fold in the same IEEE order on every engine, so
+    ranks hash-check without tolerance."""
+    from opentsdb_spark.pipeline.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode)
+
+    emb = _emb(spark, sf_dir)
+    books = pq_codebooks(m=8, k=16, dim=64, seed=42)
+    codes = pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = pq_adc_topk(codes, q, books, k=5)
+    return out.select("query_id", "vec_id", _vr(F.col("adc")).alias("adc_r"),
+                      F.col("rank").cast("long").alias("rank"))
+
 
 
 @register(
@@ -4703,6 +4862,74 @@ def tsdb_anomaly_zscore(spark, sf_dir):
     )
 
 
+_BURN = "((bad_w / tot_w) / 0.1)"
+
+_SLO_BURN_ORACLE = f"""WITH g AS (SELECT event_type AS metric, {H_SEC} AS ts_sec,
+                          sum(CASE WHEN value > 90.0 THEN 1 ELSE 0 END) AS bad,
+                          count(*) AS total
+                   FROM events
+                   WHERE epoch_ms(ts) >= {START_MS} AND epoch_ms(ts) < {END_MS}
+                   GROUP BY 1, 2),
+        w AS (SELECT metric, ts_sec, bad, total,
+                     CAST(sum(bad) OVER fs AS DOUBLE) AS bs,
+                     CAST(sum(total) OVER fs AS DOUBLE) AS ts_,
+                     CAST(sum(bad) OVER fl AS DOUBLE) AS bl,
+                     CAST(sum(total) OVER fl AS DOUBLE) AS tl
+              FROM g
+              WINDOW fs AS (PARTITION BY metric ORDER BY ts_sec
+                            ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+                     fl AS (PARTITION BY metric ORDER BY ts_sec
+                            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        m AS (SELECT metric, ts_sec, bad, total,
+                     CASE WHEN ts_ > 0 THEN (bs / ts_) / 0.1 END AS burn_s,
+                     CASE WHEN tl > 0 THEN (bl / tl) / 0.1 END AS burn_l
+              FROM w)
+        SELECT metric, ts_sec, CAST(bad AS BIGINT) AS bad,
+               CAST(total AS BIGINT) AS total,
+               {RND.format('burn_s')} AS burn_short_r,
+               {RND.format('burn_l')} AS burn_long_r,
+               COALESCE(burn_s >= 1.5 AND burn_l >= 1.5, FALSE) AS is_burning
+        FROM m"""
+
+
+@register("tsdb_slo_burn_rate", _SLO_BURN_ORACLE)
+def tsdb_slo_burn_rate(spark, sf_dir):
+    """Multi-window SLO burn-rate alerting (operators/expressions.py
+    slo_burn_rate — the SRE-workbook multiwindow pattern) over the hourly
+    per-metric (bad, total) grid: bad = events over the latency/size
+    cutoff, burn = windowed ratio-of-sums over the 0.1 error budget, and
+    a bucket pages only when BOTH the 1-bucket and 6-bucket trailing
+    burns exceed 1.5x. Integer window sums + one division in the same
+    order on both engines, so rates AND flags hash-check bit-for-bit.
+    The alerting companion to tsdb_anomaly_zscore: budget-relative
+    ratios instead of self-relative moments."""
+    from opentsdb_spark.operators.expressions import slo_burn_rate
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.timestamp_seconds(F.lit(START_SEC)))
+        & (F.col("ts") < F.timestamp_seconds(F.lit(END_SEC)))
+    )
+    g = (
+        ev.groupBy(
+            F.col("event_type").alias("metric"),
+            (F.unix_millis("ts") / 3600000).cast("long").alias("__hb"),
+        )
+        .agg(
+            F.sum((F.col("value") > 90.0).cast("long")).alias("bad"),
+            F.count("*").alias("total"),
+        )
+        .select("metric", (F.col("__hb") * 3600).alias("ts"), "bad", "total")
+    )
+    out = slo_burn_rate(g, series_cols=("metric",), short_window=1,
+                        long_window=6, error_budget=0.1, factor=1.5)
+    return out.select(
+        "metric", F.col("ts").alias("ts_sec"), "bad", "total",
+        _vr(F.col("burn_short")).alias("burn_short_r"),
+        _vr(F.col("burn_long")).alias("burn_long_r"),
+        "is_burning",
+    )
+
+
 def _hourly_metric_grid(spark, sf_dir):
     """Hourly per-metric sum grid over the gate window — the shared feed
     of the batch and streamed z-score entries."""
@@ -6109,7 +6336,13 @@ _PRIORITY = [
     # ann_incremental — the cell-bounded pairwise-cosine machinery stays
     # pinned in-gate by embed_knn_graph + ann_lsh_top5 and by the
     # full-catalog run)
-    "corpus_snapshot_diff", "dedup_ngram_jaccard", "dedup_cluster_cc",
+    # (round 11 late: dedup_cluster_cc rotates out for
+    # dedup_incremental_cc — the large-star/small-star machinery is
+    # pinned in-gate by sample_leakage_safe_split AND re-run inside the
+    # incremental entry's sub-CC, which additionally proves the
+    # star-edge union / touched-component routing; the full-CC entry
+    # stays verified by the full-catalog oracle run)
+    "corpus_snapshot_diff", "dedup_ngram_jaccard", "dedup_incremental_cc",
     "ann_incremental", "streaming_source_mix",
     "dedup_substring_keep_first",
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
@@ -6137,7 +6370,12 @@ _PRIORITY = [
     # SQL, and the corpus x corpus bounded k-NN graph additionally pins
     # the per-cell pairwise kernel; the IVF probe path stays verified by
     # the full-catalog oracle run + the trained-IVF entry)
-    "ann_lsh_top5", "embed_knn_graph",
+    # (round 11 late: ann_lsh_top5 rotates out for ann_pq_adc_top5 —
+    # hyperplane-LSH candidates + exact re-rank are pinned in-gate by
+    # ann_incremental on the same bucket machinery, while the PQ entry
+    # adds the encode/ADC compression family; lsh_top5 stays verified by
+    # the full-catalog oracle run)
+    "ann_pq_adc_top5", "embed_knn_graph",
     "multimodal_dhash_pairs",
     # round-6 families: temporal joins/sessions, CCNet bands,
     # prototypicality + covariance (rotated in; the displaced i-variant /
@@ -6165,7 +6403,12 @@ _PRIORITY = [
     # bounded cross-source n-gram matrix stays verified by the
     # full-catalog run, and the per-source exact-percentile entry pins the
     # bounded cumulative-window machinery in-gate)
-    "tsdb_asof_join", "events_funnel", "events_retention_cohort",
+    # (round 11 late: events_retention_cohort rotates out for
+    # tsdb_slo_burn_rate — the ONE-groupBy(user) cohort machinery is the
+    # same shape events_funnel pins, while the burn-rate entry adds the
+    # multiwindow budget-alerting family next to the zscore stream;
+    # retention stays verified by the full-catalog oracle run)
+    "tsdb_asof_join", "events_funnel", "tsdb_slo_burn_rate",
     "text_intra_repetition", "text_length_quantiles",
     # (round 10: embed_covariance rotates out — per-dim moment sums are
     # pinned by embed_prototypicality AND the new embed_drift entry's

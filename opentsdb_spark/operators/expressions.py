@@ -183,3 +183,60 @@ def anomaly_zscore(
         "is_anomaly",
         F.when(z.isNotNull(), F.abs(z) > F.lit(float(threshold))).otherwise(F.lit(False)),
     )
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    short_window: int = 1,
+    long_window: int = 6,
+    error_budget: float = 0.05,
+    factor: float = 2.0,
+    bad_col: str = "bad",
+    total_col: str = "total",
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE-workbook
+    multiwindow multi-burn-rate pattern, public) over per-bucket
+    (bad, total) event counts: the burn rate of a trailing window is
+    (sum bad / sum total) / error_budget — 1.0 means the error budget
+    burns exactly at its sustainable pace, ``factor``x means the budget
+    exhausts factor-times too fast. An alert fires only when BOTH the
+    short window (fast detection) AND the long window (flap suppression)
+    burn above ``factor``, trailing windows INCLUDING the current bucket
+    — a page-worthy burn must be visible at both horizons.
+
+    Ratios are ratio-of-sums over the window (never an average of
+    per-bucket ratios — low-traffic buckets must not dominate), NULL
+    while a window has no traffic. Windows are row-counted trailing
+    frames over the downsampled grid, same contract as anomaly_zscore:
+    feed the bucketed (bad, total) series, not raw events.
+
+    Scale shape: ONE per-series window partition shuffle carrying two
+    longs per bucket; both window sums share the frame machinery;
+    alerting is a plain expression. Returns df + (burn_short_r..., the
+    two burn rates and the alert flag)."""
+    if short_window < 1 or long_window <= short_window:
+        raise ValueError(
+            f"need long_window > short_window >= 1, got "
+            f"{short_window}/{long_window}")
+    if not (0 < error_budget < 1):
+        raise ValueError(f"error_budget must be in (0,1), got {error_budget}")
+
+    def burn(nbuckets: int):
+        w = (Window.partitionBy(*series_cols).orderBy("ts")
+             .rowsBetween(-(nbuckets - 1), 0))
+        bad = F.sum(F.col(bad_col).cast("double")).over(w)
+        tot = F.sum(F.col(total_col).cast("double")).over(w)
+        return F.when(tot > 0, (bad / tot) / F.lit(float(error_budget)))
+
+    bs, bl = burn(short_window), burn(long_window)
+    alert = (
+        F.when(bs.isNotNull() & bl.isNotNull(),
+               (bs >= F.lit(float(factor))) & (bl >= F.lit(float(factor))))
+        .otherwise(F.lit(False))
+    )
+    return (
+        df.withColumn("burn_short", bs)
+        .withColumn("burn_long", bl)
+        .withColumn("is_burning", alert)
+    )

@@ -101,6 +101,59 @@ def connected_components(
     return labels.unionByName(roots).distinct()
 
 
+def incremental_components(
+    prev_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "id",
+    component_col: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Maintain connected-component labels as NEW similarity edges arrive
+    — the nightly-crawl companion to ``connected_components``: dedup
+    clusters over a 100 TB corpus evolve batch by batch, and recomputing
+    the full CC over every historical pair each night is the thing a
+    production pipeline cannot afford. Equivalent BY CONSTRUCTION to the
+    full recompute on (old edges ∪ new edges): a component's star edges
+    (member -> label) carry exactly its connectivity, so re-running CC on
+    (star edges of TOUCHED components ∪ new pairs) relabels precisely the
+    components the new edges can change, and every untouched component's
+    labels pass through verbatim.
+
+    ``prev_labels`` is a prior (id, component) frame (connected_components
+    / dedup_assign_clusters output — component = min member id, and every
+    member has a row, roots included). Returns the same shape covering
+    prev nodes ∪ new-pair nodes; labels stay min-member-id, so a new
+    low-id member relabels its (touched) component exactly as a full
+    recompute would.
+
+    100 TB shape: two id equi-joins bound the working set to the
+    touched-component MASS plus the new edges (the untouched corpus is
+    never shuffled into the star rounds — it contributes one anti-join
+    scan); the sub-CC then inherits connected_components' degree-bounded
+    large-star/small-star rounds, converging fast because the prev slice
+    is already a star forest."""
+    prev = prev_labels.select(F.col(id_col), F.col(component_col))
+    e = new_pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")).localCheckpoint()
+    new_nodes = e.select(F.col("u").alias(id_col)).union(
+        e.select(F.col("v").alias(id_col))).distinct()
+    touched_comps = (
+        prev.join(new_nodes, on=id_col, how="left_semi")
+        .select(component_col).distinct()
+    )
+    touched = prev.join(touched_comps, on=component_col, how="left_semi")
+    star = touched.where(F.col(id_col) != F.col(component_col)).select(
+        F.col(id_col).alias("u"), F.col(component_col).alias("v"))
+    sub = connected_components(
+        star.unionByName(e), src="u", dst="v", max_iter=max_iter
+    ).select(F.col("id").alias(id_col), F.col("component").alias(component_col))
+    untouched = prev.join(touched_comps, on=component_col, how="left_anti") \
+        .select(id_col, component_col)
+    return untouched.unionByName(sub)
+
+
 def dedup_assign_clusters(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     src: str = "id_a", dst: str = "id_b",

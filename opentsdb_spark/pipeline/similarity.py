@@ -1088,6 +1088,121 @@ def quantize_embeddings(embeddings: DataFrame, vec_col: str = "embedding",
     return out.select(id_col, F.col("__qz.scale").alias("scale"), F.col("__qz.q").alias("q"))
 
 
+def pq_codebooks(m: int = 8, k: int = 16, dim: int = 64,
+                 seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic Gaussian product-quantization codebooks: ``m``
+    subspaces of dim/m dimensions, ``k`` centroids each, drawn from the
+    same seeded stream as the LSH planes / IVF cells (offset keeps them
+    disjoint). Data-independent like seeded_centroids — the oracle-able
+    fixed-codebook path; production swaps in per-subspace k-means exactly
+    as ivf_topk swaps seeded cells for trained ones."""
+    sub = dim // m
+    return [
+        [_plane_coeffs(3_000_000 + j * 1024 + c, 0, sub, seed)
+         for c in range(k)]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al., PAMI 2011): each vector
+    becomes ``m`` one-byte-scale codes — code_j = argmin_c of the L2
+    distance between the j-th subvector and codebook j's centroid c
+    (first-min ties -> lowest c). The memory-scale path for
+    billion-vector ANN: a 64-dim float64 vector (512 B) compresses to m
+    small ints, and ADC search (pq_adc_topk) scores candidates WITHOUT
+    touching the original vectors.
+
+    One Arrow-batched narrow map; the codebooks ride the UDF closure.
+    Distances fold dimension-sequentially so the codes are bit-identical
+    to the SQL replica's left-to-right sums — argmin decisions, not just
+    rounded outputs, hash-check cross-engine. Returns (id, codes
+    array<int>)."""
+    import numpy as np
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+
+    @F.pandas_udf("array<int>")
+    def _enc(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(v, np.float64) for v in vs])
+        codes = np.empty((n, m), np.int32)
+        for j in range(m):
+            S = V[:, j * sub:(j + 1) * sub]
+            dist = np.zeros((n, k))
+            for d in range(sub):
+                diff = S[:, d][:, None] - C[j, :, d][None, :]
+                dist = dist + diff * diff
+            codes[:, j] = np.argmin(dist, axis=1)  # first min = lowest c
+        return pd.Series(list(codes))
+
+    return embeddings.select(
+        F.col(id_col), _enc(_as_double(F.col(vec_col))).alias("codes"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ-encoded corpus: per query,
+    the m x k table dtab[j][c] = ||q_subj - C_jc||^2 is computed ONCE on
+    the (bounded, broadcast) query side, and each corpus row scores as
+    m table lookups on its codes — the original vectors never load, the
+    scan reads m ints per vector, and ranking is (adc asc, id asc).
+
+    100 TB shape: the corpus side is the codes frame only (m ints per
+    row); queries + their distance tables broadcast; the per-row score
+    is m codegen element_at lookups; the top-k is a per-query window
+    over candidate rows. Returns (query_id, vec_id, adc, rank)."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    nc = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    qv = _as_double(F.col(query_vec_col))
+
+    def dcell(j: int, c: int):
+        acc = F.lit(0.0)
+        for d in range(sub):
+            diff = F.element_at(qv, j * sub + d + 1) - F.lit(codebooks[j][c][d])
+            acc = acc + diff * diff
+        return acc
+
+    qt = queries.select(
+        F.col(query_id_col),
+        *[F.array(*[dcell(j, c) for c in range(nc)]).alias(f"__dt{j}")
+          for j in range(m)],
+    )
+    score = F.lit(0.0)
+    for j in range(m):
+        score = score + F.element_at(
+            F.col(f"__dt{j}"),
+            F.element_at(F.col("codes"), j + 1) + 1)
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        codes.crossJoin(F.broadcast(qt))
+        .withColumn("adc", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc", "rank")
+    )
+
+
 def dequantized_view(quant: DataFrame, vec_col: str = "q") -> DataFrame:
     """Reconstruct double vectors (q * scale) for scoring — composes with
     brute_force_topk/lsh_topk so the quantized index reuses the exact

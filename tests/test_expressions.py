@@ -449,3 +449,52 @@ def test_anomaly_zscore_flags_and_warmup(spark):
         anomaly_zscore(df, ("metric",), lookback=1)
     with pytest.raises(ValueError):
         anomaly_zscore(df, ("metric",), min_points=1)
+
+
+def test_slo_burn_rate_multiwindow_semantics(spark):
+    """burn = windowed ratio-of-sums / budget; the alert needs BOTH
+    windows over the factor — a one-bucket spike inside a quiet long
+    window stays silent, a sustained burn pages; zero-traffic windows
+    give NULL burn and no alert; parameter validation."""
+    import pytest
+
+    from opentsdb_spark.operators.expressions import slo_burn_rate
+
+    # budget 0.1, factor 2 -> alert needs ratio >= 0.2 on BOTH windows
+    rows = [
+        # one spike (ratio 1.0) then quiet: short burns, long (3) doesn't
+        ("a", 0, 2, 2), ("a", 1, 0, 10), ("a", 2, 0, 10), ("a", 3, 0, 10),
+        # sustained burn: every bucket ratio 0.5 -> both windows burn
+        ("b", 0, 5, 10), ("b", 1, 5, 10), ("b", 2, 5, 10), ("b", 3, 5, 10),
+        # zero traffic bucket -> NULL short burn, no alert
+        ("c", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "metric string, ts long, bad long, total long")
+    out = {(r["metric"], r["ts"]): r for r in slo_burn_rate(
+        df, ("metric",), short_window=1, long_window=3,
+        error_budget=0.1, factor=2.0).collect()}
+    a0, a1, a3 = out[("a", 0)], out[("a", 1)], out[("a", 3)]
+    assert a0["burn_short"] == 10.0          # 2/2 / 0.1
+    assert a0["burn_long"] == 10.0           # only bucket in window
+    assert a0["is_burning"] is True          # spike IS sustained at t=0
+    assert a1["burn_short"] == 0.0
+    assert a1["is_burning"] is False
+    #  long window at t=3 = (0+0+0)/(30)/0.1 = 0 -> quiet
+    assert a3["burn_long"] == 0.0 and a3["is_burning"] is False
+    b3 = out[("b", 3)]
+    assert b3["burn_short"] == 5.0 and b3["burn_long"] == 5.0
+    assert b3["is_burning"] is True
+    c0 = out[("c", 0)]
+    assert c0["burn_short"] is None and c0["is_burning"] is False
+    # ratio-of-sums, not mean-of-ratios: a huge quiet bucket dilutes a
+    # tiny noisy one
+    rows2 = [("d", 0, 1, 2), ("d", 1, 0, 998)]
+    d = {r["ts"]: r for r in slo_burn_rate(
+        spark.createDataFrame(rows2, "metric string, ts long, bad long, total long"),
+        ("metric",), short_window=1, long_window=2,
+        error_budget=0.1, factor=2.0).collect()}
+    assert abs(d[1]["burn_long"] - (1 / 1000) / 0.1) < 1e-12
+    with pytest.raises(ValueError):
+        slo_burn_rate(df, ("metric",), short_window=2, long_window=2)
+    with pytest.raises(ValueError):
+        slo_burn_rate(df, ("metric",), error_budget=0.0)

@@ -3125,3 +3125,98 @@ def test_audio_activity_segments_islands(spark):
     assert 3 not in by_media
     with pytest.raises(ValueError):
         audio_activity_segments(media, n_windows=1)
+
+
+def test_pq_encode_and_adc_topk_match_bruteforce(spark):
+    """PQ codes equal the per-subspace L2 argmin (first-min ties -> the
+    LOWEST centroid index, pinned with a duplicate-centroid codebook),
+    and ADC top-k equals the brute-force table-lookup ranking (adc asc,
+    id asc) computed in plain python."""
+    from opentsdb_spark.pipeline.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode)
+
+    # tie pin: both centroids of subspace 1 identical -> code must be 0
+    books_tie = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[0.5, 0.5], [0.5, 0.5]],
+    ]
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 1.0]), (1, [0.0, 1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(emb, books_tie).collect()}
+    assert codes == {0: [0, 0], 1: [1, 0]}
+
+    # randomish corpus vs python replay, seeded books
+    import random
+    rnd = random.Random(3)
+    dim, m, nc = 8, 4, 4
+    books = pq_codebooks(m=m, k=nc, dim=dim, seed=7)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(30)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    sub = dim // m
+
+    def enc(v):
+        out = []
+        for j in range(m):
+            dists = []
+            for c in range(nc):
+                acc = 0.0
+                for d in range(sub):
+                    diff = v[j * sub + d] - books[j][c][d]
+                    acc = acc + diff * diff
+                dists.append(acc)
+            out.append(dists.index(min(dists)))
+        return out
+
+    got_codes = {r["vec_id"]: list(r["codes"])
+                 for r in pq_encode(emb, books).collect()}
+    assert got_codes == {i: enc(v) for i, v in vecs}
+
+    qs = [(i, v) for i, v in vecs if i < 2]
+    q = spark.createDataFrame(qs, "query_id long, embedding array<double>")
+    got = sorted((r["query_id"], r["rank"], r["vec_id"], round(r["adc"], 9))
+                 for r in pq_adc_topk(pq_encode(emb, books), q, books,
+                                      k=3).collect())
+    want = []
+    for qi, qv in qs:
+        dt = [[0.0] * nc for _ in range(m)]
+        for j in range(m):
+            for c in range(nc):
+                acc = 0.0
+                for d in range(sub):
+                    diff = qv[j * sub + d] - books[j][c][d]
+                    acc = acc + diff * diff
+                dt[j][c] = acc
+        scored = []
+        for i, v in vecs:
+            cs = enc(v)
+            adc = 0.0
+            for j in range(m):
+                adc = adc + dt[j][cs[j]]
+            scored.append((adc, i))
+        scored.sort()
+        want += [(qi, rk, i, round(adc, 9))
+                 for rk, (adc, i) in enumerate(scored[:3], 1)]
+    assert got == sorted(want)
+
+
+def test_incremental_components_untouched_pass_through(spark):
+    """Components untouched by the new edges keep their labels verbatim
+    (never re-shuffled into the star rounds); a new edge merging two old
+    components relabels BOTH to the joint min; brand-new nodes appear."""
+    from opentsdb_spark.pipeline.cluster import incremental_components
+
+    prev = spark.createDataFrame(
+        # comp {1,2,3} labeled 1; comp {10,11} labeled 10; singleton 20
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "id long, component long")
+    new_pairs = spark.createDataFrame(
+        [(3, 10),    # merges comp 1 and comp 10
+         (30, 31)],  # brand-new clique
+        "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in incremental_components(prev, new_pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1,   # merged under min 1
+                   20: 20,                            # untouched singleton
+                   30: 30, 31: 30}                    # new clique

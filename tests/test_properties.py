@@ -666,3 +666,46 @@ def test_connected_components_match_union_find_property(spark, edges, n_docs):
     for i in range(n_docs):
         comp_splits.setdefault(want[i], set()).add(split[i])
     assert all(len(s) == 1 for s in comp_splits.values())
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges, split_at=st.integers(0, 40))
+def test_incremental_components_equal_full_recompute_property(
+        spark, edges, split_at):
+    """incremental_components(prev_labels, new_edges) must equal the full
+    CC over (old ∪ new) edges, for ANY split of an arbitrary random edge
+    list into an 'already labeled' prefix and a 'newly arrived' suffix —
+    including new edges that merge old components, relabel a component to
+    a lower min, land entirely between unseen nodes, or duplicate old
+    edges."""
+    from opentsdb_spark.pipeline.cluster import (
+        connected_components, incremental_components)
+
+    old, new = edges[:split_at], edges[split_at:]
+    loops = {(a, b) for a, b in new if a != b}
+    if not loops:
+        return  # incremental needs at least one real new edge
+    def cc(pairs):
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {r["id"]: r["component"]
+                for r in connected_components(df).collect()}
+
+    prev = cc(old) if any(a != b for a, b in old) else {}
+    # prev_labels includes root rows for every labeled node (the
+    # dedup_assign_clusters contract); plain dict already has them
+    prev_df = spark.createDataFrame(
+        list(prev.items()) or [(0, 0)], "id long, component long")
+    if not prev:
+        prev_df = prev_df.limit(0)
+    new_df = spark.createDataFrame(new, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in incremental_components(
+        prev_df, new_df, id_col="id").collect()}
+    want = cc(old + new)
+    # incremental covers prev nodes ∪ real-new-edge nodes; the full
+    # recompute covers edge nodes only — align the universes
+    covered = set(prev) | {x for e in loops for x in e}
+    want = {k: v for k, v in want.items() if k in covered}
+    for k in covered - set(want):
+        want[k] = prev.get(k, k)  # old singleton components pass through
+    assert got == want

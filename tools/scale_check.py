@@ -92,6 +92,65 @@ QUERIES = [
     "multimodal_audio_keyclips",
 ]
 
+# The long tail: every remaining catalog query (bounded-output metadata,
+# filter variants, gexp/exp families, downsample/agg variants, rollups,
+# UID/tree/annotations, sampling/text/multimodal variants). Mostly cheap
+# — each is one line here so the sweep measures ALL plans, not just the
+# headline ones. The three micro-batch REPLAY entries are excluded:
+# their wall is the streaming replay harness (tempdir feeds +
+# processAllAvailable barriers + a driver-side collect of the whole
+# corpus at Kx), not an engine plan the ratio would describe.
+LONG_TAIL = [
+    "ann_bruteforce_top5", "ann_hard_negatives", "ann_ivf_fixed_top5",
+    "ann_ivf_top5", "ann_quantized_top5", "annotations_overlap",
+    "corpus_funnel", "corpus_source_mix", "dedup_canonical_quality",
+    "dedup_cluster_cc", "dedup_decontaminate", "dedup_embedding_cosine",
+    "dedup_embedding_quantized", "dedup_minhash_md5", "dedup_simhash",
+    "dedup_simhash_md5", "embed_knn_density", "embed_quantize",
+    "embed_stats", "exp_divide_ieee", "exp_intersection_arith",
+    "exp_ternary_max", "exp_union_fill_zero", "gexp_absolute_scale",
+    "gexp_alias", "gexp_diffseries", "gexp_divideseries",
+    "gexp_firstdiff", "gexp_highest_current", "gexp_highest_max",
+    "gexp_movavg_2h_time", "gexp_movavg_3pt", "gexp_multiplyseries",
+    "gexp_parser_scale", "gexp_timeshift_1h", "hist_p95_daily",
+    "hist_query_pct_daily", "multimodal_audio_fp",
+    "multimodal_audio_resample", "multimodal_audio_stats",
+    "multimodal_bytes", "multimodal_dhash", "multimodal_frame_dedup",
+    "multimodal_frames", "multimodal_resize", "rollup_avg_rewrite_2h",
+    "rollup_count_1d", "rollup_split_seam", "sample_class_balance",
+    "sample_dsir_weights", "sample_hash_split", "sample_mix_audit",
+    "sample_pack_sequences", "sample_repeat_epochs", "sample_stratified",
+    "sample_temperature", "sample_token_budget", "text_boilerplate",
+    "text_bpe_pairs", "text_chunks", "text_fingerprint",
+    "text_fingerprint_md5", "text_gopher_filter", "text_langid",
+    "text_lm_score", "text_pii_scrub", "text_repetition",
+    "text_tfidf_top3", "text_tokens", "text_vocab_top10_lang",
+    "tree_branches", "tree_collisions", "tree_notmatched",
+    "tsdb_agg_avg_aligned_1h", "tsdb_agg_avg_raw",
+    "tsdb_agg_count_aligned_1h", "tsdb_agg_count_raw",
+    "tsdb_agg_dev_aligned_1h", "tsdb_agg_lerp_sum",
+    "tsdb_agg_median_aligned_1h", "tsdb_agg_mimmax_by_user",
+    "tsdb_agg_min_aligned_1h", "tsdb_agg_mult_aligned_1h",
+    "tsdb_agg_none_single", "tsdb_agg_p95_aligned_1h", "tsdb_agg_pfsum",
+    "tsdb_agg_zimsum_by_user", "tsdb_asof_join", "tsdb_ds_0all_sum",
+    "tsdb_ds_1d_calendar_max_zero_tz", "tsdb_ds_1d_calendar_sum",
+    "tsdb_ds_1h_count", "tsdb_ds_1h_dev", "tsdb_ds_1h_diff",
+    "tsdb_ds_1h_ep90r7", "tsdb_ds_1h_ep99r3", "tsdb_ds_1h_first",
+    "tsdb_ds_1h_last", "tsdb_ds_1h_max_fill_zero", "tsdb_ds_1h_median",
+    "tsdb_ds_1h_mult", "tsdb_ds_1h_p95", "tsdb_ds_1h_squaresum",
+    "tsdb_ds_2d_calendar_sum_tz", "tsdb_dump_import_lines",
+    "tsdb_explicit_tags", "tsdb_filter_iliteral_or",
+    "tsdb_filter_iwildcard", "tsdb_filter_literal_or",
+    "tsdb_filter_not_iliteral_or", "tsdb_filter_not_key",
+    "tsdb_filter_not_literal_or", "tsdb_filter_regexp",
+    "tsdb_interval_join", "tsdb_last", "tsdb_lookup_big",
+    "tsdb_m_parser", "tsdb_rate_counter", "tsdb_rate_drop_resets",
+    "tsdb_rate_first_vs_zero", "tsdb_sessionize", "tsdb_suggest_metrics",
+    "tsdb_tsuid_direct", "uid_metrics_listing",
+    "dedup_incremental_cc", "ann_pq_adc_top5", "tsdb_slo_burn_rate",
+]
+QUERIES = QUERIES + LONG_TAIL
+
 
 def replicate(spark, k: int, out_dir: str) -> None:
     """K copies of each table; ids offset per copy, event timestamps nudged
@@ -163,8 +222,11 @@ def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, dict]:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--reuse-replica"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--reuse-replica", "--core")]
     reuse = "--reuse-replica" in sys.argv
+    if "--core" in sys.argv:  # the pre-long-tail headline sweep
+        QUERIES[:] = [q for q in QUERIES if q not in LONG_TAIL]
     k = int(argv[0]) if argv else 10
     out_json = argv[1] if len(argv) > 1 else None
     spark = get_spark("scale-check")
