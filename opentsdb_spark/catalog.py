@@ -4930,6 +4930,88 @@ def tsdb_slo_burn_rate(spark, sf_dir):
     )
 
 
+@register("tsdb_slo_burn_stream", _SLO_BURN_ORACLE)
+def tsdb_slo_burn_stream(spark, sf_dir):
+    """The STREAMING multi-window burn rate (streaming/stateful.py
+    streaming_burn_rate) driven through a real micro-batch sequence and
+    hash-checked against the same DuckDB replay as the batch entry — the
+    streaming==batch pin promoted into the driver's lens, exactly the
+    tsdb_anomaly_zscore_stream pattern: the hourly (bad, total) grid
+    splits into three time-sliced micro-batches through a file-source
+    stream with processAllAvailable barriers, so per-series (bads, tots)
+    state crosses TWO real micro-batch boundaries through the state
+    store; streamed rows re-shape to the batch contract and match the
+    oracle bit-for-bit (integer window sums + one division)."""
+    import json as _json
+    import tempfile
+
+    from opentsdb_spark.streaming.stateful import streaming_burn_rate
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.timestamp_seconds(F.lit(START_SEC)))
+        & (F.col("ts") < F.timestamp_seconds(F.lit(END_SEC)))
+    )
+    grid = (
+        ev.groupBy(
+            F.col("event_type").alias("metric"),
+            (F.unix_millis("ts") / 3600000).cast("long").alias("__hb"),
+        )
+        .agg(
+            F.sum((F.col("value") > 90.0).cast("long")).alias("bad"),
+            F.count("*").alias("total"),
+        )
+        .select("metric", (F.col("__hb") * 3600).alias("ts"), "bad", "total")
+    )
+    rows = sorted(grid.collect(), key=lambda r: (int(r["ts"]), r["metric"]))
+    cuts = [int(len(rows) * i / 3) for i in (1, 2, 3)]
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        feed = (
+            spark.readStream.schema(
+                "metric string, ts long, bad long, total long")
+            .json(src)
+            .withColumn("ts", F.timestamp_seconds("ts"))
+        )
+        stream = streaming_burn_rate(feed, short_window=1, long_window=6,
+                                     error_budget=0.1, factor=1.5,
+                                     series_col="metric")
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("burn_stream_gate")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            lo = 0
+            for i, hi in enumerate(cuts):
+                with open(os.path.join(src, f"b{i}.json"), "w") as f:
+                    for r in rows[lo:hi]:
+                        f.write(_json.dumps(
+                            {"metric": r["metric"], "ts": int(r["ts"]),
+                             "bad": int(r["bad"]),
+                             "total": int(r["total"])}) + "\n")
+                lo = hi
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql("select * from burn_stream_gate").collect()
+    spark.catalog.dropTempView("burn_stream_gate")
+    out = tiny_df(
+        spark, got,
+        "series_id string, ts timestamp, bad long, total long, "
+        "burn_short double, burn_long double, is_burning boolean",
+    )
+    return out.select(
+        F.col("series_id").alias("metric"),
+        (F.unix_millis("ts") / 1000).cast("long").alias("ts_sec"),
+        "bad", "total",
+        _vr(F.col("burn_short")).alias("burn_short_r"),
+        _vr(F.col("burn_long")).alias("burn_long_r"),
+        "is_burning",
+    )
+
+
 def _hourly_metric_grid(spark, sf_dir):
     """Hourly per-metric sum grid over the gate window — the shared feed
     of the batch and streamed z-score entries."""
@@ -6408,7 +6490,10 @@ _PRIORITY = [
     # same shape events_funnel pins, while the burn-rate entry adds the
     # multiwindow budget-alerting family next to the zscore stream;
     # retention stays verified by the full-catalog oracle run)
-    "tsdb_asof_join", "events_funnel", "tsdb_slo_burn_rate",
+    # (the STREAMING burn-rate twin takes the gate slot, zscore-stream
+    # precedent: same oracle, plus a real three-micro-batch state-store
+    # drive; the batch entry stays verified by the full-catalog run)
+    "tsdb_asof_join", "events_funnel", "tsdb_slo_burn_stream",
     "text_intra_repetition", "text_length_quantiles",
     # (round 10: embed_covariance rotates out — per-dim moment sums are
     # pinned by embed_prototypicality AND the new embed_drift entry's

@@ -240,3 +240,121 @@ def streaming_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BURN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("bad", T.LongType(), True),
+        T.StructField("total", T.LongType(), True),
+        T.StructField("burn_short", T.DoubleType(), True),
+        T.StructField("burn_long", T.DoubleType(), True),
+        T.StructField("is_burning", T.BooleanType(), False),
+    ]
+)
+
+_BURN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_ms", T.LongType()),
+        T.StructField("bads", T.ArrayType(T.DoubleType())),
+        T.StructField("tots", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _make_burn_fn(short_window: int, long_window: int, error_budget: float,
+                  factor: float):
+    def _burn_fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            last_ts, bads, tots = state.get
+            bads, tots = list(bads), list(tots)
+        else:
+            last_ts, bads, tots = None, [], []
+        out_rows: list[tuple[Any, ...]] = []
+        for pdf in batches:
+            pdf = pdf.sort_values("ts_ms")
+            for ts_ms, bad, total in zip(pdf["ts_ms"], pdf["bad"],
+                                         pdf["total"]):
+                if last_ts is not None and ts_ms <= last_ts:
+                    continue  # cursor never regresses (see _rate_fn)
+                bads.append(float(bad))
+                tots.append(float(total))
+                if len(bads) > long_window:
+                    bads, tots = bads[-long_window:], tots[-long_window:]
+
+                def burn(n: int):
+                    # left-to-right over the trailing frame, the batch
+                    # window-sum's order (exact for integral doubles)
+                    bs = ts_ = 0.0
+                    for b in bads[-n:]:
+                        bs += b
+                    for t in tots[-n:]:
+                        ts_ += t
+                    if ts_ > 0:
+                        return (bs / ts_) / error_budget
+                    return None
+
+                s, lo = burn(short_window), burn(long_window)
+                out_rows.append(
+                    (series_id, pd.Timestamp(int(ts_ms), unit="ms"),
+                     int(bad), int(total), s, lo,
+                     bool(s is not None and lo is not None
+                          and s >= factor and lo >= factor))
+                )
+                last_ts = int(ts_ms)
+        if last_ts is not None:
+            state.update((last_ts, bads, tots))
+        yield pd.DataFrame(
+            out_rows,
+            columns=["series_id", "ts", "bad", "total", "burn_short",
+                     "burn_long", "is_burning"],
+        )
+
+    return _burn_fn
+
+
+def streaming_burn_rate(
+    buckets: DataFrame,
+    short_window: int = 1,
+    long_window: int = 6,
+    error_budget: float = 0.05,
+    factor: float = 2.0,
+    series_col: str = "series_id",
+) -> DataFrame:
+    """Continuous multi-window SLO burn-rate alerting — the streaming
+    twin of operators/expressions.slo_burn_rate, for paging off the live
+    pre-bucketed (bad, total) stream instead of a stored grid. Same
+    contract: trailing ratio-of-sums INCLUDING the current bucket over
+    both windows divided by the error budget, alert only when BOTH
+    exceed ``factor``; zero-traffic windows give NULL burn and no alert.
+    Late buckets (event time at or before the series cursor) are dropped
+    without touching state, like the streaming rate/zscore.
+
+    State is O(#live series x long_window) doubles; window sums fold
+    left-to-right in the batch frame's order (exact for integral
+    counts), so tests pin the streamed output EXACTLY equal to the batch
+    operator on the same in-order feed."""
+    if short_window < 1 or long_window <= short_window:
+        raise ValueError(
+            f"need long_window > short_window >= 1, got "
+            f"{short_window}/{long_window}")
+    if not (0 < error_budget < 1):
+        raise ValueError(f"error_budget must be in (0,1), got {error_budget}")
+    keyed = buckets.select(
+        F.col(series_col).cast("string").alias("series_id"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("bad").cast("long").alias("bad"),
+        F.col("total").cast("long").alias("total"),
+    ).filter(F.col("bad").isNotNull() & F.col("total").isNotNull())
+    return keyed.groupBy("series_id").applyInPandasWithState(
+        _make_burn_fn(int(short_window), int(long_window),
+                      float(error_budget), float(factor)),
+        outputStructType=BURN_OUTPUT_SCHEMA,
+        stateStructType=_BURN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

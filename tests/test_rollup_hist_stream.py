@@ -1346,3 +1346,80 @@ def test_streaming_zscore_late_point_state():
     [out] = list(fn(("s",), iter([nxt]), st))
     assert len(out) == 1 and list(st.get[1]) == [2.0, 3.0, 4.0]
     assert out["zscore"][0] == (4.0 - 2.0) / 1.0  # mean 2, var 1 over [1,2,3]
+
+
+def test_streaming_burn_rate_equals_batch(spark):
+    """The streamed multi-window burn rate must equal the BATCH
+    slo_burn_rate bit-for-bit on the same in-order feed — burns, NULLs
+    and flags — across a micro-batch boundary so the (bads, tots) state
+    round-trips through the store; a late bucket is dropped without
+    touching state."""
+    import json as _json
+
+    from opentsdb_spark.operators.expressions import slo_burn_rate
+    from opentsdb_spark.streaming.stateful import streaming_burn_rate
+
+    rows = [
+        (0, 2, 10), (1, 3, 10), (2, 0, 0), (3, 0, 0),
+        (4, 5, 10), (5, 5, 10), (6, 0, 10), (7, 1, 10),
+    ]
+    late = (1, 9, 9)  # event time behind the cursor -> dropped
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+
+        def feed(name, rs):
+            with open(os.path.join(src, name), "w") as f:
+                for i, b, t in rs:
+                    f.write(_json.dumps(
+                        {"m": "api", "ts": EPOCH + 3600 * i,
+                         "bad": b, "total": t}) + "\n")
+
+        buckets = (
+            spark.readStream
+            .schema("m string, ts long, bad long, total long")
+            .json(src)
+            .withColumn("ts", F.timestamp_seconds("ts"))
+        )
+        stream = streaming_burn_rate(
+            buckets, short_window=2, long_window=4,
+            error_budget=0.2, factor=1.5, series_col="m")
+        q = (
+            stream.writeStream.format("memory").outputMode("append")
+            .queryName("sburn")
+            .option("checkpointLocation", os.path.join(d, "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            feed("b1.json", rows[:4])
+            q.processAllAvailable()
+            feed("b2.json", rows[4:] + [late])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            int(r["ts"].timestamp()): r
+            for r in spark.sql("select * from sburn").collect()
+        }
+    spark.catalog.dropTempView("sburn")
+    batch = spark.createDataFrame(
+        [("api", EPOCH + 3600 * i, b, t) for i, b, t in rows],
+        "metric string, ts long, bad long, total long")
+    want = {
+        int(r["ts"]): r
+        for r in slo_burn_rate(batch, ("metric",), short_window=2,
+                               long_window=4, error_budget=0.2,
+                               factor=1.5).collect()
+    }
+    assert set(got) == set(want) and len(got) == len(rows)  # late dropped
+    for ts, w in want.items():
+        g = got[ts]
+        assert g["is_burning"] == w["is_burning"], ts
+        for c in ("burn_short", "burn_long"):
+            if w[c] is None:
+                assert g[c] is None, (ts, c)
+            else:
+                assert g[c] == w[c], (ts, c, g[c], w[c])
+    assert any(r["is_burning"] for r in got.values())
+    assert any(r["burn_short"] is None for r in got.values())  # 0-traffic
