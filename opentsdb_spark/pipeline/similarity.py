@@ -1167,8 +1167,13 @@ def pq_adc_topk(
 
     100 TB shape: the corpus side is the codes frame only (m ints per
     row); queries + their distance tables broadcast; the per-row score
-    is m codegen element_at lookups; the top-k is a per-query window
-    over candidate rows. Returns (query_id, vec_id, adc, rank)."""
+    is m codegen element_at lookups. The top-k is a TREE reduction: a
+    partition-local partial top-k (one Arrow pass, vectorized grouped
+    head-k per batch) bounds the shuffle at partitions x queries x k
+    narrow rows, and only that bounded frame enters the final per-query
+    rank window — the corpus never sorts through a single per-query
+    task, unlike the brute-force exact baseline. Returns (query_id,
+    vec_id, adc, rank)."""
     from pyspark.sql import Window
 
     m = len(codebooks)
@@ -1193,11 +1198,27 @@ def pq_adc_topk(
         score = score + F.element_at(
             F.col(f"__dt{j}"),
             F.element_at(F.col("codes"), j + 1) + 1)
-    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc"), F.asc(id_col))
-    return (
+    scored = (
         codes.crossJoin(F.broadcast(qt))
         .withColumn("adc", score)
-        .withColumn("rank", F.row_number().over(w))
+        .select(query_id_col, id_col, "adc")
+    )
+    out_schema = f"{query_id_col} long, {id_col} long, adc double"
+
+    def _partial_topk(batches):
+        carry = None
+        for pdf in batches:
+            cur = pd.concat([carry, pdf]) if carry is not None else pdf
+            cur = cur.sort_values([query_id_col, "adc", id_col],
+                                  kind="mergesort")
+            carry = cur.groupby(query_id_col, sort=False).head(k)
+        if carry is not None and len(carry):
+            yield carry
+
+    part = scored.mapInPandas(_partial_topk, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc"), F.asc(id_col))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc", "rank")
     )
