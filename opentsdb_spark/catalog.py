@@ -3054,6 +3054,95 @@ def _ivf_oracle_from_centroids(k: int, n_probe: int, cents: list[list[float]]) -
         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= {k}"""
 
 
+def _ivf_pq_oracle(topk: int, m: int, nc: int, dim: int, seed: int,
+                   n_cent: int, n_probe: int) -> str:
+    """IVF-PQ replica: seeded coarse cells prune (probe tie -> lowest
+    cell, matching the Spark array_sort struct order), then the PQ
+    encode/ADC arithmetic of _pq_oracle scores the survivors — every
+    fold left-to-right, so cells, codes, ADC sums and ranks are all
+    bit-identical cross-engine."""
+    from opentsdb_spark.pipeline.similarity import pq_codebooks, seeded_centroids
+
+    C = pq_codebooks(m, nc, dim, seed)
+    cents = seeded_centroids(n_cent, dim, seed)
+    sub = dim // m
+    rows = ",\n".join(
+        "(%d, [%s])" % (i, ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c))
+        for i, c in enumerate(cents)
+    )
+    cos_cell = f"{_vecdot_sql('v', 'cvec')} / ({_vecnorm_sql('v')} * {_vecnorm_sql('cvec')})"
+    qcos_cell = f"{_vecdot_sql('qv', 'cvec')} / ({_vecnorm_sql('qv')} * {_vecnorm_sql('cvec')})"
+
+    def dcell(vexpr: str, j: int, c: int) -> str:
+        terms = " ".join(
+            f"+ ({vexpr}[{j * sub + d + 1}] - CAST('{C[j][c][d]!r}' AS DOUBLE))"
+            f" * ({vexpr}[{j * sub + d + 1}] - CAST('{C[j][c][d]!r}' AS DOUBLE))"
+            for d in range(sub))
+        return f"(0.0 {terms})"
+
+    code_cols = ", ".join(
+        f"list_position(dl{j}, list_min(dl{j})) - 1 AS c{j}" for j in range(m))
+    dls = ", ".join(
+        "[" + ", ".join(dcell("v", j, c) for c in range(nc)) + f"] AS dl{j}"
+        for j in range(m))
+    qts = ", ".join(
+        "[" + ", ".join(dcell("qv", j, c) for c in range(nc)) + f"] AS dt{j}"
+        for j in range(m))
+    adc = "0.0 " + " ".join(f"+ qt.dt{j}[cand.c{j} + 1]" for j in range(m))
+    ccols = ", ".join(f"codes.c{j}" for j in range(m))
+    return f"""WITH cent(cell, cvec) AS (VALUES {rows}),
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        assigned AS (SELECT vec_id, arg_max(cell, {cos_cell}) AS cell
+                     FROM emb CROSS JOIN cent GROUP BY vec_id),
+        dl AS (SELECT vec_id, {dls} FROM emb),
+        codes AS (SELECT vec_id, {code_cols} FROM dl),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 3),
+        probes AS (SELECT query_id, cell FROM (
+                     SELECT q.query_id, cent.cell,
+                            row_number() OVER (PARTITION BY q.query_id
+                                               ORDER BY {qcos_cell} DESC,
+                                                        cent.cell ASC) AS pr
+                     FROM q CROSS JOIN cent)
+                   WHERE pr <= {n_probe}),
+        qt AS (SELECT query_id, {qts} FROM q),
+        cand AS (SELECT p.query_id, a.vec_id, {ccols}
+                 FROM assigned a JOIN probes p ON p.cell = a.cell
+                 JOIN codes ON codes.vec_id = a.vec_id),
+        scored AS (SELECT cand.query_id, cand.vec_id, ({adc}) AS adc
+                   FROM cand JOIN qt ON qt.query_id = cand.query_id)
+        SELECT query_id, vec_id, {RND.format('adc')} AS adc_r,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, vec_id ASC) <= {topk}"""
+
+
+@register("ann_ivf_pq_top5",
+          lambda: _ivf_pq_oracle(5, m=8, nc=16, dim=64, seed=42,
+                                 n_cent=16, n_probe=4))
+def ann_ivf_pq_top5(spark, sf_dir):
+    """IVF-PQ composed (pipeline.similarity.ivf_pq_topk): seeded coarse
+    cells prune the corpus to ~n_probe/n_centroids, PQ/ADC scores the
+    survivors from their 8 codes — the actual billion-vector serving
+    architecture, index a few bytes per vector, original vectors never
+    read at query time. Both approximation dials (cell recall, code
+    distortion) compose; every fold is order-pinned so the oracle
+    hash-checks ranks without tolerance."""
+    from opentsdb_spark.pipeline.similarity import (
+        ivf_pq_topk, pq_codebooks, seeded_centroids)
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_pq_topk(
+        emb, q, codebooks=pq_codebooks(m=8, k=16, dim=64, seed=42),
+        k=5, n_centroids=16, n_probe=4,
+        centroids=seeded_centroids(16, 64, 42))
+    return out.select("query_id", "vec_id", _vr(F.col("adc")).alias("adc_r"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register("ann_ivf_fixed_top5", _ivf_fixed_oracle(5, 16, 12))
 def ann_ivf_fixed_top5(spark, sf_dir):
     # IVF quantize/probe/re-rank logic against deterministic seeded cell

@@ -1179,6 +1179,17 @@ def pq_adc_topk(
     m = len(codebooks)
     nc = len(codebooks[0])
     sub = len(codebooks[0][0])
+    qt = _pq_query_tables(queries, codebooks, query_vec_col, query_id_col)
+    return _adc_rank(codes.crossJoin(F.broadcast(qt)), m, k,
+                     id_col, query_id_col)
+
+
+def _pq_query_tables(queries: DataFrame, codebooks, query_vec_col: str,
+                     query_id_col: str, extra: tuple = ()) -> DataFrame:
+    """(query_id, __dt0..__dt{m-1}) — the per-query ADC distance tables,
+    each a k-wide array folded dimension-sequentially (the IEEE order the
+    encode kernel and the SQL replica share)."""
+    m, nc, sub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
     qv = _as_double(F.col(query_vec_col))
 
     def dcell(j: int, c: int):
@@ -1188,21 +1199,28 @@ def pq_adc_topk(
             acc = acc + diff * diff
         return acc
 
-    qt = queries.select(
-        F.col(query_id_col),
+    return queries.select(
+        F.col(query_id_col), *extra,
         *[F.array(*[dcell(j, c) for c in range(nc)]).alias(f"__dt{j}")
           for j in range(m)],
     )
+
+
+def _adc_rank(pairs: DataFrame, m: int, k: int, id_col: str,
+              query_id_col: str) -> DataFrame:
+    """ADC score + tree top-k over a (query_id, id, codes, __dt*) pair
+    frame: m codegen table lookups per row, a partition-local partial
+    top-k (vectorized grouped head-k per Arrow batch, bounding the
+    shuffle at partitions x queries x k narrow rows), then the final
+    per-query rank window over that bounded frame only."""
+    from pyspark.sql import Window
+
     score = F.lit(0.0)
     for j in range(m):
         score = score + F.element_at(
             F.col(f"__dt{j}"),
             F.element_at(F.col("codes"), j + 1) + 1)
-    scored = (
-        codes.crossJoin(F.broadcast(qt))
-        .withColumn("adc", score)
-        .select(query_id_col, id_col, "adc")
-    )
+    scored = pairs.withColumn("adc", score).select(query_id_col, id_col, "adc")
     out_schema = f"{query_id_col} long, {id_col} long, adc double"
 
     def _partial_topk(batches):
@@ -1222,6 +1240,75 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc", "rank")
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the billion-vector ANN architecture (Jégou et al., PAMI
+    2011) assembled from the two halves this module already ships —
+    coarse k-means cells prune the corpus to ~n_probe/n_centroids of its
+    cells, and PQ/ADC scores the survivors from their codes. The resident
+    index is (id, cell, m codes) — a few bytes per vector; neither the
+    original vectors nor any candidate floats load at query time.
+
+    Approximations compose: cell recall (raise n_probe) x ADC distance
+    distortion (raise m / train codebooks) — both standard dials. Ranks
+    by (adc asc, id asc).
+
+    100 TB shape: assignment and encode are narrow maps off one scan;
+    the query side (probes + distance tables) broadcasts; candidates =
+    one equi-join on the int cell key; the top-k is _adc_rank's tree
+    reduction. Returns (query_id, vec_id, adc, rank)."""
+    books = codebooks if codebooks is not None else pq_codebooks(
+        m=8, k=16, dim=dim, seed=seed)
+    cent_arr = (
+        [[float(x) for x in c] for c in centroids]
+        if centroids is not None else seeded_centroids(n_centroids, dim, seed)
+    )
+    corpus = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+    index = _assign_cells(corpus, cent_arr, "cv").select(id_col, "cell") \
+        .join(pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col),
+              on=id_col)
+    q = queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("qv"))
+    probes = (
+        q.withColumn("__qc", _cell_cosines_udf(cent_arr)(F.col("qv")))
+        .select(
+            query_id_col,
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                F.col("__qc"),
+                                lambda c, i: F.struct((-c).alias("nc"),
+                                                      i.alias("cell")),
+                            )
+                        ),
+                        lambda s: s["cell"],
+                    ),
+                    1, n_probe,
+                )
+            ).alias("cell"),
+        )
+    )
+    qt = _pq_query_tables(queries, books, vec_col, query_id_col)
+    pairs = (
+        index.join(F.broadcast(probes), on="cell")
+        .join(F.broadcast(qt), on=query_id_col)
+    )
+    return _adc_rank(pairs, len(books), k, id_col, query_id_col)
 
 
 def dequantized_view(quant: DataFrame, vec_col: str = "q") -> DataFrame:

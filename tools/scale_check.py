@@ -147,7 +147,7 @@ LONG_TAIL = [
     "tsdb_m_parser", "tsdb_rate_counter", "tsdb_rate_drop_resets",
     "tsdb_rate_first_vs_zero", "tsdb_sessionize", "tsdb_suggest_metrics",
     "tsdb_tsuid_direct", "uid_metrics_listing",
-    "dedup_incremental_cc", "ann_pq_adc_top5", "tsdb_slo_burn_rate",
+    "dedup_incremental_cc", "ann_pq_adc_top5", "tsdb_slo_burn_rate", "ann_ivf_pq_top5",
     # (tsdb_slo_burn_stream excluded: micro-batch replay harness, not a plan)
 ]
 QUERIES = QUERIES + LONG_TAIL
