@@ -110,6 +110,11 @@ HEADLINE = [
     "sample_leakage_safe_split",
     "text_intra_repetition",
     "multimodal_audio_keyclips",
+    # round-11 families (no r10 comparison rows — new coverage)
+    "dedup_incremental_cc",
+    "ann_pq_adc_top5",
+    "ann_ivf_pq_top5",
+    "tsdb_slo_burn_rate",
 ]
 
 _TICK = os.sysconf("SC_CLK_TCK")

@@ -1174,11 +1174,7 @@ def pq_adc_topk(
     rank window — the corpus never sorts through a single per-query
     task, unlike the brute-force exact baseline. Returns (query_id,
     vec_id, adc, rank)."""
-    from pyspark.sql import Window
-
     m = len(codebooks)
-    nc = len(codebooks[0])
-    sub = len(codebooks[0][0])
     qt = _pq_query_tables(queries, codebooks, query_vec_col, query_id_col)
     return _adc_rank(codes.crossJoin(F.broadcast(qt)), m, k,
                      id_col, query_id_col)
@@ -1188,21 +1184,41 @@ def _pq_query_tables(queries: DataFrame, codebooks, query_vec_col: str,
                      query_id_col: str, extra: tuple = ()) -> DataFrame:
     """(query_id, __dt0..__dt{m-1}) — the per-query ADC distance tables,
     each a k-wide array folded dimension-sequentially (the IEEE order the
-    encode kernel and the SQL replica share)."""
+    encode kernel and the SQL replica share).
+
+    One Arrow UDF, not an m x k x sub codegen expression tree: the
+    expression form put ~1000 nodes through Catalyst, and the OPTIMIZER
+    cost (~1 s per action on the composed join+window plan, driver-side)
+    dwarfed the query-bounded execution. The numpy fold accumulates
+    d-sequentially per cell — bit-identical to the expression form and
+    the SQL replica."""
+    import numpy as np
+
     m, nc, sub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
-    qv = _as_double(F.col(query_vec_col))
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, nc, sub)
 
-    def dcell(j: int, c: int):
-        acc = F.lit(0.0)
-        for d in range(sub):
-            diff = F.element_at(qv, j * sub + d + 1) - F.lit(codebooks[j][c][d])
-            acc = acc + diff * diff
-        return acc
+    @F.pandas_udf("array<array<double>>")
+    def _tables(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            V = np.asarray(v, np.float64)
+            dts = np.zeros((m, nc))
+            for j in range(m):
+                acc = np.zeros(nc)
+                for d in range(sub):
+                    diff = V[j * sub + d] - C[j, :, d]
+                    acc = acc + diff * diff
+                dts[j] = acc
+            out.append(list(dts))
+        return pd.Series(out)
 
-    return queries.select(
+    qt = queries.select(
         F.col(query_id_col), *extra,
-        *[F.array(*[dcell(j, c) for c in range(nc)]).alias(f"__dt{j}")
-          for j in range(m)],
+        _tables(_as_double(F.col(query_vec_col))).alias("__dts"),
+    )
+    return qt.select(
+        query_id_col, *extra,
+        *[F.element_at("__dts", j + 1).alias(f"__dt{j}") for j in range(m)],
     )
 
 
