@@ -464,28 +464,58 @@ def repetition_signals(docs: DataFrame, content_col: str = "text",
       top_bigram_frac     occurrences of the most frequent word bigram / all bigrams
       dup_trigram_frac    repeated-trigram occurrences / total trigrams
 
-    All array expressions over the scan (split/sort/fold) — a narrow map at
-    corpus scale; nothing explodes into a shuffle."""
-    text = F.col(content_col)
-    lines = F.split(text, "\n")
-    n_lines = F.size(lines)
-    d_lines = F.array_distinct(lines)
-    chars_all = F.length(F.array_join(lines, ""))
-    chars_d = F.length(F.array_join(d_lines, ""))
+    ONE Arrow narrow map at corpus scale; nothing shuffles. The previous
+    expression form ran transform(slice)+aggregate higher-order functions
+    — CodegenFallback INTERPRETED per n-gram, with the split re-evaluated
+    inside each lambda element (the _gram_frame O(words²) trap) — and was
+    the worst absolute wall in the 30x scale sweep (31.9 s); the kernel
+    computes the same counts with Counters in one pass per doc. NULL text
+    keeps the old contract (all fractions 0.0)."""
+    from collections import Counter
+    import re as _re
 
-    words = _words(text)
-    bigrams = _word_ngrams(words, 2)
-    trigrams = _word_ngrams(words, 3)
+    @F.pandas_udf(
+        "struct<dup_line_frac:double,dup_line_char_frac:double,"
+        "top_bigram_frac:double,dup_trigram_frac:double>")
+    def _signals(texts: pd.Series) -> pd.DataFrame:
+        tok = _re.compile(r"\S+")
+        o1, o2, o3, o4 = [], [], [], []
+        for t in texts:
+            if t is None:
+                o1.append(0.0); o2.append(0.0); o3.append(0.0); o4.append(0.0)
+                continue
+            lines = t.split("\n")
+            nl = len(lines)
+            dl = set(lines)
+            o1.append((nl - len(dl)) / nl if nl > 0 else 0.0)
+            ca = sum(len(ln) for ln in lines)
+            cd = sum(len(ln) for ln in dl)
+            o2.append((ca - cd) / ca if ca > 0 else 0.0)
+            w = tok.findall(t.lower())
+            nb = len(w) - 1
+            if nb > 0:
+                bc = Counter(" ".join(w[i:i + 2]) for i in range(nb))
+                o3.append(max(bc.values()) / nb)
+            else:
+                o3.append(0.0)
+            nt = len(w) - 2
+            if nt > 0:
+                tc = Counter(" ".join(w[i:i + 3]) for i in range(nt))
+                o4.append((nt - len(tc)) / nt)
+            else:
+                o4.append(0.0)
+        return pd.DataFrame({
+            "dup_line_frac": o1, "dup_line_char_frac": o2,
+            "top_bigram_frac": o3, "dup_trigram_frac": o4,
+        })
 
-    def frac(num, den):
-        return F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
-
-    return docs.select(
+    out = docs.select(id_col, _signals(F.col(content_col)).alias("__rs"))
+    return out.select(
         id_col,
-        frac(n_lines - F.size(d_lines), n_lines).alias("dup_line_frac"),
-        frac(chars_all - chars_d, chars_all).alias("dup_line_char_frac"),
-        frac(_max_run_count(bigrams), F.size(bigrams)).alias("top_bigram_frac"),
-        frac(F.size(trigrams) - F.size(F.array_distinct(trigrams)), F.size(trigrams)).alias("dup_trigram_frac"),
+        F.col("__rs.dup_line_frac").alias("dup_line_frac"),
+        F.col("__rs.dup_line_char_frac").alias("dup_line_char_frac"),
+        F.col("__rs.top_bigram_frac").alias("top_bigram_frac"),
+        F.col("__rs.dup_trigram_frac").alias("dup_trigram_frac"),
     )
 
 
