@@ -75,17 +75,28 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        # Convergence = the edge set is a star forest: every edge already
-        # points straight at a root (no target is also a source). Both
-        # rounds preserve components exactly and leave edges high->low,
-        # so a star forest is min-rooted per component and a fixpoint —
-        # this detects convergence IN the converging round, where the
-        # previous (count, checksum)-vs-previous-round signature spent a
-        # whole extra large-star/small-star round (4 shuffles + checkpoint)
-        # just to observe the set unchanged. The test itself is one
-        # semi-join action on the checkpointed star frame.
-        if stars.join(stars.select(F.col("u").alias("v")), on="v",
-                      how="left_semi").isEmpty():
+        # Convergence = the edge set is a star forest, which needs BOTH
+        # conditions: (a) no source appears twice (out-degree <= 1 — a
+        # node still pointing at two candidate roots is mid-merge), and
+        # (b) no target is also a source (every edge points straight at
+        # a root). Rounds preserve components exactly and leave edges
+        # high->low, so a star forest is min-rooted per component and a
+        # fixpoint — detected IN the converging round, where the previous
+        # (count, checksum)-vs-previous-round signature spent a whole
+        # extra large-star/small-star round (4 shuffles + checkpoint)
+        # just to observe the set unchanged. Checking (a) is NOT
+        # optional: a two-star merge state like {11->1, 11->10} has no
+        # target-as-source yet is not converged — stopping there emits
+        # two labels for node 11 (caught by the streaming-components
+        # merge test; now also pinned in test_properties).
+        dup_src = (
+            stars.groupBy("u").agg(F.count("*").alias("__c"))
+            .where(F.col("__c") > 1).select(F.lit(1).alias("__x"))
+        )
+        tgt_src = stars.join(
+            stars.select(F.col("u").alias("v")), on="v", how="left_semi"
+        ).select(F.lit(1).alias("__x"))
+        if dup_src.union(tgt_src).isEmpty():
             edges = stars
             break
         # derived lazily off the checkpointed stars — one fewer

@@ -616,7 +616,23 @@ _edges = st.lists(
 )
 
 
-@settings(max_examples=10, deadline=None,
+def test_connected_components_two_star_merge_regression(spark):
+    """Premature-convergence regression (round 11): the state
+    {11->1, 11->10} mid-merge has no target-as-source, so a convergence
+    test missing the out-degree condition stopped there and emitted TWO
+    labels for node 11. The full chain must collapse to min 1."""
+    from opentsdb_spark.pipeline.cluster import connected_components
+
+    df = spark.createDataFrame(
+        [(10, 11), (20, 21), (11, 20), (30, 31), (1, 21)],
+        "id_a long, id_b long")
+    got = sorted((r["id"], r["component"])
+                 for r in connected_components(df).collect())
+    assert got == [(1, 1), (10, 1), (11, 1), (20, 1), (21, 1),
+                   (30, 30), (31, 30)]
+
+
+@settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(edges=_edges, n_docs=st.integers(1, 30))
 def test_connected_components_match_union_find_property(spark, edges, n_docs):
