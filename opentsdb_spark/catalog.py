@@ -1659,6 +1659,56 @@ def dedup_cluster_cc(spark, sf_dir):
 
 
 @register(
+    "dedup_components_stream",
+    f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(u, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+        cc AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u)
+        SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""",
+)
+def dedup_components_stream(spark, sf_dir):
+    """STREAMING dedup-cluster maintenance (streaming/components.py):
+    the corpus' jaccard near-dup pairs arrive as three micro-batches
+    (arrival = (id_a + id_b) % 3 — cross-batch edges routinely MERGE
+    components labeled by earlier batches), each batch running
+    incremental_components against the persistent latest-wins labels
+    index and persisting only its delta partition; batch 1 replays
+    (crash recovery) before batch 2 runs. By incremental CC's
+    split-invariance the final resolved labels equal the one-shot full
+    CC, so the oracle is dedup_cluster_cc's transitive-closure replica
+    — the streaming twin's correctness reduces to the batch entry's,
+    exactly like the zscore/burn/ANN replay rows."""
+    import tempfile
+
+    from opentsdb_spark.streaming.components import (
+        components_update_batch, resolve_labels)
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_df=50) \
+        .select("id_a", "id_b").localCheckpoint()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "labels")
+        for arr in range(3):
+            batch = pairs.where((F.col("id_a") + F.col("id_b")) % 3 == arr)
+            components_update_batch(batch, path, batch_id=arr)
+            if arr == 1:  # crash replay of a committed batch
+                components_update_batch(batch, path, batch_id=arr)
+        labels = resolve_labels(spark, path)
+        rows = [(int(r["id"]), int(r["component"]))
+                for r in labels.collect()] if labels is not None else []
+    lab = tiny_df(spark, rows, "doc_id long, component long")
+    out = docs.select("doc_id").join(lab, on="doc_id", how="left")
+    return out.select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
+
+
+@register(
     "sample_leakage_safe_split",
     f"""WITH RECURSIVE {_JACCARD_PAIRS_CTE},
         pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
@@ -6513,7 +6563,12 @@ _PRIORITY = [
     # incremental entry's sub-CC, which additionally proves the
     # star-edge union / touched-component routing; the full-CC entry
     # stays verified by the full-catalog oracle run)
-    "corpus_snapshot_diff", "dedup_ngram_jaccard", "dedup_incremental_cc",
+    # (round 11 later: the STREAMING components twin takes the
+    # incremental-CC gate slot — it drives incremental_components through
+    # three real index-backed batches incl. a crash replay and a
+    # cross-batch merge, so the batch entry's machinery is a strict
+    # subset; dedup_incremental_cc stays verified by the full-catalog run)
+    "corpus_snapshot_diff", "dedup_ngram_jaccard", "dedup_components_stream",
     "ann_incremental", "streaming_source_mix",
     "dedup_substring_keep_first",
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out

@@ -1423,3 +1423,88 @@ def test_streaming_burn_rate_equals_batch(spark):
                 assert g[c] == w[c], (ts, c, g[c], w[c])
     assert any(r["is_burning"] for r in got.values())
     assert any(r["burn_short"] is None for r in got.values())  # 0-traffic
+
+
+def test_streaming_components_match_full_cc_and_replay(spark):
+    """Streamed label maintenance: after any batch sequence the resolved
+    labels equal the one-shot connected_components over all edges seen —
+    including a batch that MERGES two earlier components under a new min
+    — a crash-replay of a batch flips nothing and does not grow the
+    index, and compaction preserves the latest-wins resolution (the
+    version rides in the rows, not the folded partition column)."""
+    import tempfile as _tf
+
+    from opentsdb_spark.pipeline.cluster import connected_components
+    from opentsdb_spark.streaming.components import (
+        components_update_batch, resolve_labels)
+    from opentsdb_spark.streaming.docs import compact_index
+
+    b1 = [(10, 11), (20, 21)]          # two components: min 10, min 20
+    b2 = [(11, 20), (30, 31)]          # merges them under 10; new clique
+    b3 = [(1, 21)]                     # relabels the merged comp to 1
+    edges = lambda rs: spark.createDataFrame(rs, "id_a long, id_b long")
+
+    def resolved(path):
+        return {r["id"]: r["component"]
+                for r in resolve_labels(spark, path).collect()}
+
+    def full(rs):
+        return {r["id"]: r["component"]
+                for r in connected_components(edges(rs)).collect()}
+
+    with _tf.TemporaryDirectory() as d:
+        path = os.path.join(d, "labels")
+        components_update_batch(edges(b1), path, batch_id=1)
+        assert resolved(path) == full(b1)
+        d2 = components_update_batch(edges(b2), path, batch_id=2)
+        assert resolved(path) == full(b1 + b2)
+        # the merge batch rewrote the 20-component's labels
+        assert {r["id"] for r in d2.collect()} >= {20, 21, 30, 31}
+        n_rows = spark.read.parquet(path).count()
+        # crash replay: identical resolution, index unchanged
+        components_update_batch(edges(b2), path, batch_id=2)
+        assert resolved(path) == full(b1 + b2)
+        assert spark.read.parquet(path).count() == n_rows
+        # compaction folds partitions; latest-wins must survive
+        assert compact_index(spark, path, keep_batch_id=2, max_partitions=1)
+        assert resolved(path) == full(b1 + b2)
+        d3 = components_update_batch(edges(b3), path, batch_id=3)
+        assert resolved(path) == full(b1 + b2 + b3)
+        # the relabel-to-1 touched every member of the merged component
+        assert {r["component"] for r in d3.collect()} == {1}
+
+
+def test_streaming_components_sink_end_to_end(spark):
+    """foreachBatch wiring: label deltas land batch by batch through a
+    real file-source stream and the final resolution equals full CC."""
+    import json as _json
+    import tempfile as _tf
+
+    from opentsdb_spark.pipeline.cluster import connected_components
+    from opentsdb_spark.streaming.components import (
+        resolve_labels, streaming_components_sink)
+
+    batches = [[(0, 1), (2, 3)], [(1, 2)], [(4, 5)]]
+    with _tf.TemporaryDirectory() as d:
+        src = os.path.join(d, "in")
+        os.makedirs(src)
+        pairs = spark.readStream.schema("id_a long, id_b long").json(src)
+        q = streaming_components_sink(
+            pairs, os.path.join(d, "out"), os.path.join(d, "labels"),
+            os.path.join(d, "ck"), compact_after=2).start()
+        try:
+            for i, b in enumerate(batches):
+                with open(os.path.join(src, f"b{i}.json"), "w") as f:
+                    for a, bb in b:
+                        f.write(_json.dumps({"id_a": a, "id_b": bb}) + "\n")
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["id"]: r["component"] for r in
+               resolve_labels(spark, os.path.join(d, "labels")).collect()}
+        allp = [e for b in batches for e in b]
+        want = {r["id"]: r["component"] for r in connected_components(
+            spark.createDataFrame(allp, "id_a long, id_b long")).collect()}
+        assert got == want
+        out = spark.read.parquet(os.path.join(d, "out"))
+        assert out.count() >= len(want)  # every final label was a delta once
