@@ -414,13 +414,17 @@ def boilerplate_flags(docs: DataFrame, content_col: str = "text",
     n = F.length(text).cast("double")
 
     def ratio(cls: str):
-        return F.length(F.regexp_replace(text, cls, "")) / F.greatest(n, F.lit(1.0))
+        # count the class hits directly — length(regexp_replace(text,
+        # complement, '')) computes the same integer but ALLOCATES a full
+        # replaced copy of the text per ratio per row (three copies/doc,
+        # measured 2x the whole operator at 30x sf0.1)
+        return F.regexp_count(text, F.lit(cls)) / F.greatest(n, F.lit(1.0))
 
     return docs.select(
         id_col,
-        ratio("[^A-Z]").alias("upper_ratio"),
-        ratio("[^0-9]").alias("digit_ratio"),
-        ratio(r"[A-Za-z0-9\s]").alias("symbol_ratio"),
+        ratio("[A-Z]").alias("upper_ratio"),
+        ratio("[0-9]").alias("digit_ratio"),
+        ratio(r"[^A-Za-z0-9\s]").alias("symbol_ratio"),
         (F.regexp_count(text, F.lit(BOILERPLATE_MARKERS)) > 0).alias("has_boilerplate"),
     )
 
