@@ -864,12 +864,24 @@ def _cast_to_double_is_order_faithful(schema, name: str) -> bool:
     order_by through the quantized quality rank. Numeric types and
     timestamps (epoch seconds) qualify; boolean (false<true → 0.0<1.0)
     qualifies; strings/dates/binary cast to NULL or reorder, so they must
-    keep the exact window path."""
+    keep the exact window path.
+
+    DecimalType with precision > 15 is EXCLUDED: such values can exceed
+    double's 53-bit mantissa, so distinct decimals collapse under the
+    cast and the quantized rank's tiebreak could differ from the exact
+    window sort. LongType stays routed — the quality path is quantized by
+    design and integer quality scores beyond 2^53 do not occur in
+    practice — but note the cast is only order-faithful up to 2^53; a
+    caller ranking on raw 64-bit hashes should use the exact window path
+    (hash order_by columns are not quality scores and are not routed
+    here in any catalog use)."""
     from pyspark.sql import types as T
 
     field = next((f for f in schema.fields if f.name == name), None)
     if field is None:
         return False
+    if isinstance(field.dataType, T.DecimalType):
+        return field.dataType.precision <= 15
     return isinstance(field.dataType,
                       (T.NumericType, T.TimestampType, T.TimestampNTZType,
                        T.BooleanType))

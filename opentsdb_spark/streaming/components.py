@@ -88,7 +88,18 @@ def components_update_batch(
         # columns, so a relabel to a new min IS a delta row)
         delta = labels.join(prev, on=["id", "component"], how="left_anti") \
             .localCheckpoint()
-    ver = -1 if batch_id is None else int(batch_id)
+    if batch_id is None:
+        # Direct (no-batch-id) updates must still WIN latest-wins
+        # resolution over earlier numbered batches, so derive the version
+        # monotonically: max existing __ver + 1 (0 on a fresh index). The
+        # old constant -1 sorted BELOW every numbered batch (a late direct
+        # relabel silently lost in resolve_labels' max_by) and tied two
+        # successive direct calls (nondeterministic max_by between them).
+        idx = _read_index_if_exists(spark, labels_path)
+        mx = None if idx is None else idx.agg(F.max("__ver")).first()[0]
+        ver = 0 if mx is None else int(mx) + 1
+    else:
+        ver = int(batch_id)
     _append_index_rows(
         delta.withColumn("__ver", F.lit(ver).cast("long"))
         .withColumn("__batch_id", F.lit(batch_id).cast("long")),

@@ -3255,3 +3255,26 @@ def test_ivf_pq_topk_composes_probe_and_adc(spark):
     for r in pruned:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_route_order_by_decimal_precision_gate(spark):
+    """DecimalType routes into the quality path only up to precision 15:
+    beyond that, distinct decimals can exceed double's 53-bit mantissa
+    and collapse under the cast, so the quantized tiebreak could diverge
+    from the exact window sort (advisor finding). Low-precision decimals
+    still route."""
+    from pyspark.sql import types as T
+
+    from opentsdb_spark.pipeline.sampling import (
+        _cast_to_double_is_order_faithful, _route_order_by_to_quality)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lo", T.DecimalType(15, 4)),
+        T.StructField("hi", T.DecimalType(38, 0)),
+    ])
+    assert _cast_to_double_is_order_faithful(schema, "lo")
+    assert not _cast_to_double_is_order_faithful(schema, "hi")
+    assert _route_order_by_to_quality(
+        [F.desc("lo")], schema=schema) == ("lo", True)
+    assert _route_order_by_to_quality([F.desc("hi")], schema=schema) is None

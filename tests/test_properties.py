@@ -725,3 +725,50 @@ def test_incremental_components_equal_full_recompute_property(
     for k in covered - set(want):
         want[k] = prev.get(k, k)  # old singleton components pass through
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges, cut1=st.integers(0, 40), cut2=st.integers(0, 40))
+def test_streaming_components_compaction_split_invariance(
+        spark, edges, cut1, cut2):
+    """Split-invariance THROUGH the streaming labels index incl. its
+    compaction path: for ANY random edge list split into three
+    micro-batches at arbitrary cut points — batches may merge earlier
+    components, relabel to a lower min, duplicate old edges, or be empty
+    — the resolved labels after (batch, batch, COMPACT-to-one-partition,
+    batch) equal the one-shot connected_components over all edges seen.
+    The example-based tests pin one merge scenario; this pins the
+    compaction fold (latest-wins over the __ver data column) over the
+    whole split space."""
+    import os as _os
+    import tempfile as _tf
+
+    from opentsdb_spark.pipeline.cluster import connected_components
+    from opentsdb_spark.streaming.components import (
+        components_update_batch, resolve_labels)
+    from opentsdb_spark.streaming.docs import compact_index
+
+    lo, hi = sorted((cut1, cut2))
+    batches = [edges[:lo], edges[lo:hi], edges[hi:]]
+    # an update needs at least one real (non-loop) edge; empty/loop-only
+    # micro-batches simply don't fire the sink in production either
+    batches = [b for b in batches if any(a != b2 for a, b2 in b)]
+    if not batches:
+        return
+    seen: list = []
+    with _tf.TemporaryDirectory() as d:
+        path = _os.path.join(d, "labels")
+        for i, b in enumerate(batches):
+            components_update_batch(
+                spark.createDataFrame(b, "id_a long, id_b long"),
+                path, batch_id=i)
+            seen.extend(b)
+            if i == min(1, len(batches) - 1):  # fold mid-sequence
+                compact_index(spark, path, keep_batch_id=i,
+                              max_partitions=1)
+        got = {r["id"]: r["component"]
+               for r in resolve_labels(spark, path).collect()}
+    want = {r["id"]: r["component"] for r in connected_components(
+        spark.createDataFrame(seen, "id_a long, id_b long")).collect()}
+    assert got == want

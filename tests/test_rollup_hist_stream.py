@@ -1508,3 +1508,38 @@ def test_streaming_components_sink_end_to_end(spark):
         assert got == want
         out = spark.read.parquet(os.path.join(d, "out"))
         assert out.count() >= len(want)  # every final label was a delta once
+
+
+def test_components_direct_update_wins_latest(spark):
+    """Direct (batch_id=None) label updates must WIN latest-wins
+    resolution over earlier numbered batches, and two successive direct
+    calls must resolve deterministically to the later one (advisor
+    finding: the old constant __ver=-1 sorted below every numbered batch
+    and tied direct calls with each other)."""
+    import tempfile as _tf
+
+    from opentsdb_spark.streaming.components import (
+        components_update_batch, resolve_labels)
+
+    edges = lambda rs: spark.createDataFrame(rs, "id_a long, id_b long")
+
+    def resolved(path):
+        return {r["id"]: r["component"]
+                for r in resolve_labels(spark, path).collect()}
+
+    with _tf.TemporaryDirectory() as d:
+        path = os.path.join(d, "labels")
+        components_update_batch(edges([(10, 11), (20, 21)]),
+                                path, batch_id=0)
+        components_update_batch(edges([(30, 31)]), path, batch_id=1)
+        # direct relabel AFTER numbered batches: merges 10- and 20-comps
+        components_update_batch(edges([(11, 20)]), path)
+        got = resolved(path)
+        assert got[10] == got[11] == got[20] == got[21] == 10
+        # second direct relabel must beat the first (monotone __ver)
+        components_update_batch(edges([(1, 21)]), path)
+        got = resolved(path)
+        assert got[1] == got[10] == got[21] == 1
+        vers = {r["__ver"] for r in
+                spark.read.parquet(path).select("__ver").collect()}
+        assert vers == {0, 1, 2, 3}  # derived max+1, never -1
