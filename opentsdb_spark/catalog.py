@@ -6568,8 +6568,16 @@ _PRIORITY = [
     # three real index-backed batches incl. a crash replay and a
     # cross-batch merge, so the batch entry's machinery is a strict
     # subset; dedup_incremental_cc stays verified by the full-catalog run)
+    # (round 12: dedup_incremental_cc JOINS its streaming twin in-gate —
+    # the batch fixture drives touched-component routing over a large
+    # prev corpus in ONE nightly-shaped call, which the twin reaches only
+    # via three small micro-batches; text_vocab_drift rotates out to make
+    # room — the unigram JS-divergence snapshot audit shares its count
+    # machinery with in-gate text_gram_novelty and its two-snapshot drift
+    # verdict shape with in-gate embed_drift, and stays verified by the
+    # full-catalog oracle run)
     "corpus_snapshot_diff", "dedup_ngram_jaccard", "dedup_components_stream",
-    "ann_incremental", "streaming_source_mix",
+    "dedup_incremental_cc", "ann_incremental", "streaming_source_mix",
     "dedup_substring_keep_first",
     # LLM-pipeline: text / similarity / multimodal (text_tokens rotates out
     # for the corpus-wide paragraph dedup — token counting is also exercised
@@ -6601,7 +6609,12 @@ _PRIORITY = [
     # ann_incremental on the same bucket machinery, while the PQ entry
     # adds the encode/ADC compression family; lsh_top5 stays verified by
     # the full-catalog oracle run)
-    "ann_pq_adc_top5", "embed_knn_graph",
+    # (round 12: ann_pq_adc_top5 rotates out for its strict SUPERSET
+    # ann_ivf_pq_top5 — the composed entry runs the same PQ encode +
+    # _adc_rank tree-top-k machinery PLUS the coarse-cell pruning
+    # equi-join, i.e. the actual billion-vector serving architecture; the
+    # ADC-only entry stays verified by the full-catalog oracle run)
+    "ann_ivf_pq_top5", "embed_knn_graph",
     "multimodal_dhash_pairs",
     # round-6 families: temporal joins/sessions, CCNet bands,
     # prototypicality + covariance (rotated in; the displaced i-variant /
@@ -6637,7 +6650,17 @@ _PRIORITY = [
     # (the STREAMING burn-rate twin takes the gate slot, zscore-stream
     # precedent: same oracle, plus a real three-micro-batch state-store
     # drive; the batch entry stays verified by the full-catalog run)
+    # (round 12: the BATCH burn-rate entry JOINS its streaming twin —
+    # the batch fixture sweeps the full series set in one query, pinning
+    # the multiwindow ratio-of-sums + both-horizons AND over every series
+    # at once rather than the twin's three micro-batches;
+    # embed_prototypicality rotates out to make room — its seeded-cell
+    # assignment + per-cell mean-direction cosine machinery is pinned
+    # in-gate by embed_knn_graph (per-cell pairwise kernel) and
+    # embed_drift (per-cell mean directions), and stays verified by the
+    # full-catalog oracle run)
     "tsdb_asof_join", "events_funnel", "tsdb_slo_burn_stream",
+    "tsdb_slo_burn_rate",
     "text_intra_repetition", "text_length_quantiles",
     # (round 10: embed_covariance rotates out — per-dim moment sums are
     # pinned by embed_prototypicality AND the new embed_drift entry's
@@ -6645,7 +6668,7 @@ _PRIORITY = [
     # embed_drift adds the two-snapshot distribution-audit family, and
     # text_vocab_drift is its TEXT twin — the unigram JS-divergence
     # snapshot audit, a distinct vocabulary-granularity proof)
-    "embed_prototypicality", "embed_drift", "text_vocab_drift",
+    "embed_drift",
     # LLM-pipeline: mixture sampling
     # (sample_temperature rotates out for the round-7 interleave/audit
     # rows; round 9: sample_pack_sequences rotates out for
