@@ -1500,10 +1500,10 @@ from opentsdb_spark.pipeline.dedup import (  # noqa: E402
     simhash_pairs,
 )
 from opentsdb_spark.pipeline.multimodal import (  # noqa: E402
-    audio_dup_pairs, audio_fingerprint, audio_stats, byte_stats, dhash_dup_pairs,
-    dhash_images, docs_as_media, docs_as_raw_audio, docs_as_raw_images,
-    docs_as_raw_video, extract_features, frame_dup_pairs, resample_audio,
-    resize_images, sample_frames,
+    audio_class_pairs, audio_fingerprint, audio_stats, byte_stats,
+    dhash_class_pairs, dhash_images, docs_as_media, docs_as_raw_audio,
+    docs_as_raw_images, docs_as_raw_video, extract_features, frame_dup_pairs,
+    resample_audio, resize_images, sample_frames,
 )
 from opentsdb_spark.pipeline.similarity import (  # noqa: E402
     brute_force_topk, dequantized_view, embedding_stats, lsh_topk, quantize_embeddings,
@@ -3580,22 +3580,38 @@ def multimodal_dhash(spark, sf_dir):
 @register(
     "multimodal_dhash_pairs",
     f"""WITH {_dhash_ctes()},
-        band AS (SELECT doc_id, dhash, t.b, (dhash >> (t.b * 16)) & 65535 AS bh
-                 FROM dh CROSS JOIN generate_series(0, 3) t(b)),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                        a.dhash AS ha, b.dhash AS hb
+        cls AS (SELECT dhash, min(doc_id) AS rep, count(*) AS n
+                FROM dh GROUP BY dhash),
+        band AS (SELECT rep, dhash, n, t.b, (dhash >> (t.b * 16)) & 65535 AS bh
+                 FROM cls CROSS JOIN generate_series(0, 3) t(b)),
+        cand AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+                        a.dhash AS ha, b.dhash AS hb, a.n AS n_a, b.n AS n_b
                  FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
-                                        AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        FROM cand WHERE bit_count(xor(ha, hb)) <= 6""",
+                                        AND a.rep < b.rep)
+        SELECT rep_a, rep_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+               CAST(n_a * n_b AS BIGINT) AS n_pairs
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+        UNION ALL
+        SELECT rep, rep, CAST(n AS BIGINT), CAST(n AS BIGINT),
+               CAST(0 AS INT), CAST(n * (n - 1) // 2 AS BIGINT)
+        FROM cls WHERE n >= 2""",
 )
 def multimodal_dhash_pairs(spark, sf_dir):
-    """Perceptual near-duplicate image pairs (dHash + 16-bit band LSH + exact
-    Hamming verify). The oracle replicates the banding too, so the candidate
-    recall contract — not just the verify — is value-checked, same shape as
-    dedup_simhash."""
+    """Perceptual near-duplicate image pairs at clone-CLASS granularity
+    (dHash -> 16-bit band LSH over one representative per identical-hash
+    class -> exact Hamming verify). Round 12 switched this row from member
+    pairs to class pairs: the occupancy audit proved candidate generation
+    stays FLAT under banding while member-pair OUTPUT grows as k^2 in
+    clone-clique size, so a real pipeline materializes classes
+    (rep_a, rep_b, n_a, n_b, hamming, n_pairs) and expands only bounded
+    subsets on demand. The oracle replicates the class build AND the
+    banding, so candidate recall stays value-checked;
+    expand_class_pairs(class output) == dhash_dup_pairs(member output) is
+    pinned by test_pipeline."""
     media = docs_as_raw_images(_docs(spark, sf_dir), _IMG_W, _IMG_H)
-    return dhash_dup_pairs(media, max_hamming=6)
+    return dhash_class_pairs(media, max_hamming=6)
 
 
 def _frame_dh_ctes() -> str:
@@ -3976,22 +3992,36 @@ def multimodal_audio_fp(spark, sf_dir):
     "multimodal_audio_dedup",
     f"""WITH {_audio_fp_ctes()},
         nz AS (SELECT doc_id, afp FROM afp WHERE afp <> 0),
-        band AS (SELECT doc_id, afp, tb.b, (afp >> (tb.b * 16)) & 65535 AS bh
-                 FROM nz CROSS JOIN generate_series(0, 3) tb(b)),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                        a.afp AS ha, b.afp AS hb
+        cls AS (SELECT afp, min(doc_id) AS rep, count(*) AS n
+                FROM nz GROUP BY afp),
+        band AS (SELECT rep, afp, n, tb.b, (afp >> (tb.b * 16)) & 65535 AS bh
+                 FROM cls CROSS JOIN generate_series(0, 3) tb(b)),
+        cand AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+                        a.afp AS ha, b.afp AS hb, a.n AS n_a, b.n AS n_b
                  FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
-                                        AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
+                                        AND a.rep < b.rep)
+        SELECT rep_a, rep_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+               CAST(n_a * n_b AS BIGINT) AS n_pairs
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        UNION ALL
+        SELECT rep, rep, CAST(n AS BIGINT), CAST(n AS BIGINT),
+               CAST(0 AS INT), CAST(n * (n - 1) // 2 AS BIGINT)
+        FROM cls WHERE n >= 2""",
 )
 def multimodal_audio_dedup(spark, sf_dir):
     """Near-duplicate audio detection at max_hamming=3 (exhaustive banding
-    by pigeonhole), flat envelopes excluded — dedup now covers all three
-    modalities (text MinHash/SimHash, image/video dHash, audio envelope
-    fingerprint) on the same band machinery, each value-checked."""
+    by pigeonhole), flat envelopes excluded, at clone-CLASS granularity
+    (round 12, same shift as multimodal_dhash_pairs: byte-identical
+    re-encodes form genuine k^2-member cliques, so the row emits
+    (rep_a, rep_b, n_a, n_b, hamming, n_pairs) class rows — output linear
+    in classes — and expand_class_pairs == audio_dup_pairs is pinned by
+    test). Dedup covers all three modalities (text MinHash/SimHash,
+    image/video dHash, audio envelope fingerprint) on the same band
+    machinery, each value-checked incl. candidate recall."""
     media = docs_as_raw_audio(_docs(spark, sf_dir), _AUD_N, _AUD_IN)
-    return audio_dup_pairs(media, max_hamming=3)
+    return audio_class_pairs(media, max_hamming=3)
 
 
 @register(

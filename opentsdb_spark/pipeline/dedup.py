@@ -1043,6 +1043,105 @@ def band_pairs_64(
     return _band_pairs_direct(hs, hash_col, id_col, max_hamming, max_bucket)
 
 
+def band_class_pairs_64(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+    persist: bool = True,
+) -> DataFrame:
+    """Clone-CLASS near-dup pairs over a 64-bit hash column — the
+    LINEAR-OUTPUT form of ``band_pairs_64``. Identical hashes form a clone
+    class (rep = min id, n = members); the banded candidate join and exact
+    Hamming verify run over one representative per class, and the output
+    stays at class granularity instead of expanding back to member pairs:
+
+      - cross-class rows ``(rep_a, rep_b, n_a, n_b, hamming, n_pairs)``
+        with ``rep_a < rep_b`` and ``n_pairs = n_a * n_b`` member pairs;
+      - within-class rows ``(rep, rep, n, n, 0, n*(n-1)/2)`` for n >= 2.
+
+    ``expand_class_pairs`` reconstructs the exact ``band_pairs_64`` member
+    frame from this plus the (id, __rep) membership — pinned equivalent by
+    tests — so downstream consumers that only need clique mass (canonical
+    selection, dedup accounting, CC edges via the rep graph) never
+    materialize the k^2 member pairs a clique of k re-encodes implies.
+    That k^2 blow-up, not candidate generation, is what the occupancy
+    audit showed driving the member-pair output at scale: candidates stay
+    FLAT under banding while replicated clones form genuine k^2-member
+    cliques. Output here is linear in classes + verified class pairs.
+
+    Same contracts as ``band_pairs_64``: NULL hashes never pair,
+    exhaustive for max_hamming <= 3 by pigeonhole over the four 16-bit
+    bands, ``max_bucket`` counts distinct hash values per band bucket, and
+    the only shuffles carry 16-byte (id, hash) / (hash, rep, n) rows."""
+    hs = _persist_small(
+        hashes.where(F.col(hash_col).isNotNull()).select(id_col, hash_col),
+        persist,
+    )
+    # map-side-combinable class build — no window: (hash) -> (rep, n)
+    classes = _persist_small(
+        hs.groupBy(hash_col).agg(
+            F.min(id_col).alias("__rep"), F.count("*").alias("__n")),
+        persist,
+    )
+    rep_pairs = _band_pairs_direct(
+        classes.select(F.col("__rep").alias(id_col), hash_col),
+        hash_col, id_col, max_hamming, max_bucket,
+    )
+    sa = classes.select(F.col("__rep").alias("id_a"), F.col("__n").alias("n_a"))
+    sb = classes.select(F.col("__rep").alias("id_b"), F.col("__n").alias("n_b"))
+    cross = (
+        rep_pairs.join(sa, on="id_a").join(sb, on="id_b")
+        .select(
+            F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"),
+            "n_a", "n_b", "hamming",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+        )
+    )
+    within = classes.where(F.col("__n") >= 2).select(
+        F.col("__rep").alias("rep_a"), F.col("__rep").alias("rep_b"),
+        F.col("__n").alias("n_a"), F.col("__n").alias("n_b"),
+        F.lit(0).cast("integer").alias("hamming"),
+        F.expr("__n * (__n - 1) DIV 2").cast("long").alias("n_pairs"),
+    )
+    return cross.unionByName(within)
+
+
+def expand_class_pairs(class_pairs: DataFrame, members: DataFrame,
+                       id_col: str = "doc_id",
+                       score_col: str = "hamming") -> DataFrame:
+    """Member-pair EXPANSION VIEW over ``band_class_pairs_64`` output:
+    given the class pairs and the (id, __rep) membership (``_clone_members``
+    shape), reconstruct the exact member-level frame ``band_pairs_64``
+    emits — (id_a, id_b, score) with id_a < id_b, cross-class pairs
+    inheriting the class score and within-class pairs scoring 0. This is
+    the equivalence proof for the linear-output form (and the escape hatch
+    for a consumer that genuinely needs member pairs for one bounded
+    class subset — filter ``class_pairs`` first, then expand)."""
+    cross_cp = class_pairs.where(F.col("rep_a") != F.col("rep_b"))
+    ma = members.select(F.col("__rep").alias("rep_a"), F.col(id_col).alias("__ma"))
+    mb = members.select(F.col("__rep").alias("rep_b"), F.col(id_col).alias("__mb"))
+    cross = (
+        cross_cp.join(ma, on="rep_a").join(mb, on="rep_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            score_col,
+        )
+    )
+    within_cp = class_pairs.where(F.col("rep_a") == F.col("rep_b")) \
+        .select("rep_a", score_col)
+    m1 = members.select(F.col("__rep").alias("rep_a"), F.col(id_col).alias("id_a"))
+    m2 = members.select(F.col("__rep").alias("rep_a"), F.col(id_col).alias("id_b"))
+    within = (
+        within_cp.join(m1, on="rep_a").join(m2, on="rep_a")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", score_col)
+    )
+    return cross.unionByName(within)
+
+
 def _band_pairs_direct(
     hashes: DataFrame,
     hash_col: str,

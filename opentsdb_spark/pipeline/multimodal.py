@@ -311,6 +311,27 @@ def audio_dup_pairs(
                          max_hamming=max_hamming, max_bucket=max_bucket)
 
 
+def audio_class_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_windows: int = 65,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Clone-class (LINEAR-output) form of ``audio_dup_pairs``: identical
+    fingerprints collapse to one class row and the output stays at class
+    granularity — (rep_a, rep_b, n_a, n_b, hamming, n_pairs) — instead of
+    materializing the k^2 member pairs a clique of k byte-identical
+    re-encodes implies. ``pipeline.dedup.expand_class_pairs`` reconstructs
+    the exact member frame (pinned equivalent by tests). Same flat-envelope
+    exclusion and band/verify contracts as the member-pair form."""
+    from opentsdb_spark.pipeline.dedup import band_class_pairs_64
+
+    fp = audio_fingerprint(media, n_windows).where(F.col("afp") != 0)
+    return band_class_pairs_64(fp, "afp", id_col="media_id",
+                               max_hamming=max_hamming,
+                               max_bucket=max_bucket)
+
+
 def audio_stats(media: DataFrame) -> DataFrame:
     """Per-clip s16le signal stats: sample count, RMS, peak |amplitude|, and
     strict zero crossings (adjacent samples with opposite nonzero signs) —
@@ -562,6 +583,32 @@ def dhash_dup_pairs(
 
     hashes = dhash_images(media, hash_w=hash_w, hash_h=hash_h)
     return band_pairs_64(
+        hashes, "dhash", id_col="media_id",
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    )
+
+
+def dhash_class_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Clone-class (LINEAR-output) form of ``dhash_dup_pairs``: images with
+    identical dHashes collapse to one class row (rep = min media_id,
+    n = members) and the output stays at class granularity —
+    (rep_a, rep_b, n_a, n_b, hamming, n_pairs) — instead of the k^2 member
+    pairs per clique that the occupancy audit showed dominating member-pair
+    output at scale (candidate generation stays flat under banding; the
+    expansion is the quadratic part). ``pipeline.dedup.expand_class_pairs``
+    reconstructs the exact ``dhash_dup_pairs`` frame — pinned equivalent by
+    tests — so nothing is lost, only deferred to the consumer that truly
+    needs member pairs for a bounded subset."""
+    from opentsdb_spark.pipeline.dedup import band_class_pairs_64
+
+    hashes = dhash_images(media, hash_w=hash_w, hash_h=hash_h)
+    return band_class_pairs_64(
         hashes, "dhash", id_col="media_id",
         max_hamming=max_hamming, max_bucket=max_bucket,
     )

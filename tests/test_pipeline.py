@@ -3278,3 +3278,93 @@ def test_route_order_by_decimal_precision_gate(spark):
     assert _route_order_by_to_quality(
         [F.desc("lo")], schema=schema) == ("lo", True)
     assert _route_order_by_to_quality([F.desc("hi")], schema=schema) is None
+
+
+def test_band_class_pairs_expand_equals_member_pairs(spark):
+    """Clone-class pairs + expansion view == band_pairs_64 member output,
+    bit for bit, on a fixture with multi-member clone cliques (the k^2
+    case the class form exists to avoid), a near-dup cross pair, a far
+    hash and a NULL. Class rows themselves: within rows carry n*(n-1)/2,
+    cross rows n_a*n_b."""
+    from opentsdb_spark.pipeline.dedup import (
+        _clone_members, band_class_pairs_64, band_pairs_64,
+        expand_class_pairs)
+
+    rows = [(0, 5), (1, 5), (2, 5), (3, 4), (7, 5 ^ 2), (8, -1),
+            (9, None)]
+    hs = spark.createDataFrame(rows, "doc_id long, h long")
+    classes = band_class_pairs_64(hs, "h", max_hamming=2).collect()
+    got = {(r["rep_a"], r["rep_b"]): (r["n_a"], r["n_b"], r["hamming"],
+                                      r["n_pairs"]) for r in classes}
+    assert got[(0, 0)] == (3, 3, 0, 3)          # clique {0,1,2}: 3 pairs
+    assert got[(0, 3)] == (3, 1, 1, 3)          # 5 vs 4 = hamming 1
+    assert got[(0, 7)] == (3, 1, 1, 3)          # 5 vs 5^1
+    assert got[(3, 7)] == (1, 1, 2, 1)          # 4 vs 4^... = hamming 2
+    assert not any(8 in k or 9 in k for k in got)
+    members = _clone_members(
+        hs.where(F.col("h").isNotNull()).select("doc_id", "h"),
+        "doc_id", "h", persist=False)
+    expanded = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                expand_class_pairs(
+                    band_class_pairs_64(hs, "h", max_hamming=2),
+                    members).collect()}
+    member = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+              band_pairs_64(hs, "h", max_hamming=2).collect()}
+    assert expanded == member
+    assert sum(v for *_, v in
+               [(k, got[k][3]) for k in got]) == len(member)
+
+
+def test_multimodal_class_pairs_expand_equals_member(spark):
+    """dhash_class_pairs / audio_class_pairs expansion == the member-pair
+    functions on real media fixtures with byte-identical clones."""
+    import numpy as np
+
+    from opentsdb_spark.pipeline.dedup import (
+        _clone_members, expand_class_pairs)
+    from opentsdb_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, audio_class_pairs, audio_dup_pairs, audio_fingerprint,
+        dhash_class_pairs, dhash_dup_pairs, dhash_images,
+        docs_as_raw_images)
+
+    w, h = 9, 8
+    base = bytes(([0, 255] * 40)[: w * h])
+    flip = bytearray(base); flip[0], flip[1] = 255, 0
+    rows = [(i, "image", bytearray(base), ("image/x-raw-gray8", w, h, None))
+            for i in range(3)]  # 3-clone clique
+    rows += [(3, "image", bytearray(flip), ("image/x-raw-gray8", w, h, None)),
+             (4, "image", None, ("image/x-raw-gray8", w, h, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    cls = {(r["rep_a"], r["rep_b"]): (r["n_a"], r["n_b"], r["n_pairs"])
+           for r in dhash_class_pairs(media, max_hamming=3).collect()}
+    assert cls[(0, 0)] == (3, 3, 3) and cls[(0, 3)] == (3, 1, 3)
+    members = _clone_members(
+        dhash_images(media).where(F.col("dhash").isNotNull()),
+        "media_id", "dhash", persist=False)
+    expanded = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                expand_class_pairs(dhash_class_pairs(media, max_hamming=3),
+                                   members, id_col="media_id").collect()}
+    member = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+              dhash_dup_pairs(media, max_hamming=3).collect()}
+    assert expanded == member and (0, 1) in member
+
+    rng = np.random.RandomState(3)
+    sig = rng.randint(-3000, 3000, 130, dtype="<i2")
+    near = sig.copy(); near[:2] -= 20000
+    arows = [(i, "audio", bytearray(sig.tobytes()),
+              ("audio/x-raw-s16le", None, None, 1)) for i in range(2)]
+    arows += [(2, "audio", bytearray(near.tobytes()),
+               ("audio/x-raw-s16le", None, None, 1)),
+              (3, "audio", bytearray(np.zeros(130, dtype="<i2").tobytes()),
+               ("audio/x-raw-s16le", None, None, 1))]
+    amedia = spark.createDataFrame(arows, MEDIA_SCHEMA)
+    amembers = _clone_members(
+        audio_fingerprint(amedia).where(
+            F.col("afp").isNotNull() & (F.col("afp") != 0)),
+        "media_id", "afp", persist=False)
+    aexp = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            expand_class_pairs(audio_class_pairs(amedia, max_hamming=3),
+                               amembers, id_col="media_id").collect()}
+    amember = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+               audio_dup_pairs(amedia, max_hamming=3).collect()}
+    assert aexp == amember and (0, 1) in amember

@@ -301,6 +301,27 @@ def test_dhash_pairs_never_shuffles_image_bytes(spark):
         assert "media#" not in e, f"image bytes in a shuffle: {e}"
 
 
+def test_dhash_class_pairs_never_shuffles_image_bytes(spark):
+    """The clone-class pair form keeps the same shuffle contract as the
+    member form: only (id/hash/band/count) rows move — the media binary
+    may not appear in any exchange."""
+    import re
+
+    from opentsdb_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, dhash_class_pairs)
+
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(bytes([i % 251] * 72)),
+          ("image/x-raw-gray8", 9, 8, None)) for i in range(6)],
+        MEDIA_SCHEMA,
+    )
+    plan = _plan(dhash_class_pairs(media, max_hamming=6))
+    exchanges = re.findall(r"Exchange [^\n]*", plan)
+    assert exchanges, "expected at least the class-build shuffle"
+    for e in exchanges:
+        assert "media#" not in e, f"image bytes in a shuffle: {e}"
+
+
 def test_audio_pairs_never_shuffle_audio_bytes(spark):
     """audio_fingerprint -> audio_dup_pairs: the candidate stage shuffles
     only (id, afp, band, bh) rows — the media binary may not appear in any

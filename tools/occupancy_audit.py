@@ -86,6 +86,12 @@ def audit_dhash(spark, sf_dir: str) -> dict:
     t0 = time.time()
     occ["out_pairs"] = dhash_dup_pairs(media, max_hamming=6).count()
     occ["out_wall_s"] = round(time.time() - t0, 2)
+    # clone-class form (round 12): output linear in classes — the member
+    # k^2 mass rides in n_pairs instead of rows
+    from opentsdb_spark.pipeline.multimodal import dhash_class_pairs
+    t0 = time.time()
+    occ["out_class_pairs"] = dhash_class_pairs(media, max_hamming=6).count()
+    occ["out_class_wall_s"] = round(time.time() - t0, 2)
     return occ
 
 
@@ -104,6 +110,10 @@ def audit_audio(spark, sf_dir: str) -> dict:
     t0 = time.time()
     occ["out_pairs"] = audio_dup_pairs(media, max_hamming=3).count()
     occ["out_wall_s"] = round(time.time() - t0, 2)
+    from opentsdb_spark.pipeline.multimodal import audio_class_pairs
+    t0 = time.time()
+    occ["out_class_pairs"] = audio_class_pairs(media, max_hamming=3).count()
+    occ["out_class_wall_s"] = round(time.time() - t0, 2)
     return occ
 
 
