@@ -5181,6 +5181,95 @@ def tsdb_slo_burn_stream(spark, sf_dir):
     )
 
 
+@register(
+    "gexp_anomaly_zscore",
+    f"""WITH {_base_sql_ctes('p', 'purchase')},
+        w AS (SELECT user, b, v, count(v) OVER fr AS n, sum(v) OVER fr AS s,
+                     sum(v * v) OVER fr AS ss
+              FROM p WINDOW fr AS (PARTITION BY user ORDER BY b
+                                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        m AS (SELECT user, b,
+                     CASE WHEN n >= 3 AND {_ZV} > 0
+                          THEN (v - s / n) / sqrt({_ZV}) END AS z
+              FROM w)
+        SELECT user, CAST(b AS BIGINT) AS ts_sec, {RND.format('z')} AS value_r
+        FROM m WHERE abs(z) > 2.0""",
+)
+def gexp_anomaly_zscore(spark, sf_dir):
+    """The z-score alert through the QUERY API, not the Python module: the
+    gexp string parser routes anomalyZscore(<m= leaf>, lookback, threshold)
+    into operators.expressions.anomaly_points — the marker series of
+    buckets whose trailing |z| over the previous 24 buckets of their own
+    per-user series exceeds 2, valued at the z-score (reference-style
+    ExpressionFactory registry surface, parse.py _build_dispatch). Same
+    explicit sum/sumsq IEEE moment formula as the batch/stream rows, so
+    scores hash-check; the m= leaf's zero-filled grid is the alert
+    evaluation window a TSD would scan."""
+    df = parse_gexp(
+        "anomalyZscore(sum:1h-sum-zero:purchase{user=literal_or(1|2|3)},"
+        "24,2)",
+        _pts(spark, sf_dir), START_MS, END_MS,
+    )
+    return df.select("user", _ts_sec(), _vr(F.col("value")))
+
+
+def _count_grid_sql(cte_id: str, metric: str) -> str:
+    # zero-filled hourly event-COUNT grid with no grouping — the SQL
+    # replica of the m= leaf `sum:1h-count-zero:<metric>` (per-series
+    # count downsample, zero fill, summed across series = bucket total)
+    return f"""{cte_id}_ub AS (
+          SELECT {H_SEC} AS b, count(*) AS s
+          FROM events WHERE event_type = '{metric}'
+            AND epoch_ms(ts) >= {START_MS} AND epoch_ms(ts) < {END_MS}
+          GROUP BY 1),
+        {cte_id} AS (
+          SELECT g.b, CAST(coalesce(ub.s, 0) AS DOUBLE) AS v
+          FROM (SELECT unnest(generate_series({START_SEC}, {END_SEC - 3600},
+                                              3600)) AS b) g
+          LEFT JOIN {cte_id}_ub ub ON g.b = ub.b)"""
+
+
+@register(
+    "gexp_burn_rate",
+    f"""WITH {_count_grid_sql('ge', 'error')}, {_count_grid_sql('gc', 'click')},
+        {_count_grid_sql('gv', 'view')}, {_count_grid_sql('gp', 'purchase')},
+        {_count_grid_sql('gu', 'signup')},
+        j AS (SELECT ge.b, ge.v AS bad,
+                     ge.v + gc.v + gv.v + gp.v + gu.v AS total
+              FROM ge JOIN gc ON ge.b = gc.b JOIN gv ON ge.b = gv.b
+                   JOIN gp ON ge.b = gp.b JOIN gu ON ge.b = gu.b),
+        w AS (SELECT b, sum(bad) OVER fs AS bs, sum(total) OVER fs AS ts_,
+                     sum(bad) OVER fl AS bl, sum(total) OVER fl AS tl
+              FROM j
+              WINDOW fs AS (ORDER BY b ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+                     fl AS (ORDER BY b ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        m AS (SELECT b, CASE WHEN ts_ > 0 THEN (bs / ts_) / 0.1 END AS burn_s,
+                     CASE WHEN tl > 0 THEN (bl / tl) / 0.1 END AS burn_l
+              FROM w)
+        SELECT CAST(b AS BIGINT) AS ts_sec,
+               {RND.format('least(burn_s, burn_l)')} AS value_r
+        FROM m WHERE burn_s >= 2.5 AND burn_l >= 2.5""",
+)
+def gexp_burn_rate(spark, sf_dir):
+    """Multiwindow burn-rate alerting through the QUERY API: the gexp
+    parser routes burnRate(<bad>, <total>, short, long, budget, factor)
+    into operators.expressions.burn_points — buckets where BOTH the
+    1-bucket and 6-bucket trailing error-share burns exceed 2.5x the 0.1
+    budget, valued at the effective burn least(short, long). The bad side
+    is the error-count leaf; the total side is a NESTED
+    sumSeries(...) of all five event types' count leaves, so the row also
+    pins gexp composition under a multi-arg function. Counts are integers
+    in doubles — window sums are exact, rates hash-check bit-for-bit."""
+    leaves = ",".join(
+        f"sum:1h-count-zero:{m2}"
+        for m2 in ("error", "click", "view", "purchase", "signup"))
+    df = parse_gexp(
+        f"burnRate(sum:1h-count-zero:error,sumSeries({leaves}),1,6,0.1,2.5)",
+        _pts(spark, sf_dir), START_MS, END_MS,
+    )
+    return df.select(_ts_sec(), _vr(F.col("value")))
+
+
 def _hourly_metric_grid(spark, sf_dir):
     """Hourly per-metric sum grid over the gate window — the shared feed
     of the batch and streamed z-score entries."""

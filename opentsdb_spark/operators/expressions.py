@@ -240,3 +240,60 @@ def slo_burn_rate(
         .withColumn("burn_long", bl)
         .withColumn("is_burning", alert)
     )
+
+
+def anomaly_points(
+    df: DataFrame,
+    series_cols: tuple[str, ...],
+    lookback: int = 24,
+    threshold: float = 2.0,
+    min_points: int = 3,
+) -> DataFrame:
+    """gexp-facing form of ``anomaly_zscore``: the ANOMALY series — only
+    the points whose trailing |z| exceeds ``threshold``, valued at the
+    z-score. A gexp function must return one [*group tagks, ts, value]
+    series per group, so the full scored frame cannot ride through the
+    expression tree; the marker-series cut keeps the threshold parameter
+    load-bearing (it decides which points exist) and renders directly as
+    alert markers over the raw series in the graph layer. The full
+    (value, zscore, is_anomaly) detail stays available on the Python
+    operator."""
+    scored = anomaly_zscore(df, series_cols, lookback=lookback,
+                            threshold=threshold, min_points=min_points)
+    return scored.where(F.col("is_anomaly")).select(
+        *series_cols, "ts", F.col("zscore").alias("value"))
+
+
+def burn_points(
+    bad: DataFrame,
+    total: DataFrame,
+    series_cols: tuple[str, ...],
+    short_window: int = 1,
+    long_window: int = 6,
+    error_budget: float = 0.05,
+    factor: float = 2.0,
+) -> DataFrame:
+    """gexp-facing form of ``slo_burn_rate``: BURNING buckets only, valued
+    at the effective burn rate ``least(burn_short, burn_long)`` — the
+    page-worthy magnitude, since the multiwindow alert condition is
+    exactly min(burns) >= factor when both horizons share the factor.
+    ``bad`` and ``total`` are two aligned [*series_cols, ts, value]
+    series (numerator and denominator MUST arrive separately: a
+    pre-divided ratio series would force averaging per-bucket ratios,
+    which lets zero-traffic buckets dominate — the exact failure
+    ratio-of-sums exists to avoid). Sides are outer-joined on
+    (*series_cols, ts) with missing sides as 0 traffic, so a grid gap on
+    one side cannot silently drop the bucket."""
+    b = bad.select(*series_cols, "ts", F.col("value").alias("bad"))
+    t = total.select(*series_cols, "ts", F.col("value").alias("total"))
+    j = b.join(t, on=[*series_cols, "ts"], how="full_outer").select(
+        *series_cols, "ts",
+        F.coalesce("bad", F.lit(0.0)).alias("bad"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+    out = slo_burn_rate(j, series_cols, short_window=short_window,
+                        long_window=long_window, error_budget=error_budget,
+                        factor=factor)
+    return out.where(F.col("is_burning")).select(
+        *series_cols, "ts",
+        F.least("burn_short", "burn_long").alias("value"))

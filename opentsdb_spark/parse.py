@@ -425,11 +425,55 @@ def _series_param_fn(fn_name):
     return h
 
 
+def _anomaly_zscore_h(args, ev):
+    """anomalyZscore(<query>, <lookback>, <threshold>) — the alerting
+    marker series: points whose trailing z-score (vs. the previous
+    <lookback> buckets of their own series) exceeds <threshold> in
+    absolute value, valued at the z-score."""
+    from opentsdb_spark.operators import expressions as gx
+
+    if len(args) != 3:
+        raise ValueError(
+            "anomalyZscore takes (query, lookback, threshold), got "
+            f"{len(args)} args")
+    df, cols = ev(args[0])
+    return gx.anomaly_points(
+        df, cols, lookback=int(args[1].strip()),
+        threshold=float(args[2].strip())), cols
+
+
+def _burn_rate_h(args, ev):
+    """burnRate(<bad query>, <total query>, <short>, <long>, <budget>,
+    <factor>) — multiwindow SLO burn alerting: buckets where BOTH the
+    short and long trailing ratio-of-sums burns exceed <factor>, valued
+    at the effective burn least(short, long). Numerator and denominator
+    arrive as separate sub-queries (ratio-of-sums needs the raw sums; a
+    pre-divided series would average per-bucket ratios)."""
+    from opentsdb_spark.operators import expressions as gx
+
+    if len(args) != 6:
+        raise ValueError(
+            "burnRate takes (bad, total, short, long, budget, factor), "
+            f"got {len(args)} args")
+    bad, cb = ev(args[0])
+    total, ct = ev(args[1])
+    if cb != ct:
+        raise ValueError("burnRate sub-queries need matching group keys")
+    return gx.burn_points(
+        bad, total, cb,
+        short_window=int(args[2].strip()),
+        long_window=int(args[3].strip()),
+        error_budget=float(args[4].strip()),
+        factor=float(args[5].strip())), cb
+
+
 def _build_dispatch():
     from opentsdb_spark.operators import expressions as gx
 
     d = {}
     d["absolute"] = _unary(lambda df, _p: gx.absolute(df))
+    d["anomalyZscore"] = _anomaly_zscore_h
+    d["burnRate"] = _burn_rate_h
     d["firstDiff"] = lambda args, ev: (lambda t: (gx.first_diff(t[0], t[1]), t[1]))(ev(args[0]))
     for name in ("scale", "alias", "movingAverage", "timeShift", "shift",
                  "highestMax", "highestCurrent"):

@@ -778,3 +778,93 @@ def test_tsuids_param_alias_and_arrays_flag(fixture_points):
          "m": "sum:10m-avg:sys.cpu.user", "arrays": ""},
     )
     assert isinstance(arr[0]["dps"], list) and len(arr[0]["dps"][0]) == 2
+
+
+def test_parse_gexp_anomaly_zscore(fixture_points):
+    """anomalyZscore through the gexp string parser: the linear-ramp
+    fixture series has a CONSTANT trailing z once the window is full
+    (mean lags by (n+1)/2 steps, std is the fixed arithmetic-progression
+    spread), so every post-warmup bucket flags at threshold 1 with one of
+    three exact |z| values (3-, 4- and 5-point windows) and none at a
+    threshold above them; the threshold is load-bearing, not decorative."""
+    df = parse_gexp(
+        "anomalyZscore(sum:10m-avg:sys.cpu.user{host=*},5,1)",
+        fixture_points, EPOCH * 1000, (EPOCH + 100_000) * 1000,
+    )
+    got = {(r["host"], int(r["ts"].timestamp())): r["value"]
+           for r in df.collect()}
+    # pure-Python replica: 10m bucket averages, trailing 5-bucket
+    # sum/sumsq moments (self excluded), |z| > 1 flagged
+    series = {"web01": {}, "web02": {}}
+    for i in range(300):
+        b = (EPOCH + 30 * (i + 1)) // 600 * 600
+        series["web01"].setdefault(b, []).append(float(i + 1))
+        series["web02"].setdefault(b, []).append(float(300 - i))
+    exp = {}
+    for host, by_b in series.items():
+        buckets = sorted(by_b)
+        avgs = [sum(by_b[b]) / len(by_b[b]) for b in buckets]
+        for j, b in enumerate(buckets):
+            w = avgs[max(0, j - 5):j]
+            n = len(w)
+            if n < 3:
+                continue
+            mean = sum(w) / n
+            var = (sum(x * x for x in w) - n * mean * mean) / (n - 1)
+            if var <= 0:
+                continue
+            z = (avgs[j] - mean) / var ** 0.5
+            if abs(z) > 1:
+                exp[(host, b)] = z
+    assert exp and set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9, (k, got[k], exp[k])
+        v = got[k]
+        assert v > 0 if k[0] == "web01" else v < 0  # ramps up vs down
+    none = parse_gexp(
+        "anomalyZscore(sum:10m-avg:sys.cpu.user{host=*},5,2.5)",
+        fixture_points, EPOCH * 1000, (EPOCH + 100_000) * 1000,
+    )
+    assert none.count() == 0
+    with pytest.raises(ValueError, match="anomalyZscore takes"):
+        parse_gexp("anomalyZscore(sum:10m-avg:sys.cpu.user)",
+                   fixture_points, EPOCH * 1000, (EPOCH + 100_000) * 1000)
+
+
+def test_parse_gexp_burn_rate(fixture_points):
+    """burnRate through the gexp string parser, against a pure-Python
+    ratio-of-sums replica over the fixture's 10m bucket averages: bad =
+    the ascending web01 series (non-grouping filter block), total = both
+    hosts, so the error share ramps 0 -> 1 and exactly the late buckets
+    fire at factor 2 over the 0.25 budget."""
+    from opentsdb_spark.parse import gexp_metrics
+
+    expr = ("burnRate(sum:10m-avg:sys.cpu.user{}{host=literal_or(web01)},"
+            "sum:10m-avg:sys.cpu.user,1,3,0.25,2)")
+    assert gexp_metrics(expr) == ["sys.cpu.user", "sys.cpu.user"]
+    df = parse_gexp(expr, fixture_points,
+                    EPOCH * 1000, (EPOCH + 100_000) * 1000)
+    got = {int(r["ts"].timestamp()): r["value"] for r in df.collect()}
+    w1, w2 = {}, {}
+    for i in range(300):
+        b = (EPOCH + 30 * (i + 1)) // 600 * 600
+        w1.setdefault(b, []).append(float(i + 1))
+        w2.setdefault(b, []).append(float(300 - i))
+    buckets = sorted(w1)
+    bad = [sum(w1[b]) / len(w1[b]) for b in buckets]
+    tot = [bad[j] + sum(w2[b]) / len(w2[b]) for j, b in enumerate(buckets)]
+    exp = {}
+    for j, b in enumerate(buckets):
+        lo = max(0, j - 2)
+        bs = (bad[j] / tot[j]) / 0.25
+        bl = (sum(bad[lo:j + 1]) / sum(tot[lo:j + 1])) / 0.25
+        if bs >= 2 and bl >= 2:
+            exp[b] = min(bs, bl)
+    assert exp and set(got) == set(exp)
+    for b in exp:
+        assert abs(got[b] - exp[b]) < 1e-9
+    with pytest.raises(ValueError, match="matching group keys"):
+        parse_gexp(
+            "burnRate(sum:10m-avg:sys.cpu.user{host=*},"
+            "sum:10m-avg:sys.cpu.user,1,3,0.25,2)",
+            fixture_points, EPOCH * 1000, (EPOCH + 100_000) * 1000)
