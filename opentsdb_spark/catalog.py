@@ -1825,8 +1825,9 @@ _GRAMS_CTE = """g AS (
 @register(
     "dedup_incremental_cc",
     f"""WITH RECURSIVE {_GRAMS_CTE},
-        {_jaccard_pairs_scoped('p', 'doc_id % 3 <> 0')},
-        pairsp AS (SELECT id_a, id_b FROM jp WHERE jac >= 0.5),
+        {_jaccard_pairs_scoped('f', 'TRUE')},
+        pairsp AS (SELECT id_a, id_b FROM jf
+                   WHERE jac >= 0.5 AND id_a % 3 <> 0 AND id_b % 3 <> 0),
         edgesp AS (SELECT id_a AS u, id_b AS v FROM pairsp
                    UNION SELECT id_b, id_a FROM pairsp),
         reachp(u, r) AS (
@@ -1837,7 +1838,6 @@ _GRAMS_CTE = """g AS (
         prev AS (SELECT d.doc_id, coalesce(ccp.component, d.doc_id) AS component
                  FROM documents d LEFT JOIN ccp ON d.doc_id = ccp.doc_id
                  WHERE d.doc_id % 3 <> 0),
-        {_jaccard_pairs_scoped('f', 'TRUE')},
         pairsn AS (SELECT id_a, id_b FROM jf
                    WHERE jac >= 0.5 AND (id_a % 3 = 0 OR id_b % 3 = 0)),
         star AS (SELECT doc_id AS u, component AS v FROM prev
@@ -1859,25 +1859,36 @@ _GRAMS_CTE = """g AS (
 def dedup_incremental_cc(spark, sf_dir):
     """Incremental connected-component maintenance
     (pipeline.cluster.incremental_components): yesterday's corpus
-    (doc_id % 3 != 0) already carries CC labels from its own
-    jaccard-pair run; today's batch (doc_id % 3 == 0) contributes only
-    the NEW pairs (>= 1 new endpoint, df caps over the full corpus —
-    what incremental candidate generation emits), and labels update by
-    re-running CC over (star edges of the TOUCHED components ∪ new
-    pairs) only. Untouched components never re-shuffle — the
+    (doc_id % 3 != 0) already carries CC labels; today's batch
+    (doc_id % 3 == 0) contributes only the NEW pairs (>= 1 new
+    endpoint — what incremental candidate generation emits), and labels
+    update by re-running CC over (star edges of the TOUCHED components
+    ∪ new pairs) only. Untouched components never re-shuffle — the
     batch-bounded nightly shape, where recomputing the full historical
-    pair closure is exactly what a 100 TB pipeline cannot afford. The
-    oracle replays the same two-phase construction: prev closure,
-    star-edge union, incremental closure, coalesced singletons."""
+    pair closure is exactly what a 100 TB pipeline cannot afford.
+
+    Fixture shape (round-12 CPU autopsy: the old two-pass fixture was
+    ~75% of this row's 14.6 CPU-s): ONE jaccard-pair run over the full
+    corpus, split by endpoint parity into yesterday's pairs (both
+    endpoints old — fed through a full CC to mint yesterday's labels)
+    and today's arrivals, mirroring a real nightly where stored and
+    arriving pairs come from the same candidate machinery and df caps.
+    The oracle replays the same single-chain construction: prev closure
+    over the old-endpoint subset, star-edge union, incremental closure,
+    coalesced singletons."""
     from opentsdb_spark.pipeline.cluster import (
         dedup_assign_clusters, incremental_components)
 
     docs = _docs(spark, sf_dir)
     old = docs.where(F.col("doc_id") % 3 != 0)
-    prev_pairs = ngram_jaccard_pairs(old, n=5, threshold=0.5, max_df=50)
+    # one pair run, materialized once — it feeds the prev-CC iterations
+    # AND the arrivals split
+    full_pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_df=50) \
+        .localCheckpoint()
+    prev_pairs = full_pairs.where(
+        (F.col("id_a") % 3 != 0) & (F.col("id_b") % 3 != 0))
     prev = dedup_assign_clusters(old, prev_pairs, id_col="doc_id") \
         .select("doc_id", "component")
-    full_pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5, max_df=50)
     new_pairs = full_pairs.where(
         (F.col("id_a") % 3 == 0) | (F.col("id_b") % 3 == 0))
     inc = incremental_components(prev, new_pairs, id_col="doc_id")
