@@ -5501,7 +5501,14 @@ def tsdb_sessionize(spark, sf_dir):
 def tsdb_interval_join(spark, sf_dir):
     """Interval-containment join (operators/asof.py binned equi-join):
     clicks by the same user inside the 2-hour window after each error
-    event, vs DuckDB's plain BETWEEN theta join."""
+    event, vs DuckDB's plain BETWEEN theta join.
+
+    Scale-sweep note (round-12 autopsy): under the Kx replica the output
+    is K^2-truthful — replicas share user ids and clock hours, so each
+    window genuinely contains Kx clicks and there are Kx windows (725
+    rows at 1x -> exactly 900x at 30x) while the wall grew only ~7x; the
+    binned equi-join is sub-output, and a real Kx corpus (new users/
+    periods, not densified cells) scales linearly."""
     from opentsdb_spark.operators.asof import interval_join
 
     ev = load_table(spark, sf_dir, "events")

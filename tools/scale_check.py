@@ -96,10 +96,15 @@ QUERIES = [
 # filter variants, gexp/exp families, downsample/agg variants, rollups,
 # UID/tree/annotations, sampling/text/multimodal variants). Mostly cheap
 # — each is one line here so the sweep measures ALL plans, not just the
-# headline ones. The three micro-batch REPLAY entries are excluded:
-# their wall is the streaming replay harness (tempdir feeds +
-# processAllAvailable barriers + a driver-side collect of the whole
-# corpus at Kx), not an engine plan the ratio would describe.
+# headline ones.
+#
+# Known output-truthful ratio: tsdb_interval_join's output grows K^2
+# under this replica (user ids and clock hours are shared across copies,
+# so each error window genuinely contains Kx clicks and there are Kx
+# windows — 725 rows at 1x, 652,500 = exactly 900x at 30x) while its
+# wall grew only ~7x; the binned equi-join is SUB-output, not
+# superlinear. A real Kx corpus adds new users/periods, not density in
+# the same (user, hour) cells.
 LONG_TAIL = [
     "ann_bruteforce_top5", "ann_hard_negatives", "ann_ivf_fixed_top5",
     "ann_ivf_top5", "ann_quantized_top5", "annotations_overlap",
@@ -148,9 +153,38 @@ LONG_TAIL = [
     "tsdb_rate_first_vs_zero", "tsdb_sessionize", "tsdb_suggest_metrics",
     "tsdb_tsuid_direct", "uid_metrics_listing",
     "dedup_incremental_cc", "ann_pq_adc_top5", "tsdb_slo_burn_rate", "ann_ivf_pq_top5",
-    # (tsdb_slo_burn_stream excluded: micro-batch replay harness, not a plan)
+    "gexp_anomaly_zscore", "gexp_burn_rate",
 ]
 QUERIES = QUERIES + LONG_TAIL
+
+# The ONLY catalog rows outside the sweep, by design: these five drive
+# fixed micro-batch REPLAYS (tempdir file feeds + processAllAvailable
+# barriers + a driver-side collect/reshape of the replayed output), so
+# their wall measures the replay harness, not an engine plan, and a
+# data-scale ratio is ill-defined for them. Their ENGINE machinery is
+# swept through the batch twins (tsdb_anomaly_zscore, tsdb_slo_burn_rate,
+# dedup_incremental_cc/dedup_cluster_cc, dedup_incremental,
+# corpus_source_mix). The assert keeps this exclusion list exact: a new
+# catalog row must either join the sweep or be added here explicitly.
+STREAMING_REPLAY_EXCLUDED = {
+    "ann_incremental",
+    "dedup_components_stream",
+    "streaming_source_mix",
+    "tsdb_anomaly_zscore_stream",
+    "tsdb_slo_burn_stream",
+}
+
+
+def _assert_sweep_covers_catalog() -> None:
+    from opentsdb_spark import catalog
+
+    missing = set(catalog.CATALOG) - set(QUERIES) - STREAMING_REPLAY_EXCLUDED
+    assert not missing, (
+        f"catalog queries absent from the scale sweep: {sorted(missing)} — "
+        "add them to QUERIES/LONG_TAIL or, if they are micro-batch replay "
+        "harnesses, to STREAMING_REPLAY_EXCLUDED")
+    stale = set(QUERIES) - set(catalog.CATALOG)
+    assert not stale, f"swept queries no longer in the catalog: {sorted(stale)}"
 
 
 def replicate(spark, k: int, out_dir: str) -> None:
@@ -226,6 +260,7 @@ def main() -> None:
     argv = [a for a in sys.argv[1:]
             if a not in ("--reuse-replica", "--core")]
     reuse = "--reuse-replica" in sys.argv
+    _assert_sweep_covers_catalog()  # full-list invariant, before any trim
     if "--core" in sys.argv:  # the pre-long-tail headline sweep
         QUERIES[:] = [q for q in QUERIES if q not in LONG_TAIL]
     k = int(argv[0]) if argv else 10
