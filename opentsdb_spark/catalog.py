@@ -2714,24 +2714,42 @@ def _simhash_xxh_oracle(max_hamming: int) -> str:
         th AS (SELECT tok.doc_id, th0.h FROM tok JOIN th0 ON tok.tw = th0.s),
         bsum AS (SELECT doc_id, {bsums} FROM th GROUP BY doc_id),
         sh AS (SELECT doc_id, ({rebuild}) AS sh FROM bsum),
-        band AS (SELECT doc_id, sh, t.b, (sh >> (t.b * 16)) & 65535 AS bh
-                 FROM sh CROSS JOIN generate_series(0, 3) t(b)),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                        a.sh AS ha, b.sh AS hb
+        cls AS (SELECT sh, min(doc_id) AS rep, count(*) AS n
+                FROM sh GROUP BY sh),
+        band AS (SELECT rep, sh, n, t.b, (sh >> (t.b * 16)) & 65535 AS bh
+                 FROM cls CROSS JOIN generate_series(0, 3) t(b)),
+        cand AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+                        a.sh AS ha, b.sh AS hb, a.n AS n_a, b.n AS n_b
                  FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
-                                        AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+                                        AND a.rep < b.rep)
+        SELECT rep_a, rep_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+               CAST(n_a * n_b AS BIGINT) AS n_pairs
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+        UNION ALL
+        SELECT rep, rep, CAST(n AS BIGINT), CAST(n AS BIGINT),
+               CAST(0 AS BIGINT), CAST(n * (n - 1) // 2 AS BIGINT)
+        FROM cls WHERE n >= 2"""
 
 
 @register("dedup_simhash", _simhash_xxh_oracle(10))
 def dedup_simhash(spark, sf_dir):
     """Production-default SimHash (xxhash64 token hash), hash-checked
-    against the pure-SQL XXH64 oracle replica. max_bucket left at its
-    never-binding-at-gate-scale default, mirroring the uncapped oracle."""
+    against the pure-SQL XXH64 oracle replica, at clone-CLASS granularity
+    (round 12, same shift as the dhash/audio rows: SCALE100 showed the
+    member-pair form's 50x wall was k^2 clone expansion, not candidates —
+    the class form is linear in classes and the expansion equivalence is
+    pinned by test_band_class_pairs_expand_equals_member_pairs).
+    max_bucket left at its never-binding-at-gate-scale default, mirroring
+    the uncapped oracle."""
+    from opentsdb_spark.pipeline.dedup import simhash_class_pairs
+
     docs = _docs(spark, sf_dir)
-    out = simhash_pairs(docs, max_hamming=10)
-    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    out = simhash_class_pairs(docs, max_hamming=10)
+    return out.select(
+        "rep_a", "rep_b", "n_a", "n_b",
+        F.col("hamming").cast("long").alias("hamming"), "n_pairs")
 
 
 # ---- md5-keyed checked variants of the hash pipelines ----------------------
@@ -2799,23 +2817,37 @@ def _simhash_md5_oracle(max_hamming: int) -> str:
         th AS (SELECT doc_id, {_MD5H.format('tw')} AS h FROM tok),
         bsum AS (SELECT doc_id, {bsums} FROM th GROUP BY doc_id),
         sh AS (SELECT doc_id, ({rebuild}) AS sh FROM bsum),
-        band AS (SELECT doc_id, sh, t.b, (sh >> (t.b * 16)) & 65535 AS bh
-                 FROM sh CROSS JOIN generate_series(0, 3) t(b)),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                        a.sh AS ha, b.sh AS hb
+        cls AS (SELECT sh, min(doc_id) AS rep, count(*) AS n
+                FROM sh GROUP BY sh),
+        band AS (SELECT rep, sh, n, t.b, (sh >> (t.b * 16)) & 65535 AS bh
+                 FROM cls CROSS JOIN generate_series(0, 3) t(b)),
+        cand AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+                        a.sh AS ha, b.sh AS hb, a.n AS n_a, b.n AS n_b
                  FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
-                                        AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
+                                        AND a.rep < b.rep)
+        SELECT rep_a, rep_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,
+               CAST(n_a * n_b AS BIGINT) AS n_pairs
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+        UNION ALL
+        SELECT rep, rep, CAST(n AS BIGINT), CAST(n AS BIGINT),
+               CAST(0 AS BIGINT), CAST(n * (n - 1) // 2 AS BIGINT)
+        FROM cls WHERE n >= 2"""
 
 
 @register("dedup_simhash_md5", _simhash_md5_oracle(10))
 def dedup_simhash_md5(spark, sf_dir):
     # max_bucket left at its (never-binding at gate scale) default: the
-    # oracle mirrors the uncapped pipeline
+    # oracle mirrors the uncapped pipeline; clone-class output like the
+    # xxhash64 row (round 12)
+    from opentsdb_spark.pipeline.dedup import simhash_class_pairs
+
     docs = _docs(spark, sf_dir)
-    out = simhash_pairs(docs, max_hamming=10, hash_fn=md5_hash64)
-    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    out = simhash_class_pairs(docs, max_hamming=10, hash_fn=md5_hash64)
+    return out.select(
+        "rep_a", "rep_b", "n_a", "n_b",
+        F.col("hamming").cast("long").alias("hamming"), "n_pairs")
 
 
 # ---- exact hyperplane-LSH oracles ------------------------------------------

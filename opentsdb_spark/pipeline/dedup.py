@@ -1043,6 +1043,26 @@ def band_pairs_64(
     return _band_pairs_direct(hs, hash_col, id_col, max_hamming, max_bucket)
 
 
+def simhash_class_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+    persist: bool = True,
+) -> DataFrame:
+    """Clone-class (LINEAR-output) form of ``simhash_pairs`` — same
+    banding/verify contracts, output at clone-class granularity
+    (rep_a, rep_b, n_a, n_b, hamming, n_pairs) via ``band_class_pairs_64``;
+    ``expand_class_pairs`` reconstructs the exact member frame (pinned by
+    test). The k^2 member expansion, not candidate generation, is what
+    dominated member-pair output on clone-heavy corpora at scale."""
+    sh = simhash(docs, content_col, id_col, hash_fn)
+    return band_class_pairs_64(sh, "simhash", id_col, max_hamming,
+                               max_bucket, persist=persist)
+
+
 def band_class_pairs_64(
     hashes: DataFrame,
     hash_col: str,

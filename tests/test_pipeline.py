@@ -107,11 +107,25 @@ def test_ngram_dedup_survives_short_docs(spark, docs):
 
 
 def test_simhash(docs):
+    from opentsdb_spark.pipeline.dedup import (
+        _clone_members, expand_class_pairs, simhash_class_pairs)
+
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sh[0] == sh[1]
     out = simhash_pairs(docs, max_hamming=10).collect()
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert pairs[(0, 1)] == 0
+    # clone-class form: expansion == member pairs, clique {0,1} is a
+    # within-class row
+    cls = {(r["rep_a"], r["rep_b"]): (r["n_a"], r["n_b"], r["n_pairs"])
+           for r in simhash_class_pairs(docs, max_hamming=10).collect()}
+    assert cls[(0, 0)][:2] == (2, 2) and cls[(0, 0)][2] == 1
+    members = _clone_members(simhash(docs), "doc_id", "simhash",
+                             persist=False)
+    expanded = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                expand_class_pairs(simhash_class_pairs(docs, max_hamming=10),
+                                   members).collect()}
+    assert expanded == pairs
 
 
 def test_embedding_dup(vecs):
