@@ -712,6 +712,48 @@ def frame_dup_pairs(
     )
 
 
+def frame_class_pairs(
+    media: DataFrame,
+    every_ms: int,
+    max_hamming: int = 3,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Clone-class (LINEAR-output) form of ``frame_dup_pairs`` — completes
+    the class-pair family across all banded modalities (text SimHash,
+    image dHash, audio envelope, video frames). Same packing domain guard
+    and flat-frame exclusion; output at frame-clone-class granularity:
+    (media_a, frame_a, media_b, frame_b, n_a, n_b, hamming, n_pairs) with
+    the representative = min packed fid per identical frame hash, so a
+    repeated intro/slate appearing in thousands of videos is one class
+    row, not a frame-pair clique. ``pipeline.dedup.expand_class_pairs``
+    on the packed fids reconstructs the member frame (pinned by test)."""
+    from opentsdb_spark.pipeline.dedup import band_class_pairs_64
+
+    hashes = dhash_frames(sample_frames(media, every_ms), hash_w, hash_h)
+    valid = (F.col("frame_idx") >= 0) & (F.col("frame_idx") < 65536) & \
+        (F.col("media_id") >= 0) & (F.col("media_id") < (1 << 47))
+    packed = hashes.where(F.col("dhash") != 0).select(
+        F.when(valid, F.col("media_id") * 65536 + F.col("frame_idx"))
+        .otherwise(F.raise_error(F.format_string(
+            "frame_class_pairs: unpackable (media_id=%s, frame_idx=%s) — "
+            "media_id must be in [0, 2^47) and frame_idx in [0, 65536)",
+            F.col("media_id"), F.col("frame_idx")))).alias("fid"),
+        "dhash",
+    ).distinct()
+    cls = band_class_pairs_64(packed, "dhash", id_col="fid",
+                              max_hamming=max_hamming,
+                              max_bucket=max_bucket)
+    return cls.select(
+        F.expr("rep_a DIV 65536").alias("media_a"),
+        F.pmod("rep_a", F.lit(65536)).cast("int").alias("frame_a"),
+        F.expr("rep_b DIV 65536").alias("media_b"),
+        F.pmod("rep_b", F.lit(65536)).cast("int").alias("frame_b"),
+        "n_a", "n_b", "hamming", "n_pairs",
+    )
+
+
 def scene_cuts(
     media: DataFrame,
     every_ms: int,

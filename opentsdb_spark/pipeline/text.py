@@ -178,15 +178,23 @@ def chunk_docs(
     (split -> sequence -> slice) over one scan; the explode multiplies rows
     but never shuffles.
 
+    The word split is STAGED through its own projection (round-12
+    autopsy, same trap as fingerprint_docs): inlined in the transform()
+    lambda the interpreted HOF re-evaluated the split per chunk —
+    staging it is a measured 2.9x wall (4.4 -> 1.5 s at 100x sf0.1),
+    bit-identical, and flows to every chunk consumer (paragraph_dedup,
+    ccnet bands, text_chunks).
+
     Returns (id, chunk_pos, chunk)."""
-    words = _words(F.col(content_col))
-    n_chunks = F.floor(F.size(words) / chunk_words).cast("int")
+    ws = docs.select(id_col, _words(F.col(content_col)).alias("__w"))
+    n_chunks = F.floor(F.size("__w") / chunk_words).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " "),
+        lambda i: F.array_join(
+            F.slice(F.col("__w"), i * chunk_words + 1, chunk_words), " "),
     )
     return (
-        docs.where(n_chunks > 0)
+        ws.where(n_chunks > 0)
         .select(id_col, F.posexplode(chunks).alias("chunk_pos", "chunk"))
     )
 

@@ -3382,3 +3382,47 @@ def test_multimodal_class_pairs_expand_equals_member(spark):
     amember = {(r["id_a"], r["id_b"]): r["hamming"] for r in
                audio_dup_pairs(amedia, max_hamming=3).collect()}
     assert aexp == amember and (0, 1) in amember
+
+
+def test_frame_class_pairs_expand_equals_member(spark):
+    """frame_class_pairs: the repeated-still clique {(0,0),(0,2),(1,0)}
+    collapses to ONE within-class row carrying its 3 member pairs, and
+    expanding the class frame over the packed-fid membership reproduces
+    frame_dup_pairs exactly."""
+    from opentsdb_spark.pipeline.dedup import (
+        _clone_members, expand_class_pairs)
+    from opentsdb_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, dhash_frames, frame_class_pairs, frame_dup_pairs,
+        sample_frames)
+
+    busy = bytes([10, 200, 30, 90])
+    other = bytes([200, 10, 90, 250])
+    flat = bytes([9] * 4)
+    rows = [
+        (0, "video", bytearray(busy + flat + busy), ("video/x-raw-gray8", 2, 2, 300)),
+        (1, "video", bytearray(busy + flat + other), ("video/x-raw-gray8", 2, 2, 300)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    cls = {((r["media_a"], r["frame_a"]), (r["media_b"], r["frame_b"])):
+           (r["n_a"], r["n_b"], r["hamming"], r["n_pairs"])
+           for r in frame_class_pairs(media, 100, max_hamming=0).collect()}
+    # one within-class row for the 3-member clique, rep = min fid (0,0)
+    assert cls == {((0, 0), (0, 0)): (3, 3, 0, 3)}
+    members = _clone_members(
+        dhash_frames(sample_frames(media, 100))
+        .where(F.col("dhash").isNotNull() & (F.col("dhash") != 0))
+        .select((F.col("media_id") * 65536 + F.col("frame_idx")).alias("fid"),
+                "dhash").distinct(),
+        "fid", "dhash", persist=False)
+    packed_cls = frame_class_pairs(media, 100, max_hamming=0).select(
+        (F.col("media_a") * 65536 + F.col("frame_a")).alias("rep_a"),
+        (F.col("media_b") * 65536 + F.col("frame_b")).alias("rep_b"),
+        "hamming")
+    expanded = {(r["id_a"] // 65536, r["id_a"] % 65536,
+                 r["id_b"] // 65536, r["id_b"] % 65536): r["hamming"]
+                for r in expand_class_pairs(packed_cls, members,
+                                            id_col="fid").collect()}
+    member = {(r["media_a"], r["frame_a"], r["media_b"], r["frame_b"]):
+              r["hamming"]
+              for r in frame_dup_pairs(media, 100, max_hamming=0).collect()}
+    assert expanded == member
