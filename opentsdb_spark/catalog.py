@@ -1502,7 +1502,7 @@ from opentsdb_spark.pipeline.dedup import (  # noqa: E402
 from opentsdb_spark.pipeline.multimodal import (  # noqa: E402
     audio_class_pairs, audio_fingerprint, audio_stats, byte_stats,
     dhash_class_pairs, dhash_images, docs_as_media, docs_as_raw_audio,
-    docs_as_raw_images, docs_as_raw_video, extract_features, frame_dup_pairs,
+    docs_as_raw_images, docs_as_raw_video, extract_features,
     resample_audio, resize_images, sample_frames,
 )
 from opentsdb_spark.pipeline.similarity import (  # noqa: E402
@@ -3691,23 +3691,6 @@ def _frame_dh_ctes() -> str:
                FROM bits GROUP BY doc_id, fidx)"""
 
 
-def _frame_dhash_pairs_oracle(max_hamming: int) -> str:
-    # flat frames (dhash = 0) dropped, banding replicated on the packed
-    # media*65536+frame key — the exact frame_dup_pairs contract
-    # including candidate recall.
-    return f"""WITH {_frame_dh_ctes()},
-        nz AS (SELECT doc_id * 65536 + fidx AS fid, dh FROM dh WHERE dh <> 0),
-        band AS (SELECT fid, dh, tb.b, (dh >> (tb.b * 16)) & 65535 AS bh
-                 FROM nz CROSS JOIN generate_series(0, 3) tb(b)),
-        cand AS (SELECT DISTINCT a.fid AS fa, b.fid AS fb, a.dh AS ha, b.dh AS hb
-                 FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
-                                        AND a.fid < b.fid)
-        SELECT fa // 65536 AS media_a, CAST(fa % 65536 AS INT) AS frame_a,
-               fb // 65536 AS media_b, CAST(fb % 65536 AS INT) AS frame_b,
-               CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}"""
-
-
 def _scene_cuts_oracle(threshold: int) -> str:
     cut = f"COALESCE(hamming_prev >= {threshold}, FALSE)"
     return f"""WITH {_frame_dh_ctes()},
@@ -3790,16 +3773,58 @@ def multimodal_shot_keyframes(spark, sf_dir):
     return shot_keyframes(media, _VID_EVERY_MS, threshold=16)
 
 
-@register("multimodal_frame_dedup", _frame_dhash_pairs_oracle(3))
+def _frame_class_pairs_oracle(max_hamming: int) -> str:
+    # Clone-class form over the packed media*65536+frame key: identical
+    # frame hashes collapse to (rep = min fid, n) BEFORE banding, exactly
+    # like the dhash/simhash/audio class oracles; within-class rows are
+    # unconditional (band_class_pairs_64 contract), cross-class rows band
+    # one rep per class and verify exact Hamming — so candidate recall
+    # stays value-checked at class granularity.
+    return f"""WITH {_frame_dh_ctes()},
+        nz AS (SELECT doc_id * 65536 + fidx AS fid, dh FROM dh WHERE dh <> 0),
+        cls AS (SELECT dh, min(fid) AS rep, count(*) AS n FROM nz GROUP BY dh),
+        band AS (SELECT rep, dh, n, t.b, (dh >> (t.b * 16)) & 65535 AS bh
+                 FROM cls CROSS JOIN generate_series(0, 3) t(b)),
+        cand AS (SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+                        a.dh AS ha, b.dh AS hb, a.n AS n_a, b.n AS n_b
+                 FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh
+                                        AND a.rep < b.rep),
+        cp AS (SELECT rep_a, rep_b,
+                      CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                      CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+                      CAST(n_a * n_b AS BIGINT) AS n_pairs
+               FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+               UNION ALL
+               SELECT rep, rep, CAST(n AS BIGINT), CAST(n AS BIGINT),
+                      CAST(0 AS INT), CAST(n * (n - 1) // 2 AS BIGINT)
+               FROM cls WHERE n >= 2)
+        SELECT rep_a // 65536 AS media_a, CAST(rep_a % 65536 AS INT) AS frame_a,
+               rep_b // 65536 AS media_b, CAST(rep_b % 65536 AS INT) AS frame_b,
+               n_a, n_b, hamming, n_pairs
+        FROM cp"""
+
+
+@register("multimodal_frame_dedup", _frame_class_pairs_oracle(3))
 def multimodal_frame_dedup(spark, sf_dir):
-    """Cross-video near-duplicate frame detection (repeated stills/slates):
-    sample -> dHash -> banded Hamming pairs at max_hamming=3 (exhaustive by
-    pigeonhole over 4 bands), flat frames excluded. Hash-checked end to end
-    including the flat-frame filter and the packed-id ordering."""
+    """Cross-video near-duplicate frame detection (repeated stills/slates)
+    at clone-CLASS granularity: sample -> dHash -> identical-hash classes
+    over the packed fid -> banded Hamming at max_hamming=3 (exhaustive by
+    pigeonhole over 4 bands) over one representative per class, flat
+    frames excluded. Round 13 switched this row from member pairs to
+    frame_class_pairs, completing the class-output family (text SimHash,
+    image dHash, audio envelope, video frames): a slate repeated across
+    thousands of videos is one class row carrying its k^2 pair mass in
+    n_pairs, not a frame-pair clique. The oracle replicates the class
+    build AND the banding, so candidate recall stays value-checked;
+    expand_class_pairs(class output) == frame_dup_pairs(member output) is
+    pinned by test_pipeline, and the member form stays available as
+    frame_dup_pairs."""
+    from opentsdb_spark.pipeline.multimodal import frame_class_pairs
+
     media = docs_as_raw_video(
         _docs(spark, sf_dir), _VID_W, _VID_H, _VID_FRAMES, _VID_FRAME_MS
     )
-    return frame_dup_pairs(media, _VID_EVERY_MS, max_hamming=3)
+    return frame_class_pairs(media, _VID_EVERY_MS, max_hamming=3)
 
 
 # Raw s16le audio geometry shared by the audio entries and their oracles:
@@ -6661,7 +6686,16 @@ _PRIORITY = [
     # IEEE moment formula, PLUS a real three-micro-batch drive through
     # the state store; the batch entry stays verified by the full-catalog
     # oracle run and the streaming==batch pytest pin)
-    "tsdb_anomaly_zscore_stream", "tsdb_rate_ds_sum",
+    # (round 13: tsdb_anomaly_zscore_stream rotates out for
+    # gexp_anomaly_zscore — the gexp row is the only proof the
+    # reference-style ExpressionFactory string path routes alerting
+    # end-to-end (parse.py anomalyZscore dispatch -> anomaly_points ->
+    # the same anomaly_zscore IEEE moment formula), while the stream
+    # twin's applyInPandasWithState state-store drive stays pinned
+    # in-gate by tsdb_slo_burn_stream (streaming/stateful.py, same
+    # replay pattern) and the streaming==batch equality by pytest; the
+    # stream row stays verified by the full-catalog oracle run)
+    "gexp_anomaly_zscore", "tsdb_rate_ds_sum",
     # cross-series aggregation + interpolation (§2.3/2.4) incl. the
     # raw-resolution line-sweep strategy (the 100TB-scale stress path);
     # avg_raw exercises the sweep's sum+count decomposition with grouping
@@ -6828,8 +6862,15 @@ _PRIORITY = [
     # in-gate by embed_knn_graph (per-cell pairwise kernel) and
     # embed_drift (per-cell mean directions), and stays verified by the
     # full-catalog oracle run)
+    # (round 13: the BATCH tsdb_slo_burn_rate rotates out for
+    # gexp_burn_rate — burn_points wraps the SAME slo_burn_rate operator
+    # (operators/expressions.py:267 -> :188) over a full-catalog-sized
+    # series sweep, PLUS the m=/gexp string-parser path with a nested
+    # sumSeries total, i.e. a strict superset of the batch row's
+    # machinery; the batch entry stays verified by the full-catalog
+    # oracle run, and the streaming twin keeps the state-store pin)
     "tsdb_asof_join", "events_funnel", "tsdb_slo_burn_stream",
-    "tsdb_slo_burn_rate",
+    "gexp_burn_rate",
     "text_intra_repetition", "text_length_quantiles",
     # (round 10: embed_covariance rotates out — per-dim moment sums are
     # pinned by embed_prototypicality AND the new embed_drift entry's

@@ -1091,10 +1091,17 @@ def band_class_pairs_64(
     FLAT under banding while replicated clones form genuine k^2-member
     cliques. Output here is linear in classes + verified class pairs.
 
-    Same contracts as ``band_pairs_64``: NULL hashes never pair,
-    exhaustive for max_hamming <= 3 by pigeonhole over the four 16-bit
-    bands, ``max_bucket`` counts distinct hash values per band bucket, and
-    the only shuffles carry 16-byte (id, hash) / (hash, rep, n) rows."""
+    Same contracts as ``band_pairs_64``'s COLLAPSE path: NULL hashes never
+    pair, exhaustive for max_hamming <= 3 by pigeonhole over the four
+    16-bit bands, ``max_bucket`` counts distinct hash values per band
+    bucket, and the only shuffles carry 16-byte (id, hash) /
+    (hash, rep, n) rows. Within-class rows are emitted UNCONDITIONALLY —
+    identical-hash pairs are never subject to ``max_bucket``, exactly like
+    ``_expand_clone_pairs`` on the collapse path — so when ``max_bucket``
+    binds, the expansion-equivalence claim is pinned against
+    ``band_pairs_64``'s collapsed path (the adaptive direct path drops
+    over-cap identical-hash pairs along with their bucket; the class form
+    deliberately does not)."""
     hs = _persist_small(
         hashes.where(F.col(hash_col).isNotNull()).select(id_col, hash_col),
         persist,

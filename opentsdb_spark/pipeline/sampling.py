@@ -188,13 +188,13 @@ def pack_sequences(
     )
 
 
-def uni_bigram_array(content_col: str) -> Column:
-    """Array of lowered unigrams ++ adjacent bigrams — THE gram shape of
-    the DSIR featurizer (Xie et al. 2023 §2.2), shared by the importance
-    weighter (exploded + hashed) and the quality classifier (fed whole to
-    HashingTF). One definition so the null-pad edge case below stays fixed
-    everywhere."""
-    words = F.regexp_extract_all(F.lower(F.col(content_col)), F.lit(r"\S+"), F.lit(0))
+def _bigram_concat(words: Column) -> Column:
+    """unigrams ++ adjacent bigrams over an ALREADY-STAGED word-array
+    column. ``words`` must be a bare column reference (staged through its
+    own select), never an inline split/regexp expression: the HOF lambdas
+    below are CodegenFallback-interpreted and re-evaluate their argument
+    per element, so an inline word split turns O(n) into O(n^2) — the
+    fingerprint/chunk staging precedent."""
     bigrams = F.filter(
         F.zip_with(
             words,
@@ -209,15 +209,42 @@ def uni_bigram_array(content_col: str) -> Column:
     return F.concat(words, bigrams)
 
 
+def uni_bigram_array(content_col: str) -> Column:
+    """Array of lowered unigrams ++ adjacent bigrams — THE gram shape of
+    the DSIR featurizer (Xie et al. 2023 §2.2), shared by the importance
+    weighter (exploded + hashed) and the quality classifier (fed whole to
+    HashingTF). One definition so the null-pad edge case stays fixed
+    everywhere. NOTE: this inlines the word split into the HOF tree —
+    convenient for one-shot use, but a hot path should stage the split
+    (see ``_hashed_ngram_feats``) so the interpreted lambdas don't
+    re-evaluate it."""
+    words = F.regexp_extract_all(F.lower(F.col(content_col)), F.lit(r"\S+"), F.lit(0))
+    return _bigram_concat(words)
+
+
 def _hashed_ngram_feats(docs: DataFrame, content_col: str, id_col: str,
-                        n_buckets: int, hash_fn) -> DataFrame:
-    """(id, bucket) rows — one per unigram/bigram OCCURRENCE, bucketed by
-    hash into ``n_buckets`` (the DSIR paper's hashed n-gram featurizer,
-    Xie et al. 2023 §2.2: uni+bi-grams hashed into 10k buckets)."""
-    return docs.select(
-        id_col, F.explode(uni_bigram_array(content_col)).alias("__g")
+                        n_buckets: int, hash_fn,
+                        extra: dict[str, Column] | None = None) -> DataFrame:
+    """(id[, *extra], bucket) rows — one per unigram/bigram OCCURRENCE,
+    bucketed by hash into ``n_buckets`` (the DSIR paper's hashed n-gram
+    featurizer, Xie et al. 2023 §2.2: uni+bi-grams hashed into 10k
+    buckets). The word split is STAGED through its own projection so the
+    interpreted bigram lambdas evaluate it once per row, not per element;
+    ``extra`` carries per-doc flag columns (e.g. the DSIR target
+    predicate) through the explode so callers need no corpus re-scan."""
+    extra = extra or {}
+    staged = docs.select(
+        id_col, *[c.alias(n) for n, c in extra.items()],
+        F.regexp_extract_all(
+            F.lower(F.col(content_col)), F.lit(r"\S+"), F.lit(0)
+        ).alias("__w"),
+    )
+    return staged.select(
+        id_col, *extra.keys(),
+        F.explode(_bigram_concat(F.col("__w"))).alias("__g"),
     ).select(
-        id_col, F.pmod(hash_fn(F.col("__g")), F.lit(n_buckets)).alias("bucket")
+        id_col, *extra.keys(),
+        F.pmod(hash_fn(F.col("__g")), F.lit(n_buckets)).alias("bucket"),
     )
 
 
@@ -243,42 +270,43 @@ def dsir_importance_weights(
     top-weight documents importance-resamples the corpus toward the target
     distribution — the standard domain-matching data-selection op.
 
-    Scale shape: the featurizer is a narrow explode (no payloads), both
-    probability tables are <= n_buckets rows built with map-side-combinable
-    counts and BROADCAST back, and the per-doc sum is one groupBy(id) —
-    nothing driver-side, no table ever exceeds n_buckets rows.
+    Scale shape (round-13 autopsy): TWO corpus explode passes total. The
+    target flag rides the featurizer as a per-doc column, so ONE pass
+    builds the <= n_buckets (bucket, raw_n, tgt_n) table — map-side
+    combinable, persisted so the totals/ratio diamond doesn't re-run the
+    explode — and the only other pass is the per-doc scoring join against
+    the BROADCAST ratio table. No separate target count() action: the
+    unseen-bucket Laplace floor s/(tgt_tot + s*B) is algebraically the
+    present-bucket formula (tgt_n + s)/(tgt_tot + s*B) at tgt_n = 0, so
+    one uniform expression covers both and the scalar never leaves the
+    plan. (The previous shape ran the featurizer ~4.5x: two prob tables,
+    a target count action, and the scoring join — and inlined the word
+    split into the interpreted bigram lambdas on every pass.)
 
     Returns (id, n_feats, log_weight)."""
+    from opentsdb_spark.pipeline.dedup import _persist_small
+
     hash_fn = hash_fn or F.xxhash64
-    feats = _hashed_ngram_feats(docs, content_col, id_col, n_buckets, hash_fn)
-    tgt_ids = docs.where(target_pred).select(id_col)
-    tgt_feats = feats.join(F.broadcast(tgt_ids), on=id_col, how="leftsemi")
-
-    def prob_table(f: DataFrame, p_name: str) -> DataFrame:
-        cnt = f.groupBy("bucket").agg(F.count("*").alias("__n"))
-        tot = cnt.agg(F.sum("__n").alias("__t"))
-        return cnt.crossJoin(F.broadcast(tot)).select(
-            "bucket",
-            ((F.col("__n") + F.lit(smoothing))
-             / (F.col("__t") + F.lit(smoothing * n_buckets))).alias(p_name),
-        )
-
-    tgt_tot = tgt_feats.count()  # scalar for the unseen-bucket floor
-    ratio = (
-        prob_table(feats, "p_raw")
-        .join(prob_table(tgt_feats, "p_tgt"), on="bucket", how="left")
-        .select(
-            "bucket",
-            (
-                F.log(F.coalesce(
-                    F.col("p_tgt"),
-                    F.lit(smoothing) / F.lit(tgt_tot + smoothing * n_buckets),
-                )) - F.log("p_raw")
-            ).alias("log_ratio"),
-        )
+    feats = _hashed_ngram_feats(docs, content_col, id_col, n_buckets,
+                                hash_fn, extra={"__t": target_pred})
+    bcnt = _persist_small(
+        feats.groupBy("bucket").agg(
+            F.count("*").alias("__rn"),
+            F.count_if(F.col("__t")).alias("__tn"),
+        ),
+        True,
+    )
+    tots = bcnt.agg(F.sum("__rn").alias("__rt"), F.sum("__tn").alias("__tt"))
+    sB = F.lit(smoothing * n_buckets)
+    ratio = bcnt.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (
+            F.log((F.col("__tn") + F.lit(smoothing)) / (F.col("__tt") + sB))
+            - F.log((F.col("__rn") + F.lit(smoothing)) / (F.col("__rt") + sB))
+        ).alias("log_ratio"),
     )
     return (
-        feats.join(F.broadcast(ratio), on="bucket")
+        feats.drop("__t").join(F.broadcast(ratio), on="bucket")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_feats"),

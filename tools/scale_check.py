@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Observation  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from opentsdb_spark.session import get_spark  # noqa: E402
@@ -104,7 +105,9 @@ QUERIES = [
 # windows — 725 rows at 1x, 652,500 = exactly 900x at 30x) while its
 # wall grew only ~7x; the binned equi-join is SUB-output, not
 # superlinear. A real Kx corpus adds new users/periods, not density in
-# the same (user, hour) cells.
+# the same (user, hour) cells. Since round 13 the sweep records
+# out_rows_base/out_rows_big per query, so this class of growth is
+# machine-visible in the artifact instead of lore.
 LONG_TAIL = [
     "ann_bruteforce_top5", "ann_hard_negatives", "ann_ivf_fixed_top5",
     "ann_ivf_top5", "ann_quantized_top5", "annotations_overlap",
@@ -230,7 +233,14 @@ def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, dict]:
     the query ("collapsed": True = exact-clone collapse engaged, False =
     probe bypassed it, None = no adaptive probe in the plan) — the gate
     changes which code path a sweep measured, so the artifact must say
-    which (round-7 ratios were unreadable without it)."""
+    which (round-7 ratios were unreadable without it).
+
+    OUTPUT ROWS ride the same job via ``df.observe`` (a CollectMetrics
+    count over the rows the noop sink already materializes — no second
+    execution), so output-truthful growth is machine-visible in the
+    artifact: tsdb_interval_join's K^2 rows and the class-pair families'
+    n_pairs mass used to live only in commit-message lore, and every
+    future reader had to re-derive why a 13x ratio was fine."""
     from opentsdb_spark import catalog
     from opentsdb_spark.pipeline import dedup as _dedup
 
@@ -244,15 +254,19 @@ def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, dict]:
         # contract). Each query still warms ITSELF across its repeats.
         spark.catalog.clearCache()
         fn = catalog.CATALOG[name].fn
-        best, collapsed = float("inf"), None
+        best, collapsed, rows = float("inf"), None, None
         for _ in range(repeat):
             _dedup.PROBE_EVENTS.clear()
+            obs = Observation()
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).observe(obs, F.count(F.lit(1)).alias("n")) \
+                .write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            rows = int(obs.get["n"])
             if _dedup.PROBE_EVENTS:
                 collapsed = any(_dedup.PROBE_EVENTS)
-        out[name] = {"best_s": round(best, 3), "collapsed": collapsed}
+        out[name] = {"best_s": round(best, 3), "rows": rows,
+                     "collapsed": collapsed}
     return out
 
 
@@ -286,20 +300,52 @@ def main() -> None:
     base_t = time_queries(spark, BASE)
     big_t = time_queries(spark, big)
     report = {}
-    print(f"\n{'query':28s} {'1x':>8s} {f'{k}x':>8s} {'ratio':>7s} collapse(1x/Kx)")
+    print(f"\n{'query':28s} {'1x':>8s} {f'{k}x':>8s} {'ratio':>7s}"
+          f" {'delta':>7s} {'rows 1x':>10s} {'rows Kx':>12s} collapse(1x/Kx)")
     for name in QUERIES:
         b, g = base_t[name], big_t[name]
         ratio = round(g["best_s"] / max(b["best_s"], 1e-9), 2)
         report[name] = {
             "base_s": b["best_s"], "big_s": g["best_s"], "ratio": ratio,
+            "delta_s": round(g["best_s"] - b["best_s"], 3),
+            "out_rows_base": b["rows"], "out_rows_big": g["rows"],
             "collapsed_base": b["collapsed"], "collapsed": g["collapsed"],
         }
         cb = {True: "coll", False: "pass", None: "-"}
         print(f"{name:28s} {b['best_s']:8.2f} {g['best_s']:8.2f} {ratio:7.2f}"
+              f" {g['best_s'] - b['best_s']:7.2f} {b['rows']:10d} {g['rows']:12d}"
               f" {cb[b['collapsed']]}/{cb[g['collapsed']]}")
+    # Ratio-optics guard: a sub-RATIO_FLOOR_S base wall is dominated by
+    # the ~0.2-0.3 s fixed per-query session/plan overhead, so its ratio
+    # overstates scaling (round 12: text_fingerprint read 28x while BOTH
+    # absolute walls improved). The frontier ranking therefore uses
+    # ratios only on >= RATIO_FLOOR_S bases, and ranks absolute Kx wall
+    # separately — the real frontier is the union of both lists.
+    RATIO_FLOOR_S = 0.4
+    worst_ratio = sorted(
+        ((r["ratio"], n) for n, r in report.items()
+         if r["base_s"] >= RATIO_FLOOR_S), reverse=True)[:10]
+    worst_abs = sorted(
+        ((r["big_s"], n) for n, r in report.items()), reverse=True)[:10]
+    print(f"\nworst ratios (base >= {RATIO_FLOOR_S}s; sub-floor bases are"
+          " fixed-overhead optics — see delta column):")
+    for ratio, n in worst_ratio:
+        r = report[n]
+        print(f"  {n:28s} ratio {ratio:6.2f}  {r['base_s']:.2f}s ->"
+              f" {r['big_s']:.2f}s  rows {r['out_rows_base']} ->"
+              f" {r['out_rows_big']}")
+    print(f"\nworst absolute {k}x walls:")
+    for wall, n in worst_abs:
+        r = report[n]
+        print(f"  {n:28s} {wall:6.2f}s  ratio {r['ratio']:.2f}  rows"
+              f" {r['out_rows_base']} -> {r['out_rows_big']}")
     if out_json:
         with open(out_json, "w") as f:
             json.dump({"k": k, "cache_cleared_between_queries": True,
+                       "ratio_floor_s": RATIO_FLOOR_S,
+                       "worst_ratio_ge_floor":
+                           [n for _, n in worst_ratio],
+                       "worst_abs": [n for _, n in worst_abs],
                        "queries": report}, f, indent=1, sort_keys=True)
         print(f"wrote {out_json}")
 
