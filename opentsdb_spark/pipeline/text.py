@@ -290,8 +290,16 @@ def strip_boilerplate_chunks(
     n_dropped) for docs keeping >= 1 chunk."""
     if max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
-    keys = chunk_docs(docs, chunk_words, content_col, id_col).select(
-        id_col, "chunk_pos", F.xxhash64("chunk").alias("__ch")
+    from opentsdb_spark.pipeline.dedup import _persist_small, _strike_rebuild
+
+    # the (id, pos, hash) key frame feeds BOTH the df aggregation and the
+    # strike-out semi-join — persist it so the chunk explode (split +
+    # slice/join transform over every doc) runs once, not twice
+    keys = _persist_small(
+        chunk_docs(docs, chunk_words, content_col, id_col).select(
+            id_col, "chunk_pos", F.xxhash64("chunk").alias("__ch")
+        ),
+        persist,
     )
     df = (
         keys.select(id_col, "__ch").distinct()
@@ -303,8 +311,6 @@ def strip_boilerplate_chunks(
     # — the shared covered-position strike helper of the span-removal ops.
     # The df aggregation dominates; persist the small (id, int) coverage
     # frame so repeated actions pay it once.
-    from opentsdb_spark.pipeline.dedup import _persist_small, _strike_rebuild
-
     covered = _persist_small(
         keys.join(drop_keys, on="__ch", how="left_semi")
         .select(id_col, F.col("chunk_pos").alias("__t")),
@@ -744,7 +750,11 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, content_col: str = "text",
         F.explode(_words(F.col(content_col))).alias("token"),
     ).where(F.col("token") != "")
     tf = words.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    df = words.groupBy("token").agg(F.count_distinct(id_col).alias("df"))
+    # df derived FROM tf (already one row per (doc, token)) instead of a
+    # second count_distinct over the raw explode: both branches now share
+    # an identical Exchange(doc, token) subtree, so ReuseExchange runs the
+    # corpus explode once — count(*) over tf rows == count_distinct(doc)
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("__n"))
     scored = (
         tf.join(df, on="token")
@@ -1449,30 +1459,45 @@ def gram_novelty(
     each doc by HOW MUCH of it is shared.
 
     Scale shape: per-doc distinct grams collapse to (id, xxhash64) rows
-    (text never shuffles); corpus df is one map-side-combinable count on
-    the 8-byte hash; the novelty join runs at gram-vocabulary granularity
-    and folds back to one combinable per-doc aggregate. A hash collision
-    could only merge two grams' df — the string-keyed oracle's value
-    compare would expose it.
+    (text never shuffles), persisted once; then TWO map-side-combinable
+    aggregations — per-doc gram counts, and per-hash (df, min id) where a
+    df-1 hash's single owner IS min(id) — joined at DOC granularity. The
+    gram frame itself never rides a join: the previous formulation
+    (grams JOIN df ON hash, then per-doc fold) shuffled every gram row
+    twice through the hash join; this one shuffles only combined partials
+    (docs + vocabulary), never gram occurrences. A hash collision could
+    only merge two grams' df — the string-keyed oracle's value compare
+    would expose it.
 
     Returns (id, n_grams, novel_grams, novelty) for docs with >= n
     words."""
-    from opentsdb_spark.pipeline.dedup import _gram_frame
+    from opentsdb_spark.pipeline.dedup import _gram_frame, _persist_small
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    grams = (
+    grams = _persist_small(
         _gram_frame(docs, content_col, id_col, n, distinct=True)
         .select(id_col, F.explode("grams").alias("g"))
-        .select(id_col, F.xxhash64("g").alias("__h"))
+        .select(id_col, F.xxhash64("g").alias("__h")),
+        True,
     )
-    df = grams.groupBy("__h").agg(F.count("*").alias("__df"))
-    return (
-        grams.join(df, on="__h")
+    per_doc = grams.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"))
+    # df == 1 means the hash has exactly ONE (id, hash) row, so min(id) is
+    # its sole owner — per-doc novel counts come from the vocabulary-
+    # granularity aggregate alone, no join back to the gram frame
+    novel = (
+        grams.groupBy("__h")
+        .agg(F.count("*").alias("__df"), F.min(id_col).alias(id_col))
+        .where(F.col("__df") == 1)
         .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum((F.col("__df") == 1).cast("long")).alias("novel_grams"),
+        .agg(F.count("*").cast("long").alias("novel_grams"))
+    )
+    return (
+        per_doc.join(novel, on=id_col, how="left")
+        .select(
+            id_col, "n_grams",
+            F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
         )
         .select(
             id_col, "n_grams", "novel_grams",
@@ -1622,16 +1647,18 @@ def source_ngram_overlap(
 
     100 TB shape: each source's gram set collapses to DISTINCT (source,
     xxhash64(gram)) rows first — map-side-combinable, bounded by
-    sources x vocabulary however many times a gram repeats; the pair join
-    is an equi-join of that frame with itself on the 8-byte hash, and a
-    gram contributes at most C(sources, 2) pair rows, so stop-grams
-    cannot blow up the join. Output is one row per source pair. A hash
-    collision could only merge two grams; the string-keyed oracle's value
-    compare would expose it.
+    sources x vocabulary however many times a gram repeats; then ONE
+    vocabulary-granularity aggregate collects each gram's source SET
+    (bounded by #sources) and expands it to its C(s, 2) ordered pairs
+    in-place — no self-join, so the distinct frame is never shuffled
+    through two extra exchanges. Source totals ride the same per-gram
+    set frame. Output is one row per source pair. A hash collision could
+    only merge two grams; the string-keyed oracle's value compare would
+    expose it.
 
     Returns (source_a, source_b, grams_a, grams_b, shared_grams, jaccard)
     for pairs sharing >= 1 gram, source_a < source_b."""
-    from opentsdb_spark.pipeline.dedup import _gram_frame
+    from opentsdb_spark.pipeline.dedup import _gram_frame, _persist_small
 
     sg = (
         _gram_frame(docs, content_col, id_col, n, distinct=True,
@@ -1640,13 +1667,26 @@ def source_ngram_overlap(
         .select(group_col, F.xxhash64("__g").alias("__gh"))
         .distinct()
     )
-    tot = sg.groupBy(group_col).agg(F.count("*").alias("__tot"))
-    a = sg.select(F.col(group_col).alias("source_a"), "__gh")
-    b = sg.select(F.col(group_col).alias("source_b"), "__gh")
+    per_gram = _persist_small(
+        sg.groupBy("__gh").agg(
+            F.array_sort(F.collect_set(group_col)).alias("__ss")),
+        True,
+    )
+    tot = per_gram.select(F.explode("__ss").alias(group_col)) \
+        .groupBy(group_col).agg(F.count("*").alias("__tot"))
+    ss = F.col("__ss")
+    pair_arr = F.flatten(F.transform(
+        ss,
+        lambda a, i: F.transform(
+            F.slice(ss, i + 2, F.size(ss)),
+            lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+        ),
+    ))
     inter = (
-        a.join(b, on="__gh")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        per_gram.where(F.size("__ss") > 1)
+        .select(F.explode(pair_arr).alias("__p"))
+        .groupBy(F.col("__p.source_a").alias("source_a"),
+                 F.col("__p.source_b").alias("source_b"))
         .agg(F.count("*").alias("shared_grams"))
     )
     ta = tot.select(F.col(group_col).alias("source_a"),
