@@ -1323,8 +1323,13 @@ def substring_dup_spans(
     never enters a shuffle; cross-doc discovery is distinct (hash, id)
     pairs then a partial-aggregated count per 8-byte hash (a boilerplate
     window in 1e9 docs is one combiner key, never a one-task sort); span
-    coverage re-explodes k positions for DUPLICATED windows only. The
-    window frame feeds three aggregates, so it is persisted once.
+    coverage folds each doc's DUPLICATED window positions to one sorted
+    int array and merges the [pos, pos+k-1] intervals doc-locally
+    (round-13 autopsy: the previous explode-k-positions + corpus-wide
+    distinct + countDistinct chain was the op's dominant stage — 31 s of
+    the ~50 s 30x pipeline — shuffling k x dup-window rows where one row
+    per dup window suffices). The window frame feeds three aggregates,
+    so it is persisted once.
 
     Returns (id, n_words, n_windows, n_dup_windows, dup_tokens, dup_frac),
     one row per input doc (docs shorter than k words score zeros)."""
@@ -1340,20 +1345,34 @@ def substring_dup_spans(
         .where(F.col("__nd") >= 2)
         .select("__h")
     )
-    dup_win = _persist_small(win.join(dup_h, on="__h", how="left_semi"), persist)
-    cov = (
-        dup_win.select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("__t"))
-        .groupBy(id_col).agg(F.countDistinct("__t").alias("dup_tokens"))
+    dup_win = win.join(dup_h, on="__h", how="left_semi")
+    # ONE aggregate over dup windows: count + sorted position array; the
+    # covered-token count is the interval-union length — positions are
+    # distinct per doc, so for sorted ps it is k (last interval) plus
+    # min(gap, k) per consecutive pair. Bounded by doc length, no
+    # occurrence-sized distinct.
+    per_doc = dup_win.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_windows"),
+        F.array_sort(F.collect_list("pos")).alias("__ps"),
     )
+    ps = F.col("__ps")
+    gaps = F.zip_with(
+        ps, F.slice(ps, 2, F.greatest(F.size(ps) - 1, F.lit(1))),
+        lambda a, b: F.when(b.isNotNull(), F.least(b - a, F.lit(k))),
+    )
+    cov_len = (
+        F.aggregate(F.filter(gaps, lambda x: x.isNotNull()),
+                    F.lit(0), lambda acc, x: acc + x) + F.lit(k)
+    )
+    cov = per_doc.select(
+        id_col, "n_dup_windows", cov_len.alias("dup_tokens"))
     n_win = win.groupBy(id_col).agg(F.count("*").alias("n_windows"))
-    n_dup = dup_win.groupBy(id_col).agg(F.count("*").alias("n_dup_windows"))
     base = docs.select(
         id_col,
         F.size(F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0))).alias("n_words"),
     )
     return (
         base.join(n_win, on=id_col, how="left")
-        .join(n_dup, on=id_col, how="left")
         .join(cov, on=id_col, how="left")
         .select(
             id_col,
@@ -1391,8 +1410,11 @@ def remove_duplicate_spans(
 
     Scale shape: windows shrink to (xxhash64, id, pos) before any shuffle;
     dup discovery is distinct + a map-side-combinable count per 8-byte
-    hash; coverage re-explodes k positions for DUPLICATED windows only and
-    folds to ONE int-array row per affected doc. The rebuild then strikes
+    hash; each doc's DUPLICATED window positions fold to ONE sorted int
+    array and expand to covered token positions doc-locally (round-13
+    autopsy: the old explode-k-positions + corpus-wide distinct shuffled
+    k x dup-window rows where one row per dup window suffices — the same
+    fix as substring_dup_spans' interval merge). The rebuild then strikes
     positions doc-locally (array_except on the position sequence — hash
     -set semantics, no per-token join): text enters a shuffle only as the
     docs side of the final per-doc join against those covered arrays (and
@@ -1414,28 +1436,37 @@ def remove_duplicate_spans(
         .where(F.col("__nd") >= 2)
         .select("__h")
     )
-    # the dup-discovery + coverage distinct dominates the op (the rebuild
-    # is a narrow pass); persist the small (id, int) coverage frame so
-    # repeated actions (best-of-N benches, funnel compositions) pay it once
+    # one (id, sorted positions) row per affected doc; covered token
+    # positions expand doc-locally (array_except downstream is a set
+    # subtract, so flatten's overlapping-interval duplicates are harmless).
+    # Persisted: the rebuild's per-doc join is the only consumer, but
+    # best-of-N benches / funnel compositions re-action the whole plan.
     covered = _persist_small(
         win.join(dup_h, on="__h", how="left_semi")
-        .select(id_col,
-                F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
-                .alias("__t"))
-        .distinct(),
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__ps"))
+        .select(
+            id_col,
+            F.flatten(F.transform(
+                "__ps", lambda p: F.sequence(p, p + (k - 1))
+            )).alias("__cov"),
+        ),
         persist,
     )
     return _strike_rebuild(
         docs, covered,
         F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)),
-        id_col, "n_kept_tokens", "n_cut_tokens")
+        id_col, "n_kept_tokens", "n_cut_tokens", arrayed=True)
 
 
 def _strike_rebuild(docs: DataFrame, covered: DataFrame, items_expr,
-                    id_col: str, kept_name: str, cut_name: str) -> DataFrame:
+                    id_col: str, kept_name: str, cut_name: str,
+                    arrayed: bool = False) -> DataFrame:
     """Rebuild documents WITHOUT the ``covered`` (id, __t) item positions —
     shared by the span-removal ops (items = tokens) and the boilerplate
-    strike-out (items = chunks).
+    strike-out (items = chunks). With ``arrayed=True`` the caller already
+    folded coverage to one (id, __cov int-array) row per doc (duplicates
+    in __cov are fine — array_except is a set subtract).
 
     Covered positions fold to one int-array row per affected doc; each doc
     then strikes them locally (array_except over its position sequence —
@@ -1445,7 +1476,8 @@ def _strike_rebuild(docs: DataFrame, covered: DataFrame, items_expr,
     (positions are its 0-based indices); surviving items rejoin with a
     single space. Returns (id, text, kept_name, cut_name) for docs keeping
     >= 1 item; item-less docs vanish."""
-    cov = covered.groupBy(id_col).agg(F.collect_list("__t").alias("__cov"))
+    cov = covered if arrayed else covered.groupBy(id_col).agg(
+        F.collect_list("__t").alias("__cov"))
     keep_pos = F.array_except(
         F.sequence(F.lit(0), F.size("__items") - 1),
         F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
@@ -1518,18 +1550,26 @@ def remove_duplicate_spans_keep_first(
         win.join(first, on="__h")
         .where(F.struct(F.col(id_col), F.col("pos")) != F.col("__first"))
     )
+    # fold each doc's struck positions to one sorted array and expand the
+    # k-token intervals doc-locally — same round-13 coverage fix as
+    # remove_duplicate_spans (the explode + corpus-wide distinct shuffled
+    # k x struck rows for nothing; array_except downstream is a set
+    # subtract, so overlapping-interval duplicates are harmless)
     covered = _persist_small(  # same repeat-action economics as the
-        struck.select(             # strike-every-copy sibling
+        struck.groupBy(id_col)     # strike-every-copy sibling
+        .agg(F.array_sort(F.collect_list("pos")).alias("__ps"))
+        .select(
             id_col,
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1)))
-            .alias("__t"))
-        .distinct(),
+            F.flatten(F.transform(
+                "__ps", lambda p: F.sequence(p, p + (k - 1))
+            )).alias("__cov"),
+        ),
         persist,
     )
     return _strike_rebuild(
         docs, covered,
         F.regexp_extract_all(F.col(content_col), F.lit(r"\S+"), F.lit(0)),
-        id_col, "n_kept_tokens", "n_cut_tokens")
+        id_col, "n_kept_tokens", "n_cut_tokens", arrayed=True)
 
 
 def bloom_decontaminate(
