@@ -95,6 +95,12 @@ def components_update_batch(
         # old constant -1 sorted BELOW every numbered batch (a late direct
         # relabel silently lost in resolve_labels' max_by) and tied two
         # successive direct calls (nondeterministic max_by between them).
+        # CONSTRAINT: direct calls must not interleave with an ACTIVE /
+        # resumable stream — after batches 0..N a direct update takes
+        # __ver N+1, which a LATER resumed batch N+1 would reuse (ties in
+        # max_by again) and any replayed batch <= N+1 would lose to. Stop
+        # (or fully drain) the stream before direct repairs, or restart
+        # the stream with a fresh checkpoint after them.
         idx = _read_index_if_exists(spark, labels_path)
         mx = None if idx is None else idx.agg(F.max("__ver")).first()[0]
         ver = 0 if mx is None else int(mx) + 1
