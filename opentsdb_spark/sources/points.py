@@ -83,6 +83,10 @@ def series_id_col(metric: Column | str = "metric", tags: Column | str = "tags") 
     return F.concat(metric, F.lit("{"), F.array_join(kv, ","), F.lit("}"))
 
 
+# (applicationId, table path, mtime) -> built DataFrame plan; see load_table
+_TABLE_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table (TESTDATA.md).
 
@@ -100,6 +104,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Confs are (re)set at runtime because the caller (e.g. the verify driver)
     may hand us a session built without them — they are session-level.
+
+    The built DataFrame (a logical PLAN, not data) is memoized per
+    (session, path, mtime): re-building it costs a fresh file listing +
+    parquet footer/schema read + the dtype-normalization Py4J round trips
+    on EVERY query construction, a fixed per-query tax across an 80-query
+    sweep. The cached plan still scans parquet at each execution — nothing
+    about query RESULTS is cached — and the mtime key drops the entry the
+    moment the table is rewritten (overwriting files touches the
+    directory), so tools/tests that regenerate a table re-list it.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -107,13 +120,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # externally-built session; session.py sets the same at build time. This
     # is the ONE sanctioned runtime-conf site besides session.py.
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
+    cached = _TABLE_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — double division would lose ns precision at 1e18
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    _TABLE_PLAN_CACHE[key] = df
     return df
 
 

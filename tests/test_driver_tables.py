@@ -49,6 +49,32 @@ def test_points_frame_ts_contract(spark):
     pts.select(F.unix_millis("ts")).limit(1).collect()
 
 
+def test_load_table_plan_cache_hit_and_mtime_invalidation(spark, tmp_path):
+    """load_table memoizes the built DataFrame PLAN per (session, path,
+    mtime) — re-listing files and re-reading parquet footers on every call
+    was a fixed per-query tax across the bench sweep. Contract pinned here:
+    (1) same session + unchanged table -> the same plan object (cache hit);
+    (2) rewriting the table invalidates the entry, so the next load sees
+    the NEW data — nothing about query results is ever cached."""
+    from pyspark.sql import Row
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame([Row(a=1), Row(a=2)]).write.mode("overwrite").parquet(
+        f"{sf_dir}/region.parquet"
+    )
+    df1 = load_table(spark, sf_dir, "region")
+    df2 = load_table(spark, sf_dir, "region")
+    assert df1 is df2, "unchanged table must be a plan-cache hit"
+    assert df1.count() == 2
+
+    # overwrite recreates the directory -> new mtime -> cache entry drops
+    spark.createDataFrame([Row(a=i) for i in range(5)]).write.mode(
+        "overwrite"
+    ).parquet(f"{sf_dir}/region.parquet")
+    df3 = load_table(spark, sf_dir, "region")
+    assert df3.count() == 5, "rewritten table must be re-listed, not stale"
+
+
 def test_cpu_meter_monotonic_under_churn():
     """bench._CpuMeter must never go backwards, even when short-lived
     children exit between samples (the /proc snapshot-diff failure mode
