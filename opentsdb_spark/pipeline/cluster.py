@@ -98,14 +98,23 @@ def connected_components(
         # target-as-source yet is not converged — stopping there emits
         # two labels for node 11 (caught by the streaming-components
         # merge test; now also pinned in test_properties).
-        dup_src = (
-            stars.groupBy("u").agg(F.count("*").alias("__c"))
-            .where(F.col("__c") > 1).select(F.lit(1).alias("__x"))
+        #
+        # Both conditions fold into ONE map-side-combinable per-node
+        # (src_count, tgt_count) aggregate over the checkpointed stars —
+        # a violation is a node with src > 1 (two candidate roots) or
+        # src >= 1 AND tgt >= 1 (an edge target that is itself a source)
+        # — replacing the groupBy-count + self-semi-join + union probe
+        # (3 exchanges of the star frame per round -> 1 tiny one).
+        probe = (
+            stars.select(F.explode(F.array(
+                F.struct(F.col("u").alias("n"), F.lit(1).alias("s")),
+                F.struct(F.col("v").alias("n"), F.lit(0).alias("s")),
+            )).alias("e"))
+            .groupBy("e.n").agg(F.sum("e.s").alias("s"), F.count("*").alias("c"))
+            .where((F.col("s") > 1)
+                   | ((F.col("s") >= 1) & (F.col("c") > F.col("s"))))
         )
-        tgt_src = stars.join(
-            stars.select(F.col("u").alias("v")), on="v", how="left_semi"
-        ).select(F.lit(1).alias("__x"))
-        if dup_src.union(tgt_src).isEmpty():
+        if probe.isEmpty():
             edges = stars
             break
         # derived lazily off the checkpointed stars — one fewer

@@ -405,12 +405,24 @@ def _gram_index_verify(g: DataFrame, threshold: float, max_df: int | None,
     gram sets so a hash collision can only add a candidate, never a
     result. ``df_weights`` ((id, __w) rows) makes the max_df frequency sum
     count each row as __w documents (clique sizes under clone collapse);
-    ``return_kept`` also returns the pruned exploded gram frame."""
+    ``return_kept`` also returns the kept (id) occurrence frame (one row
+    per surviving (gram, doc) occurrence — id column only)."""
     e = g.select(
         id_col, F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("gram")
     )
     if max_df is not None:
-        base = e.groupBy("gram").agg(F.count("*").alias("__c"))
+        # ONE groupBy(gram) aggregate carries BOTH the df count and the
+        # candidate id list, replacing the count-aggregate + keep semi-join
+        # + gram self-join chain (3 exchanges of the exploded occurrence
+        # frame -> 1). Per-gram state is bounded by that gram's df — the
+        # same bound the old self-join's per-key pair fan-out had — and
+        # kept grams expand to exactly the old candidate set: ids per gram
+        # are unique up to xxhash64 collisions, the sorted strictly-after
+        # expansion emits each unordered pair once, and the id_a < id_b
+        # guard plus the same pair distinct absorb collision duplicates,
+        # so `cands` is set-identical to the self-join form (oracle-pinned).
+        agg = e.groupBy("gram").agg(
+            F.collect_list(id_col).alias("__ids"), F.count("*").alias("__c"))
         if df_weights is not None:
             # member-weighted df = rep count + Σ (clique_size - 1) over
             # MULTI-member cliques only. `multi` is bounded by #reps with
@@ -425,17 +437,29 @@ def _gram_index_verify(g: DataFrame, threshold: float, max_df: int | None,
                 e.join(multi, on=id_col)
                 .groupBy("gram").agg(F.sum(F.col("__w") - 1).alias("__x"))
             )
-            freq = base.join(corr, on="gram", how="left").select(
-                "gram",
-                (F.col("__c") + F.coalesce(F.col("__x"), F.lit(0))).alias("__df"),
-            )
+            agg = agg.join(corr, on="gram", how="left").withColumn(
+                "__df", F.col("__c") + F.coalesce(F.col("__x"), F.lit(0)))
         else:
-            freq = base.withColumnRenamed("__c", "__df")
-        keep = freq.where(F.col("__df") <= max_df).select("gram")
-        e = e.join(keep, on="gram", how="leftsemi")
-    a = e.select(F.col(id_col).alias("id_a"), "gram")
-    b = e.select(F.col(id_col).alias("id_b"), "gram")
-    cands = a.join(b, on="gram").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+            agg = agg.withColumn("__df", F.col("__c"))
+        kept = agg.where(F.col("__df") <= max_df)
+        # C(df,2) ordered-pair expansion via two generator nodes (no
+        # interpreted lambda): posexplode anchors id_a, slice takes the
+        # strictly-after suffix of the sorted id list
+        cands = (
+            kept.select(F.array_sort("__ids").alias("__s"))
+            .select("__s", F.posexplode("__s").alias("__i", "id_a"))
+            .select("id_a", F.explode(
+                F.slice("__s", F.col("__i") + F.lit(2),
+                        F.size("__s") - F.col("__i") - F.lit(1))).alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+        e = kept.select(F.explode("__ids").alias(id_col))
+    else:
+        a = e.select(F.col(id_col).alias("id_a"), "gram")
+        b = e.select(F.col(id_col).alias("id_b"), "gram")
+        cands = a.join(b, on="gram").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+        e = e.select(id_col)
     ga = g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("ga"))
     gb = g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("gb"))
     pairs = cands.join(ga, on="id_a").join(gb, on="id_b")
