@@ -688,9 +688,25 @@ def _base_sql_ctes(cte_id: str, metric: str) -> str:
           LEFT JOIN {cte_id}_ub ub ON g.user = ub.user AND g.b = ub.b)"""
 
 
+# (applicationId, sf_dir, metric, events mtime) -> built plan. Same
+# contract as sources.points plan memos: a PLAN, not data — every
+# execution scans parquet; a rewritten events table invalidates via mtime.
+_BASE_FRAME_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _base_frame(spark, sf_dir, metric: str):
     """[user, ts, value] zero-filled 1h grid for users 1-3 (unrounded, for
-    composition by the gexp/exp layers)."""
+    composition by the gexp/exp layers). Memoized per (session, dir,
+    metric, events-mtime): the full compile_query construction costs
+    ~0.4-0.9 s of Py4J round trips, paid once per gexp/exp query."""
+    try:
+        mtime = os.path.getmtime(f"{sf_dir}/events.parquet")
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, sf_dir, metric, mtime)
+    hit = _BASE_FRAME_CACHE.get(key)
+    if hit is not None:
+        return hit
     tsq = TSQuery(
         start=START_SEC, end=END_SEC,
         queries=(SubQuery(
@@ -700,7 +716,9 @@ def _base_frame(spark, sf_dir, metric: str):
         ),),
     )
     [r] = compile_query(_pts(spark, sf_dir), tsq)
-    return r.df.select("user", "ts", "value")
+    out = r.df.select("user", "ts", "value")
+    _BASE_FRAME_CACHE[key] = out
+    return out
 
 
 from opentsdb_spark.operators import expressions as _gexp  # noqa: E402

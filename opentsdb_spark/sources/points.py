@@ -171,9 +171,37 @@ def events_to_points(events: DataFrame) -> DataFrame:
     )
 
 
+# (applicationId, events path, mtime) -> point-model plan; see load_points
+_POINTS_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table as the engine's raw point feed."""
-    return events_to_points(load_table(spark, sf_dir, "events"))
+    """Events table as the engine's raw point feed.
+
+    Memoized per (session, path, mtime) exactly like ``load_table``: the
+    ``events_to_points`` column chain (map build + lambda conversion) costs
+    a fixed ~0.1-0.3 s of Py4J round trips per construction, paid by every
+    tsdb query. The cached object is a logical PLAN — executions still
+    scan parquet, results are never cached, and a rewritten events table
+    drops the entry via the mtime key. ``load_table`` runs on every MISS,
+    so its session-conf (re)setting contract is preserved by re-setting
+    the same confs on a hit."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (spark.sparkContext.applicationId, path, mtime)
+    cached = _POINTS_PLAN_CACHE.get(key)
+    if cached is not None:
+        # the load_table call this hit skips would have (re)set these
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        return cached
+    df = events_to_points(load_table(spark, sf_dir, "events"))
+    _POINTS_PLAN_CACHE[key] = df
+    return df
 
 
 def parse_put_lines(lines: DataFrame, col: str = "value") -> DataFrame:

@@ -75,6 +75,49 @@ def test_load_table_plan_cache_hit_and_mtime_invalidation(spark, tmp_path):
     assert df3.count() == 5, "rewritten table must be re-listed, not stale"
 
 
+def test_load_points_plan_cache_hit_and_mtime_invalidation(spark, tmp_path):
+    """load_points memoizes the point-model PLAN with the same
+    (session, path, mtime) contract as load_table: hit -> same plan
+    object; rewritten events -> re-built, never stale results."""
+    from pyspark.sql import Row
+
+    sf_dir = str(tmp_path)
+
+    def write_events(n):
+        spark.createDataFrame(
+            [Row(event_type="purchase", ts=i, value=float(i),
+                 user_id=1, props="k7") for i in range(n)],
+            "event_type string, ts long, value double, user_id long, props string",
+        ).select(
+            "event_type", F.timestamp_micros(F.col("ts") * 1000000).alias("ts"),
+            "value", "user_id", "props",
+        ).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    write_events(2)
+    p1 = load_points(spark, sf_dir)
+    p2 = load_points(spark, sf_dir)
+    assert p1 is p2, "unchanged events must be a plan-cache hit"
+    assert p1.count() == 2
+
+    write_events(5)
+    p3 = load_points(spark, sf_dir)
+    assert p3.count() == 5, "rewritten events must be re-read, not stale"
+
+
+def test_base_frame_plan_cache_per_metric(spark):
+    """catalog._base_frame memoizes the compiled zero-filled grid per
+    (session, sf_dir, metric, events-mtime): same metric -> same plan
+    object; different metric -> different plan."""
+    from opentsdb_spark import catalog
+
+    a1 = catalog._base_frame(spark, SF_DIR, "purchase")
+    a2 = catalog._base_frame(spark, SF_DIR, "purchase")
+    b = catalog._base_frame(spark, SF_DIR, "view")
+    assert a1 is a2, "same metric must be a plan-cache hit"
+    assert a1 is not b
+    assert a1.limit(1).count() >= 0
+
+
 def test_cpu_meter_monotonic_under_churn():
     """bench._CpuMeter must never go backwards, even when short-lived
     children exit between samples (the /proc snapshot-diff failure mode
