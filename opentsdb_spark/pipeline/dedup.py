@@ -1215,18 +1215,42 @@ def _band_pairs_direct(
         ).alias("bb"),
     ).select(id_col, hash_col, "bb.band", "bb.bh")
     if max_bucket is not None:
-        keep = (
-            banded.groupBy("band", "bh").count()
-            .where(F.col("count") <= max_bucket)
-            .select("band", "bh")
+        # ONE groupBy(band, bh) aggregate carries both the bucket size and
+        # the (id, hash) members, replacing the count-agg + keep semi-join
+        # + bucket self-join chain (3 exchanges of the banded frame -> 1)
+        # — the same rewrite as the jaccard candidate stage. An id appears
+        # at most once per (band, bh) (one bh per band per id), so the
+        # sorted strictly-after expansion emits each unordered pair once
+        # per shared bucket; cross-bucket duplicates fall to the same
+        # distinct the self-join form used. Per-bucket state/fan-out is
+        # bounded by max_bucket exactly as the join's per-key fan-out was.
+        agg = banded.groupBy("band", "bh").agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("h"))
+            ).alias("__m"),
+            F.count("*").alias("__c"),
         )
-        banded = banded.join(keep, on=["band", "bh"], how="leftsemi")
-    a = banded.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("ha"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("hb"), "band", "bh")
-    cands = (
-        a.join(b, on=["band", "bh"]).where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "hb").distinct()
-    )
+        kept = agg.where(F.col("__c") <= max_bucket)
+        cands = (
+            kept.select(F.array_sort("__m").alias("__s"))
+            .select("__s", F.posexplode("__s").alias("__i", "a"))
+            .select("a", F.explode(
+                F.slice("__s", F.col("__i") + F.lit(2),
+                        F.size("__s") - F.col("__i") - F.lit(1))).alias("b"))
+            .select(
+                F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"),
+                F.col("a.h").alias("ha"), F.col("b.h").alias("hb"),
+            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+    else:
+        a = banded.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("ha"), "band", "bh")
+        b = banded.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("hb"), "band", "bh")
+        cands = (
+            a.join(b, on=["band", "bh"]).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ha", "hb").distinct()
+        )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
         cands.withColumn("hamming", ham)
