@@ -223,6 +223,20 @@ def replicate(spark, k: int, out_dir: str) -> None:
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
+_TICK = os.sysconf("SC_CLK_TCK")
+
+
+def _steal_seconds() -> float:
+    """Cumulative hypervisor steal (all vCPUs, /proc/stat field 8) —
+    same counter bench.py budgets; see its docstring for why wall alone
+    can't separate an engine regression from a stolen host window."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / _TICK
+    except (OSError, IndexError, ValueError):
+        return 0.0
+
+
 def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, dict]:
     """Best-of-``repeat`` per query (same policy as bench.py): the first
     execution of a fresh plan shape pays JIT/codegen compilation that can
@@ -255,18 +269,39 @@ def time_queries(spark, sf_dir: str, repeat: int = 2) -> dict[str, dict]:
         spark.catalog.clearCache()
         fn = catalog.CATALOG[name].fn
         best, collapsed, rows = float("inf"), None, None
-        for _ in range(repeat):
+        best_steal = None
+        # Steal-aware repeats (same /proc/stat field bench.py budgets):
+        # the first SCALE30_r13 sweep hit a stolen host window that
+        # inflated a CONTIGUOUS run of big-phase entries 3-8x (e.g.
+        # dedup_semantic 2.5 -> 22.5 s with zero code change) — wall
+        # alone can't tell that from a regression. Record the steal
+        # seen by the best repeat, and buy up to EXTRA_ON_STEAL more
+        # repeats while the best repeat is steal-contaminated (>0.3 s):
+        # extra repeats can only lower "best", so the best-of policy is
+        # unchanged — we just refuse to certify a stolen measurement
+        # while the hypervisor is actively taking the cycles.
+        EXTRA_ON_STEAL, STEAL_OK_S = 2, 0.3
+        runs = 0
+        while runs < repeat + EXTRA_ON_STEAL:
             _dedup.PROBE_EVENTS.clear()
             obs = Observation()
+            s0 = _steal_seconds()
             t0 = time.time()
             fn(spark, sf_dir).observe(obs, F.count(F.lit(1)).alias("n")) \
                 .write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            wall = time.time() - t0
+            steal = _steal_seconds() - s0
+            runs += 1
+            if wall < best:
+                best, best_steal = wall, steal
             rows = int(obs.get["n"])
             if _dedup.PROBE_EVENTS:
                 collapsed = any(_dedup.PROBE_EVENTS)
+            if runs >= repeat and best_steal <= STEAL_OK_S:
+                break
         out[name] = {"best_s": round(best, 3), "rows": rows,
-                     "collapsed": collapsed}
+                     "collapsed": collapsed,
+                     "steal_s": round(best_steal, 3)}
     return out
 
 
@@ -310,6 +345,7 @@ def main() -> None:
             "delta_s": round(g["best_s"] - b["best_s"], 3),
             "out_rows_base": b["rows"], "out_rows_big": g["rows"],
             "collapsed_base": b["collapsed"], "collapsed": g["collapsed"],
+            "steal_base_s": b["steal_s"], "steal_big_s": g["steal_s"],
         }
         cb = {True: "coll", False: "pass", None: "-"}
         print(f"{name:28s} {b['best_s']:8.2f} {g['best_s']:8.2f} {ratio:7.2f}"
@@ -339,9 +375,16 @@ def main() -> None:
         r = report[n]
         print(f"  {n:28s} {wall:6.2f}s  ratio {r['ratio']:.2f}  rows"
               f" {r['out_rows_base']} -> {r['out_rows_big']}")
+    steal_base = round(sum(r["steal_base_s"] for r in report.values()), 2)
+    steal_big = round(sum(r["steal_big_s"] for r in report.values()), 2)
+    print(f"\nsteal certified into best repeats: base {steal_base}s,"
+          f" {k}x {steal_big}s (entries with steal_big_s > 0.3 could not"
+          " buy a clean repeat — distrust their ratio)")
     if out_json:
         with open(out_json, "w") as f:
             json.dump({"k": k, "cache_cleared_between_queries": True,
+                       "steal_base_total_s": steal_base,
+                       "steal_big_total_s": steal_big,
                        "ratio_floor_s": RATIO_FLOOR_S,
                        "worst_ratio_ge_floor":
                            [n for _, n in worst_ratio],
