@@ -83,9 +83,246 @@ def resolve_sql(qd: QueryDef) -> str | None:
     return qd.sql() if callable(qd.sql) else qd.sql
 
 
+# ---- query-plan cache (the engine's prepared-statement analog) --------------
+#
+# Queries whose BUILD is pure plan construction — zero Spark jobs submitted
+# while the DataFrame is assembled, verified by tools/audit_plan_purity.py
+# and pinned by tests/test_plan_memo.py — memoize the built DataFrame per
+# (session, sf_dir, table-mtimes) under the exact load_table contract:
+# the cached object is a logical PLAN, never data; every execution still
+# scans parquet; results are never cached in-process or across runs (the
+# dict dies with the process, and each bench/oracle/driver invocation is a
+# fresh process); rewriting ANY table in sf_dir changes the stamp and drops
+# the entry. Builders that run jobs during construction (CC's checkpointed
+# star rounds, bloom/IVF training, streaming gates) are EXCLUDED — for
+# those, construction is real data computation and must re-run every call.
+#
+# Set OPENTSDB_SPARK_NO_PLAN_MEMO=1 to disable (A/B measurement hook).
+_PURE_PLAN_QUERIES: frozenset[str] = frozenset({
+    # tools/audit_plan_purity.py at sf0.001, 2026-08-18: zero Spark
+    # jobs submitted during BOTH of two consecutive builds, after the
+    # audit's table-plan warmup (the 25 excluded builders run jobs while
+    # constructing: streaming micro-batches, CC checkpoint rounds,
+    # trained fixtures/filters). Artifact: plans/r13/plan_purity_audit.json.
+    'ann_bruteforce_top5',
+    'ann_hard_negatives',
+    'ann_ivf_fixed_top5',
+    'ann_ivf_pq_top5',
+    'ann_lsh_top5',
+    'ann_pq_adc_top5',
+    'ann_quantized_top5',
+    'annotations_overlap',
+    'corpus_funnel',
+    'corpus_snapshot_diff',
+    'corpus_source_mix',
+    'dedup_bloom_decontaminate',
+    'dedup_decontaminate',
+    'dedup_exact',
+    'dedup_simhash',
+    'dedup_simhash_md5',
+    'dedup_substring',
+    'dedup_substring_keep_first',
+    'dedup_substring_removal',
+    'embed_covariance',
+    'embed_drift',
+    'embed_prototypicality',
+    'embed_quantize',
+    'embed_stats',
+    'events_funnel',
+    'events_retention_cohort',
+    'exp_divide_ieee',
+    'exp_intersection_arith',
+    'exp_ternary_max',
+    'exp_union_fill_zero',
+    'gexp_absolute_scale',
+    'gexp_alias',
+    'gexp_anomaly_zscore',
+    'gexp_burn_rate',
+    'gexp_diffseries',
+    'gexp_divideseries',
+    'gexp_firstdiff',
+    'gexp_highest_current',
+    'gexp_highest_max',
+    'gexp_movavg_2h_time',
+    'gexp_movavg_3pt',
+    'gexp_multiplyseries',
+    'gexp_parser_scale',
+    'gexp_sumseries',
+    'gexp_timeshift_1h',
+    'hist_p95_daily',
+    'hist_query_pct_daily',
+    'ingest_put_roundtrip',
+    'multimodal_audio_dedup',
+    'multimodal_audio_fp',
+    'multimodal_audio_keyclips',
+    'multimodal_audio_resample',
+    'multimodal_audio_segments',
+    'multimodal_audio_stats',
+    'multimodal_bytes',
+    'multimodal_dhash',
+    'multimodal_dhash_pairs',
+    'multimodal_features',
+    'multimodal_frame_dedup',
+    'multimodal_frames',
+    'multimodal_resize',
+    'multimodal_scene_cuts',
+    'multimodal_shot_keyframes',
+    'pipeline_end_to_end',
+    'rollup_avg_rewrite_2h',
+    'rollup_count_1d',
+    'rollup_split_seam',
+    'sample_cap_per_source',
+    'sample_cap_quality',
+    'sample_class_balance',
+    'sample_dsir_weights',
+    'sample_fixed_n',
+    'sample_global_shuffle',
+    'sample_hash_split',
+    'sample_interleave',
+    'sample_mix_audit',
+    'sample_pack_sequences',
+    'sample_quality_percentile',
+    'sample_repeat_epochs',
+    'sample_shard_assign',
+    'sample_stratified',
+    'sample_temperature',
+    'sample_token_budget',
+    'sample_weighted_reservoir',
+    'text_boilerplate',
+    'text_bpe_pairs',
+    'text_ccnet_buckets',
+    'text_chunks',
+    'text_cms_probe',
+    'text_fingerprint',
+    'text_fingerprint_md5',
+    'text_gopher_filter',
+    'text_gram_novelty',
+    'text_hash_embedding',
+    'text_hll_distinct',
+    'text_intra_repetition',
+    'text_langid',
+    'text_length_quantiles',
+    'text_paragraph_dedup',
+    'text_pii_scrub',
+    'text_pmi_top20',
+    'text_quality',
+    'text_repetition',
+    'text_source_overlap',
+    'text_strip_boilerplate',
+    'text_tfidf_top3',
+    'text_token_entropy',
+    'text_tokens',
+    'text_vocab_drift',
+    'text_vocab_top10_lang',
+    'text_vocab_top50',
+    'text_zipf_alpha',
+    'tree_branches',
+    'tree_collisions',
+    'tree_notmatched',
+    'tsdb_agg_avg_aligned_1h',
+    'tsdb_agg_avg_raw',
+    'tsdb_agg_count_aligned_1h',
+    'tsdb_agg_count_raw',
+    'tsdb_agg_dev_aligned_1h',
+    'tsdb_agg_lerp_sum',
+    'tsdb_agg_median_aligned_1h',
+    'tsdb_agg_mimmax_by_user',
+    'tsdb_agg_min_aligned_1h',
+    'tsdb_agg_mult_aligned_1h',
+    'tsdb_agg_p95_aligned_1h',
+    'tsdb_agg_pfsum',
+    'tsdb_agg_sum_aligned_1h',
+    'tsdb_agg_sum_raw_full',
+    'tsdb_agg_zimsum_by_user',
+    'tsdb_anomaly_zscore',
+    'tsdb_asof_join',
+    'tsdb_ds_0all_sum',
+    'tsdb_ds_10m_avg',
+    'tsdb_ds_1d_calendar_max_zero_tz',
+    'tsdb_ds_1d_calendar_sum',
+    'tsdb_ds_1h_count',
+    'tsdb_ds_1h_dev',
+    'tsdb_ds_1h_diff',
+    'tsdb_ds_1h_ep90r7',
+    'tsdb_ds_1h_ep99r3',
+    'tsdb_ds_1h_first',
+    'tsdb_ds_1h_last',
+    'tsdb_ds_1h_max_fill_zero',
+    'tsdb_ds_1h_median',
+    'tsdb_ds_1h_mult',
+    'tsdb_ds_1h_p95',
+    'tsdb_ds_1h_p95_binned',
+    'tsdb_ds_1h_squaresum',
+    'tsdb_ds_2d_calendar_sum_tz',
+    'tsdb_dump_import_lines',
+    'tsdb_explicit_tags',
+    'tsdb_filter_iliteral_or',
+    'tsdb_filter_iwildcard',
+    'tsdb_filter_literal_or',
+    'tsdb_filter_not_iliteral_or',
+    'tsdb_filter_not_key',
+    'tsdb_filter_not_literal_or',
+    'tsdb_filter_regexp',
+    'tsdb_interval_join',
+    'tsdb_last',
+    'tsdb_lookup_big',
+    'tsdb_m_parser',
+    'tsdb_rate',
+    'tsdb_rate_counter',
+    'tsdb_rate_drop_resets',
+    'tsdb_rate_ds_sum',
+    'tsdb_rate_first_vs_zero',
+    'tsdb_sessionize',
+    'tsdb_slo_burn_rate',
+    'tsdb_suggest_metrics',
+    'tsdb_tsuid_direct',
+    'uid_metrics_listing',
+})
+
+_QUERY_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _sf_dir_stamp(sf_dir: str) -> tuple | None:
+    """(name, mtime) for every parquet table in sf_dir — overwriting a
+    table recreates its directory, so any rewrite changes the stamp."""
+    try:
+        return tuple(sorted(
+            (e, os.path.getmtime(os.path.join(sf_dir, e)))
+            for e in os.listdir(sf_dir) if e.endswith(".parquet")
+        ))
+    except OSError:
+        return None
+
+
+def _memo_plan(name: str, fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if os.environ.get("OPENTSDB_SPARK_NO_PLAN_MEMO"):
+            return fn(spark, sf_dir)
+        key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+               name, _sf_dir_stamp(sf_dir))
+        hit = _QUERY_PLAN_CACHE.get(key)
+        if hit is not None:
+            # the load_table call this hit skips would have (re)set these
+            # session confs (sources/points.py contract)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            return hit
+        df = fn(spark, sf_dir)
+        _QUERY_PLAN_CACHE[key] = df
+        return df
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__qualname__ = getattr(fn, "__qualname__", fn.__name__)
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def register(name: str, sql):
     def deco(fn):
-        CATALOG[name] = QueryDef(name, fn, sql)
+        qfn = _memo_plan(name, fn) if name in _PURE_PLAN_QUERIES else fn
+        CATALOG[name] = QueryDef(name, qfn, sql)
         return fn
 
     return deco
@@ -663,6 +900,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     [r] = compile_query(load_points(spark, sf_dir), tsq)
     return r.df.select("metric", "user", _ts_sec(), _vr(F.col("value")))
+
+
+# bench-called directly (not via CATALOG); its build is the same pure
+# compile_query construction as the registered tsdb rows (zero jobs,
+# re-audited with them by tests/test_plan_memo.py) — same plan memo.
+flagship = _memo_plan("flagship", flagship)
 
 
 # ======================================================= gexp layer =========
