@@ -1394,26 +1394,24 @@ def substring_dup_spans(
         .select("__h")
     )
     dup_win = win.join(dup_h, on="__h", how="left_semi")
-    # ONE aggregate over dup windows: count + sorted position array; the
-    # covered-token count is the interval-union length — positions are
-    # distinct per doc, so for sorted ps it is k (last interval) plus
-    # min(gap, k) per consecutive pair. Bounded by doc length, no
-    # occurrence-sized distinct.
-    per_doc = dup_win.groupBy(id_col).agg(
-        F.count("*").alias("n_dup_windows"),
-        F.array_sort(F.collect_list("pos")).alias("__ps"),
+    # Coverage = interval-union length of the [pos, pos+k-1] spans:
+    # positions are distinct per doc, so sorted ascending it is k (the
+    # last interval) plus min(gap, k) per consecutive pair. Computed as a
+    # lag-window gap sum — the window's (id)-hash exchange is REUSED by
+    # the groupBy(id) right after it (same key), so coverage costs one
+    # shuffle of the (id, pos) dup rows and stays whole-stage codegen;
+    # the previous collect_list + zip_with/aggregate fold ran interpreted
+    # CodegenFallback lambdas per array element (~6-13% of the whole op
+    # at 30-100x, growing with positions per doc).
+    w = Window.partitionBy(id_col).orderBy("pos")
+    contrib = F.coalesce(
+        F.least(F.col("pos") - F.lag("pos").over(w), F.lit(k)), F.lit(k))
+    cov = (
+        dup_win.withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"),
+             F.sum("__c").cast("int").alias("dup_tokens"))
     )
-    ps = F.col("__ps")
-    gaps = F.zip_with(
-        ps, F.slice(ps, 2, F.greatest(F.size(ps) - 1, F.lit(1))),
-        lambda a, b: F.when(b.isNotNull(), F.least(b - a, F.lit(k))),
-    )
-    cov_len = (
-        F.aggregate(F.filter(gaps, lambda x: x.isNotNull()),
-                    F.lit(0), lambda acc, x: acc + x) + F.lit(k)
-    )
-    cov = per_doc.select(
-        id_col, "n_dup_windows", cov_len.alias("dup_tokens"))
     n_win = win.groupBy(id_col).agg(F.count("*").alias("n_windows"))
     base = docs.select(
         id_col,

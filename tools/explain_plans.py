@@ -322,17 +322,21 @@ def main() -> None:
 
         # substring dedup: every shuffle carries 8-byte window hashes, the
         # raw gram strings / document text must never enter an Exchange,
-        # and there is no Window anywhere (coverage is aggregate-only)
+        # and the coverage lag-window is PARTITIONED by doc id (its
+        # exchange is the same (id)-hash exchange the groupBy(id) right
+        # after it reuses — a SinglePartition window would be a global
+        # sort and a scale killer)
         from opentsdb_spark.pipeline.dedup import substring_dup_spans
 
         ssplan = _plan_str(substring_dup_spans(raw_docs, k=5))
         ss_bad = any(_re2.search(r"\b(g|text)#", b) for b in _exchange_blocks(ssplan))
-        ss_win = "Window" in ssplan
-        print(f"check substring_dedup: strings_in_shuffle={ss_bad} window={ss_win}")
+        ss_unpart = "SinglePartition" in ssplan
+        print(f"check substring_dedup: strings_in_shuffle={ss_bad} "
+              f"unpartitioned={ss_unpart}")
         if ss_bad:
             errors.append("substring dedup: gram/text strings ride a shuffle")
-        if ss_win:
-            errors.append("substring dedup: unexpected Window in plan")
+        if ss_unpart:
+            errors.append("substring dedup: single-partition stage in plan")
 
         # prototypicality: assignment is a narrow map; the ONLY shuffle is
         # the per-cell rank window, and that window is partitioned
