@@ -1647,8 +1647,13 @@ def bloom_decontaminate(
     ``min(k * grams, m_bits)`` DISTINCT int positions — bounded by the
     filter size (2^20 positions ~ 8 MB as a broadcast join build side)
     no matter how large the benchmark suite grows, and shrinking further
-    as the array saturates. The corpus never shuffles: grams stream
-    through a broadcast hash join on the position ints in place.
+    as the array saturates. The corpus never shuffles: each gram row
+    streams through ``k_hashes`` chained broadcast LEFT-SEMI probes (one
+    per bit-slice; surviving ALL k = every position set) — corpus rows
+    are never replicated k-ways and the only aggregate is the per-doc
+    flagged-gram count (the previous posexplode form tripled the corpus
+    frame and paid a (doc, gram)-keyed aggregate over the matched mass,
+    which at high match rates is occurrence-sized).
     """
     # slice width follows m_bits: position i is bits [w*i, w*i+w) of the
     # hash, so m_bits MUST be a power of two (the bitmask is only uniform
@@ -1664,45 +1669,43 @@ def bloom_decontaminate(
             "must fit the 64-bit hash")
     mask = m_bits - 1
 
-    def positions(frame: DataFrame, cols: list) -> DataFrame:
-        slices = F.array(*[
-            (F.shiftrightunsigned(F.col("gh"), w * i).bitwiseAND(mask))
-            .cast("long").alias(f"p{i}")
-            for i in range(k_hashes)
-        ])
-        return frame.select(*cols, F.posexplode(slices).alias("i", "pos"))
+    def slice_pos(i: int) -> F.Column:
+        return (F.shiftrightunsigned(F.col("gh"), w * i)
+                .bitwiseAND(mask)).cast("long")
 
-    bench_pos = (
-        positions(
-            _gram_frame(benchmark, content_col, id_col, n)
-            .select(F.explode("grams").alias("g"))
-            .select(F.xxhash64("g").alias("gh"))
-            .distinct(),
-            [],
-        )
-        .select("pos")
+    # persisted: the k probes each reference this frame, and without the
+    # persist the benchmark shingle/distinct subtree is planned k times
+    # (bounded at <= m_bits positions ~ 8 MB, so caching it is free)
+    bench_pos = _persist_small(
+        _gram_frame(benchmark, content_col, id_col, n)
+        .select(F.explode("grams").alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
         .distinct()
+        .select(F.explode(F.array(*[slice_pos(i) for i in range(k_hashes)]))
+                .alias("pos"))
+        .distinct(),
+        True,
     )
     corpus = (
         _gram_frame(docs, content_col, id_col, n)
         .select(id_col, F.explode("grams").alias("g"))
         .select(id_col, F.xxhash64("g").alias("gh"))
     )
-    hits = (
-        positions(corpus, [id_col, "gh"])
-        .join(F.broadcast(bench_pos), on="pos")
-        # count DISTINCT slice indexes, not rows: two distinct grams in one
-        # doc colliding to the same xxhash64 duplicate the (id, gh) rows,
-        # and count(*) would then need 2k matches to flag a fully-set gram —
-        # silently missing contamination and breaking the one-sided
-        # "false negatives impossible" guarantee. distinct-i is immune to
-        # both that and a gram whose k slices land on the same position.
-        .groupBy(id_col, "gh")
-        .agg(F.count_distinct("i").alias("set_bits"))
-        .where(F.col("set_bits") == k_hashes)
-        .groupBy(id_col)
-        .agg(F.count_distinct("gh").alias("bloom_grams"))
-    )
+    # a gram is flagged when ALL k slice positions are set: k chained
+    # broadcast LEFT-SEMI probes against the position set (AND of k
+    # membership tests). Per-slice testing keeps the guarantees the old
+    # posexplode + count_distinct(slice-index) form guarded: duplicate
+    # (id, gh) rows from an xxhash64 string collision pass or fail all k
+    # probes together (count_distinct(gh) still collapses them per doc),
+    # and a gram whose k slices land on the same position just tests that
+    # position k times.
+    flagged = corpus
+    for i in range(k_hashes):
+        flagged = flagged.join(
+            F.broadcast(bench_pos.withColumnRenamed("pos", "__p")),
+            on=slice_pos(i) == F.col("__p"), how="left_semi")
+    hits = flagged.groupBy(id_col).agg(
+        F.count_distinct("gh").alias("bloom_grams"))
     shared = F.coalesce(F.col("bloom_grams"), F.lit(0))
     return (
         docs.select(id_col)
