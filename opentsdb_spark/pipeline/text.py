@@ -668,6 +668,7 @@ def lm_score(
 
     gcols = [group_col] if group_col else []
     ids = docs.select(id_col, *gcols)
+    vocab = None  # ungrouped paths learn it at construction (see below)
     # raw occurrences, NOT per-doc-distinct shingles: a repeated transition
     # must weigh repeatedly in both the fit counts and the score. The gram
     # stream feeds both the fit aggregation and the score join — persisted
@@ -720,7 +721,21 @@ def lm_score(
             wt = counts.withColumn(
                 "logp", F.log((F.col("c_n") + add_k) / (total + add_k * vocab))
             )
-    scored = grams.join(wt.select(*gcols, "g", "logp"), on=[*gcols, "g"])
+    wt_sel = wt.select(*gcols, "g", "logp")
+    # The score join is the only occurrence-sized join; its build side is
+    # the vocabulary-granularity probability table, whose Catalyst size
+    # ESTIMATE is inflated (aggregates over the cached gram frame have no
+    # stats) and whose runtime size AQE cannot use for join demotion when
+    # the probe side is an InMemoryRelation (measured: the same join
+    # converts to broadcast uncached, stays sort-merge cached). On the
+    # ungrouped paths the construction-time vocab count is already in
+    # hand, so broadcast EXACTLY when the table is provably small — a
+    # bounded adaptive hint, not a policy of broadcasting the (unbounded
+    # at corpus scale) vocabulary. Grouped paths have no free scalar and
+    # keep the frame join.
+    if vocab is not None and vocab <= 1 << 20:
+        wt_sel = F.broadcast(wt_sel)
+    scored = grams.join(wt_sel, on=[*gcols, "g"])
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_grams"), F.avg("logp").alias("avg_logp")
     )
