@@ -25,9 +25,17 @@ def _persist_small(df: DataFrame, enabled: bool) -> DataFrame:
     once. Spark shares no common subplans, so without this each reference
     re-executes the full lineage — for signature/gram frames that means
     re-SCANNING THE CORPUS per reference (measured 4 scans in the minhash
-    candidate join). The persisted frame is orders of magnitude smaller than
-    the corpus (fixed-width signatures vs. documents); MEMORY_AND_DISK spills
-    instead of evicting to recompute. Callers that manage their own lifecycle
+    candidate join). The persisted frame is normally orders of magnitude
+    smaller than the corpus (fixed-width signatures vs. documents);
+    MEMORY_AND_DISK spills instead of evicting to recompute. Two call sites
+    deliberately persist CORPUS-cardinality (but fixed-width, text-free)
+    frames — strip_boilerplate_chunks' per-chunk key frame and
+    substring duplication's per-window frame, both one ~20-byte row per
+    chunk/window — where the measured alternative was re-running the chunk/
+    window explode over the full text per consumer; at scale those persists
+    are bounded by rows x ~20 B of MEMORY_AND_DISK scratch (spill, never
+    recompute) and each site records its measured justification in place.
+    Callers that manage their own lifecycle
     can pass persist=False and cache/checkpoint externally.
 
     Every persist registers with the per-thread scratch registry, so a
@@ -411,37 +419,49 @@ def _gram_index_verify(g: DataFrame, threshold: float, max_df: int | None,
         id_col, F.explode(F.transform("grams", lambda s: F.xxhash64(s))).alias("gram")
     )
     if max_df is not None:
-        # ONE groupBy(gram) aggregate carries BOTH the df count and the
-        # candidate id list, replacing the count-aggregate + keep semi-join
-        # + gram self-join chain (3 exchanges of the exploded occurrence
-        # frame -> 1). Per-gram state is bounded by that gram's df — the
-        # same bound the old self-join's per-key pair fan-out had — and
-        # kept grams expand to exactly the old candidate set: ids per gram
-        # are unique up to xxhash64 collisions, the sorted strictly-after
-        # expansion emits each unordered pair once, and the id_a < id_b
-        # guard plus the same pair distinct absorb collision duplicates,
-        # so `cands` is set-identical to the self-join form (oracle-pinned).
-        agg = e.groupBy("gram").agg(
-            F.collect_list(id_col).alias("__ids"), F.count("*").alias("__c"))
+        # Count FIRST, collect SECOND (2 occurrence exchanges, per-key
+        # state bounded by max_df). The round-13 single-aggregate fold
+        # collected every gram's FULL id list before the max_df filter, so
+        # one over-cap hot gram (a stop-gram shingle with df ~ corpus
+        # size) built an unbounded aggregation buffer in one task —
+        # exactly the skewed-hot-key case max_df exists to defend against.
+        # Now a map-side-combinable count derives the OVER-CAP gram set —
+        # provably small: <= total_occurrences / max_df keys, 8 bytes each
+        # — an anti-join drops those occurrences (AQE broadcasts the tiny
+        # over set; its shuffle fallback shares the groupBy(gram)
+        # partitioning), and only then does the collect-carrying aggregate
+        # run, over under-cap grams only. Still 1 exchange fewer than the
+        # pre-r13 count + semi-join + self-join chain, and kept grams
+        # expand to exactly the old candidate set: ids per gram are unique
+        # up to xxhash64 collisions, the sorted strictly-after expansion
+        # emits each unordered pair once, and the id_a < id_b guard plus
+        # the same pair distinct absorb collision duplicates, so `cands`
+        # is set-identical to the self-join form (oracle-pinned).
         if df_weights is not None:
             # member-weighted df = rep count + Σ (clique_size - 1) over
-            # MULTI-member cliques only. `multi` is bounded by #reps with
-            # clones (usually tiny, broadcastable), so the correction join
-            # never shuffles the whole exploded frame — joining all of e
-            # with the weights measurably doubled the op.
-            # no broadcast hint: AQE picks broadcast when multi is small
-            # (the normal case) but keeps a shuffle fallback for clone
-            # -saturated corpora where it is not
+            # MULTI-member cliques only, folded INTO the count pass: a
+            # left join with the tiny multi-clique weight table (bounded
+            # by #reps with clones — AQE broadcasts it, with a shuffle
+            # fallback for clone-saturated corpora) rides the same
+            # occurrence stream the count aggregates, so the weighted df
+            # costs no second pass over e (the r13 form ran a separate
+            # inner-join + aggregate + count⋈corr join; Σ coalesce(w-1,0)
+            # over a left join is the same sum by linearity).
             multi = df_weights.where(F.col("__w") > 1)
-            corr = (
-                e.join(multi, on=id_col)
-                .groupBy("gram").agg(F.sum(F.col("__w") - 1).alias("__x"))
+            cnt = (
+                e.join(multi, on=id_col, how="left")
+                .groupBy("gram").agg(
+                    (F.count("*")
+                     + F.sum(F.coalesce(F.col("__w") - 1, F.lit(0))))
+                    .alias("__df"))
             )
-            agg = agg.join(corr, on="gram", how="left").withColumn(
-                "__df", F.col("__c") + F.coalesce(F.col("__x"), F.lit(0)))
         else:
-            agg = agg.withColumn("__df", F.col("__c"))
-        kept = agg.where(F.col("__df") <= max_df)
+            cnt = e.groupBy("gram").agg(F.count("*").alias("__df"))
+        over = cnt.where(F.col("__df") > max_df).select("gram")
+        kept = (
+            e.join(over, on="gram", how="left_anti")
+            .groupBy("gram").agg(F.collect_list(id_col).alias("__ids"))
+        )
         # C(df,2) ordered-pair expansion via two generator nodes (no
         # interpreted lambda): posexplode anchors id_a, slice takes the
         # strictly-after suffix of the sorted id list
@@ -1215,22 +1235,29 @@ def _band_pairs_direct(
         ).alias("bb"),
     ).select(id_col, hash_col, "bb.band", "bb.bh")
     if max_bucket is not None:
-        # ONE groupBy(band, bh) aggregate carries both the bucket size and
-        # the (id, hash) members, replacing the count-agg + keep semi-join
-        # + bucket self-join chain (3 exchanges of the banded frame -> 1)
-        # — the same rewrite as the jaccard candidate stage. An id appears
-        # at most once per (band, bh) (one bh per band per id), so the
-        # sorted strictly-after expansion emits each unordered pair once
-        # per shared bucket; cross-bucket duplicates fall to the same
-        # distinct the self-join form used. Per-bucket state/fan-out is
-        # bounded by max_bucket exactly as the join's per-key fan-out was.
-        agg = banded.groupBy("band", "bh").agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("h"))
-            ).alias("__m"),
-            F.count("*").alias("__c"),
+        # Count FIRST, collect SECOND — the same bounded two-aggregate
+        # shape as the jaccard candidate stage (see _gram_index_verify):
+        # a map-side-combinable count per (band, bh) derives the OVER-CAP
+        # bucket set (provably small: <= banded_rows / max_bucket keys),
+        # an anti-join drops those rows, and only then does the
+        # collect-carrying aggregate gather (id, hash) members — so no
+        # aggregation buffer ever holds an over-cap bucket (a degenerate
+        # band value shared by ~all hashes is exactly the skew max_bucket
+        # defends against). An id appears at most once per (band, bh)
+        # (one bh per band per id), so the sorted strictly-after expansion
+        # emits each unordered pair once per shared bucket; cross-bucket
+        # duplicates fall to the same distinct the self-join form used.
+        # Per-bucket state/fan-out is bounded by max_bucket exactly as
+        # the join's per-key fan-out was.
+        cnt = banded.groupBy("band", "bh").agg(F.count("*").alias("__c"))
+        over = cnt.where(F.col("__c") > max_bucket).select("band", "bh")
+        kept = (
+            banded.join(over, on=["band", "bh"], how="left_anti")
+            .groupBy("band", "bh").agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("h"))
+                ).alias("__m"))
         )
-        kept = agg.where(F.col("__c") <= max_bucket)
         cands = (
             kept.select(F.array_sort("__m").alias("__s"))
             .select("__s", F.posexplode("__s").alias("__i", "a"))
@@ -1371,12 +1398,16 @@ def substring_dup_spans(
     never enters a shuffle; cross-doc discovery is distinct (hash, id)
     pairs then a partial-aggregated count per 8-byte hash (a boilerplate
     window in 1e9 docs is one combiner key, never a one-task sort); span
-    coverage folds each doc's DUPLICATED window positions to one sorted
-    int array and merges the [pos, pos+k-1] intervals doc-locally
-    (round-13 autopsy: the previous explode-k-positions + corpus-wide
+    coverage is the interval-union length of each doc's DUPLICATED
+    [pos, pos+k-1] windows, computed as a lag-window gap sum over the
+    (id, pos) dup rows — PARTITIONED by doc id, whole-stage codegen, and
+    the window's (id)-hash exchange is reused by the groupBy(id) after
+    it, so coverage costs one shuffle of one row per dup window
+    (round-13 autopsy: the original explode-k-positions + corpus-wide
     distinct + countDistinct chain was the op's dominant stage — 31 s of
-    the ~50 s 30x pipeline — shuffling k x dup-window rows where one row
-    per dup window suffices). The window frame feeds three aggregates,
+    the ~50 s 30x pipeline; the interim collect_list + HOF interval fold
+    that replaced it ran interpreted CodegenFallback lambdas per array
+    element and is gone too). The window frame feeds three aggregates,
     so it is persisted once.
 
     Returns (id, n_words, n_windows, n_dup_windows, dup_tokens, dup_frac),

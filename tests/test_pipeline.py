@@ -3426,3 +3426,54 @@ def test_frame_class_pairs_expand_equals_member(spark):
               r["hamming"]
               for r in frame_dup_pairs(media, 100, max_hamming=0).collect()}
     assert expanded == member
+
+
+def test_candidate_stage_hot_key_state_bounded(spark):
+    """Round-14 guard: the max_df / max_bucket candidate stages must never
+    materialize an over-cap key's member list. A synthetic hot gram with
+    10^6 occurrences under max_df=50 (and a hot band bucket under
+    max_bucket=50) must complete with exactly the under-cap pairs, and the
+    collect-carrying aggregate must sit ABOVE the anti-join that drops the
+    hot key — count first, collect second — so the hot list is never
+    gathered into one task's aggregation buffer."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_spark.pipeline.dedup import (
+        _band_pairs_direct, _gram_index_verify)
+
+    n = 1_000_000
+    # every doc carries gram "hot" (df = 10^6 >> 50); docs 0 and 1 also
+    # share "pair" (df=2): sets {hot, pair, u0} vs {hot, pair, u1} have
+    # jaccard 2/4 = 0.5 — but the only KEPT shared gram is "pair"
+    g = spark.range(n).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.array(
+            F.lit("hot"),
+            F.when(F.col("id") < 2, F.lit("pair"))
+            .otherwise(F.concat(F.lit("p"), F.col("id"))),
+            F.concat(F.lit("u"), F.col("id")),
+        ).alias("grams"),
+    )
+    out = _gram_index_verify(g, threshold=0.4, max_df=50, id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, "over-cap grams must be dropped by anti-join"
+    assert "collect_list" in plan
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(0, 1, 0.5)]
+
+    m = 60_000
+    # hash = id << 16 | 0xFFFF: band 0 (low 16 bits) is one hot bucket of
+    # 60k members, bands 2-3 are the all-zero hot bucket, band 1 is unique
+    # per id — plus two extra rows sharing band-1 bucket 123 at hamming 2
+    hs = spark.range(m).select(
+        F.col("id").alias("vid"),
+        (F.shiftleft(F.col("id"), 16) + F.lit(0xFFFF)).alias("h"),
+    ).unionByName(spark.createDataFrame(
+        [(m, (123 << 16) | 0x0001), (m + 1, (123 << 16) | 0x0002)],
+        "vid long, h long"))
+    pairs = _band_pairs_direct(hs, "h", "vid", max_hamming=2, max_bucket=50)
+    plan_b = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan_b
+    assert "collect_list" in plan_b
+    got = [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()]
+    assert got == [(m, m + 1, 2)]
