@@ -673,6 +673,14 @@ def lm_score(
     # must weigh repeatedly in both the fit counts and the score. The gram
     # stream feeds both the fit aggregation and the score join — persisted
     # so tokenize+shingle runs once (Spark shares no common subplans).
+    # Round-14 measured and REJECTED moving the persist to the
+    # vocabulary-sized count table with a fresh-scan probe: the extra
+    # tokenize+shingle pass doubled the ungrouped query at 100x
+    # (4.1 -> 8.1 s, every alternation, clean steal) and the hoped-for
+    # AQE SMJ->BHJ demotion of the GROUPED score join never materialized
+    # — warm replans keep 4 SortMergeJoin with the probe uncached too,
+    # i.e. the round-13 cached-probe demotion blocker extends to joins
+    # whose BUILD subtree reads an InMemoryRelation.
     grams = _persist_small(
         _gram_frame(docs, content_col, id_col, n, distinct=False,
                     extra_cols=tuple(gcols)).select(
@@ -724,16 +732,21 @@ def lm_score(
     wt_sel = wt.select(*gcols, "g", "logp")
     # The score join is the only occurrence-sized join; its build side is
     # the vocabulary-granularity probability table, whose Catalyst size
-    # ESTIMATE is inflated (aggregates over the cached gram frame have no
-    # stats) and whose runtime size AQE cannot use for join demotion when
-    # the probe side is an InMemoryRelation (measured: the same join
-    # converts to broadcast uncached, stays sort-merge cached). On the
-    # ungrouped paths the construction-time vocab count is already in
-    # hand, so broadcast EXACTLY when the table is provably small — a
-    # bounded adaptive hint, not a policy of broadcasting the (unbounded
-    # at corpus scale) vocabulary. Grouped paths have no free scalar and
-    # keep the frame join.
-    if vocab is not None and vocab <= 1 << 20:
+    # ESTIMATE is inflated (aggregates over the cached gram frame carry
+    # no stats). On the ungrouped paths the construction-time vocab count
+    # is already in hand, so broadcast EXACTLY when the table is provably
+    # small — a bounded adaptive hint (static BHJ: the probe never
+    # shuffles at all), not a policy of broadcasting the (unbounded at
+    # corpus scale) vocabulary. The bound is a BYTE budget, not a row
+    # count: a gram row is n space-joined words (~8-16 B/word + row
+    # overhead), so gating rows x n under 2^20 keeps the built broadcast
+    # relation in the low tens of MB regardless of n (a flat 2^20-row
+    # gate let a long-gram table reach hundreds of MB). Grouped paths
+    # have no free scalar and keep the frame join — AQE cannot demote it
+    # at runtime while either join subtree reads an InMemoryRelation
+    # (cached probe measured round 13; cached BUILD measured round 14 on
+    # the fresh-probe variant, which stayed 4x SortMergeJoin warm).
+    if vocab is not None and vocab * max(n, 1) <= 1 << 20:
         wt_sel = F.broadcast(wt_sel)
     scored = grams.join(wt_sel, on=[*gcols, "g"])
     per_doc = scored.groupBy(id_col).agg(
