@@ -117,6 +117,33 @@ HEADLINE = [
     "tsdb_slo_burn_rate",
 ]
 
+# Opt-in SCALE tier (round-14): the sf0.1 headline sits at the fixed
+# per-query overhead floor (60/82 queries <= 0.7 s; 8-vs-32-core ratios
+# ~1 across the board), so it can no longer show parallelism. Setting
+# SPARK_GRAFT_BENCH_SF_BIG=<K> (integer replication factor, e.g. 30)
+# ADDITIONALLY times these shuffle-heavy queries against the Kx replica
+# of sf0.1 (tools/scale_check.py's replica scheme, reused from
+# /tmp/scale_check_sf{K}x when already built) and ADDS entries named
+# big{K}x_<query> to the "queries" map. The driver never sets the env:
+# with it unset the run, the stdout JSON line, "value" and every
+# existing entry are byte-identical to before — and even when set,
+# "value" stays the sf-tier headline total (big-tier walls are extra
+# entries only, never folded into the metric).
+BIG_TIER = [
+    "dedup_ngram_jaccard",
+    "dedup_substring",
+    "dedup_substring_keep_first",
+    "dedup_cluster_cc",
+    "sample_leakage_safe_split",
+    "text_ccnet_buckets",
+    "text_lm_score",
+    "text_strip_boilerplate",
+    "text_tfidf_top3",
+    "dedup_bloom_decontaminate",
+    "tree_collisions",
+    "ingest_put_roundtrip",
+]
+
 _TICK = os.sysconf("SC_CLK_TCK")
 
 # the driver's stdout capture keeps only the last ~2000 chars of this
@@ -370,10 +397,10 @@ def main() -> None:
     _jit_bean = spark._jvm.java.lang.management.ManagementFactory \
         .getCompilationMXBean()
 
-    def _run_once(name: str) -> tuple[float, float, float, int]:
+    def _run_once(name: str, data_dir: str = sf_dir) -> tuple[float, float, float, int]:
         j0 = _jit_bean.getTotalCompilationTime()
         s0, c0, t0 = _steal_seconds(), meter.total(), time.time()
-        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fns[name](spark, data_dir).write.format("noop").mode("overwrite").save()
         wall, dcpu = time.time() - t0, meter.total() - c0
         return (wall, dcpu, _steal_seconds() - s0,
                 _jit_bean.getTotalCompilationTime() - j0)
@@ -431,16 +458,54 @@ def main() -> None:
                 steal[name] = round(dsteal, 3)
     steal_contaminated = sum(steal.values()) > steal_budget
 
+    # sf-tier totals are FINAL here — the opt-in big tier below only ever
+    # appends additional entries, never moves the headline metric
     total = round(sum(timings.values()), 3)
+    cpu_total = round(sum(cpu.values()), 3)
+    steal_total = round(sum(steal.values()), 3)
+
+    big_k = os.environ.get("SPARK_GRAFT_BENCH_SF_BIG", "")
+    if big_k:  # see BIG_TIER comment; the driver never sets this env
+        k = int(big_k)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import scale_check
+        big_dir = f"/tmp/scale_check_sf{k}x"
+        marker = f"{big_dir}/.replica_complete"
+        if not os.path.exists(marker):
+            scale_check.replicate(spark, k, big_dir)
+            with open(marker, "w") as f:
+                f.write("ok\n")
+        big_tier = BIG_TIER
+        if "--only" in sys.argv:  # same targeted-iteration filter as tier 1
+            pat = sys.argv[sys.argv.index("--only") + 1]
+            big_tier = [n for n in BIG_TIER if pat in n]
+        for name in big_tier:
+            if name not in fns:
+                continue
+            # scale_check's policy: clear scratch BETWEEN queries (at Kx
+            # the accumulated persists reach executor-memory scale);
+            # each query still warms itself across its repeats
+            spark.catalog.clearCache()
+            key = f"big{k}x_{name}"
+            best_wall = float("inf")
+            for _ in range(repeat):
+                wall, dcpu, dsteal, djit = _run_once(name, big_dir)
+                if wall < best_wall:
+                    best_wall = wall
+                    timings[key] = round(wall, 3)
+                    cpu[key] = round(dcpu, 3)
+                    steal[key] = round(dsteal, 3)
+                    jit[key] = int(djit)
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "cpu_queries": cpu,
-        "cpu_total": round(sum(cpu.values()), 3),
+        "cpu_total": cpu_total,
         "steal_queries": steal,
-        "steal_total": round(sum(steal.values()), 3),
+        "steal_total": steal_total,
         "jit_queries_ms": jit,
         "jit_total_ms": int(sum(jit.values())),
         "steal_budget": steal_budget,

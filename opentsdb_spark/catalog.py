@@ -6967,8 +6967,17 @@ _PRIORITY = [
     # (round 10: tsdb_agg_avg_raw rotates out — the line-sweep strategy
     # incl. its sum+count decomposition is pinned by sum_raw_full and the
     # full-catalog oracle run)
-    "tsdb_agg_zimsum_by_user",
-    "tsdb_agg_lerp_sum", "tsdb_agg_sum_raw_full",
+    # (round 14, verdict ask #6: rotate the round-13 rewrites into the
+    # gate. dedup_substring — the interval-merge/lag-window coverage
+    # shape rewritten twice in r13 — and dedup_bloom_decontaminate — the
+    # k-chained-broadcast-semi-join shape — take the slots of the two
+    # now-redundant aligned-aggregate variants zimsum_by_user and
+    # lerp_sum: aligned-grid aggregation machinery stays pinned in-gate
+    # by sum_raw_full (the line-sweep superset) and rollup/hist rows,
+    # grouped aggregation by zimsum's own full-catalog oracle coverage;
+    # both rotated-out rows move to the post-gate tail below.
+    # text_gram_novelty, the verdict's other ask, already sits in-gate.)
+    "dedup_substring", "dedup_bloom_decontaminate", "tsdb_agg_sum_raw_full",
     # metadata / uid / tree / annotations (§2.11)
     "tsdb_last", "uid_metrics_listing", "tree_branches",
     "annotations_overlap",
@@ -7199,9 +7208,9 @@ _PRIORITY = [
     # it through dedup/gate/packing; the audit histogram stays verified by
     # the full-catalog oracle run)
     "sample_interleave", "pipeline_end_to_end", "text_strip_boilerplate",
-    "sample_token_budget", "dedup_bloom_decontaminate",
+    "sample_token_budget", "tsdb_agg_zimsum_by_user", "tsdb_agg_lerp_sum",
 ]
-assert len(_PRIORITY) == 52  # one driver-gate slot per family; the tail
+assert len(_PRIORITY) == 53  # one driver-gate slot per family; the tail
 # entries past the driver's 50-query prefix stay covered by the
 # full-catalog oracle run (tools/check_oracle.py)
 
