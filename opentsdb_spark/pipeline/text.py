@@ -294,7 +294,15 @@ def strip_boilerplate_chunks(
 
     # the (id, pos, hash) key frame feeds BOTH the df aggregation and the
     # strike-out semi-join — persist it so the chunk explode (split +
-    # slice/join transform over every doc) runs once, not twice
+    # slice/join transform over every doc) runs once, not twice. This is
+    # one of the two documented CORPUS-cardinality _persist_small sites
+    # (see its docstring): one ~20-byte row per chunk (chunk_pos is
+    # genuinely needed by the strike-out side, the hash by both), i.e.
+    # rows x ~20 B of MEMORY_AND_DISK scratch at scale against re-running
+    # the chunk explode over the full text per consumer — measured
+    # round 14 at the 100x replica: persist-on beat persist-off on every
+    # alternation (best 11.1 vs 13.0 s; 15.8 -> 9.8 s at 30x in the
+    # round-13 A/B that introduced it)
     keys = _persist_small(
         chunk_docs(docs, chunk_words, content_col, id_col).select(
             id_col, "chunk_pos", F.xxhash64("chunk").alias("__ch")
